@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Local-mode defaults are tuned for the test harness (local[32], 32 shuffle
+  * partitions); on a real cluster the same builder is used without `master`,
+  * letting spark-submit supply parallelism. AQE stays on everywhere so skewed
+  * shuffles re-plan at runtime, which is the behavior we want at 100 TB.
+  */
+object GraftSession {
+
+  /** Apply graft's standard configuration to any builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / bench. */
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = cores
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.functions.Exact
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** The core spending-analytics operators: dedup, sliding-window aggregation,
+  * daily rollup. Parameterized on column names so the same operators serve
+  * the transaction stream (transaction_id/customer_id/timestamp/amount) and
+  * the harness `events` table (event_id/user_id/ts/value).
+  *
+  * Semantics follow the reference pipeline
+  * (/root/reference/src/main/scala/com/example/kafka/CustomerSpendingAnalysis.scala:63-98,
+  * 103-119) with the documented fixes (SURVEY.md §4.3): daily totals are
+  * computed from deduplicated events directly — not by re-summing
+  * overlapping sliding windows, which double-counts — and streaming dedup is
+  * watermark-bounded instead of unbounded.
+  */
+object Spend {
+
+  final case class Cols(
+      id: String = "transaction_id",
+      key: String = "customer_id",
+      ts: String = "timestamp",
+      amount: String = "amount")
+
+  val transactionCols: Cols = Cols()
+  val eventCols: Cols = Cols(id = "event_id", key = "user_id", ts = "ts", amount = "value")
+
+  /** Batch dedup by id, deterministic: keeps the first row per id ordered by
+    * (ts, amount). The reference's `dropDuplicates` keeps an arbitrary row
+    * (CustomerSpendingAnalysis.scala:105); a deterministic keep is required
+    * for reproducible pipelines and for oracle comparison.
+    */
+  def dedupe(df: DataFrame, c: Cols = transactionCols): DataFrame =
+    dedupeBy(df, Seq(c.id), Seq(c.ts, c.amount))
+
+  /** Deterministic dedup on arbitrary keys: keeps the first row per key group
+    * ordered by `order`. One shuffle on the keys; at scale prefer ordering by
+    * a unique id so the kept row is stable across retries and engines.
+    */
+  def dedupeBy(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(c => col(c).asc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Streaming dedup by id, state bounded by the watermark (fixes the
+    * reference's unbounded dedup state, SURVEY.md §2.6 D1). Caller must have
+    * applied `withWatermark` on `c.ts` first.
+    */
+  def dedupeStream(df: DataFrame, c: Cols = transactionCols): DataFrame =
+    df.dropDuplicatesWithinWatermark(Seq(c.id))
+
+  /** Sliding event-time window spend per key
+    * (CustomerSpendingAnalysis.scala:76-88 semantics, grouped by key only —
+    * the per-transaction group key there is flagged test-only).
+    *
+    * Output: key, window_start, window_end (timestamps), total_spent.
+    * Scale note: this is a hash aggregate that shuffles on (key, window) —
+    * partial aggregation happens map-side, so the shuffle carries one row
+    * per key per window per input partition, not per event.
+    */
+  def windowedSpend(
+      df: DataFrame,
+      c: Cols = transactionCols,
+      windowDuration: String = "10 minutes",
+      slideDuration: String = "5 minutes"): DataFrame =
+    df.groupBy(window(col(c.ts), windowDuration, slideDuration), col(c.key))
+      .agg(Exact.dsum(col(c.amount)).as("total_spent"))
+      .select(
+        col(c.key),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("total_spent"))
+
+  /** Streaming variant: watermark -> dedup -> sliding window agg. */
+  def windowedSpendStream(
+      df: DataFrame,
+      c: Cols = transactionCols,
+      windowDuration: String = "10 minutes",
+      slideDuration: String = "5 minutes",
+      watermark: String = "5 minutes",
+      dedup: Boolean = true): DataFrame = {
+    val marked = df.withWatermark(c.ts, watermark)
+    val deduped = if (dedup) dedupeStream(marked, c) else marked
+    deduped
+      .groupBy(window(col(c.ts), windowDuration, slideDuration), col(c.key))
+      .agg(sum(col(c.amount)).as("total_spent"))
+      .select(
+        col(c.key),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("total_spent"))
+  }
+
+  /** True daily totals per key from (deduplicated) events — the intended
+    * semantics pinned by the reference's golden data
+    * (CustomerSpendingIntegrationTest.scala:444-449), computed directly
+    * rather than by re-summing overlapping windows (SURVEY.md §4.3-3).
+    * Output: key, date (yyyy-MM-dd string), total_spent.
+    */
+  def dailySpend(df: DataFrame, c: Cols = transactionCols): DataFrame =
+    df.groupBy(col(c.key), date_format(col(c.ts), "yyyy-MM-dd").as("transaction_date"))
+      .agg(Exact.dsum(col(c.amount)).as("total_spent"))
+
+  /** Streaming daily totals: 1-day tumbling window under a watermark. */
+  def dailySpendStream(df: DataFrame, c: Cols = transactionCols, watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(c.ts, watermark)
+      .groupBy(window(col(c.ts), "1 day"), col(c.key))
+      .agg(sum(col(c.amount)).as("total_spent"))
+      .select(
+        col(c.key),
+        date_format(col("window.start"), "yyyy-MM-dd").as("transaction_date"),
+        col("total_spent"))
+}
