@@ -104,10 +104,12 @@ object Spend {
     df.groupBy(col(c.key), date_format(col(c.ts), "yyyy-MM-dd").as("transaction_date"))
       .agg(Exact.dsum(col(c.amount)).as("total_spent"))
 
-  /** Streaming daily totals: 1-day tumbling window under a watermark. */
-  def dailySpendStream(df: DataFrame, c: Cols = transactionCols, watermark: String = "1 hour"): DataFrame =
-    df.withWatermark(c.ts, watermark)
-      .groupBy(window(col(c.ts), "1 day"), col(c.key))
+  /** Streaming daily totals: 1-day tumbling window. The caller must have
+    * applied `withWatermark(c.ts, ...)` already (a second application is an
+    * AnalysisException under multi-stateful-operator watermark propagation).
+    */
+  def dailySpendStream(df: DataFrame, c: Cols = transactionCols): DataFrame =
+    df.groupBy(window(col(c.ts), "1 day"), col(c.key))
       .agg(sum(col(c.amount)).as("total_spent"))
       .select(
         col(c.key),

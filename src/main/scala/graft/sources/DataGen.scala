@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic transaction generator.
+  *
+  * Same field domains as the reference's producer
+  * (/root/reference/src/main/scala/com/example/kafka/KafkaProducerApp.scala:29-48):
+  * customers 1-1000, merchants 1-500, 5 payment methods, 3 statuses, 2-dp
+  * amounts — but seeded and expression-based, so it runs distributed at any
+  * scale (spark.range for batch, the rate source for streaming) instead of a
+  * single-threaded driver loop at 0.5 events/s.
+  */
+object DataGen {
+  private val paymentMethods =
+    Seq("Credit Card", "Debit Card", "PayPal", "UPI", "Net Banking")
+  private val statuses = Seq("Success", "Pending", "Failed")
+
+  /** Pseudo-random positive long derived from the row id — xxhash64 keeps
+    * generation deterministic per (seed, id) and fully parallel. */
+  private def prand(id: org.apache.spark.sql.Column, seed: Long, salt: String) =
+    abs(xxhash64(lit(seed), lit(salt), id))
+
+  /** Columns of one synthetic transaction for a given id column. */
+  private def fields(id: org.apache.spark.sql.Column, seed: Long, startEpoch: Long, eventsPerSecond: Double) = {
+    val ts = timestamp_seconds(lit(startEpoch) + (id / eventsPerSecond))
+    Seq(
+      md5(concat_ws("-", lit(seed), id)).as("transaction_id"),
+      (prand(id, seed, "cust") % 1000 + 1).cast("string").as("customer_id"),
+      (prand(id, seed, "merch") % 500 + 1).cast("int").as("merchant_id"),
+      ts.as("timestamp"),
+      ((prand(id, seed, "amt") % 99900 + 100) / lit(100.0)).as("amount"),
+      // array(lit(...)) rather than typedLit: typedLit needs runtime Scala
+      // reflection, which breaks in REPL/console classloaders on JDK 17
+      element_at(
+        array(paymentMethods.map(lit): _*), (prand(id, seed, "pm") % 5 + 1).cast("int")
+      ).as("payment_method"),
+      element_at(
+        array(statuses.map(lit): _*), (prand(id, seed, "st") % 3 + 1).cast("int")
+      ).as("status"))
+  }
+
+  /** Batch: `n` deterministic transactions as flat typed columns. */
+  def transactions(
+      spark: SparkSession,
+      n: Long,
+      seed: Long = 42L,
+      startEpoch: Long = 1704067200L, // 2024-01-01T00:00:00Z
+      eventsPerSecond: Double = 10.0): DataFrame =
+    spark.range(n).select(fields(col("id"), seed, startEpoch, eventsPerSecond): _*)
+
+  /** Batch: same rows wire-encoded as a JSON `value` column (Kafka shape). */
+  def transactionsJson(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame =
+    transactions(spark, n, seed)
+      .select(to_json(struct(col("*"))).as("value"))
+
+  /** Streaming: rate-source-driven generator producing the Kafka wire shape
+    * (`value` JSON string). Replaces the reference's Thread.sleep loop. */
+  def stream(spark: SparkSession, rowsPerSecond: Long, seed: Long = 42L): DataFrame = {
+    val rate = spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+    rate.select(
+      to_json(struct(fields(col("value"), seed, 1704067200L, rowsPerSecond.toDouble): _*))
+        .as("value"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.SpendingPipeline.{Config, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Golden-fixture streaming tests pinning the reference pipeline's
+  * semantics (FIXTURES.md §2-3, derived from the reference's integration
+  * tests): sliding-window sums with epoch-aligned 11:55/12:00/12:05
+  * boundaries, and true daily totals with duplicate transactions counted
+  * once. Offline: MemoryStream source + memory sink + processAllAvailable.
+  */
+class SpendingPipelineSpec extends SparkSpec {
+
+  private def tx(id: String, cust: String, ts: String, amount: Double): String =
+    s"""{"transaction_id":"$id","customer_id":"$cust","merchant_id":7,""" +
+      s""""timestamp":"$ts","amount":$amount,"payment_method":"UPI","status":"Success"}"""
+
+  private def streamOf(rows: Seq[String]): Source = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    ms.addData(rows: _*)
+    Source.Raw(ms.toDF())
+  }
+
+  test("golden A: sliding 10-min/5-min window per customer") {
+    val source = streamOf(Seq(
+      tx("t1", "1", "2025-03-10T12:01:00Z", 100.0),
+      tx("t2", "1", "2025-03-10T12:05:00Z", 150.0),
+      tx("t3", "1", "2025-03-10T12:11:00Z", 200.0)))
+    val agg = SpendingPipeline.windowedSpend(spark, source)
+    val q = SpendingPipeline.start(agg, Sink.Memory("golden_a"), Config(), "golden_a_q")
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("golden_a")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(11, 16),
+        r.getTimestamp(2).toString.substring(11, 16), r.getDouble(3)))
+      .toSet
+    val expected = Set( // FIXTURES.md §2 per-customer variant
+      ("1", "11:55", "12:05", 100.0),
+      ("1", "12:00", "12:10", 250.0),
+      ("1", "12:05", "12:15", 350.0),
+      ("1", "12:10", "12:20", 200.0))
+    assert(got == expected)
+  }
+
+  test("golden B: daily totals, duplicate transaction counted once") {
+    val source = streamOf(Seq(
+      tx("t1", "1", "2025-03-10T12:01:00Z", 100.0),
+      tx("t2", "1", "2025-03-10T12:05:00Z", 150.0),
+      tx("t3", "1", "2025-03-10T12:11:00Z", 200.0),
+      tx("t3", "1", "2025-03-10T12:11:00Z", 200.0), // exact duplicate
+      tx("t4", "1", "2025-03-11T09:00:00Z", 2000.0),
+      tx("t5", "2", "2025-03-11T10:00:00Z", 150.0),
+      tx("t6", "2", "2025-03-11T11:00:00Z", 200.0),
+      tx("t7", "3", "2025-03-12T08:00:00Z", 300.0),
+      tx("t8", "3", "2025-03-12T09:00:00Z", 500.0)))
+    val daily = SpendingPipeline.dailySpend(spark, source)
+    val q = SpendingPipeline.start(daily, Sink.Memory("golden_b"), Config(), "golden_b_q")
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("golden_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val expected = Set( // FIXTURES.md §3
+      ("1", "2025-03-10", 450.0),
+      ("1", "2025-03-11", 2000.0),
+      ("2", "2025-03-11", 350.0),
+      ("3", "2025-03-12", 800.0))
+    assert(got == expected)
+  }
+
+  test("malformed JSON yields nulls, wellFormed drops them") {
+    import graft.operators.Ingest
+    import spark.implicits._
+    val raw = Seq(tx("t1", "1", "2025-03-10T12:01:00Z", 10.0), "{not json").toDF("value")
+    val parsed = Ingest.parseTransactions(raw)
+    assert(parsed.count() == 2)
+    assert(Ingest.wellFormed(parsed).count() == 1)
+  }
+}
