@@ -100,8 +100,109 @@ object SparkEntry {
 
     "e1_except" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      ev.filter(col("event_type") === "purchase").select(col("user_id"))
-        .except(ev.filter(col("event_type") === "error").select(col("user_id")))
+      ev.filter(col("event_type") === "purchase").select(col("event_id"))
+        .except(ev.filter(col("value") >= 100.0).select(col("event_id")))
+    }),
+
+    // ---- sources (SURVEY §2.1) -----------------------------------------
+    "s5_memory_relation" -> ((s, dir) => {
+      // S5: in-memory local relation (Seq -> DataFrame).
+      import s.implicits._
+      Seq(("Credit Card", 1), ("Debit Card", 2), ("PayPal", 3), ("UPI", 4),
+        ("Net Banking", 5)).toDF("payment_method", "method_id")
+    }),
+
+    "s6_datagen" -> ((s, dir) =>
+      // S6: deterministic synthetic generator (rows-only check — hash
+      // functions differ across engines, so no SQL oracle).
+      graft.sources.DataGen.transactions(s, 1000)
+        .select(col("transaction_id"), col("customer_id"), col("merchant_id"),
+          col("amount"), col("payment_method"), col("status"))),
+
+    // ---- projections / casts (SURVEY §2.3) -----------------------------
+    "p1_cast_binary_string" -> ((s, dir) =>
+      // P1: the Kafka wire cast, binary -> string, round-tripped.
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          col("props").cast("binary").cast("string").as("props_str"))),
+
+    "p4_project_alias" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("id"), col("value").as("amount"))),
+
+    "p5_withcolumn" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("value_cents", (money(col("value")) * 100).cast("long"))
+        .select(col("event_id"), col("value_cents"))),
+
+    "p6_drop_column" -> ((s, dir) =>
+      Tables.events(s, dir).drop("props", "ts")),
+
+    "p7_struct_field_access" -> ((s, dir) =>
+      // P7: build a struct column, read fields back via dotted access.
+      Tables.events(s, dir)
+        .select(col("event_id"), struct(col("user_id"), col("value")).as("s"))
+        .select(col("event_id"), col("s.user_id").as("uid"), col("s.value").as("v"))),
+
+    // ---- time ops (SURVEY §2.7) ----------------------------------------
+    "t4_to_timestamp_parse" -> ((s, dir) =>
+      // T4: format -> parse round trip with an explicit pattern.
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            "yyyy-MM-dd HH:mm:ss").cast("long").as("epoch_s"))),
+
+    "t5_utc_normalize" -> ((s, dir) =>
+      // T5: to_utc_timestamp no-op under a UTC session (parity with the
+      // reference's redundant normalization).
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          to_utc_timestamp(col("ts"), "UTC").cast("long").as("utc_epoch"))),
+
+    "t6_to_date_trunc" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- more dedup (SURVEY §2.6) --------------------------------------
+    "d1_dedup_union_self" -> ((s, dir) => {
+      // D1 batch analog: duplicate every row, dedup by id.
+      val ev = Tables.events(s, dir)
+      ev.union(ev).dropDuplicates("event_id")
+        .select(col("event_id"), col("user_id"), col("value"))
+    }),
+
+    "d3_rollup_dedup_noop" -> ((s, dir) =>
+      // D3: dedup on the rollup's own group keys (a no-op, kept for parity).
+      Spend.dailySpend(Tables.events(s, dir), Spend.eventCols)
+        .dropDuplicates("user_id", "transaction_date")),
+
+    // ---- window functions / joins (beyond-reference capability) --------
+    "w1_rank_per_user" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("value"), col("rn"))
+    }),
+
+    "q3_join_revenue" -> ((s, dir) => {
+      // TPC-H Q3 shape: fact-fact shuffle join + broadcast dim join.
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      Tables.lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
     })
   )
 
@@ -153,8 +254,66 @@ object SparkEntry {
       "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
 
     "e1_except" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      """SELECT DISTINCT event_id FROM events WHERE event_type = 'purchase'
         |EXCEPT
-        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""".stripMargin
+        |SELECT DISTINCT event_id FROM events WHERE value >= 100""".stripMargin,
+
+    "s5_memory_relation" ->
+      """SELECT * FROM (VALUES ('Credit Card', 1), ('Debit Card', 2),
+        |('PayPal', 3), ('UPI', 4), ('Net Banking', 5))
+        |AS t(payment_method, method_id)""".stripMargin,
+
+    "p1_cast_binary_string" ->
+      "SELECT event_id, decode(CAST(props AS BLOB)) AS props_str FROM events",
+
+    "p4_project_alias" ->
+      "SELECT event_id AS id, value AS amount FROM events WHERE event_type = 'purchase'",
+
+    "p5_withcolumn" ->
+      "SELECT event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents FROM events",
+
+    "p6_drop_column" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+
+    "p7_struct_field_access" ->
+      "SELECT event_id, user_id AS uid, value AS v FROM events",
+
+    "t4_to_timestamp_parse" ->
+      """SELECT event_id, CAST(epoch(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+        |'%Y-%m-%d %H:%M:%S')) AS BIGINT) AS epoch_s FROM events""".stripMargin,
+
+    "t5_utc_normalize" ->
+      "SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS utc_epoch FROM events",
+
+    "t6_to_date_trunc" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "d1_dedup_union_self" ->
+      """SELECT DISTINCT event_id, user_id, value
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events) u""".stripMargin,
+
+    "d3_rollup_dedup_noop" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS transaction_date,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')""".stripMargin,
+
+    "w1_rank_per_user" ->
+      """SELECT user_id, event_id, value, rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase') t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q3_join_revenue" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin
   )
 }
