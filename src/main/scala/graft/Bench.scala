@@ -1,23 +1,35 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":...,"queries":{...}}. A warmup pass runs
+  * first so JIT/codegen/page-cache costs don't land on the first query. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup: touch every table + JIT the scan/agg paths
+    graft.sources.Tables.all.foreach { t =>
+      try graft.sources.Tables(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
+    try SparkEntry.queries("q1_lineitem_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -190,6 +190,88 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("value"), col("rn"))
     }),
 
+    // ---- LLM-pipeline extensions: text analysis -------------------------
+    "ext_text_profile" -> ((s, dir) => {
+      import graft.operators.TextAnalysis._
+      val t = col("text")
+      Tables.documents(s, dir).select(col("doc_id"),
+        tokenCount(t).as("n_tokens"),
+        punctRatio(t).as("punct_ratio"),
+        stopwordRatio(t).as("stopword_ratio"),
+        meanTokenLength(t).as("mean_token_len"),
+        qualityScore(t).as("quality_score"))
+    }),
+
+    "ext_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "ext_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    "ext_rolling_hash" -> ((s, dir) =>
+      // order-sensitive 64-bit token-stream hash (rows-only: xxhash64 is
+      // Spark-specific)
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.operators.TextAnalysis.rollingHash(col("text")).as("rhash"))),
+
+    // ---- LLM-pipeline extensions: dedup --------------------------------
+    "ext_dedup_exact" -> ((s, dir) =>
+      graft.operators.Dedup.exact(Tables.documents(s, dir)).select(col("doc_id"))),
+
+    "ext_dedup_minhash" -> ((s, dir) =>
+      graft.operators.Dedup.minhashCandidates(Tables.documents(s, dir))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "ext_dedup_ngram" -> ((s, dir) =>
+      graft.operators.Dedup.nearDuplicates(Tables.documents(s, dir), threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "ext_dedup_simhash" -> ((s, dir) =>
+      // rows-only: xxhash64-based bit votes are Spark-specific
+      graft.operators.Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "ext_dedup_embedding" -> ((s, dir) =>
+      graft.operators.Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- LLM-pipeline extensions: similarity search --------------------
+    "ext_knn_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"), k = 5)
+    }),
+
+    "ext_knn_lsh" -> ((s, dir) => {
+      // rows-only: approximate; recall vs brute force asserted in ScalaTest
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.lshTopK(
+        emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"), k = 5)
+    }),
+
+    "ext_knn_ivf" -> ((s, dir) => {
+      // rows-only: KMeans centroids are engine-specific
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"), k = 5)
+    }),
+
+    // ---- LLM-pipeline extensions: multimodal ---------------------------
+    "ext_multimodal_features" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.synthesizeFromDocs(Tables.documents(s, dir))
+      graft.operators.Multimodal.withFeatures(media)
+        .select(col("media_id"), col("kind"), col("meta.width").as("width"),
+          length(col("bytes")).as("n_bytes"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 2).as("f1"))
+    }),
+
+    "ext_multimodal_frames" -> ((s, dir) =>
+      graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.synthesizeFromDocs(Tables.documents(s, dir)))),
+
     "q3_join_revenue" -> ((s, dir) => {
       // TPC-H Q3 shape: fact-fact shuffle join + broadcast dim join.
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -304,6 +386,139 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         |  FROM events WHERE event_type = 'purchase') t
         |WHERE rn <= 3""".stripMargin,
+
+    "ext_text_profile" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?''"()\-]', '', 'g')) AS DOUBLE)
+        |    / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['the','a','an','of','and','to','in','is','it','for'], t))) AS DOUBLE)
+        |    / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS stopword_ratio,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |    / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS mean_token_len,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+        |    + least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        t -> list_contains(['the','a','an','of','and','to','in','is','it','for'], t))) AS DOUBLE)
+        |      / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+        |    + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?''"()\-]', '', 'g')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) * 4.0, 1.0)) * 0.2 AS quality_score
+        |FROM documents""".stripMargin,
+
+    "ext_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS lt FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(lt, t -> list_contains(['the','is','and','of','a'], t))) AS s_en,
+        |  len(list_filter(lt, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
+        |  len(list_filter(lt, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+        |  len(list_filter(lt, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr,
+        |  len(list_filter(lt, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |FROM s)
+        |SELECT doc_id, CASE
+        |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'en'
+        |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'es'
+        |  WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'de'
+        |  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'fr'
+        |  WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'zh'
+        |  ELSE 'und' END AS lang_pred
+        |FROM c""".stripMargin,
+
+    "ext_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  AS fingerprint FROM documents""".stripMargin,
+
+    "ext_dedup_exact" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) t WHERE rn = 1""".stripMargin,
+
+    "ext_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+        |  FROM toks),
+        |sig AS (SELECT doc_id,
+        |  [list_min(list_transform(s, x -> md5(x || '#' || CAST(j AS VARCHAR))))
+        |   for j in generate_series(0, 11)] AS g FROM sh),
+        |bands AS (SELECT doc_id, band,
+        |  md5(g[band*3+1] || '|' || g[band*3+2] || '|' || g[band*3+3]) AS key
+        |  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b)
+        |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext_dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+        |  FROM toks),
+        |sig AS (SELECT doc_id,
+        |  [list_min(list_transform(s, x -> md5(x || '#' || CAST(j AS VARCHAR))))
+        |   for j in generate_series(0, 11)] AS g FROM sh),
+        |bands AS (SELECT doc_id, band,
+        |  md5(g[band*3+1] || '|' || g[band*3+2] || '|' || g[band*3+3]) AS key
+        |  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id) t
+        |WHERE jaccard >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext_dedup_embedding" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.e, b.e) / (a.nm * b.nm) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) / (a.nm * b.nm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext_knn_brute" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nm AS qn FROM n WHERE vec_id < 10),
+        |scored AS (SELECT q_id, vec_id,
+        |  list_dot_product(e, qe) / (nm * qn) AS cosine
+        |  FROM n, q WHERE vec_id != q_id)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        |  SELECT q_id, vec_id, cosine, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
+
+    "ext_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |  CAST((doc_id % 16) * 64 + 256 AS INTEGER) AS width,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  CAST(CAST('0x' || substr(md5(text || '/f0'), 1, 12) AS UBIGINT) AS DOUBLE)
+        |    / 281474976710656.0 AS f0,
+        |  CAST(CAST('0x' || substr(md5(text || '/f1'), 1, 12) AS UBIGINT) AS DOUBLE)
+        |    / 281474976710656.0 AS f1
+        |FROM documents""".stripMargin,
+
+    "ext_multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        |  unnest(generate_series(0, (doc_id % 30) * 1000 + 1000 - 1, 1000)) AS frame_ts_ms,
+        |  md5(CAST(doc_id AS VARCHAR) || '@' ||
+        |    CAST(unnest(generate_series(0, (doc_id % 30) * 1000 + 1000 - 1, 1000)) AS VARCHAR))
+        |    AS frame_stub
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     "q3_join_revenue" ->
       """SELECT l_orderkey,

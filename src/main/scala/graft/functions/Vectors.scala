@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives as pure Catalyst expressions (no UDFs): the
+  * lambda higher-order functions (`zip_with`, `aggregate`) stay inside the
+  * optimized expression tree, so vector math runs without serialization
+  * overhead and survives whole-stage codegen boundaries.
+  *
+  * All arithmetic is double-precision and index-ordered, which makes results
+  * deterministic across engines (validated bit-identical against DuckDB's
+  * list_dot_product) — at 100 TB, nondeterministic float reductions make
+  * dedup/top-k results unreproducible, so ordering is a design requirement,
+  * not a test convenience.
+  */
+object Vectors {
+
+  /** Index-ordered dot product of two float/double array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, recomputing both norms (one-off use). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine given precomputed norms — the form every scale path should use:
+    * norm is computed once per corpus row, not once per candidate pair. */
+  def cosinePrenormed(a: Column, normA: Column, b: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Squared L2 distance (monotone with L2; avoids the sqrt per pair). */
+  def l2Squared(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+}

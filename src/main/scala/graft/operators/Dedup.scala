@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.functions.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every candidate-generation step is a bucket join (shuffle
+  * on a band/block key), never an all-pairs comparison; the quadratic work
+  * only happens inside buckets, which is the standard LSH contract. Hashes
+  * used in oracle-checked paths are md5 hex strings compared
+  * lexicographically — deterministic and engine-portable (no seed files).
+  */
+object Dedup {
+
+  /** Normalized text: lowercased, whitespace-collapsed, trimmed. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by content fingerprint; keeps the lowest id per group
+    * (deterministic, unlike a bare dropDuplicates). */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** Distinct word n-gram shingles of normalized text. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(normalize(text), " ")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array(normalize(text)))
+  }
+
+  /** MinHash signature: k independent hash minima. Hash j of shingle s is
+    * md5(s + "#" + j); the minimum is lexicographic over hex strings, which
+    * every engine orders identically. */
+  def minhashSignature(shingles: Column, k: Int = 12): Column =
+    array((0 until k).map { j =>
+      array_min(transform(shingles, s => md5(concat(s, lit("#" + j)).cast("binary"))))
+    }: _*)
+
+  /** LSH band keys: the signature split into `bands` runs of `r` values,
+    * each hashed to one bucket key. */
+  def bandKeys(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", (0 until r).map(i => element_at(sig, b * r + i + 1)): _*)
+        .cast("binary"))
+    }: _*)
+
+  /** Candidate near-duplicate pairs (idA < idB) that share at least one LSH
+    * band. One shuffle on (band, key); bucket-local self-join. */
+  def minhashCandidates(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val sig = minhashSignature(wordShingles(col(textCol)), k)
+    val e = df.select(col(idCol).as("id"),
+      posexplode(bandKeys(sig, bands, r)).as(Seq("band", "key")))
+    e.as("x").join(e.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------ n-gram jaccard
+
+  /** Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Verified near-duplicates: MinHash candidates whose true shingle-set
+    * Jaccard clears `threshold`. The exact check only runs on candidate
+    * pairs — LSH prunes the quadratic space first. */
+  def nearDuplicates(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      threshold: Double = 0.7,
+      k: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol)).as("sh"))
+    minhashCandidates(df, textCol, idCol, k, bands)
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over distinct whitespace tokens: per-bit majority vote
+    * of xxhash64(token). 64 in-expression folds per doc — O(64·T) scalar
+    * work, still scan-parallel with no shuffle. */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(normalize(text), " "))
+    val bitCols = (0 until 64).map { b =>
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc +
+          when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Near-dup pairs by SimHash: block on 4 16-bit chunks (any pair within
+    * Hamming distance <= 3 shares at least one chunk — pigeonhole), then
+    * verify bit_count(xor) <= maxHamming inside buckets. */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val blocks = withSim.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("block", "key")))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.block") === col("y.block") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------- embedding cosine
+
+  /** Near-duplicate pairs by embedding cosine >= threshold. Brute-force
+    * variant: all pairs (use only when one side fits the nested-loop
+    * broadcast); the scale path buckets through Similarity.lsh first. */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      threshold: Double = 0.95): DataFrame = {
+    val n = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      Vectors.norm(col(embCol)).as("nrm"))
+    n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Vectors.cosinePrenormed(col("a.emb"), col("a.nrm"), col("b.emb"), col("b.nrm"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.functions.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers:
+  *  - `bruteForceTopK`: exact; corpus x queries scored with the broadcast
+  *    nested-loop join (queries side must be small). The correctness
+  *    baseline every ANN variant is measured against.
+  *  - `lshTopK`: random-hyperplane LSH buckets; only same-bucket candidates
+  *    are scored. Deterministic planes from a seed. The 100 TB path: one
+  *    shuffle on bucket id, quadratic work only inside buckets.
+  *  - `ivfTopK`: IVF with KMeans centroids (spark.ml); corpus is assigned
+  *    to inverted lists once, queries probe the `nprobe` nearest lists.
+  */
+object Similarity {
+
+  /** Attach the L2 norm (compute once per row, reuse across pairs). */
+  def withNorm(df: DataFrame, embCol: String = "embedding", normCol: String = "emb_norm"): DataFrame =
+    df.withColumn(normCol, Vectors.norm(col(embCol)))
+
+  /** Exact top-k: score all corpus rows per query, rank, keep k.
+    * Output: (q_id, vec_id, cosine, rank). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qIdCol: String = "q_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+      Vectors.norm(col(embCol)).as("c_nrm"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
+      Vectors.norm(col(embCol)).as("q_nrm"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `nPlanes` x `dim` gaussians. */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id of an embedding column: bit j = sign(dot(plane_j)). */
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int, seed: Long): Column =
+    (0 until nPlanes).map { j =>
+      val plane = array(planes(nPlanes, dim, seed)(j).map(lit): _*)
+      when(Vectors.dot(emb, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.foldLeft(lit(0L))(_ + _) // fold, not reduce: nPlanes=0 = one bucket (exact)
+
+  /** ANN top-k via LSH buckets: candidates = same-bucket rows only.
+    * Recall < 1 by construction; raise recall by lowering nPlanes (bigger
+    * buckets) or unioning several seeds (multi-table LSH). */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qIdCol: String = "q_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = (e: Column) => lshBucket(e, nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+      Vectors.norm(col(embCol)).as("c_nrm"), bucket(col(embCol)).as("bucket"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
+      Vectors.norm(col(embCol)).as("q_nrm"), bucket(col(embCol)).as("bucket"))
+    val scored = c.join(q, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF: KMeans inverted lists + nprobe probing.
+    * Train on (a sample of) the corpus, assign every corpus row to its
+    * nearest centroid (one broadcast join against <= nlist rows), then for
+    * each query probe the `nprobe` nearest lists and score only those. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qIdCol: String = "q_id"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+
+    val train = corpus.select(array_to_vector(col(embCol).cast("array<double>")).as("fv"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv").fit(train)
+    // Centroids as one literal array of (cid, vector) structs: list
+    // assignment is then a pure expression (argmin over the array) — no
+    // join, no window, no shuffle for the assignment step.
+    val centroidArr = array(model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      struct(array(v.toArray.map(lit): _*).as("cv"), lit(i).as("cid"))
+    }: _*)
+    def distances(embC: Column): Column = array_sort(transform(centroidArr,
+      c => struct(Vectors.l2Squared(embC, c.getField("cv")).as("dist"),
+        c.getField("cid").as("cid"))))
+
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+      Vectors.norm(col(embCol)).as("c_nrm"),
+      element_at(distances(col(embCol)), 1).getField("cid").as("list_id"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
+      Vectors.norm(col(embCol)).as("q_nrm"),
+      explode(transform(slice(distances(col(embCol)), 1, nprobe),
+        d => d.getField("cid"))).as("list_id"))
+
+    val scored = c.join(q, Seq("list_id")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
+          .as("cosine"))
+      .groupBy(col("q_id"), col("vec_id")).agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language-ID heuristics, document
+  * fingerprinting. Everything is built from codegen'd string/array
+  * expressions — per-document work is embarrassingly parallel, no shuffles,
+  * so these scan at full parquet read bandwidth at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the baseline token model). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-boundary pieces plus long-word overflow
+    * (approximates `len(text)/4` behavior of byte-pair tokenizers on
+    * natural text without needing a vocab file). */
+  def approxBpeCount(text: Column): Column =
+    size(split(trim(text), "\\s+")) +
+      (length(regexp_replace(text, "[\\s]", "")) / lit(8)).cast("int")
+
+  /** Ratio of punctuation characters (explicit class — identical regex
+    * semantics across engines). */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()\\-]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** English-ish stopword ratio over whitespace tokens. */
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(sw, t))).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+  }
+
+  /** Mean token length. */
+  def meanTokenLength(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation noise and a sane stopword rate (C4/Gopher-style simple
+    * filters, re-expressed as one deterministic arithmetic expression). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(4.0), lit(1.0))
+    val swScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    (lenScore * lit(0.5) + swScore * lit(0.3) + (lit(1.0) - punctPenalty) * lit(0.2))
+  }
+
+  /** Marker-word profiles for the language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "is", "and", "of", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** N-gram/stopword-profile language ID: argmax of marker-word hits, ties
+    * broken by profile order. A heuristic — on natural text the marker
+    * counts separate languages sharply; emitted as (lang, score). */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    langMarkers.map { case (lang, markers) =>
+      val mk = array(markers.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(mk, t)))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = greatest(scores.map(_._2): _*)
+    // first profile reaching the max wins (deterministic tie-break)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Deterministic 128-bit content fingerprint of normalized text
+    * (lowercased, whitespace-collapsed) — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** 64-bit rolling hash of the token stream — order-sensitive (unlike a
+    * bag-of-words hash), computed as one chained-xxhash64 fold over the
+    * tokens (a polynomial multiply would trip ANSI-mode overflow; chaining
+    * the accumulator through the hash wraps safely and mixes better). */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(lower(text)), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** One-pass profile of a documents table. */
+  def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("mean_token_len", meanTokenLength(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral tests for the approximate/engine-specific extension operators
+  * (the DuckDB oracle covers the deterministic ones). */
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("minhash near-dup finds a planted near-duplicate, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while the hunter sleeps at home tonight"
+    val nearDup = base.replace("hunter", "farmer") // 1 of 24 words changed
+    val docs = Seq(
+      (0L, base), (1L, nearDup),
+      (2L, "completely different content about spark sql window aggregation " +
+        "plans and shuffle partitions at very large scale with broadcast joins"),
+      (3L, "yet another unrelated document mentioning parquet files column " +
+        "pruning predicate pushdown and adaptive query execution features"))
+      .toDF("doc_id", "text")
+    // r=1 banding (bands = k): any shared minhash forms a candidate, so a
+    // 0.76-jaccard pair is found with near-certainty; the exact-jaccard
+    // filter then removes the unrelated docs.
+    val pairs = Dedup.nearDuplicates(docs, threshold = 0.5, k = 12, bands = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("simhash: near-dup pair within small hamming distance, unrelated far") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while the hunter sleeps at home tonight"
+    val docs = Seq(
+      (0L, base), (1L, base.replace("hunter", "farmer")),
+      (2L, "completely different content about spark sql window aggregation " +
+        "plans and shuffle partitions at very large scale with broadcast joins"))
+      .toDF("doc_id", "text")
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(0L), sims(1L)) <= 8)
+    assert(hamming(sims(0L), sims(2L)) > 8)
+  }
+
+  test("IVF with nprobe = nlist is exact (equals brute force)") {
+    val queries = emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 8)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("LSH with zero planes is exact; with planes returns ranked subsets") {
+    val queries = emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh0 = Similarity.lshTopK(emb, queries, k = 5, nPlanes = 0)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(lsh0 == brute)
+    val lsh8 = Similarity.lshTopK(emb, queries, k = 5, nPlanes = 8)
+    // ranks are 1..k per query, scores descending within query
+    val byQ = lsh8.select("q_id", "rank", "cosine").as[(Long, Int, Double)]
+      .collect().groupBy(_._1)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse == sorted.map(_._3).toSeq)
+    }
+  }
+
+  test("multimodal: expression stub and mapPartitions stub agree") {
+    val media = Multimodal.synthesizeFromDocs(
+      spark.read.parquet(s"$sf/documents.parquet").limit(50))
+    val exprFeats = Multimodal.withFeatures(media, dim = 4)
+      .select(col("media_id"), col("features")).as[(Long, Array[Double])]
+      .collect().toMap
+    val mpFeats = Multimodal.decodePartitioned(media, dim = 4).collect().toMap
+    assert(exprFeats.keySet == mpFeats.keySet)
+    exprFeats.foreach { case (id, fs) =>
+      fs.zip(mpFeats(id)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
+
+  test("frame sampling fans out one row per interval within duration") {
+    val media = Multimodal.synthesizeFromDocs(
+      spark.read.parquet(s"$sf/documents.parquet").limit(30))
+    val frames = Multimodal.frameSample(media, intervalMs = 1000L)
+    val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val durations = media.filter(col("kind") === "video")
+      .select(col("media_id"), col("meta.duration_ms")).as[(Long, Long)]
+      .collect().toMap
+    assert(counts.keySet == durations.keySet)
+    durations.foreach { case (id, d) => assert(counts(id) == (d - 1) / 1000 + 1) }
+  }
+}
