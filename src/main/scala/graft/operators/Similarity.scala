@@ -32,8 +32,11 @@ object Similarity {
       embCol: String = "embedding",
       qIdCol: String = "q_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
-      Vectors.norm(col(embCol)).as("c_nrm"))
+    // repartition: the corpus streams through a broadcast nested-loop join,
+    // and a single-file corpus would otherwise score on one task
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+        Vectors.norm(col(embCol)).as("c_nrm"))
     val q = queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
       Vectors.norm(col(embCol)).as("q_nrm"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -103,7 +106,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
 
     val train = corpus.select(array_to_vector(col(embCol).cast("array<double>")).as("fv"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv").fit(train)
+    // few iterations suffice: centroids only partition the space, recall
+    // comes from nprobe, not centroid quality
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("fv").fit(train)
     // Centroids as one literal array of (cid, vector) structs: list
     // assignment is then a pure expression (argmin over the array) — no
     // join, no window, no shuffle for the assignment step.

@@ -18,6 +18,16 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread `df` across all cores when the source produced fewer partitions
+    * (a single small parquet file reads as one partition, which would pin
+    * CPU-heavy per-row operators — simhash, minhash signatures, text
+    * profiling — on one task). No-op when the input is already parallel, so
+    * large multi-file tables pay no extra shuffle. */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")

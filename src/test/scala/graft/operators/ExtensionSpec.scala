@@ -30,6 +30,21 @@ class ExtensionSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("MinHashMd5 expression matches the higher-order-function definition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val sh = Dedup.wordShingles(col("text"))
+    val both = docs.select(
+      Dedup.minhashSignature(sh, 12).as("fast"),
+      Dedup.minhashSignatureHof(sh, 12).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val bandBoth = docs.select(
+      ColumnBridge.column(graft.functions.MinHashBandKeys(
+        ColumnBridge.expression(sh), 12, 4)).as("fast"),
+      Dedup.bandKeys(Dedup.minhashSignatureHof(sh, 12), 4, 3).as("ref"))
+    assert(bandBoth.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("simhash: near-dup pair within small hamming distance, unrelated far") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " +
       "into the deep green forest while the hunter sleeps at home tonight"
@@ -40,6 +55,10 @@ class ExtensionSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
       .as[(Long, Long)].collect().toMap
+    // fused expression must match the 64-fold column formulation
+    val hof = docs.select(col("doc_id"), Dedup.simhashHof(col("text")).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims == hof)
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sims(0L), sims(1L)) <= 8)
     assert(hamming(sims(0L), sims(2L)) > 8)
