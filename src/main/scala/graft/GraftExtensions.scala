@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.{DotProduct, MinHashBandKeys, MinHashMd5, SimHash64}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers graft's custom Catalyst
+  * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
+  * works alongside the Column API.
+  *
+  * Usage: SparkSession.builder().withExtensions(new GraftExtensions) or
+  * spark.sql.extensions=graft.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashMd5].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashMd5(args(0), intArg(args(1), "k"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandKeys].getName, "graft_minhash_bands"),
+      (args: Seq[Expression]) =>
+        MinHashBandKeys(args(0), intArg(args(1), "k"), intArg(args(2), "bands"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+  }
+}
+
+object GraftExtensions {
+  /** Register the same functions on an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      args => DotProduct(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      args => SimHash64(args.head), "built-in")
+  }
+}

@@ -73,6 +73,27 @@ class SpendingPipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("late data beyond the watermark is dropped (state evicted)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val agg = SpendingPipeline.windowedSpend(spark, Source.Raw(ms.toDF()))
+    val q = SpendingPipeline.start(agg, Sink.Memory("late_data"), Config(), "late_data_q")
+
+    ms.addData(tx("t1", "1", "2025-03-10T12:00:30Z", 100.0))
+    q.processAllAvailable() // watermark after batch: 11:55:30
+    ms.addData(tx("t2", "1", "2025-03-10T13:00:00Z", 50.0))
+    q.processAllAvailable() // watermark advances to 12:55
+    ms.addData(tx("t3", "1", "2025-03-10T12:01:00Z", 999.0)) // late: window ends 12:10 < 12:55
+    q.processAllAvailable()
+    q.stop()
+
+    val w1200 = spark.table("late_data")
+      .filter(col("window_start").cast("string").startsWith("2025-03-10 12:00"))
+      .select("total_spent").as[Double].collect().toSet
+    assert(w1200 == Set(100.0)) // the late 999.0 never lands
+  }
+
   test("malformed JSON yields nulls, wellFormed drops them") {
     import graft.operators.Ingest
     import spark.implicits._
