@@ -50,7 +50,52 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    "q5_region_revenue" -> ((s, dir) => {
+      // TPC-H Q5 shape: 6-table join, dims broadcast, one agg shuffle.
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      Tables.lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q6_filter_sum" -> ((s, dir) =>
+      // TPC-H Q6 shape: pure filter+sum scan; predicates pushed to parquet.
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(money(col("l_extendedprice")) * money(col("l_discount")))
+          .cast("double").as("revenue"))),
+
     // ---- aggregations (SURVEY §2.5) ------------------------------------
+    "a1_windowed_tx" -> ((s, dir) =>
+      // A1 literally: sliding window grouped by (window, user, event id) —
+      // the reference's per-transaction key variant
+      // (CustomerSpendingAnalysis.scala:76-81).
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("user_id"), col("event_id"))
+        .agg(dsum(col("value")).as("window_total_spent"))
+        .select(col("user_id"), col("event_id"),
+          col("window.start").cast("long").as("w_start"),
+          col("window.end").cast("long").as("w_end"),
+          col("window_total_spent"))),
+
     "a2_windowed_spend" -> ((s, dir) => {
       // Sliding 10-min/5-min event-time window, summed per user (A2).
       Spend.windowedSpend(Tables.events(s, dir), Spend.eventCols)
@@ -303,6 +348,36 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_filter_sum" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "a1_windowed_tx" ->
+      """SELECT user_id, event_id, w_start, w_start + 600 AS w_end,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS window_total_spent
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    CAST(floor(epoch(ts)/300)*300 AS BIGINT) - s.off AS w_start
+        |  FROM events, (SELECT unnest([0,300]) AS off) s)
+        |GROUP BY user_id, event_id, w_start""".stripMargin,
 
     "a2_windowed_spend" ->
       """SELECT user_id, w_start, w_start + 600 AS w_end,

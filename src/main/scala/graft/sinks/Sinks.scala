@@ -31,6 +31,15 @@ object Sinks {
     * should be small relative to the DB (a rolled-up aggregate); this is a
     * per-micro-batch sink, not a bulk loader.
     */
+  /** The upsert statement (PostgreSQL ON CONFLICT dialect). */
+  def upsertSql(table: String, keyCols: Seq[String], valueCols: Seq[String]): String = {
+    val cols = keyCols ++ valueCols
+    s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET " +
+      valueCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+  }
+
   def upsert(
       df: DataFrame,
       jdbc: Jdbc,
@@ -38,10 +47,7 @@ object Sinks {
       valueCols: Seq[String],
       batchSize: Int = 500): Unit = {
     val cols = keyCols ++ valueCols
-    val sql = s"INSERT INTO ${jdbc.table} (${cols.mkString(", ")}) " +
-      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
-      s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET " +
-      valueCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    val sql = upsertSql(jdbc.table, keyCols, valueCols)
     val (url, user, password, driver) = (jdbc.url, jdbc.user, jdbc.password, jdbc.driver)
     val projected = df.selectExpr(cols: _*)
     projected.foreachPartition { rows: Iterator[Row] =>

@@ -94,6 +94,42 @@ class SpendingPipelineSpec extends SparkSpec {
     assert(w1200 == Set(100.0)) // the late 999.0 never lands
   }
 
+  test("append-mode raw passthrough and AvailableNow trigger (T7/T9/K4)") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    ms.addData(tx("t1", "1", "2025-03-10T12:01:00Z", 100.0),
+      tx("t2", "2", "2025-03-10T12:02:00Z", 50.0))
+    val parsed = SpendingPipeline.transactions(spark, Source.Raw(ms.toDF()))
+    val q = SpendingPipeline.start(parsed, Sink.Memory("raw_pass"),
+      Config(outputMode = "append", trigger = Some(Trigger.AvailableNow())), "raw_pass_q")
+    q.awaitTermination(60000) // AvailableNow terminates after draining
+    assert(spark.table("raw_pass").count() == 2)
+    assert(spark.table("raw_pass").select("transaction_id")
+      .as[String].collect().toSet == Set("t1", "t2"))
+  }
+
+  test("console sink starts and drains (K3)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    ms.addData(tx("t1", "1", "2025-03-10T12:01:00Z", 10.0))
+    val daily = SpendingPipeline.dailySpend(spark, Source.Raw(ms.toDF()))
+    val q = SpendingPipeline.start(daily, Sink.Console(5), Config(), "console_q")
+    q.processAllAvailable()
+    assert(q.isActive)
+    q.stop()
+  }
+
+  test("JDBC upsert SQL is the idempotent ON CONFLICT form (K1 fix)") {
+    assert(graft.sinks.Sinks.upsertSql("customer_daily_spending",
+      Seq("customer_id", "transaction_date"), Seq("total_spent")) ==
+      "INSERT INTO customer_daily_spending (customer_id, transaction_date, total_spent) " +
+        "VALUES (?, ?, ?) ON CONFLICT (customer_id, transaction_date) " +
+        "DO UPDATE SET total_spent = EXCLUDED.total_spent")
+  }
+
   test("malformed JSON yields nulls, wellFormed drops them") {
     import graft.operators.Ingest
     import spark.implicits._
