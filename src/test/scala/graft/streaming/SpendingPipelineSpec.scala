@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.streaming.SpendingPipeline.{Config, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /** Golden-fixture streaming tests pinning the reference pipeline's
   * semantics (FIXTURES.md §2-3, derived from the reference's integration
@@ -128,6 +129,27 @@ class SpendingPipelineSpec extends SparkSpec {
       "INSERT INTO customer_daily_spending (customer_id, transaction_date, total_spent) " +
         "VALUES (?, ?, ?) ON CONFLICT (customer_id, transaction_date) " +
         "DO UPDATE SET total_spent = EXCLUDED.total_spent")
+  }
+
+  test("sessionize: native session_window and mapGroupsWithState agree") {
+    import graft.streaming.Sessionize
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      Sessionize.SessionEvent("1", ts("2025-03-10 12:00:00"), 10.0),
+      Sessionize.SessionEvent("1", ts("2025-03-10 12:20:00"), 20.0), // same session
+      Sessionize.SessionEvent("1", ts("2025-03-10 13:30:00"), 5.0),  // gap > 30 min
+      Sessionize.SessionEvent("2", ts("2025-03-10 12:05:00"), 7.0))
+    val df = events.toDF("customer_id", "timestamp", "amount")
+    val nat = Sessionize.native(df).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val st = Sessionize.withState(events.toDS()).collect()
+      .map(s => (s.customer_id, s.session_start, s.session_end,
+        s.total_spent, s.n_events)).toSet
+    assert(nat == st)
+    assert(nat.size == 3)
+    assert(nat.exists(r => r._1 == "1" && r._4 == 30.0 && r._5 == 2))
   }
 
   test("malformed JSON yields nulls, wellFormed drops them") {
