@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter keys.
+  *
+  * AQE's skew-join handling covers joins; for aggregations over pathological
+  * key distributions (one customer with 10^9 events), a two-phase salted
+  * aggregate bounds any single task's share of a hot key to 1/saltBuckets.
+  * Phase 1 aggregates on (key, salt), phase 2 merges the per-salt partials —
+  * both hash aggregates with map-side partials, so the extra shuffle carries
+  * only saltBuckets rows per hot key.
+  */
+object Skew {
+
+  /** Two-phase salted sum: groupBy(keys).agg(sum) with the heavy-hitter
+    * shuffle split across `saltBuckets`. Result is identical to the direct
+    * aggregation for decimal/integer sums (order-independent); for plain
+    * double sums the usual FP reordering caveat applies.
+    */
+  def saltedSum(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      resultCol: String,
+      saltBuckets: Int = 16,
+      exact: Boolean = true): DataFrame = {
+    val value = col(valueCol)
+    val partial: Column =
+      if (exact) sum(graft.functions.Exact.money(value)) else sum(value)
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partial.as("__partial"))
+    val merged = phase1
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("__total"))
+    if (exact) merged.withColumn(resultCol, col("__total").cast("double")).drop("__total")
+    else merged.withColumnRenamed("__total", resultCol)
+  }
+}

@@ -131,6 +131,27 @@ class SpendingPipelineSpec extends SparkSpec {
         "DO UPDATE SET total_spent = EXCLUDED.total_spent")
   }
 
+  test("streaming dedup state spans micro-batches (D1 within watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val daily = SpendingPipeline.dailySpend(spark, Source.Raw(ms.toDF()))
+    val q = SpendingPipeline.start(daily, Sink.Memory("xbatch_dedup"), Config(), "xbatch_q")
+
+    ms.addData(tx("t1", "1", "2025-03-10T12:00:00Z", 100.0))
+    q.processAllAvailable()
+    // duplicate of t1 arrives one micro-batch later, still within watermark
+    ms.addData(tx("t1", "1", "2025-03-10T12:00:00Z", 100.0),
+      tx("t2", "1", "2025-03-10T12:01:00Z", 50.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val totals = spark.table("xbatch_dedup")
+      .select("transaction_date", "total_spent").as[(String, Double)]
+      .collect().groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).max }
+    assert(totals == Map("2025-03-10" -> 150.0)) // t1 counted once
+  }
+
   test("sessionize: native session_window and mapGroupsWithState agree") {
     import graft.streaming.Sessionize
     import spark.implicits._
