@@ -48,6 +48,10 @@ object SpendingPipeline {
     final case class Parquet(path: String) extends Sink
     /** Idempotent JDBC upsert on `keyCols` via foreachBatch (K1/K2 fixed). */
     final case class JdbcUpsert(jdbc: Sinks.Jdbc, keyCols: Seq[String]) extends Sink
+    /** Arbitrary per-micro-batch callback (K5 generalization). */
+    final case class Foreach(f: (DataFrame, Long) => Unit) extends Sink
+    /** Kafka producer sink (K6): rows are JSON-encoded into `value`. */
+    final case class Kafka(bootstrapServers: String, topic: String) extends Sink
   }
 
   final case class Config(
@@ -111,6 +115,17 @@ object SpendingPipeline {
         w1.foreachBatch { (batch: DataFrame, _: Long) =>
           val values = batch.columns.filterNot(keys.contains).toSeq
           Sinks.upsert(batch, jdbc, keys, values)
+        }
+      case Sink.Foreach(f) =>
+        w1.foreachBatch { (batch: DataFrame, id: Long) => f(batch, id) }
+      case Sink.Kafka(servers, topic) =>
+        w1.foreachBatch { (batch: DataFrame, _: Long) =>
+          import org.apache.spark.sql.functions.{struct, to_json, col}
+          batch.select(to_json(struct(col("*"))).as("value"))
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("topic", topic)
+            .save()
         }
     }).start()
   }

@@ -111,6 +111,21 @@ class SpendingPipelineSpec extends SparkSpec {
       .as[String].collect().toSet == Set("t1", "t2"))
   }
 
+  test("foreachBatch callback sink receives every micro-batch (K5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val daily = SpendingPipeline.dailySpend(spark, Source.Raw(ms.toDF()))
+    val q = SpendingPipeline.start(daily,
+      Sink.Foreach((batch, _) => seen.add(batch.count())), Config(), "foreach_q")
+    ms.addData(tx("t1", "1", "2025-03-10T12:00:00Z", 10.0))
+    q.processAllAvailable()
+    ms.addData(tx("t2", "2", "2025-03-10T13:00:00Z", 20.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.size >= 2 && seen.stream.mapToLong(l => l).sum >= 2)
+  }
+
   test("console sink starts and drains (K3)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
