@@ -33,7 +33,29 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // streaming throughput: canonical pipeline (parse -> dedup -> daily
+    // totals) over a one-batch synthetic stream. The reference's producer
+    // design point is 0.5 events/s (SURVEY.md §6).
+    val eps = try {
+      import graft.streaming.SpendingPipeline
+      import graft.streaming.SpendingPipeline.{Config, Sink, Source}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val nEvents = 200000L
+      val ms = MemoryStream[String]
+      val payloads = graft.sources.DataGen.transactionsJson(spark, nEvents)
+        .collect().map(_.getString(0))
+      ms.addData(payloads.toIndexedSeq)
+      val daily = SpendingPipeline.dailySpend(spark, Source.Raw(ms.toDF()))
+      val t0 = System.nanoTime()
+      val q = SpendingPipeline.start(daily, Sink.Memory("bench_stream"), Config(), "bench_stream_q")
+      q.processAllAvailable(); q.stop()
+      nEvents / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_events_per_sec":${eps.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -188,4 +188,27 @@ object Dedup {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** The 100 TB path for embedding near-dup: sign-LSH buckets first, pairs
+    * only within buckets (one shuffle on the bucket id). Recall < 1 by
+    * construction — a pair is found only if no hyperplane separates it;
+    * `nPlanes = 0` degenerates to the exact all-pairs scan. */
+  def embeddingNearDupsLsh(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      threshold: Double = 0.95,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val n = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      Vectors.norm(col(embCol)).as("nrm"),
+      Similarity.lshBucket(col(embCol), nPlanes, dim, seed).as("bucket"))
+    n.as("a").join(n.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Vectors.cosinePrenormed(col("a.emb"), col("a.nrm"), col("b.emb"), col("b.nrm"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

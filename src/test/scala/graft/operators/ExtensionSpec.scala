@@ -91,6 +91,17 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("LSH-bucketed embedding near-dup: subset of brute force; exact at 0 planes") {
+    val brute = Dedup.embeddingNearDups(emb, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh0 = Dedup.embeddingNearDupsLsh(emb, threshold = 0.3, nPlanes = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh0 == brute)
+    val lsh4 = Dedup.embeddingNearDupsLsh(emb, threshold = 0.3, nPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh4.subsetOf(brute))
+  }
+
   test("multimodal: expression stub and mapPartitions stub agree") {
     val media = Multimodal.synthesizeFromDocs(
       spark.read.parquet(s"$sf/documents.parquet").limit(50))
