@@ -294,7 +294,6 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "ext_dedup_simhash" -> ((s, dir) =>
-      // rows-only: xxhash64-based bit votes are Spark-specific
       graft.operators.Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -332,6 +331,14 @@ object SparkEntry {
           element_at(col("features"), 1).as("f0"),
           element_at(col("features"), 2).as("f1"))
     }),
+
+    "ext_multimodal_resize" -> ((s, dir) =>
+      graft.operators.Multimodal.resizeStub(
+        graft.operators.Multimodal.synthesizeFromDocs(Tables.documents(s, dir)), 224, 224)
+        .select(col("media_id"), col("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          length(col("bytes")).as("n_bytes"))),
 
     "ext_multimodal_frames" -> ((s, dir) =>
       graft.operators.Multimodal.frameSample(
@@ -589,6 +596,26 @@ object SparkEntry {
         |WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "ext_dedup_simhash" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(
+        |    list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')),
+        |    t -> CAST(CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) AS BIGINT)) AS hs
+        |  FROM documents),
+        |sim AS (SELECT doc_id, CAST(list_sum(
+        |  [CASE WHEN 2 * len(list_filter(hs, x -> (x >> b) & 1 = 1)) > len(hs)
+        |   THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
+        |   for b in generate_series(0, 59)]) AS BIGINT) AS sim FROM h),
+        |blocks AS (SELECT doc_id, sim, blk, (sim >> (blk * 15)) & 32767 AS key
+        |  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS blk) b)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
+        |  FROM blocks x JOIN blocks y
+        |    ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id) t
+        |WHERE hamming <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "ext_dedup_embedding" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
@@ -622,6 +649,14 @@ object SparkEntry {
         |    / 281474976710656.0 AS f0,
         |  CAST(CAST('0x' || substr(md5(text || '/f1'), 1, 12) AS UBIGINT) AS DOUBLE)
         |    / 281474976710656.0 AS f1
+        |FROM documents""".stripMargin,
+
+    "ext_multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |  CAST(224 AS INTEGER) AS width, CAST(224 AS INTEGER) AS height,
+        |  (doc_id % 30) * 1000 + 1000 AS duration_ms,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes
         |FROM documents""".stripMargin,
 
     "ext_multimodal_frames" ->

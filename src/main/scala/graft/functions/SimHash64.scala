@@ -1,17 +1,20 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** 64-bit SimHash of a token array: per-bit majority vote of
-  * xxhash64(token), folded in one pass.
+/** 60-bit SimHash of a token array: per-bit majority vote over md5-derived
+  * token hashes, folded in one pass.
   *
-  * Value-identical to the 64-separate-aggregate column formulation in
-  * Dedup.simhashHof (same xxhash64 seed 42, same vote>0 bit rule), but one
-  * O(tokens) loop instead of 64 interpreted folds per row.
+  * The token hash is the first 15 hex digits (60 bits) of md5(token) — an
+  * engine-portable definition (DuckDB: `CAST('0x'||substr(md5(t),1,15) AS
+  * UBIGINT)`), so SimHash dedup is checkable against an external SQL
+  * oracle, unlike an xxhash64-based variant. Value-identical to the column
+  * formulation `conv(substr(md5(t),1,15),16,10)` + 60 per-bit vote folds
+  * (Dedup.simhashHof), but one O(tokens) loop per row.
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -20,18 +23,26 @@ case class SimHash64(child: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 needs array<string>, got $t")
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash needs array<string>, got $t")
   }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      md.reset()
+      md.update(arr.getUTF8String(i).getBytes)
+      val d = md.digest()
+      // first 60 bits of the digest, big-endian (== first 15 hex digits)
+      var u = 0L
+      var bi = 0
+      while (bi < 8) { u = (u << 8) | (d(bi) & 0xffL); bi += 1 }
+      val h = u >>> 4
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
@@ -39,7 +50,7 @@ case class SimHash64(child: Expression)
     }
     var sim = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (votes(b) > 0) sim |= (1L << b)
       b += 1
     }

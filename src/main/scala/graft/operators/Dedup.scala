@@ -121,9 +121,10 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over distinct whitespace tokens: per-bit majority vote
-    * of xxhash64(token), via the single-pass [[graft.functions.SimHash64]]
-    * expression. Scan-parallel, no shuffle. */
+  /** 60-bit SimHash over distinct whitespace tokens: per-bit majority vote
+    * of md5-derived token hashes, via the single-pass
+    * [[graft.functions.SimHash64]] expression. Scan-parallel, no shuffle,
+    * and engine-portable (oracle-checkable). */
   def simhash(text: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     val toks = array_distinct(split(normalize(text), " "))
@@ -131,19 +132,21 @@ object Dedup {
   }
 
   /** Column-expression definition of [[simhash]] (reference semantics the
-    * SimHash64 expression must match): 64 per-bit vote folds. */
+    * SimHash64 expression must match): 60 per-bit vote folds over
+    * conv(substr(md5(t),1,15),16,10). */
   def simhashHof(text: Column): Column = {
     val toks = array_distinct(split(normalize(text), " "))
-    val bitCols = (0 until 64).map { b =>
+    val tokHash = (t: Column) => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+    val bitCols = (0 until 60).map { b =>
       val vote = aggregate(toks, lit(0),
         (acc, t) => acc +
-          when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+          when(shiftright(tokHash(t), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
 
-  /** Near-dup pairs by SimHash: block on 4 16-bit chunks (any pair within
+  /** Near-dup pairs by SimHash: block on 4 15-bit chunks (any pair within
     * Hamming distance <= 3 shares at least one chunk — pigeonhole), then
     * verify bit_count(xor) <= maxHamming inside buckets. */
   def simhashPairs(
@@ -155,7 +158,7 @@ object Dedup {
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
     val blocks = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map { b =>
-        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))
+        shiftright(col("sim"), b * 15).bitwiseAND(lit(0x7FFFL))
       }: _*)).as(Seq("block", "key")))
     blocks.as("x").join(blocks.as("y"),
         col("x.block") === col("y.block") && col("x.key") === col("y.key") &&

@@ -11,8 +11,9 @@ class PlanSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def plan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, dir)
-    df.queryExecution.executedPlan.toString + "\n" +
-      df.queryExecution.sparkPlan.toString
+    // formatted mode prints untruncated PushedFilters/ReadSchema
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
   test("q1: filter pushed to parquet scan, columns pruned, partial agg") {

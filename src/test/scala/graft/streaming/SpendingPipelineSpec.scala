@@ -113,6 +113,7 @@ class SpendingPipelineSpec extends SparkSpec {
 
   test("foreachBatch callback sink receives every micro-batch (K5)") {
     implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
     val ms = MemoryStream[String]
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val daily = SpendingPipeline.dailySpend(spark, Source.Raw(ms.toDF()))
