@@ -43,12 +43,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** Register the same functions on an already-built session. */
+  /** Register the same function set on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    def intLit(e: Expression, name: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name must be an integer literal, got $other")
+    }
     reg.createOrReplaceTempFunction("graft_dot",
       args => DotProduct(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       args => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      args => MinHashMd5(args(0), intLit(args(1), "k")), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_bands",
+      args => MinHashBandKeys(args(0), intLit(args(1), "k"), intLit(args(2), "bands")),
+      "built-in")
   }
 }

@@ -14,6 +14,10 @@ object GraftSession {
   /** Apply graft's standard configuration to any builder. */
   def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // engine-wide: parquet TIMESTAMP(NANOS) reads as epoch-nanos long
+      // (Spark has no ns type; Tables.events normalizes to a µs timestamp).
+      // Set globally so semantics never depend on which table read first.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -294,7 +294,10 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "ext_dedup_simhash" -> ((s, dir) =>
-      graft.operators.Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 8)
+      // maxHamming = 3: the largest distance the 4-block LSH recall
+      // guarantee covers (pigeonhole: <= 3 differing bits leave one block
+      // untouched)
+      graft.operators.Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     "ext_dedup_embedding" -> ((s, dir) =>
@@ -613,7 +616,7 @@ object SparkEntry {
         |    CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
         |  FROM blocks x JOIN blocks y
         |    ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id) t
-        |WHERE hamming <= 8
+        |WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "ext_dedup_embedding" ->

@@ -80,11 +80,15 @@ case class MinHashMd5(child: Expression, k: Int)
       s"minhash_md5 needs array<string> and k > 0, got ${child.dataType}, k=$k")
   }
 
+  override def nullable: Boolean = true
+
   @transient private lazy val sfx = MinHashCore.suffixes(k)
 
   override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) return null // no shingles -> no signature
     val md = MessageDigest.getInstance("MD5")
-    val minima = MinHashCore.minima(input.asInstanceOf[ArrayData], k, sfx, md)
+    val minima = MinHashCore.minima(arr, k, sfx, md)
     new GenericArrayData(minima.map(UTF8String.fromBytes).asInstanceOf[Array[Any]])
   }
 
@@ -113,12 +117,16 @@ case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
       s"minhash_band_keys needs array<string>, k divisible by bands; got ${child.dataType}, k=$k, bands=$bands")
   }
 
+  override def nullable: Boolean = true
+
   @transient private lazy val sfx = MinHashCore.suffixes(k)
   private val Pipe = "|".getBytes("US-ASCII")
 
   override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) return null // no shingles -> no band keys
     val md = MessageDigest.getInstance("MD5")
-    val minima = MinHashCore.minima(input.asInstanceOf[ArrayData], k, sfx, md)
+    val minima = MinHashCore.minima(arr, k, sfx, md)
     val keys = new Array[Any](bands)
     var b = 0
     while (b < bands) {

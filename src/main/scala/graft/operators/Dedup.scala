@@ -31,13 +31,15 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Distinct word n-gram shingles of normalized text. */
+  /** Distinct word n-gram shingles of normalized text. Documents shorter
+    * than `n` tokens yield null (no shingles — they take no part in
+    * near-dup candidate generation, and the SQL oracle's generate_series
+    * formulation agrees). */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = split(normalize(text), " ")
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
-      .otherwise(array(normalize(text)))
   }
 
   /** MinHash signature: k independent hash minima. Hash j of shingle s is
@@ -146,9 +148,10 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
-  /** Near-dup pairs by SimHash: block on 4 15-bit chunks (any pair within
-    * Hamming distance <= 3 shares at least one chunk — pigeonhole), then
-    * verify bit_count(xor) <= maxHamming inside buckets. */
+  /** Near-dup pairs by SimHash: block on 4 15-bit chunks, then verify
+    * bit_count(xor) <= maxHamming inside buckets. Complete recall is
+    * guaranteed only for maxHamming <= 3 (pigeonhole over 4 blocks); larger
+    * thresholds return the bucket-reachable subset. */
   def simhashPairs(
       df: DataFrame,
       textCol: String = "text",

@@ -86,7 +86,7 @@ object Spend {
     val deduped = if (dedup) dedupeStream(marked, c) else marked
     deduped
       .groupBy(window(col(c.ts), windowDuration, slideDuration), col(c.key))
-      .agg(sum(col(c.amount)).as("total_spent"))
+      .agg(Exact.dsum(col(c.amount)).as("total_spent"))
       .select(
         col(c.key),
         col("window.start").as("window_start"),
@@ -110,7 +110,7 @@ object Spend {
     */
   def dailySpendStream(df: DataFrame, c: Cols = transactionCols): DataFrame =
     df.groupBy(window(col(c.ts), "1 day"), col(c.key))
-      .agg(sum(col(c.amount)).as("total_spent"))
+      .agg(Exact.dsum(col(c.amount)).as("total_spent"))
       .select(
         col(c.key),
         date_format(col("window.start"), "yyyy-MM-dd").as("transaction_date"),

@@ -34,10 +34,12 @@ object Sessionize {
         col("session_window.end").as("session_end"),
         col("total_spent"), col("n_events"))
 
-  /** mapGroupsWithState sessionization (batch mode: state is per-group
-    * within the batch; streaming: carried across triggers with timeout).
-    * Emits one row per completed-or-open session per trigger, matching the
-    * closed-session semantics of [[native]] when the stream ends. */
+  /** mapGroupsWithState sessionization — the custom-state TEMPLATE,
+    * exercised in batch mode (state lives within the batch). A production
+    * streaming deployment must add `GroupStateTimeout.EventTimeTimeout` +
+    * pruning of closed sessions from the state list, or state grows
+    * unboundedly and open sessions re-emit every trigger; prefer [[native]]
+    * (built-in state lifecycle) unless the gap rule is value-dependent. */
   def withState(ds: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.customer_id)
@@ -49,7 +51,7 @@ object Sessionize {
           sorted.foreach { e =>
             val t = e.timestamp.getTime
             sessions match {
-              case cur :: rest if t - cur.end <= gapMs =>
+              case cur :: rest if t - cur.end < gapMs => // strict: a gap of exactly gapMs starts a new session (matches session_window)
                 sessions = cur.copy(end = t, total = cur.total + e.amount, n = cur.n + 1) :: rest
               case _ =>
                 sessions = SessionState(t, t, e.amount, 1) :: sessions

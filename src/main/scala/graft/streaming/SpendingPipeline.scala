@@ -102,8 +102,14 @@ object SpendingPipeline {
 
   /** Start `df` into `sink`; always sets a checkpointLocation. */
   def start(df: DataFrame, sink: Sink, conf: Config = Config(), name: String = "graft"): StreamingQuery = {
+    // FileStreamSink only supports append; honoring conf.outputMode there
+    // would throw at start()
+    val mode = sink match {
+      case _: Sink.Parquet => "append"
+      case _ => conf.outputMode
+    }
     val w0: DataStreamWriter[Row] = df.writeStream
-      .outputMode(conf.outputMode)
+      .outputMode(mode)
       .queryName(name)
       .option("checkpointLocation", s"${conf.checkpointDir}/$name")
     val w1 = conf.trigger.fold(w0)(w0.trigger)

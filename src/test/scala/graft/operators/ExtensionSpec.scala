@@ -45,6 +45,14 @@ class ExtensionSpec extends SparkSpec {
     assert(bandBoth.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("minhash handles sub-shingle-length documents (no crash, no pairs)") {
+    val docs = Seq((0L, "one two"), (1L, "one two"), (2L, "a much longer document " +
+      "with plenty of distinct tokens to shingle properly today"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(docs).count() == 0)
+    assert(Dedup.nearDuplicates(docs, threshold = 0.1).count() == 0)
+  }
+
   test("simhash: near-dup pair within small hamming distance, unrelated far") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " +
       "into the deep green forest while the hunter sleeps at home tonight"

@@ -127,6 +127,26 @@ class SpendingPipelineSpec extends SparkSpec {
     assert(seen.size >= 2 && seen.stream.mapToLong(l => l).sum >= 2)
   }
 
+  test("parquet sink writes files (forced append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    ms.addData(tx("t1", "1", "2025-03-10T12:01:00Z", 100.0),
+      tx("t2", "1", "2025-03-10T13:10:00Z", 50.0))
+    val out = java.nio.file.Files.createTempDirectory("graft-pq-sink").toString
+    // aggregate under watermark -> append mode emits only after the
+    // watermark passes the window; a second later batch closes the first day
+    val daily = SpendingPipeline.dailySpend(spark, Source.Raw(ms.toDF()))
+    val q = SpendingPipeline.start(daily, Sink.Parquet(out), Config(), "pq_sink_q")
+    q.processAllAvailable()
+    ms.addData(tx("t3", "1", "2025-03-12T09:00:00Z", 10.0)) // advances watermark past 03-10
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(out)
+    assert(written.filter(col("transaction_date") === "2025-03-10")
+      .select("total_spent").as[Double].collect().toSet == Set(150.0))
+  }
+
   test("console sink starts and drains (K3)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
