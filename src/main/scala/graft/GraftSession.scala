@@ -26,6 +26,14 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Switch streaming state to RocksDB — the production state backend:
+    * state spills to local disk instead of living on the executor heap, so
+    * high-cardinality dedup/window state survives at scale. Affects queries
+    * started after the call (session-wide conf). */
+  def enableRocksDbState(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** Local session for tests / bench. */
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = configure(

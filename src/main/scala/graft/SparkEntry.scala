@@ -169,6 +169,12 @@ object SparkEntry {
         .except(ev.filter(col("value") >= 100.0).select(col("event_id")))
     }),
 
+    "e2_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase").select(col("event_id"))
+        .intersect(ev.filter(col("value") >= 100.0).select(col("event_id")))
+    }),
+
     // ---- sources (SURVEY §2.1) -----------------------------------------
     "s5_memory_relation" -> ((s, dir) => {
       // S5: in-memory local relation (Seq -> DataFrame).
@@ -460,6 +466,11 @@ object SparkEntry {
     "e1_except" ->
       """SELECT DISTINCT event_id FROM events WHERE event_type = 'purchase'
         |EXCEPT
+        |SELECT DISTINCT event_id FROM events WHERE value >= 100""".stripMargin,
+
+    "e2_intersect" ->
+      """SELECT DISTINCT event_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
         |SELECT DISTINCT event_id FROM events WHERE value >= 100""".stripMargin,
 
     "s5_memory_relation" ->

@@ -56,7 +56,7 @@ object Similarity {
   /** Sign-LSH bucket id of an embedding column: bit j = sign(dot(plane_j)). */
   def lshBucket(emb: Column, nPlanes: Int, dim: Int, seed: Long): Column =
     (0 until nPlanes).map { j =>
-      val plane = array(planes(nPlanes, dim, seed)(j).map(lit): _*)
+      val plane = array(planes(nPlanes, dim, seed)(j).toIndexedSeq.map(lit): _*)
       when(Vectors.dot(emb, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.foldLeft(lit(0L))(_ + _) // fold, not reduce: nPlanes=0 = one bucket (exact)
 
@@ -113,8 +113,8 @@ object Similarity {
     // Centroids as one literal array of (cid, vector) structs: list
     // assignment is then a pure expression (argmin over the array) — no
     // join, no window, no shuffle for the assignment step.
-    val centroidArr = array(model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      struct(array(v.toArray.map(lit): _*).as("cv"), lit(i).as("cid"))
+    val centroidArr = array(model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+      struct(array(v.toArray.toIndexedSeq.map(lit): _*).as("cv"), lit(i).as("cid"))
     }: _*)
     def distances(embC: Column): Column = array_sort(transform(centroidArr,
       c => struct(Vectors.l2Squared(embC, c.getField("cv")).as("dist"),

@@ -209,6 +209,34 @@ class SpendingPipelineSpec extends SparkSpec {
     assert(nat.exists(r => r._1 == "1" && r._4 == 30.0 && r._5 == 2))
   }
 
+  test("golden B under the RocksDB state store backend") {
+    graft.GraftSession.enableRocksDbState(spark)
+    try {
+      val source = streamOf(Seq(
+        tx("t1", "1", "2025-03-10T12:01:00Z", 100.0),
+        tx("t1", "1", "2025-03-10T12:01:00Z", 100.0), // duplicate
+        tx("t2", "2", "2025-03-10T13:00:00Z", 50.0)))
+      val daily = SpendingPipeline.dailySpend(spark, source)
+      val q = SpendingPipeline.start(daily, Sink.Memory("rocksdb_b"), Config(), "rocksdb_q")
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("rocksdb_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set(("1", "2025-03-10", 100.0), ("2", "2025-03-10", 50.0)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("typed Dataset[Transaction] view parses and filters") {
+    import graft.operators.Ingest
+    import spark.implicits._
+    val raw = Seq(tx("t1", "1", "2025-03-10T12:01:00Z", 10.0), "{bad json").toDF("value")
+    val ds = Ingest.typedTransactions(raw)
+    val t = ds.collect().toSeq
+    assert(t.map(_.transaction_id) == Seq("t1"))
+    assert(t.head.amount == 10.0 && t.head.merchant_id.contains(7))
+  }
+
   test("malformed JSON yields nulls, wellFormed drops them") {
     import graft.operators.Ingest
     import spark.implicits._
