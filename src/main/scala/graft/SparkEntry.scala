@@ -50,6 +50,35 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    "q10_returned_revenue" -> ((s, dir) => {
+      // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: groupBy-having feeding a semi-join back to orders.
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    }),
+
     "q5_region_revenue" -> ((s, dir) => {
       // TPC-H Q5 shape: 6-table join, dims broadcast, one agg shuffle.
       val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
@@ -384,6 +413,29 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, total_qty FROM orders
+        |JOIN (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0) t
+        |ON o_orderkey = l_orderkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,

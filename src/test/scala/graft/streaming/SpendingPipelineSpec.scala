@@ -209,6 +209,20 @@ class SpendingPipelineSpec extends SparkSpec {
     assert(nat.exists(r => r._1 == "1" && r._4 == 30.0 && r._5 == 2))
   }
 
+  test("JsonFiles source streams NDJSON from a directory (S-file path)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndjson").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "part-0.json"),
+      Seq(tx("t1", "1", "2025-03-10T12:01:00Z", 100.0),
+        tx("t2", "2", "2025-03-10T12:02:00Z", 25.0)).mkString("\n"))
+    val parsed = SpendingPipeline.transactions(spark, Source.JsonFiles(dir))
+    val q = SpendingPipeline.start(parsed, Sink.Memory("ndjson_src"),
+      Config(outputMode = "append"), "ndjson_q")
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("ndjson_src").select("transaction_id")
+      .as[String].collect().toSet == Set("t1", "t2"))
+  }
+
   test("golden B under the RocksDB state store backend") {
     graft.GraftSession.enableRocksDbState(spark)
     try {
