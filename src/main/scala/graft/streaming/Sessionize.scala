@@ -34,6 +34,48 @@ object Sessionize {
         col("session_window.end").as("session_end"),
         col("total_spent"), col("n_events"))
 
+  /** Streaming sessionization with `flatMapGroupsWithState` + event-time
+    * timeout — the production custom-state form: a session is emitted
+    * exactly once, when the watermark passes its close (last event + gap),
+    * and state holds only the open sessions of active customers (bounded by
+    * the watermark, unlike a naive keep-everything fold).
+    *
+    * Input must be watermarked on `timestamp` before calling. Output mode:
+    * append.
+    */
+  def streaming(ds: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.customer_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (customer: String, events: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var sessions = state.getOption.getOrElse(Nil)
+          if (!state.hasTimedOut) {
+            events.toSeq.sortBy(_.timestamp.getTime).foreach { e =>
+              val t = e.timestamp.getTime
+              sessions = sessions match {
+                case cur :: rest if t >= cur.start && t - cur.end < gapMs =>
+                  cur.copy(end = math.max(cur.end, t), total = cur.total + e.amount,
+                    n = cur.n + 1) :: rest
+                case _ => SessionState(t, t, e.amount, 1) :: sessions
+              }
+            }
+          }
+          val (closed, open) = sessions.partition(_.end + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(open)
+            // fire when the watermark passes the earliest possible close
+            state.setTimeoutTimestamp(math.max(open.map(_.end).min + gapMs, wm + 1))
+          } else {
+            state.remove()
+          }
+          closed.reverse.iterator.map(st =>
+            Session(customer, new Timestamp(st.start), new Timestamp(st.end + gapMs),
+              st.total, st.n))
+      }
+  }
+
   /** mapGroupsWithState sessionization — the custom-state TEMPLATE,
     * exercised in batch mode (state lives within the batch). A production
     * streaming deployment must add `GroupStateTimeout.EventTimeTimeout` +

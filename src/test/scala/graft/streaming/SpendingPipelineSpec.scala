@@ -188,6 +188,37 @@ class SpendingPipelineSpec extends SparkSpec {
     assert(totals == Map("2025-03-10" -> 150.0)) // t1 counted once
   }
 
+  test("streaming sessionization emits each session once when the watermark closes it") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(c: String, t: String, a: Double) =
+      SessionEvent(c, java.sql.Timestamp.valueOf(t), a)
+    val ms = MemoryStream[SessionEvent]
+    val sessions = Sessionize.streaming(
+      ms.toDS().withWatermark("timestamp", "10 minutes"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val q = sessions.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("stream_sessions").start()
+
+    ms.addData(ev("1", "2025-03-10 12:00:00", 10.0), ev("1", "2025-03-10 12:10:00", 5.0))
+    q.processAllAvailable() // watermark 12:00 — session still open
+    assert(spark.table("stream_sessions").count() == 0)
+    ms.addData(ev("1", "2025-03-10 14:00:00", 7.0))
+    q.processAllAvailable() // watermark 13:50 > 12:40 close — session 1 emits
+    val afterSecond = spark.table("stream_sessions").as[Sessionize.Session].collect()
+    assert(afterSecond.map(s => (s.customer_id, s.total_spent, s.n_events)).toSet ==
+      Set(("1", 15.0, 2)))
+    ms.addData(ev("1", "2025-03-10 16:00:00", 1.0))
+    q.processAllAvailable() // watermark 15:50 closes the 14:00 session
+    q.stop()
+    val all = spark.table("stream_sessions").as[Sessionize.Session].collect()
+    assert(all.map(s => (s.customer_id, s.total_spent, s.n_events)).toSet ==
+      Set(("1", 15.0, 2), ("1", 7.0, 1)))
+  }
+
   test("sessionize: native session_window and mapGroupsWithState agree") {
     import graft.streaming.Sessionize
     import spark.implicits._
