@@ -87,6 +87,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Multi-table LSH: union the candidate sets of `tables` independent
+    * plane sets (seed, seed+1, ...), then score each distinct candidate
+    * once. Recall grows as 1-(1-p)^tables for per-table collision
+    * probability p — the standard lever when one table's recall is too low
+    * at a given bucket size. */
+  def lshTopKMulti(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      tables: Int = 4,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qIdCol: String = "q_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val candidates = (0 until tables).map { t =>
+      val bucket = (e: Column) => lshBucket(e, nPlanes, dim, seed + t)
+      corpus.select(col(idCol).as("vec_id"), bucket(col(embCol)).as("bucket"))
+        .join(queries.select(col(qIdCol).as("q_id"), bucket(col(embCol)).as("bucket")),
+          Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+    }.reduce(_ union _).distinct()
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+      Vectors.norm(col(embCol)).as("c_nrm"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
+      Vectors.norm(col(embCol)).as("q_nrm"))
+    val scored = candidates.join(c, "vec_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF: KMeans inverted lists + nprobe probing.
     * Train on (a sample of) the corpus, assign every corpus row to its
     * nearest centroid (one broadcast join against <= nlist rows), then for

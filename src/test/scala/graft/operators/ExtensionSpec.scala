@@ -99,6 +99,22 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("multi-table LSH recall dominates single-table recall") {
+    val queries = emb.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "q_id")
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+        .intersect(brute).size.toDouble / brute.size
+    // near-random embeddings make ANN recall inherently modest; 4 planes =
+    // 16 buckets keeps per-table collision probability workable and the
+    // multi-table union must dominate a single table
+    val r1 = recall(Similarity.lshTopK(emb, queries, k = 5, nPlanes = 4))
+    val r4 = recall(Similarity.lshTopKMulti(emb, queries, k = 5, nPlanes = 4, tables = 4))
+    assert(r4 >= r1)
+    assert(r4 > 0.2, s"multi-table recall unexpectedly low: $r4")
+  }
+
   test("LSH-bucketed embedding near-dup: subset of brute force; exact at 0 planes") {
     val brute = Dedup.embeddingNearDups(emb, threshold = 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
