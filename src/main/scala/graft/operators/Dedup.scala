@@ -80,8 +80,11 @@ object Dedup {
     // column would be re-evaluated per element_at after project-collapse
     val keys = ColumnBridge.column(graft.functions.MinHashBandKeys(
       ColumnBridge.expression(wordShingles(col(textCol))), k, bands))
+    // localCheckpoint: both sides of the self-join reference this subtree —
+    // without a lineage cut the signature pass runs twice. The banded
+    // relation is (id, band, 32-byte key): tiny at any corpus size.
     val e = graft.sources.Tables.ensureParallelism(df).select(col(idCol).as("id"),
-      posexplode(keys).as(Seq("band", "key")))
+      posexplode(keys).as(Seq("band", "key"))).localCheckpoint()
     e.as("x").join(e.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -157,8 +160,11 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
+    // lineage cut: the self-join would otherwise compute the simhash scan
+    // on both sides; the (id, sim) relation is 16 bytes/doc
     val withSim = graft.sources.Tables.ensureParallelism(df)
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+      .localCheckpoint()
     val blocks = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("sim"), b * 15).bitwiseAND(lit(0x7FFFL))

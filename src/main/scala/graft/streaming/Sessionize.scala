@@ -42,6 +42,13 @@ object Sessionize {
     *
     * Input must be watermarked on `timestamp` before calling. Output mode:
     * append.
+    *
+    * Ordering notes: events merge into the most recent open session only;
+    * an event older than that session's start (including events later than
+    * the watermark, which flatMapGroupsWithState does NOT auto-drop) opens
+    * its own session and closes on the normal watermark rule — late data
+    * surfaces explicitly rather than silently vanishing or rewriting
+    * already-emitted sessions.
     */
   def streaming(ds: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import ds.sparkSession.implicits._

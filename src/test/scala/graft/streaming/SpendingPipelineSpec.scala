@@ -188,6 +188,38 @@ class SpendingPipelineSpec extends SparkSpec {
     assert(totals == Map("2025-03-10" -> 150.0)) // t1 counted once
   }
 
+  test("stream-stream interval join: purchases attributed to prior views") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val views = MemoryStream[String]
+    val purchases = MemoryStream[String]
+    val v = SpendingPipeline.transactions(spark, Source.Raw(views.toDF()))
+      .selectExpr("customer_id AS v_cust", "timestamp AS v_ts", "transaction_id AS view_id")
+      .withWatermark("v_ts", "10 minutes")
+    val p = SpendingPipeline.transactions(spark, Source.Raw(purchases.toDF()))
+      .selectExpr("customer_id AS p_cust", "timestamp AS p_ts", "transaction_id AS purchase_id")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = p.join(v, expr(
+      "p_cust = v_cust AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 10 MINUTES"))
+      .select("purchase_id", "view_id")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("ss_join").start()
+
+    views.addData(
+      tx("v1", "1", "2025-03-10T12:00:00Z", 0.0),
+      tx("v2", "2", "2025-03-10T12:00:00Z", 0.0))
+    purchases.addData(
+      tx("p1", "1", "2025-03-10T12:05:00Z", 50.0), // within 10 min of v1
+      tx("p2", "2", "2025-03-10T12:20:00Z", 60.0)) // 20 min after v2 — no match
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join").as[(String, String)].collect().toSet
+    assert(got == Set(("p1", "v1")))
+  }
+
   test("streaming sessionization emits each session once when the watermark closes it") {
     import graft.streaming.Sessionize
     import graft.streaming.Sessionize.SessionEvent
