@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   *    shuffle on bucket id, quadratic work only inside buckets.
   *  - `ivfTopK`: IVF with KMeans centroids (spark.ml); corpus is assigned
   *    to inverted lists once, queries probe the `nprobe` nearest lists.
+  *
+  * Preconditions (all variants): query ids share the corpus id space — the
+  * `vec_id =!= q_id` self-match filter assumes a query id equal to a corpus
+  * id IS that corpus row (remap external query ids outside the corpus range
+  * before calling). `dim` must equal the embedding width; a shorter value
+  * silently hashes only the vector prefix (DotProduct uses the common
+  * prefix of unequal-length arrays).
   */
 object Similarity {
 
@@ -54,11 +61,13 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id of an embedding column: bit j = sign(dot(plane_j)). */
-  def lshBucket(emb: Column, nPlanes: Int, dim: Int, seed: Long): Column =
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int, seed: Long): Column = {
+    val ps = planes(nPlanes, dim, seed) // generate once, not once per plane
     (0 until nPlanes).map { j =>
-      val plane = array(planes(nPlanes, dim, seed)(j).toIndexedSeq.map(lit): _*)
+      val plane = array(ps(j).toIndexedSeq.map(lit): _*)
       when(Vectors.dot(emb, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.foldLeft(lit(0L))(_ + _) // fold, not reduce: nPlanes=0 = one bucket (exact)
+  }
 
   /** ANN top-k via LSH buckets: candidates = same-bucket rows only.
     * Recall < 1 by construction; raise recall by lowering nPlanes (bigger
@@ -165,11 +174,13 @@ object Similarity {
       explode(transform(slice(distances(col(embCol)), 1, nprobe),
         d => d.getField("cid"))).as("list_id"))
 
+    // no dedup needed: each corpus row has exactly one list and each query
+    // probes distinct lists, so (q_id, vec_id) pairs are already unique —
+    // a groupBy here would be a redundant full shuffle of the scored set
     val scored = c.join(q, Seq("list_id")).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
           .as("cosine"))
-      .groupBy(col("q_id"), col("vec_id")).agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

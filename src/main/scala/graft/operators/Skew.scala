@@ -15,9 +15,17 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Two-phase salted sum: groupBy(keys).agg(sum) with the heavy-hitter
-    * shuffle split across `saltBuckets`. Result is identical to the direct
-    * aggregation for decimal/integer sums (order-independent); for plain
-    * double sums the usual FP reordering caveat applies.
+    * shuffle split across `saltBuckets`.
+    *
+    * `exact = true` treats the value column as 2-dp money (decimal
+    * aggregation — order-independent and identical to the direct decimal
+    * aggregation, but quantizing: non-monetary values round to 2 dp). Pass
+    * `exact = false` for raw double sums (FP reordering caveat applies).
+    *
+    * The salt is a deterministic hash of the full row, NOT a
+    * partition/row-index function: an indeterminate salt re-salts rows
+    * differently when a failed map stage recomputes, double-counting or
+    * dropping partials mid-shuffle.
     */
   def saltedSum(
       df: DataFrame,
@@ -29,7 +37,8 @@ object Skew {
     val value = col(valueCol)
     val partial: Column =
       if (exact) sum(graft.functions.Exact.money(value)) else sum(value)
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partial.as("__partial"))

@@ -1,8 +1,10 @@
 package graft.sources
 
+import graft.sinks.Sinks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** JDBC batch source/sink configuration (SURVEY §2.1 S4, §2.2 K2).
+/** JDBC batch source/sink (SURVEY §2.1 S4, §2.2 K2), sharing the one
+  * connection config type ([[Sinks.Jdbc]]) with the streaming upsert sink.
   *
   * Mirrors the reference's verification reads and static appends
   * (/root/reference/src/test/scala/com/example/kafka/CustomerSpendingIntegrationTest.scala:340-347,
@@ -12,12 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Jdbc {
 
-  final case class Conf(
-      url: String, table: String, user: String, password: String,
-      driver: Option[String] = Some("org.postgresql.Driver"))
-
   /** Batch scan of a JDBC table (S4). */
-  def read(spark: SparkSession, conf: Conf): DataFrame = {
+  def read(spark: SparkSession, conf: Sinks.Jdbc): DataFrame = {
     val r = spark.read.format("jdbc")
       .option("url", conf.url)
       .option("dbtable", conf.table)
@@ -28,8 +26,8 @@ object Jdbc {
   }
 
   /** Static append (K2) — kept for parity; the idempotent path is
-    * graft.sinks.Sinks.upsert. */
-  def append(df: DataFrame, conf: Conf): Unit = {
+    * [[Sinks.upsert]]. */
+  def append(df: DataFrame, conf: Sinks.Jdbc): Unit = {
     val w = df.write.format("jdbc")
       .option("url", conf.url)
       .option("dbtable", conf.table)

@@ -43,12 +43,12 @@ object Sessionize {
     * Input must be watermarked on `timestamp` before calling. Output mode:
     * append.
     *
-    * Ordering notes: events merge into the most recent open session only;
-    * an event older than that session's start (including events later than
-    * the watermark, which flatMapGroupsWithState does NOT auto-drop) opens
-    * its own session and closes on the normal watermark rule — late data
-    * surfaces explicitly rather than silently vanishing or rewriting
-    * already-emitted sessions.
+    * Ordering notes: each invocation sort-merges open sessions and new
+    * events, so out-of-order events within the watermark join the correct
+    * session. Events later than the watermark (flatMapGroupsWithState does
+    * NOT auto-drop them) merge into a still-open session when they fit, or
+    * surface as their own late session — never silently vanishing or
+    * rewriting already-emitted sessions.
     */
   def streaming(ds: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import ds.sparkSession.implicits._
@@ -57,18 +57,22 @@ object Sessionize {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (customer: String, events: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
           val wm = state.getCurrentWatermarkMs()
-          var sessions = state.getOption.getOrElse(Nil)
-          if (!state.hasTimedOut) {
-            events.toSeq.sortBy(_.timestamp.getTime).foreach { e =>
-              val t = e.timestamp.getTime
-              sessions = sessions match {
-                case cur :: rest if t >= cur.start && t - cur.end < gapMs =>
-                  cur.copy(end = math.max(cur.end, t), total = cur.total + e.amount,
-                    n = cur.n + 1) :: rest
-                case _ => SessionState(t, t, e.amount, 1) :: sessions
-              }
-            }
+          val prior = state.getOption.getOrElse(Nil)
+          // sort-and-fold: every event becomes a unit session, then open
+          // sessions and events merge wherever gaps close — out-of-order
+          // events within the watermark land in the right session instead
+          // of being compared against only the newest one
+          val units = prior ++ events.map { e =>
+            val t = e.timestamp.getTime
+            SessionState(t, t, e.amount, 1)
           }
+          val sessions = units.sortBy(s => (s.start, s.end))
+            .foldLeft(List.empty[SessionState]) {
+              case (cur :: rest, s) if s.start - cur.end < gapMs =>
+                cur.copy(end = math.max(cur.end, s.end),
+                  total = cur.total + s.total, n = cur.n + s.n) :: rest
+              case (acc, s) => s :: acc
+            }
           val (closed, open) = sessions.partition(_.end + gapMs <= wm)
           if (open.nonEmpty) {
             state.update(open)
@@ -77,7 +81,7 @@ object Sessionize {
           } else {
             state.remove()
           }
-          closed.reverse.iterator.map(st =>
+          closed.sortBy(_.start).iterator.map(st =>
             Session(customer, new Timestamp(st.start), new Timestamp(st.end + gapMs),
               st.total, st.n))
       }

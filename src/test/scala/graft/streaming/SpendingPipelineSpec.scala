@@ -251,6 +251,35 @@ class SpendingPipelineSpec extends SparkSpec {
       Set(("1", 15.0, 2), ("1", 7.0, 1)))
   }
 
+  test("streaming sessionization merges out-of-order events into the right session") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(c: String, t: String, a: Double) =
+      SessionEvent(c, java.sql.Timestamp.valueOf(t), a)
+    val ms = MemoryStream[SessionEvent]
+    val sessions = Sessionize.streaming(
+      ms.toDS().withWatermark("timestamp", "3 hours"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ooo").toString
+    val q = sessions.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("ooo_sessions").start()
+
+    ms.addData(ev("1", "2025-03-10 12:00:00", 10.0), ev("1", "2025-03-10 12:10:00", 5.0))
+    q.processAllAvailable()
+    // out-of-order 11:00 event + on-time 12:20 event: 12:20 must extend the
+    // [12:00,12:10] session, not fork a new one behind the 11:00 unit
+    ms.addData(ev("1", "2025-03-10 11:00:00", 1.0), ev("1", "2025-03-10 12:20:00", 2.0))
+    q.processAllAvailable()
+    ms.addData(ev("1", "2025-03-11 09:00:00", 0.5)) // watermark closes everything on 03-10
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ooo_sessions").as[Sessionize.Session].collect()
+      .map(s => (s.total_spent, s.n_events)).toSet
+    assert(got == Set((1.0, 1), (17.0, 3))) // [11:00] and [12:00..12:20]
+  }
+
   test("sessionize: native session_window and mapGroupsWithState agree") {
     import graft.streaming.Sessionize
     import spark.implicits._
