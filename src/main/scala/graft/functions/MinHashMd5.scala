@@ -106,7 +106,9 @@ case class MinHashMd5(child: Expression, k: Int)
 case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
     extends UnaryExpression with CodegenFallback {
 
-  private val r = k / bands
+  // lazy: bands = 0 must surface as checkInputDataTypes failure (a proper
+  // analysis error), not an ArithmeticException at construction
+  @transient private lazy val r = k / bands
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

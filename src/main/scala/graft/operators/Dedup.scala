@@ -101,7 +101,15 @@ object Dedup {
 
   /** Verified near-duplicates: MinHash candidates whose true shingle-set
     * Jaccard clears `threshold`. The exact check only runs on candidate
-    * pairs — LSH prunes the quadratic space first. */
+    * pairs — LSH prunes the quadratic space first.
+    *
+    * Scale shape: candidates are a tiny fraction of the corpus (that is
+    * LSH's whole point), so the corpus is semi-join-pruned to docs that
+    * appear in some candidate pair BEFORE the (expensive) shingle
+    * re-computation — the verification pass shingles only candidate docs,
+    * not the whole table. Only bare id lists are ever broadcast; shingle
+    * arrays stay distributed (a broadcast of shingles would blow the
+    * driver on a large corpus). */
   def nearDuplicates(
       df: DataFrame,
       textCol: String = "text",
@@ -109,16 +117,20 @@ object Dedup {
       threshold: Double = 0.7,
       k: Int = 12,
       bands: Int = 4): DataFrame = {
+    // localCheckpoint: cand is referenced three times (id prune + 2 joins);
+    // it is a tiny (id_a, id_b) relation
+    val cand = minhashCandidates(df, textCol, idCol, k, bands).localCheckpoint()
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    // shingle ONLY candidate docs: broadcast the bare ids as a semi-join
+    // filter under the shingle projection
     val sh = graft.sources.Tables.ensureParallelism(df)
+      .join(broadcast(candIds), col(idCol) === col("id"), "left_semi")
       .select(col(idCol).as("id"), wordShingles(col(textCol)).as("sh"))
-    // candidates are a tiny fraction of the corpus (that is LSH's whole
-    // point) — broadcast them through both verification joins so the
-    // shingle table streams instead of shuffling twice
-    val cand = minhashCandidates(df, textCol, idCol, k, bands)
-    val withA = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
-      .join(broadcast(cand), "id_a")
-    sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
-      .join(broadcast(withA), "id_b")
+      .localCheckpoint() // reused by both sides of the pair join
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -133,10 +133,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Driver-local Lloyd's KMeans over a sample: IVF centroid training does
+    * not need the cluster — FAISS-style practice is to train on a bounded
+    * sample (trainCap rows covers nlist up to thousands) and only the
+    * ASSIGNMENT is distributed. Replacing spark.ml KMeans removes ~2 Spark
+    * jobs per iteration of scheduler overhead from every ivfTopK call.
+    * Deterministic for a given (seed, sample). */
+  private[operators] def lloydCentroids(
+      samples: Array[Array[Double]], nlist: Int, seed: Long, iters: Int = 8): Array[Array[Double]] = {
+    require(samples.nonEmpty, "IVF training needs a non-empty corpus sample")
+    val dim = samples.head.length
+    val rnd = new scala.util.Random(seed)
+    // init: distinct random sample rows (k-means++ is overkill — centroids
+    // only partition the space, recall comes from nprobe)
+    val init = rnd.shuffle(samples.indices.toVector).take(nlist).map(samples(_))
+    var centroids = init.map(_.clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      samples.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          val cv = centroids(c)
+          while (i < dim) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty list keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
   /** IVF: KMeans inverted lists + nprobe probing.
-    * Train on (a sample of) the corpus, assign every corpus row to its
-    * nearest centroid (one broadcast join against <= nlist rows), then for
-    * each query probe the `nprobe` nearest lists and score only those. */
+    * Train on a bounded sample of the corpus (driver-local Lloyd's — see
+    * [[lloydCentroids]]), assign every corpus row to its nearest centroid
+    * as a pure expression (argmin over a literal centroid array — no join,
+    * no shuffle), then for each query probe the `nprobe` nearest lists and
+    * score only those. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -146,21 +189,20 @@ object Similarity {
       seed: Long = 42L,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      qIdCol: String = "q_id"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      qIdCol: String = "q_id",
+      trainCap: Int = 65536): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    val train = corpus.select(array_to_vector(col(embCol).cast("array<double>")).as("fv"))
-    // few iterations suffice: centroids only partition the space, recall
-    // comes from nprobe, not centroid quality
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("fv").fit(train)
+    // bounded sample to the driver: trainCap vectors regardless of corpus
+    // size (100 TB corpus still trains on <= trainCap * dim doubles)
+    val samples = corpus.select(col(embCol).cast("array<double>").as("v"))
+      .limit(trainCap).collect().map(_.getSeq[Double](0).toArray)
+    val centroids = lloydCentroids(samples, nlist, seed)
     // Centroids as one literal array of (cid, vector) structs: list
     // assignment is then a pure expression (argmin over the array) — no
     // join, no window, no shuffle for the assignment step.
-    val centroidArr = array(model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (v, i) =>
-      struct(array(v.toArray.toIndexedSeq.map(lit): _*).as("cv"), lit(i).as("cid"))
+    val centroidArr = array(centroids.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+      struct(array(v.toIndexedSeq.map(lit): _*).as("cv"), lit(i).as("cid"))
     }: _*)
     def distances(embC: Column): Column = array_sort(transform(centroidArr,
       c => struct(Vectors.l2Squared(embC, c.getField("cv")).as("dist"),

@@ -22,10 +22,16 @@ object Skew {
     * aggregation, but quantizing: non-monetary values round to 2 dp). Pass
     * `exact = false` for raw double sums (FP reordering caveat applies).
     *
-    * The salt is a deterministic hash of the full row, NOT a
-    * partition/row-index function: an indeterminate salt re-salts rows
+    * The salt is a deterministic hash of (input partition id, full row),
+    * NOT a row-index function: an indeterminate salt re-salts rows
     * differently when a failed map stage recomputes, double-counting or
-    * dropping partials mid-shuffle.
+    * dropping partials mid-shuffle. `spark_partition_id` is recompute-stable
+    * (a retried task re-reads the same partition) and spreads exact-duplicate
+    * rows of a hot key that land in different input partitions across salt
+    * buckets. Residual caveat: exact duplicates WITHIN one input partition
+    * still share a salt — if the hot key's rows are identical AND
+    * co-partitioned (e.g. a single-file table of repeated rows), carry a
+    * distinguishing column (a unique id) so the row hash separates them.
     */
   def saltedSum(
       df: DataFrame,
@@ -38,7 +44,8 @@ object Skew {
     val partial: Column =
       if (exact) sum(graft.functions.Exact.money(value)) else sum(value)
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
+      pmod(xxhash64((spark_partition_id() +: df.columns.map(col)).toIndexedSeq: _*),
+        lit(saltBuckets)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partial.as("__partial"))

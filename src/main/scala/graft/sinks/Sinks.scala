@@ -31,8 +31,22 @@ object Sinks {
     * should be small relative to the DB (a rolled-up aggregate); this is a
     * per-micro-batch sink, not a bulk loader.
     */
-  /** The upsert statement (PostgreSQL ON CONFLICT dialect). */
+  // Identifiers are interpolated into SQL text (placeholders can't bind
+  // them), so they must be plain identifiers — rejects injection if the
+  // Jdbc config ever becomes user-supplied. Table may be schema-qualified.
+  private val Ident = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def requireIdent(kind: String, s: String, allowQualified: Boolean = false): String = {
+    val parts = if (allowQualified) s.split('.').toSeq else Seq(s)
+    require(parts.nonEmpty && parts.forall(p => Ident.matches(p)),
+      s"$kind is not a valid SQL identifier: '$s'")
+    s
+  }
+
+  /** The upsert statement (PostgreSQL ON CONFLICT dialect). Identifiers are
+    * validated (letters/digits/underscore; table may be schema-qualified). */
   def upsertSql(table: String, keyCols: Seq[String], valueCols: Seq[String]): String = {
+    requireIdent("table", table, allowQualified = true)
+    (keyCols ++ valueCols).foreach(requireIdent("column", _))
     val cols = keyCols ++ valueCols
     s"INSERT INTO $table (${cols.mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
@@ -57,16 +71,18 @@ object Sinks {
         try {
           conn.setAutoCommit(false)
           val ps = conn.prepareStatement(sql)
-          var pending = 0
-          rows.foreach { r =>
-            var i = 0
-            while (i < cols.length) { ps.setObject(i + 1, r.get(i)); i += 1 }
-            ps.addBatch()
-            pending += 1
-            if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
-          }
-          if (pending > 0) ps.executeBatch()
-          conn.commit()
+          try {
+            var pending = 0
+            rows.foreach { r =>
+              var i = 0
+              while (i < cols.length) { ps.setObject(i + 1, r.get(i)); i += 1 }
+              ps.addBatch()
+              pending += 1
+              if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+            }
+            if (pending > 0) ps.executeBatch()
+            conn.commit()
+          } finally ps.close()
         } finally conn.close()
       }
     }
