@@ -290,6 +290,21 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("value"), col("rn"))
     }),
 
+    // as-of join: last click before each purchase (last-touch attribution)
+    "x1_asof_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.AsOf.joinAsOf(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("event_id"), rightPrefix = "click_")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("click_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .as("micros_since_click"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- LLM-pipeline extensions: text analysis -------------------------
     "ext_text_profile" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -571,6 +586,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         |  FROM events WHERE event_type = 'purchase') t
         |WHERE rn <= 3""".stripMargin,
+
+    "x1_asof_attribution" ->
+      """SELECT p.event_id, p.user_id, p.value, c.event_id AS click_event_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "ext_text_profile" ->
       """SELECT doc_id,

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (time-series) join: each left row is matched to the single right
+  * row with the greatest right timestamp <= the left timestamp (backward
+  * direction; `forward` matches the smallest right timestamp >= left),
+  * equal timestamps match, per join key.
+  *
+  * Spark has no native as-of join, so this is the composed-operator form
+  * (preference (a) of the custom-operator ladder): tag both sides, UNION,
+  * and carry the latest right payload forward with a single
+  * `last(ignoreNulls)` running window — ONE shuffle on the join keys and a
+  * per-key sort, instead of the range join's candidate explosion
+  * (`left x right` pairs within each key) that a naive
+  * `l.ts >= r.ts` theta-join would plan. At 100 TB both sides shuffle once
+  * on the key columns and stream through the window in sort order; skew in
+  * a single hot key serializes only that key's partition (same contract as
+  * any windowed aggregation — pre-split hot keys upstream if one key
+  * dominates).
+  *
+  * Matching is deterministic when (keys, ts) pairs are unique on the right
+  * side; on exact right-side ties the greatest payload struct wins (a total
+  * order, so still deterministic — DuckDB's ASOF picks an arbitrary tie
+  * member instead).
+  */
+object AsOf {
+
+  /** As-of join `left` to `right`.
+    *
+    * @param keys       equality join columns (same names on both sides)
+    * @param leftTs     left timestamp column name (TimestampType)
+    * @param rightTs    right timestamp column name (TimestampType)
+    * @param rightCols  right columns to carry (default: all non-key,
+    *                   non-timestamp columns), emitted with `rightPrefix`;
+    *                   the matched right timestamp is always emitted as
+    *                   `rightPrefix + rightTs`
+    * @param direction  "backward" (default): latest right <= left;
+    *                   "forward": earliest right >= left
+    * @param tolerance  optional max |left ts - right ts| in MICROSECONDS;
+    *                   matches farther than this are nulled out (the left
+    *                   row is kept, as in pandas merge_asof)
+    * @param inner      drop unmatched left rows (default keeps them with
+    *                   null right columns, i.e. LEFT as-of join)
+    */
+  def joinAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String] = Seq.empty,
+      rightPrefix: String = "right_",
+      direction: String = "backward",
+      tolerance: Option[Column] = None,
+      inner: Boolean = false): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val carry =
+      if (rightCols.nonEmpty) rightCols
+      else right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
+
+    // one unioned relation: __side 0 = right, 1 = left. Payloads travel as
+    // structs (no column-name collisions); the right ts rides first in the
+    // right payload for the tolerance check and deterministic tie order.
+    val keyCols = keys.map(col)
+    val rPayload = struct((col(rightTs).as("__rts") +: carry.map(col)): _*)
+    val lPayload = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rPayloadType = right.select(rPayload.as("p")).schema("p").dataType
+    val lPayloadType = left.select(lPayload.as("p")).schema("p").dataType
+    val r = right.select(keyCols ++ Seq(col(rightTs).as("__t"), lit(0).as("__side"),
+      rPayload.as("__r"), lit(null).cast(lPayloadType).as("__l")): _*)
+    val l = left.select(keyCols ++ Seq(col(leftTs).as("__t"), lit(1).as("__side"),
+      lit(null).cast(rPayloadType).as("__r"), lPayload.as("__l")): _*)
+
+    // backward: ascending ts, right rows sort before left at equal ts so an
+    // exact-ts right row is visible to the left row. forward: descending ts
+    // reduces to the same running-window shape.
+    val tsOrder = if (direction == "backward") col("__t").asc else col("__t").desc
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(tsOrder, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = r.unionByName(l)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val withinTol = tolerance match {
+      case Some(tol) => when(col("__m").isNotNull &&
+        abs(unix_micros(col("__l").getField(leftTs)) -
+          unix_micros(col("__m").getField("__rts"))).leq(tol), col("__m"))
+      case None => col("__m")
+    }
+    val out = matched.withColumn("__m", withinTol)
+    val filtered = if (inner) out.filter(col("__m").isNotNull) else out
+    filtered.select(
+      left.columns.toIndexedSeq.map(c => col("__l").getField(c).as(c)) ++
+        (col("__m").getField("__rts").as(rightPrefix + rightTs) +:
+          carry.map(c => col("__m").getField(c).as(rightPrefix + c))): _*)
+  }
+}
