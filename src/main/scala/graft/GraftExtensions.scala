@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
-  * works alongside the Column API.
+  * works alongside the Column API, and graft's optimizer rules
+  * ([[graft.plans.RewriteDotProductHof]]: portable HOF dot product ->
+  * codegen'd DotProduct).
   *
   * Usage: SparkSession.builder().withExtensions(new GraftExtensions) or
   * spark.sql.extensions=graft.GraftExtensions.
@@ -39,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProductHof)
   }
 }
 
@@ -60,5 +63,12 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       args => MinHashBandKeys(args(0), intLit(args(1), "k"), intLit(args(2), "bands")),
       "built-in")
+    // optimizer rules can't be injected post-build via SparkSessionExtensions;
+    // experimentalMethods is the supported late-registration hook
+    if (!spark.sessionState.experimentalMethods.extraOptimizations
+        .contains(graft.plans.RewriteDotProductHof)) {
+      spark.sessionState.experimentalMethods.extraOptimizations ++=
+        Seq(graft.plans.RewriteDotProductHof)
+    }
   }
 }
