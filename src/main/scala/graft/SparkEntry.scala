@@ -305,6 +305,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // deterministic content-hash train/val/test split (re-run- and
+    // engine-stable; new docs never move old ones between splits)
+    "x2_hash_split" -> ((s, dir) =>
+      graft.operators.Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // per-source document quota (corpus balancing)
+    "x3_source_quota" -> ((s, dir) =>
+      graft.operators.Sampling.perKeyQuota(Tables.documents(s, dir), "source", 15,
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // ---- LLM-pipeline extensions: text analysis -------------------------
     "ext_text_profile" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -594,6 +609,21 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "x2_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < 'e6666666' THEN 'val'
+        |       WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < 'ffffffff' THEN 'test'
+        |       ELSE 'rest' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x3_source_quota" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
 
     "ext_text_profile" ->
       """SELECT doc_id,

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / quota operators for training-data
+  * pipelines.
+  *
+  * Everything here is CONTENT-keyed, not RNG-keyed: a doc's split assignment
+  * is a pure function of its id and a salt string, so (a) re-running the
+  * pipeline — or running it on a different engine — assigns identically
+  * (validated against DuckDB), (b) adding data never reshuffles existing
+  * assignments (the property that keeps eval sets uncontaminated as a 100 TB
+  * corpus grows), and (c) no row ever depends on partitioning or row order.
+  * Per-row expressions only — no shuffle for split assignment; quota capping
+  * shuffles once on its key like any windowed rank.
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5(id # salt) — a uniform draw in [0, 16^8),
+    * compared lexicographically (hex strings order identically in every
+    * engine; no integer conversion needed). */
+  def hashBucket(id: Column, salt: String): Column =
+    substring(md5(concat(id.cast("string"), lit("#" + salt)).cast("binary")), 1, 8)
+
+  /** The hex threshold below which a uniform 8-hex-digit draw falls with
+    * probability `fraction`. */
+  def hexThreshold(fraction: Double): String = {
+    val cap = (fraction.max(0.0).min(1.0) * 4294967296.0).toLong.min(0xFFFFFFFFL)
+    f"$cap%08x"
+  }
+
+  /** Deterministic Bernoulli sample: keeps ~`fraction` of rows, selected by
+    * content hash (same rows every run, any engine, any partitioning). */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = "sample"): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < lit(hexThreshold(fraction)))
+
+  /** Assign each row to a named split (train/val/test, ...) by content hash.
+    * `splits` are (name, fraction) in order; fractions must sum to <= 1 and
+    * any remainder falls into `defaultSplit`. Adding rows later never moves
+    * an existing row between splits. */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "split",
+      splitCol: String = "split",
+      defaultSplit: String = "rest"): DataFrame = {
+    val total = splits.map(_._2).sum
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) && total <= 1.0 + 1e-9,
+      s"split fractions must be non-negative and sum to <= 1, got $splits")
+    val bucket = hashBucket(col(idCol), salt)
+    val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
+    val assigned = splits.zip(cumulative).foldRight(lit(defaultSplit): Column) {
+      case (((name, _), cum), rest) =>
+        when(bucket < lit(hexThreshold(cum)), lit(name)).otherwise(rest)
+    }
+    // foldRight nests WHENs so the FIRST matching threshold wins; evaluate
+    // cheapest-first by checking in ascending cumulative order
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Cap rows per key: keep the top `n` rows of each `keyCol` group in
+    * `orderBy` order (ties MUST be broken by a unique column for
+    * deterministic results — pass e.g. `Seq(col("quality").desc,
+    * col("doc_id"))`). The per-source document quota of C4/RefinedWeb-style
+    * corpus balancing. One shuffle on the key. */
+  def perKeyQuota(df: DataFrame, keyCol: String, n: Int, orderBy: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderBy: _*)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n)
+      .drop("__rank")
+  }
+}

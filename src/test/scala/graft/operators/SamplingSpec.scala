@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Content-hash sampling invariants (exact values are oracle-checked in
+  * x2_hash_split / x3_source_quota). */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(10000).toDF("id")
+
+  test("hashSplit fractions land near their targets") {
+    val counts = Sampling.hashSplit(ids, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 8000L) < 300, counts)
+    assert(math.abs(counts("val") - 1000L) < 150, counts)
+    assert(math.abs(counts("test") - 1000L) < 150, counts)
+  }
+
+  test("growing the corpus never moves an existing row between splits") {
+    val small = Sampling.hashSplit(ids.filter(col("id") < 1000), "id",
+      Seq("train" -> 0.5, "val" -> 0.5))
+    val big = Sampling.hashSplit(ids, "id", Seq("train" -> 0.5, "val" -> 0.5))
+      .filter(col("id") < 1000)
+    assert(small.exceptAll(big).isEmpty && big.exceptAll(small).isEmpty)
+  }
+
+  test("different salts give independent assignments") {
+    val a = Sampling.deterministicSample(ids, "id", 0.5, salt = "a")
+      .as[Long].collect().toSet
+    val b = Sampling.deterministicSample(ids, "id", 0.5, salt = "b")
+      .as[Long].collect().toSet
+    val overlap = (a intersect b).size.toDouble / 10000
+    assert(overlap > 0.2 && overlap < 0.3, s"expected ~0.25 overlap, got $overlap")
+  }
+
+  test("perKeyQuota keeps exactly n deterministic rows per key") {
+    val df = Seq(
+      ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 30L), ("s1", 4L, 20L),
+      ("s2", 5L, 5L))
+      .toDF("source", "doc_id", "n_chars")
+    val kept = Sampling.perKeyQuota(df, "source", 2,
+        Seq(col("n_chars").desc, col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    // s1: ties on 30 broken by doc_id (2 then 3); s2 keeps its only row
+    assert(kept == Set(2L, 3L, 5L))
+  }
+}
