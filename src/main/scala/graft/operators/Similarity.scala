@@ -190,11 +190,15 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       qIdCol: String = "q_id",
-      trainCap: Int = 65536): DataFrame = {
+      trainCap: Int = 16384): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     // bounded sample to the driver: trainCap vectors regardless of corpus
-    // size (100 TB corpus still trains on <= trainCap * dim doubles)
+    // size (100 TB corpus still trains on <= trainCap * dim doubles; 16k
+    // samples is ~1000 per centroid at the default nlist=16 — far past the
+    // point where more data moves the partition). limit() reads only the
+    // first partitions; for pathologically sorted corpora pass a
+    // pre-sampled frame (e.g. Sampling.deterministicSample) as `corpus`.
     val samples = corpus.select(col(embCol).cast("array<double>").as("v"))
       .limit(trainCap).collect().map(_.getSeq[Double](0).toArray)
     val centroids = lloydCentroids(samples, nlist, seed)
@@ -225,5 +229,25 @@ object Similarity {
           .as("cosine"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Recall@k of an ANN result against the exact brute-force result: the
+    * per-query fraction of true top-k neighbors the approximate search
+    * found, plus the mean over queries in every row. Both inputs are
+    * (q_id, vec_id, ...) top-k frames — pass [[bruteForceTopK]]'s output as
+    * `exact`. This is the tuning loop for nPlanes/tables/nlist/nprobe: raise
+    * the parameter until `mean_recall` clears the product bar, measured on a
+    * query sample (never the full corpus). */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val e = exact.select(col("q_id"), col("vec_id"))
+    val hits = approx.select(col("q_id"), col("vec_id"))
+      .join(e, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    val truth = e.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+    val perQuery = truth.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall"))
+    perQuery.crossJoin(
+      broadcast(perQuery.agg(avg(col("recall")).as("mean_recall"))))
   }
 }

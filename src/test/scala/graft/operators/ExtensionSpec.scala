@@ -72,6 +72,29 @@ class ExtensionSpec extends SparkSpec {
     assert(hamming(sims(0L), sims(2L)) > 8)
   }
 
+  test("recallAtK computes per-query and mean recall exactly") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)).toDF("q_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L)).toDF("q_id", "vec_id")
+    val out = Similarity.recallAtK(approx, exact)
+      .select("q_id", "recall", "mean_recall")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(out == Set((1L, 0.5, 0.75), (2L, 1.0, 0.75)))
+  }
+
+  test("IVF recall@k is 1.0 at nprobe=nlist and rises with nprobe") {
+    val queries = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id")
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+    def meanRecall(nprobe: Int): Double =
+      Similarity.recallAtK(
+        Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = nprobe), brute)
+        .select("mean_recall").as[Double].head()
+    val r8 = meanRecall(8)
+    assert(r8 == 1.0, s"nprobe=nlist must be exact, got $r8")
+    val r1 = meanRecall(1)
+    val r4 = meanRecall(4)
+    assert(r1 <= r4 + 1e-9 && r4 <= 1.0, s"recall must not fall as nprobe grows: $r1 vs $r4")
+  }
+
   test("IVF with nprobe = nlist is exact (equals brute force)") {
     val queries = emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
     val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
