@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{...}}. A warmup pass runs
@@ -25,23 +25,56 @@ object Bench {
     try SparkEntry.queries("q1_lineitem_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // min-of-N timing: one sample per query proved too fragile — a burst of
+    // machine contention during one run misgraded a whole round (r2: 72s
+    // recorded vs 35s clean). Every query runs twice; anything still >1s
+    // after two samples gets a third. The MIN is the headline number (least
+    // contaminated by noise); the last sample is emitted alongside so a
+    // genuine regression (min == last == slow) is distinguishable from a
+    // noisy one (min fast, last slow).
+    def runOnce(fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       // noop sink materializes every output column — a count() would let
       // Catalyst prune the very expressions being benchmarked
       val err = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
       catch { case t: Throwable => Some(t.toString) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = runOnce(fn)
+      val samples = first._2 match {
+        case Some(_) => Seq(first) // a failing query fails fast, once
+        case None =>
+          val second = runOnce(fn)
+          if (math.min(first._1, second._1) > 1.0 && second._2.isEmpty)
+            Seq(first, second, runOnce(fn))
+          else Seq(first, second)
+      }
+      val err = samples.flatMap(_._2).headOption
+      (name, samples.map(_._1).min, samples.last._1, err)
+    }
+    def jsonEscape(raw: String): String =
+      // truncate BEFORE escaping (truncating after can cut an escape pair
+      // in half, corrupting the JSON), then escape quotes, backslashes and
+      // ALL control chars
+      raw.take(300).flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     // a failed query reports -1, never its elapsed time — a broken query
     // must not read as a fast result
-    val qs = results.map { case (k, v, err) => "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString) }
-      .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\r\\n\\t]", " ").take(300) + "\""
+    val qs = results.map { case (k, v, _, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val qsLast = results.map { case (k, _, last, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) "-1" else last.toString)
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, _, Some(e)) =>
+      "\"" + k + "\":\"" + jsonEscape(e) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, None) => v }.sum
 
     // streaming throughput: canonical pipeline (parse -> dedup -> daily
     // totals) over a one-batch synthetic stream. The reference's producer
@@ -63,17 +96,20 @@ object Bench {
       val q = SpendingPipeline.start(daily, Sink.Memory("bench_stream"), Config(), "bench_stream_q")
       q.processAllAvailable()
       // measured batch, added in cpu-count chunks: MemoryStream scans one
-      // partition per addData block, so chunking parallelizes the parse
+      // partition per addData block, so chunking parallelizes the parse.
+      // t0 starts BEFORE the adds — the running query may begin processing
+      // as soon as the first chunk lands, so starting the clock after the
+      // loop would undercount elapsed time and inflate events/s
       val rest = payloads.drop(1000)
-      rest.grouped(math.max(1, rest.length / cpus.toInt)).foreach(c => ms.addData(c.toIndexedSeq))
       val t0 = System.nanoTime()
+      rest.grouped(math.max(1, rest.length / cpus.toInt)).foreach(c => ms.addData(c.toIndexedSeq))
       q.processAllAvailable()
       val eps = rest.length / ((System.nanoTime() - t0) / 1e9)
       q.stop()
       eps
     } catch { case _: Throwable => -1.0 }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"stream_events_per_sec":${eps.toLong},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"errors":$errors,"stream_events_per_sec":${eps.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

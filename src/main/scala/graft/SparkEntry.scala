@@ -152,8 +152,9 @@ object SparkEntry {
 
     "s7_pipeline_batch" -> ((s, dir) =>
       // end-to-end batch analog of the canonical pipeline over synthetic
-      // data: generate -> wire-encode -> parse -> dedup -> daily totals
-      // (rows-only: generator hashes are engine-specific)
+      // data: generate -> wire-encode -> parse -> dedup -> daily totals,
+      // hash-checked end to end (the md5-derived generator is reproduced
+      // by the DuckDB oracle)
       Spend.dailySpend(
         Spend.dedupe(Ingest.wellFormed(Ingest.parseTransactions(
           graft.sources.DataGen.transactionsJson(s, 200000))))
@@ -213,8 +214,8 @@ object SparkEntry {
     }),
 
     "s6_datagen" -> ((s, dir) =>
-      // S6: deterministic synthetic generator (rows-only check — hash
-      // functions differ across engines, so no SQL oracle).
+      // S6: deterministic synthetic generator — md5-derived fields, so the
+      // DuckDB oracle regenerates every row bit-for-bit.
       graft.sources.DataGen.transactions(s, 1000)
         .select(col("transaction_id"), col("customer_id"), col("merchant_id"),
           col("amount"), col("payment_method"), col("status"))),
@@ -341,8 +342,8 @@ object SparkEntry {
         graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
     "ext_rolling_hash" -> ((s, dir) =>
-      // order-sensitive 64-bit token-stream hash (rows-only: xxhash64 is
-      // Spark-specific)
+      // order-sensitive token-stream hash as a chained md5 fold —
+      // engine-portable, replayed exactly by DuckDB's list_reduce
       Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
         graft.operators.TextAnalysis.rollingHash(col("text")).as("rhash"))),
 
@@ -513,6 +514,41 @@ object SparkEntry {
 
     "a5_count" -> "SELECT count(*) AS n FROM events",
 
+    // regenerates DataGen.transactions(1000, seed=42) field-for-field: each
+    // field is a pure function of md5(seed#salt#id), identical in any engine
+    "s6_datagen" ->
+      """WITH g AS (SELECT range AS id FROM range(0, 1000)),
+        |h AS (SELECT id,
+        |  md5('42-' || CAST(id AS VARCHAR)) AS transaction_id,
+        |  CAST(CAST('0x' || substr(md5('42#cust#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hc,
+        |  CAST(CAST('0x' || substr(md5('42#merch#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hm,
+        |  CAST(CAST('0x' || substr(md5('42#amt#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS ha,
+        |  CAST(CAST('0x' || substr(md5('42#pm#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hp,
+        |  CAST(CAST('0x' || substr(md5('42#st#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hs
+        |FROM g)
+        |SELECT transaction_id,
+        |  CAST(hc % 1000 + 1 AS VARCHAR) AS customer_id,
+        |  CAST(hm % 500 + 1 AS INTEGER) AS merchant_id,
+        |  (ha % 99900 + 100) / 100.0 AS amount,
+        |  (['Credit Card','Debit Card','PayPal','UPI','Net Banking'])[CAST(hp % 5 + 1 AS INTEGER)] AS payment_method,
+        |  (['Success','Pending','Failed'])[CAST(hs % 3 + 1 AS INTEGER)] AS status
+        |FROM h""".stripMargin,
+
+    // end-to-end pipeline oracle: regenerate the 200k synthetic
+    // transactions (the JSON wire round-trip and the by-id dedup are
+    // content-preserving, so the oracle aggregates the generator output
+    // directly) and roll up daily totals per customer
+    "s7_pipeline_batch" ->
+      """WITH g AS (SELECT range AS id FROM range(0, 200000)),
+        |t AS (SELECT
+        |  CAST(CAST(CAST('0x' || substr(md5('42#cust#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 1000 + 1 AS VARCHAR) AS customer_id,
+        |  (CAST(CAST('0x' || substr(md5('42#amt#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 99900 + 100) / 100.0 AS amount,
+        |  make_timestamp(CAST((1704067200 + id/10.0) * 1000000 AS BIGINT)) AS ts
+        |FROM g)
+        |SELECT customer_id, strftime(ts, '%Y-%m-%d') AS transaction_date,
+        |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM t GROUP BY customer_id, strftime(ts, '%Y-%m-%d')""".stripMargin,
+
     "a7_session_window" ->
       """WITH m AS (
         |  SELECT user_id, epoch(ts) AS t, value,
@@ -614,8 +650,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < 'cccccccc' THEN 'train'
         |       WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < 'e6666666' THEN 'val'
-        |       WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < 'ffffffff' THEN 'test'
-        |       ELSE 'rest' END AS split
+        |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x3_source_quota" ->
@@ -665,6 +700,14 @@ object SparkEntry {
     "ext_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |  AS fingerprint FROM documents""".stripMargin,
+
+    // replay the chained-md5 fold: list_reduce over ('' prepended as the
+    // initial accumulator, then the token stream)
+    "ext_rolling_hash" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend('', string_split_regex(trim(lower(text)), '\s+')),
+        |  (acc, t) -> md5(acc || '|' || t)) AS rhash
+        |FROM documents""".stripMargin,
 
     "ext_dedup_exact" ->
       """SELECT doc_id FROM (

@@ -31,10 +31,14 @@ object Sampling {
   }
 
   /** Deterministic Bernoulli sample: keeps ~`fraction` of rows, selected by
-    * content hash (same rows every run, any engine, any partitioning). */
+    * content hash (same rows every run, any engine, any partitioning).
+    * fraction >= 1.0 keeps EVERY row — the hex comparison is strict, so
+    * without the special case the top hash value ("ffffffff…") would be
+    * dropped (~2^-32 of rows). */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
       salt: String = "sample"): DataFrame =
-    df.filter(hashBucket(col(idCol), salt) < lit(hexThreshold(fraction)))
+    if (fraction >= 1.0) df
+    else df.filter(hashBucket(col(idCol), salt) < lit(hexThreshold(fraction)))
 
   /** Assign each row to a named split (train/val/test, ...) by content hash.
     * `splits` are (name, fraction) in order; fractions must sum to <= 1 and
@@ -54,7 +58,11 @@ object Sampling {
     val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
     val assigned = splits.zip(cumulative).foldRight(lit(defaultSplit): Column) {
       case (((name, _), cum), rest) =>
-        when(bucket < lit(hexThreshold(cum)), lit(name)).otherwise(rest)
+        // a cumulative fraction of 1.0 must catch EVERYTHING: the strict
+        // hex compare tops out below "ffffffff…", so without this the top
+        // hash value would leak into defaultSplit when fractions sum to 1
+        val cond = if (cum >= 1.0 - 1e-9) lit(true) else bucket < lit(hexThreshold(cum))
+        when(cond, lit(name)).otherwise(rest)
     }
     // foldRight nests WHENs so the FIRST matching threshold wins; evaluate
     // cheapest-first by checking in ascending cumulative order

@@ -196,11 +196,18 @@ object Similarity {
     // bounded sample to the driver: trainCap vectors regardless of corpus
     // size (100 TB corpus still trains on <= trainCap * dim doubles; 16k
     // samples is ~1000 per centroid at the default nlist=16 — far past the
-    // point where more data moves the partition). limit() reads only the
-    // first partitions; for pathologically sorted corpora pass a
-    // pre-sampled frame (e.g. Sampling.deterministicSample) as `corpus`.
-    val samples = corpus.select(col(embCol).cast("array<double>").as("v"))
-      .limit(trainCap).collect().map(_.getSeq[Double](0).toArray)
+    // point where more data moves the partition). The sample is pinned by
+    // CONTENT hash of the id (sort by md5(id#salt), tie-break id, then
+    // limit): deterministic across runs/partitionings AND uniform — a
+    // sorted corpus can't bias it. sort+limit plans as
+    // TakeOrderedAndProject (per-partition top-k, driver merge — no full
+    // shuffle, no full sort).
+    val samples = corpus
+      .select(col(embCol).cast("array<double>").as("v"),
+        Sampling.hashBucket(col(idCol), "ivf-train").as("__h"), col(idCol).as("__id"))
+      .sort(col("__h"), col("__id"))
+      .limit(trainCap)
+      .collect().map(_.getSeq[Double](0).toArray)
     val centroids = lloydCentroids(samples, nlist, seed)
     // Centroids as one literal array of (cid, vector) structs: list
     // assignment is then a pure expression (argmin over the array) — no

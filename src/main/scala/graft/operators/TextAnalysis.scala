@@ -88,11 +88,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
-  /** 64-bit rolling hash of the token stream — order-sensitive (unlike a
-    * bag-of-words hash), computed as one chained-xxhash64 fold over the
-    * tokens (a polynomial multiply would trip ANSI-mode overflow; chaining
-    * the accumulator through the hash wraps safely and mixes better). */
+  /** Rolling (order-sensitive) hash of the token stream — unlike a
+    * bag-of-words hash, reordering tokens changes it. Computed as a chained
+    * md5 fold, acc' = md5(acc || '|' || token) from acc0 = "": md5 hex
+    * strings are engine-portable, so the chain is reproducible in any
+    * engine (DuckDB's list_reduce replays it exactly — a 64-bit xxhash64
+    * chain would be Spark-only). */
   def rollingHash(text: Column): Column =
+    aggregate(tokens(lower(text)), lit(""),
+      (acc, t) => md5(concat_ws("|", acc, t).cast("binary")))
+
+  /** Spark-only fast variant of [[rollingHash]]: a chained-xxhash64 fold
+    * (codegen'd, no per-token hex strings — a polynomial multiply would trip
+    * ANSI-mode overflow; chaining through the hash wraps safely and mixes
+    * better). Use when no cross-engine comparison is needed. */
+  def rollingHashFast(text: Column): Column =
     aggregate(tokens(lower(text)), lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** One-pass profile of a documents table. */

@@ -49,7 +49,13 @@ object RewriteDotProductHof extends Rule[LogicalPlan] {
 
   private def isProductOf(e: Expression, x: NamedLambdaVariable, y: NamedLambdaVariable): Boolean =
     e match {
-      case m: Multiply =>
+      // the product itself must be computed in DOUBLE: a raw `x*y` over
+      // float arrays types the Multiply as float, so the HOF rounds each
+      // product to float before summing while DotProduct multiplies in
+      // double — different bits. Only the explicitly-widened form (the
+      // Vectors.dotHof shape, cast(x as double) * cast(y as double)) is
+      // semantics-identical to DotProduct for float inputs.
+      case m: Multiply if m.dataType == DoubleType =>
         (isVar(m.left, x) && isVar(m.right, y)) || (isVar(m.left, y) && isVar(m.right, x))
       case _ => false
     }

@@ -17,10 +17,15 @@ object DataGen {
     Seq("Credit Card", "Debit Card", "PayPal", "UPI", "Net Banking")
   private val statuses = Seq("Success", "Pending", "Failed")
 
-  /** Pseudo-random positive long derived from the row id — xxhash64 keeps
-    * generation deterministic per (seed, id) and fully parallel. */
+  /** Pseudo-random non-negative long derived from the row id: the first 60
+    * bits of md5(seed#salt#id). md5-derived (not xxhash64) so generation is
+    * deterministic per (seed, id), fully parallel, AND engine-portable — a
+    * SQL oracle reproduces every generated row bit-for-bit
+    * (CAST(CAST('0x' || substr(md5(...), 1, 15) AS UBIGINT) AS BIGINT) in
+    * DuckDB). 60 bits fit a signed long, so no ANSI overflow and no abs(). */
   private def prand(id: org.apache.spark.sql.Column, seed: Long, salt: String) =
-    abs(xxhash64(lit(seed), lit(salt), id))
+    conv(substring(md5(concat_ws("#", lit(seed), lit(salt), id).cast("binary")), 1, 15),
+      16, 10).cast("long")
 
   /** Columns of one synthetic transaction for a given id column. */
   private def fields(id: org.apache.spark.sql.Column, seed: Long, startEpoch: Long, eventsPerSecond: Double) = {

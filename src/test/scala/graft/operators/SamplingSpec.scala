@@ -37,6 +37,15 @@ class SamplingSpec extends SparkSpec {
     assert(overlap > 0.2 && overlap < 0.3, s"expected ~0.25 overlap, got $overlap")
   }
 
+  test("fractions summing to 1.0 are exhaustive; fraction 1.0 keeps all rows") {
+    // strict hex compares top out below "ffffffff…" — the final bucket and
+    // the full-fraction sample must special-case to catch the top hash value
+    val n = Sampling.hashSplit(ids, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("split") === "rest").count()
+    assert(n == 0L)
+    assert(Sampling.deterministicSample(ids, "id", 1.0).count() == 10000L)
+  }
+
   test("perKeyQuota keeps exactly n deterministic rows per key") {
     val df = Seq(
       ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 30L), ("s1", 4L, 20L),

@@ -61,6 +61,24 @@ class RewriteDotProductHofSpec extends SparkSpec {
     assert(!containsDotProduct(hofDot(nullable)))
   }
 
+  test("raw float x*y (float-typed product) is NOT rewritten") {
+    // float arrays (Array[Float] encoder: containsNull = false) with a
+    // lambda WITHOUT double casts: Multiply types as float, so the HOF
+    // rounds each product to float — not what DotProduct computes. The
+    // rule must leave it alone.
+    graft.GraftExtensions.register(spark)
+    val f = spark.createDataset(spark.sparkContext.parallelize(Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))))
+      .toDF("id", "a", "b")
+    val raw = f.select(col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0),
+        (acc, v) => acc + v).as("dot"))
+    assert(!containsDotProduct(raw))
+    // while the explicitly-widened dotHof form over the same float arrays IS
+    val widened = f.select(col("id"), Vectors.dotHof(col("a"), col("b")).as("dot"))
+    assert(containsDotProduct(widened))
+  }
+
   test("a product of different lambda args (x*x) is NOT rewritten") {
     val df = vecs.select(col("id"),
       aggregate(zip_with(col("a"), col("b"), (x, _) => x * x), lit(0.0),
