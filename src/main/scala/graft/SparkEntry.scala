@@ -366,7 +366,15 @@ object SparkEntry {
       graft.operators.Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the GRADED embedding near-dup is the 100 TB-shaped LSH path (bucket
+    // join, never all-pairs); the oracle reproduces bucket assignment from
+    // the same plane literals. The exact all-pairs variant stays graded
+    // below as ext_dedup_embedding_brute.
     "ext_dedup_embedding" -> ((s, dir) =>
+      graft.operators.Dedup.embeddingNearDupsLsh(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "ext_dedup_embedding_brute" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -378,17 +386,44 @@ object SparkEntry {
     }),
 
     "ext_knn_lsh" -> ((s, dir) => {
-      // rows-only: approximate; recall vs brute force asserted in ScalaTest
+      // hash-checked: the deterministic plane vectors are embedded as
+      // literals in the oracle SQL, so DuckDB reproduces bucket assignment
       val emb = Tables.embeddings(s, dir)
       graft.operators.Similarity.lshTopK(
         emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"), k = 5)
     }),
 
+    // quantified ANN quality in the gate: per-query and mean recall of
+    // multi-table LSH against the exact brute-force top-k, oracle-checked
+    // end to end (planes embedded as literals). nPlanes=2/tables=8 is the
+    // recall-first operating point on these unclustered synthetic
+    // embeddings (mean recall ~0.98-1.0 across scales; see README for the
+    // recall-vs-parameter table) — real clustered embeddings sustain high
+    // recall at much finer buckets.
+    "ext_knn_lsh_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id")
+      graft.operators.Similarity.recallAtK(
+        graft.operators.Similarity.lshTopKMulti(emb, q, k = 5, nPlanes = 2, tables = 8),
+        graft.operators.Similarity.bruteForceTopK(emb, q, k = 5))
+    }),
+
     "ext_knn_ivf" -> ((s, dir) => {
-      // rows-only: KMeans centroids are engine-specific
+      // rows-only: centroids are data-dependent (trained in-engine), not
+      // expressible as an independent SQL oracle
       val emb = Tables.embeddings(s, dir)
       graft.operators.Similarity.ivfTopK(
         emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"), k = 5)
+    }),
+
+    // in-engine recall number for IVF (rows-only for the same reason; the
+    // >= 0.9 bar is asserted in ExtensionSpec)
+    "ext_knn_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id")
+      graft.operators.Similarity.recallAtK(
+        graft.operators.Similarity.ivfTopK(emb, q, k = 5),
+        graft.operators.Similarity.bruteForceTopK(emb, q, k = 5))
     }),
 
     // ---- LLM-pipeline extensions: multimodal ---------------------------
@@ -428,6 +463,27 @@ object SparkEntry {
         .limit(10)
     })
   )
+
+  // ---- LSH oracle building blocks ------------------------------------
+  // The hyperplanes are deterministic (seeded gaussians), so embedding the
+  // SAME values the engine uses as SQL literals makes bucket assignment a
+  // pure function any engine reproduces — which is what turns approximate
+  // LSH output into a hash-checkable result. Double.toString round-trips
+  // exactly, so the literals parse back to identical doubles.
+  private def planeList(p: Array[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+
+  /** DuckDB expression equal to Similarity.lshBucket(e, nPlanes, dim, seed)
+    * for a DOUBLE[] column named `e`. */
+  private def bucketSql(e: String, nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): String =
+    graft.operators.Similarity.planes(nPlanes, dim, seed).zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($e, ${planeList(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val normCte =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+      |  FROM embeddings""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -778,7 +834,18 @@ object SparkEntry {
         |WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // LSH path: same-bucket pairs only (buckets from the embedded plane
+    // literals), then the exact cosine threshold
     "ext_dedup_embedding" ->
+      s"""WITH n AS ($normCte),
+         |b AS (SELECT vec_id, e, nm, ${bucketSql("e")} AS bucket FROM n)
+         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |  list_dot_product(a.e, b2.e) / (a.nm * b2.nm) AS cosine
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE list_dot_product(a.e, b2.e) / (a.nm * b2.nm) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext_dedup_embedding_brute" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
         |  FROM embeddings)
@@ -787,6 +854,50 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e) / (a.nm * b.nm) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext_knn_lsh" ->
+      s"""WITH n AS ($normCte),
+         |b AS (SELECT vec_id, e, nm, ${bucketSql("e")} AS bucket FROM n),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nm AS qn, bucket FROM b WHERE vec_id < 10),
+         |scored AS (SELECT q_id, b.vec_id, list_dot_product(b.e, qe) / (b.nm * qn) AS cosine
+         |  FROM b JOIN q USING (bucket) WHERE b.vec_id != q_id)
+         |SELECT q_id, vec_id, cosine, rank FROM (
+         |  SELECT q_id, vec_id, cosine, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin,
+
+    // multi-table LSH candidates (8 plane sets, seeds 42..49) -> top-5 ->
+    // recall against the exact brute-force top-5; mean = sum(hits)/sum(k)
+    "ext_knn_lsh_recall" -> {
+      val nTables = 8
+      val bks = (0 until nTables).map(t => bucketSql("e", nPlanes = 2, seed = 42L + t))
+      s"""WITH n AS ($normCte),
+         |b AS (SELECT vec_id, e, nm, ${bks.zipWithIndex.map { case (b, i) => s"$b AS bk$i" }.mkString(", ")} FROM n),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nm AS qn,
+         |  ${(0 until nTables).map(i => s"bk$i AS qb$i").mkString(", ")} FROM b WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT q.q_id, b.vec_id FROM b, q
+         |  WHERE b.vec_id != q.q_id AND
+         |    (${(0 until nTables).map(i => s"b.bk$i = q.qb$i").mkString(" OR ")})),
+         |ascored AS (SELECT c.q_id, c.vec_id, list_dot_product(b.e, q.qe) / (b.nm * q.qn) AS cosine
+         |  FROM cand c JOIN b ON c.vec_id = b.vec_id JOIN q ON c.q_id = q.q_id),
+         |approx AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn FROM ascored) t
+         |  WHERE rn <= 5),
+         |escored AS (SELECT q.q_id, n.vec_id, list_dot_product(n.e, q.qe) / (n.nm * q.qn) AS cosine
+         |  FROM n, q WHERE n.vec_id != q.q_id),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn FROM escored) t
+         |  WHERE rn <= 5),
+         |h AS (SELECT e.q_id, count(a.vec_id) AS hits, count(*) AS k
+         |  FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |  GROUP BY e.q_id)
+         |SELECT q_id, CAST(hits AS DOUBLE) / k AS recall,
+         |  (SELECT CAST(sum(hits) AS DOUBLE) / sum(k) FROM h) AS mean_recall
+         |FROM h""".stripMargin
+    },
 
     "ext_knn_brute" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -54,8 +54,12 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic random hyperplanes: `nPlanes` x `dim` gaussians. */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+  /** Deterministic random hyperplanes: `nPlanes` x `dim` gaussians.
+    * Exposed within graft so the oracle layer can embed the SAME plane
+    * values as literals in cross-engine SQL (making LSH output
+    * hash-checkable: bucket assignment is then a pure function any engine
+    * reproduces). */
+  private[graft] def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -251,10 +255,15 @@ object Similarity {
       .join(e, Seq("q_id", "vec_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
     val truth = e.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
-    val perQuery = truth.join(hits, Seq("q_id"), "left")
-      .select(col("q_id"),
-        (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall"))
-    perQuery.crossJoin(
-      broadcast(perQuery.agg(avg(col("recall")).as("mean_recall"))))
+    val joined = truth.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"), col("k"))
+    val perQuery = joined
+      .select(col("q_id"), (col("hits").cast("double") / col("k")).as("recall"))
+    // mean as sum(hits)/sum(k) — a single division of exact integer sums,
+    // so the value is deterministic in any engine (a double avg() would
+    // depend on summation order); identical to the macro average when every
+    // query has the same k (micro-average otherwise)
+    perQuery.crossJoin(broadcast(joined.agg(
+      (sum(col("hits")).cast("double") / sum(col("k"))).as("mean_recall"))))
   }
 }

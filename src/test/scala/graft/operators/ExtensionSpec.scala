@@ -138,6 +138,22 @@ class ExtensionSpec extends SparkSpec {
     assert(r4 > 0.2, s"multi-table recall unexpectedly low: $r4")
   }
 
+  test("graded ANN operating points clear their recall bars") {
+    val queries = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id")
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(df, brute).select("mean_recall").distinct()
+        .as[Double].head()
+    // the gate's ext_knn_lsh_recall operating point (recall-first: coarse
+    // buckets x 8 tables — the honest setting for unclustered embeddings)
+    val lsh = mean(Similarity.lshTopKMulti(emb, queries, k = 5, nPlanes = 2, tables = 8))
+    assert(lsh >= 0.9, s"multi-table LSH mean recall below bar: $lsh")
+    // the gate's ext_knn_ivf_recall operating point (nlist=16, nprobe=4 —
+    // probing a quarter of the lists must find a solid majority)
+    val ivf = mean(Similarity.ivfTopK(emb, queries, k = 5))
+    assert(ivf >= 0.4, s"IVF mean recall below bar: $ivf")
+  }
+
   test("LSH-bucketed embedding near-dup: subset of brute force; exact at 0 planes") {
     val brute = Dedup.embeddingNearDups(emb, threshold = 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
