@@ -38,7 +38,12 @@ object Bench {
       // Catalyst prune the very expressions being benchmarked
       val err = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
       catch { case t: Throwable => Some(t.toString) }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // release lineage-cut checkpoint blocks between queries (49 queries
+      // in one session would otherwise accumulate dead blocks); outside
+      // the timed region — cleanup is session bookkeeping, not query work
+      graft.util.Checkpoints.releaseAll()
+      (elapsed, err)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = runOnce(fn)

@@ -80,11 +80,13 @@ object Dedup {
     // column would be re-evaluated per element_at after project-collapse
     val keys = ColumnBridge.column(graft.functions.MinHashBandKeys(
       ColumnBridge.expression(wordShingles(col(textCol))), k, bands))
-    // localCheckpoint: both sides of the self-join reference this subtree —
-    // without a lineage cut the signature pass runs twice. The banded
-    // relation is (id, band, 32-byte key): tiny at any corpus size.
-    val e = graft.sources.Tables.ensureParallelism(df).select(col(idCol).as("id"),
-      posexplode(keys).as(Seq("band", "key"))).localCheckpoint()
+    // lineage cut: both sides of the self-join reference this subtree —
+    // without it the signature pass runs twice. The banded relation is
+    // (id, band, 32-byte key): tiny at any corpus size. Tracked so the
+    // session can release the blocks post-query (Checkpoints.releaseAll).
+    val e = graft.util.Checkpoints.cut(
+      graft.sources.Tables.ensureParallelism(df).select(col(idCol).as("id"),
+        posexplode(keys).as(Seq("band", "key"))))
     e.as("x").join(e.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -117,17 +119,17 @@ object Dedup {
       threshold: Double = 0.7,
       k: Int = 12,
       bands: Int = 4): DataFrame = {
-    // localCheckpoint: cand is referenced three times (id prune + 2 joins);
+    // lineage cut: cand is referenced three times (id prune + 2 joins);
     // it is a tiny (id_a, id_b) relation
-    val cand = minhashCandidates(df, textCol, idCol, k, bands).localCheckpoint()
+    val cand = graft.util.Checkpoints.cut(minhashCandidates(df, textCol, idCol, k, bands))
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
     // shingle ONLY candidate docs: broadcast the bare ids as a semi-join
     // filter under the shingle projection
-    val sh = graft.sources.Tables.ensureParallelism(df)
-      .join(broadcast(candIds), col(idCol) === col("id"), "left_semi")
-      .select(col(idCol).as("id"), wordShingles(col(textCol)).as("sh"))
-      .localCheckpoint() // reused by both sides of the pair join
+    val sh = graft.util.Checkpoints.cut( // reused by both sides of the pair join
+      graft.sources.Tables.ensureParallelism(df)
+        .join(broadcast(candIds), col(idCol) === col("id"), "left_semi")
+        .select(col(idCol).as("id"), wordShingles(col(textCol)).as("sh")))
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -174,9 +176,9 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // lineage cut: the self-join would otherwise compute the simhash scan
     // on both sides; the (id, sim) relation is 16 bytes/doc
-    val withSim = graft.sources.Tables.ensureParallelism(df)
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
-      .localCheckpoint()
+    val withSim = graft.util.Checkpoints.cut(
+      graft.sources.Tables.ensureParallelism(df)
+        .select(col(idCol).as("id"), simhash(col(textCol)).as("sim")))
     val blocks = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("sim"), b * 15).bitwiseAND(lit(0x7FFFL))

@@ -45,6 +45,18 @@ class ExtensionSpec extends SparkSpec {
     assert(bandBoth.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("near-dup lineage-cut blocks are released after the consuming action") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    graft.util.Checkpoints.releaseAll() // clean slate (other specs may have run)
+    Dedup.nearDuplicates(docs, threshold = 0.3).count()
+    Dedup.simhashPairs(docs, maxHamming = 3).count()
+    assert(graft.util.Checkpoints.trackedCount > 0) // cuts actually happened
+    graft.util.Checkpoints.releaseAll()
+    assert(graft.util.Checkpoints.trackedCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persistent RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("minhash handles sub-shingle-length documents (no crash, no pairs)") {
     val docs = Seq((0L, "one two"), (1L, "one two"), (2L, "a much longer document " +
       "with plenty of distinct tokens to shingle properly today"))

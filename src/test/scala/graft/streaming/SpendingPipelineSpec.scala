@@ -315,6 +315,56 @@ class SpendingPipelineSpec extends SparkSpec {
       .as[String].collect().toSet == Set("t1", "t2"))
   }
 
+  /** Stop a query mid-stream and restart from the SAME checkpoint: processed
+    * files must not be re-read, and — the sharper claim — the dedup and
+    * aggregation STATE must reload, so a duplicate id arriving after the
+    * restart is still dropped and totals update incrementally. The sink is
+    * the idempotent-upsert shape (keyed overwrite), i.e. the exactly-once
+    * contract the JdbcUpsert sink claims (SURVEY §4.3-1/4). */
+  private def recoveryRoundTrip(tag: String): Unit = {
+    import scala.collection.concurrent.TrieMap
+    val srcDir = java.nio.file.Files.createTempDirectory(s"graft-rec-src-$tag").toString
+    val conf = SpendingPipeline.Config(checkpointDir =
+      java.nio.file.Files.createTempDirectory(s"graft-rec-ckpt-$tag").toString)
+    val store = TrieMap.empty[(String, String), Double]
+    def upsert = Sink.Foreach((batch, _) =>
+      batch.collect().foreach(r => store((r.getString(0), r.getString(1))) = r.getDouble(2)))
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(srcDir, name), rows.mkString("\n"))
+
+    writeFile("a.json", Seq(
+      tx("t1", "1", "2025-03-10T12:01:00Z", 100.0),
+      tx("t2", "1", "2025-03-10T12:05:00Z", 150.0),
+      tx("t3", "2", "2025-03-10T13:00:00Z", 50.0)))
+    val q1 = SpendingPipeline.run(spark, Source.JsonFiles(srcDir), upsert, conf)
+    q1.processAllAvailable()
+    q1.stop() // "crash" after the first half of the stream
+    assert(store.toMap == Map(("1", "2025-03-10") -> 250.0, ("2", "2025-03-10") -> 50.0))
+
+    // second half: a duplicate of t3 (within the watermark — only recovered
+    // dedup state can drop it) plus a new event for customer 1
+    writeFile("b.json", Seq(
+      tx("t3", "2", "2025-03-10T13:00:00Z", 50.0),
+      tx("t4", "1", "2025-03-10T13:05:00Z", 25.0)))
+    val q2 = SpendingPipeline.run(spark, Source.JsonFiles(srcDir), upsert, conf)
+    q2.processAllAvailable()
+    q2.stop()
+    // t1/t2/t3 counted exactly once across the restart; t4 lands on top of
+    // the RECOVERED day-total for customer 1
+    assert(store.toMap == Map(("1", "2025-03-10") -> 275.0, ("2", "2025-03-10") -> 50.0),
+      s"restart broke exactly-once: $store")
+  }
+
+  test("checkpoint recovery: restart resumes exactly-once (state + upsert sink)") {
+    recoveryRoundTrip("hdfs")
+  }
+
+  test("checkpoint recovery under the RocksDB state store backend") {
+    graft.GraftSession.enableRocksDbState(spark)
+    try recoveryRoundTrip("rocks")
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("golden B under the RocksDB state store backend") {
     graft.GraftSession.enableRocksDbState(spark)
     try {
