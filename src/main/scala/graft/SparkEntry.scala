@@ -306,6 +306,41 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // forward as-of: FIRST click at-or-after each purchase (follow-up
+    // attribution), same single-shuffle union-window plan
+    "x4_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.AsOf.joinAsOf(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("event_id"), rightPrefix = "click_",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("click_event_id"),
+          (unix_micros(col("click_ts")) - unix_micros(col("ts")))
+            .as("micros_until_click"))
+        .orderBy(col("event_id"))
+    }),
+
+    // backward as-of with a tolerance: clicks more than 10 minutes before
+    // the purchase are nulled out (pandas merge_asof semantics — left rows
+    // are kept)
+    "x5_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.AsOf.joinAsOf(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("event_id"), rightPrefix = "click_",
+          tolerance = Some(lit(600000000L))) // 10 min in micros
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("click_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .as("micros_since_click"))
+        .orderBy(col("event_id"))
+    }),
+
     // deterministic content-hash train/val/test split (re-run- and
     // engine-stable; new docs never move old ones between splits)
     "x2_hash_split" -> ((s, dir) =>
@@ -697,6 +732,29 @@ object SparkEntry {
     "x1_asof_attribution" ->
       """SELECT p.event_id, p.user_id, p.value, c.event_id AS click_event_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // DuckDB's ASOF with the inequality flipped picks the earliest right
+    // row at-or-after the left timestamp — the forward direction
+    "x4_asof_forward" ->
+      """SELECT p.event_id, p.user_id, p.value, c.event_id AS click_event_id,
+        |  epoch_us(c.ts) - epoch_us(p.ts) AS micros_until_click
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // ASOF match, then matches farther than the 10-minute tolerance are
+    // nulled (left rows kept) — merge_asof's tolerance semantics
+    "x5_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, p.value,
+        |  CASE WHEN c.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+        |    THEN c.event_id END AS click_event_id,
+        |  CASE WHEN c.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+        |    THEN epoch_us(p.ts) - epoch_us(c.ts) END AS micros_since_click
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -159,6 +159,35 @@ class SpendingPipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("ProcessingTime trigger fires on a cadence and keeps draining (T9 soak)") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val daily = SpendingPipeline.dailySpend(spark, Source.Raw(ms.toDF()))
+    val q = SpendingPipeline.start(daily, Sink.Memory("soak"),
+      Config(trigger = Some(Trigger.ProcessingTime("200 milliseconds"))), "soak_q")
+    def awaitTotal(expect: Map[(String, String), Double]): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var got = Map.empty[(String, String), Double]
+      while (got != expect && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        got = spark.table("soak").collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      }
+      assert(got == expect, s"timed out waiting for $expect, got $got")
+    }
+    ms.addData(tx("t1", "1", "2025-03-10T12:00:00Z", 100.0))
+    awaitTotal(Map(("1", "2025-03-10") -> 100.0))
+    // second wave lands in a LATER trigger firing, not a manual drain
+    ms.addData(tx("t2", "1", "2025-03-10T12:03:00Z", 50.0),
+      tx("t3", "2", "2025-03-10T12:04:00Z", 25.0))
+    awaitTotal(Map(("1", "2025-03-10") -> 150.0, ("2", "2025-03-10") -> 25.0))
+    assert(q.isActive)
+    q.stop()
+  }
+
   test("JDBC upsert SQL is the idempotent ON CONFLICT form (K1 fix)") {
     assert(graft.sinks.Sinks.upsertSql("customer_daily_spending",
       Seq("customer_id", "transaction_date"), Seq("total_spent")) ==
