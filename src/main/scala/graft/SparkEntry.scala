@@ -382,6 +382,51 @@ object SparkEntry {
       Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
         graft.operators.TextAnalysis.rollingHash(col("text")).as("rhash"))),
 
+    "ext_repetition" -> ((s, dir) => {
+      // Gopher-style in-document repetition signals: duplicate-token
+      // fraction and top-bigram share (boilerplate/spam filters)
+      import graft.operators.TextAnalysis._
+      Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
+        dupTokenFraction(col("text")).as("dup_token_fraction"),
+        topBigramCount(col("text")).as("top_bigram_count"),
+        topBigramFraction(col("text")).as("top_bigram_fraction"))
+    }),
+
+    "ext_pii_redact" -> ((s, dir) => {
+      // deterministic synthetic PII is appended per doc (the corpus itself
+      // is clean), then counted and scrubbed; the oracle regenerates the
+      // same text and applies the same engine-portable regexes
+      import graft.operators.Pii
+      val withPii = Tables.ensureParallelism(Tables.documents(s, dir))
+        .withColumn("t", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 or call +1 (555) 010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      withPii.select(col("doc_id"),
+        Pii.emailCount(col("t")).as("email_ct"),
+        Pii.ipv4Count(col("t")).as("ip_ct"),
+        Pii.phoneCount(col("t")).as("phone_ct"),
+        Pii.redact(col("t")).as("redacted"))
+    }),
+
+    "ext_quantize" -> ((s, dir) => {
+      // int8 embedding quantization (4x storage at 100 TB): scale, int8
+      // stats and the cosine between original and dequantized vectors,
+      // all oracle-checked
+      import graft.functions.Vectors
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("scale", Vectors.quantScale(col("e")))
+        .withColumn("q", Vectors.quantizeInt8(col("e"), col("scale")))
+        .withColumn("deq", Vectors.dequantize(col("q"), col("scale")))
+        .select(col("vec_id"), col("scale"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          Vectors.cosine(col("e"), col("deq")).as("cos_dequant"))
+    }),
+
     // ---- LLM-pipeline extensions: dedup --------------------------------
     "ext_dedup_exact" -> ((s, dir) =>
       graft.operators.Dedup.exact(Tables.documents(s, dir)).select(col("doc_id"))),
@@ -814,6 +859,59 @@ object SparkEntry {
     "ext_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |  AS fingerprint FROM documents""".stripMargin,
+
+    "ext_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |  [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)] AS bgs
+        |  FROM t),
+        |c AS (SELECT doc_id, max(cnt) AS top FROM (
+        |  SELECT doc_id, bg, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM b) u GROUP BY doc_id, bg) g
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS dup_token_fraction,
+        |  COALESCE(c.top, 0) AS top_bigram_count,
+        |  CAST(COALESCE(c.top, 0) AS DOUBLE)
+        |      / CAST(greatest(len(bgs), 1) AS DOUBLE) AS top_bigram_fraction
+        |FROM b LEFT JOIN c ON b.doc_id = c.doc_id""".stripMargin,
+
+    "ext_pii_redact" -> {
+      import graft.operators.Pii
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@example.com at ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |  '.7 or call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents),
+         |r AS (SELECT doc_id, t,
+         |  regexp_replace(regexp_replace(t, '${Pii.emailRe}', '<EMAIL>', 'g'),
+         |    '${Pii.ipv4Re}', '<IP>', 'g') AS t2
+         |  FROM p)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '${Pii.emailRe}')) AS email_ct,
+         |  len(regexp_extract_all(t, '${Pii.ipv4Re}')) AS ip_ct,
+         |  len(regexp_extract_all(t2, '${Pii.phoneRe}')) AS phone_ct,
+         |  regexp_replace(t2, '${Pii.phoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM r""".stripMargin
+    },
+
+    "ext_quantize" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale
+        |  FROM n),
+        |q AS (SELECT vec_id, e, scale,
+        |  list_transform(e, x -> CAST(round(x / scale) AS INTEGER)) AS qv FROM s),
+        |d AS (SELECT vec_id, e, scale, qv,
+        |  list_transform(qv, x -> x * scale) AS deq FROM q)
+        |SELECT vec_id, scale,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  list_dot_product(e, deq) /
+        |    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(deq, deq))) AS cos_dequant
+        |FROM d""".stripMargin,
 
     // replay the chained-md5 fold: list_reduce over ('' prepended as the
     // initial accumulator, then the token stream)

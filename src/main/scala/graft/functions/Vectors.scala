@@ -44,6 +44,25 @@ object Vectors {
   def cosinePrenormed(a: Column, normA: Column, b: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  // ------------------------------------------------ int8 quantization
+  // Storage-scale lever: a 100 TB float corpus stores 4x smaller as int8 +
+  // one scale per vector, and cosine on the dequantized vectors tracks the
+  // original closely (error bound spec'd). Symmetric per-vector scheme
+  // (FAISS SQ8-style): scale = max|x|/127, q_i = round(x_i/scale).
+
+  /** Per-vector quantization scale (epsilon-floored so all-zero vectors
+    * quantize to zeros instead of dividing by zero). */
+  def quantScale(a: Column): Column =
+    greatest(array_max(transform(a, x => abs(x.cast("double")))), lit(1e-30)) / lit(127.0)
+
+  /** Quantize to int8-range ints given a [[quantScale]] scale. */
+  def quantizeInt8(a: Column, scale: Column): Column =
+    transform(a, x => round(x.cast("double") / scale).cast("int"))
+
+  /** Dequantize back to doubles. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** Squared L2 distance (monotone with L2; avoids the sqrt per pair). */
   def l2Squared(a: Column, b: Column): Column =
     aggregate(

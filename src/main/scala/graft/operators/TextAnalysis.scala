@@ -105,6 +105,47 @@ object TextAnalysis {
   def rollingHashFast(text: Column): Column =
     aggregate(tokens(lower(text)), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  // ------------------------------------------------- repetition metrics
+
+  /** Fraction of repeated tokens: 1 - distinct/total (0 for empty docs).
+    * The Gopher-style "duplicate token" repetition signal. */
+  def dupTokenFraction(text: Column): Column = {
+    val toks = tokens(lower(text))
+    lit(1.0) - size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Adjacent-token bigrams (NOT distinct — counts matter here). */
+  private def bigrams(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Occurrence count of the most frequent bigram, as a single sorted-array
+    * fold (run-length over array_sort — O(n log n) per doc, no shuffle, no
+    * per-bigram grouping). 0 for docs shorter than 2 tokens. */
+  def topBigramCount(text: Column): Column =
+    aggregate(
+      array_sort(bigrams(text)),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Share of all bigram occurrences taken by the most frequent bigram —
+    * the "top 2-gram fraction" repetition filter (high values flag
+    * boilerplate/spam). 0 for docs without bigrams. */
+  def topBigramFraction(text: Column): Column =
+    topBigramCount(text).cast("double") /
+      greatest(size(bigrams(text)), lit(1)).cast("double")
+
   /** One-pass profile of a documents table. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -177,6 +177,58 @@ class ExtensionSpec extends SparkSpec {
     assert(lsh4.subsetOf(brute))
   }
 
+  test("PII redaction scrubs emails, IPs and phone runs; counts match") {
+    val df = Seq(
+      (1L, "mail a.b+c@foo-bar.org or 10.1.2.3 then +44 20 7946 0958 done"),
+      (2L, "no pii here at all, just 42 and 7 loose digits"))
+      .toDF("doc_id", "text")
+    val byId = df.select(col("doc_id"),
+      Pii.emailCount(col("text")).as("e"), Pii.ipv4Count(col("text")).as("i"),
+      Pii.phoneCount(col("text")).as("p"), Pii.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .toMap
+    assert(byId(1L) == ((1, 1, 1, "mail <EMAIL> or <IP> then <PHONE> done")))
+    assert(byId(2L) == ((0, 0, 0, "no pii here at all, just 42 and 7 loose digits")))
+  }
+
+  test("repetition metrics: duplicate-token and top-bigram signals") {
+    import graft.operators.TextAnalysis._
+    val df = Seq(
+      (1L, "a b a b a b"), // 6 toks, 2 distinct; bigrams ababa -> "a b" x3 of 5
+      (2L, "x y z"),       // no repetition; top bigram count 1 of 2
+      (3L, "single"))      // no bigrams at all
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      dupTokenFraction(col("text")).as("d"),
+      topBigramCount(col("text")).as("c"),
+      topBigramFraction(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(math.abs(out(1L)._1 - (1.0 - 2.0 / 6.0)) < 1e-12)
+    assert(out(1L)._2 == 3L && out(1L)._3 == 0.6)
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == 1L && out(2L)._3 == 0.5)
+    assert(out(3L) == ((0.0, 0L, 0.0)))
+  }
+
+  test("int8 quantization: bounded elementwise error, cosine preserved") {
+    import graft.functions.Vectors
+    val q = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale", Vectors.quantScale(col("e")))
+      .withColumn("q", Vectors.quantizeInt8(col("e"), col("scale")))
+      .withColumn("deq", Vectors.dequantize(col("q"), col("scale")))
+      .select(
+        array_min(col("q")).as("qmin"), array_max(col("q")).as("qmax"),
+        (array_max(expr("zip_with(e, deq, (x, y) -> abs(x - y))")) /
+          col("scale")).as("max_err_scaled"),
+        Vectors.cosine(col("e"), col("deq")).as("cos"))
+    val rows = q.collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) >= -127 && r.getInt(1) <= 127) // int8 range
+      assert(r.getDouble(2) <= 0.5 + 1e-9, s"error beyond scale/2: $r") // round() bound
+      assert(r.getDouble(3) > 0.9999, s"cosine degraded: $r")
+    }
+  }
+
   test("multimodal: expression stub and mapPartitions stub agree") {
     val media = Multimodal.synthesizeFromDocs(
       spark.read.parquet(s"$sf/documents.parquet").limit(50))
