@@ -47,4 +47,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("DotProduct") || p.contains("dotproduct"))
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("x4: forward as-of is the single-shuffle union-window form") {
+    val p = plan("x4_asof_forward")
+    // one hash exchange on the join key feeds the running window; a naive
+    // theta-join would show BroadcastNestedLoopJoin / a range-join explosion
+    assert(p.contains("Window"))
+    assert(!p.contains("NestedLoopJoin"), "as-of must not plan a nested-loop range join")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 2)
+  }
+
+  test("ext_dedup_embedding: LSH pairing shuffles on the bucket id, never all-pairs") {
+    val p = plan("ext_dedup_embedding")
+    assert(!p.contains("NestedLoopJoin"),
+      "graded embedding near-dup must be the bucket join, not the O(n^2) scan")
+    assert(p.contains("bucket"))
+  }
+
+  test("ext_pii_redact / ext_repetition: scan-parallel, no shuffle before output") {
+    for (name <- Seq("ext_pii_redact", "ext_repetition")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name should be pure per-row expression work, found a hash shuffle")
+    }
+  }
+
+  test("ext_quantize: pure projection over the embeddings scan") {
+    val p = plan("ext_quantize")
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(!p.contains("Join"))
+  }
 }
