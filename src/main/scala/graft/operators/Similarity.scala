@@ -104,7 +104,13 @@ object Similarity {
     * plane sets (seed, seed+1, ...), then score each distinct candidate
     * once. Recall grows as 1-(1-p)^tables for per-table collision
     * probability p — the standard lever when one table's recall is too low
-    * at a given bucket size. */
+    * at a given bucket size.
+    *
+    * Plan shape: all `tables` bucket ids are computed in ONE scan per side
+    * and exploded to (table, bucket) rows, so candidate generation is a
+    * single equi-join on (table, bucket) — one shuffle total, instead of
+    * `tables` separate join stages unioned (which multiplies scans and
+    * shuffles by the table count at 100 TB). */
   def lshTopKMulti(
       corpus: DataFrame,
       queries: DataFrame,
@@ -117,14 +123,17 @@ object Similarity {
       embCol: String = "embedding",
       qIdCol: String = "q_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val candidates = (0 until tables).map { t =>
-      val bucket = (e: Column) => lshBucket(e, nPlanes, dim, seed + t)
-      corpus.select(col(idCol).as("vec_id"), bucket(col(embCol)).as("bucket"))
-        .join(queries.select(col(qIdCol).as("q_id"), bucket(col(embCol)).as("bucket")),
-          Seq("bucket"))
+    def tableBuckets(e: Column): Column =
+      array((0 until tables).map(t => lshBucket(e, nPlanes, dim, seed + t)): _*)
+    val candidates =
+      corpus.select(col(idCol).as("vec_id"),
+          posexplode(tableBuckets(col(embCol))).as(Seq("table", "bucket")))
+        .join(queries.select(col(qIdCol).as("q_id"),
+            posexplode(tableBuckets(col(embCol))).as(Seq("table", "bucket"))),
+          Seq("table", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"))
-    }.reduce(_ union _).distinct()
+        .distinct()
     val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
       Vectors.norm(col(embCol)).as("c_nrm"))
     val q = queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
