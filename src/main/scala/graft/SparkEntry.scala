@@ -341,6 +341,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // inner as-of: unmatched purchases (no prior click) are dropped
+    "x6_asof_inner" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.AsOf.joinAsOf(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("event_id"), rightPrefix = "click_",
+          inner = true)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("click_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .as("micros_since_click"))
+        .orderBy(col("event_id"))
+    }),
+
     // deterministic content-hash train/val/test split (re-run- and
     // engine-stable; new docs never move old ones between splits)
     "x2_hash_split" -> ((s, dir) =>
@@ -779,6 +795,15 @@ object SparkEntry {
         |  epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // plain (inner) ASOF drops unmatched left rows
+    "x6_asof_inner" ->
+      """SELECT p.event_id, p.user_id, p.value, c.event_id AS click_event_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
 

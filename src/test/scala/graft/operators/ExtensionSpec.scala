@@ -227,6 +227,20 @@ class ExtensionSpec extends SparkSpec {
       assert(r.getDouble(2) <= 0.5 + 1e-9, s"error beyond scale/2: $r") // round() bound
       assert(r.getDouble(3) > 0.9999, s"cosine degraded: $r")
     }
+    // end-to-end: exact search over the QUANTIZED corpus must recover the
+    // original top-k almost perfectly (the storage-scale deployment mode)
+    val deq = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale", Vectors.quantScale(col("e")))
+      .select(col("vec_id"),
+        Vectors.dequantize(Vectors.quantizeInt8(col("e"), col("scale")), col("scale"))
+          .as("embedding"))
+    val queries = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id")
+    val recall = Similarity.recallAtK(
+      Similarity.bruteForceTopK(deq, queries, k = 5),
+      Similarity.bruteForceTopK(emb, queries, k = 5))
+      .select("mean_recall").distinct().as[Double].head()
+    assert(recall >= 0.95, s"quantized-corpus recall too low: $recall")
   }
 
   test("multimodal: expression stub and mapPartitions stub agree") {
