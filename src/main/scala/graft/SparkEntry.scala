@@ -150,6 +150,42 @@ object SparkEntry {
           col("session_window.end").cast("long").as("sess_end"),
           col("total_spent"), col("n_events"))),
 
+    "a8_distinct_users" -> ((s, dir) =>
+      // exact distinct counts per type (map-side partial distinct, one
+      // shuffle on the group key + distinct key)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+
+    "a9_rollup" -> ((s, dir) =>
+      // ROLLUP subtotals: (type, day), per-type, grand total in one pass
+      Tables.events(s, dir)
+        .rollup(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+        .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n"))),
+
+    "a10_pivot_payment" -> ((s, dir) =>
+      // pivot a fixed category list into columns (conditional aggregation
+      // — no extra shuffle beyond the groupBy)
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot(col("event_type"), Seq("purchase", "click", "view"))
+        .agg(dsum(col("value")))
+        .select(col("user_id"),
+          coalesce(col("purchase"), lit(0.0)).as("purchase_total"),
+          coalesce(col("click"), lit(0.0)).as("click_total"),
+          coalesce(col("view"), lit(0.0)).as("view_total"))),
+
+    "a11_percentile" -> ((s, dir) =>
+      // exact percentiles (linear interpolation) per event type; the
+      // approximate-sketch variant exists as percentile_approx but is not
+      // oracle-able across engines
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"))),
+
     "s7_pipeline_batch" -> ((s, dir) =>
       // end-to-end batch analog of the canonical pipeline over synthetic
       // data: generate -> wire-encode -> parse -> dedup -> daily totals,
@@ -455,6 +491,15 @@ object SparkEntry {
       graft.operators.Dedup.nearDuplicates(Tables.documents(s, dir), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "ext_dedup_components" -> ((s, dir) =>
+      // pairwise candidates -> duplicate CLUSTERS (min-label connected
+      // components): the step that makes near-dup results actionable (keep
+      // one canonical doc per cluster)
+      graft.operators.Dedup.connectedComponents(
+          graft.operators.Dedup.minhashCandidates(Tables.documents(s, dir)))
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))),
+
     "ext_dedup_simhash" -> ((s, dir) =>
       // maxHamming = 3: the largest distance the 4-block LSH recall
       // guarantee covers (pigeonhole: <= 3 differing bits leave one block
@@ -665,6 +710,28 @@ object SparkEntry {
         |FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')""".stripMargin,
 
     "a5_count" -> "SELECT count(*) AS n FROM events",
+
+    "a8_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "a9_rollup" ->
+      """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(*) AS n
+        |FROM events GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))""".stripMargin,
+
+    "a10_pivot_payment" ->
+      """SELECT user_id,
+        |  COALESCE(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE), 0.0) AS purchase_total,
+        |  COALESCE(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE), 0.0) AS click_total,
+        |  COALESCE(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DOUBLE), 0.0) AS view_total
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "a11_percentile" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.95) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // regenerates DataGen.transactions(1000, seed=42) field-for-field: each
     // field is a pure function of md5(seed#salt#id), identical in any engine
@@ -994,6 +1061,33 @@ object SparkEntry {
         |  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id) t
         |WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same MinHash banding CTEs as ext_dedup_minhash, then a recursive
+    // transitive closure; component = min reachable id (incl. self)
+    "ext_dedup_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+        |  FROM toks),
+        |sig AS (SELECT doc_id,
+        |  [list_min(list_transform(s, x -> md5(x || '#' || CAST(j AS VARCHAR))))
+        |   for j in generate_series(0, 11)] AS g FROM sh),
+        |bands AS (SELECT doc_id, band,
+        |  md5(g[band*3+1] || '|' || g[band*3+2] || '|' || g[band*3+3]) AS key
+        |  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |und AS (SELECT id_a AS a, id_b AS b FROM cand
+        |  UNION SELECT id_b, id_a FROM cand),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "ext_dedup_simhash" ->
       """WITH h AS (SELECT doc_id,

@@ -192,6 +192,62 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------ duplicate clusters
+
+  /** Connected components over a near-duplicate pair list: the step that
+    * turns pairwise candidates into DUPLICATE CLUSTERS, so a dedup pass can
+    * keep one canonical doc per cluster (min id) instead of dropping both
+    * ends of every pair.
+    *
+    * Iterative min-label propagation (the standard distributed CC shape):
+    * each round, every node takes the minimum component label among itself
+    * and its neighbors; converged when no label changes. Rounds = O(cluster
+    * diameter) — near-dup clusters are shallow (a handful of hops), so this
+    * terminates in a few rounds at any corpus size. Each round is one join
+    * + one min-aggregation, lineage-cut via [[graft.util.Checkpoints]] so
+    * the plan doesn't grow with the round count. The driver-side loop only
+    * checks convergence counts — no row data ever collects.
+    *
+    * Output: (doc_id, component) for every doc appearing in `pairs`, with
+    * `component` = min doc id reachable. Deterministic.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = graft.util.Checkpoints.cut(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+        .union(pairs.select(col(bCol).as("a"), col(aCol).as("b"))))
+    var labels = graft.util.Checkpoints.cut(
+      edges.groupBy(col("a").as("id")).agg(min(col("b")).as("m"))
+        .select(col("id"), least(col("id"), col("m")).as("comp")))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // propagate each neighbor's label, then take the min per node
+      val prop = edges.join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("comp"))
+      val next = graft.util.Checkpoints.cut(
+        labels.union(prop).groupBy("id").agg(min(col("comp")).as("comp")))
+      converged = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp")).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "(pathological chain-shaped duplicate graph — raise maxIter)")
+    labels
+  }
+
+  /** Canonical-doc filter: drop every document that belongs to a duplicate
+    * cluster but is not its minimum-id member. */
+  def keepCanonical(df: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp")).select(col("id"))
+    df.join(broadcast(losers), df(idCol) === losers("id"), "left_anti")
+  }
+
   // ---------------------------------------------------- embedding cosine
 
   /** Near-duplicate pairs by embedding cosine >= threshold. Brute-force

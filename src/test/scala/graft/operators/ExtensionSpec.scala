@@ -65,6 +65,17 @@ class ExtensionSpec extends SparkSpec {
     assert(Dedup.nearDuplicates(docs, threshold = 0.1).count() == 0)
   }
 
+  test("connected components merge chains; canonical filter keeps cluster minima") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 8L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // 1-2-3 chain collapses to component 1 even though (1,3) is no pair
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    val docs = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(docs, pairs).as[Long].collect().toSet
+    assert(kept == Set(1L, 7L, 9L)) // singletons untouched, losers dropped
+  }
+
   test("simhash: near-dup pair within small hamming distance, unrelated far") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " +
       "into the deep green forest while the hunter sleeps at home tonight"
