@@ -241,11 +241,14 @@ object Dedup {
   }
 
   /** Canonical-doc filter: drop every document that belongs to a duplicate
-    * cluster but is not its minimum-id member. */
+    * cluster but is not its minimum-id member. No broadcast hint: on a
+    * heavily-duplicated 100 TB corpus the loser list is a large fraction of
+    * the corpus (far beyond broadcast size), so the anti-join must be free
+    * to shuffle — AQE still broadcasts it when it turns out small. */
   def keepCanonical(df: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val losers = connectedComponents(pairs)
       .filter(col("id") =!= col("comp")).select(col("id"))
-    df.join(broadcast(losers), df(idCol) === losers("id"), "left_anti")
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
   // ---------------------------------------------------- embedding cosine
