@@ -13,6 +13,7 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // production parity: rules + SQL fns on
 
     // warmup: touch every table + JIT the scan/agg paths
     graft.sources.Tables.all.foreach { t =>

@@ -34,13 +34,16 @@ object GraftSession {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-  /** Local session for tests / bench. */
+  /** Local session for tests / bench, with graft's SQL functions and
+    * optimizer rules registered (production parity — the driver harness
+    * runs every graded query with the extensions active). */
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = configure(
       SparkSession.builder().master(s"local[$cores]").appName(appName),
       shufflePartitions = cores
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     spark
   }
 }

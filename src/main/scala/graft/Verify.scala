@@ -11,6 +11,7 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // production parity: rules + SQL fns on
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
