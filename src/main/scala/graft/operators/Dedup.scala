@@ -245,9 +245,14 @@ object Dedup {
     * heavily-duplicated 100 TB corpus the loser list is a large fraction of
     * the corpus (far beyond broadcast size), so the anti-join must be free
     * to shuffle — AQE still broadcasts it when it turns out small. */
-  def keepCanonical(df: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val losers = connectedComponents(pairs)
-      .filter(col("id") =!= col("comp")).select(col("id"))
+  def keepCanonical(df: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    keepCanonicalByLabels(df, connectedComponents(pairs), idCol)
+
+  /** Same filter from precomputed [[connectedComponents]] labels — use this
+    * when the caller also needs the cluster labels, so the iterative CC
+    * loop runs once, not twice. */
+  def keepCanonicalByLabels(df: DataFrame, labels: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val losers = labels.filter(col("id") =!= col("comp")).select(col("id"))
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 

@@ -141,7 +141,13 @@ object TextAnalysis {
 
   /** Share of all bigram occurrences taken by the most frequent bigram —
     * the "top 2-gram fraction" repetition filter (high values flag
-    * boilerplate/spam). 0 for docs without bigrams. */
+    * boilerplate/spam). 0 for docs without bigrams.
+    *
+    * When selecting BOTH the count and the fraction, derive the fraction
+    * from the count column in a second projection instead of calling this
+    * (`count / greatest(size(tokens)-1, 1)`): expressions are not
+    * common-subexpression-eliminated across output columns, so this form
+    * would pay the sort+fold a second time per document. */
   def topBigramFraction(text: Column): Column =
     topBigramCount(text).cast("double") /
       greatest(size(bigrams(text)), lit(1)).cast("double")

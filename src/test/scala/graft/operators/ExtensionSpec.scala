@@ -57,6 +57,21 @@ class ExtensionSpec extends SparkSpec {
       s"leaked persistent RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
+  test("scoped{} releases only its own cuts, leaving outer cuts alive") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    graft.util.Checkpoints.releaseAll()
+    Dedup.simhashPairs(docs, maxHamming = 3).count() // outer (session-global) cut
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before > 0)
+    graft.util.Checkpoints.scoped {
+      Dedup.nearDuplicates(docs, threshold = 0.3).count()
+    }
+    // the scope's cuts are gone; the outer query's blocks are untouched
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    graft.util.Checkpoints.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("minhash handles sub-shingle-length documents (no crash, no pairs)") {
     val docs = Seq((0L, "one two"), (1L, "one two"), (2L, "a much longer document " +
       "with plenty of distinct tokens to shingle properly today"))
