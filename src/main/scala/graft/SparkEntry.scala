@@ -528,6 +528,28 @@ object SparkEntry {
       graft.operators.Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the flagship LLM-tier composition: quality floor -> language filter
+    // -> exact dedup -> near-dup canonical keep -> content-hash split.
+    // Every stage is an operator graded individually above; this proves
+    // they COMPOSE, end-to-end hash-checked against one DuckDB chain.
+    "ext_curation_pipeline" -> ((s, dir) => {
+      import graft.operators._
+      val scored = Tables.ensureParallelism(Tables.documents(s, dir))
+        .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      val filtered = scored
+        .filter(col("quality_score") >= 0.3 && col("lang_pred") === "en")
+      // lineage cut: the exact-dedup survivors feed BOTH the MinHash band
+      // pass and the final canonical anti-join — without the cut the whole
+      // score+filter+window chain runs twice
+      val exactKept = graft.util.Checkpoints.cut(Dedup.exact(filtered))
+      val canon = Dedup.keepCanonical(exactKept, Dedup.minhashCandidates(exactKept))
+      Sampling.hashSplit(canon, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"), col("quality_score"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LLM-pipeline extensions: similarity search --------------------
     "ext_knn_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -634,6 +656,16 @@ object SparkEntry {
     """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
       |  FROM embeddings""".stripMargin
+
+  // quality-score formula over a column named `text` — the same expression
+  // ext_text_profile's oracle uses, factored for reuse in composed oracles
+  private val qualityScoreSql =
+    """least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+      |    + least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['the','a','an','of','and','to','in','is','it','for'], t))) AS DOUBLE)
+      |      / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+      |    + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?''"()\-]', '', 'g')) AS DOUBLE)
+      |      / CAST(greatest(length(text), 1) AS DOUBLE) * 4.0, 1.0)) * 0.2""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1070,6 +1102,67 @@ object SparkEntry {
         |  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id) t
         |WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the composed curation chain, mirrored stage by stage: score ->
+    // filter -> exact dedup -> MinHash bands -> CC closure -> canonical
+    // keep -> hash split (thresholds generated by the same Scala code the
+    // engine uses)
+    "ext_curation_pipeline" -> {
+      val g = "greatest(s_en, s_es, s_de, s_fr, s_zh)"
+      s"""WITH RECURSIVE ltok AS (SELECT doc_id, text,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS lt FROM documents),
+         |langsc AS (SELECT doc_id, text,
+         |  len(list_filter(lt, t -> list_contains(['the','is','and','of','a'], t))) AS s_en,
+         |  len(list_filter(lt, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
+         |  len(list_filter(lt, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+         |  len(list_filter(lt, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr,
+         |  len(list_filter(lt, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+         |FROM ltok),
+         |scored AS (SELECT doc_id, text,
+         |  $qualityScoreSql AS quality_score,
+         |  CASE WHEN s_en = $g AND $g > 0 THEN 'en'
+         |       WHEN s_es = $g AND $g > 0 THEN 'es'
+         |       WHEN s_de = $g AND $g > 0 THEN 'de'
+         |       WHEN s_fr = $g AND $g > 0 THEN 'fr'
+         |       WHEN s_zh = $g AND $g > 0 THEN 'zh'
+         |       ELSE 'und' END AS lang_pred
+         |FROM langsc),
+         |filtered AS (SELECT * FROM scored
+         |  WHERE quality_score >= 0.3 AND lang_pred = 'en'),
+         |exact AS (SELECT doc_id, text, quality_score, lang_pred FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |    ORDER BY doc_id) AS rn FROM filtered) e WHERE rn = 1),
+         |toks2 AS (SELECT doc_id,
+         |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM exact),
+         |sh2 AS (SELECT doc_id, list_distinct(
+         |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+         |  FROM toks2),
+         |sig2 AS (SELECT doc_id,
+         |  [list_min(list_transform(s, x -> md5(x || '#' || CAST(j AS VARCHAR))))
+         |   for j in generate_series(0, 11)] AS g2 FROM sh2),
+         |bands2 AS (SELECT doc_id, band,
+         |  md5(g2[band*3+1] || '|' || g2[band*3+2] || '|' || g2[band*3+3]) AS key
+         |  FROM sig2, (SELECT unnest([0,1,2,3]) AS band) b),
+         |cand2 AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands2 x JOIN bands2 y
+         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |und2 AS (SELECT id_a AS a, id_b AS b FROM cand2
+         |  UNION SELECT id_b, id_a FROM cand2),
+         |reach2(a, b) AS (SELECT a, b FROM und2
+         |  UNION SELECT r.a, u.b FROM reach2 r JOIN und2 u ON r.b = u.a),
+         |losers AS (SELECT a AS doc_id FROM (
+         |  SELECT a, least(a, min(b)) AS comp FROM reach2 GROUP BY a) c
+         |  WHERE a != comp)
+         |SELECT doc_id,
+         |  CASE WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < '${graft.operators.Sampling.hexThreshold(0.9)}' THEN 'train'
+         |       WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < '${graft.operators.Sampling.hexThreshold(0.9 + 0.05)}' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  quality_score, lang_pred
+         |FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // same MinHash banding CTEs as ext_dedup_minhash, then a recursive
     // transitive closure; component = min reachable id (incl. self)

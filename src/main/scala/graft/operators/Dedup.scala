@@ -225,14 +225,19 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // propagate each neighbor's label, then take the min per node
+      // propagate each neighbor's label, then take the min per node. The
+      // convergence flag is computed INSIDE the same checkpointed pass
+      // (joined against the previous labels), so each round costs one
+      // Spark job plus a near-free scan of the tiny checkpoint — not a
+      // second recomputation of the round
       val prop = edges.join(labels, edges("b") === labels("id"))
         .select(edges("a").as("id"), col("comp"))
       val next = graft.util.Checkpoints.cut(
-        labels.union(prop).groupBy("id").agg(min(col("comp")).as("comp")))
-      converged = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).isEmpty
-      labels = next
+        labels.union(prop).groupBy("id").agg(min(col("comp")).as("comp"))
+          .join(labels.select(col("id"), col("comp").as("__prev")), "id")
+          .select(col("id"), col("comp"), (col("comp") =!= col("__prev")).as("__changed")))
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
