@@ -46,6 +46,29 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.deterministicSample(ids, "id", 1.0).count() == 10000L)
   }
 
+  test("samples are nested: sample(f1) is a subset of sample(f2) for f1 <= f2") {
+    // the property that makes content-hash sampling safe to widen later:
+    // raising the fraction only ADDS rows, never reshuffles existing ones
+    val small = ids.limit(500)
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val (a, b) = (rnd.nextDouble(), rnd.nextDouble())
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val s1 = Sampling.deterministicSample(small, "id", lo).as[Long].collect().toSet
+      val s2 = Sampling.deterministicSample(small, "id", hi).as[Long].collect().toSet
+      assert(s1.subsetOf(s2), s"f=$lo not nested in f=$hi")
+    }
+  }
+
+  test("hexThreshold is monotone and boundary-exact") {
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(1.0) == "ffffffff")
+    val fs = (0 to 100).map(_ / 100.0)
+    fs.sliding(2).foreach { case Seq(a, b) =>
+      assert(Sampling.hexThreshold(a) <= Sampling.hexThreshold(b))
+    }
+  }
+
   test("perKeyQuota keeps exactly n deterministic rows per key") {
     val df = Seq(
       ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 30L), ("s1", 4L, 20L),
