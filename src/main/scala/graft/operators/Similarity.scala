@@ -187,12 +187,91 @@ object Similarity {
     centroids
   }
 
-  /** IVF: KMeans inverted lists + nprobe probing.
-    * Train on a bounded sample of the corpus (driver-local Lloyd's — see
-    * [[lloydCentroids]]), assign every corpus row to its nearest centroid
-    * as a pure expression (argmin over a literal centroid array — no join,
-    * no shuffle), then for each query probe the `nprobe` nearest lists and
-    * score only those. */
+  /** A built IVF index: trained centroids plus the assigned corpus
+    * relation. Build ONCE per corpus (training + the full assignment scan
+    * happen at build), then [[search]] any number of query batches against
+    * it — the deployment shape of ANN at scale, where one index serves many
+    * retrieval calls. The assigned relation is NOT automatically
+    * lineage-cut; pass it through [[graft.util.Checkpoints.cut]] (or
+    * persist it) when running many searches in one session. */
+  final class IvfIndex private[operators] (
+      val centroids: Seq[Array[Double]],
+      private[operators] val assigned: DataFrame,
+      nprobeDefault: Int) {
+
+    private[operators] def distances(embC: Column): Column = {
+      val centroidArr = array(centroids.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+        struct(array(v.toIndexedSeq.map(lit): _*).as("cv"), lit(i).as("cid"))
+      }: _*)
+      array_sort(transform(centroidArr,
+        c => struct(Vectors.l2Squared(embC, c.getField("cv")).as("dist"),
+          c.getField("cid").as("cid"))))
+    }
+
+    /** Top-k by cosine among the `nprobe` nearest inverted lists per query.
+      * Output: (q_id, vec_id, cosine, rank). */
+    def search(
+        queries: DataFrame,
+        k: Int = 5,
+        nprobe: Int = -1,
+        qIdCol: String = "q_id",
+        embCol: String = "embedding"): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val np = if (nprobe > 0) nprobe else nprobeDefault
+      val q = queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
+        Vectors.norm(col(embCol)).as("q_nrm"),
+        explode(transform(slice(distances(col(embCol)), 1, np),
+          d => d.getField("cid"))).as("list_id"))
+      // no dedup needed: each corpus row has exactly one list and each
+      // query probes distinct lists, so (q_id, vec_id) pairs are already
+      // unique — a groupBy here would be a redundant full shuffle
+      val scored = assigned.join(q, Seq("list_id")).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
+            .as("cosine"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
+
+  /** Build an IVF index: train centroids on a bounded sample (driver-local
+    * Lloyd's — see [[lloydCentroids]]), then assign every corpus row to its
+    * nearest centroid as a pure expression (argmin over a literal centroid
+    * array — no join, no shuffle for assignment).
+    *
+    * The training sample is bounded: trainCap vectors regardless of corpus
+    * size (a 100 TB corpus still trains on <= trainCap * dim doubles; 16k
+    * samples is ~1000 per centroid at the default nlist=16 — far past the
+    * point where more data moves the partition). The sample is pinned by
+    * CONTENT hash of the id (sort by md5(id#salt), tie-break id, then
+    * limit): deterministic across runs/partitionings AND uniform — a sorted
+    * corpus can't bias it. sort+limit plans as TakeOrderedAndProject
+    * (per-partition top-k, driver merge — no full shuffle, no full sort). */
+  def ivfIndex(
+      corpus: DataFrame,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      trainCap: Int = 16384): IvfIndex = {
+    val samples = corpus
+      .select(col(embCol).cast("array<double>").as("v"),
+        Sampling.hashBucket(col(idCol), "ivf-train").as("__h"), col(idCol).as("__id"))
+      .sort(col("__h"), col("__id"))
+      .limit(trainCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = lloydCentroids(samples, nlist, seed)
+    val idx = new IvfIndex(centroids.toIndexedSeq, null, nprobe) // distances() needs only centroids
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+      Vectors.norm(col(embCol)).as("c_nrm"),
+      element_at(idx.distances(col(embCol)), 1).getField("cid").as("list_id"))
+    new IvfIndex(centroids.toIndexedSeq, assigned, nprobe)
+  }
+
+  /** IVF: KMeans inverted lists + nprobe probing, as one call — builds a
+    * throwaway [[IvfIndex]] and searches it. For repeated query batches
+    * over one corpus, build the index once via [[ivfIndex]] instead. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -203,53 +282,9 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       qIdCol: String = "q_id",
-      trainCap: Int = 16384): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-
-    // bounded sample to the driver: trainCap vectors regardless of corpus
-    // size (100 TB corpus still trains on <= trainCap * dim doubles; 16k
-    // samples is ~1000 per centroid at the default nlist=16 — far past the
-    // point where more data moves the partition). The sample is pinned by
-    // CONTENT hash of the id (sort by md5(id#salt), tie-break id, then
-    // limit): deterministic across runs/partitionings AND uniform — a
-    // sorted corpus can't bias it. sort+limit plans as
-    // TakeOrderedAndProject (per-partition top-k, driver merge — no full
-    // shuffle, no full sort).
-    val samples = corpus
-      .select(col(embCol).cast("array<double>").as("v"),
-        Sampling.hashBucket(col(idCol), "ivf-train").as("__h"), col(idCol).as("__id"))
-      .sort(col("__h"), col("__id"))
-      .limit(trainCap)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = lloydCentroids(samples, nlist, seed)
-    // Centroids as one literal array of (cid, vector) structs: list
-    // assignment is then a pure expression (argmin over the array) — no
-    // join, no window, no shuffle for the assignment step.
-    val centroidArr = array(centroids.toIndexedSeq.zipWithIndex.map { case (v, i) =>
-      struct(array(v.toIndexedSeq.map(lit): _*).as("cv"), lit(i).as("cid"))
-    }: _*)
-    def distances(embC: Column): Column = array_sort(transform(centroidArr,
-      c => struct(Vectors.l2Squared(embC, c.getField("cv")).as("dist"),
-        c.getField("cid").as("cid"))))
-
-    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
-      Vectors.norm(col(embCol)).as("c_nrm"),
-      element_at(distances(col(embCol)), 1).getField("cid").as("list_id"))
-    val q = queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
-      Vectors.norm(col(embCol)).as("q_nrm"),
-      explode(transform(slice(distances(col(embCol)), 1, nprobe),
-        d => d.getField("cid"))).as("list_id"))
-
-    // no dedup needed: each corpus row has exactly one list and each query
-    // probes distinct lists, so (q_id, vec_id) pairs are already unique —
-    // a groupBy here would be a redundant full shuffle of the scored set
-    val scored = c.join(q, Seq("list_id")).filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
-          .as("cosine"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+      trainCap: Int = 16384): DataFrame =
+    ivfIndex(corpus, nlist, nprobe, seed, idCol, embCol, trainCap)
+      .search(queries, k, nprobe, qIdCol, embCol)
 
   /** Recall@k of an ANN result against the exact brute-force result: the
     * per-query fraction of true top-k neighbors the approximate search

@@ -133,6 +133,19 @@ class ExtensionSpec extends SparkSpec {
     assert(r1 <= r4 + 1e-9 && r4 <= 1.0, s"recall must not fall as nprobe grows: $r1 vs $r4")
   }
 
+  test("IvfIndex: build once, search many batches, identical to per-call ivfTopK") {
+    val idx = Similarity.ivfIndex(emb, nlist = 8)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val q1 = emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
+    val q2 = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "q_id")
+    assert(asSet(idx.search(q1, k = 5)) ==
+      asSet(Similarity.ivfTopK(emb, q1, k = 5, nlist = 8)))
+    assert(asSet(idx.search(q2, k = 5, nprobe = 8)) ==
+      asSet(Similarity.ivfTopK(emb, q2, k = 5, nlist = 8, nprobe = 8)))
+  }
+
   test("IVF with nprobe = nlist is exact (equals brute force)") {
     val queries = emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
     val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
