@@ -447,7 +447,7 @@ object SparkEntry {
         .select(col("doc_id"),
           dupTokenFraction(col("text")).as("dup_token_fraction"),
           topBigramCount(col("text")).as("top_bigram_count"),
-          greatest(size(tokens(col("text"))) - 1, lit(1)).as("__nb"))
+          bigramDenominator(col("text")).as("__nb"))
         .select(col("doc_id"), col("dup_token_fraction"), col("top_bigram_count"),
           (col("top_bigram_count").cast("double") / col("__nb"))
             .as("top_bigram_fraction"))

@@ -199,14 +199,15 @@ object Dedup {
     * keep one canonical doc per cluster (min id) instead of dropping both
     * ends of every pair.
     *
-    * Iterative min-label propagation (the standard distributed CC shape):
-    * each round, every node takes the minimum component label among itself
-    * and its neighbors; converged when no label changes. Rounds = O(cluster
-    * diameter) — near-dup clusters are shallow (a handful of hops), so this
-    * terminates in a few rounds at any corpus size. Each round is one join
-    * + one min-aggregation, lineage-cut via [[graft.util.Checkpoints]] so
-    * the plan doesn't grow with the round count. The driver-side loop only
-    * checks convergence counts — no row data ever collects.
+    * Iterative min-label propagation PLUS pointer halving: each round every
+    * node takes the minimum label among itself, its neighbors, and its
+    * current component's component (`comp(comp(id))` — the jump that turns
+    * O(diameter) rounds into O(log diameter), so even a chain-shaped
+    * duplicate graph thousands of hops long converges inside the default
+    * round budget). Converged when no label changes; the convergence flag
+    * is computed inside the same lineage-cut pass (one Spark job per round
+    * plus a near-free checkpoint scan). The driver-side loop only checks
+    * convergence — no row data ever collects.
     *
     * Output: (doc_id, component) for every doc appearing in `pairs`, with
     * `component` = min doc id reachable. Deterministic.
@@ -225,15 +226,15 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // propagate each neighbor's label, then take the min per node. The
-      // convergence flag is computed INSIDE the same checkpointed pass
-      // (joined against the previous labels), so each round costs one
-      // Spark job plus a near-free scan of the tiny checkpoint — not a
-      // second recomputation of the round
+      // candidates for each node's new label: neighbors' labels...
       val prop = edges.join(labels, edges("b") === labels("id"))
         .select(edges("a").as("id"), col("comp"))
+      // ...and the label of the node's own label (pointer halving)
+      val hop = labels.as("l")
+        .join(labels.as("m"), col("l.comp") === col("m.id"))
+        .select(col("l.id").as("id"), col("m.comp").as("comp"))
       val next = graft.util.Checkpoints.cut(
-        labels.union(prop).groupBy("id").agg(min(col("comp")).as("comp"))
+        labels.union(prop).union(hop).groupBy("id").agg(min(col("comp")).as("comp"))
           .join(labels.select(col("id"), col("comp").as("__prev")), "id")
           .select(col("id"), col("comp"), (col("comp") =!= col("__prev")).as("__changed")))
       converged = next.filter(col("__changed")).isEmpty
@@ -241,7 +242,7 @@ object Dedup {
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
-      "(pathological chain-shaped duplicate graph — raise maxIter)")
+      "(raise maxIter; 25 rounds with pointer halving covers ~2^25-hop chains)")
     labels
   }
 

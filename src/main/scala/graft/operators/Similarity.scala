@@ -194,19 +194,25 @@ object Similarity {
     * retrieval calls. The assigned relation is NOT automatically
     * lineage-cut; pass it through [[graft.util.Checkpoints.cut]] (or
     * persist it) when running many searches in one session. */
+  /** Sorted (distance, cid) structs of `embC` against a literal centroid
+    * array — the pure-expression assignment/probe primitive shared by index
+    * build and search. */
+  private def centroidDistances(centroids: Seq[Array[Double]], embC: Column): Column = {
+    val centroidArr = array(centroids.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+      struct(array(v.toIndexedSeq.map(lit): _*).as("cv"), lit(i).as("cid"))
+    }: _*)
+    array_sort(transform(centroidArr,
+      c => struct(Vectors.l2Squared(embC, c.getField("cv")).as("dist"),
+        c.getField("cid").as("cid"))))
+  }
+
   final class IvfIndex private[operators] (
       val centroids: Seq[Array[Double]],
       private[operators] val assigned: DataFrame,
       nprobeDefault: Int) {
 
-    private[operators] def distances(embC: Column): Column = {
-      val centroidArr = array(centroids.toIndexedSeq.zipWithIndex.map { case (v, i) =>
-        struct(array(v.toIndexedSeq.map(lit): _*).as("cv"), lit(i).as("cid"))
-      }: _*)
-      array_sort(transform(centroidArr,
-        c => struct(Vectors.l2Squared(embC, c.getField("cv")).as("dist"),
-          c.getField("cid").as("cid"))))
-    }
+    private[operators] def distances(embC: Column): Column =
+      centroidDistances(centroids, embC)
 
     /** Top-k by cosine among the `nprobe` nearest inverted lists per query.
       * Output: (q_id, vec_id, cosine, rank). */
@@ -261,12 +267,12 @@ object Similarity {
       .sort(col("__h"), col("__id"))
       .limit(trainCap)
       .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = lloydCentroids(samples, nlist, seed)
-    val idx = new IvfIndex(centroids.toIndexedSeq, null, nprobe) // distances() needs only centroids
+    val centroids = lloydCentroids(samples, nlist, seed).toIndexedSeq
     val assigned = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
       Vectors.norm(col(embCol)).as("c_nrm"),
-      element_at(idx.distances(col(embCol)), 1).getField("cid").as("list_id"))
-    new IvfIndex(centroids.toIndexedSeq, assigned, nprobe)
+      element_at(centroidDistances(centroids, col(embCol)), 1)
+        .getField("cid").as("list_id"))
+    new IvfIndex(centroids, assigned, nprobe)
   }
 
   /** IVF: KMeans inverted lists + nprobe probing, as one call — builds a

@@ -149,8 +149,15 @@ object TextAnalysis {
     * common-subexpression-eliminated across output columns, so this form
     * would pay the sort+fold a second time per document. */
   def topBigramFraction(text: Column): Column =
-    topBigramCount(text).cast("double") /
-      greatest(size(bigrams(text)), lit(1)).cast("double")
+    topBigramCount(text).cast("double") / bigramDenominator(text).cast("double")
+
+  /** The bigram-share denominator (bigram occurrences floored at 1),
+    * computed without building the bigram array: size(tokens)-1 equals
+    * size(bigrams) for >= 2 tokens and both floor to 1 below that — the
+    * equivalence is pinned by spec. Shared by [[topBigramFraction]] and the
+    * graded two-step query so the two can't drift apart. */
+  def bigramDenominator(text: Column): Column =
+    greatest(size(tokens(text)) - 1, lit(1))
 
   /** One-pass profile of a documents table. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -91,6 +91,21 @@ class ExtensionSpec extends SparkSpec {
     assert(kept == Set(1L, 7L, 9L)) // singletons untouched, losers dropped
   }
 
+  test("connected components: a long chain converges via pointer halving") {
+    // 60-hop chain: plain min-propagation needs ~60 rounds; pointer halving
+    // must close it well inside the 25-round budget
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(cc.length == 60 && cc.forall(_._2 == 1L))
+  }
+
+  test("bigramDenominator equals the bigram-occurrence count floored at 1") {
+    import graft.operators.TextAnalysis._
+    val df = Seq("", "one", "a b", "a b c d").toDF("text")
+    val got = df.select(bigramDenominator(col("text"))).as[Int].collect().toSeq
+    assert(got == Seq(1, 1, 1, 3)) // empty/1-token floor to 1; n tokens -> n-1
+  }
+
   test("simhash: near-dup pair within small hamming distance, unrelated far") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " +
       "into the deep green forest while the hunter sleeps at home tonight"
