@@ -327,6 +327,32 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("value"), col("rn"))
     }),
 
+    "w2_running_total" -> ((s, dir) => {
+      // cumulative spend per user in event order: decimal-summed inside
+      // the frame, so the running value is deterministic in any engine
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          sum(money(col("value"))).over(w).cast("double").as("running_total"))
+    }),
+
+    "w3_lag_delta" -> ((s, dir) => {
+      // per-user delta vs the previous purchase (lag) and the next one
+      // (lead), null at the edges
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          (money(col("value")) - lag(money(col("value")), 1).over(w))
+            .cast("double").as("delta_prev"),
+          (lead(money(col("value")), 1).over(w) - money(col("value")))
+            .cast("double").as("delta_next"))
+    }),
+
     // as-of join: last click before each purchase (last-touch attribution)
     "x1_asof_attribution" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -905,6 +931,21 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "w2_running_total" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "w3_lag_delta" ->
+      """SELECT user_id, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) - lag(CAST(value AS DECIMAL(18,2)), 1) OVER (
+        |    PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS delta_prev,
+        |  CAST(lead(CAST(value AS DECIMAL(18,2)), 1) OVER (
+        |    PARTITION BY user_id ORDER BY event_id) - CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS delta_next
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     // plain (inner) ASOF drops unmatched left rows
     "x6_asof_inner" ->
