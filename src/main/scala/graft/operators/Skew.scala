@@ -55,4 +55,34 @@ object Skew {
     if (exact) merged.withColumn(resultCol, col("__total").cast("double")).drop("__total")
     else merged.withColumnRenamed("__total", resultCol)
   }
+
+  /** Salted join for a skew-keyed big side against a small-but-not-
+    * broadcastable side: the big side's rows get a deterministic salt in
+    * [0, saltBuckets), the small side is replicated once per salt value,
+    * and the join key becomes (keys, salt) — a hot key's rows spread over
+    * `saltBuckets` tasks instead of one straggler. Use when AQE's runtime
+    * skew split can't apply (e.g. the skewed side feeds a co-partitioned
+    * downstream op) and the small side exceeds the broadcast threshold;
+    * costs a `saltBuckets`-fold replication of the small side's shuffle.
+    *
+    * Only join types where replicated unmatched small-side rows can't
+    * surface are allowed (inner / left_outer / left_semi / left_anti —
+    * right/full would duplicate small-side null matches per salt). The salt
+    * is recompute-stable (same hash as [[saltedSum]]).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
+      s"saltedJoin supports left-shaped joins only, got $joinType")
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64((spark_partition_id() +: big.columns.map(col)).toIndexedSeq: _*),
+        lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    saltedBig.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
 }
