@@ -419,6 +419,28 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // skew machinery in the gate: the salted two-phase aggregate must be
+    // indistinguishable from the direct GROUP BY — the oracle IS the plain
+    // form
+    "x7_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedSum(Tables.events(s, dir),
+          Seq("user_id"), "value", "total_spent")
+        .orderBy(col("user_id"))),
+
+    // salted join vs its plain equivalent (dim derived deterministically
+    // from the fact table, so no extra input is needed)
+    "x8_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("segment", (col("user_id") % 5).cast("int"))
+      graft.operators.Skew.saltedJoin(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("value")),
+          dim, Seq("user_id"), saltBuckets = 8)
+        .select(col("event_id"), col("user_id"), col("value"), col("segment"))
+        .orderBy(col("event_id"))
+    }),
+
     // deterministic content-hash train/val/test split (re-run- and
     // engine-stable; new docs never move old ones between splits)
     "x2_hash_split" -> ((s, dir) =>
@@ -946,6 +968,17 @@ object SparkEntry {
         |  CAST(lead(CAST(value AS DECIMAL(18,2)), 1) OVER (
         |    PARTITION BY user_id ORDER BY event_id) - CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS delta_next
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "x7_salted_agg" ->
+      """SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "x8_salted_join" ->
+      """SELECT event_id, e.user_id, value, CAST(e.user_id % 5 AS INTEGER) AS segment
+        |FROM (SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase') e
+        |JOIN (SELECT DISTINCT user_id FROM events) d ON e.user_id = d.user_id
+        |ORDER BY event_id""".stripMargin,
 
     // plain (inner) ASOF drops unmatched left rows
     "x6_asof_inner" ->
