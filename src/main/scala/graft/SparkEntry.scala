@@ -636,6 +636,18 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"), k = 5)
     }),
 
+    // hash-checked IVF: with nprobe = nlist every inverted list is probed,
+    // so the output equals brute force REGARDLESS of centroid quality —
+    // this grades the whole IVF machinery (training-sample plumbing,
+    // assignment argmin, list probing, scoring, ranking) against the
+    // brute-force oracle; centroid QUALITY is covered by the recall spec.
+    "ext_knn_ivf_exact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        k = 5, nlist = 16, nprobe = 16)
+    }),
+
     // in-engine recall number for IVF (rows-only for the same reason; the
     // >= 0.9 bar is asserted in ExtensionSpec)
     "ext_knn_ivf_recall" -> ((s, dir) => {
@@ -699,6 +711,22 @@ object SparkEntry {
     graft.operators.Similarity.planes(nPlanes, dim, seed).zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN list_dot_product($e, ${planeList(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  // exact top-5 per query by cosine — the oracle for the brute-force kNN
+  // AND for IVF at nprobe = nlist (exhaustive probing ≡ brute force)
+  private val bruteKnnSql =
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, e AS qe, nm AS qn FROM n WHERE vec_id < 10),
+      |scored AS (SELECT q_id, vec_id,
+      |  list_dot_product(e, qe) / (nm * qn) AS cosine
+      |  FROM n, q WHERE vec_id != q_id)
+      |SELECT q_id, vec_id, cosine, rank FROM (
+      |  SELECT q_id, vec_id, cosine, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5""".stripMargin
 
   private val normCte =
     """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -1350,19 +1378,11 @@ object SparkEntry {
          |FROM h""".stripMargin
     },
 
-    "ext_knn_brute" ->
-      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, e AS qe, nm AS qn FROM n WHERE vec_id < 10),
-        |scored AS (SELECT q_id, vec_id,
-        |  list_dot_product(e, qe) / (nm * qn) AS cosine
-        |  FROM n, q WHERE vec_id != q_id)
-        |SELECT q_id, vec_id, cosine, rank FROM (
-        |  SELECT q_id, vec_id, cosine, CAST(row_number() OVER (
-        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5""".stripMargin,
+    "ext_knn_brute" -> bruteKnnSql,
+
+    // IVF at nprobe = nlist is exhaustive search — the brute-force SQL IS
+    // its oracle (see the ext_knn_ivf_exact query comment)
+    "ext_knn_ivf_exact" -> bruteKnnSql,
 
     "ext_multimodal_features" ->
       """SELECT doc_id AS media_id,

@@ -295,11 +295,12 @@ object Dedup {
       embCol: String = "embedding",
       threshold: Double = 0.95,
       nPlanes: Int = 8,
-      dim: Int = 64,
+      dim: Int = Similarity.InferDim,
       seed: Long = 42L): DataFrame = {
+    val d = Similarity.resolveDim(df, embCol, dim)
     val n = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       Vectors.norm(col(embCol)).as("nrm"),
-      Similarity.lshBucket(col(embCol), nPlanes, dim, seed).as("bucket"))
+      Similarity.lshBucket(col(embCol), nPlanes, d, seed).as("bucket"))
     n.as("a").join(n.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

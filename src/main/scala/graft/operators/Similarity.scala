@@ -19,11 +19,41 @@ import org.apache.spark.sql.functions._
   * Preconditions (all variants): query ids share the corpus id space — the
   * `vec_id =!= q_id` self-match filter assumes a query id equal to a corpus
   * id IS that corpus row (remap external query ids outside the corpus range
-  * before calling). `dim` must equal the embedding width; a shorter value
-  * silently hashes only the vector prefix (DotProduct uses the common
-  * prefix of unequal-length arrays).
+  * before calling). `dim` defaults to [[Similarity.InferDim]] (read from the
+  * data at plan-build time); an explicit value is validated against the
+  * data and a mismatch fails loudly — a wrong width would otherwise
+  * silently hash only the vector prefix (DotProduct uses the common prefix
+  * of unequal-length arrays) and degrade recall invisibly.
   */
 object Similarity {
+
+  /** Sentinel for `dim` parameters: infer the embedding width from the
+    * first data row at plan-build time. */
+  val InferDim: Int = -1
+
+  /** Embedding width of `df(embCol)`, read from one row (a LIMIT 1 scan —
+    * plan-build cost, not a data pass). */
+  private[operators] def headDim(df: DataFrame, embCol: String): Int = {
+    val r = df.select(size(col(embCol)).as("d")).limit(1).collect()
+    require(r.nonEmpty, s"cannot infer embedding dim: '$embCol' has no rows")
+    r(0).getInt(0)
+  }
+
+  /** Resolve a caller-supplied `dim` against the data: [[InferDim]] reads
+    * the width from the first row; an explicit value MUST match it.
+    * Checking even the explicit case costs one LIMIT-1 job and turns the
+    * silent prefix-hashing footgun into an immediate failure. */
+  private[operators] def resolveDim(df: DataFrame, embCol: String, dim: Int): Int = {
+    val actual = headDim(df, embCol)
+    if (dim == InferDim) actual
+    else {
+      require(dim == actual,
+        s"dim=$dim does not match the embedding width $actual of '$embCol': " +
+          "an LSH/IVF pass with a short dim would silently hash only the " +
+          "vector prefix. Pass Similarity.InferDim (the default) to infer.")
+      dim
+    }
+  }
 
   /** Attach the L2 norm (compute once per row, reuse across pairs). */
   def withNorm(df: DataFrame, embCol: String = "embedding", normCol: String = "emb_norm"): DataFrame =
@@ -81,13 +111,14 @@ object Similarity {
       queries: DataFrame,
       k: Int = 5,
       nPlanes: Int = 8,
-      dim: Int = 64,
+      dim: Int = InferDim,
       seed: Long = 42L,
       idCol: String = "vec_id",
       embCol: String = "embedding",
       qIdCol: String = "q_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucket = (e: Column) => lshBucket(e, nPlanes, dim, seed)
+    val d = resolveDim(corpus, embCol, dim)
+    val bucket = (e: Column) => lshBucket(e, nPlanes, d, seed)
     val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
       Vectors.norm(col(embCol)).as("c_nrm"), bucket(col(embCol)).as("bucket"))
     val q = queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
@@ -116,15 +147,16 @@ object Similarity {
       queries: DataFrame,
       k: Int = 5,
       nPlanes: Int = 8,
-      dim: Int = 64,
+      dim: Int = InferDim,
       tables: Int = 4,
       seed: Long = 42L,
       idCol: String = "vec_id",
       embCol: String = "embedding",
       qIdCol: String = "q_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val d = resolveDim(corpus, embCol, dim)
     def tableBuckets(e: Column): Column =
-      array((0 until tables).map(t => lshBucket(e, nPlanes, dim, seed + t)): _*)
+      array((0 until tables).map(t => lshBucket(e, nPlanes, d, seed + t)): _*)
     val candidates =
       corpus.select(col(idCol).as("vec_id"),
           posexplode(tableBuckets(col(embCol))).as(Seq("table", "bucket")))
@@ -156,6 +188,9 @@ object Similarity {
       samples: Array[Array[Double]], nlist: Int, seed: Long, iters: Int = 8): Array[Array[Double]] = {
     require(samples.nonEmpty, "IVF training needs a non-empty corpus sample")
     val dim = samples.head.length
+    require(samples.forall(_.length == dim),
+      s"IVF training sample has mixed embedding widths (expected $dim): " +
+        "ragged embedding columns cannot be indexed")
     val rnd = new scala.util.Random(seed)
     // init: distinct random sample rows (k-means++ is overkill — centroids
     // only partition the space, recall comes from nprobe)
@@ -194,9 +229,25 @@ object Similarity {
     * retrieval calls. The assigned relation is NOT automatically
     * lineage-cut; pass it through [[graft.util.Checkpoints.cut]] (or
     * persist it) when running many searches in one session. */
+  /** Above this centroid count the assignment/probe switch from the
+    * inlined-literal expression to a broadcast join: the literal path embeds
+    * nlist x dim constants in one generated expression, which is elegant at
+    * nlist=16 but stresses Janino's per-method codegen limits when nlist
+    * reaches the thousands (FAISS-scale indexes). The join path trades one
+    * extra shuffle (per-row argmin via a window) for bounded codegen. */
+  val LiteralCentroidMax: Int = 256
+
+  /** Centroids as a tiny (list_id, cv) relation — the broadcast side of the
+    * join-based assignment/probe path. */
+  private def centroidFrame(
+      spark: org.apache.spark.sql.SparkSession, cs: Seq[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cs.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toDF("list_id", "cv")
+  }
+
   /** Sorted (distance, cid) structs of `embC` against a literal centroid
     * array — the pure-expression assignment/probe primitive shared by index
-    * build and search. */
+    * build and search (the nlist <= [[LiteralCentroidMax]] path). */
   private def centroidDistances(centroids: Seq[Array[Double]], embC: Column): Column = {
     val centroidArr = array(centroids.toIndexedSeq.zipWithIndex.map { case (v, i) =>
       struct(array(v.toIndexedSeq.map(lit): _*).as("cv"), lit(i).as("cid"))
@@ -209,7 +260,8 @@ object Similarity {
   final class IvfIndex private[operators] (
       val centroids: Seq[Array[Double]],
       private[operators] val assigned: DataFrame,
-      nprobeDefault: Int) {
+      nprobeDefault: Int,
+      literalCentroidMax: Int = LiteralCentroidMax) {
 
     private[operators] def distances(embC: Column): Column =
       centroidDistances(centroids, embC)
@@ -224,10 +276,25 @@ object Similarity {
         embCol: String = "embedding"): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val np = if (nprobe > 0) nprobe else nprobeDefault
-      val q = queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
-        Vectors.norm(col(embCol)).as("q_nrm"),
-        explode(transform(slice(distances(col(embCol)), 1, np),
-          d => d.getField("cid"))).as("list_id"))
+      val q =
+        if (centroids.length <= literalCentroidMax)
+          queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
+            Vectors.norm(col(embCol)).as("q_nrm"),
+            explode(transform(slice(distances(col(embCol)), 1, np),
+              d => d.getField("cid"))).as("list_id"))
+        else {
+          // join-based probe: rank the broadcast centroid relation per query
+          // (same (dist, list_id) ordering the literal array_sort uses)
+          val cdf = centroidFrame(queries.sparkSession, centroids)
+          val w = Window.partitionBy(col("q_id")).orderBy(col("__dist"), col("list_id"))
+          queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
+              Vectors.norm(col(embCol)).as("q_nrm"))
+            .crossJoin(broadcast(cdf))
+            .withColumn("__dist", Vectors.l2Squared(col("q_emb"), col("cv")))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= np)
+            .select(col("q_id"), col("q_emb"), col("q_nrm"), col("list_id"))
+        }
       // no dedup needed: each corpus row has exactly one list and each
       // query probes distinct lists, so (q_id, vec_id) pairs are already
       // unique — a groupBy here would be a redundant full shuffle
@@ -260,7 +327,8 @@ object Similarity {
       seed: Long = 42L,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      trainCap: Int = 16384): IvfIndex = {
+      trainCap: Int = 16384,
+      literalCentroidMax: Int = LiteralCentroidMax): IvfIndex = {
     val samples = corpus
       .select(col(embCol).cast("array<double>").as("v"),
         Sampling.hashBucket(col(idCol), "ivf-train").as("__h"), col(idCol).as("__id"))
@@ -268,11 +336,28 @@ object Similarity {
       .limit(trainCap)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = lloydCentroids(samples, nlist, seed).toIndexedSeq
-    val assigned = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
-      Vectors.norm(col(embCol)).as("c_nrm"),
-      element_at(centroidDistances(centroids, col(embCol)), 1)
-        .getField("cid").as("list_id"))
-    new IvfIndex(centroids, assigned, nprobe)
+    val assigned =
+      if (centroids.length <= literalCentroidMax)
+        corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+          Vectors.norm(col(embCol)).as("c_nrm"),
+          element_at(centroidDistances(centroids, col(embCol)), 1)
+            .getField("cid").as("list_id"))
+      else {
+        // join-based assignment: argmin over the broadcast centroid relation
+        // via a per-row window (one extra shuffle on vec_id, but codegen
+        // stays bounded at FAISS-scale nlist)
+        import org.apache.spark.sql.expressions.Window
+        val cdf = centroidFrame(corpus.sparkSession, centroids)
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("__dist"), col("list_id"))
+        corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+            Vectors.norm(col(embCol)).as("c_nrm"))
+          .crossJoin(broadcast(cdf))
+          .withColumn("__dist", Vectors.l2Squared(col("c_emb"), col("cv")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("vec_id"), col("c_emb"), col("c_nrm"), col("list_id"))
+      }
+    new IvfIndex(centroids, assigned, nprobe, literalCentroidMax)
   }
 
   /** IVF: KMeans inverted lists + nprobe probing, as one call — builds a
@@ -288,8 +373,9 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       qIdCol: String = "q_id",
-      trainCap: Int = 16384): DataFrame =
-    ivfIndex(corpus, nlist, nprobe, seed, idCol, embCol, trainCap)
+      trainCap: Int = 16384,
+      literalCentroidMax: Int = LiteralCentroidMax): DataFrame =
+    ivfIndex(corpus, nlist, nprobe, seed, idCol, embCol, trainCap, literalCentroidMax)
       .search(queries, k, nprobe, qIdCol, embCol)
 
   /** Recall@k of an ANN result against the exact brute-force result: the

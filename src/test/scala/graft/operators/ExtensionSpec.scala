@@ -99,6 +99,21 @@ class ExtensionSpec extends SparkSpec {
     assert(cc.length == 60 && cc.forall(_._2 == 1L))
   }
 
+  test("TopBigramCount expression matches the higher-order-function definition") {
+    import graft.operators.TextAnalysis._
+    // corpus rows + the edge shapes: empty, single-token, all-same, runs,
+    // and a null text (HOF contract: 0, not null)
+    val edges = Seq("", "one", "a a a a", "x y x y x y z", "a b c d",
+      "  padded   whitespace  ", null.asInstanceOf[String]).toDF("text")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .limit(200).union(edges)
+    val both = docs.select(
+      topBigramCount(col("text")).as("fast"),
+      topBigramCountHof(col("text")).as("ref"))
+    assert(both.filter(
+      col("fast").isNull || col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("bigramDenominator equals the bigram-occurrence count floored at 1") {
     import graft.operators.TextAnalysis._
     val df = Seq("", "one", "a b", "a b c d").toDF("text")
@@ -159,6 +174,39 @@ class ExtensionSpec extends SparkSpec {
       asSet(Similarity.ivfTopK(emb, q1, k = 5, nlist = 8)))
     assert(asSet(idx.search(q2, k = 5, nprobe = 8)) ==
       asSet(Similarity.ivfTopK(emb, q2, k = 5, nlist = 8, nprobe = 8)))
+  }
+
+  test("a wrong explicit dim fails loudly instead of hashing a prefix") {
+    // 8-wide embeddings, caller claims 16: every LSH/IVF entry point must
+    // reject the mismatch at plan-build time (a silent prefix hash would
+    // degrade recall invisibly)
+    val tiny = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 8 + j).toDouble % 7 - 3))).toDF("vec_id", "embedding")
+    val q = tiny.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "q_id")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(tiny, q, k = 2, dim = 16)
+    }
+    assert(e1.getMessage.contains("does not match the embedding width 8"))
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopKMulti(tiny, q, k = 2, dim = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsLsh(tiny, threshold = 0.5, dim = 16)
+    }
+    // the default infers the width and runs fine
+    assert(Similarity.lshTopK(tiny, q, k = 2).columns.contains("cosine"))
+  }
+
+  test("IVF join-based centroid path (nlist > literalCentroidMax) equals the literal path") {
+    val queries = emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // literalCentroidMax = 0 forces the broadcast-join assignment + probe;
+    // same centroids (same seed/sample), so outputs must be identical
+    val literal = asRows(Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 3))
+    val joined = asRows(Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 3,
+      literalCentroidMax = 0))
+    assert(joined == literal)
   }
 
   test("IVF with nprobe = nlist is exact (equals brute force)") {
