@@ -680,6 +680,40 @@ object SparkEntry {
       graft.operators.Multimodal.frameSample(
         graft.operators.Multimodal.synthesizeFromDocs(Tables.documents(s, dir)))),
 
+    // ---- streaming parity rows (see runStream) -------------------------
+    "stream_daily_spend" -> ((s, dir) =>
+      // the canonical pipeline's streaming face: watermark -> cross-batch
+      // dedup -> 1-day tumbling windows, with the last chunk re-fed as a
+      // whole duplicate micro-batch (dedup must drop every copy); append
+      // mode + sentinel flush finalizes each day exactly once
+      runStream(s, "stream_daily_spend_t", parsed => {
+        val marked = parsed.withWatermark("timestamp", "1 hour")
+        Spend.dailySpendStream(Spend.dedupeStream(marked))
+      }, dupTail = true)),
+
+    "stream_windowed_spend" -> ((s, dir) =>
+      // sliding 10-min/5-min windows per customer, streamed; epoch-second
+      // window bounds (raw window timestamps are engine-ambiguous)
+      runStream(s, "stream_windowed_spend_t", parsed =>
+        Spend.windowedSpendStream(parsed, Spend.transactionCols,
+            "10 minutes", "5 minutes", watermark = "1 hour")
+          .select(col("customer_id"),
+            col("window_start").cast("long").as("w_start"),
+            col("window_end").cast("long").as("w_end"),
+            col("total_spent")))),
+
+    "stream_session_window" -> ((s, dir) =>
+      // native session windows (15-min gap), streamed: cross-batch session
+      // merging under the watermark, finalized in append mode
+      runStream(s, "stream_session_window_t", parsed =>
+        parsed.withWatermark("timestamp", "1 hour")
+          .groupBy(session_window(col("timestamp"), "15 minutes"), col("customer_id"))
+          .agg(dsum(col("amount")).as("total_spent"), count(lit(1)).as("n_events"))
+          .select(col("customer_id"),
+            col("session_window.start").cast("long").as("sess_start"),
+            col("session_window.end").cast("long").as("sess_end"),
+            col("total_spent"), col("n_events")))),
+
     "q3_join_revenue" -> ((s, dir) => {
       // TPC-H Q3 shape: fact-fact shuffle join + broadcast dim join.
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -695,6 +729,70 @@ object SparkEntry {
         .limit(10)
     })
   )
+
+  // ---- streaming parity: the gate's stream_* queries -----------------
+  // Each runs a REAL Structured Streaming query (MemoryStream source,
+  // multiple micro-batches, append mode) to completion inside the query
+  // lambda and returns the finalized memory-sink table — so streaming
+  // correctness is hash-checked by the same DuckDB oracles as batch,
+  // instead of living only in specs. Append mode means every output row
+  // was finalized by the watermark exactly once; a far-future sentinel
+  // transaction advances the watermark past every real window (and is
+  // filtered back out), flushing the last windows deterministically.
+  //
+  // The feed is the deterministic generator at eventsPerSecond = 1 (whole-
+  // second timestamps, startEpoch 2023-12-31T22:00Z so the span crosses a
+  // date boundary): every event time is an exact integer epoch second in
+  // BOTH engines, so window/session boundary comparisons cannot split on
+  // sub-second rounding.
+  private val streamN = 20000L
+  private val streamEpoch = 1704060000L // 2023-12-31T22:00:00Z
+  private val sentinelJson =
+    """{"transaction_id":"sentinel","customer_id":"-1","merchant_id":1,""" +
+      """"timestamp":"2024-06-01T00:00:00.000Z","amount":1.0,""" +
+      """"payment_method":"UPI","status":"Success"}"""
+
+  /** Feed the generator stream through `transform` (a streaming transform
+    * of the parsed transaction stream) across several micro-batches; with
+    * `dupTail` the last chunk is re-fed as an extra batch (cross-batch
+    * duplicates the pipeline's dedup must drop). Returns the finalized
+    * table. */
+  private def runStream(
+      s: SparkSession,
+      name: String,
+      transform: DataFrame => DataFrame,
+      dupTail: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val payloads = graft.sources.DataGen
+      .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
+      .select(to_json(struct(col("*"))).as("value"))
+      .collect().map(_.getString(0))
+    val ms = MemoryStream[String]
+    val out = transform(Ingest.parseTransactions(ms.toDF()))
+    val ckpt = sys.props("java.io.tmpdir") + "/graft-ckpt-" +
+      java.util.UUID.randomUUID().toString
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = payloads.grouped(math.max(1, payloads.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+      if (dupTail) { ms.addData(chunks.last.toIndexedSeq); q.processAllAvailable() }
+      ms.addData(Seq(sentinelJson)); q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).filter(col("customer_id") =!= "-1")
+  }
+
+  // oracle generator CTE: regenerates the stream feed (md5-derived fields,
+  // integer epoch seconds) — the same construction s6/s7 pin
+  private def streamTxCte(n: Long, startEpoch: Long): String =
+    s"""g AS (SELECT range AS id FROM range(0, $n)),
+       |t AS (SELECT
+       |  CAST(CAST(CAST('0x' || substr(md5('42#cust#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 1000 + 1 AS VARCHAR) AS customer_id,
+       |  (CAST(CAST('0x' || substr(md5('42#amt#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 99900 + 100) / 100.0 AS amount,
+       |  $startEpoch + id AS te
+       |FROM g)""".stripMargin
 
   // ---- LSH oracle building blocks ------------------------------------
   // The hyperplanes are deterministic (seeded gaussians), so embedding the
@@ -1410,6 +1508,49 @@ object SparkEntry {
         |    CAST(unnest(generate_series(0, (doc_id % 30) * 1000 + 1000 - 1, 1000)) AS VARCHAR))
         |    AS frame_stub
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    // streaming parity: same deterministic-generator reconstruction the
+    // batch s6/s7 oracles use; the dedup'd duplicate micro-batch and the
+    // sentinel row are absent by construction (dedup drops the former, the
+    // query filters the latter)
+    "stream_daily_spend" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)}
+         |SELECT customer_id,
+         |  strftime(make_timestamp(te * 1000000), '%Y-%m-%d') AS transaction_date,
+         |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "stream_windowed_spend" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)}
+         |SELECT customer_id, w_start, w_start + 600 AS w_end,
+         |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         |FROM (
+         |  SELECT customer_id, amount,
+         |    CAST(floor(te / 300) * 300 AS BIGINT) - s.off AS w_start
+         |  FROM t, (SELECT unnest([0, 300]) AS off) s)
+         |GROUP BY customer_id, w_start""".stripMargin,
+
+    // gap comparison is STRICT (> 900): Spark's session_window merges an
+    // event landing exactly at the previous session's end (verified
+    // empirically — with whole-second timestamps the boundary case occurs
+    // 9 times in this feed; a7's >=-form oracle never sees it because the
+    // events table's ns-grained timestamps can't hit an exact boundary)
+    "stream_session_window" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)},
+         |m AS (SELECT customer_id, te, amount,
+         |  CASE WHEN lag(te) OVER (PARTITION BY customer_id ORDER BY te) IS NULL
+         |    OR te - lag(te) OVER (PARTITION BY customer_id ORDER BY te) > 900
+         |  THEN 1 ELSE 0 END AS new_sess
+         |  FROM t),
+         |s2 AS (SELECT customer_id, te, amount,
+         |  sum(new_sess) OVER (PARTITION BY customer_id ORDER BY te
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         |SELECT customer_id,
+         |  CAST(min(te) AS BIGINT) AS sess_start,
+         |  CAST(max(te) AS BIGINT) + 900 AS sess_end,
+         |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+         |  count(*) AS n_events
+         |FROM s2 GROUP BY customer_id, sid""".stripMargin,
 
     "q3_join_revenue" ->
       """SELECT l_orderkey,

@@ -124,10 +124,25 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Occurrence count of the most frequent bigram, as a single sorted-array
-    * fold (run-length over array_sort — O(n log n) per doc, no shuffle, no
-    * per-bigram grouping). 0 for docs shorter than 2 tokens. */
-  def topBigramCount(text: Column): Column =
+  /** Occurrence count of the most frequent bigram. 0 for docs shorter than
+    * 2 tokens (and for null text, matching the HOF reference). Backed by
+    * the single-pass [[graft.functions.TopBigramCount]] expression — the
+    * sorted-array HOF fold it replaces is interpreted per element in
+    * Spark 4 and was the slowest scan-parallel operator in the suite. */
+  def topBigramCount(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    // coalesce: tokens(null text) is a null array -> expression yields null,
+    // but the HOF contract (bigrams() returns [] for null text) is 0
+    coalesce(
+      ColumnBridge.column(graft.functions.TopBigramCount(
+        ColumnBridge.expression(tokens(lower(text))))),
+      lit(0L))
+  }
+
+  /** The higher-order-function definition of [[topBigramCount]] (reference
+    * semantics; the fused expression must stay value-identical to this):
+    * run-length fold over the sorted bigram array. */
+  def topBigramCountHof(text: Column): Column =
     aggregate(
       array_sort(bigrams(text)),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),

@@ -60,6 +60,32 @@ object DataGen {
     transactions(spark, n, seed)
       .select(to_json(struct(col("*"))).as("value"))
 
+  /** Batch: `n` synthetic documents with planted near-duplicates, for
+    * dedup soaks at sizes the parquet fixtures don't cover. Docs come in
+    * groups of `groupSize` sharing `tokensPerDoc - 1` of their tokens; every
+    * non-canonical group member has one token mutated (so intra-group
+    * shingle Jaccard stays high and MinHash banding finds the pairs, while
+    * groups are mutually unrelated). Pure expressions — generates at scan
+    * speed on any cluster size. */
+  def documents(
+      spark: SparkSession,
+      n: Long,
+      seed: Long = 42L,
+      groupSize: Int = 5,
+      tokensPerDoc: Int = 30): DataFrame = {
+    val base = (col("id") / groupSize).cast("long")
+    def tok(j: Int) =
+      substring(md5(concat_ws("#", lit(seed), lit("t"), base, lit(j)).cast("binary")), 1, 8)
+    val mutated = substring(
+      md5(concat_ws("#", lit(seed), lit("m"), col("id")).cast("binary")), 1, 8)
+    val toks = (0 until tokensPerDoc).map { j =>
+      if (j == tokensPerDoc / 2)
+        when(col("id") % groupSize === 0, tok(j)).otherwise(mutated)
+      else tok(j)
+    }
+    spark.range(n).select(col("id").as("doc_id"), concat_ws(" ", toks: _*).as("text"))
+  }
+
   /** Streaming: rate-source-driven generator producing the Kafka wire shape
     * (`value` JSON string). Replaces the reference's Thread.sleep loop. */
   def stream(spark: SparkSession, rowsPerSecond: Long, seed: Long = 42L): DataFrame = {
