@@ -80,7 +80,19 @@ object Bench {
     // queries still slow in both passes. Every sample carries its
     // wall-clock start time, so a contaminated window is identifiable
     // post-hoc in the emitted `samples` object.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // stream_* rows are correctness-gate queries that run a fixed-size
+    // MemoryStream pipeline to completion (~10-17s of harness, invariant in
+    // sf) — timing them per pass would bury the batch signal under
+    // streaming-harness overhead that stream_events_per_sec already
+    // measures properly. They stay in Verify's gate; Bench times the batch
+    // queries.
+    // SPARK_GRAFT_SOAK_ONLY=1 skips the timed passes and eps (soak
+    // iteration without re-paying ~2 min of query timing)
+    val soakOnly = sys.env.getOrElse("SPARK_GRAFT_SOAK_ONLY", "0") == "1"
+    val names =
+      if (soakOnly) Seq.empty
+      else SparkEntry.queries.toSeq
+        .filterNot(_._1.startsWith("stream_")).sortBy(_._1)
     val pass1 = names.map { case (n, fn) => n -> runOnce(fn) }
     val pass2 = names.map { case (n, fn) => n -> runOnce(fn) }
     val byName = (pass1 ++ pass2).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -140,7 +152,8 @@ object Bench {
     // can't discard the other's clean sample, and the payload array is
     // generated once (it's round-invariant).
     val payloads: Array[String] =
-      try graft.sources.DataGen.transactionsJson(spark, 200000L)
+      if (soakOnly) Array.empty
+      else try graft.sources.DataGen.transactionsJson(spark, 200000L)
         .collect().map(_.getString(0))
       catch { case _: Throwable => Array.empty }
     def streamEpsOnce(round: Int): Double = {
@@ -223,13 +236,18 @@ object Bench {
       }
       val s3 = stage("asof_10m_x_1m") {
         // last quote at-or-before each of 10M transactions, 1M quotes,
-        // 1000 keys: the single-shuffle union-window as-of plan
+        // 1000 keys: the single-shuffle union-window as-of plan. The
+        // action counts the CARRIED column — a bare count() would let
+        // Catalyst prune the as-of window entirely and just count left
+        // rows (observed: 0 shuffle), which is not a soak of anything.
         val left = DataGen.transactions(spark, 10000000L)
         val right = DataGen.transactions(spark, 1000000L, seed = 7L)
           .select(col("customer_id"), col("timestamp"), col("amount").as("quote"))
         AsOf.joinAsOf(left, right, keys = Seq("customer_id"),
-          leftTs = "timestamp", rightTs = "timestamp",
-          rightCols = Seq("quote"), rightPrefix = "q_").count()
+            leftTs = "timestamp", rightTs = "timestamp",
+            rightCols = Seq("quote"), rightPrefix = "q_")
+          .agg(org.apache.spark.sql.functions.count(col("q_quote")))
+          .collect()(0).getLong(0)
       }
       s"{$s1,$s2,$s3}"
     }
