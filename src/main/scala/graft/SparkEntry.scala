@@ -1036,6 +1036,11 @@ object SparkEntry {
         |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
         |FROM t GROUP BY customer_id, strftime(ts, '%Y-%m-%d')""".stripMargin,
 
+    // NOTE: this >=-gap split is safe ONLY because events.ts is ns-grained
+    // (an exact 1800.000000000s gap cannot occur); Spark's session_window
+    // actually MERGES an event landing exactly gap seconds after the last
+    // one — see stream_session_window's strict-> oracle, where whole-second
+    // timestamps hit the boundary for real
     "a7_session_window" ->
       """WITH m AS (
         |  SELECT user_id, epoch(ts) AS t, value,

@@ -36,4 +36,34 @@ class DataGenSpec extends SparkSpec {
     assert(parsed.filter(col("transaction_id").isNull || col("timestamp").isNull).count() == 0)
     assert(parsed.count() == 100)
   }
+
+  test("documents generator: deterministic, grouped near-dups, distinct groups") {
+    val a = DataGen.documents(spark, 200).collect().toSeq
+    assert(a == DataGen.documents(spark, 200).collect().toSeq)
+    val df = DataGen.documents(spark, 200)
+    // within a 5-doc group: canonical (id % 5 == 0) differs from each
+    // mutated member in exactly ONE token; across groups texts share
+    // nothing (md5-derived tokens)
+    val toks = df.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val base = toks.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") / 5).cast("long").as("g"), col("t").as("bt"))
+    val diff = toks.filter(col("doc_id") % 5 =!= 0)
+      .select((col("doc_id") / 5).cast("long").as("g"), col("doc_id"), col("t"))
+      .join(base, "g")
+      .select(size(filter(zip_with(col("t"), col("bt"),
+        (x, y) => when(x =!= y, lit(1))), c => c.isNotNull)).as("ndiff"))
+    assert(diff.filter(col("ndiff") =!= 1).count() == 0)
+  }
+
+  test("soak dedup shape at small scale: canonical keep collapses the groups") {
+    // the bench soak runs this at 100k docs for time/shuffle; this pins the
+    // CORRECTNESS of the same composition at 1k docs — ideal result keeps
+    // exactly the 200 canonical docs; banding (k=12, b=4, r=3 over
+    // jaccard ~0.8 pairs) misses a small tail, never a large one, and can
+    // never drop below the perfect count
+    import graft.operators.Dedup
+    val docs = DataGen.documents(spark, 1000)
+    val kept = Dedup.keepCanonical(docs, Dedup.minhashCandidates(docs)).count()
+    assert(kept >= 200 && kept <= 320, s"kept $kept of 1000 (ideal 200)")
+  }
 }
