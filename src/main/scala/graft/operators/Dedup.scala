@@ -22,11 +22,16 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup by content fingerprint; keeps the lowest id per group
-    * (deterministic, unlike a bare dropDuplicates). */
+    * (deterministic, unlike a bare dropDuplicates). A min_by aggregation on
+    * the fingerprint: duplicates partial-combine map-side and nothing is
+    * sorted — on a duplicate-heavy 100 TB corpus the shuffle carries one
+    * candidate row per fingerprint per input partition, not every row (a
+    * window form would shuffle and sort the whole corpus). */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol))).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val row = struct(df.columns.toIndexedSeq.map(col): _*)
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(row, col(idCol)).as("__r"))
+      .select(col("__r.*"))
   }
 
   // -------------------------------------------------------------- minhash

@@ -36,12 +36,31 @@ object Spend {
     dedupeBy(df, Seq(c.id), Seq(c.ts, c.amount))
 
   /** Deterministic dedup on arbitrary keys: keeps the first row per key group
-    * ordered by `order`. One shuffle on the keys; at scale prefer ordering by
-    * a unique id so the kept row is stable across retries and engines.
+    * ordered by `order` (full row as the final tie-break, so the kept row is
+    * deterministic even when `order` ties).
+    *
+    * Shape: a min_by AGGREGATION, not a window. Both shuffle on the keys,
+    * but the aggregate partial-combines duplicates map-side (the shuffle
+    * carries at most one row per key per input partition) and never sorts,
+    * where the window form shuffles EVERY row and pays a per-partition
+    * sort — the difference between the two is the dedup cost at 100 TB.
     */
   def dedupeBy(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    val row = struct(df.columns.toIndexedSeq.map(col): _*)
+    val ord = struct((order.map(col) :+ row): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(row, ord).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  /** The windowed reference form of [[dedupeBy]] (same total order, so the
+    * two are value-identical — asserted by spec; kept as the semantic
+    * definition). */
+  private[graft] def dedupeByWindow(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(c => col(c).asc): _*)
+    val row = struct(df.columns.toIndexedSeq.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((order.map(c => col(c).asc) :+ row.asc): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -58,6 +58,23 @@ class SpendPropertiesSpec extends SparkSpec {
     assert(twice.collect().map(_.toSeq).toSet == deduped.collect().map(_.toSeq).toSet)
   }
 
+  test("agg-form dedupeBy equals the windowed reference, ties included") {
+    // keys with order-column TIES: the full-row tie-break must make both
+    // forms pick the same row deterministically
+    val rnd = new Random(5L)
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(3).toLong, // key, tied order col
+        i.toLong, math.round(rnd.nextDouble() * 1000) / 100.0)
+    }
+    val df = rows.toDF("k", "o", "id", "v")
+    val agg = Spend.dedupeBy(df, Seq("k"), Seq("o"))
+      .collect().map(_.toSeq).toSet
+    val win = Spend.dedupeByWindow(df, Seq("k"), Seq("o"))
+      .collect().map(_.toSeq).toSet
+    assert(agg == win)
+    assert(agg.size == rows.map(_._1).distinct.size)
+  }
+
   test("sliding 10/5 window: every event lands in exactly two windows") {
     val rows = randomEvents(5L, 300)
     val df = rows.toDF("event_id", "ts", "user_id", "value")
