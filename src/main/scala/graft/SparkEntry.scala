@@ -456,6 +456,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // greedy fixed-context sequence packing (GPT-style concat-and-chunk):
+    // each doc stamped with the 512-token bin it starts in and its offset,
+    // one window per source shard — never a global cumulative sum
+    "x9_pack_sequences" -> ((s, dir) =>
+      graft.operators.Sampling.packSequences(
+          Tables.documents(s, dir),
+          graft.operators.TextAnalysis.tokenCount(col("text")), 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("bin"), col("bin_offset"))
+        .orderBy(col("doc_id"))),
+
     // ---- LLM-pipeline extensions: text analysis -------------------------
     "ext_text_profile" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -1209,6 +1220,18 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+
+    "x9_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS excl FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(excl / 512) AS BIGINT) AS bin,
+        |  CAST(excl % 512 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "ext_text_profile" ->
       """SELECT doc_id,

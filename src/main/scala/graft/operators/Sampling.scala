@@ -81,4 +81,37 @@ object Sampling {
       .filter(col("__rank") <= n)
       .drop("__rank")
   }
+
+  /** Greedy fixed-context sequence packing (the GPT-style concat-and-chunk
+    * layout): documents stream in deterministic `idCol` order within each
+    * shard, token counts accumulate, and each doc is stamped with the
+    * context bin it STARTS in (`floor(exclusivePrefix / contextLen)`) and
+    * its token offset inside that bin (`exclusivePrefix % contextLen`).
+    * Every bin is exactly `contextLen` tokens except the last per shard; a
+    * doc whose tokens cross the boundary straddles into the next bin —
+    * chunk long docs first if the model can't split them.
+    *
+    * Scale shape: ONE window per shard (shuffle on the shard key, sort by
+    * id within shard) — never a global cumulative sum, which would
+    * serialize the corpus through one partition. Shards are the file-layout
+    * unit of a real corpus anyway, and packing is only ever required to be
+    * contiguous within a shard. Deterministic and engine-portable: pure
+    * integer arithmetic over a content-ordered prefix sum (exclusive
+    * prefix < 2^53 tokens per shard keeps the floor exact in any engine).
+    *
+    * Output: input columns + `n_tokens`, `bin`, `bin_offset`. */
+  def packSequences(
+      df: DataFrame,
+      tokens: Column,
+      contextLen: Int,
+      idCol: String = "doc_id",
+      shardCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    val excl = (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long")
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("bin", floor(excl / contextLen).cast("long"))
+      .withColumn("bin_offset", (excl % contextLen).cast("long"))
+  }
 }

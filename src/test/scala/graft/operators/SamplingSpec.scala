@@ -69,6 +69,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packSequences matches a driver-side greedy fold, shard by shard") {
+    val rnd = new scala.util.Random(9L)
+    val rows = (0L until 300L).map(i => (i, s"s${i % 4}", rnd.nextInt(200) + 1))
+    val df = rows.toDF("doc_id", "source", "n")
+    val got = Sampling.packSequences(df, col("n"), contextLen = 512)
+      .select("doc_id", "n_tokens", "bin", "bin_offset")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // reference: stream each shard's docs in id order, accumulate tokens
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      var acc = 0L
+      docs.sortBy(_._1).foreach { case (id, _, n) =>
+        assert(got(id) == ((id, n.toLong, acc / 512, acc % 512)),
+          s"doc $id: got ${got(id)}, acc=$acc n=$n")
+        acc += n
+      }
+    }
+    // offsets live in [0, contextLen)
+    assert(got.values.forall(r => r._4 >= 0 && r._4 < 512))
+  }
+
   test("perKeyQuota keeps exactly n deterministic rows per key") {
     val df = Seq(
       ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 30L), ("s1", 4L, 20L),
