@@ -512,6 +512,29 @@ object SparkEntry {
             .as("top_bigram_fraction"))
     }),
 
+    "ext_strip_markup" -> ((s, dir) => {
+      // deterministic synthetic markup is wrapped around each doc (the
+      // corpus itself is plain text), then stripped; the oracle regenerates
+      // the same wrapping and applies the same engine-portable regexes
+      import graft.operators.TextAnalysis
+      val marked = Tables.ensureParallelism(Tables.documents(s, dir))
+        .withColumn("t", concat(
+          lit("<html><body id=\"d"), col("doc_id").cast("string"),
+          lit("\"><p>"), col("text"),
+          lit("</p><br/>&amp;copy; source&gt;</body></html>")))
+      // two-step select: n_clean derives from the already-computed column,
+      // so the regex chain runs once per doc (CollapseProject's non-cheap
+      // guard keeps the projections separate)
+      marked.select(col("doc_id"), TextAnalysis.stripMarkup(col("t")).as("clean"))
+        .select(col("doc_id"), col("clean"), length(col("clean")).as("n_clean"))
+    }),
+
+    "ext_vocab_topk" -> ((s, dir) =>
+      // corpus-level token frequency top-100: explode -> partial-agg count
+      // -> TakeOrdered (ties by token text)
+      graft.operators.TextAnalysis.vocabTopK(
+        Tables.ensureParallelism(Tables.documents(s, dir)), "text", 100)),
+
     "ext_pii_redact" -> ((s, dir) => {
       // deterministic synthetic PII is appended per doc (the corpus itself
       // is clean), then counted and scrubbed; the oracle regenerates the
@@ -1291,6 +1314,28 @@ object SparkEntry {
         |  CAST(COALESCE(c.top, 0) AS DOUBLE)
         |      / CAST(greatest(len(bgs), 1) AS DOUBLE) AS top_bigram_fraction
         |FROM b LEFT JOIN c ON b.doc_id = c.doc_id""".stripMargin,
+
+    // same wrapping, same tag-strip regex, same entity-decode order (&amp;
+    // LAST — the wrapper's '&amp;copy;' must decode exactly once to the
+    // literal '&copy;', pinning the no-double-decode semantics)
+    "ext_strip_markup" ->
+      """WITH m AS (SELECT doc_id,
+        |  '<html><body id="d' || CAST(doc_id AS VARCHAR) || '"><p>' || text ||
+        |  '</p><br/>&amp;copy; source&gt;</body></html>' AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(t, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM m)
+        |SELECT doc_id, clean, length(clean) AS n_clean FROM c""".stripMargin,
+
+    "ext_vocab_topk" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents) u
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
     "ext_pii_redact" -> {
       import graft.operators.Pii

@@ -174,6 +174,32 @@ object TextAnalysis {
   def bigramDenominator(text: Column): Column =
     greatest(size(tokens(text)) - 1, lit(1))
 
+  /** Markup stripped to plain text: tags replaced by spaces (so adjacent
+    * words don't fuse), entities for the five XML predefineds decoded,
+    * whitespace collapsed. Regex constructs limited to the Java∩RE2 subset
+    * (engine-portable — the C4-style boilerplate-stripping front step). */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    // &amp; decodes LAST: sequential replacement would otherwise turn
+    // "&amp;lt;" into "<" (double decode); with &amp; last it correctly
+    // yields the literal "&lt;"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Top-`k` corpus vocabulary by token frequency (ties broken by token
+    * text): explode -> count -> top-k. Scale shape: the explode fans out
+    * one row per token, but the count partial-aggregates map-side (the
+    * shuffle carries per-partition token counts, not tokens) and the top-k
+    * is a TakeOrdered, not a full sort. */
+  def vocabTopK(df: DataFrame, textCol: String = "text", k: Int = 100): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** One-pass profile of a documents table. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

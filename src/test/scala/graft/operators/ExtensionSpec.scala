@@ -99,6 +99,31 @@ class ExtensionSpec extends SparkSpec {
     assert(cc.length == 60 && cc.forall(_._2 == 1L))
   }
 
+  test("stripMarkup: tags to spaces, entities decoded once, whitespace collapsed") {
+    import graft.operators.TextAnalysis.stripMarkup
+    val got = Seq(
+      "<p>hello <b>world</b></p>",
+      "a&lt;b &amp;&amp; c&gt;d",
+      "no markup at all",
+      "<div\nclass='x'>multi\nline</div>",
+      "&amp;lt; stays encoded once-decoded") // double-encoded survives one pass
+      .toDF("t").select(stripMarkup(col("t"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "hello world",
+      "a<b && c>d",
+      "no markup at all",
+      "multi line",
+      "&lt; stays encoded once-decoded"))
+  }
+
+  test("vocabTopK counts tokens corpus-wide with deterministic ties") {
+    import graft.operators.TextAnalysis.vocabTopK
+    val df = Seq("b a a", "b c", "a B").toDF("text")
+    val got = vocabTopK(df, "text", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 3L), ("c", 1L))) // lowercased; tie a<b
+  }
+
   test("TopBigramCount expression matches the higher-order-function definition") {
     import graft.operators.TextAnalysis._
     // corpus rows + the edge shapes: empty, single-token, all-same, runs,
