@@ -467,6 +467,16 @@ object SparkEntry {
           col("bin"), col("bin_offset"))
         .orderBy(col("doc_id"))),
 
+    // deterministic fixed-size doc chunking (the long-document complement of
+    // x9's packing): half-open token ranges tiling [0, n_tokens) per doc
+    "x10_chunk_docs" -> ((s, dir) =>
+      graft.operators.Sampling.chunkDocs(
+          Tables.documents(s, dir),
+          graft.operators.TextAnalysis.tokenCount(col("text")), 32)
+        .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+          col("token_start"), col("token_end"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ---- LLM-pipeline extensions: text analysis -------------------------
     "ext_text_profile" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -482,6 +492,15 @@ object SparkEntry {
     "ext_lang_id" -> ((s, dir) =>
       Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
         graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // real greedy-merge subword tokenization over the generated merge table
+    // (replaces the approxBpeCount heuristic as the graded token counter);
+    // the oracle replays the identical greedy scan as a recursive CTE over
+    // the same table embedded as SQL literals
+    "ext_bpe_tokens" -> ((s, dir) =>
+      Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
+        graft.functions.Bpe.tokenCount(graft.operators.Dedup.normalize(col("text")))
+          .as("n_bpe_tokens"))),
 
     "ext_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -680,6 +699,17 @@ object SparkEntry {
       graft.operators.Similarity.ivfTopK(
         emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
         k = 5, nlist = 16, nprobe = 16)
+    }),
+
+    // the same exhaustive-probe grading with literalCentroidMax = 0, which
+    // forces the broadcast-join assignment/probe — the FAISS-scale code path
+    // (nlist beyond what a literal expression should inline) carries its own
+    // hash row instead of riding on an equivalence spec
+    "ext_knn_ivf_exact_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        k = 5, nlist = 16, nprobe = 16, literalCentroidMax = 0)
     }),
 
     // in-engine recall number for IVF (rows-only for the same reason; the
@@ -1256,6 +1286,18 @@ object SparkEntry {
         |  CAST(excl % 512 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "x10_chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  unnest(generate_series(0, CAST(floor((n_tokens - 1) / 32.0) AS BIGINT))) AS chunk_idx
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, chunk_idx,
+        |  chunk_idx * 32 AS token_start,
+        |  least((chunk_idx + 1) * 32, n_tokens) AS token_end
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "ext_text_profile" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -1273,6 +1315,30 @@ object SparkEntry {
         |    + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?''"()\-]', '', 'g')) AS DOUBLE)
         |      / CAST(greatest(length(text), 1) AS DOUBLE) * 4.0, 1.0)) * 0.2 AS quality_score
         |FROM documents""".stripMargin,
+
+    // the generated merge table embedded as SQL literals (same precedent as
+    // the LSH plane literals); the recursive CTE replays the exact greedy
+    // longest-match scan: space skips, 3-gram beats 2-gram beats 1 char
+    "ext_bpe_tokens" -> {
+      val v3 = graft.functions.Bpe.mergeTable.filter(_.length == 3)
+        .map("'" + _ + "'").mkString("[", ",", "]")
+      val v2 = graft.functions.Bpe.mergeTable.filter(_.length == 2)
+        .map("'" + _ + "'").mkString("[", ",", "]")
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s,
+         |    0 AS pos, 0 AS cnt
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, s,
+         |    pos + CASE WHEN substr(s, pos + 1, 1) = ' ' THEN 1
+         |      WHEN list_contains($v3, substr(s, pos + 1, 3)) THEN 3
+         |      WHEN list_contains($v2, substr(s, pos + 1, 2)) THEN 2
+         |      ELSE 1 END,
+         |    cnt + CASE WHEN substr(s, pos + 1, 1) = ' ' THEN 0 ELSE 1 END
+         |  FROM tok WHERE pos < len(s))
+         |SELECT doc_id, CAST(max(cnt) AS BIGINT) AS n_bpe_tokens
+         |FROM tok GROUP BY doc_id""".stripMargin
+    },
 
     "ext_lang_id" ->
       """WITH s AS (SELECT doc_id,
@@ -1605,8 +1671,10 @@ object SparkEntry {
     "ext_knn_brute" -> bruteKnnSql,
 
     // IVF at nprobe = nlist is exhaustive search — the brute-force SQL IS
-    // its oracle (see the ext_knn_ivf_exact query comment)
+    // its oracle (see the ext_knn_ivf_exact query comment); the _join twin
+    // grades the broadcast-join assignment/probe path against the same SQL
     "ext_knn_ivf_exact" -> bruteKnnSql,
+    "ext_knn_ivf_exact_join" -> bruteKnnSql,
 
     "ext_multimodal_features" ->
       """SELECT doc_id AS media_id,

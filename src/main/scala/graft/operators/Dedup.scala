@@ -29,9 +29,15 @@ object Dedup {
     * window form would shuffle and sort the whole corpus). */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val row = struct(df.columns.toIndexedSeq.map(col): _*)
+    // min over struct(id, row) rather than min_by(row, id): the struct is
+    // never null at the top level (min_by IGNORES rows with a null ordering
+    // key, so a group of all-null ids would have produced an all-null row;
+    // here a null id just sorts first, matching the window form's
+    // nulls-first asc), and the payload rides inside the ordering value, so
+    // the shuffle carries the row once instead of payload + ordering copy
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-      .agg(min_by(row, col(idCol)).as("__r"))
-      .select(col("__r.*"))
+      .agg(min(struct(col(idCol).as("__id"), row.as("__row"))).as("__m"))
+      .select(col("__m.__row.*"))
   }
 
   // -------------------------------------------------------------- minhash

@@ -82,6 +82,34 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Split each document into deterministic fixed-size token chunks — the
+    * standard long-document treatment before [[packSequences]]: a doc of
+    * `n` tokens yields `ceil(n / contextLen)` rows stamped with
+    * (`chunk_idx`, `token_start`, `token_end`), where the half-open token
+    * ranges tile [0, n) exactly and every chunk is full-length except the
+    * doc's last. Zero-token docs yield NO rows (nothing to train on; the
+    * conditional sequence is null there and explode drops it). Pure per-row
+    * expression + explode — scan-parallel, no shuffle, and the fan-out
+    * stays distributed (same shape as frame sampling in Multimodal).
+    *
+    * Output: input columns + `n_tokens`, `chunk_idx`, `token_start`,
+    * `token_end`. Slice the actual token/char payload downstream with
+    * `token_start`/`token_end`; this operator only plans the cut points. */
+  def chunkDocs(
+      df: DataFrame,
+      tokens: Column,
+      contextLen: Int): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    val n = col("n_tokens")
+    df.withColumn("n_tokens", tokens.cast("long"))
+      // last chunk index = floor((n-1)/contextLen); the double division is
+      // exact below 2^53 tokens per doc
+      .withColumn("chunk_idx",
+        explode(when(n > 0, sequence(lit(0L), floor((n - 1) / contextLen)))))
+      .withColumn("token_start", col("chunk_idx") * contextLen)
+      .withColumn("token_end", least(col("token_start") + contextLen, n))
+  }
+
   /** Greedy fixed-context sequence packing (the GPT-style concat-and-chunk
     * layout): documents stream in deterministic `idCol` order within each
     * shard, token counts accumulate, and each doc is stamped with the
@@ -108,7 +136,11 @@ object Sampling {
       shardCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    // explicit ROWS frame: the default RANGE frame would let idCol ties
+    // share a cumulative sum that includes every tied row, diverging from
+    // the documented greedy per-doc stream (and the oracle's ROWS frame)
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val excl = (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long")
     df.withColumn("n_tokens", tokens.cast("long"))
       .withColumn("bin", floor(excl / contextLen).cast("long"))

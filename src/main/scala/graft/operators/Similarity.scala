@@ -32,7 +32,10 @@ object Similarity {
   val InferDim: Int = -1
 
   /** Embedding width of `df(embCol)`, read from one row (a LIMIT 1 scan —
-    * plan-build cost, not a data pass). */
+    * plan-build cost, not a data pass). The empty-frame require is
+    * intentional: an empty corpus/query side cannot be validated, and
+    * silently returning an empty result would hide an upstream bug (a
+    * filter that dropped everything) behind a plausible "no matches". */
   private[operators] def headDim(df: DataFrame, embCol: String): Int = {
     val r = df.select(size(col(embCol)).as("d")).limit(1).collect()
     require(r.nonEmpty, s"cannot infer embedding dim: '$embCol' has no rows")
@@ -118,6 +121,8 @@ object Similarity {
       qIdCol: String = "q_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = resolveDim(corpus, embCol, dim)
+    resolveDim(queries, embCol, d) // queries hash with the corpus width — a
+    // mismatched query frame would otherwise silently bucket on a prefix
     val bucket = (e: Column) => lshBucket(e, nPlanes, d, seed)
     val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
       Vectors.norm(col(embCol)).as("c_nrm"), bucket(col(embCol)).as("bucket"))
@@ -155,6 +160,8 @@ object Similarity {
       qIdCol: String = "q_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = resolveDim(corpus, embCol, dim)
+    resolveDim(queries, embCol, d) // same guard as lshTopK: query width must
+    // match the corpus width the planes were sized for
     def tableBuckets(e: Column): Column =
       array((0 until tables).map(t => lshBucket(e, nPlanes, d, seed + t)): _*)
     val candidates =
@@ -276,6 +283,9 @@ object Similarity {
         embCol: String = "embedding"): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val np = if (nprobe > 0) nprobe else nprobeDefault
+      // queries must have the width the index was trained at — a narrower
+      // frame would silently probe on an l2 prefix distance
+      resolveDim(queries, embCol, centroids.head.length)
       val q =
         if (centroids.length <= literalCentroidMax)
           queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
@@ -284,11 +294,18 @@ object Similarity {
               d => d.getField("cid"))).as("list_id"))
         else {
           // join-based probe: rank the broadcast centroid relation per query
-          // (same (dist, list_id) ordering the literal array_sort uses)
+          // ROW (same (dist, list_id) ordering the literal array_sort uses).
+          // The window partitions on a per-row id, not q_id: duplicate q_id
+          // values would otherwise interleave two rows' centroid distances
+          // into one shared (wrong) probe set — the literal path is per-row,
+          // so this path must be too. monotonically_increasing_id is
+          // deterministic here (partition id + row order, both stable for a
+          // given input plan).
           val cdf = centroidFrame(queries.sparkSession, centroids)
-          val w = Window.partitionBy(col("q_id")).orderBy(col("__dist"), col("list_id"))
+          val w = Window.partitionBy(col("__qrow")).orderBy(col("__dist"), col("list_id"))
           queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
               Vectors.norm(col(embCol)).as("q_nrm"))
+            .withColumn("__qrow", monotonically_increasing_id())
             .crossJoin(broadcast(cdf))
             .withColumn("__dist", Vectors.l2Squared(col("q_emb"), col("cv")))
             .withColumn("__rn", row_number().over(w))
@@ -344,13 +361,15 @@ object Similarity {
             .getField("cid").as("list_id"))
       else {
         // join-based assignment: argmin over the broadcast centroid relation
-        // via a per-row window (one extra shuffle on vec_id, but codegen
-        // stays bounded at FAISS-scale nlist)
+        // via a per-ROW window (one extra shuffle, but codegen stays bounded
+        // at FAISS-scale nlist). Partitioning on a per-row id rather than
+        // vec_id keeps duplicate corpus ids from collapsing to one argmin.
         import org.apache.spark.sql.expressions.Window
         val cdf = centroidFrame(corpus.sparkSession, centroids)
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("__dist"), col("list_id"))
+        val w = Window.partitionBy(col("__crow")).orderBy(col("__dist"), col("list_id"))
         corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
             Vectors.norm(col(embCol)).as("c_nrm"))
+          .withColumn("__crow", monotonically_increasing_id())
           .crossJoin(broadcast(cdf))
           .withColumn("__dist", Vectors.l2Squared(col("c_emb"), col("cv")))
           .withColumn("__rn", row_number().over(w))

@@ -39,18 +39,23 @@ object Spend {
     * ordered by `order` (full row as the final tie-break, so the kept row is
     * deterministic even when `order` ties).
     *
-    * Shape: a min_by AGGREGATION, not a window. Both shuffle on the keys,
-    * but the aggregate partial-combines duplicates map-side (the shuffle
-    * carries at most one row per key per input partition) and never sorts,
-    * where the window form shuffles EVERY row and pays a per-partition
-    * sort — the difference between the two is the dedup cost at 100 TB.
-    */
+    * Shape: a min AGGREGATION over struct(order, row), not a window. Both
+    * shuffle on the keys, but the aggregate partial-combines duplicates
+    * map-side (the shuffle carries at most one row per key per input
+    * partition) and never sorts, where the window form shuffles EVERY row
+    * and pays a per-partition sort — the difference between the two is the
+    * dedup cost at 100 TB. min over the combined struct rather than
+    * min_by(row, struct(order, row)): identical lexicographic order, but
+    * the aggregation buffer (and shuffle row) carries the payload ONCE —
+    * min_by's separate ordering key duplicated the full row and nearly
+    * doubled the dedup shuffle at the 20M soak scale. The struct is also
+    * never null at the top level, so no row is ever ignored the way a bare
+    * null min_by ordering key would be. */
   def dedupeBy(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
     val row = struct(df.columns.toIndexedSeq.map(col): _*)
-    val ord = struct((order.map(col) :+ row): _*)
     df.groupBy(keys.map(col): _*)
-      .agg(min_by(row, ord).as("__r"))
-      .select(col("__r.*"))
+      .agg(min(struct((order.map(col) :+ row.as("__row")): _*)).as("__m"))
+      .select(col("__m.__row.*"))
   }
 
   /** The windowed reference form of [[dedupeBy]] (same total order, so the

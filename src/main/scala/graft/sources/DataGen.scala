@@ -46,18 +46,24 @@ object DataGen {
       ).as("status"))
   }
 
-  /** Batch: `n` deterministic transactions as flat typed columns. */
+  /** Batch: `n` deterministic transactions as flat typed columns, ids
+    * `startId until startId + n` — a non-zero `startId` continues the same
+    * deterministic sequence (event time keeps advancing), which lets a soak
+    * generate a multi-million-row stream in driver-sized chunks. */
   def transactions(
       spark: SparkSession,
       n: Long,
       seed: Long = 42L,
       startEpoch: Long = 1704067200L, // 2024-01-01T00:00:00Z
-      eventsPerSecond: Double = 10.0): DataFrame =
-    spark.range(n).select(fields(col("id"), seed, startEpoch, eventsPerSecond): _*)
+      eventsPerSecond: Double = 10.0,
+      startId: Long = 0L): DataFrame =
+    spark.range(startId, startId + n)
+      .select(fields(col("id"), seed, startEpoch, eventsPerSecond): _*)
 
   /** Batch: same rows wire-encoded as a JSON `value` column (Kafka shape). */
-  def transactionsJson(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame =
-    transactions(spark, n, seed)
+  def transactionsJson(
+      spark: SparkSession, n: Long, seed: Long = 42L, startId: Long = 0L): DataFrame =
+    transactions(spark, n, seed, startId = startId)
       .select(to_json(struct(col("*"))).as("value"))
 
   /** Batch: `n` synthetic documents with planted near-duplicates, for

@@ -89,6 +89,56 @@ class SamplingSpec extends SparkSpec {
     assert(got.values.forall(r => r._4 >= 0 && r._4 < 512))
   }
 
+  test("chunkDocs tiles [0, n_tokens) exactly; zero-token docs vanish") {
+    val df = Seq((1L, 300L), (2L, 128L), (3L, 1L), (4L, 0L), (5L, 256L))
+      .toDF("doc_id", "n")
+    val got = Sampling.chunkDocs(df, col("n"), contextLen = 128)
+      .select("doc_id", "n_tokens", "chunk_idx", "token_start", "token_end")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    assert(!got.contains(4L)) // zero-token doc yields no chunks
+    assert(got(1L).map(r => (r._3, r._4, r._5)).toSeq ==
+      Seq((0L, 0L, 128L), (1L, 128L, 256L), (2L, 256L, 300L)))
+    assert(got(2L).map(r => (r._3, r._4, r._5)).toSeq == Seq((0L, 0L, 128L)))
+    assert(got(3L).map(r => (r._3, r._4, r._5)).toSeq == Seq((0L, 0L, 1L)))
+    // tiling invariants on every doc: contiguous half-open ranges from 0 to n
+    got.values.foreach { chunks =>
+      val n = chunks.head._2
+      assert(chunks.head._4 == 0L && chunks.last._5 == n)
+      chunks.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4, s"gap between $a and $b")
+        case _ => ()
+      }
+      assert(chunks.init.forall(c => c._5 - c._4 == 128L))
+      assert(chunks.forall(c => c._5 - c._4 >= 1L && c._5 - c._4 <= 128L))
+    }
+  }
+
+  test("chunkDocs composes with packSequences over the chunk stream") {
+    // chunk long docs, then pack the CHUNK stream (the standard pipeline
+    // order): no piece entering the packer exceeds the context, and the
+    // packed offsets replay exactly as a per-shard greedy fold in chunk-id
+    // order — the two operators compose without any glue beyond a unique
+    // orderable chunk id
+    val rnd = new scala.util.Random(11L)
+    val rows = (0L until 200L).map(i => (i, s"s${i % 3}", rnd.nextInt(700) + 1))
+    val chunks = Sampling.chunkDocs(rows.toDF("doc_id", "source", "n"), col("n"), 256)
+      .withColumn("chunk_id", format_string("%06d-%03d", col("doc_id"), col("chunk_idx")))
+    val packed = Sampling.packSequences(
+        chunks, col("token_end") - col("token_start"), 256, idCol = "chunk_id")
+      .select("source", "chunk_id", "n_tokens", "bin", "bin_offset")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(packed.nonEmpty)
+    assert(packed.forall(c => c._3 >= 1 && c._3 <= 256)) // chunks fit the context
+    packed.groupBy(_._1).values.foreach { shard =>
+      var acc = 0L
+      shard.sortBy(_._2).foreach { case (_, id, n, bin, off) =>
+        assert((bin, off) == (acc / 256, acc % 256), s"chunk $id: acc=$acc")
+        acc += n
+      }
+    }
+  }
+
   test("perKeyQuota keeps exactly n deterministic rows per key") {
     val df = Seq(
       ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 30L), ("s1", 4L, 20L),
