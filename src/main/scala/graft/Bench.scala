@@ -357,9 +357,14 @@ object Bench {
   /** Streaming-state soak: 2M events through the canonical pipeline in 10
     * batches whose event time marches far past the watermark each batch;
     * per-batch total state rows and state memory are recorded for the
-    * default and RocksDB backends. A healthy watermark keeps both curves
+    * default and RocksDB backends. A healthy watermark keeps the ROW curves
     * flat while cumulative input grows 10x — state that climbs with input
-    * would be the unbounded-state bug the §4.3 fixes exist to prevent. */
+    * would be the unbounded-state bug the §4.3 fixes exist to prevent.
+    * Note on the byte curve: numRowsTotal is the eviction evidence; RocksDB's
+    * memoryUsedBytes climbs over a short run even at flat rows because the
+    * metric counts SST files of historical version snapshots until
+    * compaction reclaims them — expected metric semantics, not state
+    * growth (the default backend's byte curve is flat at the same rows). */
   private def streamStateSoak(spark: SparkSession): String = {
     import graft.streaming.SpendingPipeline
     import graft.streaming.SpendingPipeline.{Config, Sink, Source}

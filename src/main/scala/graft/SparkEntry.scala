@@ -201,6 +201,11 @@ object SparkEntry {
 
     "a6_sql_count" -> ((s, dir) => {
       // The reference's one SQL-text query (spark.sql over a named view).
+      // createOrReplaceTempView mutates session state inside a nominally
+      // pure query lambda: harmless here (the name is graft-namespaced and
+      // re-registration is idempotent), but two sessions sharing a
+      // SparkSession and racing this lambda with different `dir`s would
+      // interleave — acceptable for a harness query, not a library pattern.
       Tables.events(s, dir).createOrReplaceTempView("graft_events")
       s.sql("SELECT event_type, count(*) AS n FROM graft_events GROUP BY event_type")
     }),

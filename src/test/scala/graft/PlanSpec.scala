@@ -77,4 +77,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"))
     assert(!p.contains("Join"))
   }
+
+  test("ext_bpe_tokens: scan-parallel expression, no shuffle, no join") {
+    val p = plan("ext_bpe_tokens")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "tokenization is per-row; a shuffle means the vocab leaked into a join")
+    assert(!p.contains("Join"), "the merge table must be inlined, not joined")
+  }
+
+  test("x10: chunk fan-out is a Generate over the scan — no shuffle before the sort") {
+    val p = plan("x10_chunk_docs")
+    assert(p.contains("Generate"), "chunking should explode per row")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking must stay scan-parallel (the only exchange is the output sort's range partitioning)")
+    assert(!p.contains("Join"))
+  }
 }
