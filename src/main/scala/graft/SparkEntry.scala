@@ -482,6 +482,18 @@ object SparkEntry {
           col("token_start"), col("token_end"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // train-vs-eval n-gram decontamination: every tenth doc plays the eval
+    // set; train docs sharing >= 2 distinct 5-gram shingles with an eval
+    // doc are flagged (boilerplate shingles capped at df 100)
+    "x11_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dedup.crossCorpusOverlap(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          n = 5, minShared = 2, maxShingleDf = 100)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
     // ---- LLM-pipeline extensions: text analysis -------------------------
     "ext_text_profile" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -506,6 +518,11 @@ object SparkEntry {
       Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
         graft.functions.Bpe.tokenCount(graft.operators.Dedup.normalize(col("text")))
           .as("n_bpe_tokens"))),
+
+    // corpus-df rarity scoring (inverse-frequency novelty signal; integer
+    // sums keep it engine-exact)
+    "ext_doc_rarity" -> ((s, dir) =>
+      graft.operators.TextAnalysis.docRarity(Tables.documents(s, dir))),
 
     "ext_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -1290,6 +1307,35 @@ object SparkEntry {
         |  CAST(floor(excl / 512) AS BIGINT) AS bin,
         |  CAST(excl % 512 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x11_decontaminate" ->
+      """WITH tr AS (SELECT doc_id, list_distinct(
+        |    [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)]) AS s
+        |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |        FROM documents WHERE doc_id % 10 != 0)),
+        |ev AS (SELECT doc_id, list_distinct(
+        |    [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)]) AS s
+        |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |        FROM documents WHERE doc_id % 10 = 0)),
+        |tr_e AS (SELECT doc_id AS train_id, unnest(s) AS sh FROM tr),
+        |ev_e AS (SELECT doc_id AS eval_id, unnest(s) AS sh FROM ev),
+        |hot AS (SELECT sh FROM tr_e GROUP BY sh HAVING count(*) > 100),
+        |flt AS (SELECT * FROM tr_e ANTI JOIN hot USING (sh))
+        |SELECT train_id, eval_id, count(*) AS shared_ngrams
+        |FROM flt JOIN ev_e USING (sh)
+        |GROUP BY train_id, eval_id HAVING count(*) >= 2
+        |ORDER BY train_id, eval_id""".stripMargin,
+
+    "ext_doc_rarity" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS tok
+        |  FROM documents),
+        |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_distinct_tokens,
+        |  CAST(sum(df) AS BIGINT) AS sum_df,
+        |  CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+        |FROM toks JOIN dfreq USING (tok)
+        |GROUP BY doc_id""".stripMargin,
 
     "x10_chunk_docs" ->
       """WITH t AS (SELECT doc_id,

@@ -149,6 +149,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ----------------------------------------------------- decontamination
+
+  /** Train-vs-eval n-gram decontamination: the (train doc, eval doc) pairs
+    * sharing at least `minShared` distinct word `n`-gram shingles — the
+    * standard pre-training check that benchmark/eval text has not leaked
+    * into the training corpus. Output: (train_id, eval_id, shared_ngrams).
+    *
+    * Scale shape: a single equi-join on the shingle string (shuffle on
+    * shingle; the eval side is tiny in practice and AQE broadcasts it) —
+    * never a doc x doc comparison. `maxShingleDf` drops shingles appearing
+    * in more than that many TRAIN rows before the join: boilerplate n-grams
+    * ("all rights reserved ...") are both useless as contamination evidence
+    * and the hot keys that would skew the shuffle — the cap bounds any
+    * single shingle's join fan-out at maxShingleDf x eval-side occurrences.
+    */
+  def crossCorpusOverlap(
+      train: DataFrame,
+      eval: DataFrame,
+      n: Int = 5,
+      minShared: Int = 2,
+      maxShingleDf: Int = Int.MaxValue,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"),
+      explode(wordShingles(col(textCol), n)).as("sh"))
+    val e = eval.select(col(idCol).as("eval_id"),
+      explode(wordShingles(col(textCol), n)).as("sh"))
+    val filtered =
+      if (maxShingleDf == Int.MaxValue) t
+      else {
+        // hot-shingle list is tiny (only shingles OVER the cap); anti-join
+        // prunes before the cross-corpus join
+        val hot = t.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf).select(col("sh"))
+        t.join(hot, Seq("sh"), "left_anti")
+      }
+    filtered.join(e, Seq("sh"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 60-bit SimHash over distinct whitespace tokens: per-bit majority vote

@@ -200,6 +200,30 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Document rarity from corpus document frequency: for each doc, the
+    * number of distinct tokens, the sum of those tokens' corpus df, and
+    * their mean df — low mean df = rare vocabulary, the standard
+    * inverse-frequency quality/novelty signal without the FP hazards of
+    * log-idf (integer sums are order-independent, so the output is
+    * bit-identical in any engine; the one double division happens last).
+    *
+    * Scale shape: two passes over the exploded distinct-token relation —
+    * the df aggregation partial-combines map-side (shuffle carries
+    * per-partition token counts), then one equi-join on token stamps df
+    * back onto each doc's tokens (AQE broadcasts the df side when the
+    * vocabulary is small) and a second combinable aggregation folds per
+    * doc. No all-pairs anything; vocabulary size, not corpus size, bounds
+    * the join's small side. */
+  def docRarity(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(split(Dedup.normalize(col(textCol)), " "))).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    toks.join(dfreq, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_distinct_tokens"), sum(col("df")).as("sum_df"))
+      .withColumn("mean_df", col("sum_df").cast("double") / col("n_distinct_tokens"))
+  }
+
   /** One-pass profile of a documents table. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
