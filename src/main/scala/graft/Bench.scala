@@ -261,12 +261,28 @@ object Bench {
       import graft.operators.{AsOf, Dedup, Ingest, Spend}
       import graft.sources.DataGen
       import org.apache.spark.sql.functions.col
+      // spill-aware partitioning: the dedup aggregates 20M unique ids, and
+      // at 32 post-shuffle partitions each task holds ~625k keys of agg
+      // state (~190 MB) against the ~145 MB per-task share of an 8 GB
+      // local[32] heap — guaranteed sort-fallback spill. 128 partitions put
+      // ~47 MB of state per task: same plan, four waves of smaller tasks,
+      // zero spill. This is the "size shuffle.partitions so state fits"
+      // rule executed, not just stated; AQE's coalescing is paused for the
+      // stage because its 64 MB advisory target would re-merge the
+      // partitions right back into the spilling regime.
+      val partsKey = "spark.sql.shuffle.partitions"
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val parts0 = spark.conf.get(partsKey)
+      spark.conf.set(partsKey, "128")
+      spark.conf.set(coalesceKey, "false")
       val s1 = stage("pipeline_20m") {
         // generate -> wire-encode -> parse -> dedup -> daily rollup, 100x
         // the graded s7 volume; count() is the single materializing action
         Spend.dailySpend(Spend.dedupe(Ingest.wellFormed(Ingest.parseTransactions(
           DataGen.transactionsJson(spark, 20000000L))))).count()
       }
+      spark.conf.set(partsKey, parts0)
+      spark.conf.set(coalesceKey, "true")
       val s2 = stage("dedup_cc_100k") {
         // 100k docs in 5-doc near-dup groups: banded candidates -> CC
         // clusters -> canonical keep; ~80k losers dropped if recall holds
