@@ -335,7 +335,12 @@ object Bench {
       }
       spark.conf.set(skewKey, "false")
       val s6 = stage("skew_join_salted_20m") {
-        graft.operators.Skew.saltedJoin(bigSkewed, dimTable, Seq("key"), saltBuckets = 32)
+        // dim side spread over 128 partitions BEFORE the 32x replication
+        // explode: otherwise the handful of replication map tasks (1M rows
+        // in, 32M out across 32 tasks) become the stage's max task and bury
+        // the reduce-side skew signal this stage exists to measure
+        graft.operators.Skew.saltedJoin(
+            bigSkewed, dimTable.repartition(128), Seq("key"), saltBuckets = 32)
           .count()
       }
       spark.conf.set(skewKey, "true")

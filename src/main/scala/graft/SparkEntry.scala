@@ -800,58 +800,16 @@ object SparkEntry {
             col("session_window.end").cast("long").as("sess_end"),
             col("total_spent"), col("n_events")))),
 
-    "stream_interval_join" -> ((s, dir) => {
-      // stream-stream interval join: purchases attributed to same-customer
-      // views in the prior 10 minutes. The feed is split into two REAL
-      // streams by merchant parity (a field both engines re-derive, so
-      // routing is order-independent); inner-join rows emit exactly once,
-      // state is evicted by the two watermarks.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      val rows = graft.sources.DataGen
-        .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
-        .select(col("merchant_id"), to_json(struct(col("*"))).as("value"))
-        .collect().map(r => (r.getInt(0), r.getString(1)))
-      val (vRows, pRows) = rows.partition(_._1 % 2 == 0)
-      val vs = MemoryStream[String]
-      val ps = MemoryStream[String]
-      val v = Ingest.parseTransactions(vs.toDF())
-        .selectExpr("customer_id AS v_cust", "timestamp AS v_ts",
-          "transaction_id AS view_id")
-        .withWatermark("v_ts", "10 minutes")
-      val p = Ingest.parseTransactions(ps.toDF())
-        .selectExpr("customer_id", "timestamp AS p_ts",
-          "transaction_id AS purchase_id")
-        .withWatermark("p_ts", "10 minutes")
-      val joined = p.join(v, expr(
-          "customer_id = v_cust AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 10 MINUTES"))
-        .select(col("purchase_id"), col("view_id"), col("customer_id"),
-          (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts")))
-            .as("secs_since_view"))
-      val ckpt = sys.props("java.io.tmpdir") + "/graft-ckpt-" +
-        java.util.UUID.randomUUID().toString
-      val q = joined.writeStream.outputMode("append").format("memory")
-        .queryName("stream_interval_join_t")
-        .option("checkpointLocation", ckpt).start()
-      try {
-        // both sides advance across several batches; the final sentinel on
-        // each side pushes both watermarks past every real event
-        val vChunks = vRows.map(_._2).grouped(math.max(1, vRows.length / 3))
-          .map(_.toIndexedSeq).toSeq
-        val pChunks = pRows.map(_._2).grouped(math.max(1, pRows.length / 3))
-          .map(_.toIndexedSeq).toSeq
-        vChunks.zipAll(pChunks, IndexedSeq.empty[String], IndexedSeq.empty[String])
-          .foreach { case (vc, pc) =>
-            if (vc.nonEmpty) vs.addData(vc)
-            if (pc.nonEmpty) ps.addData(pc)
-            q.processAllAvailable()
-          }
-        vs.addData(Seq(sentinelJson)); ps.addData(Seq(sentinelJson))
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table("stream_interval_join_t").filter(col("customer_id") =!= "-1")
-    }),
+    // stream-stream interval join: purchases attributed to same-customer
+    // views in the prior 10 minutes (inner: matched rows emit exactly once;
+    // state evicted by the two watermarks)
+    "stream_interval_join" -> ((s, dir) => intervalJoinStream(s, "inner")),
+
+    // the left-outer twin: every purchase emits — unmatched ones finalize
+    // as null-padded rows only once the view-side watermark proves no
+    // match can still arrive, the semantics that make outer stream-stream
+    // joins the hard case (the closing sentinel drives that finalization)
+    "stream_interval_join_left" -> ((s, dir) => intervalJoinStream(s, "leftOuter")),
 
     "q3_join_revenue" -> ((s, dir) => {
       // TPC-H Q3 shape: fact-fact shuffle join + broadcast dim join.
@@ -921,6 +879,65 @@ object SparkEntry {
       ms.addData(Seq(sentinelJson)); q.processAllAvailable()
     } finally q.stop()
     s.table(name).filter(col("customer_id") =!= "-1")
+  }
+
+  /** The stream-stream interval join behind `stream_interval_join` (inner)
+    * and `stream_interval_join_left` (leftOuter): the generator feed split
+    * into two REAL streams by merchant parity (a field both engines
+    * re-derive, so routing is order-independent), each with its own
+    * watermark; purchases join same-customer views from the prior 10
+    * minutes. The closing sentinel on both sides pushes both watermarks
+    * past every real event — inner rows have all emitted by then, and the
+    * outer join's null-padded rows finalize (an unmatched purchase may only
+    * emit once the view watermark proves no match can arrive). */
+  private def intervalJoinStream(s: SparkSession, joinType: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = graft.sources.DataGen
+      .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
+      .select(col("merchant_id"), to_json(struct(col("*"))).as("value"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val (vRows, pRows) = rows.partition(_._1 % 2 == 0)
+    val vs = MemoryStream[String]
+    val ps = MemoryStream[String]
+    val v = Ingest.parseTransactions(vs.toDF())
+      .selectExpr("customer_id AS v_cust", "timestamp AS v_ts",
+        "transaction_id AS view_id")
+      .withWatermark("v_ts", "10 minutes")
+    val p = Ingest.parseTransactions(ps.toDF())
+      .selectExpr("customer_id", "timestamp AS p_ts",
+        "transaction_id AS purchase_id")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = p.join(v, expr(
+        "customer_id = v_cust AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 10 MINUTES"),
+        joinType)
+      .select(col("purchase_id"), col("view_id"), col("customer_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts")))
+          .as("secs_since_view"))
+    val qname = s"stream_interval_join_${joinType.toLowerCase}_t"
+    val ckpt = sys.props("java.io.tmpdir") + "/graft-ckpt-" +
+      java.util.UUID.randomUUID().toString
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // both sides advance across several batches; the final sentinel on
+      // each side pushes both watermarks past every real event
+      val vChunks = vRows.map(_._2).grouped(math.max(1, vRows.length / 3))
+        .map(_.toIndexedSeq).toSeq
+      val pChunks = pRows.map(_._2).grouped(math.max(1, pRows.length / 3))
+        .map(_.toIndexedSeq).toSeq
+      vChunks.zipAll(pChunks, IndexedSeq.empty[String], IndexedSeq.empty[String])
+        .foreach { case (vc, pc) =>
+          if (vc.nonEmpty) vs.addData(vc)
+          if (pc.nonEmpty) ps.addData(pc)
+          q.processAllAvailable()
+        }
+      vs.addData(Seq(sentinelJson)); ps.addData(Seq(sentinelJson))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qname).filter(col("customer_id") =!= "-1")
   }
 
   // oracle generator CTE: regenerates the stream feed (md5-derived fields,
@@ -1812,6 +1829,22 @@ object SparkEntry {
          |SELECT p.purchase_id, v.view_id, p.customer_id,
          |  p.te - v.te AS secs_since_view
          |FROM p JOIN v ON p.customer_id = v.customer_id
+         |  AND v.te <= p.te AND v.te >= p.te - 600""".stripMargin,
+
+    // left-outer twin: unmatched purchases appear exactly once, null-padded
+    "stream_interval_join_left" ->
+      s"""WITH g AS (SELECT range AS id FROM range(0, $streamN)),
+         |t AS (SELECT
+         |  md5('42-' || CAST(id AS VARCHAR)) AS txid,
+         |  CAST(CAST(CAST('0x' || substr(md5('42#cust#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 1000 + 1 AS VARCHAR) AS customer_id,
+         |  CAST(CAST(CAST('0x' || substr(md5('42#merch#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 500 + 1 AS INTEGER) AS merchant_id,
+         |  $streamEpoch + id AS te
+         |FROM g),
+         |v AS (SELECT customer_id, txid AS view_id, te FROM t WHERE merchant_id % 2 = 0),
+         |p AS (SELECT customer_id, txid AS purchase_id, te FROM t WHERE merchant_id % 2 = 1)
+         |SELECT p.purchase_id, v.view_id, p.customer_id,
+         |  p.te - v.te AS secs_since_view
+         |FROM p LEFT JOIN v ON p.customer_id = v.customer_id
          |  AND v.te <= p.te AND v.te >= p.te - 600""".stripMargin,
 
     "q3_join_revenue" ->
