@@ -13,7 +13,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // production parity: rules + SQL fns on
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset run: SPARK_GRAFT_ONLY=q1,q2 dumps (and lists oracle
+    // SQL for) just those queries — the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // scoped{}: each query's lineage-cut blocks are freed after its write
       try graft.util.Checkpoints.scoped {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -28,6 +36,7 @@ object Verify {
     // the round's correctness.
     def q(s: String): String = "\"" + graft.util.Json.escape(s) + "\""
     val json = SparkEntry.oracleSql
+      .filter(kv => only.forall(_(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

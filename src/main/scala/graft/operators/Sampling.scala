@@ -69,6 +69,39 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** The content-hash draw as a NUMBER: the first 8 md5 hex chars parsed to
+    * a uniform integer in [0, 2^32) — use instead of [[hashBucket]] when the
+    * keep-threshold is a per-row column (hex-string thresholds only work for
+    * constants). */
+  def hashDraw(id: Column, salt: String): Column =
+    conv(hashBucket(id, salt), 16, 10).cast("long")
+
+  /** Deterministic weighted repetition — the mixture/epoch-weighting
+    * primitive (DoReMi/DataComp-style domain reweighting): each row is
+    * emitted `floor(w)` times plus one more with probability `frac(w)`,
+    * where the Bernoulli draw is the same content hash as
+    * [[deterministicSample]]. `w = 2.0` duplicates every row exactly twice;
+    * `w = 0.25` keeps a quarter of rows; `w = 1.5` keeps everything and
+    * duplicates half. Copies are stamped 0-based in `copyCol` so downstream
+    * shuffling/packing can tell them apart.
+    *
+    * Scale shape: pure per-row expressions + explode — scan-parallel, no
+    * shuffle, and (like [[hashSplit]]) re-running on a grown corpus never
+    * changes an existing row's copy count. */
+  def weightedRepeat(df: DataFrame, idCol: String, weight: Column,
+      salt: String = "repeat", copyCol: String = "copy_idx"): DataFrame = {
+    val w = greatest(weight.cast("double"), lit(0.0))
+    // floor(frac * 2^32): exact in doubles for any frac expressible as a
+    // short decimal; the strict < against a [0, 2^32) draw keeps the
+    // acceptance probability within 2^-32 of frac for arbitrary doubles
+    val extra = (hashDraw(col(idCol), salt) <
+      floor((w - floor(w)) * 4294967296.0).cast("long")).cast("long")
+    val copies = floor(w).cast("long") + extra
+    // guard: sequence(0, -1) would COUNT DOWN (Spark infers step -1);
+    // the when() makes zero-copy rows a null sequence, which explode drops
+    df.withColumn(copyCol, explode(when(copies > 0, sequence(lit(0L), copies - 1))))
+  }
+
   /** Cap rows per key: keep the top `n` rows of each `keyCol` group in
     * `orderBy` order (ties MUST be broken by a unique column for
     * deterministic results — pass e.g. `Seq(col("quality").desc,

@@ -421,4 +421,52 @@ object Similarity {
     perQuery.crossJoin(broadcast(joined.agg(
       (sum(col("hits")).cast("double") / sum(col("k"))).as("mean_recall"))))
   }
+
+  /** Per-label mean embedding (class centroids / prototype vectors — the
+    * build step of prototype classification, semantic-cluster summaries, or
+    * per-domain embedding drift checks). Output is one row per (label,
+    * dimension): `(label, n, dim_idx, value)` with 0-based `dim_idx` —
+    * exploded to scalars so the result is directly comparable across
+    * engines.
+    *
+    * This is the BIT-REPRODUCIBLE form: each label's vectors fold
+    * element-wise in ascending `idCol` order (a sequential sum, seeded at
+    * +0.0), then divide by the count — the same fold any engine replays
+    * identically, which is what makes a float centroid hash-checkable. The
+    * cost of that guarantee is `collect_list` per label: a label's vectors
+    * must fit in one task (fine for class/domain labels — thousands of
+    * members × a few KB each; NOT for millions per label). For unbounded
+    * labels use [[labelCentroidsFast]], which is fully distributed but sums
+    * in partition order (values equal up to float association, not bits). */
+  def labelCentroids(
+      df: DataFrame,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val grouped = df.groupBy(col(labelCol)).agg(
+      sort_array(collect_list(struct(col(idCol).cast("long").as("i"),
+        col(embCol).cast("array<double>").as("e")))).as("vs"),
+      count(lit(1)).as("n"))
+    val zero = transform(element_at(col("vs"), 1).getField("e"), _ => lit(0.0))
+    val summed = aggregate(col("vs"), zero,
+      (acc, x) => zip_with(acc, x.getField("e"), _ + _))
+    grouped.select(col(labelCol), col("n"),
+      posexplode(transform(summed, v => v / col("n"))).as(Seq("dim_idx", "value")))
+  }
+
+  /** The scale form of [[labelCentroids]]: posexplode to (label, dim, value)
+    * rows and average with a combinable aggregation — partial-aggregates
+    * map-side, no per-label materialization, handles millions of vectors
+    * per label. Double sums depend on partition order, so results match the
+    * ordered form to ~1e-9 relative (spec-pinned), not bit-exactly. */
+  def labelCentroidsFast(
+      df: DataFrame,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("dim_idx", "v")))
+      .groupBy(col(labelCol), col("dim_idx"))
+      .agg(count(lit(1)).as("n"), (sum(col("v")) / count(lit(1))).as("value"))
+      .select(col(labelCol), col("n"), col("dim_idx"), col("value"))
 }

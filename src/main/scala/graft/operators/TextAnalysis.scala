@@ -224,6 +224,37 @@ object TextAnalysis {
       .withColumn("mean_df", col("sum_df").cast("double") / col("n_distinct_tokens"))
   }
 
+  /** Top-`k` distinctive keywords per document: each doc's normalized
+    * tokens ranked by in-document term frequency (DESC), then corpus
+    * document frequency (ASC — rarer across the corpus wins), then token
+    * text. The integer-exact stand-in for tf-idf keyword extraction — the
+    * (tf, -df) rank order is the signal log-idf encodes, without the
+    * cross-engine floating-point hazards of the log (same design choice as
+    * [[docRarity]]).
+    *
+    * Scale shape: two combinable aggregations over the exploded token
+    * relation (tf per (doc, token), df per token — both partial-aggregate
+    * map-side, so shuffles carry counts, not tokens), one equi-join on
+    * token (AQE broadcasts the vocabulary side when small), and a top-k
+    * window per doc. Never materializes a doc's full token list on one row.
+    */
+  def topKeywords(df: DataFrame, k: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(split(Dedup.normalize(col(textCol)), " ")).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    // tf already holds one row per distinct (doc, token) — df is a second
+    // aggregation over it, no extra pass over the raw tokens
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("tok"))
+    tf.join(dfreq, "tok")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok").as("keyword"), col("tf"), col("df"))
+  }
+
   /** One-pass profile of a documents table. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

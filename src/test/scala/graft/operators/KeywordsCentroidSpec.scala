@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral tests for keyword extraction and label-centroid pooling (the
+  * DuckDB oracle hash-checks both on real data; these pin the semantics on
+  * hand-computable inputs and the ordered/fast centroid agreement). */
+class KeywordsCentroidSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKeywords ranks by tf desc, then rarity (df asc), then token") {
+    val docs = Seq(
+      // doc 1: "apple" tf=3; "banana" and "cherry" tie at tf=1 -> the one
+      // in fewer docs (cherry, df=1) outranks banana (df=2)
+      (1L, "apple apple apple banana cherry"),
+      (2L, "banana date date"),
+      (3L, "elder elder elder elder")).toDF("doc_id", "text")
+    val got = TextAnalysis.topKeywords(docs, k = 2)
+      .select("doc_id", "rank", "keyword")
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(1L) == Seq("apple", "cherry"))
+    assert(got(2L) == Seq("date", "banana"))
+    assert(got(3L) == Seq("elder"))
+  }
+
+  test("labelCentroids computes the hand-checked mean per label") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 6.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(df)
+      .select("label", "n", "dim_idx", "value")
+      .as[(Int, Long, Int, Double)].collect()
+      .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    assert(got((0, 0)) == (2L, 2.0))
+    assert(got((0, 1)) == (2L, 4.0))
+    assert(got((1, 0)) == (1L, 10.0))
+    assert(got((1, 1)) == (1L, 20.0))
+  }
+
+  test("ordered and fast centroid forms agree within float association") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ordered = Similarity.labelCentroids(emb)
+      .select("label", "dim_idx", "value")
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val fast = Similarity.labelCentroidsFast(emb)
+      .select("label", "dim_idx", "value")
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(ordered.keySet == fast.keySet)
+    ordered.foreach { case (k, v) =>
+      assert(math.abs(v - fast(k)) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"$k: ordered=$v fast=${fast(k)}")
+    }
+  }
+}

@@ -139,6 +139,33 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedRepeat: integer weights emit exact copy counts") {
+    val df = Seq((1L, 0.0), (2L, 2.0), (3L, 1.0), (4L, 3.0)).toDF("id", "w")
+    val got = Sampling.weightedRepeat(df, "id", col("w"))
+      .select("id", "copy_idx").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(!got.contains(1L)) // weight 0 drops the row entirely
+    assert(got(2L) == Seq(0L, 1L))
+    assert(got(3L) == Seq(0L))
+    assert(got(4L) == Seq(0L, 1L, 2L))
+  }
+
+  test("weightedRepeat: fractional weights land near target and never reshuffle") {
+    val df = ids.withColumn("w", lit(1.5))
+    val n = Sampling.weightedRepeat(df, "id", col("w")).count()
+    // every row kept once, ~half duplicated
+    assert(math.abs(n - 15000L) < 400, n)
+    // the Bernoulli draw is content-keyed: a grown corpus repeats the same
+    // rows (the property that keeps an epoch mix stable as data arrives)
+    val small = Sampling.weightedRepeat(
+      ids.filter(col("id") < 1000).withColumn("w", lit(0.25)), "id", col("w"))
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.weightedRepeat(
+      ids.withColumn("w", lit(0.25)), "id", col("w"))
+      .filter(col("id") < 1000).select("id").as[Long].collect().toSet
+    assert(small == big)
+  }
+
   test("perKeyQuota keeps exactly n deterministic rows per key") {
     val df = Seq(
       ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 30L), ("s1", 4L, 20L),
