@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashBandKeys, MinHashMd5, SimHash64}
+import graft.functions.{DotProduct, MinHashBandKeys, MinHashMd5, SimHash64, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0), intArg(args(1), "n"))))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProductHof)
   }
 }
@@ -63,6 +67,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       args => MinHashBandKeys(args(0), intLit(args(1), "k"), intLit(args(2), "bands")),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_word_shingles",
+      args => WordShingles(args(0), intLit(args(1), "n")), "built-in")
     // optimizer rules can't be injected post-build via SparkSessionExtensions;
     // experimentalMethods is the supported late-registration hook
     if (!spark.sessionState.experimentalMethods.extraOptimizations

@@ -45,8 +45,20 @@ object Dedup {
   /** Distinct word n-gram shingles of normalized text. Documents shorter
     * than `n` tokens yield null (no shingles — they take no part in
     * near-dup candidate generation, and the SQL oracle's generate_series
-    * formulation agrees). */
+    * formulation agrees). Backed by the single-pass
+    * [[graft.functions.WordShingles]] expression: the HOF form it replaces
+    * interpreted its lambda per element and copied each n-token slice —
+    * the dominant cost of every shingle-based operator. */
   def wordShingles(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.WordShingles(
+      ColumnBridge.expression(split(normalize(text), " ")), n))
+  }
+
+  /** The higher-order-function definition of [[wordShingles]] (reference
+    * semantics; the fused expression must stay value-identical, including
+    * first-occurrence order and the short-doc null). */
+  def wordShinglesHof(text: Column, n: Int = 3): Column = {
     val toks = split(normalize(text), " ")
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),

@@ -45,6 +45,21 @@ class ExtensionSpec extends SparkSpec {
     assert(bandBoth.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("WordShingles expression matches the higher-order-function definition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+      // synthetic edges the corpus may not cover: short docs (null), exact-n
+      // docs, internal repetition (dedup order)
+      .select(col("text"))
+      .union(Seq("one two", "a b c d e", "x y x y x y x y x y z").toDF("text"))
+    for (n <- Seq(3, 5)) {
+      val both = docs.select(
+        Dedup.wordShingles(col("text"), n).as("fast"),
+        Dedup.wordShinglesHof(col("text"), n).as("ref"))
+      // element-wise AND order-wise equality, null-safe
+      assert(both.filter(not(col("fast") <=> col("ref"))).count() == 0, s"n=$n")
+    }
+  }
+
   test("near-dup lineage-cut blocks are released after the consuming action") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
     graft.util.Checkpoints.releaseAll() // clean slate (other specs may have run)
