@@ -769,6 +769,15 @@ object SparkEntry {
       graft.operators.Similarity.labelCentroids(Tables.embeddings(s, dir))
         .orderBy(col("label"), col("dim_idx"))),
 
+    // nearest-centroid assignment (prototype classification / the SemDeDup
+    // assignment step): broadcast the per-label centroids, argmin squared-L2
+    // via a combinable min(struct) — hash-checked end to end because every
+    // float op (ordered-fold centroids, index-ordered dot products) replays
+    // identically in the oracle
+    "ext_centroid_assign" -> ((s, dir) =>
+      graft.operators.Similarity.nearestCentroid(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))),
+
     // ---- LLM-pipeline extensions: multimodal ---------------------------
     "ext_multimodal_features" -> ((s, dir) => {
       val media = graft.operators.Multimodal.synthesizeFromDocs(Tables.documents(s, dir))
@@ -1838,6 +1847,27 @@ object SparkEntry {
         |  CAST(generate_subscripts(centroid, 1) - 1 AS INTEGER) AS dim_idx,
         |  unnest(centroid) AS value
         |FROM c ORDER BY label, dim_idx""".stripMargin,
+
+    // same centroid replay, then the d2 expansion in the same operation
+    // order the engine uses ((ee - 2*eb) + cc) and the same (d2, label)
+    // argmin tie-break
+    "ext_centroid_assign" ->
+      """WITH l AS (SELECT label, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
+        |    count(*) AS n
+        |  FROM embeddings GROUP BY label),
+        |c AS (SELECT label AS c_label, list_transform(
+        |    list_reduce(vs, (acc, x) -> list_transform(list_zip(acc, x), p -> p[1] + p[2])),
+        |    v -> v / n) AS centroid FROM l),
+        |e AS (SELECT vec_id, label AS label_true, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, label_true, c_label,
+        |  list_dot_product(e, e) - 2 * list_dot_product(e, centroid)
+        |    + list_dot_product(centroid, centroid) AS d2
+        |  FROM e, c)
+        |SELECT vec_id, label_true, c_label AS assigned_label, d2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+        |  FROM sc) t
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "ext_multimodal_features" ->
       """SELECT doc_id AS media_id,

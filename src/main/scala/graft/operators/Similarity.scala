@@ -442,6 +442,19 @@ object Similarity {
       df: DataFrame,
       labelCol: String = "label",
       idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    labelCentroidVectors(df, labelCol, idCol, embCol)
+      .select(col(labelCol), col("n"),
+        posexplode(col("centroid")).as(Seq("dim_idx", "value")))
+
+  /** The packed form of [[labelCentroids]]: one row per label with the mean
+    * embedding as an `array<double>` column `centroid` (plus member count
+    * `n`) — the shape downstream consumers join against
+    * ([[nearestCentroid]]). Same ordered-fold bit-reproducibility. */
+  def labelCentroidVectors(
+      df: DataFrame,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val grouped = df.groupBy(col(labelCol)).agg(
       sort_array(collect_list(struct(col(idCol).cast("long").as("i"),
@@ -451,7 +464,43 @@ object Similarity {
     val summed = aggregate(col("vs"), zero,
       (acc, x) => zip_with(acc, x.getField("e"), _ + _))
     grouped.select(col(labelCol), col("n"),
-      posexplode(transform(summed, v => v / col("n"))).as(Seq("dim_idx", "value")))
+      transform(summed, v => v / col("n")).as("centroid"))
+  }
+
+  /** Nearest-centroid assignment: each embedding labeled with the centroid
+    * it is closest to (squared L2), ties broken by label — the prototype
+    * classifier, and the assignment step of SemDeDup-style semantic
+    * curation. Output: (idCol, label_true, assigned_label, d2).
+    *
+    * Engine-portable by construction: the centroids come from
+    * [[labelCentroidVectors]]'s ordered fold, distances expand as
+    * `e.e - 2 e.c + c.c` over the codegen'd [[Vectors.dot]] (index-ordered,
+    * bit-identical to DuckDB's list_dot_product), and the argmin is a
+    * lexicographic `min(struct(d2, label))`.
+    *
+    * Scale shape: the centroid side is one row per label — broadcast to a
+    * nested-loop fan-out of #labels rows per vector, then the min-aggregation
+    * partial-combines map-side, so the one shuffle carries a single
+    * candidate per vector. Norms are precomputed per side, never per pair. */
+  def nearestCentroid(
+      df: DataFrame,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val cent = labelCentroidVectors(df, labelCol, idCol, embCol)
+      .select(col(labelCol).as("__c_label"), col("centroid").as("__c"))
+      .withColumn("__cc", Vectors.dot(col("__c"), col("__c")))
+    val e = df.select(col(idCol), col(labelCol).as("label_true"),
+        col(embCol).cast("array<double>").as("__e"))
+      .withColumn("__ee", Vectors.dot(col("__e"), col("__e")))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col(idCol), col("label_true"), col("__c_label"),
+        (col("__ee") - lit(2.0) * Vectors.dot(col("__e"), col("__c")) + col("__cc"))
+          .as("d2"))
+    scored.groupBy(col(idCol), col("label_true"))
+      .agg(min(struct(col("d2"), col("__c_label"))).as("__m"))
+      .select(col(idCol), col("label_true"),
+        col("__m.__c_label").as("assigned_label"), col("__m.d2").as("d2"))
   }
 
   /** The scale form of [[labelCentroids]]: posexplode to (label, dim, value)

@@ -92,4 +92,35 @@ class PlanSpec extends SparkSpec {
       "chunking must stay scan-parallel (the only exchange is the output sort's range partitioning)")
     assert(!p.contains("Join"))
   }
+
+  test("x12: weighted repetition stays scan-parallel — explode, no shuffle, no join") {
+    val p = plan("x12_weighted_repeat")
+    assert(p.contains("Generate"), "copies should fan out via explode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the hash draw is per-row; the only exchange is the output sort's range partitioning")
+    assert(!p.contains("Join"))
+  }
+
+  test("ext_keywords: tf/df aggregate partially map-side; no all-token shuffle of raw text") {
+    val p = plan("ext_keywords")
+    assert(p.contains("partial_count"),
+      "tf and df must partial-aggregate map-side so shuffles carry counts")
+    assert(!p.contains("NestedLoopJoin"))
+  }
+
+  test("ext_embed_centroid: one hash exchange on the label, no join") {
+    val p = plan("ext_embed_centroid")
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning\\(label".r.findAllIn(p).size <= 2,
+      "centroid pooling is a single groupBy(label) shuffle")
+  }
+
+  test("ext_centroid_assign: centroids broadcast, argmin partial-aggregates") {
+    val p = plan("ext_centroid_assign")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the per-label centroid side must broadcast (it is one row per label)")
+    assert(p.contains("partial_min"),
+      "the argmin must combine map-side so the shuffle carries one candidate per vector")
+    assert(!p.contains("SortMergeJoin"))
+  }
 }

@@ -40,6 +40,22 @@ class KeywordsCentroidSpec extends SparkSpec {
     assert(got((1, 1)) == (1L, 20.0))
   }
 
+  test("nearestCentroid assigns well-separated clusters to their own centroid") {
+    val df = Seq(
+      // cluster A around (0, 0), cluster B around (10, 10); point 5 sits in
+      // cluster B's space but carries label 0 — it must be ASSIGNED to 1
+      (1L, Array(0.0f, 0.5f), 0), (2L, Array(0.5f, 0.0f), 0),
+      (3L, Array(10.0f, 9.5f), 1), (4L, Array(9.5f, 10.0f), 1),
+      (5L, Array(9.0f, 9.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.nearestCentroid(df)
+      .select("vec_id", "label_true", "assigned_label")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // centroid 0 = mean of points 1,2,5 = (3.17, 3.17); centroid 1 = (9.75, 9.75)
+    assert(got(1L) == (0, 0) && got(2L) == (0, 0))
+    assert(got(3L) == (1, 1) && got(4L) == (1, 1))
+    assert(got(5L) == (0, 1), "the mislabeled point must be re-assigned")
+  }
+
   test("ordered and fast centroid forms agree within float association") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ordered = Similarity.labelCentroids(emb)
