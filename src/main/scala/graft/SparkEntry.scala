@@ -506,6 +506,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
 
+    // token-budget mixing: hit a fixed corpus budget with equal per-source
+    // shares — weight_s = (budget / n_sources) / source_tokens, applied as
+    // deterministic weighted repetition (upsamples scarce sources, thins
+    // abundant ones). The per-source totals are exact integer sums, the
+    // weight is one double division, so the whole mix replays in any engine.
+    "x13_token_budget_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("n_tokens",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      val bySource = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+      val weighted = docs.join(broadcast(bySource), "source")
+        .withColumn("w", lit(5000.0) / col("src_tokens"))
+      graft.operators.Sampling.weightedRepeat(weighted, "doc_id", col("w"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // ---- LLM-pipeline extensions: text analysis -------------------------
     "ext_text_profile" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -845,6 +861,13 @@ object SparkEntry {
     // joins the hard case (the closing sentinel drives that finalization)
     "stream_interval_join_left" -> ((s, dir) => intervalJoinStream(s, "leftOuter")),
 
+    // the document-curation pipeline's streaming face, hash-checked: the
+    // documents table streamed in id order across several micro-batches
+    // with one whole chunk RE-FED (exact duplicate rows the cross-batch
+    // fingerprint dedup must drop), then the quality floor. Output is one
+    // row per surviving doc — the same relation the batch oracle computes.
+    "stream_doc_clean" -> ((s, dir) => docCleanStream(s, dir)),
+
     // stream-static enrichment: the live stream joined to a static
     // dimension (merchant -> category) — the canonical "enrich the stream
     // with reference data" pattern. The static side broadcasts (no state,
@@ -939,6 +962,41 @@ object SparkEntry {
     // window never finalizing instead
     val t = s.table(name)
     if (t.columns.contains("customer_id")) t.filter(col("customer_id") =!= "-1") else t
+  }
+
+  /** The streaming document-curation run behind `stream_doc_clean`:
+    * [[graft.streaming.DocumentPipeline.clean]] driven over the real
+    * documents table as a MemoryStream (ingest_ts = a fixed epoch +
+    * doc_id seconds, so event time is integer-exact), four micro-batches
+    * plus the last chunk re-fed whole. Dedup is keyed on the content
+    * fingerprint; the re-fed rows are byte-identical, so the surviving-copy
+    * choice cannot affect the output. The 1-hour watermark exceeds the
+    * feed's event-time span, keeping every fingerprint in state for the
+    * whole run (cross-window dedup belongs to batch compaction — the
+    * documented [[graft.operators.Dedup.exact]] split). No sentinel: dedup
+    * is not an aggregation, rows finalize on arrival in append mode. */
+  private def docCleanStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      .withColumn("ingest_ts", timestamp_seconds(lit(streamEpoch) + col("doc_id")))
+    val out = graft.streaming.DocumentPipeline.clean(docs, watermark = "1 hour")
+      .select(col("doc_id"), col("fingerprint"), col("quality_score"))
+    val ckpt = sys.props("java.io.tmpdir") + "/graft-ckpt-" +
+      java.util.UUID.randomUUID().toString
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("stream_doc_clean_t").option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+      ms.addData(chunks.last.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.table("stream_doc_clean_t")
   }
 
   /** The stream-stream interval join behind `stream_interval_join` (inner)
@@ -1415,6 +1473,22 @@ object SparkEntry {
         |       < CAST(floor((w - floor(w)) * 4294967296) AS BIGINT) THEN 1 ELSE 0 END AS copies
         |  FROM t)
         |SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS copy_idx
+        |FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
+
+    "x13_token_budget_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s2 AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM t GROUP BY source),
+        |w AS (SELECT doc_id, t.source, n_tokens,
+        |  CAST(5000.0 AS DOUBLE) / src_tokens AS w FROM t JOIN s2 USING (source)),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  CAST(floor(w) AS BIGINT) +
+        |  CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#repeat'), 1, 8) AS UBIGINT) AS BIGINT)
+        |       < CAST(floor((w - floor(w)) * 4294967296) AS BIGINT) THEN 1 ELSE 0 END AS copies
+        |  FROM w)
+        |SELECT doc_id, source, n_tokens, unnest(generate_series(0, copies - 1)) AS copy_idx
         |FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
 
     "ext_keywords" ->
@@ -1971,6 +2045,17 @@ object SparkEntry {
          |  p.te - v.te AS secs_since_view
          |FROM p LEFT JOIN v ON p.customer_id = v.customer_id
          |  AND v.te <= p.te AND v.te >= p.te - 600""".stripMargin,
+
+    // the streamed curation run equals the batch relation: one row per doc
+    // passing the quality floor (the re-fed duplicate micro-batch is
+    // byte-identical rows the fingerprint dedup drops)
+    "stream_doc_clean" ->
+      ("""SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  quality_score
+        |FROM (SELECT doc_id, text, """.stripMargin + qualityScoreSql +
+        """ AS quality_score FROM documents) d
+        |WHERE quality_score >= 0.3""".stripMargin),
 
     // regenerate the feed with merchant ids and replay the static
     // enrichment + 30-min rollup (category = merchant_id % 7, the same

@@ -166,6 +166,25 @@ class SamplingSpec extends SparkSpec {
     assert(small == big)
   }
 
+  test("weightedRepeat as a token-budget mixer lands near the per-source target") {
+    // the x13 composition: weight_s = target / source_tokens -> every
+    // source's REALIZED token count (sum over emitted copies) approaches
+    // the shared target regardless of how skewed the raw mix was
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    val bySource = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    val target = 5000.0
+    val weighted = docs.join(broadcast(bySource), "source")
+      .withColumn("w", lit(target) / col("src_tokens"))
+    val realized = Sampling.weightedRepeat(weighted, "doc_id", col("w"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("got"))
+      .select("source", "got").as[(String, Long)].collect()
+    assert(realized.length == 20)
+    realized.foreach { case (src, got) =>
+      assert(math.abs(got - target) < target * 0.35, s"$src realized $got vs $target")
+    }
+  }
+
   test("perKeyQuota keeps exactly n deterministic rows per key") {
     val df = Seq(
       ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 30L), ("s1", 4L, 20L),
