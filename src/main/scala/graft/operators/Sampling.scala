@@ -87,7 +87,12 @@ object Sampling {
     *
     * Scale shape: pure per-row expressions + explode — scan-parallel, no
     * shuffle, and (like [[hashSplit]]) re-running on a grown corpus never
-    * changes an existing row's copy count. */
+    * changes an existing row's copy count.
+    *
+    * Two mixes over the same corpus with the same `salt` share their
+    * Bernoulli draws (deterministic but correlated — a doc upweighted
+    * fractionally in one mix is the same doc upweighted in the other);
+    * pass distinct salts when draws must be independent. */
   def weightedRepeat(df: DataFrame, idCol: String, weight: Column,
       salt: String = "repeat", copyCol: String = "copy_idx"): DataFrame = {
     val w = greatest(weight.cast("double"), lit(0.0))
