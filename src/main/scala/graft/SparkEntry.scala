@@ -861,6 +861,25 @@ object SparkEntry {
     // joins the hard case (the closing sentinel drives that finalization)
     "stream_interval_join_left" -> ((s, dir) => intervalJoinStream(s, "leftOuter")),
 
+    // watermark late-drop graded end to end: same pipeline and oracle as
+    // stream_daily_spend, but AFTER the feed has advanced the watermark
+    // past the first day's windows, a micro-batch of 1,000 genuinely late
+    // rows arrives — fresh transaction ids (so dedup passes them) with
+    // event times back inside the finalized windows. Append-mode semantics
+    // require dropping all of them; if even one leaks, the totals diverge
+    // from the on-time-only oracle and the hash fails.
+    "stream_late_data_drop" -> ((s, dir) => {
+      val late = graft.sources.DataGen
+        .transactions(s, 1000L, 42L, streamEpoch - 90000L,
+          eventsPerSecond = 1.0, startId = 90000L)
+        .select(to_json(struct(col("*"))).as("value"))
+        .collect().map(_.getString(0))
+      runStream(s, "stream_late_data_drop_t", parsed => {
+        val marked = parsed.withWatermark("timestamp", "1 hour")
+        Spend.dailySpendStream(Spend.dedupeStream(marked))
+      }, lateTail = late)
+    }),
+
     // the document-curation pipeline's streaming face, hash-checked: the
     // documents table streamed in id order across several micro-batches
     // with one whole chunk RE-FED (exact duplicate rows the cross-batch
@@ -937,7 +956,8 @@ object SparkEntry {
       s: SparkSession,
       name: String,
       transform: DataFrame => DataFrame,
-      dupTail: Boolean = false): DataFrame = {
+      dupTail: Boolean = false,
+      lateTail: Array[String] = Array.empty): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = s.sqlContext
     import s.implicits._
@@ -955,6 +975,10 @@ object SparkEntry {
       val chunks = payloads.grouped(math.max(1, payloads.length / 4)).toSeq
       chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
       if (dupTail) { ms.addData(chunks.last.toIndexedSeq); q.processAllAvailable() }
+      // genuinely late arrivals (fresh ids, event times below the current
+      // watermark): fed as their own micro-batch AFTER the feed advanced
+      // the watermark past their windows — the engine must drop every one
+      if (lateTail.nonEmpty) { ms.addData(lateTail.toIndexedSeq); q.processAllAvailable() }
       ms.addData(Seq(sentinelJson)); q.processAllAvailable()
     } finally q.stop()
     // drop any finalized sentinel rows; transforms that aggregate the
@@ -1975,6 +1999,15 @@ object SparkEntry {
     // sentinel row are absent by construction (dedup drops the former, the
     // query filters the latter)
     "stream_daily_spend" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)}
+         |SELECT customer_id,
+         |  strftime(make_timestamp(te * 1000000), '%Y-%m-%d') AS transaction_date,
+         |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // identical to stream_daily_spend's oracle: the 1,000 late-fed rows
+    // must contribute NOTHING — the on-time-only relation is the truth
+    "stream_late_data_drop" ->
       s"""WITH ${streamTxCte(streamN, streamEpoch)}
          |SELECT customer_id,
          |  strftime(make_timestamp(te * 1000000), '%Y-%m-%d') AS transaction_date,
