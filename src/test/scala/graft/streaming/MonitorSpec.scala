@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.SpendingPipeline.{Config, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Monitor captures real per-batch progress with a bounded buffer and
+  * exposes it as a queryable DataFrame. */
+class MonitorSpec extends SparkSpec {
+
+  private def drainBus(deadlineMs: Long = 5000)(ready: => Boolean): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!ready && System.currentTimeMillis() - t0 < deadlineMs) Thread.sleep(50)
+  }
+
+  test("captures per-batch input, state and watermark from a live query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mon = new Monitor().attach(spark)
+    val ms = MemoryStream[String]
+    val daily = SpendingPipeline.dailySpend(spark, Source.Raw(ms.toDF()))
+    val q = SpendingPipeline.start(daily, Sink.Memory("monitor_spec"),
+      Config(), "monitor_spec")
+    val batches = 3
+    val perBatch = 5000L
+    try {
+      (0 until batches).foreach { b =>
+        val chunk = graft.sources.DataGen
+          .transactionsJson(spark, perBatch, startId = b * perBatch)
+          .collect().map(_.getString(0))
+        ms.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      drainBus() {
+        mon.batches.filter(_.queryName == "monitor_spec")
+          .map(_.input_rows).sum >= batches * perBatch
+      }
+    } finally { q.stop(); mon.detach(spark) }
+
+    val got = mon.batches.filter(b => b.queryName == "monitor_spec" && b.input_rows > 0)
+    assert(got.map(_.input_rows).sum == batches * perBatch,
+      s"captured ${got.map(_.input_rows).sum} input rows")
+    assert(got.forall(_.state_rows > 0), "stateful query must report state rows")
+    assert(got.last.watermark.nonEmpty, "watermark must be reported after batch 1")
+    // and it is queryable with the engine itself
+    val df = mon.toDF(spark).filter(col("queryName") === "monitor_spec")
+    assert(df.agg(sum(col("input_rows"))).as[Long].head() >= batches * perBatch)
+  }
+
+  test("buffer is bounded: old batches evict past maxBatches") {
+    val mon = new Monitor(maxBatches = 4)
+    (0L until 10L).foreach(i =>
+      mon.record(Monitor.Batch("q", i, "", 1L, 1.0, 0L, 0L, "")))
+    assert(mon.batches.map(_.batchId) == Seq(6L, 7L, 8L, 9L))
+  }
+}
