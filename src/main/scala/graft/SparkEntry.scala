@@ -989,21 +989,28 @@ object SparkEntry {
   }
 
   /** The streaming document-curation run behind `stream_doc_clean`:
-    * [[graft.streaming.DocumentPipeline.clean]] driven over the real
-    * documents table as a MemoryStream (ingest_ts = a fixed epoch +
-    * doc_id seconds, so event time is integer-exact), four micro-batches
-    * plus the last chunk re-fed whole. Dedup is keyed on the content
-    * fingerprint; the re-fed rows are byte-identical, so the surviving-copy
-    * choice cannot affect the output. The 1-hour watermark exceeds the
-    * feed's event-time span, keeping every fingerprint in state for the
-    * whole run (cross-window dedup belongs to batch compaction — the
-    * documented [[graft.operators.Dedup.exact]] split). No sentinel: dedup
-    * is not an aggregation, rows finalize on arrival in append mode. */
+    * [[graft.streaming.DocumentPipeline.clean]] driven over the documents
+    * table as a MemoryStream (ingest_ts = a fixed epoch + doc_id seconds,
+    * so event time is integer-exact), four micro-batches plus the last
+    * chunk re-fed whole.
+    *
+    * The feed is batch-compacted first (min doc_id per fingerprint — the
+    * standard arrangement: [[graft.operators.Dedup.exact]] compacts the
+    * backlog, the stream dedups re-sends), so the only fingerprint
+    * collisions the stream ever sees are the re-fed byte-identical rows —
+    * the surviving-copy choice cannot affect the output at ANY scale
+    * factor. Without the compaction, an organic duplicate pair (present at
+    * sf0.1) would make the kept doc_id depend on partition order inside a
+    * micro-batch. The re-fed chunk is the newest data, so its fingerprints
+    * are still inside the watermark's dedup state regardless of the feed's
+    * total event-time span. No sentinel: dedup is not an aggregation, rows
+    * finalize on arrival in append mode. */
   private def docCleanStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = s.sqlContext
     import s.implicits._
-    val rows = Tables.documents(s, dir)
+    val compacted = graft.operators.Dedup.exact(Tables.documents(s, dir))
+    val rows = compacted
       .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
       .as[(Long, String)].collect()
     val ms = MemoryStream[(Long, String)]
@@ -2079,15 +2086,19 @@ object SparkEntry {
          |FROM p LEFT JOIN v ON p.customer_id = v.customer_id
          |  AND v.te <= p.te AND v.te >= p.te - 600""".stripMargin,
 
-    // the streamed curation run equals the batch relation: one row per doc
-    // passing the quality floor (the re-fed duplicate micro-batch is
-    // byte-identical rows the fingerprint dedup drops)
+    // the streamed curation run equals the batch relation: compact to the
+    // min-doc_id copy per fingerprint (the feed's batch-compaction step),
+    // then one row per doc passing the quality floor (the re-fed duplicate
+    // micro-batch is byte-identical rows the streaming dedup drops)
     "stream_doc_clean" ->
-      ("""SELECT doc_id,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
-        |  quality_score
-        |FROM (SELECT doc_id, text, """.stripMargin + qualityScoreSql +
-        """ AS quality_score FROM documents) d
+      ("""WITH compact AS (SELECT doc_id, text,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn FROM documents) t WHERE rn = 1)
+        |SELECT doc_id, fingerprint, quality_score
+        |FROM (SELECT doc_id, fingerprint, """.stripMargin + qualityScoreSql +
+        """ AS quality_score FROM compact) d
         |WHERE quality_score >= 0.3""".stripMargin),
 
     // regenerate the feed with merchant ids and replay the static

@@ -41,17 +41,33 @@ case class WordShingles(child: Expression, n: Int)
     if (len < n) return null // matches the HOF's when(size >= n) guard
     val toks = new Array[UTF8String](len)
     var i = 0
-    while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
     // LinkedHashSet: dedup preserving first occurrence, like array_distinct
     val out = new java.util.LinkedHashSet[UTF8String](len * 2)
-    val window = new Array[UTF8String](2 * n - 1)
-    var j = 1
-    while (j < 2 * n - 1) { window(j) = sep; j += 2 } // odd slots hold the sep
+    // null tokens are SKIPPED inside a shingle (array_join semantics — the
+    // HOF reference emits "a" for window [a, null], "" for all-null), so
+    // the window assembles only present tokens with single separators
+    val pieces = new Array[UTF8String](2 * n - 1)
     i = 0
     while (i <= len - n) {
+      var m = 0
       var k = 0
-      while (k < n) { window(2 * k) = toks(i + k); k += 1 }
-      out.add(UTF8String.concat(window: _*))
+      while (k < n) {
+        val t = toks(i + k)
+        if (t != null) {
+          if (m > 0) { pieces(m) = sep; m += 1 }
+          pieces(m) = t; m += 1
+        }
+        k += 1
+      }
+      // common no-null path fills every slot — concat copies synchronously,
+      // so the reused array is safe to pass directly
+      out.add(
+        if (m == pieces.length) UTF8String.concat(pieces: _*)
+        else UTF8String.concat(java.util.Arrays.copyOf(pieces, m): _*))
       i += 1
     }
     val res = new Array[AnyRef](out.size)

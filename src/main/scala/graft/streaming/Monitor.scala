@@ -33,8 +33,8 @@ class Monitor(maxBatches: Int = 256) extends StreamingQueryListener {
     val p = e.progress
     val so = p.stateOperators
     record(Batch(
-      queryName = Option(p.name).getOrElse(""),
-      batchId = p.batchId,
+      query_name = Option(p.name).getOrElse(""),
+      batch_id = p.batchId,
       timestamp = p.timestamp,
       input_rows = p.numInputRows,
       rows_per_sec = p.inputRowsPerSecond,
@@ -73,8 +73,8 @@ object Monitor {
   /** One micro-batch's health record. `rows_per_sec` is NaN on the first
     * batch (Spark reports no elapsed interval yet). */
   case class Batch(
-      queryName: String,
-      batchId: Long,
+      query_name: String,
+      batch_id: Long,
       timestamp: String,
       input_rows: Long,
       rows_per_sec: Double,

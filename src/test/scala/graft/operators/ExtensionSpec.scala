@@ -58,6 +58,15 @@ class ExtensionSpec extends SparkSpec {
       // element-wise AND order-wise equality, null-safe
       assert(both.filter(not(col("fast") <=> col("ref"))).count() == 0, s"n=$n")
     }
+    // null tokens (reachable via the registered SQL function, never via
+    // split): skipped inside a shingle like array_join — [a,null] -> "a"
+    import org.apache.spark.sql.graft.ColumnBridge
+    val toks = array(lit("a"), lit(null).cast("string"), lit("b"))
+    val fromNulls = spark.range(1).select(
+      ColumnBridge.column(graft.functions.WordShingles(
+        ColumnBridge.expression(toks), 2)).as("sh"))
+      .as[Seq[String]].head()
+    assert(fromNulls == Seq("a", "b"), fromNulls)
   }
 
   test("near-dup lineage-cut blocks are released after the consuming action") {

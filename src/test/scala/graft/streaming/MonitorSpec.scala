@@ -33,18 +33,18 @@ class MonitorSpec extends SparkSpec {
         q.processAllAvailable()
       }
       drainBus() {
-        mon.batches.filter(_.queryName == "monitor_spec")
+        mon.batches.filter(_.query_name == "monitor_spec")
           .map(_.input_rows).sum >= batches * perBatch
       }
     } finally { q.stop(); mon.detach(spark) }
 
-    val got = mon.batches.filter(b => b.queryName == "monitor_spec" && b.input_rows > 0)
+    val got = mon.batches.filter(b => b.query_name == "monitor_spec" && b.input_rows > 0)
     assert(got.map(_.input_rows).sum == batches * perBatch,
       s"captured ${got.map(_.input_rows).sum} input rows")
     assert(got.forall(_.state_rows > 0), "stateful query must report state rows")
     assert(got.last.watermark.nonEmpty, "watermark must be reported after batch 1")
     // and it is queryable with the engine itself
-    val df = mon.toDF(spark).filter(col("queryName") === "monitor_spec")
+    val df = mon.toDF(spark).filter(col("query_name") === "monitor_spec")
     assert(df.agg(sum(col("input_rows"))).as[Long].head() >= batches * perBatch)
   }
 
@@ -52,6 +52,6 @@ class MonitorSpec extends SparkSpec {
     val mon = new Monitor(maxBatches = 4)
     (0L until 10L).foreach(i =>
       mon.record(Monitor.Batch("q", i, "", 1L, 1.0, 0L, 0L, "")))
-    assert(mon.batches.map(_.batchId) == Seq(6L, 7L, 8L, 9L))
+    assert(mon.batches.map(_.batch_id) == Seq(6L, 7L, 8L, 9L))
   }
 }
