@@ -952,6 +952,23 @@ object SparkEntry {
     * `dupTail` the last chunk is re-fed as an extra batch (cross-batch
     * duplicates the pipeline's dedup must drop). Returns the finalized
     * table. */
+  /** Throwaway checkpoint dir for a graded stream run, removed by
+    * [[deleteRecursively]] when the query stops — repeated gate runs must
+    * not litter tmpdir. */
+  private def tempCkpt(): String =
+    sys.props("java.io.tmpdir") + "/graft-ckpt-" +
+      java.util.UUID.randomUUID().toString
+
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   private def runStream(
       s: SparkSession,
       name: String,
@@ -967,8 +984,7 @@ object SparkEntry {
       .collect().map(_.getString(0))
     val ms = MemoryStream[String]
     val out = transform(Ingest.parseTransactions(ms.toDF()))
-    val ckpt = sys.props("java.io.tmpdir") + "/graft-ckpt-" +
-      java.util.UUID.randomUUID().toString
+    val ckpt = tempCkpt()
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName(name).option("checkpointLocation", ckpt).start()
     try {
@@ -980,7 +996,7 @@ object SparkEntry {
       // the watermark past their windows — the engine must drop every one
       if (lateTail.nonEmpty) { ms.addData(lateTail.toIndexedSeq); q.processAllAvailable() }
       ms.addData(Seq(sentinelJson)); q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); deleteRecursively(ckpt) }
     // drop any finalized sentinel rows; transforms that aggregate the
     // customer away (e.g. stream_static_enrich) rely on the sentinel's
     // window never finalizing instead
@@ -1018,15 +1034,14 @@ object SparkEntry {
       .withColumn("ingest_ts", timestamp_seconds(lit(streamEpoch) + col("doc_id")))
     val out = graft.streaming.DocumentPipeline.clean(docs, watermark = "1 hour")
       .select(col("doc_id"), col("fingerprint"), col("quality_score"))
-    val ckpt = sys.props("java.io.tmpdir") + "/graft-ckpt-" +
-      java.util.UUID.randomUUID().toString
+    val ckpt = tempCkpt()
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("stream_doc_clean_t").option("checkpointLocation", ckpt).start()
     try {
       val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
       chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
       ms.addData(chunks.last.toIndexedSeq); q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); deleteRecursively(ckpt) }
     s.table("stream_doc_clean_t")
   }
 
@@ -1065,8 +1080,7 @@ object SparkEntry {
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts")))
           .as("secs_since_view"))
     val qname = s"stream_interval_join_${joinType.toLowerCase}_t"
-    val ckpt = sys.props("java.io.tmpdir") + "/graft-ckpt-" +
-      java.util.UUID.randomUUID().toString
+    val ckpt = tempCkpt()
     val q = joined.writeStream.outputMode("append").format("memory")
       .queryName(qname)
       .option("checkpointLocation", ckpt).start()
@@ -1085,7 +1099,7 @@ object SparkEntry {
         }
       vs.addData(Seq(sentinelJson)); ps.addData(Seq(sentinelJson))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); deleteRecursively(ckpt) }
     s.table(qname).filter(col("customer_id") =!= "-1")
   }
 
