@@ -244,7 +244,9 @@ object Bench {
         try {
           val rows = graft.util.Checkpoints.scoped(body)
           val sec = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(500) // let the async listener bus drain task events
+          // deterministic drain: a fixed sleep can miss the slowest task's
+          // end event on a loaded machine — the straggler sample itself
+          org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
           val (w1, r1, s1) = ml.snapshot
           val durs = ml.drainDurations().sorted
           val maxTask = if (durs.isEmpty) 0L else durs.last
@@ -273,6 +275,7 @@ object Bench {
       val partsKey = "spark.sql.shuffle.partitions"
       val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
       val parts0 = spark.conf.get(partsKey)
+      val coalesce0 = spark.conf.get(coalesceKey)
       spark.conf.set(partsKey, "128")
       spark.conf.set(coalesceKey, "false")
       val s1 = stage("pipeline_20m") {
@@ -282,7 +285,7 @@ object Bench {
           DataGen.transactionsJson(spark, 20000000L))))).count()
       }
       spark.conf.set(partsKey, parts0)
-      spark.conf.set(coalesceKey, "true")
+      spark.conf.set(coalesceKey, coalesce0)
       val s2 = stage("dedup_cc_100k") {
         // 100k docs in 5-doc near-dup groups: banded candidates -> CC
         // clusters -> canonical keep; ~80k losers dropped if recall holds
@@ -324,6 +327,7 @@ object Bench {
       val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
       val skewKey = "spark.sql.adaptive.skewJoin.enabled"
       val bcast0 = spark.conf.get(bcastKey)
+      val skew0 = spark.conf.get(skewKey)
       spark.conf.set(bcastKey, "-1")
       spark.conf.set(skewKey, "false")
       val s4 = stage("skew_join_plain_20m") {
@@ -343,7 +347,7 @@ object Bench {
             bigSkewed, dimTable.repartition(128), Seq("key"), saltBuckets = 32)
           .count()
       }
-      spark.conf.set(skewKey, "true")
+      spark.conf.set(skewKey, skew0)
       spark.conf.set(bcastKey, bcast0)
       // aggregation contrast: for a pure sum, map-side partial aggregation
       // already flattens the hot key (each map task emits one partial per

@@ -29,15 +29,18 @@ object Dedup {
     * window form would shuffle and sort the whole corpus). */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val row = struct(df.columns.toIndexedSeq.map(col): _*)
-    // min over struct(id, row) rather than min_by(row, id): the struct is
-    // never null at the top level (min_by IGNORES rows with a null ordering
-    // key, so a group of all-null ids would have produced an all-null row;
-    // here a null id just sorts first, matching the window form's
-    // nulls-first asc), and the payload rides inside the ordering value, so
-    // the shuffle carries the row once instead of payload + ordering copy
+    // min_by(row, struct(id)): the struct wrapper makes the ordering key
+    // non-null at the top level (a bare min_by ordering IGNORES null-id
+    // rows — a group of all-null ids would have produced an all-null row;
+    // wrapped, a null id just sorts first like the window form's
+    // nulls-first asc), and ONLY the id is compared — a min(struct(id,
+    // full-row)) ordering would require every column to be orderable and
+    // break on map-typed payloads. Ties on id (same fingerprint AND same
+    // id) pick an arbitrary copy — such rows are full duplicates by
+    // construction of any sane id, so the kept values are identical.
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-      .agg(min(struct(col(idCol).as("__id"), row.as("__row"))).as("__m"))
-      .select(col("__m.__row.*"))
+      .agg(min_by(row.as("__row"), struct(col(idCol).as("__id"))).as("__row"))
+      .select(col("__row.*"))
   }
 
   // -------------------------------------------------------------- minhash

@@ -58,6 +58,21 @@ object Similarity {
     }
   }
 
+  /** Plan-embedded width guard for the QUERY side of a search: every row's
+    * embedding must have width `d`, checked at EXECUTION as a per-row
+    * expression — no plan-build job on the hot path (an [[IvfIndex]] is
+    * built once and searched many times), vacuously true for an empty query
+    * batch (which then yields an empty result instead of a crash — the
+    * scheduled-search case), and stricter than a LIMIT-1 probe: a ragged
+    * batch fails on the offending ROW, not only when row 1 is wrong. The
+    * corpus side keeps the eager [[resolveDim]] check — an index over an
+    * empty or mismatched corpus is a build-time bug. */
+  private[operators] def checkedWidth(e: Column, d: Int, what: String): Column =
+    when(size(e) === d, e).otherwise(raise_error(concat(
+      lit(s"$what embedding width "), size(e).cast("string"),
+      lit(s" does not match expected $d: a mismatched width would silently " +
+        "hash or probe a vector prefix"))))
+
   /** Attach the L2 norm (compute once per row, reuse across pairs). */
   def withNorm(df: DataFrame, embCol: String = "embedding", normCol: String = "emb_norm"): DataFrame =
     df.withColumn(normCol, Vectors.norm(col(embCol)))
@@ -121,13 +136,14 @@ object Similarity {
       qIdCol: String = "q_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = resolveDim(corpus, embCol, dim)
-    resolveDim(queries, embCol, d) // queries hash with the corpus width — a
-    // mismatched query frame would otherwise silently bucket on a prefix
+    // queries hash with the corpus width — the per-row guard fails any
+    // mismatched row at execution instead of silently bucketing a prefix
+    val qe = checkedWidth(col(embCol), d, "query")
     val bucket = (e: Column) => lshBucket(e, nPlanes, d, seed)
     val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
       Vectors.norm(col(embCol)).as("c_nrm"), bucket(col(embCol)).as("bucket"))
-    val q = queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
-      Vectors.norm(col(embCol)).as("q_nrm"), bucket(col(embCol)).as("bucket"))
+    val q = queries.select(col(qIdCol).as("q_id"), qe.as("q_emb"),
+      Vectors.norm(qe).as("q_nrm"), bucket(qe).as("bucket"))
     val scored = c.join(q, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
@@ -160,15 +176,16 @@ object Similarity {
       qIdCol: String = "q_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = resolveDim(corpus, embCol, dim)
-    resolveDim(queries, embCol, d) // same guard as lshTopK: query width must
-    // match the corpus width the planes were sized for
+    // same guard as lshTopK: per-row execution-time width check on the
+    // query side (the planes were sized for the corpus width)
+    val qe = checkedWidth(col(embCol), d, "query")
     def tableBuckets(e: Column): Column =
       array((0 until tables).map(t => lshBucket(e, nPlanes, d, seed + t)): _*)
     val candidates =
       corpus.select(col(idCol).as("vec_id"),
           posexplode(tableBuckets(col(embCol))).as(Seq("table", "bucket")))
         .join(queries.select(col(qIdCol).as("q_id"),
-            posexplode(tableBuckets(col(embCol))).as(Seq("table", "bucket"))),
+            posexplode(tableBuckets(qe)).as(Seq("table", "bucket"))),
           Seq("table", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"))
@@ -283,34 +300,38 @@ object Similarity {
         embCol: String = "embedding"): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val np = if (nprobe > 0) nprobe else nprobeDefault
-      // queries must have the width the index was trained at — a narrower
-      // frame would silently probe on an l2 prefix distance
-      resolveDim(queries, embCol, centroids.head.length)
+      // queries must have the width the index was trained at — per-row
+      // execution-time guard: no LIMIT-1 job per search() on a reused
+      // index, and an empty query batch yields an empty result
+      val qe = checkedWidth(col(embCol), centroids.head.length, "query")
       val q =
         if (centroids.length <= literalCentroidMax)
-          queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
-            Vectors.norm(col(embCol)).as("q_nrm"),
-            explode(transform(slice(distances(col(embCol)), 1, np),
+          queries.select(col(qIdCol).as("q_id"), qe.as("q_emb"),
+            Vectors.norm(qe).as("q_nrm"),
+            explode(transform(slice(distances(qe), 1, np),
               d => d.getField("cid"))).as("list_id"))
         else {
-          // join-based probe: rank the broadcast centroid relation per query
-          // ROW (same (dist, list_id) ordering the literal array_sort uses).
-          // The window partitions on a per-row id, not q_id: duplicate q_id
-          // values would otherwise interleave two rows' centroid distances
-          // into one shared (wrong) probe set — the literal path is per-row,
-          // so this path must be too. monotonically_increasing_id is
-          // deterministic here (partition id + row order, both stable for a
-          // given input plan).
+          // join-based probe: top-np of the broadcast centroid relation per
+          // query via sort_array(collect_list) under groupBy — grouped on
+          // the query's REAL columns, never a synthetic row id (a
+          // monotonically_increasing_id key is not stable under task retry
+          // when the input arrives via a shuffle: a recomputed map task can
+          // renumber rows other reducers already fetched, silently
+          // dropping or doubling probe sets). Same (dist, list_id) order
+          // the literal array_sort path uses. Contract: rows duplicated in
+          // BOTH q_id and embedding collapse to one probe set (they are the
+          // same query); same-id different-embedding rows stay distinct
+          // because the embedding is part of the grouping key.
           val cdf = centroidFrame(queries.sparkSession, centroids)
-          val w = Window.partitionBy(col("__qrow")).orderBy(col("__dist"), col("list_id"))
-          queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
-              Vectors.norm(col(embCol)).as("q_nrm"))
-            .withColumn("__qrow", monotonically_increasing_id())
+          queries.select(col(qIdCol).as("q_id"), qe.as("q_emb"),
+              Vectors.norm(qe).as("q_nrm"))
             .crossJoin(broadcast(cdf))
             .withColumn("__dist", Vectors.l2Squared(col("q_emb"), col("cv")))
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") <= np)
-            .select(col("q_id"), col("q_emb"), col("q_nrm"), col("list_id"))
+            .groupBy(col("q_id"), col("q_emb"), col("q_nrm"))
+            .agg(slice(sort_array(collect_list(struct(
+              col("__dist").as("d"), col("list_id").as("l")))), 1, np).as("__top"))
+            .select(col("q_id"), col("q_emb"), col("q_nrm"),
+              explode(col("__top.l")).as("list_id"))
         }
       // no dedup needed: each corpus row has exactly one list and each
       // query probes distinct lists, so (q_id, vec_id) pairs are already
@@ -360,21 +381,28 @@ object Similarity {
           element_at(centroidDistances(centroids, col(embCol)), 1)
             .getField("cid").as("list_id"))
       else {
-        // join-based assignment: argmin over the broadcast centroid relation
-        // via a per-ROW window (one extra shuffle, but codegen stays bounded
-        // at FAISS-scale nlist). Partitioning on a per-row id rather than
-        // vec_id keeps duplicate corpus ids from collapsing to one argmin.
-        import org.apache.spark.sql.expressions.Window
+        // join-based assignment: argmin over the broadcast centroid
+        // relation as a combinable min(struct(dist, list, row)) aggregation
+        // keyed on the corpus id — it partial-combines map-side (the
+        // shuffle carries ONE candidate per corpus row per partition, where
+        // the previous per-row window shuffled and sorted all nlist
+        // distance rows), and grouping on the real id is stable under task
+        // retry (a monotonically_increasing_id key is not, once the input
+        // arrives via a shuffle). Contract: corpus ids must be unique —
+        // the contract an index over ids already implies (duplicate-id rows
+        // would collapse to one argmin; same tie-break as the literal
+        // path's (dist, cid) ordering, then embedding).
         val cdf = centroidFrame(corpus.sparkSession, centroids)
-        val w = Window.partitionBy(col("__crow")).orderBy(col("__dist"), col("list_id"))
         corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
             Vectors.norm(col(embCol)).as("c_nrm"))
-          .withColumn("__crow", monotonically_increasing_id())
           .crossJoin(broadcast(cdf))
-          .withColumn("__dist", Vectors.l2Squared(col("c_emb"), col("cv")))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("vec_id"), col("c_emb"), col("c_nrm"), col("list_id"))
+          .select(col("vec_id"), struct(
+            Vectors.l2Squared(col("c_emb"), col("cv")).as("d"),
+            col("list_id").as("l"), col("c_emb").as("e"),
+            col("c_nrm").as("n")).as("__s"))
+          .groupBy(col("vec_id")).agg(min(col("__s")).as("__m"))
+          .select(col("vec_id"), col("__m.e").as("c_emb"),
+            col("__m.n").as("c_nrm"), col("__m.l").as("list_id"))
       }
     new IvfIndex(centroids, assigned, nprobe, literalCentroidMax)
   }

@@ -32,8 +32,7 @@ class BpeSpec extends SparkSpec {
     // spaces separate words and are never tokens; merges never cross them
     assert(Bpe.tokenCountRef("ion ion") == 2L)
     assert(Bpe.tokenCountRef("") == 0L)
-    assert(Bpe.tokenCountRef("   ") == 3L * 0 + Bpe.tokenCountRef("   ")) // idempotent call
-    assert(Bpe.tokenCountRef("   ") == 0L)
+    assert(Bpe.tokenCountRef("   ") == 0L) // whitespace-only: no tokens
     // greedy means LONGEST first: "etain" = "eta"+"in" (3+2), not "et"+"ai"+"n"
     assert(Bpe.tokenCountRef("etain") == 2L)
   }

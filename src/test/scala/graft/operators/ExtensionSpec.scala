@@ -246,6 +246,21 @@ class ExtensionSpec extends SparkSpec {
     assert(Similarity.lshTopK(tiny, q, k = 2).columns.contains("cosine"))
   }
 
+  test("empty query batch searches to an empty result; a ragged row fails at execution") {
+    val idx = Similarity.ivfIndex(emb, nlist = 4)
+    // a scheduled search on a day with zero queries must return empty, not
+    // crash (the width guard is per-row, vacuous on an empty batch)
+    val none = emb.filter(col("vec_id") < 0).withColumnRenamed("vec_id", "q_id")
+    assert(idx.search(none, k = 3).count() == 0)
+    // a mismatched-width query row fails ON THE ROW, with the width message
+    val bad = spark.range(1).select(col("id").as("q_id"),
+      array(lit(1.0f), lit(2.0f)).as("embedding"))
+    val e = intercept[Exception] { idx.search(bad, k = 3).collect() }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(8).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("width"), messages)
+  }
+
   test("IVF join-based centroid path (nlist > literalCentroidMax) equals the literal path") {
     val queries = emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
     def asRows(df: org.apache.spark.sql.DataFrame) =
