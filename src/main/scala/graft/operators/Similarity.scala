@@ -68,10 +68,16 @@ object Similarity {
     * corpus side keeps the eager [[resolveDim]] check — an index over an
     * empty or mismatched corpus is a build-time bug. */
   private[operators] def checkedWidth(e: Column, d: Int, what: String): Column =
-    when(size(e) === d, e).otherwise(raise_error(concat(
-      lit(s"$what embedding width "), size(e).cast("string"),
-      lit(s" does not match expected $d: a mismatched width would silently " +
-        "hash or probe a vector prefix"))))
+    // null-transparent: a null embedding passes through (callers filter
+    // null rows out — they have nothing to search with); without the
+    // isNull arm, size(null) = null would take the otherwise branch and
+    // null-poison the raise_error message into a contextless crash
+    when(e.isNull, e)
+      .when(size(e) === d, e)
+      .otherwise(raise_error(concat(
+        lit(s"$what embedding width "), size(e).cast("string"),
+        lit(s" does not match expected $d: a mismatched width would silently " +
+          "hash or probe a vector prefix"))))
 
   /** Attach the L2 norm (compute once per row, reuse across pairs). */
   def withNorm(df: DataFrame, embCol: String = "embedding", normCol: String = "emb_norm"): DataFrame =
@@ -136,14 +142,20 @@ object Similarity {
       qIdCol: String = "q_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = resolveDim(corpus, embCol, dim)
-    // queries hash with the corpus width — the per-row guard fails any
-    // mismatched row at execution instead of silently bucketing a prefix
+    // one-shot entry point: an EMPTY query side fails loudly (headDim's
+    // documented rationale — a silent empty result would hide a broken
+    // upstream filter behind a plausible "no matches"); the per-row guard
+    // then fails any mismatched row at execution instead of silently
+    // bucketing a prefix. IvfIndex.search is the lazy, reuse-friendly one.
+    resolveDim(queries, embCol, d)
     val qe = checkedWidth(col(embCol), d, "query")
     val bucket = (e: Column) => lshBucket(e, nPlanes, d, seed)
-    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
-      Vectors.norm(col(embCol)).as("c_nrm"), bucket(col(embCol)).as("bucket"))
-    val q = queries.select(col(qIdCol).as("q_id"), qe.as("q_emb"),
-      Vectors.norm(qe).as("q_nrm"), bucket(qe).as("bucket"))
+    val c = corpus.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+        Vectors.norm(col(embCol)).as("c_nrm"), bucket(col(embCol)).as("bucket"))
+    val q = queries.filter(col(embCol).isNotNull)
+      .select(col(qIdCol).as("q_id"), qe.as("q_emb"),
+        Vectors.norm(qe).as("q_nrm"), bucket(qe).as("bucket"))
     val scored = c.join(q, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
@@ -176,24 +188,29 @@ object Similarity {
       qIdCol: String = "q_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = resolveDim(corpus, embCol, dim)
-    // same guard as lshTopK: per-row execution-time width check on the
-    // query side (the planes were sized for the corpus width)
+    // same guards as lshTopK: loud empty-query check for the one-shot
+    // entry point, then the per-row execution-time width check
+    resolveDim(queries, embCol, d)
     val qe = checkedWidth(col(embCol), d, "query")
     def tableBuckets(e: Column): Column =
       array((0 until tables).map(t => lshBucket(e, nPlanes, d, seed + t)): _*)
+    val cIn = corpus.filter(col(embCol).isNotNull)
+    val qIn = queries.filter(col(embCol).isNotNull)
     val candidates =
-      corpus.select(col(idCol).as("vec_id"),
+      cIn.select(col(idCol).as("vec_id"),
           posexplode(tableBuckets(col(embCol))).as(Seq("table", "bucket")))
-        .join(queries.select(col(qIdCol).as("q_id"),
+        .join(qIn.select(col(qIdCol).as("q_id"),
             posexplode(tableBuckets(qe)).as(Seq("table", "bucket"))),
           Seq("table", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"))
         .distinct()
-    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+    val c = cIn.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
       Vectors.norm(col(embCol)).as("c_nrm"))
-    val q = queries.select(col(qIdCol).as("q_id"), col(embCol).as("q_emb"),
-      Vectors.norm(col(embCol)).as("q_nrm"))
+    // scoring side built from the GUARDED qe too: width safety must not
+    // depend on the candidate subplan happening to evaluate the guard
+    val q = qIn.select(col(qIdCol).as("q_id"), qe.as("q_emb"),
+      Vectors.norm(qe).as("q_nrm"))
     val scored = candidates.join(c, "vec_id").join(broadcast(q), "q_id")
       .select(col("q_id"), col("vec_id"),
         Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
@@ -304,9 +321,14 @@ object Similarity {
       // execution-time guard: no LIMIT-1 job per search() on a reused
       // index, and an empty query batch yields an empty result
       val qe = checkedWidth(col(embCol), centroids.head.length, "query")
+      // null-embedding rows are skipped up front (nothing to search with):
+      // on the literal path a null embedding would otherwise flow THROUGH
+      // the literal-centroid transform (the outer array is the non-null
+      // literal) and surface as null-cosine result rows
+      val qIn = queries.filter(col(embCol).isNotNull)
       val q =
         if (centroids.length <= literalCentroidMax)
-          queries.select(col(qIdCol).as("q_id"), qe.as("q_emb"),
+          qIn.select(col(qIdCol).as("q_id"), qe.as("q_emb"),
             Vectors.norm(qe).as("q_nrm"),
             explode(transform(slice(distances(qe), 1, np),
               d => d.getField("cid"))).as("list_id"))
@@ -318,20 +340,28 @@ object Similarity {
           // when the input arrives via a shuffle: a recomputed map task can
           // renumber rows other reducers already fetched, silently
           // dropping or doubling probe sets). Same (dist, list_id) order
-          // the literal array_sort path uses. Contract: rows duplicated in
-          // BOTH q_id and embedding collapse to one probe set (they are the
-          // same query); same-id different-embedding rows stay distinct
-          // because the embedding is part of the grouping key.
+          // the literal array_sort path uses. Duplicated (q_id, embedding)
+          // rows would collapse to one probe set here while the literal
+          // path emits per copy — rather than silently diverge between the
+          // two paths, the fold enforces uniqueness loudly (count rides the
+          // same aggregation, no extra job; the row count per group is
+          // nlist per query copy).
           val cdf = centroidFrame(queries.sparkSession, centroids)
-          queries.select(col(qIdCol).as("q_id"), qe.as("q_emb"),
+          val nl = centroids.length
+          qIn.select(col(qIdCol).as("q_id"), qe.as("q_emb"),
               Vectors.norm(qe).as("q_nrm"))
             .crossJoin(broadcast(cdf))
             .withColumn("__dist", Vectors.l2Squared(col("q_emb"), col("cv")))
             .groupBy(col("q_id"), col("q_emb"), col("q_nrm"))
             .agg(slice(sort_array(collect_list(struct(
-              col("__dist").as("d"), col("list_id").as("l")))), 1, np).as("__top"))
+              col("__dist").as("d"), col("list_id").as("l")))), 1, np).as("__top"),
+              count(lit(1)).as("__n"))
             .select(col("q_id"), col("q_emb"), col("q_nrm"),
-              explode(col("__top.l")).as("list_id"))
+              explode(when(col("__n") === nl, col("__top.l"))
+                .otherwise(raise_error(concat(lit("duplicate (q_id, embedding) "),
+                  lit("rows in the query batch: dedup the batch before the "),
+                  lit("join probe path (the literal path would emit duplicated "),
+                  lit("result rows)"))))).as("list_id"))
         }
       // no dedup needed: each corpus row has exactly one list and each
       // query probes distinct lists, so (q_id, vec_id) pairs are already
@@ -374,9 +404,14 @@ object Similarity {
       .limit(trainCap)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = lloydCentroids(samples, nlist, seed).toIndexedSeq
+    // null-embedding corpus rows carry nothing to index — skipped up front
+    // on BOTH branches (on the literal branch they would otherwise be
+    // assigned a real list via the literal-centroid transform and surface
+    // as null-cosine results)
+    val cIn = corpus.filter(col(embCol).isNotNull)
     val assigned =
       if (centroids.length <= literalCentroidMax)
-        corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+        cIn.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
           Vectors.norm(col(embCol)).as("c_nrm"),
           element_at(centroidDistances(centroids, col(embCol)), 1)
             .getField("cid").as("list_id"))
@@ -388,21 +423,32 @@ object Similarity {
         // the previous per-row window shuffled and sorted all nlist
         // distance rows), and grouping on the real id is stable under task
         // retry (a monotonically_increasing_id key is not, once the input
-        // arrives via a shuffle). Contract: corpus ids must be unique —
-        // the contract an index over ids already implies (duplicate-id rows
-        // would collapse to one argmin; same tie-break as the literal
-        // path's (dist, cid) ordering, then embedding).
+        // arrives via a shuffle). Corpus ids must be unique — the contract
+        // an index over ids already implies — and it is ENFORCED loudly
+        // here (count rides the same aggregation: nlist rows per unique
+        // id), because silently collapsing a duplicate id to one argmin
+        // would drop an embedding from the index only on this side of
+        // literalCentroidMax — an invisible recall loss the literal path
+        // does not share.
         val cdf = centroidFrame(corpus.sparkSession, centroids)
-        corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+        val nl = centroids.length
+        cIn.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
             Vectors.norm(col(embCol)).as("c_nrm"))
           .crossJoin(broadcast(cdf))
           .select(col("vec_id"), struct(
             Vectors.l2Squared(col("c_emb"), col("cv")).as("d"),
             col("list_id").as("l"), col("c_emb").as("e"),
             col("c_nrm").as("n")).as("__s"))
-          .groupBy(col("vec_id")).agg(min(col("__s")).as("__m"))
+          .groupBy(col("vec_id")).agg(min(col("__s")).as("__m"),
+            count(lit(1)).as("__n"))
           .select(col("vec_id"), col("__m.e").as("c_emb"),
-            col("__m.n").as("c_nrm"), col("__m.l").as("list_id"))
+            col("__m.n").as("c_nrm"),
+            when(col("__n") === nl, col("__m.l"))
+              .otherwise(raise_error(concat(lit("duplicate corpus id "),
+                col("vec_id").cast("string"),
+                lit(": an IVF index requires unique ids (a silent argmin " +
+                  "collapse would drop an embedding from the index)"))))
+              .as("list_id"))
       }
     new IvfIndex(centroids, assigned, nprobe, literalCentroidMax)
   }

@@ -256,9 +256,36 @@ class ExtensionSpec extends SparkSpec {
     val bad = spark.range(1).select(col("id").as("q_id"),
       array(lit(1.0f), lit(2.0f)).as("embedding"))
     val e = intercept[Exception] { idx.search(bad, k = 3).collect() }
-    val messages = Iterator.iterate[Throwable](e)(_.getCause)
-      .takeWhile(_ != null).take(8).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-    assert(messages.contains("width"), messages)
+    def messages(t: Throwable) = Iterator.iterate[Throwable](t)(_.getCause)
+      .takeWhile(_ != null).take(8).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("width"), messages(e))
+    // a NULL embedding row is skipped, not a crash (and not a null-poisoned
+    // error): searches proceed for the valid rows
+    val withNull = emb.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "q_id")
+      .union(spark.range(1).select(lit(999L).as("q_id"),
+        lit(null).cast("array<float>").as("embedding"), lit(0).as("label")))
+    val ok = idx.search(withNull.select("q_id", "embedding"), k = 3)
+      .select("q_id").distinct().count()
+    assert(ok == 3, s"expected 3 searched queries, got $ok")
+  }
+
+  test("join paths enforce their uniqueness contracts loudly") {
+    // duplicate corpus ids on the join-based assignment path must fail,
+    // not silently drop an embedding from the index
+    val dupCorpus = emb.union(emb.filter(col("vec_id") === 0))
+    val eC = intercept[Exception] {
+      Similarity.ivfIndex(dupCorpus, nlist = 4, literalCentroidMax = 0)
+        .assigned.collect()
+    }
+    def messages(t: Throwable) = Iterator.iterate[Throwable](t)(_.getCause)
+      .takeWhile(_ != null).take(8).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(eC).contains("unique ids"), messages(eC))
+    // duplicate (q_id, embedding) rows on the join probe path must fail,
+    // not silently collapse where the literal path duplicates
+    val idx = Similarity.ivfIndex(emb, nlist = 4, literalCentroidMax = 0)
+    val q1 = emb.filter(col("vec_id") === 1).withColumnRenamed("vec_id", "q_id")
+    val eQ = intercept[Exception] { idx.search(q1.union(q1), k = 3).collect() }
+    assert(messages(eQ).contains("dedup the batch"), messages(eQ))
   }
 
   test("IVF join-based centroid path (nlist > literalCentroidMax) equals the literal path") {
