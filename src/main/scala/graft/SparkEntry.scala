@@ -952,12 +952,25 @@ object SparkEntry {
     * `dupTail` the last chunk is re-fed as an extra batch (cross-batch
     * duplicates the pipeline's dedup must drop). Returns the finalized
     * table. */
-  /** Throwaway checkpoint dir for a graded stream run, removed by
-    * [[deleteRecursively]] when the query stops — repeated gate runs must
-    * not litter tmpdir. */
-  private def tempCkpt(): String =
-    sys.props("java.io.tmpdir") + "/graft-ckpt-" +
+  /** Throwaway checkpoint dir for a graded stream run, removed at JVM
+    * exit — repeated gate runs must not litter tmpdir. Deletion is
+    * DEFERRED (not at q.stop()): the session-wide state-store maintenance
+    * thread keeps providers loaded past a query's stop, and deleting the
+    * directory under a loaded provider fails a LATER stateful query in the
+    * same session with the dead path (observed: stream_late_data_drop
+    * failing on an earlier query's deleted state dir). */
+  private def tempCkpt(): String = {
+    val dir = sys.props("java.io.tmpdir") + "/graft-ckpt-" +
       java.util.UUID.randomUUID().toString
+    ckptsToReap.synchronized { ckptsToReap += dir }
+    dir
+  }
+
+  private val ckptsToReap = scala.collection.mutable.Buffer.empty[String]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ckptsToReap.synchronized { ckptsToReap.foreach(deleteRecursively) }))
+  }
 
   private def deleteRecursively(path: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -996,7 +1009,7 @@ object SparkEntry {
       // the watermark past their windows — the engine must drop every one
       if (lateTail.nonEmpty) { ms.addData(lateTail.toIndexedSeq); q.processAllAvailable() }
       ms.addData(Seq(sentinelJson)); q.processAllAvailable()
-    } finally { q.stop(); deleteRecursively(ckpt) }
+    } finally q.stop()
     // drop any finalized sentinel rows; transforms that aggregate the
     // customer away (e.g. stream_static_enrich) rely on the sentinel's
     // window never finalizing instead
@@ -1041,7 +1054,7 @@ object SparkEntry {
       val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
       chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
       ms.addData(chunks.last.toIndexedSeq); q.processAllAvailable()
-    } finally { q.stop(); deleteRecursively(ckpt) }
+    } finally q.stop()
     s.table("stream_doc_clean_t")
   }
 
@@ -1099,7 +1112,7 @@ object SparkEntry {
         }
       vs.addData(Seq(sentinelJson)); ps.addData(Seq(sentinelJson))
       q.processAllAvailable()
-    } finally { q.stop(); deleteRecursively(ckpt) }
+    } finally q.stop()
     s.table(qname).filter(col("customer_id") =!= "-1")
   }
 
