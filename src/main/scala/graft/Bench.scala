@@ -22,15 +22,32 @@ object Bench {
     // straggler evidence for the skew stages (a hot key shows up as one task
     // an order of magnitude over the median; salting flattens it)
     private val taskDurations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
+    // per-task samples keyed by stageId: (duration_ms, spill_b, shuffle_read_b,
+    // shuffle_write_b). A single max/p50 over ALL of a stage-group's tasks
+    // buries the signal the skew stages exist to record — the salted join's
+    // 32x dim-replication MAP tasks dominate the group max while the flattened
+    // REDUCE (probe) stage is the claim under test; keying by stageId makes
+    // the probe stage separable (it's the one with shuffle_read > 0)
+    private val stageTasks = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]]
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
+      var spillB = 0L; var readB = 0L; var writeB = 0L
       if (m != null) {
-        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        writeB = m.shuffleWriteMetrics.bytesWritten
+        readB = m.shuffleReadMetrics.totalBytesRead
+        spillB = m.memoryBytesSpilled + m.diskBytesSpilled
+        shuffleWrite.addAndGet(writeB)
+        shuffleRead.addAndGet(readB)
+        spill.addAndGet(spillB)
         peakTaskMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
       }
-      if (te.taskInfo != null) taskDurations.add(te.taskInfo.duration)
+      if (te.taskInfo != null) {
+        taskDurations.add(te.taskInfo.duration)
+        stageTasks.computeIfAbsent(te.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue)
+          .add((te.taskInfo.duration, spillB, readB, writeB))
+      }
     }
     def snapshot: (Long, Long, Long) =
       (shuffleWrite.get, shuffleRead.get, spill.get)
@@ -39,6 +56,18 @@ object Bench {
       var v = taskDurations.poll()
       while (v != null) { b += v.longValue; v = taskDurations.poll() }
       b.result()
+    }
+    /** Drain per-stage task samples, ascending stageId (submission order). */
+    def drainStages(): Seq[(Int, Array[(Long, Long, Long, Long)])] = {
+      import scala.jdk.CollectionConverters._
+      val out = stageTasks.asScala.toSeq.map { case (sid, q) =>
+        val b = Array.newBuilder[(Long, Long, Long, Long)]
+        var v = q.poll()
+        while (v != null) { b += v; v = q.poll() }
+        (sid, b.result())
+      }.filter(_._2.nonEmpty).sortBy(_._1)
+      stageTasks.clear()
+      out
     }
   }
 
@@ -236,8 +265,9 @@ object Bench {
     val soakJson = if (!soakOn) "{}" else {
       val ml = new MetricsListener
       spark.sparkContext.addSparkListener(ml)
-      def stage(name: String)(body: => Long): String = {
+      def stage(name: String, perStage: Boolean = false)(body: => Long): String = {
         ml.drainDurations() // discard tasks from before this stage
+        ml.drainStages()
         val (w0, r0, s0) = ml.snapshot
         ml.peakTaskMem.set(0L)
         val t0 = System.nanoTime()
@@ -245,17 +275,37 @@ object Bench {
           val rows = graft.util.Checkpoints.scoped(body)
           val sec = (System.nanoTime() - t0) / 1e9
           // deterministic drain: a fixed sleep can miss the slowest task's
-          // end event on a loaded machine — the straggler sample itself
-          org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+          // end event on a loaded machine — the straggler sample itself.
+          // A drain TIMEOUT must degrade to slightly-stale metrics (the old
+          // fixed-sleep behavior), not abort the whole bench run: on a
+          // loaded listener bus waitUntilEmpty throws after 10 s
+          try org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+          catch { case _: java.util.concurrent.TimeoutException =>
+            System.err.println(s"[$name] listener drain timed out; " +
+              "task metrics for this stage may be incomplete") }
           val (w1, r1, s1) = ml.snapshot
           val durs = ml.drainDurations().sorted
           val maxTask = if (durs.isEmpty) 0L else durs.last
           val p50Task = if (durs.isEmpty) 0L else durs(durs.length / 2)
           val mb = (b: Long) => (b / 1e6).round
+          // per-stageId task profile (skew stages): the REDUCE/probe stage
+          // is identifiable as the one with read_mb > 0; its max/p50 ratio
+          // is the straggler evidence a stage-group max cannot show
+          val stages = if (!perStage) "" else {
+            val arr = ml.drainStages().map { case (sid, ts) =>
+              val ds = ts.map(_._1).sorted
+              val sp = ts.map(_._2).sum; val rd = ts.map(_._3).sum
+              val wr = ts.map(_._4).sum
+              s"""{"stage":$sid,"n_tasks":${ts.length},"max_task_ms":${ds.last},""" +
+                s""""p50_task_ms":${ds(ds.length / 2)},"spill_mb":${mb(sp)},""" +
+                s""""read_mb":${mb(rd)},"write_mb":${mb(wr)}}"""
+            }.mkString("[", ",", "]")
+            s""","stages":$arr"""
+          }
           s""""$name":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,""" +
             s""""shuffle_write_mb":${mb(w1 - w0)},"shuffle_read_mb":${mb(r1 - r0)},""" +
             s""""spill_mb":${mb(s1 - s0)},"peak_task_mem_mb":${mb(ml.peakTaskMem.get)},""" +
-            s""""max_task_ms":$maxTask,"p50_task_ms":$p50Task}"""
+            s""""max_task_ms":$maxTask,"p50_task_ms":$p50Task$stages}"""
         } catch { case t: Throwable =>
           s""""$name":{"err":"${graft.util.Json.escape(t.toString, maxLen = 300)}"}"""
         }
@@ -309,17 +359,23 @@ object Bench {
       }
 
       // ---- skewed-key stages: a REAL hot key at volume (VERDICT r4 #2) --
-      // 20M rows where key 0 owns 30%; dimension side of 1M unique keys.
-      // Broadcast is disabled for these stages (modeling a dimension beyond
-      // the broadcast threshold — the regime saltedJoin exists for) and the
-      // plain/salted stages also disable AQE's skew split (modeling the
-      // shapes it can't touch); the aqe stage leaves it on for contrast.
-      // max_task_ms vs p50_task_ms is the straggler number: plain should
-      // show one task far over the median, salted should be flat at the
-      // same totals (rows is the equality witness across the three).
+      // 20M rows where key 0 owns 60% (raised from 30% in r6: at 30% the
+      // plain join's hot task was ~2.5 s against a ~3 s stage — the
+      // straggler did not dominate end-to-end, so the record read as
+      // "salting didn't help"; at 60% one task holds 12M probe rows and the
+      // plain stage's wall time IS its straggler). Dimension side of 1M
+      // unique keys. Broadcast is disabled for these stages (modeling a
+      // dimension beyond the broadcast threshold — the regime saltedJoin
+      // exists for) and the plain/salted stages also disable AQE's skew
+      // split (modeling the shapes it can't touch); the aqe stage leaves it
+      // on for contrast. The skew-join stages emit PER-STAGE task profiles
+      // (perStage = true): the probe stage (read_mb > 0) carries the
+      // straggler evidence — plain's probe max/p50 should be an order of
+      // magnitude, salted's near-flat — which a stage-group max buries
+      // under the salted path's dim-replication map tasks.
       import org.apache.spark.sql.functions.{when, pmod, xxhash64, lit, md5, sum => fsum}
       def bigSkewed = spark.range(20000000L).select(
-        when(pmod(col("id"), lit(10)) < 3, lit(0L))
+        when(pmod(col("id"), lit(10)) < 6, lit(0L))
           .otherwise(pmod(xxhash64(col("id")), lit(999999L)) + 1L).as("key"),
         (col("id") % 97).cast("double").as("amount"))
       def dimTable = spark.range(1000000L).select(col("id").as("key"),
@@ -330,15 +386,15 @@ object Bench {
       val skew0 = spark.conf.get(skewKey)
       spark.conf.set(bcastKey, "-1")
       spark.conf.set(skewKey, "false")
-      val s4 = stage("skew_join_plain_20m") {
+      val s4 = stage("skew_join_plain_20m", perStage = true) {
         bigSkewed.join(dimTable, "key").count()
       }
       spark.conf.set(skewKey, "true")
-      val s5 = stage("skew_join_aqe_20m") {
+      val s5 = stage("skew_join_aqe_20m", perStage = true) {
         bigSkewed.join(dimTable, "key").count()
       }
       spark.conf.set(skewKey, "false")
-      val s6 = stage("skew_join_salted_20m") {
+      val s6 = stage("skew_join_salted_20m", perStage = true) {
         // dim side spread over 128 partitions BEFORE the 32x replication
         // explode: otherwise the handful of replication map tasks (1M rows
         // in, 32M out across 32 tasks) become the stage's max task and bury
@@ -375,7 +431,16 @@ object Bench {
       s"{$s1,$s2,$s3,$s4,$s5,$s6,$s7,$s8,$s9}"
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"samples":$sampleJson,"errors":$errors,"flaky_errors":$flakyErrors,"stream_events_per_sec":${eps.toLong},"stream_eps_samples":$epsSampleJson,"soak":$soakJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"samples":$sampleJson,"errors":$errors,"flaky_errors":$flakyErrors,"stream_events_per_sec":${eps.toLong},"stream_eps_samples":$epsSampleJson,"soak":$soakJson,"sf":"$sfDir"}"""
+    println(line)
+    // durability: the driver records only a truncated tail of stdout (r4 and
+    // r5 both lost the per-query map past ~2,000 chars) — the full line also
+    // lands in a file so the recorded artifact is self-contained
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable =>
+      System.err.println(s"could not write $outPath: $t") }
     spark.stop()
   }
 

@@ -397,18 +397,20 @@ object Similarity {
       embCol: String = "embedding",
       trainCap: Int = 16384,
       literalCentroidMax: Int = LiteralCentroidMax): IvfIndex = {
-    val samples = corpus
+    // null-embedding corpus rows carry nothing to index — skipped up front
+    // on BOTH branches (on the literal branch they would otherwise be
+    // assigned a real list via the literal-centroid transform and surface
+    // as null-cosine results). The TRAINING sample draws from the same
+    // filtered frame: a null row landing in the trainCap sample would
+    // otherwise NPE on the driver inside toArray before any policy applies.
+    val cIn = corpus.filter(col(embCol).isNotNull)
+    val samples = cIn
       .select(col(embCol).cast("array<double>").as("v"),
         Sampling.hashBucket(col(idCol), "ivf-train").as("__h"), col(idCol).as("__id"))
       .sort(col("__h"), col("__id"))
       .limit(trainCap)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = lloydCentroids(samples, nlist, seed).toIndexedSeq
-    // null-embedding corpus rows carry nothing to index — skipped up front
-    // on BOTH branches (on the literal branch they would otherwise be
-    // assigned a real list via the literal-centroid transform and surface
-    // as null-cosine results)
-    val cIn = corpus.filter(col(embCol).isNotNull)
     val assigned =
       if (centroids.length <= literalCentroidMax)
         cIn.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
@@ -530,16 +532,43 @@ object Similarity {
       labelCol: String = "label",
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    // the fold orders by the NATIVE id value (struct sort is lexicographic
+    // on the first field) — a cast("long") here would turn non-numeric ids
+    // (string doc ids) into null and silently degrade the documented
+    // "ascending idCol order" into ordering by embedding bytes, diverging
+    // from any oracle that orders by the real id
     val grouped = df.groupBy(col(labelCol)).agg(
-      sort_array(collect_list(struct(col(idCol).cast("long").as("i"),
-        col(embCol).cast("array<double>").as("e")))).as("vs"),
+      sort_array(collect_list(struct(col(idCol).as("i"),
+        nonNullEmb(col(embCol), col(idCol), "centroid-input")
+          .cast("array<double>").as("e")))).as("vs"),
       count(lit(1)).as("n"))
     val zero = transform(element_at(col("vs"), 1).getField("e"), _ => lit(0.0))
+    // ragged widths fail ON THE ROW: zip_with pads the shorter array with
+    // null and null + x = null, so without this guard one short vector
+    // silently null-poisons its whole label's centroid — inconsistent with
+    // the loud checkedWidth contracts on the ANN paths
     val summed = aggregate(col("vs"), zero,
-      (acc, x) => zip_with(acc, x.getField("e"), _ + _))
+      (acc, x) => when(size(x.getField("e")) === size(acc),
+        zip_with(acc, x.getField("e"), _ + _))
+        .otherwise(raise_error(concat(
+          lit("ragged embedding width "), size(x.getField("e")).cast("string"),
+          lit(" vs "), size(acc).cast("string"),
+          lit(" within one label: a centroid fold over mismatched widths " +
+            "would null-pad and poison the mean")))))
     grouped.select(col(labelCol), col("n"),
       transform(summed, v => v / col("n")).as("centroid"))
   }
+
+  /** Loud null contract shared by the centroid builders: a null embedding
+    * would null-poison everything it folds or scores into (null + x =
+    * null), the silent twin of the ragged-width hazard [[checkedWidth]]
+    * guards against on the ANN paths. */
+  private def nonNullEmb(e: Column, id: Column, what: String): Column =
+    when(e.isNull, raise_error(concat(
+      lit(s"null $what embedding for id "), id.cast("string"),
+      lit(": a null row null-poisons the centroid math — filter " +
+        "col(embCol).isNotNull before the build if nulls are expected"))))
+      .otherwise(e)
 
   /** Nearest-centroid assignment: each embedding labeled with the centroid
     * it is closest to (squared L2), ties broken by label — the prototype
@@ -565,11 +594,21 @@ object Similarity {
       .select(col(labelCol).as("__c_label"), col("centroid").as("__c"))
       .withColumn("__cc", Vectors.dot(col("__c"), col("__c")))
     val e = df.select(col(idCol), col(labelCol).as("label_true"),
-        col(embCol).cast("array<double>").as("__e"))
+        nonNullEmb(col(embCol), col(idCol), "assignment-input")
+          .cast("array<double>").as("__e"))
       .withColumn("__ee", Vectors.dot(col("__e"), col("__e")))
+    // cross-label ragged widths fail on the offending pair: zip_with inside
+    // dot would otherwise null-pad and the null d2 silently wins or loses
+    // the min(struct) argmin depending on null ordering
     val scored = e.crossJoin(broadcast(cent))
       .select(col(idCol), col("label_true"), col("__c_label"),
-        (col("__ee") - lit(2.0) * Vectors.dot(col("__e"), col("__c")) + col("__cc"))
+        when(size(col("__e")) === size(col("__c")),
+          col("__ee") - lit(2.0) * Vectors.dot(col("__e"), col("__c")) + col("__cc"))
+          .otherwise(raise_error(concat(
+            lit("embedding width "), size(col("__e")).cast("string"),
+            lit(" does not match centroid width "), size(col("__c")).cast("string"),
+            lit(" for label "), col("__c_label").cast("string"),
+            lit(": squared-L2 over mismatched widths is undefined"))))
           .as("d2"))
     scored.groupBy(col(idCol), col("label_true"))
       .agg(min(struct(col("d2"), col("__c_label"))).as("__m"))

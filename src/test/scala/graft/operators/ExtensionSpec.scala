@@ -269,6 +269,24 @@ class ExtensionSpec extends SparkSpec {
     assert(ok == 3, s"expected 3 searched queries, got $ok")
   }
 
+  test("a null corpus embedding is skipped at BUILD time on both assignment paths") {
+    // the null-row policy must cover the centroid-training sample too: a
+    // null embedding drawn into the trainCap sample would NPE on the driver
+    // inside toArray before any per-row policy could apply (the small test
+    // corpus makes every row part of the sample, so a null here exercises
+    // exactly that path)
+    val nulls = spark.range(3).select((col("id") + 1000L).as("vec_id"),
+      lit(null).cast("array<float>").as("embedding"), lit(0).as("label"))
+    val withNulls = emb.union(nulls)
+    for (lcm <- Seq(Similarity.LiteralCentroidMax, 0)) {
+      val idx = Similarity.ivfIndex(withNulls, nlist = 4, literalCentroidMax = lcm)
+      // null rows carry nothing to index: assigned = exactly the real rows
+      assert(idx.assigned.count() == emb.count(), s"literalCentroidMax=$lcm")
+      val q = emb.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "q_id")
+      assert(idx.search(q, k = 3).select("q_id").distinct().count() == 3)
+    }
+  }
+
   test("join paths enforce their uniqueness contracts loudly") {
     // duplicate corpus ids on the join-based assignment path must fail,
     // not silently drop an embedding from the index

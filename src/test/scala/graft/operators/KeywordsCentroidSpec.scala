@@ -56,6 +56,45 @@ class KeywordsCentroidSpec extends SparkSpec {
     assert(got(5L) == (0, 1), "the mislabeled point must be re-assigned")
   }
 
+  test("centroid fold orders by the NATIVE id — string ids included") {
+    // values chosen so float association DISCRIMINATES the fold order:
+    // ascending-id order (1e16 + -1e16) + 1.0 = 1.0, while the
+    // embedding-byte order a lossy cast("long") degraded to (string ids ->
+    // null) folds (-1e16 + 1.0) + 1e16 = 0.0. The documented contract is
+    // the id order: mean must be 1.0 / 3.
+    val df = Seq(
+      ("a", Array(1.0e16), 0),
+      ("b", Array(-1.0e16), 0),
+      ("c", Array(1.0), 0)).toDF("vec_id", "embedding", "label")
+    val v = Similarity.labelCentroids(df)
+      .select("value").as[Double].head()
+    assert(v == 1.0 / 3, s"expected the ascending-id fold (1/3), got $v")
+  }
+
+  test("null or ragged embeddings fail loudly instead of null-poisoning a centroid") {
+    def messages(t: Throwable) = Iterator.iterate[Throwable](t)(_.getCause)
+      .takeWhile(_ != null).take(8).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // a null row would fold null + x = null through the whole label
+    val withNull = Seq((1L, Array(1.0f, 2.0f), 0), (2L, null: Array[Float], 0))
+      .toDF("vec_id", "embedding", "label")
+    val eN = intercept[Exception] { Similarity.labelCentroids(withNull).collect() }
+    assert(messages(eN).contains("null-poison"), messages(eN))
+    val eNA = intercept[Exception] { Similarity.nearestCentroid(withNull).collect() }
+    assert(messages(eNA).contains("null-poison"), messages(eNA))
+    // a short row would zip_with-pad nulls into the tail of the sum
+    val ragged = Seq((1L, Array(1.0f, 2.0f), 0), (2L, Array(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val eR = intercept[Exception] { Similarity.labelCentroids(ragged).collect() }
+    assert(messages(eR).contains("ragged embedding width"), messages(eR))
+    // cross-label raggedness (each label internally consistent) must fail
+    // at ASSIGNMENT: squared-L2 across mismatched widths is undefined
+    val crossRagged = Seq(
+      (1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(1.0f, 2.0f, 3.0f), 1)).toDF("vec_id", "embedding", "label")
+    val eX = intercept[Exception] { Similarity.nearestCentroid(crossRagged).collect() }
+    assert(messages(eX).contains("does not match centroid width"), messages(eX))
+  }
+
   test("ordered and fast centroid forms agree within float association") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ordered = Similarity.labelCentroids(emb)
