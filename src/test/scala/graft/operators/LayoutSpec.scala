@@ -47,6 +47,21 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("empty shards still get their shard=K directory") {
+    // 3 rows into 64 shards: most shards receive zero rows, and partitionBy
+    // alone would create no directory for them — a loader enumerating
+    // shard=0..63 must never hit a missing path
+    val out = tmpDir()
+    val tiny = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    Layout.writeTrainingShards(tiny, out, numShards = 64, sortCols = Seq(col("doc_id")))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).toSet
+    assert(dirs == (0 until 64).map(k => s"shard=$k").toSet,
+      s"missing: ${(0 until 64).map(k => s"shard=$k").toSet -- dirs}")
+    // the read-back still carries exactly the written rows
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("shard assignment never moves a row as the corpus grows") {
     val ids = spark.range(5000).toDF("doc_id")
     val small = ids.filter(col("doc_id") < 500)

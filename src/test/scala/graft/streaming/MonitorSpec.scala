@@ -48,6 +48,25 @@ class MonitorSpec extends SparkSpec {
     assert(df.agg(sum(col("input_rows"))).as[Long].head() >= batches * perBatch)
   }
 
+  test("stateGrowthAlarm flags only monotone state growth over the lookback") {
+    import spark.implicits._
+    val mon = new Monitor()
+    def feed(q: String, rows: Seq[Long]): Unit = rows.zipWithIndex.foreach {
+      case (r, i) => mon.record(Monitor.Batch(q, i.toLong, "", 10L, 1.0, r, r * 100, ""))
+    }
+    // leaky: strictly climbing across every recent batch (no eviction)
+    feed("leaky", Seq(100L, 200L, 300L, 400L, 500L, 600L))
+    // healthy: grows then plateaus — eviction is keeping up
+    feed("healthy", Seq(100L, 200L, 300L, 300L, 300L, 300L))
+    // young: strictly climbing but fewer than lookback batches — not enough
+    // evidence (every pipeline's first batches grow from zero)
+    feed("young", Seq(100L, 200L, 300L))
+    val got = mon.stateGrowthAlarm(spark, lookback = 5)
+      .select("query_name", "from_rows", "to_rows")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("leaky", 200L, 600L)), s"got $got")
+  }
+
   test("buffer is bounded: old batches evict past maxBatches") {
     val mon = new Monitor(maxBatches = 4)
     (0L until 10L).foreach(i =>

@@ -317,7 +317,10 @@ class SpendingPipelineSpec extends SparkSpec {
       Sessionize.SessionEvent("1", ts("2025-03-10 12:00:00"), 10.0),
       Sessionize.SessionEvent("1", ts("2025-03-10 12:20:00"), 20.0), // same session
       Sessionize.SessionEvent("1", ts("2025-03-10 13:30:00"), 5.0),  // gap > 30 min
-      Sessionize.SessionEvent("2", ts("2025-03-10 12:05:00"), 7.0))
+      Sessionize.SessionEvent("2", ts("2025-03-10 12:05:00"), 7.0),
+      // exactly end+gap (12:05 + 30 min): session_window MERGES the
+      // boundary case — the custom-state twins must agree (inclusive gap)
+      Sessionize.SessionEvent("2", ts("2025-03-10 12:35:00"), 3.0))
     val df = events.toDF("customer_id", "timestamp", "amount")
     val nat = Sessionize.native(df).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
@@ -328,6 +331,8 @@ class SpendingPipelineSpec extends SparkSpec {
     assert(nat == st)
     assert(nat.size == 3)
     assert(nat.exists(r => r._1 == "1" && r._4 == 30.0 && r._5 == 2))
+    assert(nat.exists(r => r._1 == "2" && r._4 == 10.0 && r._5 == 2),
+      "the exactly-at-end+gap event must merge, in both implementations")
   }
 
   test("JsonFiles source streams NDJSON from a directory (S-file path)") {
