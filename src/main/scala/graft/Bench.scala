@@ -71,11 +71,19 @@ object Bench {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  def main(args: Array[String]): Unit = run(
+    sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+    soakOnly = sys.env.getOrElse("SPARK_GRAFT_SOAK_ONLY", "0") == "1",
+    soakOn = sys.env.getOrElse("SPARK_GRAFT_SOAK", "1") != "0",
+    outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+
+  /** The bench body, callable in-process (see [[Gate]]); `main` maps the
+    * SPARK_GRAFT_* env recipe onto these parameters. */
+  def run(sfDir: String, cpus: Int, soakOnly: Boolean, soakOn: Boolean,
+      outPath: String): Unit = {
     val spark = GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus.toInt)
+      SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // production parity: rules + SQL fns on
@@ -128,7 +136,6 @@ object Bench {
     // queries.
     // SPARK_GRAFT_SOAK_ONLY=1 skips the timed passes and eps (soak
     // iteration without re-paying ~2 min of query timing)
-    val soakOnly = sys.env.getOrElse("SPARK_GRAFT_SOAK_ONLY", "0") == "1"
     val names =
       if (soakOnly) Seq.empty
       else SparkEntry.queries.toSeq
@@ -172,7 +179,7 @@ object Bench {
         // events/s
         val rest = payloads.drop(1000)
         val t0 = System.nanoTime()
-        rest.grouped(math.max(1, rest.length / cpus.toInt)).foreach(c => ms.addData(c.toIndexedSeq))
+        rest.grouped(math.max(1, rest.length / cpus)).foreach(c => ms.addData(c.toIndexedSeq))
         q.processAllAvailable()
         rest.length / ((System.nanoTime() - t0) / 1e9)
       } finally q.stop() // a failed round must not leave its query running
@@ -261,11 +268,16 @@ object Bench {
     // from a task-metrics listener — the evidence that the plans hold under
     // real memory pressure (bounded shuffle, no OOM, CC converging).
     // SPARK_GRAFT_SOAK=0 skips (e.g. quick local iteration).
-    val soakOn = sys.env.getOrElse("SPARK_GRAFT_SOAK", "1") != "0"
     val soakJson = if (!soakOn) "{}" else {
       val ml = new MetricsListener
       spark.sparkContext.addSparkListener(ml)
+      // dev-only subset iteration: SPARK_GRAFT_SOAK_STAGES=a,b runs just
+      // those soak stages (skipped stages emit nothing; the driver never
+      // sets it)
+      val stageFilter = sys.env.get("SPARK_GRAFT_SOAK_STAGES")
+        .map(_.split(",").map(_.trim).toSet)
       def stage(name: String, perStage: Boolean = false)(body: => Long): String = {
+        if (stageFilter.exists(!_(name))) return ""
         ml.drainDurations() // discard tasks from before this stage
         ml.drainStages()
         val (w0, r0, s0) = ml.snapshot
@@ -328,7 +340,7 @@ object Bench {
       val coalesce0 = spark.conf.get(coalesceKey)
       spark.conf.set(partsKey, "128")
       spark.conf.set(coalesceKey, "false")
-      val s1 = stage("pipeline_20m") {
+      val s1 = stage("pipeline_20m", perStage = true) {
         // generate -> wire-encode -> parse -> dedup -> daily rollup, 100x
         // the graded s7 volume; count() is the single materializing action
         Spend.dailySpend(Spend.dedupe(Ingest.wellFormed(Ingest.parseTransactions(
@@ -385,15 +397,31 @@ object Bench {
       val bcast0 = spark.conf.get(bcastKey)
       val skew0 = spark.conf.get(skewKey)
       spark.conf.set(bcastKey, "-1")
+      // plain and salted run at 128-way parallelism with AQE's skew split
+      // AND partition coalescing off (the shapes AQE can't touch; coalescing
+      // would merge the salted probe's partitions straight back into the
+      // spilling regime — its 64 MB advisory target is why the probe
+      // otherwise runs 32-wide and spills). The comparison this makes:
+      // at IDENTICAL parallelism, plain's straggler is bounded by the hot
+      // key no matter the partition count (one task still holds 60% of the
+      // probe rows), while salting spreads that key over 32 salts. The aqe
+      // stage keeps stock session settings — its point is what AQE does on
+      // its own.
       spark.conf.set(skewKey, "false")
+      spark.conf.set(partsKey, "128")
+      spark.conf.set(coalesceKey, "false")
       val s4 = stage("skew_join_plain_20m", perStage = true) {
         bigSkewed.join(dimTable, "key").count()
       }
+      spark.conf.set(partsKey, parts0)
+      spark.conf.set(coalesceKey, coalesce0)
       spark.conf.set(skewKey, "true")
       val s5 = stage("skew_join_aqe_20m", perStage = true) {
         bigSkewed.join(dimTable, "key").count()
       }
       spark.conf.set(skewKey, "false")
+      spark.conf.set(partsKey, "128")
+      spark.conf.set(coalesceKey, "false")
       val s6 = stage("skew_join_salted_20m", perStage = true) {
         // dim side spread over 128 partitions BEFORE the 32x replication
         // explode: otherwise the handful of replication map tasks (1M rows
@@ -403,6 +431,8 @@ object Bench {
             bigSkewed, dimTable.repartition(128), Seq("key"), saltBuckets = 32)
           .count()
       }
+      spark.conf.set(partsKey, parts0)
+      spark.conf.set(coalesceKey, coalesce0)
       spark.conf.set(skewKey, skew0)
       spark.conf.set(bcastKey, bcast0)
       // aggregation contrast: for a pure sum, map-side partial aggregation
@@ -426,9 +456,11 @@ object Bench {
       // ~5.6h past a 5-minute watermark; per-batch state rows/memory are
       // recorded under the default AND RocksDB backends. The evidence is the
       // CURVE: cumulative input grows 10x while state rows stay flat.
-      val s9 = streamStateSoak(spark)
+      val s9 = if (stageFilter.exists(!_("stream_state_2m"))) ""
+        else streamStateSoak(spark)
 
-      s"{$s1,$s2,$s3,$s4,$s5,$s6,$s7,$s8,$s9}"
+      Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
+        .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"samples":$sampleJson,"errors":$errors,"flaky_errors":$flakyErrors,"stream_events_per_sec":${eps.toLong},"stream_eps_samples":$epsSampleJson,"soak":$soakJson,"sf":"$sfDir"}"""
@@ -436,7 +468,6 @@ object Bench {
     // durability: the driver records only a truncated tail of stdout (r4 and
     // r5 both lost the per-query map past ~2,000 chars) — the full line also
     // lands in a file so the recorded artifact is self-contained
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable =>

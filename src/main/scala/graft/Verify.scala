@@ -6,17 +6,22 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev-only subset run: SPARK_GRAFT_ONLY=q1,q2 dumps (and lists oracle
+    // SQL for) just those queries — the driver never sets it
+    run(sfDir, outDir,
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet),
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+  }
+
+  /** The correctness-dump body, callable in-process (see [[Gate]]). */
+  def run(sfDir: String, outDir: String, only: Option[Set[String]] = None,
+      cpus: Int = 32): Unit = {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"),
-      shufflePartitions = cpus.toInt).getOrCreate()
+      shufflePartitions = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // production parity: rules + SQL fns on
     new java.io.File(outDir).mkdirs()
-    // dev-only subset run: SPARK_GRAFT_ONLY=q1,q2 dumps (and lists oracle
-    // SQL for) just those queries — the driver never sets it
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
