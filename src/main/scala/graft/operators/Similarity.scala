@@ -373,6 +373,37 @@ object Similarity {
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
+
+    /** Persist the index as the deployment artifact of "build once, search
+      * many": `dir/assigned` holds the assigned corpus relation (at scale
+      * this IS the index — one parquet row per corpus vector), `dir/
+      * centroids` a tiny one-row-per-centroid relation carrying the trained
+      * vectors plus the nprobe/literalCentroidMax the index was built with.
+      * A later session — or another cluster — [[Similarity.loadIvfIndex]]s
+      * and searches without re-training or re-scanning the corpus. */
+    def save(dir: String): Unit = {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+      centroids.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq, nprobeDefault, literalCentroidMax) }
+        .toDF("list_id", "cv", "nprobe", "literal_centroid_max")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    }
+  }
+
+  /** Load an index persisted by [[IvfIndex.save]]. The centroid file pins
+    * nprobe and the literal-vs-join path threshold, so a loaded index
+    * searches exactly like the one that was saved. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    val rows = spark.read.parquet(s"$dir/centroids")
+      .select(col("list_id"), col("cv"), col("nprobe"), col("literal_centroid_max"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"no centroids found under $dir/centroids")
+    new IvfIndex(
+      rows.map(_.getSeq[Double](1).toArray).toIndexedSeq,
+      spark.read.parquet(s"$dir/assigned"),
+      rows.head.getInt(2), rows.head.getInt(3))
   }
 
   /** Build an IVF index: train centroids on a bounded sample (driver-local

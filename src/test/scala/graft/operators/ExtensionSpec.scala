@@ -287,6 +287,22 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("a saved IVF index loads and searches identically, on both path choices") {
+    val queries = emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    for (lcm <- Seq(Similarity.LiteralCentroidMax, 0)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      val built = Similarity.ivfIndex(emb, nlist = 8, literalCentroidMax = lcm)
+      built.save(dir)
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      // same centroids bit-for-bit, same search output, same nprobe default
+      assert(loaded.centroids.map(_.toSeq) == built.centroids.map(_.toSeq))
+      assert(asRows(loaded.search(queries, k = 5)) ==
+        asRows(built.search(queries, k = 5)), s"literalCentroidMax=$lcm")
+    }
+  }
+
   test("join paths enforce their uniqueness contracts loudly") {
     // duplicate corpus ids on the join-based assignment path must fail,
     // not silently drop an embedding from the index
