@@ -783,6 +783,19 @@ object SparkEntry {
         k = 5, nlist = 16, nprobe = 16, literalCentroidMax = 0)
     }),
 
+    // index persistence graded end to end: build -> save -> load -> search,
+    // with exhaustive probing (nprobe = nlist pinned at build time and
+    // carried THROUGH the saved artifact) so a loaded index must reproduce
+    // the brute-force oracle exactly — a round-trip that loses a centroid,
+    // an assignment row, or the saved nprobe cannot hash-match
+    "ext_knn_ivf_saved" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id")
+      val ivfDir = tempCkpt() // same deferred-reap lifecycle as stream ckpts
+      graft.operators.Similarity.ivfIndex(emb, nlist = 16, nprobe = 16).save(ivfDir)
+      graft.operators.Similarity.loadIvfIndex(s, ivfDir).search(q, k = 5)
+    }),
+
     // in-engine recall number for IVF (rows-only for the same reason; the
     // >= 0.9 bar is asserted in ExtensionSpec)
     "ext_knn_ivf_recall" -> ((s, dir) => {
@@ -2063,6 +2076,9 @@ object SparkEntry {
     // grades the broadcast-join assignment/probe path against the same SQL
     "ext_knn_ivf_exact" -> bruteKnnSql,
     "ext_knn_ivf_exact_join" -> bruteKnnSql,
+    // the saved-then-loaded index searches with the nprobe pinned in the
+    // artifact (= nlist, exhaustive), so the brute SQL is its oracle too
+    "ext_knn_ivf_saved" -> bruteKnnSql,
 
     // replay of the ordered fold: list(...ORDER BY vec_id) then a sequential
     // element-wise reduce — the same summation order the engine uses, which

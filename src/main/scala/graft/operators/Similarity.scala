@@ -383,11 +383,22 @@ object Similarity {
       * and searches without re-training or re-scanning the corpus. */
     def save(dir: String): Unit = {
       val spark = assigned.sparkSession
-      import spark.implicits._
       assigned.write.mode("overwrite").parquet(s"$dir/assigned")
-      centroids.zipWithIndex
-        .map { case (v, i) => (i, v.toSeq, nprobeDefault, literalCentroidMax) }
-        .toDF("list_id", "cv", "nprobe", "literal_centroid_max")
+      // explicit schema (no encoder reflection): save() then also works in
+      // classloader-constrained hosts (e.g. a REPL) where runtime
+      // ScalaReflection cannot resolve platform classes
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("list_id", IntegerType, nullable = false),
+        StructField("cv", ArrayType(DoubleType, containsNull = false), nullable = false),
+        StructField("nprobe", IntegerType, nullable = false),
+        StructField("literal_centroid_max", IntegerType, nullable = false)))
+      val rows = centroids.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i, v.toSeq, nprobeDefault, literalCentroidMax)
+      }
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     }
   }
