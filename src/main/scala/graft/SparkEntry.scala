@@ -537,6 +537,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // z-order (Morton) clustering key for multi-dimension data skipping:
+    // the graded surface is the z-value itself — pure integer bit
+    // interleave, exact in any engine. The layout machinery around it
+    // (range-partition on z, sort within, write; per-file min/max
+    // narrowing on BOTH dims) is spec'd in LayoutSpec, file layout having
+    // no SQL oracle.
+    "x15_zorder" -> ((s, dir) => {
+      val dx = pmod(col("user_id"), lit(256L))
+      val dy = pmod(floor(abs(col("value")) * 100).cast("long"), lit(256L))
+      Tables.events(s, dir).select(col("event_id"),
+          graft.operators.Layout.zValue(Seq(dx, dy), bits = 8).as("zval"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- LLM-pipeline extensions: text analysis -------------------------
     "ext_text_profile" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -670,6 +684,14 @@ object SparkEntry {
 
     "ext_dedup_ngram" -> ((s, dir) =>
       graft.operators.Dedup.nearDuplicates(Tables.documents(s, dir), threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // asymmetric containment (quote/subset detection — what symmetric
+    // Jaccard misses): posting-list self-join over 3-gram shingles, with
+    // the hot-shingle df cap exercised in the graded path
+    "ext_dedup_contain" -> ((s, dir) =>
+      graft.operators.Dedup.containmentPairs(Tables.documents(s, dir),
+          threshold = 0.5, maxShingleDf = 100)
         .orderBy(col("id_a"), col("id_b"))),
 
     "ext_dedup_components" -> ((s, dir) =>
@@ -1636,6 +1658,20 @@ object SparkEntry {
         |SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS copy_idx
         |FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
 
+    // the bit interleave replayed literally: per dimension and bit,
+    // ((dim >> b) & 1) << (b*2 + j) summed — disjoint bit positions, so
+    // + is bitwise OR in both engines
+    "x15_zorder" -> {
+      val terms = (for (b <- 0 until 8; (d, j) <- Seq(("dx", 0), ("dy", 1)))
+        yield s"((($d >> $b) & 1) << ${2 * b + j})").mkString(" + ")
+      s"""WITH d AS (SELECT event_id,
+         |  user_id % 256 AS dx,
+         |  CAST(floor(abs(value) * 100) AS BIGINT) % 256 AS dy
+         |  FROM events)
+         |SELECT event_id, CAST($terms AS BIGINT) AS zval
+         |FROM d ORDER BY event_id""".stripMargin
+    },
+
     // the engine's portable shard draw replayed numerically (same md5
     // mechanism as x12's repeat draw), plus the within-shard rank the
     // layout's sortWithinPartitions produces
@@ -1894,6 +1930,31 @@ object SparkEntry {
         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
         |  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id) t
         |WHERE jaccard >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // containment replayed on the same 3-gram shingle CTE as the Jaccard
+    // oracle: posting-list self-join, hot shingles (df > 100) anti-joined
+    // out first, integer shared counts, one exact division per direction
+    "ext_dedup_contain" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |p0 AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS sg FROM sh),
+        |hot AS (SELECT sg FROM p0 GROUP BY sg HAVING count(*) > 100),
+        |p AS (SELECT * FROM p0 ANTI JOIN hot USING (sg)),
+        |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    x.nsh AS na, y.nsh AS nb, count(*) AS shared
+        |  FROM p x JOIN p y ON x.sg = y.sg AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, shared, contain_a, contain_b FROM (
+        |  SELECT id_a, id_b, shared,
+        |    CAST(shared AS DOUBLE) / na AS contain_a,
+        |    CAST(shared AS DOUBLE) / nb AS contain_b
+        |  FROM pairs) t
+        |WHERE greatest(contain_a, contain_b) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
     // the composed curation chain, mirrored stage by stage: score ->

@@ -206,6 +206,53 @@ object Dedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  // ---------------------------------------------------------- containment
+
+  /** Asymmetric near-dup: per pair, the shingle-set containment in both
+    * directions — C(a in b) = |sh(a) ∩ sh(b)| / |sh(a)| and the mirror.
+    * Catches what symmetric Jaccard misses: a short doc quoted inside a
+    * long one has Jaccard ~ |a|/|b| (tiny) but containment ~ 1. Pairs are
+    * kept when EITHER direction clears `threshold`. Output:
+    * (id_a, id_b, shared, contain_a, contain_b), id_a < id_b.
+    *
+    * Scale shape: a posting-list self-join — explode to (shingle, id),
+    * equi-join on the shingle, count per pair. Shared counts are integers
+    * (shingle sets are distinct), so the score is one exact division —
+    * engine-portable. Per-shingle fan-out is df^2, so `maxShingleDf` drops
+    * boilerplate shingles over the cap BEFORE the join (same hot-key cap
+    * as [[crossCorpusOverlap]]): they are useless as containment evidence
+    * and they are exactly the keys that would skew the shuffle. Docs with
+    * fewer than `n` tokens have no shingles and never pair (the same
+    * contract the Jaccard path has). */
+  def containmentPairs(
+      df: DataFrame,
+      threshold: Double = 0.8,
+      n: Int = 3,
+      maxShingleDf: Int = Int.MaxValue,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val posts0 = graft.sources.Tables.ensureParallelism(df)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
+    val posts = graft.util.Checkpoints.cut( // both sides of the self-join
+      if (maxShingleDf == Int.MaxValue) posts0
+      else {
+        val hot = posts0.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf).select(col("s"))
+        posts0.join(hot, Seq("s"), "left_anti")
+      })
+    posts.as("x").join(posts.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.nsh").as("na"), col("y.nsh").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        (col("shared").cast("double") / col("na")).as("contain_a"),
+        (col("shared").cast("double") / col("nb")).as("contain_b"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 60-bit SimHash over distinct whitespace tokens: per-bit majority vote

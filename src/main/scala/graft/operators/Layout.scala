@@ -77,4 +77,73 @@ object Layout {
     }
     sharded
   }
+
+  // -------------------------------------------------------------- z-order
+
+  /** Z-value (Morton code): interleave the low `bits` bits of each
+    * dimension into one long — rows close in z-value are close in EVERY
+    * dimension, which is what makes [[zOrder]] a multi-column data-skipping
+    * layout. Pure integer bit arithmetic (shift/and/or of builtins — whole
+    * stage codegen, engine-portable: any SQL engine replays it bit for
+    * bit).
+    *
+    * Contract: every dimension must already lie in [0, 2^bits) — clamp,
+    * bucket, or rank-normalize first ([[Sampling.hashBucket]]-style pmod is
+    * the cheapest honest mapping). Out-of-range or null dims fail loudly
+    * per row: a silently wrapped dimension would quietly destroy the
+    * interleave's locality, which no one notices until scans stop
+    * pruning. */
+  def zValue(dims: Seq[Column], bits: Int): Column = {
+    val d = dims.length
+    require(d >= 2, s"z-order needs >= 2 dimensions, got $d (1-dim: just sort)")
+    require(bits >= 1 && bits * d <= 62,
+      s"bits * dims must fit a long: bits=$bits, dims=$d")
+    val lim = 1L << bits
+    val checked = dims.zipWithIndex.map { case (c, j) =>
+      val l = c.cast("long")
+      when(l.isNotNull && l >= 0 && l < lim, l)
+        .otherwise(raise_error(concat(
+          lit(s"z-order dim $j out of range [0, $lim): got "), c.cast("string"))))
+    }
+    val terms = for {
+      (c, j) <- checked.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * d + j)
+    terms.reduce(_ + _) // disjoint bit positions: + is bitwise OR
+  }
+
+  /** Multi-dimension clustering for data skipping: order the frame by
+    * z-value so every output file covers a tight range of EVERY dimension,
+    * and parquet min/max stats prune files for predicates on ANY dim — a
+    * linear sort only skips on its leading column.
+    *
+    * Scale shape: `repartitionByRange` on the z-value (the range
+    * partitioner SAMPLES boundaries — no global sort) + sort within
+    * partitions. One shuffle, same price as any layout step; at 100 TB
+    * pick numFiles so a file is ~1 GB and every selective scan on any
+    * clustered dim reads a small fraction of them. */
+  def zOrder(
+      df: DataFrame,
+      dims: Seq[Column],
+      bits: Int = 8,
+      numFiles: Int = 0): DataFrame = {
+    val n = if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    df.withColumn("__z", zValue(dims, bits))
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** [[zOrder]] then write parquet. Returns the clustered frame. */
+  def writeZOrdered(
+      df: DataFrame,
+      outDir: String,
+      dims: Seq[Column],
+      bits: Int = 8,
+      numFiles: Int = 0): DataFrame = {
+    val z = zOrder(df, dims, bits, numFiles)
+    z.write.mode("overwrite").parquet(outDir)
+    z
+  }
 }

@@ -27,6 +27,32 @@ class DecontaminateSpec extends SparkSpec {
     assert(flagged.toSeq == Seq((10L, 1L, 5L)))
   }
 
+  test("containmentPairs catches a planted quote that Jaccard misses") {
+    val big = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val quote = (20 to 29).map(i => s"tok$i").mkString(" ") // verbatim excerpt
+    val docs = Seq((1L, big), (2L, quote),
+      (3L, "completely different vocabulary on an unrelated subject matter"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.8)
+      .select("id_a", "id_b", "shared", "contain_a", "contain_b")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // the 10-token quote has 8 3-gram shingles, every one inside the big
+    // doc: containment of the quote is exactly 1.0 while its Jaccard vs
+    // the 58-shingle big doc is 8/58 — far under any near-dup threshold
+    assert(got.toSeq == Seq((1L, 2L, 8L, 8.0 / 58.0, 1.0)))
+  }
+
+  test("containmentPairs: the hot-shingle cap drops boilerplate-only pairs") {
+    // 12 docs share one boilerplate shingle and nothing else; each doc has
+    // 2 shingles, so without the cap every pair scores 1/2 = threshold
+    val docs = (1 to 12).map(i => (i.toLong, s"same same2 same3 unique$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.containmentPairs(docs, threshold = 0.5)
+    assert(uncapped.count() == 66) // all 12*11/2 boilerplate pairs
+    val capped = Dedup.containmentPairs(docs, threshold = 0.5, maxShingleDf = 5)
+    assert(capped.count() == 0)
+  }
+
   test("maxShingleDf drops boilerplate shingles from the evidence") {
     val boiler = "all rights reserved by the original publisher of record"
     // the boilerplate appears in 3 train docs; with the cap at 2 it cannot

@@ -71,4 +71,49 @@ class LayoutSpec extends SparkSpec {
       .filter(col("doc_id") < 500)
     assert(small.exceptAll(big).isEmpty && big.exceptAll(small).isEmpty)
   }
+
+  test("zValue matches the reference bit interleave, exhaustively at 4 bits") {
+    val df = (for (x <- 0 until 16; y <- 0 until 16) yield (x, y)).toDF("x", "y")
+    val got = df
+      .select(col("x"), col("y"), Layout.zValue(Seq(col("x"), col("y")), bits = 4).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    def ref(x: Int, y: Int): Long = (0 until 4).map(b =>
+      (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))).sum.toLong
+    for (x <- 0 until 16; y <- 0 until 16)
+      assert(got((x, y)) == ref(x, y), s"($x, $y)")
+  }
+
+  test("zValue fails loudly on out-of-range and null dims") {
+    val over = Seq((300, 1)).toDF("x", "y")
+    val e = intercept[Exception] {
+      over.select(Layout.zValue(Seq(col("x"), col("y")), bits = 8)).collect()
+    }
+    assert(e.getMessage.contains("out of range") ||
+      (e.getCause != null && e.getCause.getMessage.contains("out of range")))
+    val withNull = Seq((Some(1), Option.empty[Int])).toDF("x", "y")
+    intercept[Exception] {
+      withNull.select(Layout.zValue(Seq(col("x"), col("y")), bits = 8)).collect()
+    }
+  }
+
+  test("zOrder narrows per-file ranges on EVERY dim; a linear sort only on its leading dim") {
+    // two independent uniform 8-bit dims
+    val df = spark.range(20000).select(
+      pmod(xxhash64(col("id"), lit("zx")), lit(256L)).as("x"),
+      pmod(xxhash64(col("id"), lit("zy")), lit(256L)).as("y"))
+    def meanRange(frame: org.apache.spark.sql.DataFrame, c: String): Double = frame
+      .groupBy(spark_partition_id()).agg((max(col(c)) - min(col(c))).as("r"))
+      .agg(avg(col("r"))).head().getDouble(0)
+    val z = Layout.zOrder(df, Seq(col("x"), col("y")), bits = 8, numFiles = 16)
+    // 16 z-ranges over an 8-bit x 8-bit grid ~ a 4x4 tiling: each file
+    // covers ~1/4 of BOTH dims (sampling slack allowed), so min/max stats
+    // prune scans filtering on either column
+    assert(meanRange(z, "x") < 128, s"z x range ${meanRange(z, "x")}")
+    assert(meanRange(z, "y") < 128, s"z y range ${meanRange(z, "y")}")
+    // the linear layout's trailing dim spans ~the whole domain per file —
+    // no stats-based skipping for predicates on y
+    val linear = df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+    assert(meanRange(linear, "x") < 64)
+    assert(meanRange(linear, "y") > 200, s"linear y range ${meanRange(linear, "y")}")
+  }
 }
