@@ -79,6 +79,32 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
     }),
 
+    "q4_semi_join" -> ((s, dir) =>
+      // EXISTS shape: orders with at least one returned line. left_semi
+      // never widens rows and never shuffles the probe side's payload —
+      // only the bare filtered key column moves.
+      Tables.orders(s, dir).join(
+          Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))),
+
+    "q22_anti_join" -> ((s, dir) =>
+      // NOT EXISTS shape: customers with no order in the first half of
+      // 1996 (the unfiltered variant is vacuous on this data — every
+      // customer has SOME order), per nation. The build side is filtered
+      // then projected to the bare key before the anti-join.
+      Tables.customer(s, dir).join(
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))),
+
     "q5_region_revenue" -> ((s, dir) => {
       // TPC-H Q5 shape: 6-table join, dims broadcast, one agg shuffle.
       val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
@@ -911,6 +937,12 @@ object SparkEntry {
     // joins the hard case (the closing sentinel drives that finalization)
     "stream_interval_join_left" -> ((s, dir) => intervalJoinStream(s, "leftOuter")),
 
+    // the full-outer completion of the family: unmatched rows on EITHER
+    // side finalize null-padded, each once the OPPOSITE side's watermark
+    // proves no match can still arrive — the heaviest state-eviction
+    // contract the stream-stream join API offers
+    "stream_interval_join_full" -> ((s, dir) => intervalJoinStream(s, "fullOuter")),
+
     // watermark late-drop graded end to end: same pipeline and oracle as
     // stream_daily_spend, but AFTER the feed has advanced the watermark
     // past the first day's windows, a micro-batch of 1,000 genuinely late
@@ -1211,12 +1243,23 @@ object SparkEntry {
       .selectExpr("customer_id", "timestamp AS p_ts",
         "transaction_id AS purchase_id")
       .withWatermark("p_ts", "10 minutes")
-    val joined = p.join(v, expr(
+    val joined0 = p.join(v, expr(
         "customer_id = v_cust AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 10 MINUTES"),
         joinType)
-      .select(col("purchase_id"), col("view_id"), col("customer_id"),
-        (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts")))
-          .as("secs_since_view"))
+    val joined =
+      if (joinType == "fullOuter")
+        // both unmatched sides emit null-padded: the output customer must
+        // come from whichever side is present (the purchase-side column
+        // alone would null out unmatched views and lose them to the
+        // sentinel filter)
+        joined0.select(col("purchase_id"), col("view_id"),
+          coalesce(col("customer_id"), col("v_cust")).as("customer_id"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts")))
+            .as("secs_since_view"))
+      else joined0
+        .select(col("purchase_id"), col("view_id"), col("customer_id"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts")))
+            .as("secs_since_view"))
     val qname = s"stream_interval_join_${joinType.toLowerCase}_t"
     val ckpt = tempCkpt()
     val q = joined.writeStream.outputMode("append").format("memory")
@@ -1336,6 +1379,20 @@ object SparkEntry {
         |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0) t
         |ON o_orderkey = l_orderkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q22_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate < TIMESTAMP '1996-07-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,
@@ -2318,6 +2375,24 @@ object SparkEntry {
          |SELECT p.purchase_id, v.view_id, p.customer_id,
          |  p.te - v.te AS secs_since_view
          |FROM p LEFT JOIN v ON p.customer_id = v.customer_id
+         |  AND v.te <= p.te AND v.te >= p.te - 600""".stripMargin,
+
+    // full-outer twin: unmatched rows on both sides appear exactly once,
+    // the customer coming from whichever side is present
+    "stream_interval_join_full" ->
+      s"""WITH g AS (SELECT range AS id FROM range(0, $streamN)),
+         |t AS (SELECT
+         |  md5('42-' || CAST(id AS VARCHAR)) AS txid,
+         |  CAST(CAST(CAST('0x' || substr(md5('42#cust#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 1000 + 1 AS VARCHAR) AS customer_id,
+         |  CAST(CAST(CAST('0x' || substr(md5('42#merch#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 500 + 1 AS INTEGER) AS merchant_id,
+         |  $streamEpoch + id AS te
+         |FROM g),
+         |v AS (SELECT customer_id, txid AS view_id, te FROM t WHERE merchant_id % 2 = 0),
+         |p AS (SELECT customer_id, txid AS purchase_id, te FROM t WHERE merchant_id % 2 = 1)
+         |SELECT p.purchase_id, v.view_id,
+         |  coalesce(p.customer_id, v.customer_id) AS customer_id,
+         |  p.te - v.te AS secs_since_view
+         |FROM p FULL JOIN v ON p.customer_id = v.customer_id
          |  AND v.te <= p.te AND v.te >= p.te - 600""".stripMargin,
 
     // the streamed curation run equals the batch relation: compact to the
