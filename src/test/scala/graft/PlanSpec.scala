@@ -123,4 +123,38 @@ class PlanSpec extends SparkSpec {
       "the argmin must combine map-side so the shuffle carries one candidate per vector")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q4: semi-join probes with the bare key; payload columns never widen") {
+    val p = plan("q4_semi_join")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      "the returned-lines predicate must reach the lineitem scan")
+    assert(!p.contains("l_quantity"),
+      "the probe side must project only the join key — no payload columns")
+  }
+
+  test("q22: anti-join build side is filtered then pruned to the bare key") {
+    val p = plan("q22_anti_join")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("LessThan(o_orderdate"),
+      "the date predicate must reach the orders scan")
+    assert(!p.contains("o_totalprice"),
+      "the build side must project only the join key — no payload columns")
+  }
+
+  test("x15: the z-value is a pure projection over the scan — no join, no extra shuffle") {
+    val p = plan("x15_zorder")
+    assert(!p.contains("Join"))
+    // the graded query's final orderBy is its only exchange (oracle
+    // determinism); the interleave itself adds none
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("ext_dedup_contain: posting-list self-join shuffles on the shingle, never all-pairs") {
+    val p = plan("ext_dedup_contain")
+    assert(!p.contains("NestedLoopJoin"),
+      "containment must pair via the shingle equi-join, not an O(n^2) scan")
+    assert(p.contains("partial_count"),
+      "shared-shingle counts must combine map-side")
+  }
 }
