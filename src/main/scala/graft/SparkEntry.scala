@@ -870,6 +870,15 @@ object SparkEntry {
       graft.operators.Similarity.nearestCentroid(Tables.embeddings(s, dir))
         .orderBy(col("vec_id"))),
 
+    // SemDeDup end to end: nearest-centroid clusters bound the pairwise
+    // cosine check to within-cluster pairs — hash-checked because the
+    // whole chain (ordered-fold centroids, argmin assignment, prenormed
+    // cosine) replays identically in SQL
+    "ext_semdedup" -> ((s, dir) =>
+      graft.operators.Similarity.semDedupPairs(Tables.embeddings(s, dir),
+          threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- LLM-pipeline extensions: multimodal ---------------------------
     "ext_multimodal_features" -> ((s, dir) => {
       val media = graft.operators.Multimodal.synthesizeFromDocs(Tables.documents(s, dir))
@@ -2235,6 +2244,31 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
         |  FROM sc) t
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the assignment CTE extended with the within-cluster pair join — the
+    // same prenormed-cosine formula the brute-KNN oracle uses
+    "ext_semdedup" ->
+      """WITH l AS (SELECT label, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
+        |    count(*) AS n
+        |  FROM embeddings GROUP BY label),
+        |c AS (SELECT label AS c_label, list_transform(
+        |    list_reduce(vs, (acc, x) -> list_transform(list_zip(acc, x), p -> p[1] + p[2])),
+        |    v -> v / n) AS centroid FROM l),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sc AS (SELECT vec_id, c_label,
+        |  list_dot_product(e, e) - 2 * list_dot_product(e, centroid)
+        |    + list_dot_product(centroid, centroid) AS d2
+        |  FROM e, c),
+        |asg AS (SELECT vec_id, c_label AS cluster FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+        |  FROM sc) t WHERE rn = 1),
+        |en AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM e)
+        |SELECT id_a, id_b, cluster, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, x.cluster,
+        |    list_dot_product(a.e, b.e) / (a.nm * b.nm) AS cosine
+        |  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  JOIN en a ON x.vec_id = a.vec_id JOIN en b ON y.vec_id = b.vec_id) p
+        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "ext_multimodal_features" ->
       """SELECT doc_id AS media_id,

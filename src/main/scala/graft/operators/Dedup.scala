@@ -215,13 +215,16 @@ object Dedup {
     * kept when EITHER direction clears `threshold`. Output:
     * (id_a, id_b, shared, contain_a, contain_b), id_a < id_b.
     *
-    * Scale shape: a posting-list self-join — explode to (shingle, id),
-    * equi-join on the shingle, count per pair. Shared counts are integers
-    * (shingle sets are distinct), so the score is one exact division —
-    * engine-portable. Per-shingle fan-out is df^2, so `maxShingleDf` drops
-    * boilerplate shingles over the cap BEFORE the join (same hot-key cap
-    * as [[crossCorpusOverlap]]): they are useless as containment evidence
-    * and they are exactly the keys that would skew the shuffle. Docs with
+    * Scale shape: group the posting list by shingle and emit the i<j
+    * member combinations IN-LIST (one shuffle on the shingle, one on the
+    * pair — a posting self-join would shuffle the exploded relation twice
+    * and was measurably slower). Shared counts are integers (shingle sets
+    * are distinct), so the score is one exact division — engine-portable.
+    * Per-shingle fan-out is df^2, so `maxShingleDf` caps it: boilerplate
+    * shingles over the cap are dropped — useless as containment evidence,
+    * and exactly the keys that would skew the pair shuffle (uncapped, one
+    * df-D shingle emits D^2/2 pairs; set the cap at 100 TB). df-1 shingles
+    * pair with nothing and are dropped with the same filter. Docs with
     * fewer than `n` tokens have no shingles and never pair (the same
     * contract the Jaccard path has). */
   def containmentPairs(
@@ -231,21 +234,21 @@ object Dedup {
       maxShingleDf: Int = Int.MaxValue,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val posts0 = graft.sources.Tables.ensureParallelism(df)
+    val posts = graft.sources.Tables.ensureParallelism(df)
       .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
       .filter(col("sh").isNotNull)
       .select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
-    val posts = graft.util.Checkpoints.cut( // both sides of the self-join
-      if (maxShingleDf == Int.MaxValue) posts0
-      else {
-        val hot = posts0.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxShingleDf).select(col("s"))
-        posts0.join(hot, Seq("s"), "left_anti")
-      })
-    posts.as("x").join(posts.as("y"),
-        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.nsh").as("na"), col("y.nsh").as("nb"))
+    // sort_array orders members by id (struct comparison is lexicographic
+    // on the first field), so x before y in the list means x.id < y.id
+    val lists = posts.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("id"), col("nsh")))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxShingleDf)
+    val pair = lists.select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y => struct(
+          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          x.getField("nsh").as("na"), y.getField("nsh").as("nb")))))).as("p"))
+    pair.groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("shared"))
       .select(col("id_a"), col("id_b"), col("shared"),
         (col("shared").cast("double") / col("na")).as("contain_a"),

@@ -658,6 +658,45 @@ object Similarity {
         col("__m.__c_label").as("assigned_label"), col("__m.d2").as("d2"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embeddings, then score pairwise cosine ONLY within a
+    * cluster — the cluster bound is what makes semantic dedup tractable at
+    * corpus scale (quadratic in cluster size, linear in cluster count).
+    * Clusters here are [[nearestCentroid]] assignments over the label
+    * centroids; at 100 TB swap in [[ivfIndex]]-trained centroids (more,
+    * smaller clusters) — the join shape is identical. Output:
+    * (id_a, id_b, cluster, cosine) for pairs clearing `threshold`, id_a <
+    * id_b; compose with [[Dedup.connectedComponents]] + a keep policy for
+    * the actual prune.
+    *
+    * Scale shape: assignment is broadcast-centroid + combinable argmin
+    * (one candidate per vector crosses the wire); pairing is an equi-join
+    * on the cluster id, so each embedding is shuffled once per side —
+    * never an all-pairs relation. Norms are precomputed per row, never
+    * per pair. */
+  def semDedupPairs(
+      df: DataFrame,
+      threshold: Double = 0.4,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val assigned = nearestCentroid(df, labelCol, idCol, embCol)
+      .select(col(idCol).as("id"), col("assigned_label").as("cluster"))
+    val e = df.select(col(idCol).as("id"),
+        col(embCol).cast("array<double>").as("__e"))
+      .withColumn("__n", Vectors.norm(col("__e")))
+    // lineage cut: both sides of the pair join reference the assignment
+    // subtree — without it the centroid build + argmin runs twice
+    val a = graft.util.Checkpoints.cut(assigned.join(e, Seq("id")))
+    a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.cluster").as("cluster"),
+        Vectors.cosinePrenormed(col("x.__e"), col("x.__n"),
+          col("y.__e"), col("y.__n")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** The scale form of [[labelCentroids]]: posexplode to (label, dim, value)
     * rows and average with a combinable aggregation — partial-aggregates
     * map-side, no per-label materialization, handles millions of vectors

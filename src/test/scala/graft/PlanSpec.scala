@@ -150,11 +150,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"))
   }
 
-  test("ext_dedup_contain: posting-list self-join shuffles on the shingle, never all-pairs") {
+  test("ext_dedup_contain: pairs via group-by-shingle, never all-pairs") {
     val p = plan("ext_dedup_contain")
     assert(!p.contains("NestedLoopJoin"),
-      "containment must pair via the shingle equi-join, not an O(n^2) scan")
+      "containment must pair via the shingle grouping, not an O(n^2) scan")
     assert(p.contains("partial_count"),
       "shared-shingle counts must combine map-side")
+  }
+
+  test("ext_semdedup: pairing is the within-cluster equi-join, never all-pairs") {
+    // the assignment subtree sits behind a lineage cut (it feeds both join
+    // sides), so this plan covers the pair stage; the argmin's partial_min
+    // is pinned on ext_centroid_assign, which shares the assignment code
+    val p = plan("ext_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "the pair join must be the within-cluster equi-join, not all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected an equi-join on the cluster id")
   }
 }

@@ -109,4 +109,24 @@ class KeywordsCentroidSpec extends SparkSpec {
         s"$k: ordered=$v fast=${fast(k)}")
     }
   }
+
+  test("semDedupPairs = brute all-pairs restricted to shared clusters, exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val t = 0.3
+    val got = Similarity.semDedupPairs(emb, threshold = t)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // the defining property: exactly the brute-force near-dup pairs whose
+    // two members landed in the same nearest-centroid cluster — nothing
+    // extra, nothing lost within a cluster
+    val cluster = Similarity.nearestCentroid(emb)
+      .select("vec_id", "assigned_label")
+      .as[(Long, Int)].collect().toMap
+    val brute = Dedup.embeddingNearDups(emb, threshold = t)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .filter(p => cluster(p._1) == cluster(p._2)).toSet
+    assert(got == brute, s"got ${got.size} pairs, expected ${brute.size}")
+    assert(got.nonEmpty, "threshold too high to exercise the check")
+  }
 }
