@@ -708,6 +708,19 @@ object SparkEntry {
       graft.operators.Dedup.minhashCandidates(Tables.documents(s, dir))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // incremental dedup — the production shape: the "new" tenth of the
+    // corpus dedups against the stored band index of the other nine
+    // tenths. Old x old pairs are never re-emitted and old docs are never
+    // re-shingled (the corpus side contributes bare stored keys).
+    "ext_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldBands = graft.operators.Dedup.minhashBands(
+        docs.filter(col("doc_id") % 10 =!= 0))
+      graft.operators.Dedup.minhashCandidatesIncremental(
+          docs.filter(col("doc_id") % 10 === 0), oldBands)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "ext_dedup_ngram" -> ((s, dir) =>
       graft.operators.Dedup.nearDuplicates(Tables.documents(s, dir), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
@@ -1972,6 +1985,28 @@ object SparkEntry {
         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
         |FROM bands x JOIN bands y
         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same band replay with a new-batch flag: pairs keep only new x new
+    // and new x old (old x old was adjudicated when the corpus was built)
+    "ext_dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+        |  FROM toks),
+        |sig AS (SELECT doc_id,
+        |  [list_min(list_transform(s, x -> md5(x || '#' || CAST(j AS VARCHAR))))
+        |   for j in generate_series(0, 11)] AS g FROM sh),
+        |bands AS (SELECT doc_id, band,
+        |  md5(g[band*3+1] || '|' || g[band*3+2] || '|' || g[band*3+3]) AS key,
+        |  (doc_id % 10 = 0) AS nw
+        |  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b)
+        |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |  AND (x.nw OR y.nw)
         |ORDER BY id_a, id_b""".stripMargin,
 
     "ext_dedup_ngram" ->

@@ -93,9 +93,12 @@ object Dedup {
         .cast("binary"))
     }: _*)
 
-  /** Candidate near-duplicate pairs (idA < idB) that share at least one LSH
-    * band. One shuffle on (band, key); bucket-local self-join. */
-  def minhashCandidates(
+  /** The banded-signature relation (id, band, key) — the STORABLE index
+    * side of MinHash dedup: 32-byte keys, `bands` rows per doc, tiny at any
+    * corpus size. Persist this for the accepted corpus; a future batch
+    * dedups against it via [[minhashCandidatesIncremental]] without ever
+    * re-shingling old documents. */
+  def minhashBands(
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
@@ -106,16 +109,56 @@ object Dedup {
     // column would be re-evaluated per element_at after project-collapse
     val keys = ColumnBridge.column(graft.functions.MinHashBandKeys(
       ColumnBridge.expression(wordShingles(col(textCol))), k, bands))
+    graft.sources.Tables.ensureParallelism(df).select(col(idCol).as("id"),
+      posexplode(keys).as(Seq("band", "key")))
+  }
+
+  /** Candidate near-duplicate pairs (idA < idB) that share at least one LSH
+    * band. One shuffle on (band, key); bucket-local self-join. */
+  def minhashCandidates(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 12,
+      bands: Int = 4): DataFrame = {
     // lineage cut: both sides of the self-join reference this subtree —
-    // without it the signature pass runs twice. The banded relation is
-    // (id, band, 32-byte key): tiny at any corpus size. Tracked so the
-    // session can release the blocks post-query (Checkpoints.releaseAll).
-    val e = graft.util.Checkpoints.cut(
-      graft.sources.Tables.ensureParallelism(df).select(col(idCol).as("id"),
-        posexplode(keys).as(Seq("band", "key"))))
+    // without it the signature pass runs twice. Tracked so the session can
+    // release the blocks post-query (Checkpoints.releaseAll).
+    val e = graft.util.Checkpoints.cut(minhashBands(df, textCol, idCol, k, bands))
     e.as("x").join(e.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Incremental MinHash dedup — the shape a production corpus actually
+    * runs: candidates between a NEW batch and the union of itself with the
+    * already-banded corpus, never old x old (those pairs were adjudicated
+    * when the old docs were accepted; re-emitting them would re-litigate
+    * the whole corpus on every batch). `oldBands` is a [[minhashBands]]
+    * relation — typically read back from storage, so old documents are
+    * never re-shingled. Output (id_a, id_b), id_a < id_b, both orders of
+    * new-vs-old membership included.
+    *
+    * Scale shape: identical to [[minhashCandidates]] — one shuffle on
+    * (band, key) — but the shingle/signature pass runs ONLY over the new
+    * batch; the corpus side contributes bare 32-byte keys. */
+  def minhashCandidatesIncremental(
+      newDf: DataFrame,
+      oldBands: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val bNew = graft.util.Checkpoints.cut( // referenced by both join sides
+      minhashBands(newDf, textCol, idCol, k, bands))
+    val all = bNew.withColumn("nw", lit(true))
+      .unionByName(oldBands.select(col("id"), col("band"), col("key"))
+        .withColumn("nw", lit(false)))
+    all.as("x").join(all.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id") && (col("x.nw") || col("y.nw")))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
   }

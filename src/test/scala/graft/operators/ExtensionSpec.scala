@@ -30,6 +30,29 @@ class ExtensionSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("incremental candidates = full candidates minus old x old, exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val full = Dedup.minhashCandidates(docs)
+      .as[(Long, Long)].collect().toSet
+    val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    val oldBands = Dedup.minhashBands(docs.filter(col("doc_id") % 10 =!= 0))
+    val got = Dedup.minhashCandidatesIncremental(
+        docs.filter(col("doc_id") % 10 === 0), oldBands)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"got ${got.size}, expected ${expected.size} of ${full.size} full pairs")
+    assert(expected.nonEmpty && expected.size < full.size,
+      "fixture must exercise both the kept and the dropped class")
+    // the stored-index path: bands written to parquet and read back give
+    // the identical answer (the shape a production corpus actually runs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bands").toString
+    oldBands.write.mode("overwrite").parquet(dir)
+    val viaStore = Dedup.minhashCandidatesIncremental(
+        docs.filter(col("doc_id") % 10 === 0), spark.read.parquet(dir))
+      .as[(Long, Long)].collect().toSet
+    assert(viaStore == expected)
+  }
+
   test("MinHashMd5 expression matches the higher-order-function definition") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
     val sh = Dedup.wordShingles(col("text"))
