@@ -370,6 +370,32 @@ object Bench {
           .collect()(0).getLong(0)
       }
 
+      // ---- dedup-family soaks: the round-6 ops at 20-50x graded volume --
+      val sC1 = stage("contain_200k") {
+        // 200k docs (5-doc near-dup groups): group-by-shingle pair
+        // generation with the df cap bounding per-shingle fan-out; the
+        // count materializes every surviving containment pair
+        Dedup.containmentPairs(DataGen.documents(spark, 200000L),
+          threshold = 0.5, maxShingleDf = 100).count()
+      }
+      val sC2 = stage("semdedup_50k_25m_pairs") {
+        // 50k vectors, dim 16, in 50 exactly-separable clusters (spike at
+        // dim L % 16 with amplitude 10 + 3*(L/16) over U[0,1) noise):
+        // nearest-centroid assignment is broadcast + combinable argmin,
+        // then the within-cluster equi-join scores ~25M pairs — the
+        // cluster bound is the whole point (all-pairs would be 1.25G)
+        import org.apache.spark.sql.functions.{lit, pmod, sequence, when, xxhash64, transform => hof}
+        val label = (col("id") % 50).cast("int")
+        val vecs = spark.range(50000L).select(
+          col("id").as("vec_id"), label.as("label"),
+          hof(sequence(lit(0), lit(15)), i =>
+            (pmod(xxhash64(col("id"), i), lit(1000L)).cast("double") / 1000.0) +
+              when(i === pmod(label, lit(16)),
+                lit(10.0) + (label / lit(16)).cast("int") * lit(3.0))
+                .otherwise(lit(0.0))).as("embedding"))
+        graft.operators.Similarity.semDedupPairs(vecs, threshold = 0.9).count()
+      }
+
       // ---- skewed-key stages: a REAL hot key at volume (VERDICT r4 #2) --
       // 20M rows where key 0 owns 60% (raised from 30% in r6: at 30% the
       // plain join's hot task was ~2.5 s against a ~3 s stage — the
@@ -459,7 +485,7 @@ object Bench {
       val s9 = if (stageFilter.exists(!_("stream_state_2m"))) ""
         else streamStateSoak(spark)
 
-      Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
+      Seq(s1, s2, s3, sC1, sC2, s4, s5, s6, s7, s8, s9)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
