@@ -925,6 +925,36 @@ object SparkEntry {
         Spend.dailySpendStream(Spend.dedupeStream(marked))
       }, dupTail = true)),
 
+    // the batch-catchup trigger graded end to end: the whole feed
+    // (including the watermark-flushing sentinel) is already available
+    // when the query STARTS; Trigger.AvailableNow drains it and stops on
+    // its own (awaitTermination — no processAllAvailable loop), with the
+    // trailing no-data micro-batch finalizing every window. Same relation
+    // as the incrementally-fed twin, same oracle.
+    "stream_daily_spend_available_now" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val payloads = graft.sources.DataGen
+        .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
+        .select(to_json(struct(col("*"))).as("value"))
+        .collect().map(_.getString(0))
+      val ms = MemoryStream[String]
+      payloads.grouped(math.max(1, payloads.length / 4))
+        .foreach(c => ms.addData(c.toIndexedSeq))
+      ms.addData(Seq(sentinelJson))
+      val out = Spend.dailySpendStream(Spend.dedupeStream(
+        Ingest.parseTransactions(ms.toDF()).withWatermark("timestamp", "1 hour")))
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("stream_daily_spend_available_now_t")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tempCkpt()).start()
+      q.awaitTermination()
+      s.table("stream_daily_spend_available_now_t")
+        .filter(col("customer_id") =!= "-1")
+    }),
+
     "stream_windowed_spend" -> ((s, dir) =>
       // sliding 10-min/5-min windows per customer, streamed; epoch-second
       // window bounds (raw window timestamps are engine-ambiguous)
@@ -2337,6 +2367,15 @@ object SparkEntry {
     // sentinel row are absent by construction (dedup drops the former, the
     // query filters the latter)
     "stream_daily_spend" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)}
+         |SELECT customer_id,
+         |  strftime(make_timestamp(te * 1000000), '%Y-%m-%d') AS transaction_date,
+         |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // identical to stream_daily_spend's oracle: the trigger mode changes
+    // WHEN batches run, never what the finalized relation contains
+    "stream_daily_spend_available_now" ->
       s"""WITH ${streamTxCte(streamN, streamEpoch)}
          |SELECT customer_id,
          |  strftime(make_timestamp(te * 1000000), '%Y-%m-%d') AS transaction_date,
