@@ -593,6 +593,14 @@ object SparkEntry {
       Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
         graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // corpus data card: per-(source, language) release summary — counts
+    // and integer sums only (no float means), so the artifact is
+    // engine-portable by construction
+    "ext_data_card" -> ((s, dir) =>
+      graft.operators.TextAnalysis.dataCard(
+          Tables.ensureParallelism(Tables.documents(s, dir)))
+        .orderBy(col("source"), col("lang_pred"))),
+
     // real greedy-merge subword tokenization over the generated merge table
     // (replaces the approxBpeCount heuristic as the graded token counter);
     // the oracle replays the identical greedy scan as a recursive CTE over
@@ -1908,6 +1916,33 @@ object SparkEntry {
     "ext_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |  AS fingerprint FROM documents""".stripMargin,
+
+    // the lang-ID CTE + integer aggregates; DuckDB's sum(int) widens to
+    // HUGEINT, so every sum is cast back to BIGINT to match Spark's long
+    "ext_data_card" ->
+      """WITH s AS (SELECT source, text,
+        |  string_split_regex(trim(lower(text)), '\s+') AS lt FROM documents),
+        |c AS (SELECT source, text,
+        |  len(list_filter(lt, t -> list_contains(['the','is','and','of','a'], t))) AS s_en,
+        |  len(list_filter(lt, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
+        |  len(list_filter(lt, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+        |  len(list_filter(lt, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr,
+        |  len(list_filter(lt, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |FROM s),
+        |l AS (SELECT source, text, CASE
+        |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'en'
+        |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'es'
+        |  WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'de'
+        |  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'fr'
+        |  WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'zh'
+        |  ELSE 'und' END AS lang_pred
+        |FROM c)
+        |SELECT source, lang_pred, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique_docs
+        |FROM l GROUP BY source, lang_pred
+        |ORDER BY source, lang_pred""".stripMargin,
 
     "ext_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks

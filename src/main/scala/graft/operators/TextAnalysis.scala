@@ -266,4 +266,29 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Corpus data card: the per-(source, language) summary table a dataset
+    * release ships with — document counts, token/char volume, and the
+    * exact-duplicate picture (distinct fingerprints vs rows). Every column
+    * is INTEGER-exact by construction: counts and integer sums only, no
+    * float means, so the card replays bit-identically in any engine (a
+    * float "mean quality" column would make the release artifact
+    * order-dependent — compute distributions separately if needed).
+    *
+    * Scale shape: one scan with per-row expressions (lang-ID, token count,
+    * fingerprint), then a combinable aggregation on (source, lang) —
+    * count_distinct expands map-side like any exact distinct; at 100 TB
+    * the group count is tiny (sources x languages), so the shuffle carries
+    * partial aggregates, not documents. */
+  def dataCard(
+      df: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val t = col(textCol)
+    df.groupBy(col(sourceCol), langId(t).as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(t).cast("long")).as("n_tokens"),
+        sum(length(t).cast("long")).as("n_chars"),
+        countDistinct(fingerprint(t)).as("n_unique_docs"))
+  }
 }

@@ -27,6 +27,21 @@ class DecontaminateSpec extends SparkSpec {
     assert(flagged.toSeq == Seq((10L, 1L, 5L)))
   }
 
+  test("dataCard: hand-computed per-(source, lang) counts, integer-exact") {
+    val docs = Seq(
+      (1L, "the cat is on the mat", "web"),
+      (2L, "the dog is happy", "web"),
+      (3L, "the dog is happy", "web"), // exact duplicate of doc 2
+      (4L, "el perro y la casa", "books"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dataCard(docs)
+      .select("source", "lang_pred", "n_docs", "n_tokens", "n_chars", "n_unique_docs")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("web", "en", 3L, 14L, 53L, 2L),    // 6+4+4 tokens; dup collapses to 2
+      ("books", "es", 1L, 5L, 18L, 1L)))
+  }
+
   test("containmentPairs catches a planted quote that Jaccard misses") {
     val big = (1 to 60).map(i => s"tok$i").mkString(" ")
     val quote = (20 to 29).map(i => s"tok$i").mkString(" ") // verbatim excerpt
