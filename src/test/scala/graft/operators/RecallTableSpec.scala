@@ -33,8 +33,14 @@ class RecallTableSpec extends SparkSpec {
         mean(Similarity.lshTopKMulti(emb, queries, k = 5, nPlanes = 4, tables = 8)),
       "nPlanes=8" ->
         mean(Similarity.lshTopK(emb, queries, k = 5, nPlanes = 8)),
+      "nlist=16, nprobe=1" ->
+        mean(Similarity.ivfTopK(emb, queries, k = 5, nprobe = 1)),
+      "nlist=16, nprobe=2" ->
+        mean(Similarity.ivfTopK(emb, queries, k = 5, nprobe = 2)),
       "nlist=16, nprobe=4" ->
-        mean(Similarity.ivfTopK(emb, queries, k = 5)))
+        mean(Similarity.ivfTopK(emb, queries, k = 5)),
+      "nlist=16, nprobe=8" ->
+        mean(Similarity.ivfTopK(emb, queries, k = 5, nprobe = 8)))
     rows.foreach { case (marker, recall) =>
       val line = readme.linesIterator.find(l => l.contains(marker) && l.startsWith("|"))
       assert(line.isDefined, s"README recall table lost its '$marker' row")
