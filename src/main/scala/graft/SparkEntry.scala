@@ -577,6 +577,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // passage-level keep-first dedup (CCNet/RefinedWeb treatment): the
+    // corpus cut into 3-word tiles, each distinct tile keeps its first
+    // (doc_id, tile_idx) occurrence, docs reassembled from survivors —
+    // a fully-duplicated doc vanishes entirely
+    "x16_passage_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.passageDedup(
+          Tables.documents(s, dir), tileWords = 3)
+        .orderBy(col("doc_id"))),
+
+    // corpus-level boilerplate removal: 2-word tiles appearing in more
+    // than 15 distinct docs (headers/footers/license blocks) are stripped
+    // from every doc before reassembly
+    "x17_boilerplate_tiles" -> ((s, dir) =>
+      graft.operators.Dedup.boilerplateTiles(
+          Tables.documents(s, dir), maxDf = 15, tileWords = 2)
+        .orderBy(col("doc_id"))),
+
     // ---- LLM-pipeline extensions: text analysis -------------------------
     "ext_text_profile" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -1788,6 +1805,42 @@ object SparkEntry {
          |SELECT event_id, CAST($terms AS BIGINT) AS zval
          |FROM d ORDER BY event_id""".stripMargin
     },
+
+    // tiles replayed literally (grouping by tile text = the engine's
+    // md5(tile) grouping); keep-first = row_number over (doc_id, tile_idx)
+    "x16_passage_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |tl AS (SELECT doc_id, toks,
+        |  CAST(floor((len(toks) - 1) / 3.0) AS BIGINT) + 1 AS n_tiles,
+        |  unnest(generate_series(0, CAST(floor((len(toks) - 1) / 3.0) AS BIGINT))) AS tile_idx
+        |  FROM t WHERE len(toks) > 0),
+        |tiles AS (SELECT doc_id, n_tiles, tile_idx,
+        |  array_to_string(list_slice(toks, tile_idx * 3 + 1, tile_idx * 3 + 3), ' ') AS tile
+        |  FROM tl),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY tile ORDER BY doc_id, tile_idx) AS rn
+        |  FROM tiles)
+        |SELECT doc_id, max(n_tiles) AS n_tiles, count(*) AS n_kept,
+        |  string_agg(tile, ' ' ORDER BY tile_idx) AS clean_text
+        |FROM w WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x17_boilerplate_tiles" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |tl AS (SELECT doc_id, toks,
+        |  CAST(floor((len(toks) - 1) / 2.0) AS BIGINT) + 1 AS n_tiles,
+        |  unnest(generate_series(0, CAST(floor((len(toks) - 1) / 2.0) AS BIGINT))) AS tile_idx
+        |  FROM t WHERE len(toks) > 0),
+        |tiles AS (SELECT doc_id, n_tiles, tile_idx,
+        |  array_to_string(list_slice(toks, tile_idx * 2 + 1, tile_idx * 2 + 2), ' ') AS tile
+        |  FROM tl),
+        |hot AS (SELECT tile FROM tiles GROUP BY tile HAVING count(DISTINCT doc_id) > 15),
+        |keep AS (SELECT tiles.* FROM tiles ANTI JOIN hot USING (tile))
+        |SELECT doc_id, max(n_tiles) AS n_tiles, count(*) AS n_kept,
+        |  string_agg(tile, ' ' ORDER BY tile_idx) AS clean_text
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the engine's portable shard draw replayed numerically (same md5
     // mechanism as x12's repeat draw), plus the within-shard rank the

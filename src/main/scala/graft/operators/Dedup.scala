@@ -423,6 +423,105 @@ object Dedup {
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
+  // ------------------------------------------------ passage-level dedup
+
+  /** Fixed-size word tiles of normalized text — the passage granularity
+    * shared by [[passageDedup]] and [[boilerplateTiles]]. Each doc with at
+    * least one token yields `ceil(n_tokens / tileWords)` rows stamped
+    * (`tile_idx`, `n_tiles`, `tile`), where `tile` is the space-joined
+    * run of `tileWords` tokens starting at `tile_idx * tileWords` (the
+    * doc's last tile may be shorter). Pure per-row expression + explode —
+    * scan-parallel, no shuffle, fan-out stays distributed (the same shape
+    * as Sampling.chunkDocs, which plans cut points; this one carries the
+    * text payload because downstream compares tile content). */
+  def wordTiles(
+      df: DataFrame,
+      tileWords: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(tileWords > 0, s"tileWords must be positive, got $tileWords")
+    df.select(col(idCol), split(normalize(col(textCol)), " ").as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      // exact below 2^53 tokens per doc, same contract as chunkDocs
+      .withColumn("n_tiles",
+        (floor((size(col("__toks")) - 1).cast("double") / tileWords) + 1).cast("long"))
+      .withColumn("tile_idx", explode(sequence(lit(0L), col("n_tiles") - 1)))
+      .withColumn("tile", array_join(
+        slice(col("__toks"), (col("tile_idx") * tileWords + 1).cast("int"),
+          lit(tileWords)), " "))
+      .drop("__toks")
+  }
+
+  /** Passage-level keep-first dedup (the CCNet/RefinedWeb treatment at a
+    * coarse fixed-tile granularity): the corpus is cut into
+    * `tileWords`-word tiles, each distinct tile keeps only its FIRST
+    * occurrence in global (`idCol`, tile_idx) order, and every doc is
+    * reassembled from its surviving tiles. Output:
+    * (idCol, n_tiles, n_kept, clean_text), one row per doc that kept at
+    * least one tile — a doc whose every passage appeared earlier vanishes
+    * entirely (full-document dedup is the degenerate case).
+    *
+    * Scale shape: tiling is scan-parallel; the winner per tile fingerprint
+    * is a min(struct) aggregation on md5(tile) — duplicates partial-combine
+    * map-side, the shuffle carries one candidate per fingerprint per input
+    * partition (never a corpus-wide sort), and the winning struct carries
+    * its payload so there is NO join back to the tile relation. Reassembly
+    * is one groupBy on the doc id with an in-group array_sort (groups are
+    * per-doc, bounded by doc length). Two shuffles total at any corpus
+    * size; the fingerprint shuffle carries md5 keys, not full tile text. */
+  def passageDedup(
+      df: DataFrame,
+      tileWords: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = wordTiles(df, tileWords, textCol, idCol)
+    // min(struct(id, tile_idx, payload)): lexicographic on (id, tile_idx)
+    // — the global first occurrence — while n_tiles/tile ride along
+    val kept = t.groupBy(md5(col("tile")).as("__fp"))
+      .agg(min(struct(col(idCol).as("id"), col("tile_idx").as("tile_idx"),
+        col("n_tiles").as("n_tiles"), col("tile").as("tile"))).as("__w"))
+    reassemble(kept.select(col("__w.id").as(idCol), col("__w.tile_idx"),
+      col("__w.n_tiles"), col("__w.tile")), idCol)
+  }
+
+  /** Corpus-level boilerplate removal: tiles whose document frequency
+    * exceeds `maxDf` (headers, footers, license blocks — the head of the
+    * tile distribution) are dropped from EVERY doc, and docs are
+    * reassembled from what remains. Output as [[passageDedup]]; a doc made
+    * entirely of boilerplate vanishes.
+    *
+    * Scale shape: the hot set is the df-capped head of the distribution —
+    * small by definition (at most total_tiles / maxDf distinct entries) —
+    * counted with a partial-combining distinct agg and pruned with a
+    * left_anti join (no broadcast hint: AQE broadcasts it when it fits,
+    * the same contract as crossCorpusOverlap's df cap). */
+  def boilerplateTiles(
+      df: DataFrame,
+      maxDf: Int,
+      tileWords: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val t = wordTiles(df, tileWords, textCol, idCol)
+      .withColumn("__fp", md5(col("tile")))
+    val hot = t.groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__fp"))
+    reassemble(t.join(hot, Seq("__fp"), "left_anti").drop("__fp"), idCol)
+  }
+
+  /** Shared reassembly for the tile filters: surviving
+    * (id, tile_idx, n_tiles, tile) rows back to one row per doc, tiles
+    * re-joined in tile_idx order. */
+  private def reassemble(kept: DataFrame, idCol: String): DataFrame =
+    kept.groupBy(col(idCol))
+      .agg(max(col("n_tiles")).as("n_tiles"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tile_idx"), col("tile")))),
+          x => x.getField("tile")), " ").as("clean_text"))
+
   // ---------------------------------------------------- embedding cosine
 
   /** Near-duplicate pairs by embedding cosine >= threshold. Brute-force
