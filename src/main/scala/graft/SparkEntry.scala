@@ -384,6 +384,22 @@ object SparkEntry {
             .cast("double").as("delta_next"))
     }),
 
+    "w4_distribution_fns" -> ((s, dir) => {
+      // distribution window functions (ntile / percent_rank / cume_dist)
+      // over a total, tie-free order: event_id breaks value ties, so there
+      // are no peer rows and each value is a single integer/integer
+      // division — engine-exact doubles
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+    }),
+
     // as-of join: last click before each purchase (last-touch attribution)
     "x1_asof_attribution" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -605,6 +621,17 @@ object SparkEntry {
         meanTokenLength(t).as("mean_token_len"),
         qualityScore(t).as("quality_score"))
     }),
+
+    // Gopher-style structural rule filter: the published rule metrics plus
+    // the composite keep decision; every ratio is a single integer/integer
+    // division (no accumulation), so the doubles replay bit-identically
+    "ext_gopher_rules" -> ((s, dir) =>
+      graft.operators.TextAnalysis.gopherRules(
+          Tables.ensureParallelism(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_line_frac"),
+          col("ellipsis_line_frac"), col("alpha_word_frac"),
+          col("gopher_keep"))),
 
     "ext_lang_id" -> ((s, dir) =>
       Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
@@ -1691,6 +1718,14 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY event_id) - CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS delta_next
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
+    "w4_distribution_fns" ->
+      """SELECT user_id, event_id,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)""".stripMargin,
+
     "x7_salted_agg" ->
       """SELECT user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
@@ -1965,6 +2000,36 @@ object SparkEntry {
         |  WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'zh'
         |  ELSE 'und' END AS lang_pred
         |FROM c""".stripMargin,
+
+    // the Gopher rule set replayed literally: same tokenization as the
+    // profile queries, lines split on chr(10) with trimmed-nonempty filter,
+    // literal-replace symbol counts, every ratio one integer division
+    "ext_gopher_rules" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS toks,
+        |  list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  len(toks) AS n_words,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_word_len,
+        |  ((length(text) - length(replace(text, '#', ''))) / 1
+        |    + (length(text) - length(replace(text, '...', ''))) / 3)
+        |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_ratio,
+        |  CAST(len(list_filter(lines, l ->
+        |      list_contains(['-','*','•'], substring(trim(l), 1, 1)))) AS DOUBLE)
+        |    / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_line_frac,
+        |  CAST(len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS DOUBLE)
+        |    / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_line_frac,
+        |  CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_word_frac
+        |FROM m)
+        |SELECT *, n_words BETWEEN 5 AND 100000
+        |  AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND symbol_ratio < 0.1 AND bullet_line_frac <= 0.9
+        |  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac > 0.8
+        |  AS gopher_keep
+        |FROM r""".stripMargin,
 
     "ext_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))

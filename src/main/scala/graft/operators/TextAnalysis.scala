@@ -255,6 +255,73 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("tok").as("keyword"), col("tf"), col("df"))
   }
 
+  // ---------------------------------------- Gopher-style structural rules
+
+  /** Occurrences of a literal substring (no regex semantics — `needle` is
+    * taken verbatim), via length difference under literal replace: both
+    * `replace` and `length` are engine-portable, so counts replay exactly
+    * in any SQL engine. */
+  private def literalCount(text: Column, needle: String): Column =
+    (length(text) - length(replace(text, lit(needle), lit("")))) / needle.length
+
+  /** Non-empty lines of the raw text (trimmed emptiness test; the line
+    * structure itself is NOT normalized away — these rules are about
+    * layout, unlike the token ops that collapse whitespace first). */
+  private def contentLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Gopher/Dolma-style structural quality rules (re-expressed as one
+    * deterministic expression set; see Rae et al. 2021 §A1.1). Emits the
+    * per-document rule metrics plus the composite `gopher_keep` decision:
+    *
+    *   - `n_words`, `mean_word_len` — word-count bounds + mean length in
+    *     [3, 10] (gibberish / char-soup rejection),
+    *   - `symbol_ratio` — '#' and '…'("...") occurrences per word < 0.1,
+    *   - `bullet_line_frac` — ≤ 90% of lines may start with a bullet,
+    *   - `ellipsis_line_frac` — ≤ 30% of lines may end with "...",
+    *   - `alpha_word_frac` — > 80% of words must contain a letter.
+    *
+    * Every ratio is a single integer/integer division (no accumulation
+    * order), so the doubles are bit-identical in any engine. Per-row
+    * expressions only — scan-parallel, no shuffle, same scale shape as the
+    * rest of this module. Thresholds are the published defaults, tunable
+    * per corpus. */
+  def gopherRules(
+      df: DataFrame,
+      textCol: String = "text",
+      minWords: Int = 5,
+      maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = greatest(size(toks), lit(1))
+    val lines = contentLines(t)
+    val nLines = greatest(size(lines), lit(1))
+    val bullets = Seq("-", "*", "•")
+    val bulletSet = array(bullets.map(lit): _*)
+    df.withColumn("n_words", size(toks))
+      .withColumn("mean_word_len", meanTokenLength(t))
+      .withColumn("symbol_ratio",
+        (literalCount(t, "#") + literalCount(t, "...")).cast("double") /
+          nWords.cast("double"))
+      .withColumn("bullet_line_frac",
+        size(filter(lines, l =>
+          array_contains(bulletSet, substring(trim(l), 1, 1)))).cast("double") /
+          nLines.cast("double"))
+      .withColumn("ellipsis_line_frac",
+        size(filter(lines, l => endswith(trim(l), lit("...")))).cast("double") /
+          nLines.cast("double"))
+      .withColumn("alpha_word_frac",
+        size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") /
+          nWords.cast("double"))
+      .withColumn("gopher_keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") > 0.8)
+  }
+
   /** One-pass profile of a documents table. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
