@@ -396,6 +396,16 @@ object Bench {
         graft.operators.Similarity.semDedupPairs(vecs, threshold = 0.9).count()
       }
 
+      val sC3 = stage("passage_dedup_200k", perStage = true) {
+        // 200k docs (5-doc near-dup groups -> ~80% of tiles are corpus
+        // duplicates): tile -> keep-first min(struct) on md5(tile) ->
+        // per-doc reassembly; the count materializes every surviving doc.
+        // The shape under test: the fingerprint shuffle partial-combines
+        // map-side (duplicate tiles collapse before the wire), no join-back
+        Dedup.passageDedup(DataGen.documents(spark, 200000L), tileWords = 3)
+          .count()
+      }
+
       // ---- skewed-key stages: a REAL hot key at volume (VERDICT r4 #2) --
       // 20M rows where key 0 owns 60% (raised from 30% in r6: at 30% the
       // plain join's hot task was ~2.5 s against a ~3 s stage — the
@@ -485,7 +495,7 @@ object Bench {
       val s9 = if (stageFilter.exists(!_("stream_state_2m"))) ""
         else streamStateSoak(spark)
 
-      Seq(s1, s2, s3, sC1, sC2, s4, s5, s6, s7, s8, s9)
+      Seq(s1, s2, s3, sC1, sC2, sC3, s4, s5, s6, s7, s8, s9)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
