@@ -622,6 +622,36 @@ object SparkEntry {
         qualityScore(t).as("quality_score"))
     }),
 
+    // Deequ-style data-quality suite over the TPC-H tables: every metric a
+    // single exact division, so the pass/fail booleans themselves replay
+    // bit-identically in the oracle — a quality report as a release
+    // artifact. Mixed outcomes by construction (the 'P' status and
+    // multi-lineitem orders make two checks fail their min=1 gates).
+    "ext_quality_checks" -> ((s, dir) => {
+      import graft.operators.Quality._
+      val orders = Tables(s, dir, "orders")
+      val lineitem = Tables(s, dir, "lineitem")
+      val customer = Tables(s, dir, "customer")
+      completeness(orders, "o_custkey")
+        .unionAll(distinctness(orders, "o_orderkey"))
+        .unionAll(uniqueness(lineitem, "l_orderkey"))
+        .unionAll(acceptedValues(orders, "o_orderstatus", Seq("O", "F")))
+        .unionAll(compliance(orders, "totalprice_positive",
+          col("o_totalprice") > 0.0))
+        .unionAll(referential(orders, "o_custkey", customer, "c_custkey"))
+        .orderBy(col("check"))
+    }),
+
+    // per-column profile in one aggregation pass (multi-distinct Expand,
+    // not k scans); timestamp pre-cast to date so min/max string forms are
+    // engine-portable
+    "ext_profile_columns" -> ((s, dir) =>
+      graft.operators.Quality.profileColumns(
+        Tables(s, dir, "orders")
+          .withColumn("o_orderdate", col("o_orderdate").cast("date")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))
+        .orderBy(col("column"))),
+
     // Gopher-style structural rule filter: the published rule metrics plus
     // the composite keep decision; every ratio is a single integer/integer
     // division (no accumulation), so the doubles replay bit-identically
@@ -2000,6 +2030,63 @@ object SparkEntry {
         |  WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'zh'
         |  ELSE 'und' END AS lang_pred
         |FROM c""".stripMargin,
+
+    // each check's metric replayed as the same single exact division; the
+    // passed booleans compare those identical doubles, so they replay too
+    "ext_quality_checks" ->
+      """WITH g AS (SELECT l_orderkey, count(*) AS n FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |u AS (SELECT CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / CAST(greatest(sum(n), 1) AS DOUBLE) AS m FROM g),
+        |c AS (SELECT CAST(count(o_custkey) AS DOUBLE)
+        |  / CAST(greatest(count(*), 1) AS DOUBLE) AS m FROM orders),
+        |d AS (SELECT CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+        |  / CAST(greatest(count(o_orderkey), 1) AS DOUBLE) AS m FROM orders),
+        |av AS (SELECT CAST(sum(CASE WHEN o_orderstatus IN ('O','F')
+        |    THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / CAST(greatest(count(*), 1) AS DOUBLE) AS m FROM orders),
+        |tp AS (SELECT CAST(sum(CASE WHEN coalesce(o_totalprice > 0.0, false)
+        |    THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / CAST(greatest(count(*), 1) AS DOUBLE) AS m FROM orders),
+        |rf AS (SELECT
+        |  CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |    AND o_custkey IN (SELECT c_custkey FROM customer)) AS DOUBLE)
+        |  / CAST(greatest((SELECT count(*) FROM orders
+        |    WHERE o_custkey IS NOT NULL), 1) AS DOUBLE) AS m)
+        |SELECT * FROM (
+        |  SELECT 'completeness:o_custkey' AS "check", m AS metric, m >= 1.0 AS passed FROM c
+        |  UNION ALL
+        |  SELECT 'distinctness:o_orderkey', m, m >= 1.0 FROM d
+        |  UNION ALL
+        |  SELECT 'uniqueness:l_orderkey', m, m >= 1.0 FROM u
+        |  UNION ALL
+        |  SELECT 'compliance:accepted:o_orderstatus', m, m >= 1.0 FROM av
+        |  UNION ALL
+        |  SELECT 'compliance:totalprice_positive', m, m >= 1.0 FROM tp
+        |  UNION ALL
+        |  SELECT 'referential:o_custkey', m, m >= 1.0 FROM rf)
+        |ORDER BY "check"""".stripMargin,
+
+    "ext_profile_columns" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+        |    count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_repr,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_repr FROM o
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*), count(o_orderdate),
+        |    count(DISTINCT o_orderdate),
+        |    CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM o)
+        |ORDER BY "column"""".stripMargin,
 
     // the Gopher rule set replayed literally: same tokenization as the
     // profile queries, lines split on chr(10) with trimmed-nonempty filter,

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deequ-style data-quality checks and column profiling for pipeline
+  * gates: every check emits one row `(check, metric, passed)` so a suite is
+  * a `union` and a gate is `filter(!passed).isEmpty`. All metrics are a
+  * single integer/integer division (no accumulation order), so the doubles
+  * — and therefore the pass/fail booleans — replay bit-identically in any
+  * engine; that makes quality reports release artifacts, not just logs.
+  *
+  * Scale shape: each single-table check is ONE combinable aggregation over
+  * a scan (conditional sums partial-aggregate map-side; the shuffle carries
+  * one partial row per partition). [[uniqueness]] adds the per-value
+  * grouping its definition requires and [[referential]] a left-semi count
+  * join (AQE broadcasts a small dimension) — still no all-pairs anything.
+  */
+object Quality {
+
+  private def one(df: DataFrame, name: String, metric: Column,
+      min: Double): DataFrame =
+    df.agg(metric.as("m")).select(lit(name).as("check"),
+      col("m").cast("double").as("metric"), (col("m") >= min).as("passed"))
+
+  /** Non-null fraction of `c` over all rows. An empty table reports 0.0
+    * and fails a min>0 gate — no data is a pipeline defect, not a vacuous
+    * pass. */
+  def completeness(df: DataFrame, c: String, min: Double = 1.0): DataFrame =
+    one(df, s"completeness:$c",
+      count(col(c)).cast("double") /
+        greatest(count(lit(1)), lit(1L)).cast("double"), min)
+
+  /** Distinct non-null values over non-null rows (Deequ's "distinctness"):
+    * 1.0 = no value repeats. */
+  def distinctness(df: DataFrame, c: String, min: Double = 1.0): DataFrame =
+    one(df, s"distinctness:$c",
+      countDistinct(col(c)).cast("double") /
+        greatest(count(col(c)), lit(1L)).cast("double"), min)
+
+  /** Values appearing EXACTLY once over non-null rows (Deequ's
+    * "uniqueness" — stricter than [[distinctness]]: a value occurring
+    * twice contributes 0 here but 1 there). Needs the per-value group
+    * sizes, so this is a two-level aggregation: both levels combine
+    * map-side and the shuffle carries (value, count) partials. */
+  def uniqueness(df: DataFrame, c: String, min: Double = 1.0): DataFrame = {
+    val grouped = df.filter(col(c).isNotNull)
+      .groupBy(col(c)).agg(count(lit(1)).as("__n"))
+    one(grouped, s"uniqueness:$c",
+      sum(when(col("__n") === 1, 1L).otherwise(0L)).cast("double") /
+        greatest(sum(col("__n")), lit(1L)).cast("double"), min)
+  }
+
+  /** Fraction of rows satisfying `predicate` (Deequ's "satisfies" /
+    * compliance; a null predicate result counts as non-compliant).
+    * Building block for accepted-values, range, and format checks. */
+  def compliance(df: DataFrame, name: String, predicate: Column,
+      min: Double = 1.0): DataFrame =
+    one(df, s"compliance:$name",
+      sum(when(coalesce(predicate, lit(false)), 1L).otherwise(0L)).cast("double") /
+        greatest(count(lit(1)), lit(1L)).cast("double"), min)
+
+  /** Fraction of rows whose `c` is one of `values` (nulls are not). */
+  def acceptedValues(df: DataFrame, c: String, values: Seq[String],
+      min: Double = 1.0): DataFrame =
+    compliance(df, s"accepted:$c", col(c).isin(values: _*), min)
+
+  /** Fraction of (non-null) foreign keys in `c` that exist in
+    * `dim.dimCol` — referential integrity. Left-semi join count over
+    * non-null count; AQE broadcasts a small dimension. */
+  def referential(df: DataFrame, c: String, dim: DataFrame, dimCol: String,
+      min: Double = 1.0): DataFrame = {
+    val l = df.filter(col(c).isNotNull)
+    val matched = l.join(dim.select(col(dimCol).as(c)), Seq(c), "left_semi")
+      .agg(count(lit(1)).as("__m"))
+    val total = l.agg(greatest(count(lit(1)), lit(1L)).as("__n"))
+    matched.crossJoin(total).select(
+      lit(s"referential:$c").as("check"),
+      (col("__m").cast("double") / col("__n").cast("double")).as("metric"),
+      (col("__m").cast("double") / col("__n").cast("double") >= min).as("passed"))
+  }
+
+  /** Per-column profile, one output row per profiled column:
+    * `(column, n_rows, n_nonnull, n_distinct, min_repr, max_repr)` with
+    * min/max rendered through a string cast (profile only columns whose
+    * string form is engine-portable — ints, strings, dates; cast
+    * timestamps/doubles first if exact replay matters).
+    *
+    * Scale shape: ONE aggregation pass over one scan; the k distinct
+    * counts expand the map side k-ways (Spark's multi-distinct Expand) but
+    * partial-aggregate before the single shuffle — profiling k columns
+    * costs one k-fold-wider map pass, not k scans. The wide-to-long pivot
+    * happens on the one-row result. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"), countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_repr"), col(s"__mx_$c").as("max_repr"))
+    }: _*)).as("p")).select("p.*")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed tests for the Deequ-style quality checks
+  * (`operators.Quality`); the DuckDB oracle grades the same metrics over
+  * the full TPC-H tables. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val frame = Seq(
+    (1L, Some("a"), 10.0), (2L, Some("b"), -1.0), (3L, None, 0.0),
+    (4L, Some("a"), 5.0)).toDF("id", "tag", "amount")
+
+  test("completeness counts null rows against the total") {
+    val r = Quality.completeness(frame, "tag", min = 1.0)
+      .as[(String, Double, Boolean)].collect().head
+    assert(r == (("completeness:tag", 0.75, false)))
+  }
+
+  test("distinctness vs uniqueness: a repeated value splits them") {
+    // tag non-null rows: a, b, a -> 2 distinct / 3 rows; only b is unique
+    val d = Quality.distinctness(frame, "tag")
+      .as[(String, Double, Boolean)].collect().head
+    val u = Quality.uniqueness(frame, "tag")
+      .as[(String, Double, Boolean)].collect().head
+    assert(d._2 == 2.0 / 3.0 && !d._3)
+    assert(u._2 == 1.0 / 3.0 && !u._3)
+    // id is fully unique: both metrics 1.0, both pass
+    assert(Quality.uniqueness(frame, "id")
+      .as[(String, Double, Boolean)].collect().head == (("uniqueness:id", 1.0, true)))
+  }
+
+  test("compliance: a null predicate row counts as non-compliant") {
+    // tag IS NULL -> isin(...) yields null -> must count as failing
+    val r = Quality.acceptedValues(frame, "tag", Seq("a", "b"))
+      .as[(String, Double, Boolean)].collect().head
+    assert(r == (("compliance:accepted:tag", 0.75, false)))
+    val pos = Quality.compliance(frame, "amount_positive", col("amount") > 0.0)
+      .as[(String, Double, Boolean)].collect().head
+    assert(pos._2 == 0.5 && !pos._3)
+  }
+
+  test("referential integrity: missing foreign keys lower the metric") {
+    val dim = Seq(1L, 2L, 3L).toDF("key")
+    val r = Quality.referential(frame, "id", dim, "key")
+      .as[(String, Double, Boolean)].collect().head
+    assert(r == (("referential:id", 0.75, false)))
+    val full = Quality.referential(frame, "id",
+      Seq(1L, 2L, 3L, 4L).toDF("key"), "key")
+      .as[(String, Double, Boolean)].collect().head
+    assert(full == (("referential:id", 1.0, true)))
+  }
+
+  test("a suite is a union and a gate is a filter on passed") {
+    val suite = Quality.completeness(frame, "id")
+      .unionAll(Quality.uniqueness(frame, "id"))
+      .unionAll(Quality.acceptedValues(frame, "tag", Seq("a", "b")))
+    assert(suite.count() == 3)
+    assert(suite.filter(!col("passed")).count() == 1)
+  }
+
+  test("profileColumns: one row per column, exact stats, string min/max") {
+    val p = Quality.profileColumns(frame, Seq("id", "tag"))
+      .orderBy("column")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(p == Seq(
+      ("id", 4L, 4L, 4L, "1", "4"),
+      ("tag", 4L, 3L, 2L, "a", "b")))
+  }
+
+  test("profileColumns on an empty frame reports zero counts, null min/max") {
+    val empty = frame.filter(col("id") < 0)
+    val p = Quality.profileColumns(empty, Seq("id"))
+      .select("n_rows", "n_nonnull", "n_distinct").as[(Long, Long, Long)]
+      .collect().head
+    assert(p == ((0L, 0L, 0L)))
+  }
+}
