@@ -632,12 +632,16 @@ object SparkEntry {
       val orders = Tables(s, dir, "orders")
       val lineitem = Tables(s, dir, "lineitem")
       val customer = Tables(s, dir, "customer")
-      completeness(orders, "o_custkey")
-        .unionAll(distinctness(orders, "o_orderkey"))
+      // the four orders checks ride the fused ONE-scan suite (spec-pinned
+      // equal to the individual checks); uniqueness and referential keep
+      // their own shapes and union on
+      tableSuite(orders,
+          completenessCols = Seq("o_custkey"),
+          distinctnessCols = Seq("o_orderkey"),
+          compliances = Seq(
+            "accepted:o_orderstatus" -> col("o_orderstatus").isin("O", "F"),
+            "totalprice_positive" -> (col("o_totalprice") > 0.0)))
         .unionAll(uniqueness(lineitem, "l_orderkey"))
-        .unionAll(acceptedValues(orders, "o_orderstatus", Seq("O", "F")))
-        .unionAll(compliance(orders, "totalprice_positive",
-          col("o_totalprice") > 0.0))
         .unionAll(referential(orders, "o_custkey", customer, "c_custkey"))
         .orderBy(col("check"))
     }),

@@ -80,6 +80,48 @@ object Quality {
       (col("__m").cast("double") / col("__n").cast("double") >= min).as("passed"))
   }
 
+  /** Fused single-scan check suite: all the table's completeness,
+    * distinctness, and compliance checks in ONE aggregation over ONE scan
+    * — at 100 TB, k separate checks each re-reading the table is the
+    * difference between one pass and k passes. Output rows are identical
+    * to the corresponding individual checks (spec-pinned), in
+    * completeness → distinctness → compliance entry order.
+    *
+    * The distinct counts ride Spark's multi-distinct Expand (map-side
+    * k-way expansion, still one shuffle of partials); [[uniqueness]] and
+    * [[referential]] keep their own shapes (per-value groups / a join) and
+    * union on afterwards. */
+  def tableSuite(
+      df: DataFrame,
+      completenessCols: Seq[String] = Nil,
+      distinctnessCols: Seq[String] = Nil,
+      compliances: Seq[(String, Column)] = Nil,
+      min: Double = 1.0): DataFrame = {
+    require(completenessCols.nonEmpty || distinctnessCols.nonEmpty ||
+      compliances.nonEmpty, "tableSuite needs at least one check")
+    val aggs = Seq(greatest(count(lit(1)), lit(1L)).as("__n")) ++
+      completenessCols.map(c => count(col(c)).as(s"__comp_$c")) ++
+      distinctnessCols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"__nd_$c"),
+        greatest(count(col(c)), lit(1L)).as(s"__nn_$c"))) ++
+      compliances.map { case (name, p) =>
+        sum(when(coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"__ok_$name") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    def entry(name: String, num: Column, den: Column): Column = {
+      val metric = num.cast("double") / den.cast("double")
+      struct(lit(name).as("check"), metric.as("metric"),
+        (metric >= min).as("passed"))
+    }
+    val entries =
+      completenessCols.map(c =>
+        entry(s"completeness:$c", col(s"__comp_$c"), col("__n"))) ++
+      distinctnessCols.map(c =>
+        entry(s"distinctness:$c", col(s"__nd_$c"), col(s"__nn_$c"))) ++
+      compliances.map { case (name, _) =>
+        entry(s"compliance:$name", col(s"__ok_$name"), col("__n")) }
+    wide.select(explode(array(entries: _*)).as("r")).select("r.*")
+  }
+
   /** Per-column profile, one output row per profiled column:
     * `(column, n_rows, n_nonnull, n_distinct, min_repr, max_repr)` with
     * min/max rendered through a string cast (profile only columns whose

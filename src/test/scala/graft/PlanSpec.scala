@@ -158,6 +158,28 @@ class PlanSpec extends SparkSpec {
       "shared-shingle counts must combine map-side")
   }
 
+  test("ext_gopher_rules: scan-parallel rule metrics, no shuffle, no join") {
+    val p = plan("ext_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "every rule metric is a per-row expression; a shuffle means something leaked")
+    assert(!p.contains("Join"))
+  }
+
+  test("tableSuite: k fused checks still read the table exactly once") {
+    import org.apache.spark.sql.functions.col
+    val orders = sources.Tables(spark, dir, "orders")
+    val suite = operators.Quality.tableSuite(orders,
+      completenessCols = Seq("o_custkey"),
+      distinctnessCols = Seq("o_orderkey"),
+      compliances = Seq("status" -> col("o_orderstatus").isin("O", "F")))
+    val p = suite.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // one scan NODE = one "Location:" detail block (the tree line would
+    // double-count it); separate checks would plan separate scan nodes
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).size == 1,
+      "the fused suite must cost one scan, not one per check")
+  }
+
   test("ext_semdedup: pairing is the within-cluster equi-join, never all-pairs") {
     // the assignment subtree sits behind a lineage cut (it feeds both join
     // sides), so this plan covers the pair stage; the argmin's partial_min

@@ -61,6 +61,23 @@ class QualitySpec extends SparkSpec {
     assert(suite.filter(!col("passed")).count() == 1)
   }
 
+  test("tableSuite fuses the single-table checks and matches them row-for-row") {
+    val fused = Quality.tableSuite(frame,
+      completenessCols = Seq("tag"),
+      distinctnessCols = Seq("id", "tag"),
+      compliances = Seq(
+        "amount_positive" -> (col("amount") > 0.0),
+        "accepted:tag" -> col("tag").isin("a", "b")))
+      .as[(String, Double, Boolean)].collect().toSet
+    val individual = Quality.completeness(frame, "tag")
+      .unionAll(Quality.distinctness(frame, "id"))
+      .unionAll(Quality.distinctness(frame, "tag"))
+      .unionAll(Quality.compliance(frame, "amount_positive", col("amount") > 0.0))
+      .unionAll(Quality.acceptedValues(frame, "tag", Seq("a", "b")))
+      .as[(String, Double, Boolean)].collect().toSet
+    assert(fused == individual && fused.size == 5)
+  }
+
   test("profileColumns: one row per column, exact stats, string min/max") {
     val p = Quality.profileColumns(frame, Seq("id", "tag"))
       .orderBy("column")
