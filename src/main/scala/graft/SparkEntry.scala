@@ -629,8 +629,11 @@ object SparkEntry {
     // multi-lineitem orders make two checks fail their min=1 gates).
     "ext_quality_checks" -> ((s, dir) => {
       import graft.operators.Quality._
-      val orders = Tables(s, dir, "orders")
-      val lineitem = Tables(s, dir, "lineitem")
+      // ensureParallelism: the sf fixtures are single-file tables, which
+      // would run each whole-table aggregation on ONE task; at real scale
+      // the scan is already wide and this no-ops
+      val orders = Tables.ensureParallelism(Tables(s, dir, "orders"))
+      val lineitem = Tables.ensureParallelism(Tables(s, dir, "lineitem"))
       val customer = Tables(s, dir, "customer")
       // the four orders checks ride the fused ONE-scan suite (spec-pinned
       // equal to the individual checks); uniqueness and referential keep
@@ -651,7 +654,7 @@ object SparkEntry {
     // engine-portable
     "ext_profile_columns" -> ((s, dir) =>
       graft.operators.Quality.profileColumns(
-        Tables(s, dir, "orders")
+        Tables.ensureParallelism(Tables(s, dir, "orders"))
           .withColumn("o_orderdate", col("o_orderdate").cast("date")),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))
         .orderBy(col("column"))),
