@@ -691,6 +691,13 @@ object SparkEntry {
         graft.functions.Bpe.tokenCount(graft.operators.Dedup.normalize(col("text")))
           .as("n_bpe_tokens"))),
 
+    // the learning half of BPE: top-50 adjacent char-pair frequencies over
+    // the corpus (the statistic each training round ranks); deterministic
+    // tie-break by pair text
+    "ext_bpe_pair_stats" -> ((s, dir) =>
+      graft.functions.Bpe.pairStats(
+        Tables.ensureParallelism(Tables.documents(s, dir)), k = 50)),
+
     // corpus-df rarity scoring (inverse-frequency novelty signal; integer
     // sums keep it engine-exact)
     "ext_doc_rarity" -> ((s, dir) =>
@@ -2018,6 +2025,19 @@ object SparkEntry {
          |SELECT doc_id, CAST(max(cnt) AS BIGINT) AS n_bpe_tokens
          |FROM tok GROUP BY doc_id""".stripMargin
     },
+
+    // pair explode replayed as a list comprehension over generate_series;
+    // same normalize, same char-based substring, same (n DESC, pair) ties
+    "ext_bpe_pair_stats" ->
+      """WITH t AS (SELECT string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |w AS (SELECT unnest(toks) AS w FROM t),
+        |p AS (SELECT unnest([substring(w, i, 2)
+        |    for i in generate_series(1, length(w) - 1)]) AS pair
+        |  FROM w WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     "ext_lang_id" ->
       """WITH s AS (SELECT doc_id,

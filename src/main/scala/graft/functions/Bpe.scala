@@ -70,6 +70,36 @@ object Bpe {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(normalized)))
   }
+
+  /** The learning half of the tokenizer story: corpus-wide adjacent
+    * character-pair frequencies — the statistic every BPE training round
+    * consumes (rank pairs, merge the top one, repeat). One distributed
+    * pass ranks the top-`k` merge candidates; iterating rounds re-runs it
+    * over re-tokenized text (each round is this same job, so the 100 TB
+    * cost model is k passes, never a driver-side corpus).
+    *
+    * Scale shape: word explode then in-word pair explode keep the fan-out
+    * distributed; the pair count partial-aggregates map-side, so the ONE
+    * shuffle carries (pair, count) partials bounded by alphabet², not
+    * corpus size; the top-k is a TakeOrdered, never a global sort. Ties
+    * rank by pair text, so the output is deterministic in any engine. The
+    * in-word HOF is interpreted per element — fuse it like
+    * [[WordShingles]] if a profile ever shows it hot. */
+  def pairStats(
+      df: org.apache.spark.sql.DataFrame,
+      k: Int = 50,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k > 0, s"k must be positive, got $k")
+    val words = df
+      .select(explode(split(graft.operators.Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+  }
 }
 
 /** Greedy longest-match subword count over [[Bpe.mergeTable]]. O(n) per

@@ -52,6 +52,16 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("pairStats counts in-word adjacent char pairs, ties by pair text") {
+    // "abab" -> ab, ba, ab; "ab cd" -> ab, cd; single chars drop out
+    val docs = Seq((1L, "abab ab"), (2L, "AB  cd x")).toDF("doc_id", "text")
+    val got = Bpe.pairStats(docs, k = 10).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 4L), ("ba", 1L), ("cd", 1L)))
+    // k truncates at the (n DESC, pair) order deterministically
+    assert(Bpe.pairStats(docs, k = 2).as[(String, Long)].collect().toSeq ==
+      Seq(("ab", 4L), ("ba", 1L)))
+  }
+
   test("counts are positive and bounded by character count on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val stats = docs.select(
