@@ -886,6 +886,49 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"), k = 5)
     }),
 
+    // JL random projection 64->8 (8x embedding compression for storage /
+    // ANN bandwidth): every projected component graded as its own column —
+    // each is one ordered dot over plane literals times a scale literal,
+    // so the doubles replay bit-identically
+    "ext_random_projection" -> ((s, dir) => {
+      val proj = graft.operators.Similarity.randomProject(
+        col("embedding").cast("array<double>"), outDim = 8, dim = 64)
+      Tables.embeddings(s, dir).select(
+        Seq(col("vec_id")) ++
+          (0 until 8).map(j => element_at(proj, j + 1).as(s"p$j")): _*)
+        .orderBy(col("vec_id"))
+    }),
+
+    // the compression contract end to end, graded on what JL actually
+    // guarantees: pairwise squared DISTANCES survive the 8x projection
+    // (per query: the fraction of its corpus pairs whose projected/full
+    // distance ratio stays within ±25% / ±50%). Fractions are integer
+    // counts over one division, and the ratios replay bit-identically
+    // (projection from literal planes; both engines fold the identical
+    // diff-square sequence) — so unlike the IVF recall rows this
+    // hash-checks. Top-k RANKING in projected space is deliberately not
+    // the graded claim: on isotropic fixtures all neighbors are
+    // near-equidistant, so ranking there measures noise, not the operator.
+    "ext_projection_distortion" -> ((s, dir) => {
+      val Sim = graft.operators.Similarity
+      val e64 = col("embedding").cast("array<double>")
+      val base = Tables.embeddings(s, dir).select(col("vec_id"),
+        e64.as("e"), Sim.randomProject(e64, outDim = 8, dim = 64).as("p"))
+      val q = base.filter(col("vec_id") < 10).select(
+        col("vec_id").as("q_id"), col("e").as("qe"), col("p").as("qp"))
+      val ratio = (graft.functions.Vectors.l2Squared(col("p"), col("qp")) /
+        graft.functions.Vectors.l2Squared(col("e"), col("qe"))).as("r")
+      base.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), ratio)
+        .groupBy(col("q_id")).agg(
+          count(lit(1)).as("n_pairs"),
+          (sum(when(abs(col("r") - 1) <= 0.25, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("frac_within_25"),
+          (sum(when(abs(col("r") - 1) <= 0.5, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("frac_within_50"))
+        .orderBy(col("q_id"))
+    }),
+
     "ext_knn_lsh" -> ((s, dir) => {
       // hash-checked: the deterministic plane vectors are embedded as
       // literals in the oracle SQL, so DuckDB reproduces bucket assignment
@@ -1446,10 +1489,13 @@ object SparkEntry {
   // The hyperplanes are deterministic (seeded gaussians), so embedding the
   // SAME values the engine uses as SQL literals makes bucket assignment a
   // pure function any engine reproduces — which is what turns approximate
-  // LSH output into a hash-checkable result. Double.toString round-trips
-  // exactly, so the literals parse back to identical doubles.
+  // LSH output into a hash-checkable result. Each element is a STRING cast
+  // to DOUBLE: DuckDB's string->double parse is correctly rounded, whereas
+  // a bare decimal literal routes through DECIMAL and loses the last ulp on
+  // ~10% of values (measured), which is invisible to sign-only bucket use
+  // but fails hash checks on raw projected components.
   private def planeList(p: Array[Double]): String =
-    p.map(_.toString).mkString("[", ", ", "]")
+    p.map(d => s"'$d'::DOUBLE").mkString("[", ", ", "]")
 
   /** DuckDB expression equal to Similarity.lshBucket(e, nPlanes, dim, seed)
     * for a DOUBLE[] column named `e`. */
@@ -2483,6 +2529,47 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e) / (a.nm * b.nm) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the same 8 gaussian planes embedded as list literals; component =
+    // list_dot_product * the identical scale literal
+    "ext_random_projection" -> {
+      val ps = graft.operators.Similarity.planes(8, 64, 42L)
+      val scale = 1.0 / math.sqrt(8.0)
+      val comps = ps.zipWithIndex.map { case (p, j) =>
+        s"list_dot_product(e, ${planeList(p)}) * '$scale'::DOUBLE AS p$j"
+      }.mkString(",\n         |  ")
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |SELECT vec_id,
+         |  $comps
+         |FROM n ORDER BY vec_id""".stripMargin
+    },
+
+    // the same 8 projected components from the string-cast plane literals;
+    // both squared distances fold the identical diff-square sequence
+    // (list_dot_product of the diff list with itself = the zip_with fold),
+    // so each ratio — and each band count — is bit-identical
+    "ext_projection_distortion" -> {
+      val ps = graft.operators.Similarity.planes(8, 64, 42L)
+      val scale = 1.0 / math.sqrt(8.0)
+      val comps = ps.map { p =>
+        s"list_dot_product(e, ${planeList(p)}) * '$scale'::DOUBLE"
+      }.mkString("[", ",\n         |   ", "]")
+      s"""WITH n0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, $comps AS p FROM n0),
+         |q AS (SELECT vec_id AS q_id, e AS qe, p AS qp FROM b WHERE vec_id < 10),
+         |pr AS (SELECT q.q_id,
+         |    list_transform(list_zip(b.p, q.qp), x -> x[1] - x[2]) AS dp,
+         |    list_transform(list_zip(b.e, q.qe), x -> x[1] - x[2]) AS de
+         |  FROM b, q WHERE b.vec_id != q.q_id),
+         |r AS (SELECT q_id,
+         |    list_dot_product(dp, dp) / list_dot_product(de, de) AS r FROM pr)
+         |SELECT q_id, count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN abs(r - 1) <= 0.25 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS frac_within_25,
+         |  CAST(sum(CASE WHEN abs(r - 1) <= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS frac_within_50
+         |FROM r GROUP BY q_id ORDER BY q_id""".stripMargin
+    },
 
     "ext_knn_lsh" ->
       s"""WITH n AS ($normCte),

@@ -118,6 +118,31 @@ object Similarity {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `outDim` dimensions: component j = dot(emb, gaussian_j) / sqrt(outDim)
+    * (the scale makes expected squared norms — and so pairwise distances —
+    * approximately preserved; the sign of the same dots is [[lshBucket]]).
+    * The 100 TB use: compress wide embeddings (e.g. 64→8, 8× storage and
+    * ANN bandwidth) while keeping distance structure; everything downstream
+    * (brute/LSH/IVF, centroids, SemDeDup) runs unchanged on the projected
+    * column. Pure per-row expression over plane LITERALS — scan-parallel,
+    * no broadcast, no shuffle; the codegen [[Vectors.dot]] keeps the
+    * per-row cost outDim × dim multiplies. Deterministic from `seed`, and
+    * bit-reproducible cross-engine (each component is one ordered dot plus
+    * one multiply — the same contract the LSH oracle relies on). */
+  def randomProject(
+      emb: Column,
+      outDim: Int,
+      dim: Int,
+      seed: Long = 42L): Column = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    val ps = planes(outDim, dim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    array(ps.map { p =>
+      Vectors.dot(emb, array(p.toIndexedSeq.map(lit): _*)) * lit(scale)
+    }: _*)
+  }
+
   /** Sign-LSH bucket id of an embedding column: bit j = sign(dot(plane_j)). */
   def lshBucket(emb: Column, nPlanes: Int, dim: Int, seed: Long): Column = {
     val ps = planes(nPlanes, dim, seed) // generate once, not once per plane

@@ -150,6 +150,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"))
   }
 
+  test("ext_random_projection: pure projection through DotProduct, no shuffle, no join") {
+    val p = plan("ext_random_projection")
+    assert(p.contains("DotProduct") || p.contains("dotproduct"),
+      "components must run through the codegen dot, not an interpreted HOF")
+    assert(!p.contains("Join"))
+    // the graded orderBy(vec_id) is the query's only exchange (range
+    // partitioning for oracle determinism); the projection itself adds none
+    assert(!p.contains("Exchange hashpartitioning"),
+      "projection is per-row; a hash shuffle means something leaked")
+  }
+
+  test("ext_projection_distortion: broadcast pairing, band counts combine map-side") {
+    val p = plan("ext_projection_distortion")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 10-query side must broadcast; a shuffle pairing is wrong at this shape")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "band counts must partial-aggregate before the q_id shuffle")
+  }
+
   test("ext_dedup_contain: pairs via group-by-shingle, never all-pairs") {
     val p = plan("ext_dedup_contain")
     assert(!p.contains("NestedLoopJoin"),

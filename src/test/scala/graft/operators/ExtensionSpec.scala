@@ -384,6 +384,43 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("randomProject matches the sequential reference fold bit for bit") {
+    val rows = emb.limit(100).select(
+        Similarity.randomProject(col("embedding").cast("array<double>"),
+          outDim = 8, dim = 64).as("p"),
+        col("embedding").cast("array<double>").as("e"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    val planes = Similarity.planes(8, 64, 42L)
+    val scale = 1.0 / math.sqrt(8.0)
+    rows.foreach { case (p, e) =>
+      planes.zipWithIndex.foreach { case (pl, j) =>
+        var acc = 0.0
+        var i = 0
+        while (i < 64) { acc += e(i) * pl(i); i += 1 }
+        assert(p(j) == acc * scale, s"component $j diverged from the ordered fold")
+      }
+    }
+  }
+
+  test("randomProject preserves pairwise squared distances on average (JL)") {
+    val vecs = emb.limit(50).select(
+        col("embedding").cast("array<double>").as("e"),
+        Similarity.randomProject(col("embedding").cast("array<double>"),
+          outDim = 8, dim = 64).as("p"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      orig = d2(vecs(i)._1, vecs(j)._1) if orig > 0
+    } yield d2(vecs(i)._2, vecs(j)._2) / orig
+    val mean = ratios.sum / ratios.size
+    // E[ratio] = 1; per-pair std at outDim=8 is ~0.5, so the mean over
+    // ~1,200 pairs (correlated through the shared 50 points) concentrates
+    // well inside this band — deterministic given the fixed seed + fixture
+    assert(mean > 0.7 && mean < 1.3, s"mean distance ratio off: $mean")
+  }
+
   test("multi-table LSH recall dominates single-table recall") {
     val queries = emb.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "q_id")
     val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
