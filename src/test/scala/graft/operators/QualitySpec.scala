@@ -94,4 +94,31 @@ class QualitySpec extends SparkSpec {
       .collect().head
     assert(p == ((0L, 0L, 0L)))
   }
+
+  test("numericStats: hand-computed moments; null values excluded from n") {
+    val money = Seq(
+      ("a", Some(1.00)), ("a", Some(3.00)), ("b", Some(2.50)),
+      ("b", None), ("b", Some(2.50))).toDF("seg", "price")
+    val r = Quality.numericStats(money, Seq("seg"), "price").orderBy("seg")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // a: mean 2, var ((1+9)/2 - 4) = 1; b: two equal values -> var 0
+    assert(r == Seq(
+      ("a", 2L, 2.0, 1.0, 1.0),
+      ("b", 2L, 2.5, 0.0, 0.0)))
+  }
+
+  test("numericStats agrees with Spark's var_pop to float tolerance") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val got = Quality.numericStats(orders, Seq("o_orderpriority"), "o_totalprice")
+      .select("o_orderpriority", "var_pop")
+      .as[(String, Double)].collect().toMap
+    val ref = orders.groupBy("o_orderpriority")
+      .agg(var_pop(col("o_totalprice")).as("v"))
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - ref(k)) / ref(k) < 1e-9,
+        s"$k: exact-sums var $v vs Spark var_pop ${ref(k)}")
+    }
+  }
 }
