@@ -679,6 +679,21 @@ object SparkEntry {
           col("ellipsis_line_frac"), col("alpha_word_frac"),
           col("gopher_keep"))),
 
+    // Unicode normalization for multilingual dedup keys: composed and
+    // decomposed forms must produce identical fingerprint keys. Graded
+    // over an inline relation because the generated documents are ASCII —
+    // the fixture carries composed/decomposed pairs, ligatures and
+    // non-decomposable letters (ß, ﬁ, ø must survive stripping)
+    "ext_text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val T = graft.functions.TextNorm
+      unicodeFixture.toDF("id", "s")
+        .select(col("id"), T.nfc(col("s")).as("nfc"),
+          T.stripAccents(col("s")).as("stripped"),
+          T.foldKey(col("s")).as("fold_key"))
+        .orderBy(col("id"))
+    }),
+
     "ext_lang_id" -> ((s, dir) =>
       Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
         graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -717,6 +732,24 @@ object SparkEntry {
     "ext_keywords" -> ((s, dir) =>
       graft.operators.TextAnalysis.topKeywords(Tables.documents(s, dir), k = 3)
         .orderBy(col("doc_id"), col("rank"))),
+
+    // count-min sketch (md5 hash rows — engine-portable, so the DuckDB
+    // oracle rebuilds the IDENTICAL sketch): estimates for the exact
+    // top-30 tokens, alongside truth. One-sided error is part of the
+    // hash: every cm_n >= exact_n or the oracle fails.
+    "ext_countmin_topk" -> ((s, dir) => {
+      val Sk = graft.operators.Sketch
+      val toks = Tables.ensureParallelism(Tables.documents(s, dir))
+        .select(explode(split(graft.operators.Dedup.normalize(col("text")), " ")).as("tok"))
+      val sketch = Sk.countMinBuild(toks, "tok", depth = 4, width = 1024)
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(30)
+      Sk.countMinEstimate(sketch, exact, "tok", depth = 4, width = 1024,
+          estCol = "cm_n")
+        .join(exact, "tok")
+        .select(col("tok"), col("exact_n"), col("cm_n"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    }),
 
     "ext_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -1506,6 +1539,23 @@ object SparkEntry {
   private def planeList(p: Array[Double]): String =
     p.map(d => s"'$d'::DOUBLE").mkString("[", ", ", "]")
 
+  // ---- Unicode-normalization fixture ---------------------------------
+  // Shared by the ext_text_normalize query AND its oracle so both engines
+  // see byte-identical codepoints: composed/decomposed pairs, a ligature
+  // and non-decomposable letters (ß, ﬁ, ø must survive accent stripping).
+  // Rows 2/3 are genuinely decomposed (e/E + U+0301) — the case the
+  // normalization exists for.
+  private val unicodeFixture: Seq[(Long, String)] = Seq(
+    (1L, "café"),
+    (2L, "café"),
+    (3L, "École"),
+    (4L, "STRASSE ß"),
+    (5L, "crème brûlée"),
+    (6L, "naïve ﬁre"),
+    (7L, "Ωμέγα"), // Greek, no final sigma
+    (8L, "plain ascii text"),
+    (9L, "mañana ø ål"))
+
   /** DuckDB expression equal to Similarity.lshBucket(e, nPlanes, dim, seed)
     * for a DOUBLE[] column named `e`. */
   private def bucketSql(e: String, nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): String =
@@ -2016,6 +2066,28 @@ object SparkEntry {
         |  FROM tf JOIN dfreq USING (tok)) t
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // rebuilds the IDENTICAL sketch: the md5 hash rows are engine-portable
+    "ext_countmin_topk" ->
+      """WITH toks AS (SELECT unnest(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |rb AS (SELECT tok, r,
+        |    CAST(CAST('0x' || substr(md5(tok || '#cm' || CAST(r AS VARCHAR) || '.cm'), 1, 8)
+        |      AS UBIGINT) AS BIGINT) % 1024 AS bucket
+        |  FROM toks CROSS JOIN rs),
+        |sk AS (SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY r, bucket),
+        |exact AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+        |  ORDER BY exact_n DESC, tok LIMIT 30),
+        |probe AS (SELECT e.tok, e.exact_n, rs.r,
+        |    CAST(CAST('0x' || substr(md5(e.tok || '#cm' || CAST(rs.r AS VARCHAR) || '.cm'), 1, 8)
+        |      AS UBIGINT) AS BIGINT) % 1024 AS bucket
+        |  FROM exact e CROSS JOIN rs)
+        |SELECT p.tok, p.exact_n, min(coalesce(sk.cnt, 0)) AS cm_n
+        |FROM probe p LEFT JOIN sk USING (r, bucket)
+        |GROUP BY p.tok, p.exact_n
+        |ORDER BY exact_n DESC, tok""".stripMargin,
+
     "ext_doc_rarity" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(
         |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS tok
@@ -2093,6 +2165,20 @@ object SparkEntry {
         |  FROM w WHERE length(w) >= 2)
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // byte-identical fixture literals (shared Scala val); DuckDB's
+    // utf8proc NFC/strip_accents implements the same Unicode algorithms
+    // as the JDK normalizer the expressions wrap
+    "ext_text_normalize" -> {
+      val vals = unicodeFixture
+        .map { case (i, t) => s"($i, '${t.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH t(id, s) AS (VALUES $vals)
+         |SELECT CAST(id AS BIGINT) AS id, nfc_normalize(s) AS nfc,
+         |  strip_accents(s) AS stripped,
+         |  lower(strip_accents(nfc_normalize(s))) AS fold_key
+         |FROM t ORDER BY id""".stripMargin
+    },
 
     "ext_lang_id" ->
       """WITH s AS (SELECT doc_id,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size probabilistic summaries for streams and 100 TB corpora.
+  *
+  * The count-min sketch (Cormode & Muthukrishnan 2005) answers "how often
+  * did item x occur" from `depth * width` counters instead of a
+  * full-vocabulary hash table: row r counts x in bucket h_r(x), the point
+  * estimate is the MINIMUM over rows, and the error is one-sided
+  * (estimate >= true count, over by at most ~N/width with probability
+  * 1 - 2^-depth). The reference pipeline has no sketches (it aggregates
+  * exact per-customer windows — src/main/scala/com/example/kafka/
+  * CustomerSpendingAnalysisNew1.scala:41-49); this is extension-tier
+  * capability for
+  * heavy-hitter monitoring where the vocabulary (URLs, tokens, user ids)
+  * is too large to hold exactly.
+  *
+  * Unlike library sketches (Spark's `CountMinSketch` / DataSketches), the
+  * hash rows here are md5-derived ([[Sampling.hashDraw]]) — deterministic,
+  * partitioning-independent and replayable in any engine, so a sketch
+  * built by Spark and one built by DuckDB over the same data are
+  * IDENTICAL tables and the estimates hash-match (validated by the
+  * `ext_countmin_topk` oracle).
+  *
+  * Scale shape: the build is one combinable aggregation over a `depth`-way
+  * per-row explode — shuffles carry at most `depth * width` counter rows
+  * regardless of input size (partial map-side combine collapses each
+  * partition to the sketch size first). The materialized sketch is tiny
+  * (depth*width rows), so probes broadcast it; merging shards or
+  * micro-batches is `union -> re-aggregate` (counters are additive).
+  */
+object Sketch {
+
+  /** Sketch row `r`'s bucket for `item`: an independent md5 draw per row,
+    * reduced mod `width`. */
+  def cmBucket(item: Column, row: Int, width: Int, salt: String): Column =
+    (Sampling.hashDraw(item, s"cm$row.$salt") % width).cast("int")
+
+  private def rowBuckets(item: Column, depth: Int, width: Int,
+      salt: String): Column =
+    array((0 until depth).map { r =>
+      struct(lit(r).as("sketch_row"), cmBucket(item, r, width, salt).as("bucket"))
+    }: _*)
+
+  /** Build the sketch over `df(itemCol)`: one `(sketch_row, bucket, cnt)`
+    * row per non-empty counter (absent counters are zero — at most
+    * `depth * width` rows). Null items are skipped (no count, matching
+    * SQL count semantics). */
+  def countMinBuild(df: DataFrame, itemCol: String, depth: Int, width: Int,
+      salt: String = "cm"): DataFrame = {
+    require(depth > 0 && width > 0,
+      s"count-min needs positive depth/width, got depth=$depth width=$width")
+    df.filter(col(itemCol).isNotNull)
+      .select(explode(rowBuckets(col(itemCol), depth, width, salt)).as("rb"))
+      .groupBy(col("rb.sketch_row").as("sketch_row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `queries(itemCol)` against a built sketch: the
+    * minimum counter across rows, 0 for never-seen items. The sketch side
+    * is broadcast (it is at most `depth * width` rows by construction), so
+    * probing any number of items is map-side. Parameters MUST match the
+    * build call — they define the hash family. */
+  def countMinEstimate(sketch: DataFrame, queries: DataFrame, itemCol: String,
+      depth: Int, width: Int, salt: String = "cm",
+      estCol: String = "cm_estimate"): DataFrame = {
+    require(depth > 0 && width > 0,
+      s"count-min needs positive depth/width, got depth=$depth width=$width")
+    queries.filter(col(itemCol).isNotNull)
+      .select(col(itemCol), explode(rowBuckets(col(itemCol), depth, width, salt)).as("rb"))
+      .select(col(itemCol), col("rb.sketch_row").as("sketch_row"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("sketch_row", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as(estCol))
+  }
+}

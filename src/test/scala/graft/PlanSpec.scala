@@ -209,4 +209,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), "expected an equi-join on the cluster id")
   }
+
+  test("ext_countmin_topk: sketch side broadcasts into the probe join; build combines map-side") {
+    val p = plan("ext_countmin_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "the sketch is at most depth*width rows — probing must broadcast it")
+    assert(p.contains("partial_count"),
+      "the sketch build must partial-aggregate so shuffles carry counters, not tokens")
+    assert(p.contains("partial_min"),
+      "the row-minimum must combine map-side")
+  }
 }
