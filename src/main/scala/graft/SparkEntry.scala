@@ -536,6 +536,19 @@ object SparkEntry {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    // bloom-screened decontamination: the eval shingle set collapses to a
+    // 16 KiB bitmap literal, train screens scan-parallel. Same md5 hash
+    // family in DuckDB (set-membership form) — the filter verdicts
+    // hash-match bit for bit, false positives included
+    "x18_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dedup.bloomDecontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          n = 5, k = 3, mBits = 1 << 17, minSuspect = 2)
+        .orderBy(col("train_id"))
+    }),
+
     // deterministic mixture reweighting (DoReMi-style domain weights): each
     // source gets a weight in {0, 0.75, 1.5, 2.25}; docs are emitted
     // floor(w) + Bernoulli(frac(w)) times with a content-hash draw, so the
@@ -1961,6 +1974,36 @@ object SparkEntry {
         |FROM flt JOIN ev_e USING (sh)
         |GROUP BY train_id, eval_id HAVING count(*) >= 2
         |ORDER BY train_id, eval_id""".stripMargin,
+
+    // bloom replayed in set-membership form (a bit is set iff it is in the
+    // distinct eval-position set — representation differs from the packed
+    // bitmap, the verdicts are identical by construction); count(b.bit)=3
+    // requires ALL of a shingle's 3 positions present, duplicate-position
+    // collisions included, exactly like the AND of the 3 Spark bit tests
+    "x18_bloom_decontaminate" ->
+      """WITH tr AS (SELECT doc_id, list_distinct(
+        |    [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)]) AS s
+        |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |        FROM documents WHERE doc_id % 10 != 0)),
+        |ev AS (SELECT doc_id, list_distinct(
+        |    [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)]) AS s
+        |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |        FROM documents WHERE doc_id % 10 = 0)),
+        |ks AS (SELECT unnest([0, 1, 2]) AS i),
+        |bits AS (SELECT DISTINCT
+        |    CAST(CAST('0x' || substr(md5(sh || '#bf' || CAST(i AS VARCHAR) || '.bloom'), 1, 8)
+        |      AS UBIGINT) AS BIGINT) % 131072 AS bit
+        |  FROM (SELECT unnest(s) AS sh FROM ev) CROSS JOIN ks),
+        |pos AS (SELECT train_id, sh, i,
+        |    CAST(CAST('0x' || substr(md5(sh || '#bf' || CAST(i AS VARCHAR) || '.bloom'), 1, 8)
+        |      AS UBIGINT) AS BIGINT) % 131072 AS bit
+        |  FROM (SELECT doc_id AS train_id, unnest(s) AS sh FROM tr) CROSS JOIN ks),
+        |hit AS (SELECT train_id, sh, count(b.bit) = 3 AS maybe
+        |  FROM pos p LEFT JOIN bits b USING (bit) GROUP BY train_id, sh)
+        |SELECT train_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+        |FROM hit GROUP BY train_id
+        |HAVING n_suspect >= 2 ORDER BY train_id""".stripMargin,
 
     // the engine's hash draw replayed numerically: first 8 md5 hex chars of
     // "<id>#repeat" parsed as an integer, compared against floor(frac * 2^32)

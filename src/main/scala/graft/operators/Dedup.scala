@@ -249,6 +249,43 @@ object Dedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** Bloom-screened decontamination — [[crossCorpusOverlap]]'s 100 TB
+    * front-end. The eval corpus's shingle set collapses to an `mBits`-bit
+    * bloom filter ([[Sketch.bloomBuild]]) that ships inside the plan as a
+    * literal, so the train side is screened SCAN-PARALLEL: no train-shingle
+    * shuffle and no hot-shingle skew (the exact join shuffles every train
+    * shingle ON THE SHINGLE STRING, where boilerplate n-grams are exactly
+    * the hot keys its `maxShingleDf` cap exists for; here the only shuffle
+    * is the per-doc suspect count, keyed by `train_id` — uniform by
+    * construction). One-sided like the sketch: a leaked eval shingle is
+    * NEVER missed, false positives inflate `n_suspect` at rate
+    * ~(1 - e^{-kn/m})^k — size `mBits` to make that negligible, then
+    * either act on the screen directly or run the exact join over the
+    * (tiny) flagged remainder. Output: (train_id, n_shingles, n_suspect)
+    * for train docs with at least `minSuspect` suspect shingles. */
+  def bloomDecontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      n: Int = 5,
+      k: Int = 3,
+      mBits: Int = 1 << 17,
+      minSuspect: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bitmap = Sketch.bloomBuild(
+      eval.select(explode(wordShingles(col(textCol), n)).as("sh")),
+      "sh", k, mBits)
+    graft.sources.Tables.ensureParallelism(train)
+      .select(col(idCol).as("train_id"),
+        explode(wordShingles(col(textCol), n)).as("sh"))
+      .select(col("train_id"),
+        Sketch.bloomMaybe(col("sh"), bitmap, k, mBits).as("maybe"))
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("maybe"), lit(1L)).otherwise(lit(0L))).as("n_suspect"))
+      .filter(col("n_suspect") >= minSuspect)
+  }
+
   // ---------------------------------------------------------- containment
 
   /** Asymmetric near-dup: per pair, the shingle-set containment in both

@@ -75,4 +75,64 @@ object Sketch {
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as(estCol))
   }
+
+  // --------------------------------------------------------------- bloom
+
+  /** The `k` bloom bit positions of `item` — independent md5 draws
+    * (same family as [[cmBucket]]), reduced mod `mBits`. */
+  def bloomPositions(item: Column, k: Int, mBits: Int, salt: String): Column =
+    array((0 until k).map { i =>
+      (Sampling.hashDraw(item, s"bf$i.$salt") % mBits).cast("int")
+    }: _*)
+
+  private def checkBloomParams(k: Int, mBits: Int): Unit = {
+    require(k > 0, s"bloom needs k > 0 hash functions, got $k")
+    require(mBits >= 64 && mBits % 64 == 0 && mBits <= (1 << 27),
+      s"mBits must be a multiple of 64 in [64, 2^27], got $mBits " +
+        "(the bitmap ships inside the plan as a literal — size it in KB/MB, " +
+        "not GB)")
+  }
+
+  /** Dense bloom bitmap over `df(itemCol)`: `mBits` bits packed into
+    * `mBits/64` longs. Null items are skipped.
+    *
+    * The bitmap is `mBits/8` bytes REGARDLESS of input size — that is the
+    * point: 100 TB of eval shingles still collapse to a KB–MB literal that
+    * ships inside the plan, so membership tests ([[bloomMaybe]]) are pure
+    * scan-parallel expressions with no join and no shuffle. The build
+    * itself is one combinable `bit_or` aggregation (partitions collapse to
+    * at most `mBits/64` word rows map-side) and one driver collect bounded
+    * by the same `mBits/64` — the same bounded-collect contract as the IVF
+    * training sample. */
+  def bloomBuild(df: DataFrame, itemCol: String, k: Int, mBits: Int,
+      salt: String = "bloom"): Array[Long] = {
+    checkBloomParams(k, mBits)
+    val packed = df.filter(col(itemCol).isNotNull)
+      .select(explode(bloomPositions(col(itemCol), k, mBits, salt)).as("bit"))
+      .select(shiftright(col("bit"), 6).as("w"),
+        call_function("shiftleft", lit(1L), col("bit").bitwiseAND(lit(63))).as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("word"))
+      .collect()
+    val arr = new Array[Long](mBits / 64)
+    packed.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership test against a built bitmap, as a pure expression: true if
+    * ALL `k` of `item`'s bits are set ("maybe present" — no false
+    * negatives; false positives at rate ~(1 - e^{-kn/m})^k). Null items
+    * test null. Parameters MUST match the build call. */
+  def bloomMaybe(item: Column, bitmap: Array[Long], k: Int, mBits: Int,
+      salt: String = "bloom"): Column = {
+    checkBloomParams(k, mBits)
+    require(bitmap.length == mBits / 64,
+      s"bitmap has ${bitmap.length} words, expected ${mBits / 64} — " +
+        "mBits must match the bloomBuild call")
+    val words = lit(bitmap)
+    (0 until k).map { i =>
+      val pos = (Sampling.hashDraw(item, s"bf$i.$salt") % mBits).cast("int")
+      val mask = call_function("shiftleft", lit(1L), pos.bitwiseAND(lit(63)))
+      element_at(words, shiftright(pos, 6) + 1).bitwiseAND(mask) =!= 0
+    }.reduce(_ && _)
+  }
 }

@@ -219,4 +219,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"),
       "the row-minimum must combine map-side")
   }
+
+  test("x18: bloom screen is scan-parallel — the eval side is a plan literal, no join at all") {
+    val p = plan("x18_bloom_decontaminate")
+    assert(!p.contains("Join"),
+      "the bloom bitmap must ship as a literal — any join means the eval " +
+        "side is being shuffled or broadcast as a relation")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the per-doc suspect count must combine map-side")
+  }
 }

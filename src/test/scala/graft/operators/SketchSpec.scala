@@ -76,4 +76,75 @@ class SketchSpec extends SparkSpec {
     val s2 = Sketch.countMinBuild(items.repartition(7), "tok", D, W)
     assert(s1.except(s2).isEmpty && s2.except(s1).isEmpty)
   }
+
+  // --------------------------------------------------------------- bloom
+
+  private val K = 3
+  private val M = 1 << 12
+
+  test("bloom: no false negatives — every inserted item tests maybe") {
+    val ins = Seq.tabulate(200)(i => s"member$i").toDF("s")
+    val bitmap = Sketch.bloomBuild(ins, "s", K, M)
+    val verdicts = ins
+      .select(Sketch.bloomMaybe($"s", bitmap, K, M).as("v"))
+      .as[Boolean].collect()
+    assert(verdicts.length == 200 && verdicts.forall(identity))
+  }
+
+  test("bloom: packed-bitmap test agrees with set-membership reference") {
+    val ins = Seq.tabulate(300)(i => s"in$i").toDF("s")
+    val bitmap = Sketch.bloomBuild(ins, "s", K, M)
+    val probes = (Seq.tabulate(300)(i => s"in$i") ++
+      Seq.tabulate(700)(i => s"out$i")).toDF("s")
+    // reference: a shingle is maybe-present iff ALL its k positions are in
+    // the distinct set-bit table (no bit packing involved)
+    val bits = Sketch
+      .bloomBuild(ins, "s", K, M) // positions via the same public surface
+    val setBits = bitmap.zipWithIndex.flatMap { case (w, wi) =>
+      (0 until 64).filter(b => (w >> b & 1L) == 1L).map(b => wi * 64 + b)
+    }.toSet
+    val got = probes
+      .select($"s", Sketch.bloomMaybe($"s", bitmap, K, M).as("v"),
+        Sketch.bloomPositions($"s", K, M, "bloom").as("pos"))
+      .as[(String, Boolean, Seq[Int])].collect()
+    assert(bits.sameElements(bitmap))
+    got.foreach { case (s, v, pos) =>
+      assert(v == pos.forall(setBits), s"$s: bitmap test disagrees with set test")
+    }
+    // false positives exist as a concept but must be rare at this fill
+    val fp = got.filter(r => r._1.startsWith("out") && r._2)
+    assert(fp.length < 10, s"implausible fp count ${fp.length} / 700")
+  }
+
+  test("bloom: empty build rejects everything; params are validated") {
+    val bitmap = Sketch.bloomBuild(items.limit(0), "tok", K, M)
+    assert(bitmap.forall(_ == 0L))
+    val verdicts = items.limit(5)
+      .select(Sketch.bloomMaybe($"tok", bitmap, K, M).as("v"))
+      .as[Boolean].collect()
+    assert(verdicts.forall(!_))
+    intercept[IllegalArgumentException] { Sketch.bloomBuild(items, "tok", 0, M) }
+    intercept[IllegalArgumentException] { Sketch.bloomBuild(items, "tok", K, 100) }
+    intercept[IllegalArgumentException] {
+      Sketch.bloomMaybe($"tok", new Array[Long](3), K, M)
+    }
+  }
+
+  test("bloom decontaminate: planted leak is flagged, clean docs are not") {
+    val evalDocs = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1001L, "completely different benchmark prompt about nothing shared"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog again and again suffix"),
+      (2L, "an entirely unrelated training document with its own words in it"),
+      (3L, "another clean doc that shares no five gram with any eval text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.bloomDecontaminate(train, evalDocs, n = 5, k = K,
+        mBits = M, minSuspect = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L), s"expected only doc 1 flagged, got $got")
+    val (_, nSh, nSus) = got.head
+    assert(nSus >= 8 && nSus <= nSh) // the leaked 12-gram carries 8 5-grams
+  }
 }
