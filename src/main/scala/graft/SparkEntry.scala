@@ -764,6 +764,17 @@ object SparkEntry {
         .orderBy(col("exact_n").desc, col("tok"))
     }),
 
+    // HyperLogLog distinct-shingle estimate vs truth: the registers, the
+    // exact-integer register sum AND the two-rounding double estimate all
+    // hash-match the DuckDB rebuild of the same md5 register table
+    "ext_hll_distinct" -> ((s, dir) => {
+      val Sk = graft.operators.Sketch
+      val sh = Tables.ensureParallelism(Tables.documents(s, dir))
+        .select(explode(graft.operators.Dedup.wordShingles(col("text"), 5)).as("sh"))
+      val est = Sk.hllEstimate(Sk.hllBuild(sh, "sh", p = 10), p = 10)
+      est.crossJoin(sh.agg(count_distinct(col("sh")).as("exact_distinct")))
+    }),
+
     "ext_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
@@ -1208,6 +1219,14 @@ object SparkEntry {
       }, lateTail = late)
     }),
 
+    // streaming HLL: the distinct-shingle register table maintained as a
+    // plain update-in-place max aggregation — state is bounded at 2^p rows
+    // BY CONSTRUCTION (no watermark needed; the sketch cannot grow), and
+    // the max is idempotent, so the deliberately RE-FED chunk changes
+    // nothing. The final table must equal the batch build bit for bit —
+    // the oracle is the same register SQL as ext_hll_distinct's
+    "stream_hll_registers" -> ((s, dir) => streamHllRegisters(s, dir)),
+
     // the document-curation pipeline's streaming face, hash-checked: the
     // documents table streamed in id order across several micro-batches
     // with one whole chunk RE-FED (exact duplicate rows the cross-batch
@@ -1437,6 +1456,34 @@ object SparkEntry {
     * are still inside the watermark's dedup state regardless of the feed's
     * total event-time span. No sentinel: dedup is not an aggregation, rows
     * finalize on arrival in append mode. */
+  /** Streaming register maintenance behind `stream_hll_registers`: the
+    * documents fed in four micro-batches (one re-fed — max is idempotent),
+    * shingled in-stream, registers kept in complete mode. The memory sink
+    * REPLACES its table each complete-mode batch, so the final table is
+    * exactly the register state — compared against the batch SQL build. */
+  private def streamHllRegisters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val sh = ms.toDF()
+      .select(explode(graft.operators.Dedup.wordShingles(col("_2"), 5)).as("sh"))
+    val reg = graft.operators.Sketch.hllBuild(sh, "sh", p = 10)
+    val ckpt = tempCkpt()
+    val q = reg.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_hll_registers_t")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+      ms.addData(chunks.head.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.table("stream_hll_registers_t")
+  }
+
   private def docCleanStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = s.sqlContext
@@ -2130,6 +2177,38 @@ object SparkEntry {
         |FROM probe p LEFT JOIN sk USING (r, bucket)
         |GROUP BY p.tok, p.exact_n
         |ORDER BY exact_n DESC, tok""".stripMargin,
+
+    // identical register table from the same two md5 draws; the estimate's
+    // float path is two IEEE-rounded ops on exact powers of two, so even
+    // the double hash-matches. alpha/m interpolated from the same Scala
+    // values the query uses (Double.toString round-trips exactly)
+    "ext_hll_distinct" -> {
+      val p = 10; val m = 1 << p
+      val alpha = 0.7213 / (1 + 1.079 / m)
+      s"""WITH sh AS (SELECT unnest(list_distinct(
+         |    [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)])) AS sh
+         |  FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |        FROM documents)),
+         |hx AS (SELECT
+         |    CAST(CAST('0x' || substr(md5(sh || '#hll.b'), 1, 8) AS UBIGINT) AS BIGINT) % $m AS bucket,
+         |    CAST(CAST('0x' || substr(md5(sh || '#hll.w'), 1, 8) AS UBIGINT) AS BIGINT) AS w
+         |  FROM sh),
+         |reg AS (SELECT bucket,
+         |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS register
+         |  FROM hx GROUP BY bucket),
+         |st AS (SELECT count(*) AS nz, coalesce(max(register), 0) AS max_m FROM reg),
+         |sp AS (SELECT coalesce(sum(CAST(1 AS BIGINT) << (st.max_m - register)), 0) AS s_present
+         |  FROM reg, st),
+         |fin AS (SELECT st.nz, st.max_m,
+         |    sp.s_present + ($m - st.nz) * (CAST(1 AS BIGINT) << st.max_m) AS s
+         |  FROM st, sp)
+         |SELECT CAST($m AS BIGINT) AS m, CAST(nz AS BIGINT) AS nz,
+         |  CAST(max_m AS INTEGER) AS max_m, CAST(s AS BIGINT) AS s,
+         |  '$alpha'::DOUBLE * (CAST(${m.toLong * m} AS DOUBLE)
+         |    * CAST(CAST(1 AS BIGINT) << max_m AS DOUBLE) / CAST(s AS DOUBLE)) AS estimate,
+         |  (SELECT count(DISTINCT sh) FROM sh) AS exact_distinct
+         |FROM fin""".stripMargin
+    },
 
     "ext_doc_rarity" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(
@@ -3017,6 +3096,21 @@ object SparkEntry {
          |  p.te - v.te AS secs_since_view
          |FROM p FULL JOIN v ON p.customer_id = v.customer_id
          |  AND v.te <= p.te AND v.te >= p.te - 600""".stripMargin,
+
+    // the streamed registers equal the batch build (update-in-place max is
+    // order-insensitive and idempotent across the re-fed micro-batch)
+    "stream_hll_registers" ->
+      """WITH sh AS (SELECT unnest(list_distinct(
+        |    [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)])) AS sh
+        |  FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |        FROM documents)),
+        |hx AS (SELECT
+        |    CAST(CAST('0x' || substr(md5(sh || '#hll.b'), 1, 8) AS UBIGINT) AS BIGINT) % 1024 AS bucket,
+        |    CAST(CAST('0x' || substr(md5(sh || '#hll.w'), 1, 8) AS UBIGINT) AS BIGINT) AS w
+        |  FROM sh)
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS INTEGER) AS register
+        |FROM hx GROUP BY bucket""".stripMargin,
 
     // the streamed curation run equals the batch relation: compact to the
     // min-doc_id copy per fingerprint (the feed's batch-compaction step),

@@ -135,4 +135,75 @@ object Sketch {
       element_at(words, shiftright(pos, 6) + 1).bitwiseAND(mask) =!= 0
     }.reduce(_ && _)
   }
+
+  // ----------------------------------------------------------------- hll
+
+  /** HyperLogLog register table over `df(itemCol)`: one `(bucket,
+    * register)` row per non-empty bucket, at most `2^p` rows (Flajolet et
+    * al. 2007). Bucket and rank come from two INDEPENDENT 32-bit md5 draws
+    * (no bit-slicing one hash — both are [[Sampling.hashDraw]] family, so
+    * any engine replays them); the rank is leading-zero-count + 1 of the
+    * second draw, in [1, 33].
+    *
+    * Scale shape: one combinable max-aggregation — 100 TB collapse to
+    * <= 2^p counter rows, partial max map-side. Sketches merge by
+    * `union -> groupBy max` ([[hllMerge]]) across shards, days or
+    * micro-batches. Deterministic and partitioning-independent like
+    * everything in this module. */
+  def hllBuild(df: DataFrame, itemCol: String, p: Int = 10,
+      salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 18, s"hll precision p must be in [4, 18], got $p")
+    val m = 1 << p
+    val w = Sampling.hashDraw(col(itemCol), s"$salt.w")
+    val rho = when(w === 0, lit(33))
+      .otherwise(lit(33) - length(bin(w))).cast("int")
+    df.filter(col(itemCol).isNotNull)
+      .select((Sampling.hashDraw(col(itemCol), s"$salt.b") % m).cast("int").as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("register"))
+  }
+
+  /** Merge two register tables built with the same (p, salt): registers
+    * combine by max — associative, commutative, idempotent. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy(col("bucket")).agg(max(col("register")).as("register"))
+
+  /** The raw HLL cardinality estimate `alpha_m * m^2 / sum_j 2^-M_j`, as a
+    * one-row frame with INTEGER-EXACT evidence columns — `nz` (non-zero
+    * registers), `max_m`, and `s` = the register sum over the common
+    * denominator `2^max_m` (so `sum 2^-M_j = s / 2^max_m` exactly) — plus
+    * the double `estimate`. The float path is two IEEE-rounded ops
+    * (`m^2 * 2^max_m` is a product of powers of two — exact), so the
+    * estimate is bit-identical in any engine, validated by the
+    * `ext_hll_distinct` oracle.
+    *
+    * Deliberately RAW: the small-range linear-counting correction
+    * (`m * ln(m/V)`) runs through a transcendental whose rounding is
+    * engine-specific — callers in the small-cardinality regime should
+    * count exactly instead (the regime means the data fits), or apply
+    * their own correction policy to the exact evidence columns. */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 18, s"hll precision p must be in [4, 18], got $p")
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / m)
+    }
+    val stats = registers.agg(count(lit(1)).as("nz"),
+      coalesce(max(col("register")), lit(0)).as("max_m"))
+    val sPresent = registers.crossJoin(broadcast(stats))
+      .select(call_function("shiftleft", lit(1L),
+        (col("max_m") - col("register")).cast("int")).as("term"))
+      .agg(coalesce(sum(col("term")), lit(0L)).as("s_present"))
+    stats.crossJoin(sPresent)
+      .select(lit(m.toLong).as("m"), col("nz"), col("max_m"),
+        (col("s_present") + (lit(m.toLong) - col("nz")) *
+          call_function("shiftleft", lit(1L), col("max_m"))).as("s"))
+      .select(col("m"), col("nz"), col("max_m"), col("s"),
+        (lit(alpha) * (lit((m.toLong * m).toDouble) *
+          call_function("shiftleft", lit(1L), col("max_m")).cast("double") /
+          col("s").cast("double"))).as("estimate"))
+  }
 }

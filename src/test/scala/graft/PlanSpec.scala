@@ -220,6 +220,14 @@ class PlanSpec extends SparkSpec {
       "the row-minimum must combine map-side")
   }
 
+  test("ext_hll_distinct: registers partial-aggregate — 100 TB collapse to 2^p rows map-side") {
+    val p = plan("ext_hll_distinct")
+    assert(p.contains("partial_max"),
+      "the register max must combine map-side so shuffles carry registers, not shingles")
+    assert(!p.contains("SortMergeJoin"),
+      "everything after the registers is one-row frames — nothing may shuffle-join")
+  }
+
   test("x18: bloom screen is scan-parallel — the eval side is a plan literal, no join at all") {
     val p = plan("x18_bloom_decontaminate")
     assert(!p.contains("Join"),

@@ -130,6 +130,51 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------------- hll
+
+  test("hll: estimate lands within sampling error of a known cardinality") {
+    val n = 5000
+    val df = Seq.tabulate(n * 3)(i => s"item${i % n}").toDF("s") // multiset
+    val est = Sketch.hllEstimate(Sketch.hllBuild(df, "s", p = 10), p = 10)
+      .select($"estimate").as[Double].head()
+    // standard error at p=10 is ~3.25%; 4 sigma keeps this deterministic-
+    // in-practice while still failing on a real regression
+    assert(math.abs(est - n) / n < 0.13, s"estimate $est vs true $n")
+  }
+
+  test("hll: registers are bounded and ranks in range; merge(halves) == whole") {
+    val df = Seq.tabulate(2000)(i => s"v$i").toDF("s")
+    val whole = Sketch.hllBuild(df, "s", p = 6)
+    val regs = whole.as[(Int, Int)].collect()
+    assert(regs.length <= 64)
+    assert(regs.forall { case (b, r) => b >= 0 && b < 64 && r >= 1 && r <= 33 })
+    val merged = Sketch.hllMerge(
+      Sketch.hllBuild(df.filter($"s" < "v5"), "s", p = 6),
+      Sketch.hllBuild(df.filter($"s" >= "v5"), "s", p = 6))
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+  }
+
+  test("hll: deterministic across partitionings; duplicates don't move it") {
+    val df = Seq.tabulate(1000)(i => s"d$i").toDF("s")
+    val a = Sketch.hllEstimate(Sketch.hllBuild(df, "s", p = 8), p = 8)
+      .as[(Long, Long, Int, Long, Double)].head()
+    val b = Sketch.hllEstimate(
+      Sketch.hllBuild(df.union(df).repartition(13), "s", p = 8), p = 8)
+      .as[(Long, Long, Int, Long, Double)].head()
+    assert(a == b)
+  }
+
+  test("hll: empty input gives nz=0 and a finite estimate; p is validated") {
+    val est = Sketch.hllEstimate(
+      Sketch.hllBuild(items.limit(0), "tok", p = 6), p = 6)
+      .as[(Long, Long, Int, Long, Double)].head()
+    assert(est._2 == 0L && est._4 == 64L && !est._5.isNaN && !est._5.isInfinite)
+    intercept[IllegalArgumentException] { Sketch.hllBuild(items, "tok", 3) }
+    intercept[IllegalArgumentException] {
+      Sketch.hllEstimate(Sketch.hllBuild(items, "tok", 6), 19)
+    }
+  }
+
   test("bloom decontaminate: planted leak is flagged, clean docs are not") {
     val evalDocs = Seq(
       (1000L, "the quick brown fox jumps over the lazy dog again and again"),
