@@ -775,6 +775,34 @@ object SparkEntry {
       est.crossJoin(sh.agg(count_distinct(col("sh")).as("exact_distinct")))
     }),
 
+    // KMV corpus-overlap estimate: distinct shingles SHARED by the two
+    // doc_id-parity halves, from two 512-hash sketches alone — the set
+    // operation HLL can't do. Sketches, union-kth-min, match count and
+    // both single-division estimates all hash-match the DuckDB rebuild
+    "ext_kmv_overlap" -> ((s, dir) => {
+      val Sk = graft.operators.Sketch
+      val docs = Tables.ensureParallelism(Tables.documents(s, dir))
+      def half(par: Int) = docs.filter(col("doc_id") % 2 === par)
+        .select(explode(graft.operators.Dedup.wordShingles(col("text"), 5)).as("sh"))
+      val k = 512
+      // each sketch feeds the union AND a membership join; the union
+      // feeds the kth-min AND the match count — cut the tiny frames
+      val ka = graft.util.Checkpoints.cut(Sk.kmvBuild(half(0), "sh", k))
+      val kb = graft.util.Checkpoints.cut(Sk.kmvBuild(half(1), "sh", k))
+      val ku = graft.util.Checkpoints.cut(Sk.kmvUnion(ka, kb, k))
+      val hk = ku.agg(max(col("h")).as("h_k"))
+      val m = ku.join(ka, "h").join(kb, "h").agg(count(lit(1)).as("m"))
+      val exact = half(0).distinct().join(half(1).distinct(), "sh")
+        .agg(count(lit(1)).as("exact_intersection"))
+      hk.crossJoin(m).crossJoin(exact)
+        .select(lit(k.toLong).as("k"), col("h_k"), col("m"),
+          (lit((k - 1).toLong * 4294967296L).cast("double") /
+            col("h_k").cast("double")).as("est_union"),
+          ((col("m") * lit((k - 1).toLong) * lit(4294967296L)).cast("double") /
+            (lit(k.toLong) * col("h_k")).cast("double")).as("est_intersection"),
+          col("exact_intersection"))
+    }),
+
     "ext_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
@@ -2209,6 +2237,35 @@ object SparkEntry {
          |  (SELECT count(DISTINCT sh) FROM sh) AS exact_distinct
          |FROM fin""".stripMargin
     },
+
+    // the k smallest distinct md5 draws are engine-independent order
+    // statistics; both estimates are one integer-exact numerator, one
+    // rounded BIGINT->DOUBLE cast per side and one rounded division
+    "ext_kmv_overlap" ->
+      """WITH ta AS (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    FROM documents WHERE doc_id % 2 = 1),
+        |sa AS (SELECT unnest(list_distinct(
+        |    [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)])) AS sh FROM ta),
+        |sb AS (SELECT unnest(list_distinct(
+        |    [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)])) AS sh FROM tb),
+        |ka AS (SELECT DISTINCT CAST(CAST('0x' || substr(md5(sh || '#kmv'), 1, 8) AS UBIGINT) AS BIGINT) AS h
+        |    FROM sa ORDER BY h LIMIT 512),
+        |kb AS (SELECT DISTINCT CAST(CAST('0x' || substr(md5(sh || '#kmv'), 1, 8) AS UBIGINT) AS BIGINT) AS h
+        |    FROM sb ORDER BY h LIMIT 512),
+        |ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) u
+        |    ORDER BY h LIMIT 512),
+        |hk AS (SELECT max(h) AS h_k FROM ku),
+        |mm AS (SELECT count(*) AS m FROM ku
+        |    WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+        |ex AS (SELECT count(*) AS exact_intersection FROM
+        |    (SELECT DISTINCT sh FROM sa) x JOIN (SELECT DISTINCT sh FROM sb) y USING (sh))
+        |SELECT CAST(512 AS BIGINT) AS k, hk.h_k, mm.m,
+        |  CAST(511 * 4294967296 AS DOUBLE) / CAST(hk.h_k AS DOUBLE) AS est_union,
+        |  CAST(mm.m * 511 * 4294967296 AS DOUBLE) / CAST(512 * hk.h_k AS DOUBLE) AS est_intersection,
+        |  ex.exact_intersection
+        |FROM hk, mm, ex""".stripMargin,
 
     "ext_doc_rarity" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(

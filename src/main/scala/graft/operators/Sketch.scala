@@ -168,6 +168,57 @@ object Sketch {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.union(b).groupBy(col("bucket")).agg(max(col("register")).as("register"))
 
+  // ----------------------------------------------------------------- kmv
+
+  /** KMV (k-minimum-values) sketch: the `k` smallest DISTINCT md5 draws
+    * over `df(itemCol)` (Bar-Yossef et al. 2002; Beyer et al. 2007) — at
+    * most `k` `(h)` rows. What it adds over [[hllBuild]]: KMV sketches of
+    * two corpora support SET-OPERATION estimates (distinct of the
+    * intersection — the corpus-overlap pre-flight before a cross-corpus
+    * dedup), because the k smallest hashes of A ∪ B are computable from
+    * the two sketches alone ([[kmvUnion]]) and membership of each in both
+    * sides is exact.
+    *
+    * Scale shape: a bounded per-partition top-k (TreeSet of size k — the
+    * one mapPartitions in this module, the genuinely imperative kernel)
+    * means the shuffle carries at most `k` hashes per partition, then the
+    * global k-smallest-distinct merge is a TakeOrdered over that bounded
+    * union. Partitioning-independent: the k smallest distinct values of
+    * the whole input do not depend on where rows sit. */
+  def kmvBuild(df: DataFrame, itemCol: String, k: Int,
+      salt: String = "kmv"): DataFrame = {
+    require(k > 0 && k <= (1 << 20), s"kmv needs k in [1, 2^20], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val local = df.filter(col(itemCol).isNotNull)
+      .select(Sampling.hashDraw(col(itemCol), salt).as("h"))
+      .as[Long]
+      .mapPartitions { it =>
+        val set = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { h => set.add(h); if (set.size > k) set.pollLast() }
+        import scala.jdk.CollectionConverters._
+        set.iterator().asScala.map(_.longValue())
+      }
+    local.toDF("h").distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** The union sketch: k smallest distinct hashes of A ∪ B, from the two
+    * sketches alone (both built with the same (k, salt)). */
+  def kmvUnion(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.union(b).distinct().orderBy(col("h")).limit(k)
+
+  /** Distinct-count estimate from a FULL sketch (the input had >= k
+    * distinct items): `(k-1) * 2^32 / h_k`. One integer-exact numerator,
+    * one rounded cast, one rounded division — engine-identical. Returns a
+    * one-row frame (n_hashes, h_k, estimate); when the sketch is not full
+    * (n_hashes < k) the sketch IS the distinct hash set and `n_hashes` is
+    * the exact answer — callers should use it and ignore `estimate`. */
+  def kmvDistinctEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n_hashes"), max(col("h")).as("h_k"))
+      .select(col("n_hashes"), col("h_k"),
+        (lit((k - 1).toLong * 4294967296L).cast("double") /
+          col("h_k").cast("double")).as("estimate"))
+
   /** The raw HLL cardinality estimate `alpha_m * m^2 / sum_j 2^-M_j`, as a
     * one-row frame with INTEGER-EXACT evidence columns — `nz` (non-zero
     * registers), `max_m`, and `s` = the register sum over the common

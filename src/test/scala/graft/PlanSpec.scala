@@ -228,6 +228,23 @@ class PlanSpec extends SparkSpec {
       "everything after the registers is one-row frames — nothing may shuffle-join")
   }
 
+  test("ext_kmv_overlap: membership joins broadcast; kmvBuild merges via TakeOrdered") {
+    val p = plan("ext_kmv_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=k-row sketch membership joins must broadcast")
+    assert(!p.contains("SortMergeJoin(h"),
+      "no sketch-side shuffle join expected")
+    // the k-smallest-distinct merge sits behind the lineage cuts in the
+    // composed query — pin it on the build's own plan
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("text").as("s"))
+    val bp = graft.operators.Sketch.kmvBuild(docs, "s", 64)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(bp.contains("TakeOrderedAndProject"),
+      "the global k-smallest-distinct merge must be a TakeOrdered over the bounded union")
+  }
+
   test("x18: bloom screen is scan-parallel — the eval side is a plan literal, no join at all") {
     val p = plan("x18_bloom_decontaminate")
     assert(!p.contains("Join"),

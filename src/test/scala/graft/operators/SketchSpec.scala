@@ -175,6 +175,44 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------------- kmv
+
+  test("kmv: the bounded per-partition pass loses nothing vs the naive plan") {
+    val df = Seq.tabulate(3000)(i => s"k${i % 1700}").toDF("s")
+    val naive = df.select(Sampling.hashDraw($"s", "kmv").as("h"))
+      .distinct().orderBy($"h").limit(64).as[Long].collect().toSeq
+    val got = Sketch.kmvBuild(df, "s", 64).as[Long].collect().toSeq
+    assert(got == naive && got.length == 64 && got == got.sorted)
+    val gotRepart = Sketch.kmvBuild(df.repartition(11), "s", 64)
+      .as[Long].collect().toSeq
+    assert(gotRepart == naive)
+  }
+
+  test("kmv: union sketch == sketch of concatenated input; not-full sketch is exact") {
+    val a = Seq.tabulate(500)(i => s"a$i").toDF("s")
+    val b = Seq.tabulate(500)(i => s"b$i").toDF("s")
+    val viaUnion = Sketch.kmvUnion(
+      Sketch.kmvBuild(a, "s", 128), Sketch.kmvBuild(b, "s", 128), 128)
+    val whole = Sketch.kmvBuild(a.union(b), "s", 128)
+    assert(viaUnion.except(whole).isEmpty && whole.except(viaUnion).isEmpty)
+
+    val small = Seq("x", "y", "x", "z").toDF("s")
+    val est = Sketch.kmvDistinctEstimate(Sketch.kmvBuild(small, "s", 128), 128)
+      .as[(Long, Long, Double)].head()
+    assert(est._1 == 3L) // n_hashes IS the exact distinct count here
+  }
+
+  test("kmv: full-sketch estimate lands within sampling error; k validated") {
+    val n = 5000
+    val df = Seq.tabulate(n * 2)(i => s"v${i % n}").toDF("s")
+    val est = Sketch.kmvDistinctEstimate(Sketch.kmvBuild(df, "s", 256), 256)
+      .as[(Long, Long, Double)].head()
+    assert(est._1 == 256L)
+    // stderr ~ 1/sqrt(k-2) ~ 6.3%; 4 sigma
+    assert(math.abs(est._3 - n) / n < 0.25, s"estimate ${est._3} vs true $n")
+    intercept[IllegalArgumentException] { Sketch.kmvBuild(df, "s", 0) }
+  }
+
   test("bloom decontaminate: planted leak is flagged, clean docs are not") {
     val evalDocs = Seq(
       (1000L, "the quick brown fox jumps over the lazy dog again and again"),
