@@ -1316,6 +1316,36 @@ object SparkEntry {
             col("n_events").cast("long").as("n_events"))
       })),
 
+    // sessionization via Spark 4's transformWithState (StatefulProcessor +
+    // ListState + event-time timers), graded against the SAME oracle as the
+    // native session_window and fmGWS rows — the third state API held to
+    // hash-identical output. Runs under RocksDB (transformWithState rejects
+    // the default provider); the conf is restored afterwards so the other
+    // graded stream rows keep their recorded backend. Cents trick as in
+    // the fmGWS row: integer-valued doubles sum exactly in any fold order.
+    "stream_session_tws" -> ((s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      GraftSession.enableRocksDbState(s)
+      try runStream(s, "stream_session_tws_t", parsed => {
+        import s.implicits._
+        val ev = parsed.withWatermark("timestamp", "1 hour")
+          .select(col("customer_id"), col("timestamp"),
+            round(col("amount") * 100).as("amount"))
+          .as[graft.streaming.Sessionize.SessionEvent]
+        graft.streaming.Sessionize
+          .transformWithStateStreaming(ev, gapMs = 15 * 60 * 1000L).toDF()
+          .select(col("customer_id"),
+            col("session_start").cast("long").as("sess_start"),
+            col("session_end").cast("long").as("sess_end"),
+            (col("total_spent") / 100.0).as("total_spent"),
+            col("n_events").cast("long").as("n_events"))
+      }) finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
     "q3_join_revenue" -> ((s, dir) => {
       // TPC-H Q3 shape: fact-fact shuffle join + broadcast dim join.
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -3087,6 +3117,25 @@ object SparkEntry {
     // identical to stream_session_window's oracle: the fmGWS implementation
     // is held to hash-identical sessions with the native operator
     "stream_session_fmgws" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)},
+         |m AS (SELECT customer_id, te, amount,
+         |  CASE WHEN lag(te) OVER (PARTITION BY customer_id ORDER BY te) IS NULL
+         |    OR te - lag(te) OVER (PARTITION BY customer_id ORDER BY te) > 900
+         |  THEN 1 ELSE 0 END AS new_sess
+         |  FROM t),
+         |s2 AS (SELECT customer_id, te, amount,
+         |  sum(new_sess) OVER (PARTITION BY customer_id ORDER BY te
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         |SELECT customer_id,
+         |  CAST(min(te) AS BIGINT) AS sess_start,
+         |  CAST(max(te) AS BIGINT) + 900 AS sess_end,
+         |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+         |  count(*) AS n_events
+         |FROM s2 GROUP BY customer_id, sid""".stripMargin,
+
+    // identical again: the transformWithState implementation is the third
+    // state API graded to hash-identical sessions with the native operator
+    "stream_session_tws" ->
       s"""WITH ${streamTxCte(streamN, streamEpoch)},
          |m AS (SELECT customer_id, te, amount,
          |  CASE WHEN lag(te) OVER (PARTITION BY customer_id ORDER BY te) IS NULL

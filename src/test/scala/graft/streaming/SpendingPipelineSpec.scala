@@ -309,6 +309,106 @@ class SpendingPipelineSpec extends SparkSpec {
     assert(got == Set((1.0, 1), (17.0, 3))) // [11:00] and [12:00..12:20]
   }
 
+  test("transformWithState sessionization matches the fmGWS twin's emit-once semantics") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(c: String, t: String, a: Double) =
+      SessionEvent(c, java.sql.Timestamp.valueOf(t), a)
+    // transformWithState refuses the default HDFS provider; run this query
+    // under RocksDB and restore the session's backend afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    graft.GraftSession.enableRocksDbState(spark)
+    try {
+      val ms = MemoryStream[SessionEvent]
+      val sessions = Sessionize.transformWithStateStreaming(
+        ms.toDS().withWatermark("timestamp", "10 minutes"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-tws").toString
+      val q = sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("tws_sessions").start()
+
+      ms.addData(ev("1", "2025-03-10 12:00:00", 10.0), ev("1", "2025-03-10 12:10:00", 5.0))
+      q.processAllAvailable() // watermark 12:00 — session still open
+      assert(spark.table("tws_sessions").count() == 0)
+      // 11:00 is BELOW the watermark: transformWithState enforces the
+      // watermark contract at the operator boundary and drops it before the
+      // processor (native session_window behavior — fmGWS, by contrast,
+      // hands late rows to user code). 12:05 is out of order but above the
+      // watermark and must merge into the open [12:00,12:10] session.
+      ms.addData(ev("1", "2025-03-10 11:00:00", 1.0),
+        ev("1", "2025-03-10 12:05:00", 3.0), ev("1", "2025-03-10 12:30:00", 2.0))
+      q.processAllAvailable()
+      // a quiet-customer close: customer 2's lone session must flush off
+      // the TIMER path (no further input for key 2 ever arrives)
+      ms.addData(ev("2", "2025-03-10 13:00:00", 4.0))
+      q.processAllAvailable()
+      ms.addData(ev("3", "2025-03-11 09:00:00", 0.5)) // watermark closes all of 03-10
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_sessions").as[Sessionize.Session].collect()
+        .map(s => (s.customer_id, s.total_spent, s.n_events)).toSet
+      assert(got == Set(("1", 20.0, 4), ("2", 4.0, 1)),
+        "late 11:00 row dropped; in-watermark out-of-order 12:05 merged")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState state and timers survive a checkpoint restart") {
+    import graft.streaming.{Sessionize, SpendingPipeline}
+    import SpendingPipeline.Source
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-tws-rec-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-rec-ckpt").toString
+    // (customer, session_start ms) -> (total, n): append-mode emits each
+    // closed session exactly once, so a replay across the restart would
+    // surface as a double-put with a conflicting value
+    val emitted = scala.collection.concurrent.TrieMap.empty[(String, Long), (Double, Int)]
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(srcDir, name), rows.mkString("\n"))
+    def start() = {
+      val ev = SpendingPipeline.transactions(spark, Source.JsonFiles(srcDir))
+        .withWatermark("timestamp", "10 minutes")
+        .select(col("customer_id"), col("timestamp"), col("amount"))
+        .as[Sessionize.SessionEvent]
+      Sessionize.transformWithStateStreaming(ev)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.Dataset[Sessionize.Session], _: Long) =>
+          b.collect().foreach(s =>
+            emitted((s.customer_id, s.session_start.getTime)) = (s.total_spent, s.n_events)))
+        .start()
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    graft.GraftSession.enableRocksDbState(spark)
+    try {
+      writeFile("a.json", Seq(
+        tx("t1", "1", "2025-03-10T12:00:00Z", 10.0),
+        tx("t2", "1", "2025-03-10T12:10:00Z", 5.0)))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      assert(emitted.isEmpty, "session still open — nothing may emit before the restart")
+      // restart from the same checkpoint: the open [12:00,12:10] session
+      // lives only in recovered RocksDB state; 12:20 must EXTEND it (not
+      // fork a fresh one), and the customer-2 event a day later advances
+      // the watermark so the recovered session closes off the timer path
+      writeFile("b.json", Seq(
+        tx("t3", "1", "2025-03-10T12:20:00Z", 2.0),
+        tx("t4", "2", "2025-03-11T09:00:00Z", 4.0)))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val startMs = java.time.Instant.parse("2025-03-10T12:00:00Z").toEpochMilli
+      assert(emitted.toMap == Map(("1", startMs) -> ((17.0, 3))),
+        s"restart broke TWS state recovery: $emitted")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("sessionize: native session_window and mapGroupsWithState agree") {
     import graft.streaming.Sessionize
     import spark.implicits._
