@@ -598,6 +598,22 @@ object SparkEntry {
     // (range-partition on z, sort within, write; per-file min/max
     // narrowing on BOTH dims) is spec'd in LayoutSpec, file layout having
     // no SQL oracle.
+    // ordered conversion funnel with a 24h per-step window: the classic
+    // event-sequence question (who signed up, then viewed, then clicked,
+    // then purchased — each within a day of the previous reach). The 24h
+    // window is what makes the oracle discriminating on this feed
+    // (150 -> 39 -> 16 -> 5): unbounded, every user completes every step.
+    "x19_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.ordered(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"), windowSec = 86400L)),
+
+    // daily cohort retention: users bucketed by first-activity date, the
+    // distinct-active count at each offset day 0..13 — integer-exact
+    "x20_retention" -> ((s, dir) =>
+      graft.operators.Funnel.cohortRetention(Tables.events(s, dir),
+        "user_id", "ts", periods = 14)),
+
     "x15_zorder" -> ((s, dir) => {
       val dx = pmod(col("user_id"), lit(256L))
       val dy = pmod(floor(abs(col("value")) * 100).cast("long"), lit(256L))
@@ -2127,6 +2143,41 @@ object SparkEntry {
     // the bit interleave replayed literally: per dimension and bit,
     // ((dim >> b) & 1) << (b*2 + j) summed — disjoint bit positions, so
     // + is bitwise OR in both engines
+    // step chain replayed as dependent CTEs: each step's reach time is the
+    // earliest qualifying event at-or-after (and within 24h of) the
+    // previous step's; counts are scalar subqueries so empty steps still
+    // emit their row, mirroring the engine's count-on-empty aggregate
+    "x19_funnel" -> {
+      def step(n: Int, ty: String) =
+        s"""s$n AS (SELECT e.user_id AS u, min(e.ts) AS reached FROM events e
+           |  JOIN s${n - 1} ON e.user_id = s${n - 1}.u
+           |  WHERE e.event_type = '$ty' AND e.ts >= s${n - 1}.reached
+           |    AND e.ts <= s${n - 1}.reached + INTERVAL 86400 SECOND
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH s1 AS (SELECT user_id AS u, min(ts) AS reached FROM events
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |${step(2, "view")},
+         |${step(3, "click")},
+         |${step(4, "purchase")}
+         |SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name,
+         |  (SELECT count(*) FROM s1) AS n_users
+         |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+         |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+         |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin
+    },
+
+    "x20_retention" ->
+      """WITH f AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT f.cohort,
+        |  date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset,
+        |  e.user_id AS u
+        |  FROM events e JOIN f ON e.user_id = f.u)
+        |SELECT CAST(cohort AS VARCHAR) AS cohort,
+        |  CAST(day_offset AS INTEGER) AS day_offset,
+        |  count(DISTINCT u) AS n_users
+        |FROM j WHERE day_offset < 14 GROUP BY 1, 2""".stripMargin,
+
     "x15_zorder" -> {
       val terms = (for (b <- 0 until 8; (d, j) <- Seq(("dx", 0), ("dy", 1)))
         yield s"((($d >> $b) & 1) << ${2 * b + j})").mkString(" + ")
