@@ -46,9 +46,12 @@ object Quality {
   def uniqueness(df: DataFrame, c: String, min: Double = 1.0): DataFrame = {
     val grouped = df.filter(col(c).isNotNull)
       .groupBy(col(c)).agg(count(lit(1)).as("__n"))
+    // sum() over zero groups is null; coalesce to 0 so an empty (or
+    // all-null) column reports metric 0.0 and FAILS a min>0 gate —
+    // same "no data is a defect" contract as completeness.
     one(grouped, s"uniqueness:$c",
-      sum(when(col("__n") === 1, 1L).otherwise(0L)).cast("double") /
-        greatest(sum(col("__n")), lit(1L)).cast("double"), min)
+      coalesce(sum(when(col("__n") === 1, 1L).otherwise(0L)), lit(0L)).cast("double") /
+        greatest(coalesce(sum(col("__n")), lit(0L)), lit(1L)).cast("double"), min)
   }
 
   /** Fraction of rows satisfying `predicate` (Deequ's "satisfies" /

@@ -138,8 +138,12 @@ object Similarity {
     require(outDim > 0, s"outDim must be positive, got $outDim")
     val ps = planes(outDim, dim, seed)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
+    // same loud width contract as the centroid/ANN paths: a mis-declared
+    // dim would otherwise null-pad inside zip_with and silently emit null
+    // components that poison downstream ANN/dedup distances
+    val checked = checkedWidth(emb, dim, "randomProject")
     array(ps.map { p =>
-      Vectors.dot(emb, array(p.toIndexedSeq.map(lit): _*)) * lit(scale)
+      Vectors.dot(checked, array(p.toIndexedSeq.map(lit): _*)) * lit(scale)
     }: _*)
   }
 
