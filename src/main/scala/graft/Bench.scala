@@ -546,6 +546,14 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable =>
       System.err.println(s"could not write $outPath: $t") }
+    // (VERDICT r6 #3) the full line above is >3 KB — the driver's 2,000-char
+    // stdout tail slices off its head, so the snapshot alone never parses.
+    // Emit a compact trailer LAST that fits the tail whole: summary totals
+    // plus the slowest per-query times, pointing at outPath for the rest.
+    val slowest = results.collect { case (k, v, _, None, _) => (k, v) }
+      .sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"errors_n":${results.count(_._4.isDefined)},"stream_events_per_sec":${eps.toLong},"queries":$slowest,"queries_note":"slowest 12 of ${results.size}; full map in $outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 

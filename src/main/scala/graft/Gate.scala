@@ -35,8 +35,9 @@ object Gate {
       pb.redirectErrorStream(true)
       pb.redirectOutput(new java.io.File(s"$outDir/correctness.txt"))
       val code = pb.start().waitFor()
-      val tail = scala.io.Source.fromFile(s"$outDir/correctness.txt")
-        .getLines().foldLeft("")((_, l) => l) // last line = "N/N match"
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$outDir/correctness.txt"))
+      val tail = if (lines.isEmpty) "" else lines.get(lines.size - 1) // "N/N match"
       println(s"[gate] oracle compare: $tail (exit $code)")
       if (code != 0) System.err.println("[gate] ORACLE COMPARE FAILED")
     } else println("[gate] 2/3 skipped: dev/oracle_check.py not present")

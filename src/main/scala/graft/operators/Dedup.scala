@@ -477,15 +477,22 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(tileWords > 0, s"tileWords must be positive, got $tileWords")
+    // The real per-doc ceiling is Int.MaxValue tokens: slice() takes an int
+    // start, so a doc past ~2^31 tokens would silently wrap into garbage
+    // tiles. Fail loudly on the row instead (array columns cap at 2^31
+    // elements anyway, so the guard only fires before Spark itself would).
+    val start = col("tile_idx") * tileWords + 1
+    val startInt = when(start <= lit(Int.MaxValue.toLong), start.cast("int"))
+      .otherwise(raise_error(concat(
+        lit(s"wordTiles: doc exceeds ${Int.MaxValue} tokens (tile start "),
+        start.cast("string"), lit(") — split the doc upstream"))))
     df.select(col(idCol), split(normalize(col(textCol)), " ").as("__toks"))
       .filter(size(col("__toks")) > 0)
-      // exact below 2^53 tokens per doc, same contract as chunkDocs
       .withColumn("n_tiles",
         (floor((size(col("__toks")) - 1).cast("double") / tileWords) + 1).cast("long"))
       .withColumn("tile_idx", explode(sequence(lit(0L), col("n_tiles") - 1)))
       .withColumn("tile", array_join(
-        slice(col("__toks"), (col("tile_idx") * tileWords + 1).cast("int"),
-          lit(tileWords)), " "))
+        slice(col("__toks"), startInt, lit(tileWords)), " "))
       .drop("__toks")
   }
 

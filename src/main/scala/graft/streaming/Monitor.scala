@@ -70,7 +70,10 @@ class Monitor(maxBatches: Int = 256) extends StreamingQueryListener {
     * pipeline has big-but-flat state; the TREND is the signal. Returns
     * `(query_name, batches, from_rows, to_rows)`, empty = healthy; queries
     * with fewer than `lookback` recorded batches are never flagged (too
-    * little evidence — every pipeline's first batches grow from zero). */
+    * little evidence — every pipeline's first batches grow from zero).
+    * `lookback` recorded batches give `lookback - 1` real comparisons; the
+    * window's oldest batch has no predecessor and is never counted as
+    * growth — every observed step must grow for the alarm to fire. */
   def stateGrowthAlarm(spark: SparkSession, lookback: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -85,9 +88,11 @@ class Monitor(maxBatches: Int = 256) extends StreamingQueryListener {
         count(lit(1)).as("batches"),
         min(col("state_rows")).as("from_rows"),
         max(col("state_rows")).as("to_rows"),
-        sum(when(col("prev_rows").isNull || col("state_rows") > col("prev_rows"), 1)
+        // only real comparisons count: the oldest batch in the window has
+        // prev_rows null and must not be scored as growth
+        sum(when(col("prev_rows").isNotNull && col("state_rows") > col("prev_rows"), 1)
           .otherwise(0)).as("grew"))
-      .filter(col("batches") === lookback && col("grew") === col("batches"))
+      .filter(col("batches") === lookback && col("grew") === col("batches") - 1)
       .select(col("query_name"), col("batches"), col("from_rows"), col("to_rows"))
   }
 
