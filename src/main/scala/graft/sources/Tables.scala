@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the harness parquet tables (TPC-H-ish star schema plus the
   * `events` stream analog and the `documents`/`embeddings` LLM-pipeline
@@ -35,15 +36,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has no
-    * native type for ([PARQUET_TYPE_ILLEGAL] by default). Read it as epoch
-    * nanos via the legacy flag and truncate to a µs TimestampType with
-    * integer arithmetic (a double round-trip would lose precision at 1e18).
+  /** `events.ts` has shipped with different physical encodings across harness
+    * versions: parquet TIMESTAMP(NANOS) (reads as LongType epoch-nanos under
+    * the legacy flag), timestamp[us] without timezone (reads as
+    * TIMESTAMP_NTZ), or a plain tz-adjusted timestamp. Hard-coding any one of
+    * them breaks when the testdata regenerates, so branch on the type the
+    * scan actually yields and normalize to a µs TimestampType. The session
+    * timezone is UTC (GraftSession), so the NTZ→TZ cast is offset-free; the
+    * nanos path truncates with integer arithmetic (a double round-trip would
+    * lose precision at 1e18). The legacy flag stays set — it is a no-op on
+    * µs-encoded files.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = apply(spark, dir, "events")
+    val ts = df.schema("ts").dataType match {
+      case LongType            => timestamp_micros(expr("ts div 1000"))
+      case _: TimestampNTZType => col("ts").cast(TimestampType)
+      case _                   => col("ts")
+    }
+    df.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
