@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw stdout for forked runs: Bench's final line is a compact JSON trailer
+// the round driver parses from a truncated stdout tail — sbt's default
+// LoggedOutput "[info] " prefix broke line-wise JSON parsing (VERDICT r7 #5).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

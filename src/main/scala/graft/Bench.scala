@@ -523,6 +523,29 @@ object Bench {
             saltBuckets = 32, exact = false)
           .agg(org.apache.spark.sql.functions.count(col("t"))).collect()(0).getLong(0)
       }
+      // distinct contrast: count_distinct is the aggregate shape partial
+      // aggregation can NOT flatten — the map side dedups (key, value)
+      // pairs but the shuffle is partitioned by KEY alone, so the 60% hot
+      // key's ~5M distinct values all land on one reduce task. saltedDistinct
+      // partitions the value space itself (salt = hash(value) % 32), exact by
+      // construction. Per-stage task profiles carry the straggler evidence:
+      // plain's reduce max_task ~= its wall time, salted's near-flat.
+      // (Graduated from the round-7 ScratchSkew experiment, where salting
+      // cut wall time ~3x at this exact shape.)
+      def bigSkewedHiCard = spark.range(20000000L).select(
+        when(pmod(col("id"), lit(10)) < 6, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(999999L)) + 1L).as("key"),
+        pmod(xxhash64(col("id"), lit(7)), lit(5000000L)).as("v"))
+      val sD1 = stage("skew_distinct_plain_20m", perStage = true) {
+        bigSkewedHiCard.groupBy(col("key"))
+          .agg(org.apache.spark.sql.functions.count_distinct(col("v")).as("d"))
+          .agg(fsum(col("d"))).collect()(0).getLong(0)
+      }
+      val sD2 = stage("skew_distinct_salted_20m", perStage = true) {
+        graft.operators.Skew.saltedDistinct(
+            bigSkewedHiCard, Seq("key"), "v", "d", saltBuckets = 32)
+          .agg(fsum(col("d"))).collect()(0).getLong(0)
+      }
 
       // ---- streaming-state soak: watermark eviction bounds state --------
       // (VERDICT r4 #3) 2M events through the canonical daily-spend pipeline
@@ -533,7 +556,8 @@ object Bench {
       val s9 = if (stageFilter.exists(!_("stream_state_2m"))) ""
         else streamStateSoak(spark)
 
-      Seq(s1, s2, s3, sC1, sC2, sC3, sK1, sK2, sK3, sK4, s4, s5, s6, s7, s8, s9)
+      Seq(s1, s2, s3, sC1, sC2, sC3, sK1, sK2, sK3, sK4, s4, s5, s6, s7, s8,
+          sD1, sD2, s9)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
@@ -550,11 +574,24 @@ object Bench {
     // stdout tail slices off its head, so the snapshot alone never parses.
     // Emit a compact trailer LAST that fits the tail whole: summary totals
     // plus the slowest per-query times, pointing at outPath for the rest.
+    // ADVICE r7: the trailer's metric name is DISTINCT from the full line's
+    // ("total_tail" vs "total") so a stdout scanner that keys on
+    // "metric":"total" can't pick the truncated full line. It is also
+    // written whole to a fixed sibling file (bench_tail.json) the driver can
+    // read when the stdout tail is mangled, and printed as the LAST stdout
+    // line (build.sbt forces raw StdoutOutput for forked runs, so no sbt
+    // "[info]" prefix breaks line-wise JSON parsing).
     val slowest = results.collect { case (k, v, _, None, _) => (k, v) }
       .sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"errors_n":${results.count(_._4.isDefined)},"stream_events_per_sec":${eps.toLong},"queries":$slowest,"queries_note":"slowest 12 of ${results.size}; full map in $outPath","sf":"$sfDir"}""")
-    spark.stop()
+    val tail = s"""{"metric":"total_tail","value":$total,"unit":"sec","queries_n":${results.size},"errors_n":${results.count(_._4.isDefined)},"stream_events_per_sec":${eps.toLong},"queries":$slowest,"queries_note":"slowest 12 of ${results.size}; full map in $outPath","sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_tail.json"),
+      (tail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable =>
+      System.err.println(s"could not write bench_tail.json: $t") }
+    spark.stop() // before the final print: Spark's shutdown logs otherwise land after it
+    println(tail)
+    System.out.flush()
   }
 
   /** Streaming-state soak: 2M events through the canonical pipeline in 10

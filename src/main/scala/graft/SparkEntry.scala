@@ -474,6 +474,13 @@ object SparkEntry {
           Seq("user_id"), "value", "total_spent")
         .orderBy(col("user_id"))),
 
+    // salted exact distinct: the two-phase (key, hash(value) % salt) form
+    // must equal the direct COUNT(DISTINCT) — the oracle IS the plain form
+    "x21_salted_distinct" -> ((s, dir) =>
+      graft.operators.Skew.saltedDistinct(Tables.events(s, dir),
+          Seq("user_id"), "event_type", "distinct_types", saltBuckets = 8)
+        .orderBy(col("user_id"))),
+
     // salted join vs its plain equivalent (dim derived deterministically
     // from the fact table, so no extra input is needed)
     "x8_salted_join" -> ((s, dir) => {
@@ -2019,6 +2026,10 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase') e
         |JOIN (SELECT DISTINCT user_id FROM events) d ON e.user_id = d.user_id
         |ORDER BY event_id""".stripMargin,
+
+    "x21_salted_distinct" ->
+      """SELECT user_id, count(DISTINCT event_type) AS distinct_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // plain (inner) ASOF drops unmatched left rows
     "x6_asof_inner" ->

@@ -477,10 +477,11 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(tileWords > 0, s"tileWords must be positive, got $tileWords")
-    // The real per-doc ceiling is Int.MaxValue tokens: slice() takes an int
-    // start, so a doc past ~2^31 tokens would silently wrap into garbage
-    // tiles. Fail loudly on the row instead (array columns cap at 2^31
-    // elements anyway, so the guard only fires before Spark itself would).
+    // Defense-in-depth, provably dead today: size() returns an int and
+    // arrays cap at 2^31-1 elements, so start = tile_idx*tileWords+1 can
+    // never exceed Int.MaxValue while the split() above succeeds. The guard
+    // stays as a cheap invariant check in case a future Spark lifts the
+    // array-size cap (slice() takes an int start and would then wrap).
     val start = col("tile_idx") * tileWords + 1
     val startInt = when(start <= lit(Int.MaxValue.toLong), start.cast("int"))
       .otherwise(raise_error(concat(
