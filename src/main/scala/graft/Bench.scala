@@ -555,9 +555,11 @@ object Bench {
       // CURVE: cumulative input grows 10x while state rows stay flat.
       val s9 = if (stageFilter.exists(!_("stream_state_2m"))) ""
         else streamStateSoak(spark)
+      val s10 = if (stageFilter.exists(!_("session_tws_2m"))) ""
+        else sessionTwsSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sK1, sK2, sK3, sK4, s4, s5, s6, s7, s8,
-          sD1, sD2, s9)
+          sD1, sD2, s9, s10)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
@@ -648,6 +650,73 @@ object Bench {
       s""""stream_state_2m":{"sec":$sec,"events":${batches * perBatch},"batches":$batches,$d,$r}"""
     } catch { case t: Throwable =>
       s""""stream_state_2m":{"err":"${graft.util.Json.escape(t.toString, maxLen = 300)}"}"""
+    }
+  }
+
+  /** transformWithState sessionizer soak (VERDICT r6 #2 / r7 #7): 2M events
+    * through [[graft.streaming.Sessionize.transformWithStateStreaming]]
+    * under RocksDB (the only provider TWS accepts) in 10 batches, each
+    * advancing event time ~5.6h past a 5-minute watermark with a 15-minute
+    * session gap. Per batch: total state rows (open sessions), registered /
+    * expired timer counts (TWS custom metrics), and cumulative emitted
+    * sessions. A healthy run keeps open-session state and live timers FLAT
+    * — one timer per active key at the earliest possible close — while
+    * cumulative input grows 10x and emitted sessions climb monotonically;
+    * state or timers tracking input would be the leak the timer-cleanup
+    * logic in SessionStateProcessor.settle exists to prevent. */
+  private def sessionTwsSoak(spark: SparkSession): String = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, round => fround}
+    val batches = 10
+    val perBatch = 200000L
+    val t0 = System.nanoTime()
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      GraftSession.enableRocksDbState(spark)
+      try {
+        val ms = MemoryStream[String]
+        val parsed = graft.operators.Ingest.parseTransactions(ms.toDF())
+        val ev = parsed.withWatermark("timestamp", "5 minutes")
+          .select(col("customer_id"), col("timestamp"),
+            fround(col("amount") * 100).as("amount"))
+          .as[graft.streaming.Sessionize.SessionEvent]
+        val sessions = graft.streaming.Sessionize
+          .transformWithStateStreaming(ev, gapMs = 15 * 60 * 1000L)
+        val q = sessions.toDF().writeStream.outputMode("append")
+          .format("memory").queryName("soak_session_tws")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("soak-tws-ckpt").toString)
+          .start()
+        val stateRows = Array.newBuilder[Long]
+        val timersReg = Array.newBuilder[Long]
+        val timersExp = Array.newBuilder[Long]
+        val emitted = Array.newBuilder[Long]
+        try {
+          (0 until batches).foreach { b =>
+            val chunk = graft.sources.DataGen
+              .transactionsJson(spark, perBatch, startId = b * perBatch)
+              .collect().map(_.getString(0))
+            chunk.grouped(chunk.length / 8 + 1).foreach(c => ms.addData(c.toIndexedSeq))
+            q.processAllAvailable()
+            val so = q.lastProgress.stateOperators
+            stateRows += so.map(_.numRowsTotal).sum
+            def custom(k: String): Long =
+              so.map(o => Option(o.customMetrics.get(k)).map(_.longValue).getOrElse(0L)).sum
+            timersReg += custom("numRegisteredTimers")
+            timersExp += custom("numExpiredTimers")
+            emitted += spark.table("soak_session_tws").count()
+          }
+        } finally q.stop()
+        val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+        s""""session_tws_2m":{"sec":$sec,"events":${batches * perBatch},"batches":$batches,""" +
+          s""""state_rows":${stateRows.result().mkString("[", ",", "]")},""" +
+          s""""timers_registered":${timersReg.result().mkString("[", ",", "]")},""" +
+          s""""timers_expired":${timersExp.result().mkString("[", ",", "]")},""" +
+          s""""sessions_emitted":${emitted.result().mkString("[", ",", "]")}}"""
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } catch { case t: Throwable =>
+      s""""session_tws_2m":{"err":"${graft.util.Json.escape(t.toString, maxLen = 300)}"}"""
     }
   }
 }

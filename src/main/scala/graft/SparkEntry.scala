@@ -730,6 +730,20 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // the same normalization reached through SQL TEXT via the
+    // GraftExtensions function registry (graft_nfc / graft_strip_accents /
+    // graft_fold_key) — the production surface for SQL-first users. Graded
+    // against the identical DuckDB oracle as the Column form; PlanSpec pins
+    // the two forms to the same optimized plan.
+    "ext_text_normalize_sql" -> ((s, dir) => {
+      import s.implicits._
+      unicodeFixture.toDF("id", "s").createOrReplaceTempView("graft_unicode_fixture")
+      s.sql("""SELECT id, graft_nfc(s) AS nfc,
+              |  graft_strip_accents(s) AS stripped,
+              |  graft_fold_key(s) AS fold_key
+              |FROM graft_unicode_fixture ORDER BY id""".stripMargin)
+    }),
+
     "ext_lang_id" -> ((s, dir) =>
       Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
         graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -1278,6 +1292,11 @@ object SparkEntry {
     // the oracle is the same register SQL as ext_hll_distinct's
     "stream_hll_registers" -> ((s, dir) => streamHllRegisters(s, dir)),
 
+    // streaming count-min twin: counters maintained across micro-batches in
+    // complete mode, graded against the same DuckDB sketch rebuild that
+    // backs ext_countmin_topk (additive counters — each row fed once)
+    "stream_countmin_registers" -> ((s, dir) => streamCountMinRegisters(s, dir)),
+
     // the document-curation pipeline's streaming face, hash-checked: the
     // documents table streamed in id order across several micro-batches
     // with one whole chunk RE-FED (exact duplicate rows the cross-batch
@@ -1563,6 +1582,36 @@ object SparkEntry {
       ms.addData(chunks.head.toIndexedSeq); q.processAllAvailable()
     } finally q.stop()
     s.table("stream_hll_registers_t")
+  }
+
+  /** Streaming count-min maintenance behind `stream_countmin_registers`:
+    * the documents tokenized in-stream across four micro-batches, counters
+    * kept in complete mode — the heavy-hitter monitor shape where each
+    * trigger updates a fixed `depth x width` counter table. Unlike the HLL
+    * twin's max-registers (idempotent, so it re-feeds a chunk to prove it),
+    * count-min counters are ADDITIVE: each row is fed exactly once, and
+    * exactly-once delivery is what makes the streamed sketch equal the
+    * batch build (the DuckDB rebuild oracle). */
+  private def streamCountMinRegisters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val toks = ms.toDF()
+      .select(explode(split(graft.operators.Dedup.normalize(col("_2")), " ")).as("tok"))
+    val reg = graft.operators.Sketch.countMinBuild(toks, "tok", depth = 4, width = 1024)
+    val ckpt = tempCkpt()
+    val q = reg.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_countmin_registers_t")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table("stream_countmin_registers_t")
   }
 
   private def docCleanStream(s: SparkSession, dir: String): DataFrame = {
@@ -2451,6 +2500,19 @@ object SparkEntry {
          |FROM t ORDER BY id""".stripMargin
     },
 
+    // same rebuild as ext_text_normalize — the SQL-registry twin must be
+    // indistinguishable from the Column form
+    "ext_text_normalize_sql" -> {
+      val vals = unicodeFixture
+        .map { case (i, t) => s"($i, '${t.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH t(id, s) AS (VALUES $vals)
+         |SELECT CAST(id AS BIGINT) AS id, nfc_normalize(s) AS nfc,
+         |  strip_accents(s) AS stripped,
+         |  lower(strip_accents(nfc_normalize(s))) AS fold_key
+         |FROM t ORDER BY id""".stripMargin
+    },
+
     "ext_lang_id" ->
       """WITH s AS (SELECT doc_id,
         |  string_split_regex(trim(lower(text)), '\s+') AS lt FROM documents),
@@ -3279,6 +3341,22 @@ object SparkEntry {
         |SELECT CAST(bucket AS INTEGER) AS bucket,
         |  CAST(max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS INTEGER) AS register
         |FROM hx GROUP BY bucket""".stripMargin,
+
+    // the streamed counters equal the batch sketch build (exactly-once
+    // delivery of additive counters; same md5 hash family as the
+    // ext_countmin_topk rebuild)
+    "stream_countmin_registers" ->
+      """WITH toks AS (SELECT unnest(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |rb AS (SELECT tok, r,
+        |    CAST(CAST('0x' || substr(md5(tok || '#cm' || CAST(r AS VARCHAR) || '.cm'), 1, 8)
+        |      AS UBIGINT) AS BIGINT) % 1024 AS bucket
+        |  FROM toks CROSS JOIN rs)
+        |SELECT CAST(r AS INTEGER) AS sketch_row, CAST(bucket AS INTEGER) AS bucket,
+        |  count(*) AS cnt
+        |FROM rb GROUP BY r, bucket""".stripMargin,
 
     // the streamed curation run equals the batch relation: compact to the
     // min-doc_id copy per fingerprint (the feed's batch-compaction step),

@@ -253,4 +253,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "the per-doc suspect count must combine map-side")
   }
+
+  test("SQL-registry twin: graft_fold_key SQL text optimizes to the Column form's plan") {
+    GraftExtensions.register(spark)
+    val sqlPlan = SparkEntry.queries("ext_text_normalize_sql")(spark, dir)
+      .queryExecution.optimizedPlan.canonicalized
+    val colPlan = SparkEntry.queries("ext_text_normalize")(spark, dir)
+      .queryExecution.optimizedPlan.canonicalized
+    // both build lower(StripAccentsExpr(UnicodeNfc(s))) over the same
+    // fixture — the registry must not introduce a different tree
+    assert(sqlPlan == colPlan,
+      s"SQL and Column forms diverged:\n--- sql ---\n$sqlPlan\n--- col ---\n$colPlan")
+  }
+
+  test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((3L, 5L), (0L, 0L), (255L, 1L)).toDF("x", "y")
+    df.createOrReplaceTempView("graft_zv_fixture")
+    val viaSql = spark.sql(
+      "SELECT graft_zvalue(8, x, y) AS z FROM graft_zv_fixture ORDER BY z")
+      .as[Long].collect().toSeq
+    val viaCol = df.select(
+        graft.operators.Layout.zValue(Seq(col("x"), col("y")), 8).as("z"))
+      .orderBy(col("z")).as[Long].collect().toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
 }
