@@ -406,6 +406,39 @@ object Bench {
           .count()
       }
 
+      // ---- ANN soak: IVF build + probe at 1M vectors --------------------
+      // The claims under test at volume: (a) index TRAINING stays bounded —
+      // the content-hash-pinned 16,384-sample collect is the only driver
+      // materialization no matter the corpus size; (b) ASSIGNMENT is a
+      // scan-parallel literal-centroid argmin (no join, no shuffle); (c) the
+      // PROBE scores only nprobe/nlist of the corpus per query — 1,000
+      // queries x 8 of 64 lists — via a join AQE resolves as broadcast
+      // (8,000 probe rows against the 1M-row assigned side), never
+      // all-pairs. Same spike generator as semdedup_50k, 100 clusters.
+      val sA1 = stage("ann_ivf_1m", perStage = true) {
+        import org.apache.spark.sql.functions.{lit, pmod, sequence, when, xxhash64, transform => hof}
+        def spikeVecs(n: Long, idStep: Long, idOffset: Long) = {
+          val label = ((col("id") * idStep + idOffset) % 100).cast("int")
+          spark.range(n).select(
+            (col("id") * idStep + idOffset).as("vec_id"), label.as("label"),
+            hof(sequence(lit(0), lit(15)), i =>
+              (pmod(xxhash64(col("id") * idStep + idOffset, i), lit(1000L))
+                .cast("double") / 1000.0) +
+                when(i === pmod(label, lit(16)),
+                  lit(10.0) + (label / lit(16)).cast("int") * lit(3.0))
+                  .otherwise(lit(0.0))).as("embedding"))
+        }
+        val corpus = spikeVecs(1000000L, 1L, 0L)
+        val idx = graft.operators.Similarity.ivfIndex(
+          corpus, nlist = 64, nprobe = 8)
+        // query ids stride PAST the corpus id range so the self-match
+        // filter (vec_id =!= q_id) never hides a corpus hit
+        spikeVecs(1000L, 997L, 2000000L)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+          .transform(q => idx.search(q, k = 10, nprobe = 8))
+          .count()
+      }
+
       // ---- sketch soak: fixed-size summaries at 20M rows ----------------
       // The claim under test: sketch builds collapse to their bounded size
       // MAP-SIDE, so the shuffle carries counters/registers/hashes, never
@@ -558,7 +591,7 @@ object Bench {
       val s10 = if (stageFilter.exists(!_("session_tws_2m"))) ""
         else sessionTwsSoak(spark)
 
-      Seq(s1, s2, s3, sC1, sC2, sC3, sK1, sK2, sK3, sK4, s4, s5, s6, s7, s8,
+      Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sK1, sK2, sK3, sK4, s4, s5, s6, s7, s8,
           sD1, sD2, s9, s10)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
@@ -616,6 +649,7 @@ object Bench {
     def run(backend: String): String = {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
+      val b0 = System.nanoTime()
       val ms = MemoryStream[String]
       val daily = SpendingPipeline.dailySpend(spark, Source.Raw(ms.toDF()))
       val q = SpendingPipeline.start(daily, Sink.Memory(s"soak_state_$backend"),
@@ -637,7 +671,12 @@ object Bench {
           stateMemMb += (so.map(_.memoryUsedBytes).sum / 1e6).round
         }
       } finally q.stop()
-      s""""$backend":{"state_rows":${stateRows.result().mkString("[", ",", "]")},""" +
+      // per-backend wall time: the r7 adjudication needed to know WHICH
+      // backend a total-only regression lived in (125s -> 327s -> idle
+      // re-run 192s) — record the split so the next drift self-explains
+      val sec = math.round((System.nanoTime() - b0) / 1e9 * 1000) / 1000.0
+      s""""$backend":{"sec":$sec,""" +
+        s""""state_rows":${stateRows.result().mkString("[", ",", "]")},""" +
         s""""state_mem_mb":${stateMemMb.result().mkString("[", ",", "]")}}"""
     }
     val t0 = System.nanoTime()

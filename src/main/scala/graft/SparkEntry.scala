@@ -892,6 +892,12 @@ object SparkEntry {
       graft.operators.TextAnalysis.vocabTopK(
         Tables.ensureParallelism(Tables.documents(s, dir)), "text", 100)),
 
+    "ext_bigram_quality" -> ((s, dir) =>
+      // bigram-LM perplexity-proxy filter: counts trained on the 80%
+      // content-hash split, every doc scored (integer log2 buckets)
+      graft.operators.TextAnalysis.bigramQuality(
+        Tables.ensureParallelism(Tables.documents(s, dir)))),
+
     "ext_pii_redact" -> ((s, dir) => {
       // deterministic synthetic PII is appended per doc (the corpus itself
       // is clean), then counted and scrubbed; the oracle regenerates the
@@ -2712,6 +2718,27 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |  FROM documents) u
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // bigram-LM replay: same tokenization, same '#bigramlm' 80% train
+    // split, same length(bin(cnt+1))-1 integer log2 bucket
+    "ext_bigram_quality" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |lm AS (SELECT bigram, count(*) AS cnt FROM b
+        |  WHERE substr(md5(doc_id::VARCHAR || '#bigramlm'), 1, 8) < 'cccccccc'
+        |  GROUP BY 1),
+        |s AS (SELECT b.doc_id,
+        |    CASE WHEN lm.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+        |    length(bin(coalesce(lm.cnt, 0) + 1)) - 1 AS bucket
+        |  FROM b LEFT JOIN lm USING (bigram))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(oov) AS BIGINT) AS oov_n,
+        |  CAST(sum(bucket) AS BIGINT) AS sum_bucket,
+        |  CAST(sum(oov) AS DOUBLE) / count(*) AS oov_ratio,
+        |  CAST(sum(bucket) AS DOUBLE) / count(*) AS avg_log2_bucket
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     "ext_pii_redact" -> {
       import graft.operators.Pii

@@ -255,6 +255,57 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("tok").as("keyword"), col("tf"), col("df"))
   }
 
+  /** Bigram language-model quality score — the CCNet/Wenzek-style
+    * perplexity filter re-expressed with integer-exact math. An LM is
+    * "trained" as bigram occurrence counts over a deterministic
+    * content-hash train split ([[Sampling.hashBucket]], so the split
+    * replays identically in any engine), then EVERY document is scored by
+    * its own bigrams against those counts:
+    *
+    *   - `bucket` per bigram = floor(log2(train_count + 1)), computed as
+    *     `length(bin(cnt + 1)) - 1` — a string-length of the binary
+    *     representation, exact for any count (no floating-point log whose
+    *     last-ulp rounding differs across libm implementations),
+    *   - `avg_log2_bucket` — mean bucket over the doc's bigrams: high =
+    *     fluent/common phrasing (low perplexity), low = rare or garbled,
+    *   - `oov_ratio` — fraction of the doc's bigrams never seen in the
+    *     train split (the out-of-vocabulary novelty/noise signal).
+    *
+    * All aggregation is integer (order-independent); the two doubles are
+    * single divisions of exact integers, so output is bit-identical in any
+    * engine. Docs with fewer than 2 tokens have no bigrams and are absent
+    * from the output (nothing to score).
+    *
+    * Scale shape: LM build is one combinable count aggregation (shuffle
+    * carries per-partition bigram counts, not text); scoring is one
+    * equi-join on the bigram string (AQE broadcasts the LM side when the
+    * vocabulary is small; at corpus scale it is a shuffle hash join on a
+    * high-cardinality key — no skew salting needed) plus one combinable
+    * per-doc aggregation. No all-pairs, no driver-side state. */
+  def bigramQuality(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      trainFrac: Double = 0.8,
+      salt: String = "bigramlm"): DataFrame = {
+    val docBigrams = df.select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
+    val lm = df
+      .filter(Sampling.hashBucket(col(idCol), salt) < lit(Sampling.hexThreshold(trainFrac)))
+      .select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+    docBigrams.join(lm, Seq("bigram"), "left")
+      .select(col(idCol),
+        when(col("cnt").isNull, 1L).otherwise(0L).as("oov"),
+        (length(bin(coalesce(col("cnt"), lit(0L)) + 1)) - 1).cast("long").as("bucket"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("oov_n"),
+        sum(col("bucket")).as("sum_bucket"))
+      .withColumn("oov_ratio", col("oov_n").cast("double") / col("n_bigrams"))
+      .withColumn("avg_log2_bucket", col("sum_bucket").cast("double") / col("n_bigrams"))
+  }
+
   // ---------------------------------------- Gopher-style structural rules
 
   /** Occurrences of a literal substring (no regex semantics — `needle` is

@@ -171,6 +171,24 @@ class ExtensionSpec extends SparkSpec {
     assert(got == Seq(("a", 3L), ("b", 3L), ("c", 1L))) // lowercased; tie a<b
   }
 
+  test("bigramQuality: integer log2 buckets and OOV against a hand-computed LM") {
+    import graft.operators.TextAnalysis.bigramQuality
+    val docs = Seq((1L, "a b a b"), (2L, "a b x"), (3L, "z"), (4L, ""))
+      .toDF("doc_id", "text")
+    // trainFrac=1.0 -> LM over every doc: "a b"=3 (bucket floor(log2 4)=2),
+    // "b a"=1, "b x"=1 (bucket 1). Docs 3/4 have no bigrams -> absent.
+    val full = bigramQuality(docs, trainFrac = 1.0)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "oov_n", "sum_bucket", "avg_log2_bucket")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(full == Seq((1L, 3L, 0L, 5L, 5.0 / 3), (2L, 2L, 0L, 3L, 1.5)))
+    // trainFrac=0.0 -> empty LM: every bigram OOV, bucket log2(0+1)=0
+    val none = bigramQuality(docs, trainFrac = 0.0)
+      .orderBy("doc_id").select("oov_ratio", "avg_log2_bucket")
+      .as[(Double, Double)].collect().toSeq
+    assert(none == Seq((1.0, 0.0), (1.0, 0.0)))
+  }
+
   test("TopBigramCount expression matches the higher-order-function definition") {
     import graft.operators.TextAnalysis._
     // corpus rows + the edge shapes: empty, single-token, all-same, runs,
