@@ -24,6 +24,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // ObjectHashAggregate (the machinery behind collect_list and graft's
+      // TypedImperativeAggregates, e.g. TopKByScore) falls back to SORT-based
+      // aggregation after this many distinct keys per task — default 128.
+      // The fallback re-introduces exactly the full-candidate-set sort the
+      // bounded top-k heap exists to avoid (observed: 5.5 GB spill, 75 s
+      // stage at the ann_ivf_1m soak's 1,000 query groups). Object agg
+      // buffers here are small bounded structures (k-entry heaps, sketch
+      // registers), so 64k hash-resident keys per task is still tiny memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
 
   /** Switch streaming state to RocksDB — the production state backend:

@@ -79,6 +79,49 @@ object Similarity {
         lit(s" does not match expected $d: a mismatched width would silently " +
           "hash or probe a vector prefix"))))
 
+  /** Final top-k per query over a scored candidate relation
+    * (q_id, vec_id, cosine): rank by (cosine DESC, vec_id ASC), keep k,
+    * stamp `rank` 1..k — the shared tail of every search variant.
+    *
+    * When the candidate id is bigint this runs as the bounded
+    * [[graft.functions.TopKByScore]] heap aggregate: at most k entries per
+    * query survive each map task (partial aggregation), so the shuffle
+    * carries ~k * tasks rows per query and no full sort of the candidate
+    * set ever runs. The window form — value-identical, pinned by spec —
+    * sorts EVERY candidate row per query: at the ann_ivf_1m soak scale
+    * (1,000 queries x ~15,625 scored rows x 8 lists = 125M rows) it
+    * spilled ~4.9 GB and took 10x longer. Non-bigint ids keep the window
+    * (the aggregate's serialized buffer is typed; extending it is a
+    * type-dispatch away if a string-keyed corpus ever needs the fast
+    * path). */
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.schema("vec_id").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        import org.apache.spark.sql.graft.ColumnBridge
+        val agg = ColumnBridge.column(graft.functions.TopKByScore(
+          ColumnBridge.expression(col("cosine")),
+          ColumnBridge.expression(col("vec_id")), k).toAggregateExpression())
+        scored.groupBy(col("q_id")).agg(agg.as("__top"))
+          .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+          .select(col("q_id"), col("__e.id").as("vec_id"),
+            col("__e.score").as("cosine"), (col("__pos") + 1).as("rank"))
+      case _ =>
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
+
+  /** The window-rank definition of [[topKPerQuery]] (reference semantics;
+    * the heap aggregate must stay value-identical — asserted by spec). */
+  private[graft] def topKPerQueryWindow(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Attach the L2 norm (compute once per row, reuse across pairs). */
   def withNorm(df: DataFrame, embCol: String = "embedding", normCol: String = "emb_norm"): DataFrame =
     df.withColumn(normCol, Vectors.norm(col(embCol)))
@@ -104,8 +147,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
           .as("cosine"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic random hyperplanes: `nPlanes` x `dim` gaussians.
@@ -189,8 +231,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
           .as("cosine"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Multi-table LSH: union the candidate sets of `tables` independent
@@ -244,8 +285,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
           .as("cosine"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Driver-local Lloyd's KMeans over a sample: IVF centroid training does
@@ -399,8 +439,7 @@ object Similarity {
         .select(col("q_id"), col("vec_id"),
           Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
             .as("cosine"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      topKPerQuery(scored, k)
     }
 
     /** Persist the index as the deployment artifact of "build once, search
@@ -523,7 +562,19 @@ object Similarity {
                   "collapse would drop an embedding from the index)"))))
               .as("list_id"))
       }
-    new IvfIndex(centroids, assigned, nprobe, literalCentroidMax)
+    // Building an index IS a materialization: cut lineage eagerly so the
+    // assigned relation is computed exactly once. Without the cut, every
+    // search probes the ASSIGNMENT EXPRESSION TREE through a broadcast
+    // join, and whole-stage codegen defers non-join-key stream columns
+    // into the per-match loop (only the key is evaluated before probing) —
+    // so c_emb/c_nrm/argmin re-evaluate once per CANDIDATE PAIR, not once
+    // per corpus row. Measured at the ann_ivf_1m soak (1M expression-
+    // generated vectors, 1,000 queries): search 110 s uncached vs 1.7 s
+    // with the cut — the assignment was being recomputed ~200M times.
+    // The cut is tracked: released by the enclosing Checkpoints.scoped
+    // (Verify/Bench per-query), or session-globally via releaseAll.
+    new IvfIndex(centroids, graft.util.Checkpoints.cut(assigned), nprobe,
+      literalCentroidMax)
   }
 
   /** IVF: KMeans inverted lists + nprobe probing, as one call — builds a
