@@ -64,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.operators.Layout.getClass.getName, "graft_zvalue"),
       (args: Seq[Expression]) =>
         GraftExtensions.zValueExpr(args.tail, intArg(args.head, "bits"))))
+    // aggregate: the analyzer wraps a returned AggregateFunction in an
+    // AggregateExpression itself (same contract as built-in aggregates)
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "graft_top_k"),
+      (args: Seq[Expression]) =>
+        graft.functions.TopKByScore(args(0), args(1), intArg(args(2), "k"))))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProductHof)
   }
 }
@@ -136,6 +143,9 @@ object GraftExtensions {
       args => foldKeyExpr(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_zvalue",
       args => zValueExpr(args.tail, intLit(args.head, "bits")), "built-in")
+    reg.createOrReplaceTempFunction("graft_top_k",
+      args => graft.functions.TopKByScore(args(0), args(1), intLit(args(2), "k")),
+      "built-in")
     // optimizer rules can't be injected post-build via SparkSessionExtensions;
     // experimentalMethods is the supported late-registration hook
     if (!spark.sessionState.experimentalMethods.extraOptimizations

@@ -1023,6 +1023,28 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"), k = 5)
     }),
 
+    "ext_knn_brute_sql" -> ((s, dir) => {
+      // SQL-surface twin of ext_knn_brute: graft_dot + the graft_top_k
+      // bounded-heap aggregate straight from the function registry, graded
+      // against the same DuckDB window-SQL oracle. posexplode unrolls the
+      // top-k array in rank order (pos is 0-based; rank = pos + 1, same
+      // INTEGER type as row_number).
+      Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+      s.sql("""WITH n AS (SELECT vec_id, embedding,
+              |    sqrt(graft_dot(embedding, embedding)) AS nm
+              |  FROM graft_embeddings),
+              |q AS (SELECT vec_id AS q_id, embedding AS qe, nm AS qn
+              |  FROM n WHERE vec_id < 10),
+              |scored AS (SELECT q_id, n.vec_id,
+              |    graft_dot(n.embedding, q.qe) / (n.nm * q.qn) AS cosine
+              |  FROM n JOIN q ON n.vec_id != q.q_id),
+              |t AS (SELECT q_id, graft_top_k(cosine, vec_id, 5) AS top
+              |  FROM scored GROUP BY q_id)
+              |SELECT q_id, e.id AS vec_id, e.score AS cosine,
+              |  CAST(pos + 1 AS INT) AS rank
+              |FROM t LATERAL VIEW posexplode(top) x AS pos, e""".stripMargin)
+    }),
+
     // JL random projection 64->8 (8x embedding compression for storage /
     // ANN bandwidth): every projected component graded as its own column —
     // each is one ordered dot over plane literals times a scale literal,
@@ -3094,6 +3116,9 @@ object SparkEntry {
     },
 
     "ext_knn_brute" -> bruteKnnSql,
+    // the SQL-registry twin computes the identical scored relation and
+    // ranks through graft_top_k — same oracle by construction
+    "ext_knn_brute_sql" -> bruteKnnSql,
 
     // IVF at nprobe = nlist is exhaustive search — the brute-force SQL IS
     // its oracle (see the ext_knn_ivf_exact query comment); the _join twin

@@ -49,4 +49,16 @@ class TopKAggSpec extends SparkSpec {
     val s = scored(0L)
     assert(Similarity.topKPerQuery(s, 5).isEmpty)
   }
+
+  test("graft_top_k SQL registry form matches the window reference") {
+    scored(900L).createOrReplaceTempView("topk_scored")
+    val sql = spark.sql(
+      """SELECT q_id, e.id AS vec_id, e.score AS cosine,
+        |  CAST(pos + 1 AS INT) AS rank
+        |FROM (SELECT q_id, graft_top_k(cosine, vec_id, 4) AS top
+        |  FROM topk_scored GROUP BY q_id)
+        |LATERAL VIEW posexplode(top) x AS pos, e""".stripMargin)
+    val ref = Similarity.topKPerQueryWindow(scored(900L), 4)
+    assert(sql.exceptAll(ref).isEmpty && ref.exceptAll(sql).isEmpty)
+  }
 }
