@@ -1131,6 +1131,24 @@ object SparkEntry {
         k = 5, nlist = 16, nprobe = 16)
     }),
 
+    // incremental maintenance graded end to end: index HALF the corpus,
+    // append the other half against the frozen centroids (no retrain, no
+    // re-scan of the first half), search exhaustively (nprobe = nlist) —
+    // the appended index must reproduce brute force exactly, so the brute
+    // SQL is its oracle. Centroids train on the first half only
+    // (trainCap spans it), which changes nothing at nprobe = nlist:
+    // exhaustive probing scores every list regardless of where the
+    // centroids sit.
+    "ext_knn_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val half = emb.filter(col("vec_id") < 320)
+      val rest = emb.filter(col("vec_id") >= 320)
+      graft.operators.Similarity.ivfIndex(half, nlist = 16, nprobe = 16)
+        .append(rest)
+        .search(emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+          k = 5, nprobe = 16)
+    }),
+
     // the same exhaustive-probe grading with literalCentroidMax = 0, which
     // forces the broadcast-join assignment/probe — the FAISS-scale code path
     // (nlist beyond what a literal expression should inline) carries its own
@@ -3125,6 +3143,8 @@ object SparkEntry {
     // grades the broadcast-join assignment/probe path against the same SQL
     "ext_knn_ivf_exact" -> bruteKnnSql,
     "ext_knn_ivf_exact_join" -> bruteKnnSql,
+    // appended index at nprobe = nlist is exhaustive over old + new lists
+    "ext_knn_ivf_append" -> bruteKnnSql,
     // the saved-then-loaded index searches with the nprobe pinned in the
     // artifact (= nlist, exhaustive), so the brute SQL is its oracle too
     "ext_knn_ivf_saved" -> bruteKnnSql,

@@ -442,6 +442,36 @@ object Similarity {
       topKPerQuery(scored, k)
     }
 
+    /** Incremental index maintenance: assign `newCorpus` to this index's
+      * EXISTING centroids and return an index over the union — no
+      * retraining, no re-scan of the already-indexed corpus (its assigned
+      * relation is reused as-is; only the new rows' argmin runs, and only
+      * they are newly checkpointed). The 100 TB shape of a growing corpus:
+      * index maintenance cost is proportional to the DELTA, not the
+      * archive.
+      *
+      * Centroids go stale as the distribution drifts — lists fatten and
+      * recall-per-nprobe decays — so periodic re-train ([[ivfIndex]] over
+      * the full corpus) remains the compaction step; this is the cheap
+      * path between compactions (same trade FAISS's IndexIVF.add makes).
+      * New ids must be distinct from already-indexed ids (the uniqueness
+      * contract of the id space; an id collision would surface as a
+      * duplicate (q_id, vec_id) result row downstream, and on the
+      * join-assignment branch of a LATER append it fails loudly). */
+    def append(
+        newCorpus: DataFrame,
+        idCol: String = "vec_id",
+        embCol: String = "embedding"): IvfIndex = {
+      val cIn = newCorpus.filter(col(embCol).isNotNull)
+      val newAssigned = assignToLists(cIn, centroids.toIndexedSeq,
+        idCol, embCol, literalCentroidMax)
+      // cut ONLY the delta: the existing assigned relation is already
+      // materialized; a union of two lineage cuts streams both block sets
+      new IvfIndex(centroids,
+        assigned.unionByName(graft.util.Checkpoints.cut(newAssigned)),
+        nprobeDefault, literalCentroidMax)
+    }
+
     /** Persist the index as the deployment artifact of "build once, search
       * many": `dir/assigned` holds the assigned corpus relation (at scale
       * this IS the index — one parquet row per corpus vector), `dir/
@@ -521,47 +551,7 @@ object Similarity {
       .limit(trainCap)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = lloydCentroids(samples, nlist, seed).toIndexedSeq
-    val assigned =
-      if (centroids.length <= literalCentroidMax)
-        cIn.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
-          Vectors.norm(col(embCol)).as("c_nrm"),
-          element_at(centroidDistances(centroids, col(embCol)), 1)
-            .getField("cid").as("list_id"))
-      else {
-        // join-based assignment: argmin over the broadcast centroid
-        // relation as a combinable min(struct(dist, list, row)) aggregation
-        // keyed on the corpus id — it partial-combines map-side (the
-        // shuffle carries ONE candidate per corpus row per partition, where
-        // the previous per-row window shuffled and sorted all nlist
-        // distance rows), and grouping on the real id is stable under task
-        // retry (a monotonically_increasing_id key is not, once the input
-        // arrives via a shuffle). Corpus ids must be unique — the contract
-        // an index over ids already implies — and it is ENFORCED loudly
-        // here (count rides the same aggregation: nlist rows per unique
-        // id), because silently collapsing a duplicate id to one argmin
-        // would drop an embedding from the index only on this side of
-        // literalCentroidMax — an invisible recall loss the literal path
-        // does not share.
-        val cdf = centroidFrame(corpus.sparkSession, centroids)
-        val nl = centroids.length
-        cIn.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
-            Vectors.norm(col(embCol)).as("c_nrm"))
-          .crossJoin(broadcast(cdf))
-          .select(col("vec_id"), struct(
-            Vectors.l2Squared(col("c_emb"), col("cv")).as("d"),
-            col("list_id").as("l"), col("c_emb").as("e"),
-            col("c_nrm").as("n")).as("__s"))
-          .groupBy(col("vec_id")).agg(min(col("__s")).as("__m"),
-            count(lit(1)).as("__n"))
-          .select(col("vec_id"), col("__m.e").as("c_emb"),
-            col("__m.n").as("c_nrm"),
-            when(col("__n") === nl, col("__m.l"))
-              .otherwise(raise_error(concat(lit("duplicate corpus id "),
-                col("vec_id").cast("string"),
-                lit(": an IVF index requires unique ids (a silent argmin " +
-                  "collapse would drop an embedding from the index)"))))
-              .as("list_id"))
-      }
+    val assigned = assignToLists(cIn, centroids, idCol, embCol, literalCentroidMax)
     // Building an index IS a materialization: cut lineage eagerly so the
     // assigned relation is computed exactly once. Without the cut, every
     // search probes the ASSIGNMENT EXPRESSION TREE through a broadcast
@@ -576,6 +566,56 @@ object Similarity {
     new IvfIndex(centroids, graft.util.Checkpoints.cut(assigned), nprobe,
       literalCentroidMax)
   }
+
+  /** Nearest-centroid list assignment of a (pre-null-filtered) corpus —
+    * the shared build step of [[ivfIndex]] and [[IvfIndex.append]].
+    * Output: (vec_id, c_emb, c_nrm, list_id). */
+  private def assignToLists(
+      cIn: DataFrame,
+      centroids: IndexedSeq[Array[Double]],
+      idCol: String,
+      embCol: String,
+      literalCentroidMax: Int): DataFrame =
+    if (centroids.length <= literalCentroidMax)
+      cIn.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+        Vectors.norm(col(embCol)).as("c_nrm"),
+        element_at(centroidDistances(centroids, col(embCol)), 1)
+          .getField("cid").as("list_id"))
+    else {
+      // join-based assignment: argmin over the broadcast centroid
+      // relation as a combinable min(struct(dist, list, row)) aggregation
+      // keyed on the corpus id — it partial-combines map-side (the
+      // shuffle carries ONE candidate per corpus row per partition, where
+      // the previous per-row window shuffled and sorted all nlist
+      // distance rows), and grouping on the real id is stable under task
+      // retry (a monotonically_increasing_id key is not, once the input
+      // arrives via a shuffle). Corpus ids must be unique — the contract
+      // an index over ids already implies — and it is ENFORCED loudly
+      // here (count rides the same aggregation: nlist rows per unique
+      // id), because silently collapsing a duplicate id to one argmin
+      // would drop an embedding from the index only on this side of
+      // literalCentroidMax — an invisible recall loss the literal path
+      // does not share.
+      val cdf = centroidFrame(cIn.sparkSession, centroids)
+      val nl = centroids.length
+      cIn.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+          Vectors.norm(col(embCol)).as("c_nrm"))
+        .crossJoin(broadcast(cdf))
+        .select(col("vec_id"), struct(
+          Vectors.l2Squared(col("c_emb"), col("cv")).as("d"),
+          col("list_id").as("l"), col("c_emb").as("e"),
+          col("c_nrm").as("n")).as("__s"))
+        .groupBy(col("vec_id")).agg(min(col("__s")).as("__m"),
+          count(lit(1)).as("__n"))
+        .select(col("vec_id"), col("__m.e").as("c_emb"),
+          col("__m.n").as("c_nrm"),
+          when(col("__n") === nl, col("__m.l"))
+            .otherwise(raise_error(concat(lit("duplicate corpus id "),
+              col("vec_id").cast("string"),
+              lit(": an IVF index requires unique ids (a silent argmin " +
+                "collapse would drop an embedding from the index)"))))
+            .as("list_id"))
+    }
 
   /** IVF: KMeans inverted lists + nprobe probing, as one call — builds a
     * throwaway [[IvfIndex]] and searches it. For repeated query batches

@@ -266,6 +266,21 @@ class ExtensionSpec extends SparkSpec {
       asSet(Similarity.ivfTopK(emb, q2, k = 5, nlist = 8, nprobe = 8)))
   }
 
+  test("IvfIndex.append: frozen-centroid delta assignment, exhaustive = brute") {
+    val half = emb.filter(col("vec_id") < 320)
+    val rest = emb.filter(col("vec_id") >= 320)
+    val queries = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id")
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+    // both assignment branches: literal-centroid argmin and broadcast-join
+    for (lcm <- Seq(Similarity.LiteralCentroidMax, 0)) {
+      val appended = Similarity.ivfIndex(half, nlist = 8, literalCentroidMax = lcm)
+        .append(rest)
+      val got = appended.search(queries, k = 5, nprobe = 8)
+      assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+        s"appended index at nprobe=nlist must equal brute (lcm=$lcm)")
+    }
+  }
+
   test("a wrong explicit dim fails loudly instead of hashing a prefix") {
     // 8-wide embeddings, caller claims 16: every LSH/IVF entry point must
     // reject the mismatch at plan-build time (a silent prefix hash would
