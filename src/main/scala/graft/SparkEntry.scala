@@ -1350,6 +1350,11 @@ object SparkEntry {
     // row per surviving doc — the same relation the batch oracle computes.
     "stream_doc_clean" -> ((s, dir) => docCleanStream(s, dir)),
 
+    // batch-trained centroids applied to a live embedding stream as a
+    // stateless per-row argmin — the "score the stream with a trained
+    // model" pattern; shares ext_centroid_assign's oracle
+    "stream_centroid_assign" -> ((s, dir) => centroidAssignStream(s, dir)),
+
     // stream-static enrichment: the live stream joined to a static
     // dimension (merchant -> category) — the canonical "enrich the stream
     // with reference data" pattern. The static side broadcasts (no state,
@@ -1684,6 +1689,58 @@ object SparkEntry {
     s.table("stream_doc_clean_t")
   }
 
+  /** Model-apply on a live stream: per-label mean centroids are trained
+    * BATCH-side (the deployed model artifact — one bounded row per label,
+    * exactly like the IVF literal-centroid path) and every streamed
+    * embedding is assigned to its nearest centroid as a PURE PER-ROW
+    * expression (literal-centroid argmin, no state, no aggregation — so
+    * append mode needs no watermark). Grades against the same DuckDB
+    * oracle as the batch `ext_centroid_assign`: the centroids are the
+    * engine's own ordered-fold values collected and re-embedded as
+    * literals, and the d2 arithmetic mirrors the batch operator term for
+    * term, so the stream twin is bit-identical per row. */
+  private def centroidAssignStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Vectors
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.operators.Similarity.labelCentroidVectors(emb)
+      .select(col("label"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val rows = emb
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val ms = MemoryStream[(Long, Int, Seq[Double])]
+    val stream = ms.toDF().select(col("_1").as("vec_id"),
+      col("_2").as("label_true"), col("_3").as("__e"))
+    // same argmin the batch groupBy(min(struct(d2, label))) computes,
+    // expressed per row: ascending struct sort, first element wins ties
+    // by label — and the same (ee - 2*dot) + cc term order
+    val candidates = array(cents.map { case (lbl, c) =>
+      val cl = array(c.map(lit): _*)
+      struct(
+        ((Vectors.dot(col("__e"), col("__e"))
+          - lit(2.0) * Vectors.dot(col("__e"), cl))
+          + Vectors.dot(cl, cl)).as("d2"),
+        lit(lbl).as("lbl"))
+    }: _*)
+    val out = stream.select(col("vec_id"), col("label_true"),
+        element_at(array_sort(candidates), 1).as("__m"))
+      .select(col("vec_id"), col("label_true"),
+        col("__m.lbl").as("assigned_label"), col("__m.d2").as("d2"))
+    val ckpt = tempCkpt()
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("stream_centroid_assign_t")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4))
+        .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table("stream_centroid_assign_t")
+  }
+
   /** The stream-stream interval join behind `stream_interval_join` (inner)
     * and `stream_interval_join_left` (leftOuter): the generator feed split
     * into two REAL streams by merchant parity (a field both engines
@@ -1801,6 +1858,24 @@ object SparkEntry {
 
   // exact top-5 per query by cosine — the oracle for the brute-force kNN
   // AND for IVF at nprobe = nlist (exhaustive probing ≡ brute force)
+  private val centroidAssignSql =
+    """WITH l AS (SELECT label, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
+      |    count(*) AS n
+      |  FROM embeddings GROUP BY label),
+      |c AS (SELECT label AS c_label, list_transform(
+      |    list_reduce(vs, (acc, x) -> list_transform(list_zip(acc, x), p -> p[1] + p[2])),
+      |    v -> v / n) AS centroid FROM l),
+      |e AS (SELECT vec_id, label AS label_true, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |sc AS (SELECT vec_id, label_true, c_label,
+      |  list_dot_product(e, e) - 2 * list_dot_product(e, centroid)
+      |    + list_dot_product(centroid, centroid) AS d2
+      |  FROM e, c)
+      |SELECT vec_id, label_true, c_label AS assigned_label, d2 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      |  FROM sc) t
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   private val bruteKnnSql =
     """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
@@ -3169,23 +3244,10 @@ object SparkEntry {
     // same centroid replay, then the d2 expansion in the same operation
     // order the engine uses ((ee - 2*eb) + cc) and the same (d2, label)
     // argmin tie-break
-    "ext_centroid_assign" ->
-      """WITH l AS (SELECT label, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
-        |    count(*) AS n
-        |  FROM embeddings GROUP BY label),
-        |c AS (SELECT label AS c_label, list_transform(
-        |    list_reduce(vs, (acc, x) -> list_transform(list_zip(acc, x), p -> p[1] + p[2])),
-        |    v -> v / n) AS centroid FROM l),
-        |e AS (SELECT vec_id, label AS label_true, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings),
-        |sc AS (SELECT vec_id, label_true, c_label,
-        |  list_dot_product(e, e) - 2 * list_dot_product(e, centroid)
-        |    + list_dot_product(centroid, centroid) AS d2
-        |  FROM e, c)
-        |SELECT vec_id, label_true, c_label AS assigned_label, d2 FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
-        |  FROM sc) t
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "ext_centroid_assign" -> centroidAssignSql,
+    // the streaming twin computes the identical per-row argmin against the
+    // batch-trained centroids — same oracle
+    "stream_centroid_assign" -> centroidAssignSql,
 
     // the assignment CTE extended with the within-cluster pair join — the
     // same prenormed-cosine formula the brute-KNN oracle uses
