@@ -439,6 +439,24 @@ object Bench {
           .count()
       }
 
+      // ---- bigram-LM soak: perplexity-proxy scoring at 500k docs --------
+      // ~25x the graded corpus (tens of millions of bigram occurrences).
+      // The claims: LM counts partial-combine map-side (the shuffle
+      // carries per-partition bigram counts, never raw text), the scoring
+      // join keys on the high-cardinality bigram string (no hot key, no
+      // salting needed), and the per-doc fold is a combinable aggregation.
+      val sB1 = stage("bigram_lm_500k", perStage = true) {
+        // count the CARRIED score column, not the rows: the LM side is a
+        // left join against an aggregation that is unique per join key, so
+        // a bare count() lets Catalyst eliminate the join (and with it the
+        // whole LM build) — observed: 0 shuffle MB, nothing soaked (same
+        // trap as asof_10m_x_1m's comment)
+        graft.operators.TextAnalysis.bigramQuality(
+            DataGen.documents(spark, 500000L))
+          .agg(org.apache.spark.sql.functions.count(col("avg_log2_bucket")))
+          .collect()(0).getLong(0)
+      }
+
       // ---- sketch soak: fixed-size summaries at 20M rows ----------------
       // The claim under test: sketch builds collapse to their bounded size
       // MAP-SIDE, so the shuffle carries counters/registers/hashes, never
@@ -591,8 +609,8 @@ object Bench {
       val s10 = if (stageFilter.exists(!_("session_tws_2m"))) ""
         else sessionTwsSoak(spark)
 
-      Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sK1, sK2, sK3, sK4, s4, s5, s6, s7, s8,
-          sD1, sD2, s9, s10)
+      Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sB1, sK1, sK2, sK3, sK4, s4, s5, s6,
+          s7, s8, sD1, sD2, s9, s10)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 

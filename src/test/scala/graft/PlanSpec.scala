@@ -266,6 +266,21 @@ class PlanSpec extends SparkSpec {
       s"SQL and Column forms diverged:\n--- sql ---\n$sqlPlan\n--- col ---\n$colPlan")
   }
 
+  test("ANN top-k runs as the bounded heap aggregate, not a window sort") {
+    // the scale property behind the ann_ivf_1m soak numbers: the per-query
+    // top-k must plan as ObjectHashAggregate over TopKByScore (map-side
+    // partial aggregation, at most k entries per query per task) — a
+    // regression back to row_number() would re-sort every scored candidate
+    // per query (observed: 4.9 GB spill at 125M candidates)
+    for (name <- Seq("ext_knn_brute", "ext_knn_ivf_exact", "ext_knn_lsh")) {
+      val p = plan(name)
+      assert(p.contains("ObjectHashAggregate") && p.contains("top_k_by_score"),
+        s"$name must rank through the TopKByScore heap aggregate")
+      assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+        s"$name must not fall back to the window sort")
+    }
+  }
+
   test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
