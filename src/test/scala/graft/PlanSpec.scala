@@ -281,6 +281,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ext_bigram_quality: LM combines map-side and broadcasts; no sort join") {
+    val p = plan("ext_bigram_quality")
+    // LM counts partial-aggregate before their exchange, the aggregated
+    // LM broadcasts into the scoring join (left outer: OOV bigrams keep
+    // their row), and nothing falls back to a sort-merge or cartesian
+    assert(p.contains("partial_count"), "LM counts must combine map-side")
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      "scoring join must broadcast the aggregated LM side at this scale")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
