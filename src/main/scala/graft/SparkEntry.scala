@@ -1343,6 +1343,11 @@ object SparkEntry {
     // backs ext_countmin_topk (additive counters — each row fed once)
     "stream_countmin_registers" -> ((s, dir) => streamCountMinRegisters(s, dir)),
 
+    // the corpus vocabulary top-100 as a live leaderboard: complete-mode
+    // count aggregation re-ranked and truncated each batch; shares
+    // ext_vocab_topk's oracle
+    "stream_vocab_topk" -> ((s, dir) => streamVocabTopK(s, dir)),
+
     // the document-curation pipeline's streaming face, hash-checked: the
     // documents table streamed in id order across several micro-batches
     // with one whole chunk RE-FED (exact duplicate rows the cross-batch
@@ -1665,6 +1670,37 @@ object SparkEntry {
     s.table("stream_countmin_registers_t")
   }
 
+  /** Continuous top-k leaderboard: the corpus token frequencies maintained
+    * across micro-batches as a complete-mode streaming aggregation with a
+    * rank-and-truncate on every emit (sort + limit are legal exactly in
+    * complete mode, where each batch emits the full aggregate). After the
+    * final batch the memory table IS the corpus-wide top-100 — the same
+    * relation the batch [[graft.operators.TextAnalysis.vocabTopK]] (and
+    * its DuckDB oracle) computes. */
+  private def streamVocabTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val topk = ms.toDF()
+      .select(explode(graft.operators.TextAnalysis.tokens(lower(col("_2")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+    val ckpt = tempCkpt()
+    val q = topk.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_vocab_topk_t")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table("stream_vocab_topk_t")
+  }
+
   private def docCleanStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = s.sqlContext
@@ -1858,6 +1894,12 @@ object SparkEntry {
 
   // exact top-5 per query by cosine — the oracle for the brute-force kNN
   // AND for IVF at nprobe = nlist (exhaustive probing ≡ brute force)
+  private val vocabTopKSql =
+    """SELECT token, count(*) AS n FROM (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents) u
+      |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+
   private val centroidAssignSql =
     """WITH l AS (SELECT label, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
       |    count(*) AS n
@@ -2828,11 +2870,10 @@ object SparkEntry {
         |  FROM m)
         |SELECT doc_id, clean, length(clean) AS n_clean FROM c""".stripMargin,
 
-    "ext_vocab_topk" ->
-      """SELECT token, count(*) AS n FROM (
-        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        |  FROM documents) u
-        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "ext_vocab_topk" -> vocabTopKSql,
+    // the complete-mode streaming leaderboard converges to the same
+    // corpus-wide top-100 after its final batch
+    "stream_vocab_topk" -> vocabTopKSql,
 
     // bigram-LM replay: same tokenization, same '#bigramlm' 80% train
     // split, same length(bin(cnt+1))-1 integer log2 bucket
