@@ -1096,6 +1096,16 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"), k = 5)
     }),
 
+    // multi-probe LSH, hash-checked END TO END including the probe
+    // sequence: the weakest-margin |dot| ranking replays bit-identically
+    // in DuckDB, so the oracle reproduces which buckets each query probes
+    "ext_knn_lsh_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.lshTopKMultiProbe(
+        emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        k = 5, nPlanes = 8, nprobe = 4)
+    }),
+
     // quantified ANN quality in the gate: per-query and mean recall of
     // multi-table LSH against the exact brute-force top-k, oracle-checked
     // end to end (planes embedded as literals). nPlanes=2/tables=8 is the
@@ -3216,6 +3226,29 @@ object SparkEntry {
          |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
          |  FROM scored) t
          |WHERE rank <= 5""".stripMargin,
+
+    // multi-probe replay: the same per-plane |margin| ranking (ties by
+    // plane index — the struct list_sort is lexicographic on (a, j)), the
+    // same base-bucket XOR bit flips, the same window top-k
+    "ext_knn_lsh_multiprobe" -> {
+      val ps = graft.operators.Similarity.planes(8, 64, 42L)
+      val marginsList = ps.zipWithIndex.map { case (p, j) =>
+        s"{'a': abs(list_dot_product(qe, ${planeList(p)})), 'j': $j}"
+      }.mkString("[", ", ", "]")
+      s"""WITH n AS ($normCte),
+         |b AS (SELECT vec_id, e, nm, ${bucketSql("e")} AS bucket FROM n),
+         |q0 AS (SELECT vec_id AS q_id, e AS qe, nm AS qn, bucket AS qb FROM b WHERE vec_id < 10),
+         |r AS (SELECT q_id, qe, qn, qb, list_sort($marginsList) AS ranked FROM q0),
+         |p AS (SELECT q_id, qe, qn, unnest(list_prepend(qb,
+         |    list_transform(ranked[1:3], s -> xor(qb, (1::BIGINT << s.j))))) AS bucket FROM r),
+         |scored AS (SELECT q_id, b.vec_id, list_dot_product(b.e, qe) / (b.nm * qn) AS cosine
+         |  FROM b JOIN p USING (bucket) WHERE b.vec_id != q_id)
+         |SELECT q_id, vec_id, cosine, rank FROM (
+         |  SELECT q_id, vec_id, cosine, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin
+    },
 
     // multi-table LSH candidates (8 plane sets, seeds 42..49) -> top-5 ->
     // recall against the exact brute-force top-5; mean = sum(hits)/sum(k)

@@ -234,6 +234,66 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Multi-probe LSH (Lv et al., VLDB 2007): each query probes its OWN
+    * bucket plus the `nprobe - 1` buckets reached by flipping its
+    * weakest-margin plane bits — the planes whose |dot| is smallest, i.e.
+    * where the query sits closest to the separating hyperplane and a true
+    * neighbor most plausibly landed on the other side. Recall per probe
+    * rises without adding tables (the multi-table memory/scan multiplier):
+    * the candidate set strictly contains [[lshTopK]]'s, so recall is
+    * monotone in `nprobe` (nprobe = 1 IS single-probe LSH).
+    *
+    * Deterministic end to end: seeded planes, |dot| margins replayed
+    * bit-identically in any engine (ordered dots), ties on equal margins
+    * broken by plane index — so the probe sequence itself is
+    * hash-checkable cross-engine.
+    *
+    * Scale shape: identical to [[lshTopK]] — the corpus side carries ONE
+    * bucket per row; only the (small) query side fans out nprobe rows, and
+    * candidate generation stays a single equi-join on the bucket id. A
+    * corpus row has one bucket and a query's probes are distinct, so
+    * (q_id, vec_id) pairs are unique — no dedup pass. */
+  def lshTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nPlanes: Int = 8,
+      dim: Int = InferDim,
+      nprobe: Int = 4,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qIdCol: String = "q_id"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nPlanes + 1,
+      s"nprobe must be in [1, nPlanes + 1 = ${nPlanes + 1}], got $nprobe")
+    val d = resolveDim(corpus, embCol, dim)
+    resolveDim(queries, embCol, d)
+    val qe = checkedWidth(col(embCol), d, "query")
+    val ps = planes(nPlanes, d, seed)
+    val c = corpus.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+        Vectors.norm(col(embCol)).as("c_nrm"),
+        lshBucket(col(embCol), nPlanes, d, seed).as("bucket"))
+    // per-plane |margin| ranked ascending, ties by plane index (the struct
+    // sort is lexicographic on (a, j)) — the probe sequence
+    val margins = array(ps.zipWithIndex.map { case (p, j) =>
+      struct(abs(Vectors.dot(qe, array(p.toIndexedSeq.map(lit): _*))).as("a"),
+        lit(j).as("j"))
+    }: _*)
+    val bitArr = array((0 until nPlanes).map(j => lit(1L << j)): _*)
+    val base = lshBucket(qe, nPlanes, d, seed)
+    val flips = transform(slice(array_sort(margins), 1, nprobe - 1),
+      s => base.bitwiseXOR(element_at(bitArr, s.getField("j") + 1)))
+    val q = queries.filter(col(embCol).isNotNull)
+      .select(col(qIdCol).as("q_id"), qe.as("q_emb"), Vectors.norm(qe).as("q_nrm"),
+        explode(concat(array(base), flips)).as("bucket"))
+    val scored = c.join(q, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"), col("q_emb"), col("q_nrm"))
+          .as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Multi-table LSH: union the candidate sets of `tables` independent
     * plane sets (seed, seed+1, ...), then score each distinct candidate
     * once. Recall grows as 1-(1-p)^tables for per-table collision

@@ -266,6 +266,23 @@ class ExtensionSpec extends SparkSpec {
       asSet(Similarity.ivfTopK(emb, q2, k = 5, nlist = 8, nprobe = 8)))
   }
 
+  test("multi-probe LSH: nprobe=1 is single-probe; recall monotone in nprobe") {
+    val queries = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id")
+    val single = Similarity.lshTopK(emb, queries, k = 5)
+    val mp1 = Similarity.lshTopKMultiProbe(emb, queries, k = 5, nprobe = 1)
+    assert(mp1.exceptAll(single).isEmpty && single.exceptAll(mp1).isEmpty,
+      "nprobe=1 must degenerate to exactly single-probe LSH")
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(df, brute)
+        .select("mean_recall").distinct().as[Double].head()
+    // candidate sets nest as nprobe grows, so recall cannot fall
+    val r1 = recall(mp1)
+    val r4 = recall(Similarity.lshTopKMultiProbe(emb, queries, k = 5, nprobe = 4))
+    val r9 = recall(Similarity.lshTopKMultiProbe(emb, queries, k = 5, nprobe = 9))
+    assert(r1 <= r4 + 1e-9 && r4 <= r9 + 1e-9, s"recall fell: $r1, $r4, $r9")
+  }
+
   test("IvfIndex.append: frozen-centroid delta assignment, exhaustive = brute") {
     val half = emb.filter(col("vec_id") < 320)
     val rest = emb.filter(col("vec_id") >= 320)
