@@ -898,6 +898,14 @@ object SparkEntry {
       graft.operators.TextAnalysis.bigramQuality(
         Tables.ensureParallelism(Tables.documents(s, dir)))),
 
+    "ext_dsir_resample" -> ((s, dir) =>
+      // DSIR importance resampling toward the src0-src4 "target domain":
+      // target-vs-corpus bigram-LM likelihood ratio -> clamped weight ->
+      // deterministic content-hash repeat
+      graft.operators.TextAnalysis.dsirResample(
+        Tables.ensureParallelism(Tables.documents(s, dir)),
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))),
+
     "ext_pii_redact" -> ((s, dir) => {
       // deterministic synthetic PII is appended per doc (the corpus itself
       // is clean), then counted and scrubbed; the oracle regenerates the
@@ -2905,6 +2913,35 @@ object SparkEntry {
         |  CAST(sum(oov) AS DOUBLE) / count(*) AS oov_ratio,
         |  CAST(sum(bucket) AS DOUBLE) / count(*) AS avg_log2_bucket
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // DSIR replay: both LMs' buckets, the exact-division importance, the
+    // affine weight clamp, and x12's md5 Bernoulli repeat — one pipeline
+    "ext_dsir_resample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS bigram
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |lmt AS (SELECT bigram, count(*) AS cnt_t FROM b
+        |  WHERE source IN ('src0','src1','src2','src3','src4') GROUP BY 1),
+        |lmc AS (SELECT bigram, count(*) AS cnt_c FROM b GROUP BY 1),
+        |s AS (SELECT b.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(length(bin(coalesce(lmt.cnt_t, 0) + 1)) - 1) AS BIGINT) AS sum_t,
+        |    CAST(sum(length(bin(lmc.cnt_c + 1)) - 1) AS BIGINT) AS sum_c
+        |  FROM b LEFT JOIN lmt USING (bigram) JOIN lmc USING (bigram)
+        |  GROUP BY b.doc_id),
+        |w AS (SELECT doc_id, n_bigrams,
+        |    CAST(sum_t AS DOUBLE) / n_bigrams - CAST(sum_c AS DOUBLE) / n_bigrams AS importance,
+        |    least(greatest(2.0 + (CAST(sum_t AS DOUBLE) / n_bigrams
+        |      - CAST(sum_c AS DOUBLE) / n_bigrams) / 2, 0.0), 3.0) AS w
+        |  FROM s),
+        |c AS (SELECT doc_id, n_bigrams, importance, w,
+        |  CAST(floor(w) AS BIGINT) +
+        |  CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#dsir'), 1, 8) AS UBIGINT) AS BIGINT)
+        |       < CAST(floor((w - floor(w)) * 4294967296) AS BIGINT) THEN 1 ELSE 0 END AS copies
+        |  FROM w)
+        |SELECT doc_id, n_bigrams, importance, w,
+        |  unnest(generate_series(0, copies - 1)) AS copy_idx
+        |FROM c WHERE copies > 0""".stripMargin,
 
     "ext_pii_redact" -> {
       import graft.operators.Pii

@@ -306,6 +306,55 @@ object TextAnalysis {
       .withColumn("avg_log2_bucket", col("sum_bucket").cast("double") / col("n_bigrams"))
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    * upweight documents whose phrasing is RELATIVELY more likely under a
+    * target domain's bigram LM than under the whole-corpus LM, then emit
+    * each doc `w` times via the deterministic content-hash repeat — the
+    * "make the corpus look like the target domain" pre-training sampler.
+    *
+    * Integer-exact importance: both LMs score a doc as its mean
+    * log2-frequency bucket (same `length(bin(cnt+1))-1` device as
+    * [[bigramQuality]]), so `importance = avg_target - avg_corpus` is a
+    * difference of two exact integer divisions — target-typical docs sit
+    * near 0, generic docs go negative by roughly log2(corpus/target
+    * volume). The weight is one affine clamp of that score
+    * (`clamp(2 + importance/2, 0, maxWeight)` — /2 is exact, the
+    * calibration constants are a policy choice), and the repeat draw is
+    * [[Sampling.weightedRepeat]]'s md5 Bernoulli — every step replays
+    * bit-identically in any engine.
+    *
+    * Scale shape: two combinable LM count aggregations, two equi-joins on
+    * the high-cardinality bigram string, one combinable per-doc fold, then
+    * per-row weight + explode. No all-pairs, no driver state; docs with
+    * fewer than 2 tokens have no bigrams and drop out (unscorable). */
+  def dsirResample(
+      df: DataFrame,
+      targetPred: Column,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      salt: String = "dsir",
+      maxWeight: Double = 3.0): DataFrame = {
+    val docBigrams = df.select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
+    def lm(src: DataFrame, cntCol: String) = src
+      .select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as(cntCol))
+    val bucket = (c: Column) => (length(bin(coalesce(c, lit(0L)) + 1)) - 1).cast("long")
+    val scored = docBigrams
+      .join(lm(df.filter(targetPred), "cnt_t"), Seq("bigram"), "left")
+      .join(lm(df, "cnt_c"), Seq("bigram")) // inner: every bigram is in the corpus LM
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(bucket(col("cnt_t"))).as("sum_t"),
+        sum(bucket(col("cnt_c"))).as("sum_c"))
+      .withColumn("importance",
+        col("sum_t").cast("double") / col("n_bigrams")
+          - col("sum_c").cast("double") / col("n_bigrams"))
+      .withColumn("w",
+        least(greatest(lit(2.0) + col("importance") / 2, lit(0.0)), lit(maxWeight)))
+    Sampling.weightedRepeat(scored, idCol, col("w"), salt)
+      .select(col(idCol), col("n_bigrams"), col("importance"), col("w"), col("copy_idx"))
+  }
+
   // ---------------------------------------- Gopher-style structural rules
 
   /** Occurrences of a literal substring (no regex semantics — `needle` is

@@ -171,6 +171,26 @@ class ExtensionSpec extends SparkSpec {
     assert(got == Seq(("a", 3L), ("b", 3L), ("c", 1L))) // lowercased; tie a<b
   }
 
+  test("dsirResample shifts weight toward the target domain") {
+    import graft.operators.TextAnalysis.dsirResample
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val target = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    // per-DOC weights (copies collapse back to one row per surviving doc)
+    val w = dsirResample(docs, target)
+      .select(col("doc_id"), col("w")).distinct()
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("is_target", target)
+    val Array(tAvg, rAvg) = w.groupBy(col("is_target"))
+      .agg(avg(col("w")).as("mw")).orderBy(col("is_target").desc)
+      .select("mw").as[Double].collect()
+    assert(tAvg > rAvg,
+      s"target-domain docs must carry higher mean weight: target=$tAvg rest=$rAvg")
+    // weights respect the clamp
+    val (lo, hi) = (w.agg(min(col("w"))).as[Double].head(),
+      w.agg(max(col("w"))).as[Double].head())
+    assert(lo >= 0.0 && hi <= 3.0)
+  }
+
   test("bigramQuality: integer log2 buckets and OOV against a hand-computed LM") {
     import graft.operators.TextAnalysis.bigramQuality
     val docs = Seq((1L, "a b a b"), (2L, "a b x"), (3L, "z"), (4L, ""))
