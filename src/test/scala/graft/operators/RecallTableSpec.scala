@@ -33,6 +33,10 @@ class RecallTableSpec extends SparkSpec {
         mean(Similarity.lshTopKMulti(emb, queries, k = 5, nPlanes = 4, tables = 8)),
       "nPlanes=8" ->
         mean(Similarity.lshTopK(emb, queries, k = 5, nPlanes = 8)),
+      "nPlanes=8, nprobe=4" ->
+        mean(Similarity.lshTopKMultiProbe(emb, queries, k = 5, nprobe = 4)),
+      "nPlanes=8, nprobe=9" ->
+        mean(Similarity.lshTopKMultiProbe(emb, queries, k = 5, nprobe = 9)),
       "nlist=16, nprobe=1" ->
         mean(Similarity.ivfTopK(emb, queries, k = 5, nprobe = 1)),
       "nlist=16, nprobe=2" ->
