@@ -275,16 +275,33 @@ object Dedup {
     val bitmap = Sketch.bloomBuild(
       eval.select(explode(wordShingles(col(textCol), n)).as("sh")),
       "sh", k, mBits)
+    bloomScreen(train, bitmap, n, k, mBits, minSuspect, textCol, idCol)
+  }
+
+  /** The screen half of [[bloomDecontaminate]] against a PREBUILT bitmap —
+    * the shape a persisted filter ([[Sketch.bloomSave]]/[[Sketch.bloomLoad]])
+    * deploys: the eval set is scanned once ever; every later training-data
+    * job runs only this scan-parallel membership pass. Parameters must
+    * match the build (load returns them alongside the bitmap). */
+  def bloomScreen(
+      train: DataFrame,
+      bitmap: Array[Long],
+      n: Int = 5,
+      k: Int = 3,
+      mBits: Int = 1 << 17,
+      minSuspect: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      salt: String = "bloom"): DataFrame =
     graft.sources.Tables.ensureParallelism(train)
       .select(col(idCol).as("train_id"),
         explode(wordShingles(col(textCol), n)).as("sh"))
       .select(col("train_id"),
-        Sketch.bloomMaybe(col("sh"), bitmap, k, mBits).as("maybe"))
+        Sketch.bloomMaybe(col("sh"), bitmap, k, mBits, salt).as("maybe"))
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("maybe"), lit(1L)).otherwise(lit(0L))).as("n_suspect"))
       .filter(col("n_suspect") >= minSuspect)
-  }
 
   // ---------------------------------------------------------- containment
 

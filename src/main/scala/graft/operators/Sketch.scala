@@ -118,6 +118,41 @@ object Sketch {
     arr
   }
 
+  /** Persist a built bloom bitmap as a one-row parquet artifact carrying
+    * the (k, mBits, salt) it was built with — the "build the eval-set
+    * screen once, decontaminate everywhere" deployment shape: at 100 TB
+    * the filter is built from the (small) eval corpus in one job and every
+    * later training-data job loads the ~mBits/8-byte artifact instead of
+    * re-scanning the eval set. [[bloomLoad]] returns the parameters WITH
+    * the bitmap so a screen cannot silently run with mismatched hashing
+    * (bloomMaybe re-checks the width loudly). Explicit schema: no encoder
+    * reflection, same REPL-safe contract as IvfIndex.save. */
+  def bloomSave(spark: org.apache.spark.sql.SparkSession, bitmap: Array[Long],
+      k: Int, mBits: Int, dir: String, salt: String = "bloom"): Unit = {
+    checkBloomParams(k, mBits)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("m_bits", IntegerType, nullable = false),
+      StructField("salt", StringType, nullable = false),
+      StructField("words", ArrayType(LongType, containsNull = false), nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](1)
+    rows.add(org.apache.spark.sql.Row(k, mBits, salt, bitmap.toSeq))
+    spark.createDataFrame(rows, schema)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a bloom artifact persisted by [[bloomSave]]:
+    * (bitmap, k, mBits, salt). */
+  def bloomLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Long], Int, Int, String) = {
+    val rows = spark.read.parquet(dir).collect()
+    require(rows.length == 1, s"expected one bloom artifact row in $dir, got ${rows.length}")
+    val r = rows(0)
+    (r.getAs[scala.collection.Seq[Long]]("words").toArray,
+      r.getAs[Int]("k"), r.getAs[Int]("m_bits"), r.getAs[String]("salt"))
+  }
+
   /** Membership test against a built bitmap, as a pure expression: true if
     * ALL `k` of `item`'s bits are set ("maybe present" — no false
     * negatives; false positives at rate ~(1 - e^{-kn/m})^k). Null items

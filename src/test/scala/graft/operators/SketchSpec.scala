@@ -230,4 +230,17 @@ class SketchSpec extends SparkSpec {
     val (_, nSh, nSus) = got.head
     assert(nSus >= 8 && nSus <= nSh) // the leaked 12-gram carries 8 5-grams
   }
+
+  test("bloom artifact round-trips bitmap and build parameters exactly") {
+    val bm = Sketch.bloomBuild(Seq("a", "b", "c").toDF("s"), "s", 3, 1 << 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-rt").toString
+    Sketch.bloomSave(spark, bm, 3, 1 << 10, dir)
+    val (bm2, k2, m2, salt2) = Sketch.bloomLoad(spark, dir)
+    assert(bm2.sameElements(bm) && k2 == 3 && m2 == (1 << 10) && salt2 == "bloom")
+    // the loaded filter screens identically: every built item still "maybe"
+    val hits = Seq("a", "b", "c", "zzz").toDF("s")
+      .select(Sketch.bloomMaybe(col("s"), bm2, k2, m2, salt2).as("m"))
+      .as[Boolean].collect().toSeq
+    assert(hits.take(3).forall(identity)) // no false negatives, ever
+  }
 }
