@@ -860,6 +860,36 @@ object SparkEntry {
           col("exact_intersection"))
     }),
 
+    // weighted sampling without replacement: min-of-w md5 draws as the
+    // priority (integer ordering only — no ln/pow to round differently
+    // cross-engine), k smallest win; length-weighted so longer docs are
+    // proportionally favored
+    "ext_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+          Tables.documents(s, dir), "doc_id",
+          lit(1L) + floor(col("n_chars") / lit(128)).cast("long"), k = 50)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+        .orderBy(col("doc_id"))),
+
+    // sample-based quantiles next to the exact rank selection they
+    // approximate: the sample path filters the corpus scan-parallel and
+    // sorts ONLY the bounded sample (the 100 TB percentile pattern); both
+    // value columns are picked ELEMENTS under a (value, id) order — no
+    // interpolation arithmetic — so the whole row hash-matches the DuckDB
+    // replay of the same md5 draw
+    "ext_quantile_sample" -> ((s, dir) => {
+      val Sk = graft.operators.Sketch
+      val li = Tables.lineitem(s, dir)
+      val id = concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))
+      val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val samp = Sk.sampleQuantiles(li, "l_extendedprice", id, 1.0 / 16, qs)
+        .select(col("q"), col("sample_n"), col("value").as("v_sample"))
+      val exact = Sk.sampleQuantiles(li, "l_extendedprice", id, 1.0, qs)
+        .select(col("q"), col("sample_n").as("exact_n"), col("value").as("v_exact"))
+      samp.join(exact, "q").orderBy(col("q"))
+    }),
+
     "ext_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
@@ -2846,6 +2876,39 @@ object SparkEntry {
         |  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac > 0.8
         |  AS gopher_keep
         |FROM r""".stripMargin,
+
+    // the same min-of-w md5 draws, the same (priority, id-string) top-k;
+    // the tie-breaks are cast to VARCHAR to mirror Spark's string id
+    "ext_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, source, n_chars, 1 + n_chars // 128 AS w
+        |    FROM documents),
+        |c AS (SELECT doc_id, unnest(generate_series(1, w)) AS cp FROM d),
+        |pri AS (SELECT doc_id,
+        |    min(CAST(CAST('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+        |      cp::VARCHAR || '#wsample'), 1, 8) AS UBIGINT) AS BIGINT)) AS priority
+        |  FROM c GROUP BY doc_id),
+        |top AS (SELECT * FROM pri ORDER BY priority, doc_id::VARCHAR LIMIT 50)
+        |SELECT d.doc_id, d.source, d.n_chars, top.priority
+        |FROM d JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // same md5 draw, same (value, id)-ordered rank selection — both the
+    // sampled and exact quantile columns replay exactly; q literals cast
+    // to DOUBLE so DuckDB's decimal inference can't shift floor(q*(n-1))
+    "ext_quantile_sample" ->
+      """WITH li AS (SELECT l_extendedprice AS v,
+        |    l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS id FROM lineitem),
+        |s AS (SELECT * FROM li WHERE substr(md5(id || '#qsample'), 1, 8) < '10000000'),
+        |sr AS (SELECT v, row_number() OVER (ORDER BY v, id) - 1 AS rnk FROM s),
+        |sn AS (SELECT count(*) AS sample_n FROM s),
+        |er AS (SELECT v, row_number() OVER (ORDER BY v, id) - 1 AS rnk FROM li),
+        |en AS (SELECT count(*) AS exact_n FROM li),
+        |qv AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.01), (0.25),
+        |    (0.5), (0.75), (0.9), (0.99)) t(q))
+        |SELECT q, sample_n, sr.v AS v_sample, exact_n, er.v AS v_exact
+        |FROM qv CROSS JOIN sn CROSS JOIN en
+        |JOIN sr ON floor(q * (sample_n - 1)) = sr.rnk
+        |JOIN er ON floor(q * (exact_n - 1)) = er.rnk
+        |ORDER BY q""".stripMargin,
 
     "ext_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))

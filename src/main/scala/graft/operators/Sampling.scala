@@ -107,6 +107,58 @@ object Sampling {
     df.withColumn(copyCol, explode(when(copies > 0, sequence(lit(0L), copies - 1))))
   }
 
+  /** Weighted sampling WITHOUT replacement of `k` rows, deterministic and
+    * engine-exact. Each row gets `w` independent md5 draws (one per copy
+    * index 1..w) and its priority is the MINIMUM draw; the k smallest
+    * priorities win (ties broken by id). This is distributionally exact
+    * successive sampling: pool all `sum(w)` iid draws — the global minimum
+    * is equally likely to be ANY of them, so the first winner is picked
+    * with probability `w_i / sum(w)`, and conditioning repeats the argument
+    * for the rest. The same scheme as exponential/A-ES priorities
+    * (Efraimidis & Spirakis 2006) but with NO transcendental in the
+    * ordering — min/compare on integers only, so Spark and DuckDB select
+    * the identical set (ln/pow round engine-specifically; ulp flips at the
+    * k boundary would break the oracle).
+    *
+    * Weights are integer repeat-counts (cast + floor); `w <= 0` rows are
+    * never selected. The copy fan-out is `avg(w)`× — per-row explode,
+    * scan-parallel, collapsed immediately by a map-side-combining min
+    * aggregation, so the shuffle carries one (id, priority) row per item.
+    * The top-k is `TakeOrderedAndProject` (per-partition heads, never a
+    * global sort). For astronomical weights switch to the exponential
+    * form at your own oracle risk; `maxWeight` fails loudly first.
+    *
+    * Output: the input columns of the selected rows plus `priorityCol`
+    * (the winning draw — carry it for reproducibility audits).
+    * The reference has no sampling surface at all (its producer emits every
+    * generated event — KafkaProducerApp.scala:51-59); extension tier. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      k: Int,
+      salt: String = "wsample",
+      maxWeight: Long = 100000L,
+      priorityCol: String = "priority"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = greatest(weight.cast("long"), lit(0L))
+    val guarded = when(w <= maxWeight, w).otherwise(raise_error(concat(
+      lit(s"weightedSample: weight exceeds maxWeight=$maxWeight ("),
+      w.cast("string"), lit(") — use capped weights or the exponential form"))))
+    val pri = df
+      .select(col(idCol).cast("string").as("__id"), guarded.as("__w"))
+      .filter(col("__w") > 0)
+      // sequence(1, 0) would count DOWN; w=0 rows are already gone
+      .select(col("__id"), explode(sequence(lit(1L), col("__w"))).as("__c"))
+      .select(col("__id"), hashDraw(
+        concat(col("__id"), lit(":"), col("__c").cast("string")), salt).as("__d"))
+      .groupBy(col("__id")).agg(min(col("__d")).as(priorityCol))
+    val top = pri.orderBy(col(priorityCol), col("__id")).limit(k)
+    // k is small by contract — broadcast the winners back onto the input
+    df.join(broadcast(top), col(idCol).cast("string") === col("__id"))
+      .drop("__id")
+  }
+
   /** Cap rows per key: keep the top `n` rows of each `keyCol` group in
     * `orderBy` order (ties MUST be broken by a unique column for
     * deterministic results — pass e.g. `Seq(col("quality").desc,

@@ -196,4 +196,41 @@ class SamplingSpec extends SparkSpec {
     // s1: ties on 30 broken by doc_id (2 then 3); s2 keeps its only row
     assert(kept == Set(2L, 3L, 5L))
   }
+
+  // ------------------------------------------- weighted sample w/o repl.
+
+  test("weightedSample selects exactly k, deterministically, never w<=0") {
+    val df = spark.range(2000).toDF("id")
+      .withColumn("w", when(col("id") % 10 === 0, lit(0)).otherwise(lit(2)))
+    val got = Sampling.weightedSample(df, "id", col("w"), k = 100)
+    val ids1 = got.select("id").as[Long].collect().toSet
+    assert(ids1.size == 100)
+    assert(ids1.forall(_ % 10 != 0), "a zero-weight row was selected")
+    val ids2 = Sampling.weightedSample(df.repartition(17), "id", col("w"), 100)
+      .select("id").as[Long].collect().toSet
+    assert(ids1 == ids2, "selection depends on partitioning")
+  }
+
+  test("weightedSample favors heavy rows proportionally") {
+    // half the ids weight 9, half weight 1; of k=200 from 2000 the heavy
+    // class expects ~90% (minus depletion) — binomial sd ~ 2.4%, bound 5 sigma
+    val df = spark.range(2000).toDF("id")
+      .withColumn("w", when(col("id") < 1000, lit(9)).otherwise(lit(1)))
+    val heavy = Sampling.weightedSample(df, "id", col("w"), k = 200)
+      .filter(col("id") < 1000).count()
+    assert(heavy > 150 && heavy <= 200, s"heavy class got $heavy of 200")
+  }
+
+  test("weightedSample: k >= candidates keeps every positive-weight row") {
+    val df = spark.range(50).toDF("id").withColumn("w", lit(1))
+    assert(Sampling.weightedSample(df, "id", col("w"), k = 500).count() == 50)
+  }
+
+  test("weightedSample fails loudly past maxWeight") {
+    val df = spark.range(5).toDF("id").withColumn("w", lit(10L))
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, "id", col("w"), k = 2, maxWeight = 9L).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

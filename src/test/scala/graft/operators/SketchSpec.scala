@@ -231,6 +231,53 @@ class SketchSpec extends SparkSpec {
     assert(nSus >= 8 && nSus <= nSh) // the leaked 12-gram carries 8 5-grams
   }
 
+  // ------------------------------------------------- sample quantiles
+
+  test("sampleQuantiles: fraction 1.0 is exact rank selection") {
+    // distinct values in scrambled order so rank selection is unambiguous
+    val df = (1 to 6000).map(i => ((i * 2654435761L) % 6007, i * 1.5))
+      .toDF("id", "v")
+    val qs = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+    val got = Sketch.sampleQuantiles(df, "v", $"id", 1.0, qs)
+      .as[(Double, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == qs.length && got.forall(_._2 == 6000L))
+    val sorted = df.as[(Long, Double)].collect().map(_._2).sorted
+    got.foreach { case (q, n, rank, v) =>
+      assert(rank == math.floor(q * (n - 1)).toLong)
+      assert(v == sorted(rank.toInt), s"q=$q picked $v, want ${sorted(rank.toInt)}")
+    }
+  }
+
+  test("sampleQuantiles: sampled ranks track true quantiles within bound") {
+    val df = (1 to 6000).map(i => ((i * 2654435761L) % 6007, i * 1.5))
+      .toDF("id", "v")
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val got = Sketch.sampleQuantiles(df, "v", $"id", 1.0 / 8, qs)
+      .as[(Double, Long, Long, Double)].collect()
+    val m = got.head._2
+    assert(m > 400 && m < 1200, s"1/8 sample of 6000 sized $m")
+    val sorted = df.as[(Long, Double)].collect().map(_._2).sorted
+    got.foreach { case (q, _, _, v) =>
+      val trueRank = sorted.indexWhere(_ >= v).toDouble / sorted.length
+      // binomial rank sd at m ~ 750 is ~0.018; 0.1 is > 5 sigma
+      assert(math.abs(trueRank - q) < 0.1, s"q=$q landed at rank $trueRank")
+    }
+    // deterministic: partitioning does not change the selected elements
+    val again = Sketch.sampleQuantiles(df.repartition(13), "v", $"id", 1.0 / 8, qs)
+      .as[(Double, Long, Long, Double)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("sampleQuantiles: parameters are validated") {
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Sketch.sampleQuantiles(df, "v", $"id", 0.0, Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.sampleQuantiles(df, "v", $"id", 0.5, Seq(1.5))
+    }
+  }
+
   test("bloom artifact round-trips bitmap and build parameters exactly") {
     val bm = Sketch.bloomBuild(Seq("a", "b", "c").toDF("s"), "s", 3, 1 << 10)
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom-rt").toString
