@@ -598,6 +598,21 @@ object Bench {
           .agg(fsum(col("d"))).collect()(0).getLong(0)
       }
 
+      // ---- BM25 soak: retrieval over 500k docs / 20M tokens -------------
+      // 40 tokens per doc from a 1,000-word vocabulary; each query term
+      // lands in ~4% of docs (df ~ 20k). The whole pipeline is count
+      // aggregations + one broadcast join + TakeOrderedAndProject — the
+      // soak checks the shuffle carries counters, not tokens.
+      val sB2 = stage("bm25_500k") {
+        import org.apache.spark.sql.functions.{concat_ws, pmod, xxhash64}
+        val corpus = spark.range(500000L).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 40).map(j =>
+            concat_ws("", lit("w"),
+              pmod(xxhash64(col("id"), lit(j)), lit(1000L)))): _*).as("text"))
+        graft.operators.TextAnalysis.bm25Search(corpus,
+          Seq("w5", "w17", "w423", "w999"), k = 100).count()
+      }
+
       // ---- quantile soak: exact global percentile vs the sample path ----
       // Same 20M-value relation, same five quantiles. The exact form is
       // Spark's `percentile` — a full sort-based aggregation of every value
@@ -635,7 +650,7 @@ object Bench {
         else sessionTwsSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sB1, sK1, sK2, sK3, sK4, s4, s5, s6,
-          s7, s8, sD1, sD2, sQ1, sQ2, s9, s10)
+          s7, s8, sD1, sD2, sB2, sQ1, sQ2, s9, s10)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 

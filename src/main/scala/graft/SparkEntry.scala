@@ -860,6 +860,13 @@ object SparkEntry {
           col("exact_intersection"))
     }),
 
+    // BM25 ranked retrieval, fixed-point: piecewise-linear log2 idf +
+    // rational-k1/b saturation, all-integer scoring so the ranking is
+    // engine-exact ("dup" is the rare high-idf term; the others spread tf)
+    "ext_bm25_search" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bm25Search(
+        Tables.documents(s, dir), Seq("spark", "stream", "window", "dup"), k = 20)),
+
     // weighted sampling without replacement: min-of-w md5 draws as the
     // priority (integer ordering only — no ln/pow to round differently
     // cross-engine), k smallest win; length-weighted so longer docs are
@@ -2876,6 +2883,36 @@ object SparkEntry {
         |  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac > 0.8
         |  AS gopher_keep
         |FROM r""".stripMargin,
+
+    // the integer BM25 pipeline replayed: same tokenizer regex, same
+    // fixed-point idf (bin-length log2 with linear interpolation) and
+    // saturation divisions; DuckDB's // floors like Spark's div on
+    // positives, and sums are cast back from HUGEINT
+    "ext_bm25_search" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |corp AS (SELECT count(*) AS n_docs,
+        |    CAST(CAST(sum(dl) AS BIGINT) // count(*) AS BIGINT) AS avgdl FROM dls),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'stream', 'window', 'dup')
+        |  GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
+        |scored AS (SELECT tf.doc_id, tf.tf, dls.dl, corp.n_docs, corp.avgdl,
+        |    (2048 * corp.n_docs + 2048) // (2 * dfreq.dfreq + 1) AS y
+        |  FROM tf JOIN dfreq USING (tok) JOIN dls USING (doc_id) CROSS JOIN corp),
+        |fp AS (SELECT doc_id, tf, dl, avgdl, y,
+        |    length(bin(y)) - 1 AS e FROM scored),
+        |terms AS (SELECT doc_id,
+        |    (e * 65536 + ((y - (CAST(1 AS BIGINT) << e)) * 65536 >> e) - 655360) *
+        |      ((22 * tf * avgdl * 1024) // (10 * tf * avgdl + 3 * avgdl + 9 * dl))
+        |      AS term_fp,
+        |    dl FROM fp)
+        |SELECT doc_id, CAST(sum(term_fp) AS BIGINT) AS score_fp,
+        |  count(*) AS n_terms, CAST(min(dl) AS BIGINT) AS dl
+        |FROM terms GROUP BY doc_id
+        |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin,
 
     // the same min-of-w md5 draws, the same (priority, id-string) top-k;
     // the tie-breaks are cast to VARCHAR to mirror Spark's string id

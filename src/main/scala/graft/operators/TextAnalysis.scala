@@ -255,6 +255,71 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("tok").as("keyword"), col("tf"), col("df"))
   }
 
+  /** BM25 ranked retrieval over the corpus, fixed-point and engine-exact.
+    * Scores every document containing at least one query term with the
+    * standard BM25 shape (k1 = 1.2, b = 0.75, Lucene-style always-positive
+    * idf = log((N+1)/(df+0.5))) and returns the top `k` by
+    * `(score DESC, id)`. All arithmetic is integer:
+    *
+    *   - idf uses a PIECEWISE-LINEAR log2 in 2^-16 units — for
+    *     `y = (2048N + 2048) div (2 df + 1)` (the idf argument in 2^-10
+    *     fixed point), `pl2(y) = e * 65536 + ((y - 2^e) * 65536) >> e`
+    *     with `e = length(bin(y)) - 1`. This is log2 with linear
+    *     interpolation between powers of two (max error 0.0861 bits,
+    *     monotone, exact integers — the same `length(bin(...))` device as
+    *     [[bigramQuality]], refined below whole-bit resolution),
+    *   - the saturation term `tf(k1+1) / (tf + k1(1 - b + b dl/avgdl))`
+    *     becomes `(22 tf A * 1024) div (10 tf A + 3 A + 9 dl)` in 2^-10
+    *     units, with `A = total_tokens div N` the floored average doc
+    *     length (k1, b as the exact rationals 12/10, 3/4),
+    *   - a term's contribution is the integer product `idf_fp * sat_fp`
+    *     (2^-26 units) and the doc score is their SUM — integer addition
+    *     is order-independent, so no float-summation nondeterminism.
+    *
+    * Output: (idCol, score_fp, n_terms, dl) for the top `k` docs. Ranking
+    * agreement with true double-precision BM25 is pinned by spec; the
+    * DuckDB oracle replays the integer pipeline bit-for-bit
+    * (`ext_bm25_search`).
+    *
+    * Scale shape: tokenize + tf are combinable aggregations (shuffles
+    * carry counts); df derives from tf (no second corpus pass); the query
+    * vocabulary and corpus stats are broadcast; top-k is
+    * `TakeOrderedAndProject` (per-partition heads), never a global sort.
+    * The reference has no retrieval surface (no filter, no ranking —
+    * SURVEY §2.8); extension tier. */
+  def bm25Search(
+      df: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df.select(col(idCol),
+      explode(split(Dedup.normalize(col(textCol)), " ")).as("tok"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_total"))
+      .select(col("n_docs"), expr("l_total div n_docs").as("avgdl"))
+    val tf = toks.filter(col("tok").isInCollection(queryTerms.distinct))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val scored = tf
+      .join(broadcast(dfreq), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("y", expr("(2048 * n_docs + 2048) div (2 * dfreq + 1)"))
+      .withColumn("e", expr("length(bin(y)) - 1"))
+      .withColumn("idf_fp", expr(
+        "e * 65536 + shiftright((y - shiftleft(CAST(1 AS BIGINT), e)) * 65536, e) - 655360"))
+      .withColumn("sat_fp", expr(
+        "(22 * tf * avgdl * 1024) div (10 * tf * avgdl + 3 * avgdl + 9 * dl)"))
+    scored.groupBy(col(idCol))
+      .agg(sum(expr("idf_fp * sat_fp")).as("score_fp"),
+        count(lit(1)).as("n_terms"), first(col("dl")).as("dl"))
+      .orderBy(col("score_fp").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bigram language-model quality score — the CCNet/Wenzek-style
     * perplexity filter re-expressed with integer-exact math. An LM is
     * "trained" as bigram occurrence counts over a deterministic
