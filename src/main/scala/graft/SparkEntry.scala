@@ -832,6 +832,23 @@ object SparkEntry {
       est.crossJoin(sh.agg(count_distinct(col("sh")).as("exact_distinct")))
     }),
 
+    // per-group HLL: distinct-shingle estimate PER LANGUAGE from one pass
+    // — G * 2^p counter rows total; each lang's slice is a standalone
+    // mergeable sketch. Registers, integer evidence and the two-rounding
+    // double all hash-match the grouped DuckDB rebuild; exact truth joined
+    // alongside
+    "ext_hll_groups" -> ((s, dir) => {
+      val Sk = graft.operators.Sketch
+      val sh = Tables.ensureParallelism(Tables.documents(s, dir))
+        .select(col("lang"),
+          explode(graft.operators.Dedup.wordShingles(col("text"), 5)).as("sh"))
+      val est = Sk.hllEstimateGrouped(
+        Sk.hllBuildGrouped(sh, "sh", Seq("lang"), p = 10), Seq("lang"), p = 10)
+      val exact = sh.groupBy(col("lang"))
+        .agg(count_distinct(col("sh")).as("exact_distinct"))
+      est.join(exact, "lang").orderBy(col("lang"))
+    }),
+
     // KMV corpus-overlap estimate: distinct shingles SHARED by the two
     // doc_id-parity halves, from two 512-hash sketches alone — the set
     // operation HLL can't do. Sketches, union-kth-min, match count and
@@ -2619,6 +2636,39 @@ object SparkEntry {
          |    * CAST(CAST(1 AS BIGINT) << max_m AS DOUBLE) / CAST(s AS DOUBLE)) AS estimate,
          |  (SELECT count(DISTINCT sh) FROM sh) AS exact_distinct
          |FROM fin""".stripMargin
+    },
+
+    // the grouped register rebuild: same draws, same evidence columns,
+    // every aggregate keyed by lang
+    "ext_hll_groups" -> {
+      val p = 10; val m = 1 << p
+      val alpha = 0.7213 / (1 + 1.079 / m)
+      s"""WITH sh AS (SELECT lang, unnest(list_distinct(
+         |    [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)])) AS sh
+         |  FROM (SELECT lang, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |        FROM documents)),
+         |hx AS (SELECT lang,
+         |    CAST(CAST('0x' || substr(md5(sh || '#hll.b'), 1, 8) AS UBIGINT) AS BIGINT) % $m AS bucket,
+         |    CAST(CAST('0x' || substr(md5(sh || '#hll.w'), 1, 8) AS UBIGINT) AS BIGINT) AS w
+         |  FROM sh),
+         |reg AS (SELECT lang, bucket,
+         |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS register
+         |  FROM hx GROUP BY lang, bucket),
+         |st AS (SELECT lang, count(*) AS nz, max(register) AS max_m
+         |  FROM reg GROUP BY lang),
+         |sp AS (SELECT reg.lang,
+         |    CAST(sum(CAST(1 AS BIGINT) << (st.max_m - register)) AS BIGINT) AS s_present
+         |  FROM reg JOIN st USING (lang) GROUP BY reg.lang),
+         |fin AS (SELECT st.lang, st.nz, st.max_m,
+         |    sp.s_present + ($m - st.nz) * (CAST(1 AS BIGINT) << st.max_m) AS s
+         |  FROM st JOIN sp USING (lang)),
+         |ex AS (SELECT lang, count(DISTINCT sh) AS exact_distinct FROM sh GROUP BY lang)
+         |SELECT fin.lang, CAST($m AS BIGINT) AS m, CAST(nz AS BIGINT) AS nz,
+         |  CAST(max_m AS INTEGER) AS max_m, CAST(s AS BIGINT) AS s,
+         |  '$alpha'::DOUBLE * (CAST(${m.toLong * m} AS DOUBLE)
+         |    * CAST(CAST(1 AS BIGINT) << max_m AS DOUBLE) / CAST(s AS DOUBLE)) AS estimate,
+         |  ex.exact_distinct
+         |FROM fin JOIN ex USING (lang) ORDER BY lang""".stripMargin
     },
 
     // the k smallest distinct md5 draws are engine-independent order

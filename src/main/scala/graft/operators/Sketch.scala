@@ -203,6 +203,65 @@ object Sketch {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.union(b).groupBy(col("bucket")).agg(max(col("register")).as("register"))
 
+  /** Per-group HLL register tables: one `(groupCols..., bucket, register)`
+    * row per group per non-empty bucket — the "approx distinct per
+    * domain/source/day" shape (e.g. distinct shingles per language as a
+    * dedup-pressure dashboard). Same draws and register semantics as
+    * [[hllBuild]]; a group's slice IS a valid standalone sketch, so
+    * shards still merge by `union -> groupBy max` over
+    * `groupCols :+ bucket`. Shuffle carries <= `2^p` counter rows PER
+    * GROUP — with G groups the whole aggregate is G * 2^p rows no matter
+    * the input size. Groups with no items are absent (nothing to sketch). */
+  def hllBuildGrouped(df: DataFrame, itemCol: String, groupCols: Seq[String],
+      p: Int = 10, salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 18, s"hll precision p must be in [4, 18], got $p")
+    require(groupCols.nonEmpty, "groupCols must be non-empty (use hllBuild)")
+    val m = 1 << p
+    val w = Sampling.hashDraw(col(itemCol), s"$salt.w")
+    val rho = when(w === 0, lit(33))
+      .otherwise(lit(33) - length(bin(w))).cast("int")
+    df.filter(col(itemCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        (Sampling.hashDraw(col(itemCol), s"$salt.b") % m).cast("int").as("bucket"),
+        rho.as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** [[hllEstimate]] per group: the same integer-exact evidence columns
+    * (`nz`, `max_m`, `s` over the per-group common denominator `2^max_m`)
+    * and two-rounding double estimate, one row per group. The group-stats
+    * side is broadcast back onto the registers (G * 2^p rows total — tiny
+    * by construction), so this costs two combinable aggregations and no
+    * extra corpus pass. */
+  def hllEstimateGrouped(registers: DataFrame, groupCols: Seq[String],
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 18, s"hll precision p must be in [4, 18], got $p")
+    require(groupCols.nonEmpty, "groupCols must be non-empty (use hllEstimate)")
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / m)
+    }
+    val gcols = groupCols.map(col)
+    val stats = registers.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("nz"), max(col("register")).as("max_m"))
+    val sPresent = registers.join(broadcast(stats), groupCols)
+      .select(gcols :+ call_function("shiftleft", lit(1L),
+        (col("max_m") - col("register")).cast("int")).as("term"): _*)
+      .groupBy(gcols: _*).agg(sum(col("term")).as("s_present"))
+    stats.join(sPresent, groupCols)
+      .select(gcols ++ Seq(lit(m.toLong).as("m"), col("nz"), col("max_m"),
+        (col("s_present") + (lit(m.toLong) - col("nz")) *
+          call_function("shiftleft", lit(1L), col("max_m"))).as("s")): _*)
+      .select(gcols ++ Seq(col("m"), col("nz"), col("max_m"), col("s"),
+        (lit(alpha) * (lit((m.toLong * m).toDouble) *
+          call_function("shiftleft", lit(1L), col("max_m")).cast("double") /
+          col("s").cast("double"))).as("estimate")): _*)
+  }
+
   // ----------------------------------------------------------------- kmv
 
   /** KMV (k-minimum-values) sketch: the `k` smallest DISTINCT md5 draws

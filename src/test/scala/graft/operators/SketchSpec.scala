@@ -231,6 +231,37 @@ class SketchSpec extends SparkSpec {
     assert(nSus >= 8 && nSus <= nSh) // the leaked 12-gram carries 8 5-grams
   }
 
+  // ----------------------------------------------------- grouped hll
+
+  test("grouped HLL: each group's slice IS the standalone sketch") {
+    val df = ((1 to 3000).map(i => ("a", s"item$i")) ++
+      (1 to 800).map(i => ("b", s"other$i"))).toDF("g", "item")
+    val grouped = Sketch.hllBuildGrouped(df, "item", Seq("g")).cache()
+    Seq("a", "b").foreach { g =>
+      val slice = grouped.filter($"g" === g).select($"bucket", $"register")
+      val alone = Sketch.hllBuild(df.filter($"g" === g), "item")
+      assert(slice.except(alone).isEmpty && alone.except(slice).isEmpty,
+        s"group $g slice differs from standalone sketch")
+    }
+    grouped.unpersist()
+  }
+
+  test("grouped HLL estimates land near per-group truth") {
+    // cardinalities above the raw-estimate validity floor of ~2.5m
+    // (hllEstimate is deliberately RAW — no linear-counting correction)
+    val df = ((1 to 5000).map(i => ("a", s"item$i")) ++
+      (1 to 2000).map(i => ("b", s"other$i"))).toDF("g", "item")
+    val est = Sketch.hllEstimateGrouped(
+        Sketch.hllBuildGrouped(df, "item", Seq("g"), p = 8), Seq("g"), p = 8)
+      .select($"g", $"estimate").as[(String, Double)].collect().toMap
+    // p=8 standard error is ~6.5%; allow 4 sigma
+    assert(math.abs(est("a") - 5000) < 5000 * 0.26, s"a: ${est("a")}")
+    assert(math.abs(est("b") - 2000) < 2000 * 0.26, s"b: ${est("b")}")
+    intercept[IllegalArgumentException] {
+      Sketch.hllBuildGrouped(df, "item", Seq.empty)
+    }
+  }
+
   // ------------------------------------------------- sample quantiles
 
   test("sampleQuantiles: fraction 1.0 is exact rank selection") {
