@@ -1447,6 +1447,22 @@ object SparkEntry {
     // row per surviving doc — the same relation the batch oracle computes.
     "stream_doc_clean" -> ((s, dir) => docCleanStream(s, dir)),
 
+    // bounded-state streaming dedup: 32 sharded 16 KiB bloom bitmaps in
+    // transformWithState ValueState replace dropDuplicates' per-key-ever
+    // state; the re-fed chunk must drop entirely, and the graded output is
+    // the exact dedup set (bitmaps sized so the deterministic md5 positions
+    // produce zero false positives at test scale). RocksDB required by TWS,
+    // conf restored after (same arrangement as stream_session_tws).
+    "stream_bloom_dedup" -> ((s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      GraftSession.enableRocksDbState(s)
+      try streamBloomDedup(s, dir) finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
     // batch-trained centroids applied to a live embedding stream as a
     // stateless per-row argmin — the "score the stream with a trained
     // model" pattern; shares ext_centroid_assign's oracle
@@ -1730,6 +1746,39 @@ object SparkEntry {
       ms.addData(chunks.head.toIndexedSeq); q.processAllAvailable()
     } finally q.stop()
     s.table("stream_hll_registers_t")
+  }
+
+  /** The sharded-bloom dedup run behind `stream_bloom_dedup`: documents
+    * fingerprinted (md5 of normalized text), batch-compacted to one row
+    * per fingerprint (min doc_id keeper — same arrangement as
+    * [[docCleanStream]], so surviving-copy choice is feed-independent),
+    * fed in four micro-batches plus the first chunk re-fed whole. The
+    * bloom processor must pass every unique fingerprint (bitmaps sized
+    * for ~1e-6 aggregate false-positive odds, deterministic besides) and
+    * drop the entire re-fed chunk, so the streamed result equals the
+    * batch dedup the DuckDB oracle computes. */
+  private def streamBloomDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(graft.operators.Dedup.normalize(col("text")).cast("binary")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp")).orderBy(col("doc_id"))
+      .as[graft.streaming.BloomDedup.Doc].collect()
+    val ms = MemoryStream[graft.streaming.BloomDedup.Doc]
+    val deduped = graft.streaming.BloomDedup.dedup(ms.toDS())
+    val ckpt = tempCkpt()
+    val q = deduped.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("stream_bloom_dedup_t")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+      ms.addData(chunks.head.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.table("stream_bloom_dedup_t")
   }
 
   /** Streaming count-min maintenance behind `stream_countmin_registers`:
@@ -3781,6 +3830,16 @@ object SparkEntry {
     // min-doc_id copy per fingerprint (the feed's batch-compaction step),
     // then one row per doc passing the quality floor (the re-fed duplicate
     // micro-batch is byte-identical rows the streaming dedup drops)
+    // the streamed sharded-bloom dedup must equal the exact batch dedup
+    // (first-wins = min doc_id per fingerprint; zero false positives at
+    // the sized bitmaps)
+    "stream_bloom_dedup" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
+
     "stream_doc_clean" ->
       ("""WITH compact AS (SELECT doc_id, text,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
