@@ -292,6 +292,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("ext_bm25_search: counters combine map-side, stats broadcast, heap top-k") {
+    val p = plan("ext_bm25_search")
+    // tf/df/dl are count aggregations (shuffles carry counters, not
+    // tokens); query-vocabulary and corpus stats broadcast into the
+    // scoring join; the final top-k is the per-partition-heads operator
+    assert(p.contains("partial_count"), "tf/dl counts must combine map-side")
+    assert(p.contains("BroadcastHashJoin"), "df/corpus sides must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be per-partition heads, not a global sort")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "corpus stats must attach as a broadcast, not a cartesian")
+  }
+
+  test("ext_weighted_sample: priorities combine map-side; winners broadcast back") {
+    val p = plan("ext_weighted_sample")
+    assert(p.contains("partial_min"), "per-id min-draw must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "k smallest priorities must be per-partition heads")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k winners must broadcast back onto the input")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ext_quantile_sample: the corpus is never globally sorted — only the sample") {
+    val p = plan("ext_quantile_sample")
+    // the ONLY Sort feeding a Window must sit above the sample filter;
+    // the exact branch at test scale is the same rank-selection shape, so
+    // assert the plan keeps both sorts WINDOW-local (no global Exchange
+    // RangePartitioning over the full relation pre-filter)
+    assert(p.contains("Window"), "rank selection runs through row_number")
+    assert(p.contains("md5"), "the sample filter must appear in the plan")
+    assert(!p.contains("rangepartitioning(v"),
+      "no range-partitioned global sort of the raw value column")
+  }
+
   test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
