@@ -1216,6 +1216,33 @@ object SparkEntry {
     // this grades the whole IVF machinery (training-sample plumbing,
     // assignment argmin, list probing, scoring, ranking) against the
     // brute-force oracle; centroid QUALITY is covered by the recall spec.
+    // product quantization, real compression: codes are 8 ints per vector
+    // (vs 64 doubles), ADC scores via per-query lookup tables. Codebooks
+    // are trained in-engine -> rows-only here; the machinery is graded
+    // exactly by ext_knn_pq_exact and recall is spec-pinned (PqSpec)
+    "ext_knn_pq" -> ((s, dir) => {
+      val Sim = graft.operators.Similarity
+      val emb = Tables.embeddings(s, dir)
+      val model = Sim.pqTrain(emb, m = 8, ksub = 16)
+      Sim.pqTopK(Sim.pqEncode(emb, model),
+        emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        model, k = 5)
+    }),
+
+    // PQ with ksub >= corpus size and zero Lloyd iterations: every corpus
+    // slice is its own sub-centroid, so ADC == exact inner products — the
+    // whole encode + table + lookup machinery graded against a slice-wise
+    // DuckDB dot-product oracle (the same trick as IVF's nprobe=nlist)
+    "ext_knn_pq_exact" -> ((s, dir) => {
+      val Sim = graft.operators.Similarity
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") < 128)
+      val model = Sim.pqTrain(corpus, m = 4, ksub = 128, iters = 0, trainCap = 128)
+      Sim.pqTopK(Sim.pqEncode(corpus, model),
+        emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        model, k = 5)
+    }),
+
     "ext_knn_ivf_exact" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Similarity.ivfTopK(
@@ -3552,6 +3579,24 @@ object SparkEntry {
     // grades the broadcast-join assignment/probe path against the same SQL
     "ext_knn_ivf_exact" -> bruteKnnSql,
     "ext_knn_ivf_exact_join" -> bruteKnnSql,
+
+    // PQ exact twin: ADC with per-vector codebooks is slice-wise exact
+    // inner products — four list_dot_product terms added in the same
+    // left-assoc grouping as the Scala reduce, ranked (score DESC, vec_id)
+    "ext_knn_pq_exact" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |    FROM embeddings WHERE vec_id < 128),
+        |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |    FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q_id, vec_id,
+        |    list_dot_product(qe[1:16], e[1:16]) + list_dot_product(qe[17:32], e[17:32])
+        |    + list_dot_product(qe[33:48], e[33:48]) + list_dot_product(qe[49:64], e[49:64]) AS score
+        |  FROM c, q WHERE vec_id != q_id)
+        |SELECT q_id, vec_id, score, rank FROM (
+        |  SELECT q_id, vec_id, score, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
     // appended index at nprobe = nlist is exhaustive over old + new lists
     "ext_knn_ivf_append" -> bruteKnnSql,
     // the saved-then-loaded index searches with the nprobe pinned in the

@@ -63,8 +63,16 @@ object Vectors {
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
-  /** Squared L2 distance (monotone with L2; avoids the sqrt per pair). */
+  /** Squared L2 distance (monotone with L2; avoids the sqrt per pair),
+    * backed by the codegen'd [[L2Squared]] expression — bit-identical to
+    * the interpreted fold ([[l2SquaredHof]]), no per-element allocation. */
   def l2Squared(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      L2Squared(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** The higher-order-function formulation (reference implementation of
+    * the semantics [[L2Squared]] compiles — spec-pinned equal). */
+  def l2SquaredHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")

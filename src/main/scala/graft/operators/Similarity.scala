@@ -877,6 +877,135 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  // ------------------------------------------------------------------ pq
+
+  /** Product-quantization model: `m` subspaces x `ksub` sub-centroids over
+    * `dim`-wide vectors (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 — the FAISS IndexPQ shape). A corpus
+    * vector compresses to `m` small ints (codes), so the 100 TB corpus
+    * side of a search carries `m` bytes instead of `dim` doubles — a
+    * 64x storage/shuffle cut at (dim=64, m=8) — while queries stay exact
+    * and score via per-subspace lookup tables. */
+  final case class PqModel(dim: Int, m: Int, ksub: Int,
+      codebooks: IndexedSeq[IndexedSeq[Array[Double]]]) {
+    def dsub: Int = dim / m
+  }
+
+  private def litArr(v: Array[Double]): Column =
+    array(v.toIndexedSeq.map(lit): _*)
+
+  /** Train PQ codebooks on a BOUNDED deterministic corpus sample (the same
+    * `trainCap` collect contract as [[ivfIndex]]): slice each sampled
+    * vector into `m` subvectors and run Lloyd independently per subspace
+    * (seeded per subspace, so codebooks differ). `iters = 0` freezes the
+    * codebook at the (shuffled) sample itself — with `ksub >= corpus size`
+    * that makes every corpus slice its own sub-centroid, so ADC scoring
+    * becomes EXACT inner products; `ext_knn_pq_exact` grades the whole
+    * encode + table + lookup machinery that way against a slice-wise
+    * DuckDB dot-product oracle (the same nprobe=nlist trick as IVF). */
+  def pqTrain(
+      corpus: DataFrame,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      trainCap: Int = 16384,
+      iters: Int = 8): PqModel = {
+    val dim = headDim(corpus, embCol)
+    require(m > 0 && dim % m == 0,
+      s"m must divide the embedding width ($dim), got m=$m")
+    require(ksub > 0 && ksub <= 256,
+      s"ksub must be in [1, 256] (codes are byte-range), got $ksub")
+    val samples = corpus.filter(col(embCol).isNotNull)
+      .select(col(embCol).cast("array<double>").as("v"),
+        Sampling.hashBucket(col(idCol), "pq-train").as("__h"), col(idCol).as("__id"))
+      .sort(col("__h"), col("__id"))
+      .limit(trainCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dsub = dim / m
+    val books = (0 until m).map { sub =>
+      val sliced = samples.map(v =>
+        java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      lloydCentroids(sliced, ksub, seed + sub, iters).toIndexedSeq
+    }
+    // Lloyd yields min(ksub, sample size) centroids — the model records
+    // the EFFECTIVE size (lookup-table offsets depend on it)
+    PqModel(dim, m, books.head.size, books.toIndexedSeq)
+  }
+
+  /** Encode the corpus: per subspace, the L2-nearest sub-centroid's id
+    * (ties to the lowest id — deterministic). Pure per-row expressions
+    * over literal codebooks — scan-parallel, no shuffle, no collect.
+    * Output: (vec_id, codes array<int> of length m). */
+  def pqEncode(
+      corpus: DataFrame,
+      model: PqModel,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val codes = (0 until model.m).map { sub =>
+      val qs = slice(checkedWidth(col(embCol), model.dim, "pqEncode"),
+        sub * model.dsub + 1, model.dsub)
+      val cands = array(model.codebooks(sub).zipWithIndex.map { case (cv, j) =>
+        struct(Vectors.l2Squared(qs, litArr(cv)).as("dist"), lit(j).as("cid"))
+      }: _*)
+      // argmin, not a sort: array_min's struct ordering is (dist, cid) —
+      // smallest distance, ties to the lowest id, same pick as
+      // array_sort(...)[1] at O(k) instead of O(k log k) per subspace
+      // (the encode scan is the build's dominant cost at corpus scale)
+      array_min(cands).getField("cid")
+    }
+    corpus.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), array(codes: _*).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k by inner product: each
+    * query precomputes its `m * ksub` subspace dot-product table ONCE,
+    * then every (query, corpus) pair costs `m` array lookups + adds — the
+    * per-pair work drops from `dim` multiplies to `m` additions, and the
+    * corpus side of the join carries only the codes. Scoring metric is
+    * the inner product (MIPS; FAISS METRIC_INNER_PRODUCT) — chosen over
+    * L2 so the exact-twin oracle replays through slice-wise
+    * `list_dot_product` with the identical fold grouping.
+    * Output: (q_id, vec_id, score, rank), heap top-k per query. */
+  def pqTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      model: PqModel,
+      k: Int = 5,
+      qIdCol: String = "q_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dtab = array((0 until model.m).flatMap { sub =>
+      val qs = slice(checkedWidth(col(embCol), model.dim, "pqTopK"),
+        sub * model.dsub + 1, model.dsub)
+      model.codebooks(sub).map(cv => Vectors.dot(qs, litArr(cv)))
+    }: _*)
+    val q = queries.select(col(qIdCol).as("q_id"), dtab.as("__dtab"))
+    val c = codes
+      .repartition(codes.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("codes"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (0 until model.m).map(sub => element_at(col("__dtab"),
+          lit(sub * model.ksub + 1) + element_at(col("codes"), sub + 1)))
+          .reduce(_ + _).as("score"))
+    topKPerQueryScore(scored, k)
+  }
+
+  /** [[topKPerQuery]] over a `score` column (the heap aggregate — desc by
+    * score, vec_id tie-break, identical to the window form). */
+  private def topKPerQueryScore(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val agg = ColumnBridge.column(graft.functions.TopKByScore(
+      ColumnBridge.expression(col("score")),
+      ColumnBridge.expression(col("vec_id")), k).toAggregateExpression())
+    scored.groupBy(col("q_id")).agg(agg.as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("q_id"), col("__e.id").as("vec_id"),
+        col("__e.score").as("score"), (col("__pos") + 1).as("rank"))
+  }
+
   /** The scale form of [[labelCentroids]]: posexplode to (label, dim, value)
     * rows and average with a combinable aggregation — partial-aggregates
     * map-side, no per-label materialization, handles millions of vectors
