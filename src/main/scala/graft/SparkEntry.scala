@@ -1243,6 +1243,21 @@ object SparkEntry {
         model, k = 5)
     }),
 
+    // IVF-PQ at nprobe = nlist with per-vector codebooks: exhaustive ADC
+    // over exact sub-centroids == exact inner products — the composition
+    // (probe join + code join + table lookup) graded end to end by the
+    // same slice-wise dot oracle as ext_knn_pq_exact
+    "ext_knn_ivfpq_exact" -> ((s, dir) => {
+      val Sim = graft.operators.Similarity
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") < 128)
+      val model = Sim.pqTrain(corpus, m = 4, ksub = 128, iters = 0, trainCap = 128)
+      val idx = Sim.ivfIndex(corpus, nlist = 8, nprobe = 8)
+      Sim.ivfPqTopK(idx, Sim.pqEncode(corpus, model),
+        emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        model, k = 5, nprobe = 8)
+    }),
+
     "ext_knn_ivf_exact" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Similarity.ivfTopK(
@@ -2110,6 +2125,21 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
       |  FROM sc) t
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  private val pqExactSql =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |    FROM embeddings WHERE vec_id < 128),
+      |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      |    FROM embeddings WHERE vec_id < 10),
+      |scored AS (SELECT q_id, vec_id,
+      |    list_dot_product(qe[1:16], e[1:16]) + list_dot_product(qe[17:32], e[17:32])
+      |    + list_dot_product(qe[33:48], e[33:48]) + list_dot_product(qe[49:64], e[49:64]) AS score
+      |  FROM c, q WHERE vec_id != q_id)
+      |SELECT q_id, vec_id, score, rank FROM (
+      |  SELECT q_id, vec_id, score, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5""".stripMargin
 
   private val bruteKnnSql =
     """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -3583,20 +3613,9 @@ object SparkEntry {
     // PQ exact twin: ADC with per-vector codebooks is slice-wise exact
     // inner products — four list_dot_product terms added in the same
     // left-assoc grouping as the Scala reduce, ranked (score DESC, vec_id)
-    "ext_knn_pq_exact" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |    FROM embeddings WHERE vec_id < 128),
-        |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
-        |    FROM embeddings WHERE vec_id < 10),
-        |scored AS (SELECT q_id, vec_id,
-        |    list_dot_product(qe[1:16], e[1:16]) + list_dot_product(qe[17:32], e[17:32])
-        |    + list_dot_product(qe[33:48], e[33:48]) + list_dot_product(qe[49:64], e[49:64]) AS score
-        |  FROM c, q WHERE vec_id != q_id)
-        |SELECT q_id, vec_id, score, rank FROM (
-        |  SELECT q_id, vec_id, score, CAST(row_number() OVER (
-        |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5""".stripMargin,
+    "ext_knn_pq_exact" -> pqExactSql,
+    // IVF-PQ at nprobe = nlist is exhaustive ADC — same oracle
+    "ext_knn_ivfpq_exact" -> pqExactSql,
     // appended index at nprobe = nlist is exhaustive over old + new lists
     "ext_knn_ivf_append" -> bruteKnnSql,
     // the saved-then-loaded index searches with the nprobe pinned in the

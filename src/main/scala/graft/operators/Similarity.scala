@@ -968,6 +968,21 @@ object Similarity {
     * L2 so the exact-twin oracle replays through slice-wise
     * `list_dot_product` with the identical fold grouping.
     * Output: (q_id, vec_id, score, rank), heap top-k per query. */
+  /** The per-query ADC lookup table: `m * ksub` subspace inner products
+    * against the codebooks, computed once per query row. */
+  private def adcTable(model: PqModel, embC: Column): Column =
+    array((0 until model.m).flatMap { sub =>
+      val qs = slice(embC, sub * model.dsub + 1, model.dsub)
+      model.codebooks(sub).map(cv => Vectors.dot(qs, litArr(cv)))
+    }: _*)
+
+  /** ADC score of a `codes` row against a `__dtab` table column: `m`
+    * lookups + adds, left-assoc (the grouping the exact-twin SQL replays). */
+  private def adcScore(model: PqModel): Column =
+    (0 until model.m).map(sub => element_at(col("__dtab"),
+      lit(sub * model.ksub + 1) + element_at(col("codes"), sub + 1)))
+      .reduce(_ + _)
+
   def pqTopK(
       codes: DataFrame,
       queries: DataFrame,
@@ -976,20 +991,53 @@ object Similarity {
       qIdCol: String = "q_id",
       embCol: String = "embedding"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val dtab = array((0 until model.m).flatMap { sub =>
-      val qs = slice(checkedWidth(col(embCol), model.dim, "pqTopK"),
-        sub * model.dsub + 1, model.dsub)
-      model.codebooks(sub).map(cv => Vectors.dot(qs, litArr(cv)))
-    }: _*)
+    val dtab = adcTable(model,
+      checkedWidth(col(embCol), model.dim, "pqTopK"))
     val q = queries.select(col(qIdCol).as("q_id"), dtab.as("__dtab"))
     val c = codes
       .repartition(codes.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("codes"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        (0 until model.m).map(sub => element_at(col("__dtab"),
-          lit(sub * model.ksub + 1) + element_at(col("codes"), sub + 1)))
-          .reduce(_ + _).as("score"))
+      .select(col("q_id"), col("vec_id"), adcScore(model).as("score"))
+    topKPerQueryScore(scored, k)
+  }
+
+  /** IVF-PQ: coarse-quantizer pruning composed with ADC scoring over
+    * compressed codes — the FAISS IndexIVFPQ shape, non-residual variant
+    * (codes quantize the raw vectors, not centroid residuals, so the SAME
+    * code table serves flat [[pqTopK]] and pruned search, and the
+    * degenerate-parameter exact twin carries over unchanged). Per query:
+    * probe the `nprobe` nearest inverted lists, ADC-score ONLY the codes
+    * in those lists, heap top-k — per-query work drops from
+    * `|corpus| * m` lookups to `~(nprobe/nlist) * |corpus| * m`, and the
+    * probed side of the join carries codes, not embeddings.
+    * At nprobe = nlist this IS exhaustive ADC, and with per-vector
+    * codebooks exhaustive ADC is exact inner products —
+    * `ext_knn_ivfpq_exact` grades the whole composition against the same
+    * slice-wise dot oracle as `ext_knn_pq_exact`.
+    * Output: (q_id, vec_id, score, rank). */
+  def ivfPqTopK(
+      idx: IvfIndex,
+      codes: DataFrame,
+      queries: DataFrame,
+      model: PqModel,
+      k: Int = 5,
+      nprobe: Int = 4,
+      qIdCol: String = "q_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val qe = checkedWidth(col(embCol), model.dim, "ivfPqTopK query")
+    val q = queries.filter(col(embCol).isNotNull)
+      .select(col(qIdCol).as("q_id"), adcTable(model, qe).as("__dtab"),
+        explode(transform(slice(idx.distances(qe), 1, nprobe),
+          d => d.getField("cid"))).as("list_id"))
+    // the probed corpus side: codes joined to their list assignment —
+    // embeddings never travel past the one-time encode/assign scans
+    val c = codes.join(idx.assigned.select(col("vec_id"), col("list_id")), "vec_id")
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adcScore(model).as("score"))
     topKPerQueryScore(scored, k)
   }
 

@@ -66,6 +66,27 @@ class PqSpec extends SparkSpec {
     assert(c.forall(a => a.length == 8 && a.forall(x => x >= 0 && x < 64)))
   }
 
+  test("ivfPqTopK at nprobe = nlist equals flat pqTopK; pruning stays in-cluster") {
+    val model = Similarity.pqTrain(vecs, m = 8, ksub = 64, iters = 8)
+    val codes = Similarity.pqEncode(vecs, model)
+    val idx = Similarity.ivfIndex(vecs, nlist = 10, nprobe = 2)
+    val queries = vecs.filter($"vec_id" < 8).withColumnRenamed("vec_id", "q_id")
+    // exhaustive probe == flat ADC, row for row
+    val flat = Similarity.pqTopK(codes, queries, model, k = 5)
+    val exhaustive = Similarity.ivfPqTopK(idx, codes, queries, model,
+      k = 5, nprobe = 10)
+    assert(flat.except(exhaustive).isEmpty && exhaustive.except(flat).isEmpty,
+      "exhaustive IVF-PQ diverged from flat ADC")
+    // pruned probe returns k rows per query and decent overlap with flat
+    val pruned = Similarity.ivfPqTopK(idx, codes, queries, model,
+      k = 5, nprobe = 3)
+    val byQ = pruned.groupBy($"q_id").count().as[(Long, Long)].collect().toMap
+    assert(byQ.size == 8 && byQ.values.forall(_ == 5L))
+    val overlap = pruned.select($"q_id", $"vec_id").intersect(
+      flat.select($"q_id", $"vec_id")).count()
+    assert(overlap >= 20, s"pruned overlap $overlap/40 implausibly low")
+  }
+
   test("codegen'd L2Squared is bit-identical to the interpreted HOF fold") {
     import graft.functions.Vectors
     val pairs = spark.createDataset(spark.sparkContext.parallelize(
