@@ -877,6 +877,30 @@ object SparkEntry {
           col("exact_intersection"))
     }),
 
+    // hybrid retrieval: BM25 lexical ranks fused with dense ANN ranks by
+    // reciprocal-rank fusion in scaled integers (1e6 div (60 + rank), the
+    // standard RRF with k=60) — deterministic end to end, full-outer so a
+    // doc ranked by either system can win
+    "ext_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = graft.operators.TextAnalysis.bm25Search(
+          Tables.documents(s, dir), Seq("spark", "stream", "window", "dup"), k = 50)
+        .withColumn("brank", row_number()
+          .over(Window.orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("id"), col("brank"))
+      val emb = Tables.embeddings(s, dir)
+      val kn = graft.operators.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0).withColumnRenamed("vec_id", "q_id"), k = 50)
+        .select(col("vec_id").as("kid"), col("rank").cast("long").as("krank"))
+      bm.join(kn, col("id") === col("kid"), "full_outer")
+        .select(coalesce(col("id"), col("kid")).as("id"), col("brank"), col("krank"))
+        .withColumn("rrf_fp",
+          coalesce(expr("1000000 div (60 + brank)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + krank)"), lit(0L)))
+        .orderBy(col("rrf_fp").desc, col("id"))
+        .limit(20)
+    }),
+
     // BM25 ranked retrieval, fixed-point: piecewise-linear log2 idf +
     // rational-k1/b saturation, all-integer scoring so the ranking is
     // engine-exact ("dup" is the rare high-idf term; the others spread tf)
@@ -894,6 +918,18 @@ object SparkEntry {
           lit(1L) + floor(col("n_chars") / lit(128)).cast("long"), k = 50)
         .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
         .orderBy(col("doc_id"))),
+
+    // per-group sample quantiles: one bounded sample, independent rank
+    // selection per l_returnflag group (the per-domain P50/P95 shape)
+    "ext_quantile_groups" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val id = concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))
+      graft.operators.Sketch.sampleQuantilesGrouped(
+          li, "l_extendedprice", id, Seq("l_returnflag"), 1.0 / 16,
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy(col("l_returnflag"), col("q"))
+    }),
 
     // sample-based quantiles next to the exact rank selection they
     // approximate: the sample path filters the corpus scan-parallel and
@@ -1236,8 +1272,8 @@ object SparkEntry {
     "ext_knn_pq_exact" -> ((s, dir) => {
       val Sim = graft.operators.Similarity
       val emb = Tables.embeddings(s, dir)
-      val corpus = emb.filter(col("vec_id") < 128)
-      val model = Sim.pqTrain(corpus, m = 4, ksub = 128, iters = 0, trainCap = 128)
+      val corpus = emb.filter(col("vec_id") < 64)
+      val model = Sim.pqTrain(corpus, m = 4, ksub = 64, iters = 0, trainCap = 64)
       Sim.pqTopK(Sim.pqEncode(corpus, model),
         emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
         model, k = 5)
@@ -1250,8 +1286,8 @@ object SparkEntry {
     "ext_knn_ivfpq_exact" -> ((s, dir) => {
       val Sim = graft.operators.Similarity
       val emb = Tables.embeddings(s, dir)
-      val corpus = emb.filter(col("vec_id") < 128)
-      val model = Sim.pqTrain(corpus, m = 4, ksub = 128, iters = 0, trainCap = 128)
+      val corpus = emb.filter(col("vec_id") < 64)
+      val model = Sim.pqTrain(corpus, m = 4, ksub = 64, iters = 0, trainCap = 64)
       val idx = Sim.ivfIndex(corpus, nlist = 8, nprobe = 8)
       Sim.ivfPqTopK(idx, Sim.pqEncode(corpus, model),
         emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
@@ -1495,6 +1531,11 @@ object SparkEntry {
     // the exact dedup set (bitmaps sized so the deterministic md5 positions
     // produce zero false positives at test scale). RocksDB required by TWS,
     // conf restored after (same arrangement as stream_session_tws).
+    // live percentiles at fixed memory: the stateless deterministic-hash
+    // sample is the ONLY streaming state (sorted list + count in complete
+    // mode); rank selection re-runs each trigger
+    "stream_quantile_sample" -> ((s, dir) => streamQuantileSample(s, dir)),
+
     "stream_bloom_dedup" -> ((s, dir) => {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
@@ -1823,6 +1864,46 @@ object SparkEntry {
     s.table("stream_bloom_dedup_t")
   }
 
+  /** Streaming sample-quantile maintenance behind `stream_quantile_sample`:
+    * the deterministic-hash sample membership is STATELESS (a pure
+    * function of each row's id), so the only streaming state is the
+    * bounded sample itself, held as a sorted collect_list in a
+    * complete-mode aggregation and rank-selected every trigger — live
+    * percentiles over an unbounded stream at fixed memory. Rows feed
+    * exactly once (the sample list is additive, like the count-min twin);
+    * the final table equals the batch rank selection, graded by the
+    * sample half of ext_quantile_sample's oracle. */
+  private def streamQuantileSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val Sa = graft.operators.Sampling
+    val rows = Tables.lineitem(s, dir)
+      .select(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("id"), col("l_extendedprice").as("v"))
+      .orderBy(col("id")).as[(String, Double)].collect()
+    val ms = MemoryStream[(String, Double)]
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val rank = floor(col("q") * (col("sample_n") - 1L).cast("double"))
+    val res = ms.toDF().toDF("id", "v")
+      .filter(Sa.hashBucket(col("id"), "qsample") < lit(Sa.hexThreshold(1.0 / 16)))
+      .agg(sort_array(collect_list(struct(col("v"), col("id")))).as("__sorted"),
+        count(lit(1)).as("sample_n"))
+      .select(col("__sorted"), col("sample_n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .select(col("q"), col("sample_n"), rank.as("rank"),
+        element_at(col("__sorted"), (rank + 1L).cast("int")).getField("v").as("value"))
+    val ckpt = tempCkpt()
+    val q = res.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_quantile_sample_t")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table("stream_quantile_sample_t")
+  }
+
   /** Streaming count-min maintenance behind `stream_countmin_registers`:
     * the documents tokenized in-stream across four micro-batches, counters
     * kept in complete mode — the heavy-hitter monitor shape where each
@@ -2128,7 +2209,7 @@ object SparkEntry {
 
   private val pqExactSql =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-      |    FROM embeddings WHERE vec_id < 128),
+      |    FROM embeddings WHERE vec_id < 64),
       |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
       |    FROM embeddings WHERE vec_id < 10),
       |scored AS (SELECT q_id, vec_id,
@@ -3040,6 +3121,46 @@ object SparkEntry {
         |  AS gopher_keep
         |FROM r""".stripMargin,
 
+    // both rankers replayed (the BM25 CTE chain + the cosine window),
+    // fused with the same scaled-integer reciprocal ranks
+    "ext_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |corp AS (SELECT count(*) AS n_docs,
+        |    CAST(CAST(sum(dl) AS BIGINT) // count(*) AS BIGINT) AS avgdl FROM dls),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'stream', 'window', 'dup')
+        |  GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
+        |scored AS (SELECT tf.doc_id, tf.tf, dls.dl, corp.n_docs, corp.avgdl,
+        |    (2048 * corp.n_docs + 2048) // (2 * dfreq.dfreq + 1) AS y
+        |  FROM tf JOIN dfreq USING (tok) JOIN dls USING (doc_id) CROSS JOIN corp),
+        |fp AS (SELECT doc_id, tf, dl, avgdl, y,
+        |    length(bin(y)) - 1 AS e FROM scored),
+        |bscore AS (SELECT doc_id, CAST(sum(
+        |    (e * 65536 + ((y - (CAST(1 AS BIGINT) << e)) * 65536 >> e) - 655360) *
+        |    ((22 * tf * avgdl * 1024) // (10 * tf * avgdl + 3 * avgdl + 9 * dl))
+        |  ) AS BIGINT) AS score_fp FROM fp GROUP BY doc_id),
+        |b AS (SELECT doc_id AS id, CAST(row_number() OVER (
+        |    ORDER BY score_fp DESC, doc_id) AS BIGINT) AS brank FROM bscore
+        |  ORDER BY score_fp DESC, doc_id LIMIT 50),
+        |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS q_id, e AS qe, nm AS qn FROM n WHERE vec_id = 0),
+        |kscored AS (SELECT vec_id, list_dot_product(e, qe) / (nm * qn) AS cosine
+        |  FROM n, qv WHERE vec_id != q_id),
+        |k AS (SELECT vec_id AS kid, CAST(row_number() OVER (
+        |    ORDER BY cosine DESC, vec_id) AS BIGINT) AS krank FROM kscored
+        |  ORDER BY cosine DESC, vec_id LIMIT 50),
+        |hy AS (SELECT coalesce(b.id, k.kid) AS id, b.brank, k.krank
+        |  FROM b FULL OUTER JOIN k ON b.id = k.kid)
+        |SELECT id, brank, krank,
+        |  coalesce(1000000 // (60 + brank), 0) + coalesce(1000000 // (60 + krank), 0) AS rrf_fp
+        |FROM hy ORDER BY rrf_fp DESC, id LIMIT 20""".stripMargin,
+
     // the integer BM25 pipeline replayed: same tokenizer regex, same
     // fixed-point idf (bin-length log2 with linear interpolation) and
     // saturation divisions; DuckDB's // floors like Spark's div on
@@ -3083,6 +3204,23 @@ object SparkEntry {
         |top AS (SELECT * FROM pri ORDER BY priority, doc_id::VARCHAR LIMIT 50)
         |SELECT d.doc_id, d.source, d.n_chars, top.priority
         |FROM d JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the grouped replay: same sample filter, rank window PARTITION BY
+    // the group, per-group counts
+    "ext_quantile_groups" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice AS v,
+        |    l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS id FROM lineitem),
+        |s AS (SELECT * FROM li WHERE substr(md5(id || '#qsample'), 1, 8) < '10000000'),
+        |sr AS (SELECT l_returnflag, v, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY v, id) - 1 AS rnk FROM s),
+        |sn AS (SELECT l_returnflag, count(*) AS sample_n FROM s GROUP BY l_returnflag),
+        |qv AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.25), (0.5),
+        |    (0.75), (0.95)) t(q))
+        |SELECT sn.l_returnflag AS l_returnflag, q, sample_n, rnk AS rank, v AS value
+        |FROM qv CROSS JOIN sn
+        |JOIN sr ON sr.l_returnflag = sn.l_returnflag
+        |  AND floor(q * (sample_n - 1)) = sr.rnk
+        |ORDER BY sn.l_returnflag, q""".stripMargin,
 
     // same md5 draw, same (value, id)-ordered rank selection — both the
     // sampled and exact quantile columns replay exactly; q literals cast
@@ -3894,6 +4032,22 @@ object SparkEntry {
     // min-doc_id copy per fingerprint (the feed's batch-compaction step),
     // then one row per doc passing the quality floor (the re-fed duplicate
     // micro-batch is byte-identical rows the streaming dedup drops)
+    // the streamed sample is the BATCH sample (membership is a pure
+    // function of id), so the final complete-mode table equals the batch
+    // rank selection — the sample half of ext_quantile_sample's oracle
+    "stream_quantile_sample" ->
+      """WITH li AS (SELECT l_extendedprice AS v,
+        |    l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS id FROM lineitem),
+        |s AS (SELECT * FROM li WHERE substr(md5(id || '#qsample'), 1, 8) < '10000000'),
+        |sr AS (SELECT v, row_number() OVER (ORDER BY v, id) - 1 AS rnk FROM s),
+        |sn AS (SELECT count(*) AS sample_n FROM s),
+        |qv AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.01), (0.25),
+        |    (0.5), (0.75), (0.9), (0.99)) t(q))
+        |SELECT q, sample_n, CAST(floor(q * (sample_n - 1)) AS BIGINT) AS rank,
+        |  sr.v AS value
+        |FROM qv CROSS JOIN sn
+        |JOIN sr ON floor(q * (sample_n - 1)) = sr.rnk""".stripMargin,
+
     // the streamed sharded-bloom dedup must equal the exact batch dedup
     // (first-wins = min doc_id per fingerprint; zero false positives at
     // the sized bitmaps)

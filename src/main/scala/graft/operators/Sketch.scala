@@ -383,6 +383,46 @@ object Sketch {
       .select(col("q"), col("sample_n"), col("rank"), col("value"))
   }
 
+  /** [[sampleQuantiles]] per group — per-domain length/price/score
+    * percentiles from one bounded sample. The rank window partitions by
+    * the group columns, so groups sort independently and in parallel
+    * (each group's sample is the bounded unit, not the whole corpus).
+    * Output: (groupCols..., q, sample_n, rank, value) — `sample_n` and
+    * the rank selection are per group. Groups whose sample came up empty
+    * are absent. */
+  def sampleQuantilesGrouped(
+      df: DataFrame,
+      valueCol: String,
+      id: Column,
+      groupCols: Seq[String],
+      fraction: Double,
+      qs: Seq[Double],
+      salt: String = "qsample"): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1], got $qs")
+    require(groupCols.nonEmpty, "groupCols must be non-empty (use sampleQuantiles)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gcols = groupCols.map(col)
+    val base = df.select(gcols ++ Seq(col(valueCol).as("value"),
+      id.cast("string").as("__id")): _*)
+    val sample =
+      if (fraction >= 1.0) base
+      else base.filter(
+        Sampling.hashBucket(col("__id"), salt) < lit(Sampling.hexThreshold(fraction)))
+    val ranked = sample.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(gcols: _*).orderBy(col("value"), col("__id"))).cast("long") - 1L)
+    val n = broadcast(sample.groupBy(gcols: _*).agg(count(lit(1)).as("sample_n")))
+    broadcast(qs.toDF("q"))
+      .crossJoin(n)
+      .join(ranked, groupCols)
+      .filter(floor(col("q") * (col("sample_n") - 1L).cast("double")) === col("rank"))
+      .select(gcols ++ Seq(col("q"), col("sample_n"), col("rank"), col("value")): _*)
+  }
+
   def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
     require(p >= 4 && p <= 18, s"hll precision p must be in [4, 18], got $p")
     val m = 1 << p

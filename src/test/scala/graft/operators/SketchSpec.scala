@@ -299,6 +299,31 @@ class SketchSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("sampleQuantilesGrouped: independent exact rank selection per group") {
+    val df = ((1 to 900).map(i => ("a", i.toLong, i * 2.0)) ++
+      (1 to 300).map(i => ("b", (i + 1000).toLong, 5000.0 + i)))
+      .toDF("g", "id", "v")
+    val got = Sketch.sampleQuantilesGrouped(df, "v", $"id", Seq("g"), 1.0,
+        Seq(0.0, 0.5, 1.0))
+      .as[(String, Double, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got("a").map(_._3).head == 900L && got("b").map(_._3).head == 300L)
+    // group a: sorted values 2..1800; q=0.5 -> rank 449 -> value 900
+    assert(got("a").map(_._5).toSeq == Seq(2.0, 900.0, 1800.0))
+    // group b: 5001..5300; q=0.5 -> rank 149 -> 5150
+    assert(got("b").map(_._5).toSeq == Seq(5001.0, 5150.0, 5300.0))
+    // sampled variant stays group-local and deterministic
+    val s1 = Sketch.sampleQuantilesGrouped(df, "v", $"id", Seq("g"), 0.25, Seq(0.5))
+      .as[(String, Double, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val s2 = Sketch.sampleQuantilesGrouped(df.repartition(11), "v", $"id",
+        Seq("g"), 0.25, Seq(0.5))
+      .as[(String, Double, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(s1 == s2 && s1.map(_._1) == Seq("a", "b"))
+    intercept[IllegalArgumentException] {
+      Sketch.sampleQuantilesGrouped(df, "v", $"id", Seq.empty, 0.5, Seq(0.5))
+    }
+  }
+
   test("sampleQuantiles: parameters are validated") {
     val df = Seq((1L, 1.0)).toDF("id", "v")
     intercept[IllegalArgumentException] {
