@@ -630,6 +630,32 @@ object SparkEntry {
     // then purchased — each within a day of the previous reach). The 24h
     // window is what makes the oracle discriminating on this feed
     // (150 -> 39 -> 16 -> 5): unbounded, every user completes every step.
+    // exact-proportion stratified split: per-source rank-range cuts (every
+    // stratum within one row of its target fraction — the balanced
+    // counterpart of x2's stable Bernoulli hashSplit)
+    "x24_stratified_split" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSplit(
+          Tables.documents(s, dir), "source", "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // key-distribution diagnostic: top event users by row count with ppm
+    // share and x1000 skew factor vs the mean key — the pre-flight for
+    // every salted form in Skew
+    "x25_skew_profile" -> ((s, dir) =>
+      graft.operators.Skew.keyProfile(Tables.events(s, dir), "user_id", topN = 20)),
+
+    // SCD2 dimension history: each user's event_type runs collapsed to
+    // validity intervals (epoch-MICROsecond stamps — the events table has
+    // sub-second timestamps, and integer micros are the cross-engine-exact
+    // projection; open current interval has null valid_to)
+    "x23_scd2_intervals" -> ((s, dir) =>
+      graft.operators.AsOf.scd2Intervals(
+          Tables.events(s, dir), "user_id", "event_type",
+          unix_micros(col("ts")), col("event_id"))
+        .orderBy(col("user_id"), col("version"))),
+
     "x19_funnel" -> ((s, dir) =>
       graft.operators.Funnel.ordered(Tables.events(s, dir),
         "user_id", "event_type", "ts",
@@ -2653,6 +2679,48 @@ object SparkEntry {
     // earliest qualifying event at-or-after (and within 24h of) the
     // previous step's; counts are scalar subqueries so empty steps still
     // emit their row, mirroring the engine's count-on-empty aggregate
+    // rank-range replay: same (md5 bucket, id) order, same floor(cum * n)
+    // boundaries per stratum
+    "x24_stratified_split" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(doc_id::VARCHAR || '#split'), 1, 8), doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN rnk <= floor(CAST(0.8 AS DOUBLE) * n) THEN 'train'
+        |       WHEN rnk <= floor(CAST(0.9 AS DOUBLE) * n) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // counts + integer share/skew divisions, per-partition-heads top-20
+    "x25_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+        |    count(*) AS n_distinct_keys FROM c)
+        |SELECT user_id, n, total_rows, n_distinct_keys,
+        |  n * 1000000 // total_rows AS share_ppm,
+        |  n * 1000 * n_distinct_keys // total_rows AS skew_x1000
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+
+    // the two-window replay: change detection via lag over (ts, event_id),
+    // interval close + version via lead/row_number on the filtered set
+    "x23_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS ts_s, event_id FROM events),
+        |ch AS (SELECT user_id, event_type, ts_s, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS prev
+        |  FROM e),
+        |runs AS (SELECT user_id, event_type, ts_s, event_id FROM ch
+        |  WHERE prev IS NULL OR prev != event_type)
+        |SELECT user_id, event_type, ts_s AS valid_from,
+        |  lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |    AS BIGINT) AS version
+        |FROM runs ORDER BY user_id, version""".stripMargin,
+
     "x19_funnel" -> {
       def step(n: Int, ty: String) =
         s"""s$n AS (SELECT e.user_id AS u, min(e.ts) AS reached FROM events e

@@ -99,4 +99,44 @@ object AsOf {
         (col("__m").getField("__rts").as(rightPrefix + rightTs) +:
           carry.map(c => col("__m").getField(c).as(rightPrefix + c))): _*)
   }
+
+  /** Slowly-changing-dimension type-2 interval builder: collapse each
+    * key's event stream into validity intervals of its tracked attribute —
+    * one row per CHANGE, stamped `(valid_from, valid_to, version)`, with
+    * the current value's `valid_to` null (open interval). Consecutive
+    * events carrying the same attribute value merge into one interval
+    * (the run-length collapse that makes a dimension history readable);
+    * `version` counts changes per key from 1.
+    *
+    * Timestamps are carried as epoch values of whatever numeric the
+    * caller's `tsCol` projection yields — project `col("ts").cast("long")`
+    * for engine-portable seconds (see the events-table oracle note).
+    *
+    * Scale shape: two ranked windows over ONE shuffle on the key (change
+    * detection via lag, interval close via lead on the filtered set —
+    * both windows share partitioning and sort order, so Catalyst plans a
+    * single Exchange + Sort). Ties on `ts` break by `idCol`: the interval
+    * sequence is deterministic for any input. The reference carries
+    * merchant/customer attributes but never builds history
+    * (CustomerSpendingAnalysis.scala:82-88 projects the current values);
+    * extension tier. */
+  def scd2Intervals(
+      df: DataFrame,
+      keyCol: String,
+      attrCol: String,
+      ts: Column,
+      id: Column): DataFrame = {
+    val changed = df
+      .withColumn("__ts", ts)
+      .withColumn("__prev", lag(col(attrCol), 1).over(
+        Window.partitionBy(col(keyCol)).orderBy(ts.asc, id.asc)))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    val wChanged = Window.partitionBy(col(keyCol)).orderBy(col("__ts").asc, id.asc)
+    changed
+      .withColumn("valid_from", col("__ts"))
+      .withColumn("valid_to", lead(col("__ts"), 1).over(wChanged))
+      .withColumn("version", row_number().over(wChanged).cast("long"))
+      .select(col(keyCol), col(attrCol), col("valid_from"),
+        col("valid_to"), col("version"))
+  }
 }

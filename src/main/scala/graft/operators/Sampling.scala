@@ -107,6 +107,49 @@ object Sampling {
     df.withColumn(copyCol, explode(when(copies > 0, sequence(lit(0L), copies - 1))))
   }
 
+  /** Stratified split with EXACT per-stratum proportions: within each
+    * stratum, rows rank by `(content hash, id)` and the rank range cuts at
+    * `floor(cumulative_fraction * n)` boundaries — every stratum lands
+    * within one row of its target fraction, unlike [[hashSplit]]'s
+    * Bernoulli assignment (binomial wobble ~ sqrt(n) per stratum, which
+    * for a 100-row stratum is a +-10% class imbalance). The trade:
+    * boundaries depend on the stratum SIZE, so growing the corpus can
+    * move rows between splits — use [[hashSplit]] when assignment
+    * stability matters more than exact balance (eval sets), this when
+    * balance matters more (per-domain train/val quotas).
+    *
+    * One shuffle on the stratum, one ranked window per stratum (count
+    * rides the same window spec, no second pass). Deterministic for any
+    * partitioning: the hash order is content-keyed and ties break by id. */
+  def stratifiedSplit(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "split",
+      splitCol: String = "split",
+      defaultSplit: String = "rest"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = splits.map(_._2).sum
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) && total <= 1.0 + 1e-9,
+      s"split fractions must be non-negative and sum to <= 1, got $splits")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    val wAll = Window.partitionBy(col(stratumCol))
+    val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
+    val assigned = splits.zip(cumulative).foldRight(lit(defaultSplit): Column) {
+      case (((name, _), cum), rest) =>
+        val bound =
+          if (cum >= 1.0 - 1e-9) col("__n") // exhaustive: rank <= n always
+          else floor(lit(cum) * col("__n").cast("double"))
+        when(col("__rank") <= bound, lit(name)).otherwise(rest)
+    }
+    df.withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn(splitCol, assigned)
+      .drop("__rank", "__n")
+  }
+
   /** Weighted sampling WITHOUT replacement of `k` rows, deterministic and
     * engine-exact. Each row gets `w` independent md5 draws (one per copy
     * index 1..w) and its priority is the MINIMUM draw; the k smallest

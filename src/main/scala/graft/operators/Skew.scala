@@ -115,4 +115,26 @@ object Skew {
       explode(array((0 until saltBuckets).map(lit): _*)))
     saltedBig.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Key-distribution profile — the DIAGNOSTIC that tells you whether the
+    * salted forms above are needed before a shuffle melts down: the top
+    * `topN` keys by row count, each with its corpus share in ppm and its
+    * skew factor vs the mean key (x1000, integer-exact: `n * 1000 *
+    * n_distinct_keys div total_rows`; 1000 = perfectly uniform, 60000 =
+    * this key is 60x the mean — salt it). One combinable count
+    * aggregation + a broadcast of the 2-value totals row; top-N via
+    * per-partition heads. Run it on the join/group keys of any stage that
+    * shows a straggler task. */
+  def keyProfile(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total_rows"),
+      count(lit(1)).as("n_distinct_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n"), col("total_rows"), col("n_distinct_keys"),
+        expr("n * 1000000 div total_rows").as("share_ppm"),
+        expr("n * 1000 * n_distinct_keys div total_rows").as("skew_x1000"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topN)
+  }
 }

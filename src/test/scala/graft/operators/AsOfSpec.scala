@@ -71,4 +71,25 @@ class AsOfSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"as-of must not plan a quadratic join:\n$plan")
   }
+
+  test("scd2Intervals collapses runs, closes intervals, versions changes") {
+    import org.apache.spark.sql.functions.col
+    // user A: x x y x (runs x,y,x) ; user B: z (single open interval)
+    val ev = Seq(
+      ("A", 10L, "x", 1L), ("A", 20L, "x", 2L), ("A", 30L, "y", 3L),
+      ("A", 40L, "x", 4L), ("B", 15L, "z", 5L))
+      .toDF("u", "t", "attr", "id")
+    val got = AsOf.scd2Intervals(ev, "u", "attr", col("t"), col("id"))
+      .as[(String, String, Long, Option[Long], Long)].collect().sortBy(r => (r._1, r._5))
+    assert(got.toSeq == Seq(
+      ("A", "x", 10L, Some(30L), 1L),
+      ("A", "y", 30L, Some(40L), 2L),
+      ("A", "x", 40L, None, 3L),
+      ("B", "z", 15L, None, 1L)))
+    // intervals tile: each valid_to equals the next version's valid_from
+    // (asserted by the fixture above); determinism under repartition
+    val again = AsOf.scd2Intervals(ev.repartition(7), "u", "attr", col("t"), col("id"))
+      .as[(String, String, Long, Option[Long], Long)].collect().sortBy(r => (r._1, r._5))
+    assert(got.toSeq == again.toSeq)
+  }
 }

@@ -197,6 +197,30 @@ class SamplingSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 5L))
   }
 
+  test("stratifiedSplit lands EXACT per-stratum proportions") {
+    val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
+      (1 to 40).map(i => (i.toLong + 5000, "small"))).toDF("id", "stratum")
+    val counts = Sampling.stratifiedSplit(df, "stratum", "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("stratum", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (st, sp, n) => (st, sp) -> n }.toMap
+    // exact cuts: floor(0.8*1000)=800, floor(0.9*1000)=900
+    assert(counts(("big", "train")) == 800L && counts(("big", "val")) == 100L
+      && counts(("big", "test")) == 100L)
+    // a 40-row stratum still splits 32/4/4 — hashSplit's Bernoulli could
+    // not guarantee this (sd ~ 2 rows per class)
+    assert(counts(("small", "train")) == 32L && counts(("small", "val")) == 4L
+      && counts(("small", "test")) == 4L)
+    // deterministic under repartition
+    val a = Sampling.stratifiedSplit(df, "stratum", "id", Seq("train" -> 0.5, "val" -> 0.5))
+      .select("id", "split").as[(Long, String)].collect().toSet
+    val b = Sampling.stratifiedSplit(df.repartition(9), "stratum", "id",
+        Seq("train" -> 0.5, "val" -> 0.5))
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
   // ------------------------------------------- weighted sample w/o repl.
 
   test("weightedSample selects exactly k, deterministically, never w<=0") {
