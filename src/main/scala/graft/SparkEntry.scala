@@ -858,6 +858,33 @@ object SparkEntry {
       est.crossJoin(sh.agg(count_distinct(col("sh")).as("exact_distinct")))
     }),
 
+    // join-size estimate from two count-min sketches (inner product, min
+    // over rows — one-sided like the point estimate): plan-time
+    // cardinality with NO scan of either relation at estimate time
+    "ext_join_estimate" -> ((s, dir) => {
+      val Sk = graft.operators.Sketch
+      val li = Tables.lineitem(s, dir)
+      val os = Tables.orders(s, dir)
+      val est = Sk.cmJoinSizeEstimate(
+        Sk.countMinBuild(li, "l_orderkey", depth = 4, width = 1 << 20),
+        Sk.countMinBuild(os, "o_orderkey", depth = 4, width = 1 << 20), depth = 4)
+      val exact = li.join(os, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact_n"))
+      est.crossJoin(exact)
+    }),
+
+    // fixed-point PSI drift monitor between the two doc_id halves over
+    // n_chars buckets — integer-exact end to end (a drift alert must not
+    // be flaky in the last ulp); the bucket terms sum order-independently
+    "ext_drift_psi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Quality.psiDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          floor(col("n_chars") / lit(64)))
+        .orderBy(col("bucket"))
+    }),
+
     // per-group HLL: distinct-shingle estimate PER LANGUAGE from one pass
     // — G * 2^p counter rows total; each lang's slice is a standalone
     // mergeable sketch. Registers, integer evidence and the two-rounding
@@ -2892,6 +2919,55 @@ object SparkEntry {
          |  (SELECT count(DISTINCT sh) FROM sh) AS exact_distinct
          |FROM fin""".stripMargin
     },
+
+    // the same two sketch rebuilds joined bucket-wise; min row inner
+    // product + the exact join count
+    "ext_join_estimate" ->
+      """WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |ska AS (SELECT r, bucket, count(*) AS cnt FROM (
+        |    SELECT rs.r, CAST(CAST('0x' || substr(md5(l_orderkey::VARCHAR ||
+        |      '#cm' || CAST(rs.r AS VARCHAR) || '.cm'), 1, 8) AS UBIGINT) AS BIGINT)
+        |      % 1048576 AS bucket
+        |    FROM lineitem CROSS JOIN rs) t GROUP BY r, bucket),
+        |skb AS (SELECT r, bucket, count(*) AS cnt FROM (
+        |    SELECT rs.r, CAST(CAST('0x' || substr(md5(o_orderkey::VARCHAR ||
+        |      '#cm' || CAST(rs.r AS VARCHAR) || '.cm'), 1, 8) AS UBIGINT) AS BIGINT)
+        |      % 1048576 AS bucket
+        |    FROM orders CROSS JOIN rs) t GROUP BY r, bucket),
+        |ip AS (SELECT ska.r, CAST(sum(ska.cnt * skb.cnt) AS BIGINT) AS row_est
+        |  FROM ska JOIN skb USING (r, bucket) GROUP BY ska.r)
+        |SELECT CAST(min(row_est) AS BIGINT) AS estimate,
+        |  count(*) AS rows_present,
+        |  (SELECT count(*) FROM lineitem JOIN orders
+        |    ON l_orderkey = o_orderkey) AS exact_n
+        |FROM ip""".stripMargin,
+
+    // smoothed union-bucket cells, the same integer dp / pl2 log-ratio
+    // arithmetic, per-bucket terms
+    "ext_drift_psi" ->
+      """WITH a AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+        |    count(*) AS ra FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+        |    count(*) AS rb FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |cells AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+        |    coalesce(ra, 0) + 1 AS n_a, coalesce(rb, 0) + 1 AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS na_tot,
+        |    CAST(sum(n_b) AS BIGINT) AS nb_tot FROM cells),
+        |fp AS (SELECT bucket, n_a, n_b,
+        |    n_a * 1048576 // na_tot - n_b * 1048576 // nb_tot AS dp,
+        |    n_a * nb_tot AS num, n_b * na_tot AS den
+        |  FROM cells CROSS JOIN t),
+        |y AS (SELECT bucket, n_a, n_b, dp, num, den,
+        |    CASE WHEN num >= den THEN num * 1024 // den
+        |         ELSE den * 1024 // num END AS yv FROM fp),
+        |e AS (SELECT *, length(bin(yv)) - 1 AS ee FROM y),
+        |alr AS (SELECT bucket, n_a, n_b, dp, num, den,
+        |    ee * 65536 + ((yv - (CAST(1 AS BIGINT) << ee)) * 65536 >> ee)
+        |      - 655360 AS av FROM e)
+        |SELECT bucket, n_a, n_b,
+        |  dp * (CASE WHEN num >= den THEN av ELSE -av END) AS term_fp
+        |FROM alr ORDER BY bucket""".stripMargin,
 
     // the grouped register rebuild: same draws, same evidence columns,
     // every aggregate keyed by lang

@@ -192,4 +192,53 @@ object Quality {
         col(s"__mn_$c").as("min_repr"), col(s"__mx_$c").as("max_repr"))
     }: _*)).as("p")).select("p.*")
   }
+
+  /** Population-stability drift between two relations, per bucket, in
+    * FIXED POINT — the PSI monitor (`sum_b (pA_b - pB_b) ln(pA_b/pB_b)`)
+    * with the log in base 2 and every step integer-exact, so the drift
+    * report replays bit-for-bit in any engine (a float PSI differs in the
+    * last ulps across libm implementations; a drift ALERT must not be
+    * flaky). Mechanics:
+    *
+    *   - counts per bucket on each side get +1 Laplace smoothing over the
+    *     UNION of buckets (PSI is undefined on empty cells; smoothing
+    *     keeps the integers exact where an epsilon would not be),
+    *   - `dp_fp = n_a * 2^20 div NA - n_b * 2^20 div NB` (the probability
+    *     gap in 2^-20 units),
+    *   - the log ratio runs through the same piecewise-linear log2 device
+    *     as BM25's idf, sign-split so ratios below 1 negate the inverse,
+    *   - `term_fp = dp_fp * lr_fp` (2^-36 units) — per-bucket terms sum
+    *     order-independently; PSI/ln2 thresholds apply (0.1/ln2 ~ 0.144
+    *     in these units x 2^36).
+    *
+    * Output: one row per union bucket `(bucket, n_a, n_b, term_fp)`
+    * (smoothed counts). Both sides aggregate combinably (counts, not
+    * rows, shuffle); the union join is on the bucket id. PSI is
+    * scale-invariant in the proportions, so when cell counts approach
+    * 2^26 (where `n * tot * 1024` nears Long range) downscale both
+    * sides' counts proportionally before calling — the monitor's job is
+    * the distribution, not the magnitudes. */
+  def psiDrift(a: DataFrame, b: DataFrame, bucket: Column): DataFrame = {
+    val ca = a.select(bucket.cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__ra"))
+    val cb = b.select(bucket.cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__rb"))
+    val cells = ca.join(cb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("__ra"), lit(0L)) + 1L).as("n_a"),
+        (coalesce(col("__rb"), lit(0L)) + 1L).as("n_b"))
+    val totals = cells.agg(sum(col("n_a")).as("na_tot"), sum(col("n_b")).as("nb_tot"))
+    cells.crossJoin(broadcast(totals))
+      .withColumn("__dp", expr("n_a * 1048576 div na_tot - n_b * 1048576 div nb_tot"))
+      .withColumn("__num", expr("n_a * nb_tot"))
+      .withColumn("__den", expr("n_b * na_tot"))
+      .withColumn("__y", expr(
+        "CASE WHEN __num >= __den THEN __num * 1024 div __den ELSE __den * 1024 div __num END"))
+      .withColumn("__e", expr("length(bin(__y)) - 1"))
+      .withColumn("__alr", expr(
+        "__e * 65536 + shiftright((__y - shiftleft(CAST(1 AS BIGINT), __e)) * 65536, __e) - 655360"))
+      .withColumn("term_fp", expr(
+        "__dp * (CASE WHEN __num >= __den THEN __alr ELSE -__alr END)"))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("term_fp"))
+  }
 }

@@ -58,6 +58,38 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Equi-join cardinality estimate from two count-min sketches built with
+    * the SAME (depth, width, salt) hash family: `|A join B| = sum_v
+    * fA(v) * fB(v)`, and each sketch row's bucket-wise inner product
+    * `sum_b cmA[r][b] * cmB[r][b]` OVERESTIMATES that (bucket collisions
+    * only add non-negative cross terms), so the minimum over rows is the
+    * estimate and the error is one-sided (estimate >= truth) — the
+    * sketch-join-size device of Alon et al. / Cormode-Muthukrishnan §4.
+    *
+    * The at-scale story is plan-time cardinality: both relations collapse
+    * to `depth * width` counters as they stream (combinable, mergeable
+    * across shards/days), and estimating any pairwise join costs a join
+    * of two tiny counter tables — NO scan of either relation at estimate
+    * time. Skew-robust where sampling-based estimators fail: a hot key's
+    * mass sits in its counters in full.
+    *
+    * Returns one row `(estimate, rows_present)`; an empty bucket
+    * intersection on any sketch row estimates 0 (the row's inner product
+    * is an upper bound too). */
+  def cmJoinSizeEstimate(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    require(depth > 0, s"depth must be positive, got $depth")
+    val bb = b.select(col("sketch_row"), col("bucket"), col("cnt").as("cnt_b"))
+    a.join(bb, Seq("sketch_row", "bucket"))
+      .groupBy(col("sketch_row"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("row_est"))
+      .agg(coalesce(min(col("row_est")), lit(0L)).as("__m"),
+        count(lit(1)).as("rows_present"))
+      .select(
+        when(col("rows_present") < depth, lit(0L)).otherwise(col("__m"))
+          .as("estimate"),
+        col("rows_present"))
+  }
+
   /** Point estimates for `queries(itemCol)` against a built sketch: the
     * minimum counter across rows, 0 for never-seen items. The sketch side
     * is broadcast (it is at most `depth * width` rows by construction), so

@@ -121,4 +121,30 @@ class QualitySpec extends SparkSpec {
         s"$k: exact-sums var $v vs Spark var_pop ${ref(k)}")
     }
   }
+
+  test("psiDrift: identical distributions score ~0, shifted ones alarm") {
+    // same shape both sides: 4 buckets with 100/200/300/400 rows each
+    def side(off: Long) = (0 until 1000).map { i =>
+      (i.toLong + off, (math.sqrt(i * 2 + 1).toLong / 16).min(3))
+    }.toDF("id", "b")
+    val same = Quality.psiDrift(side(0), side(5000), col("b"))
+      .agg(sum(col("term_fp"))).as[Long].head()
+    // PSI/ln2 in 2^-36 units: 0.1 threshold ~ 0.144 * 2^36 ~ 9.9e9
+    assert(math.abs(same) < (1L << 36) / 100,
+      s"identical distributions scored $same (PSI ~ ${same.toDouble / (1L << 36)})")
+
+    // shift all mass one bucket up on side b
+    val shifted = (0 until 1000).map { i =>
+      (i.toLong, (math.sqrt(i * 2 + 1).toLong / 16).min(3) + 4)
+    }.toDF("id", "b")
+    val alarm = Quality.psiDrift(side(0), shifted, col("b"))
+      .agg(sum(col("term_fp"))).as[Long].head()
+    assert(alarm > (1L << 36), // PSI/ln2 > 1.0 — far past any alert bar
+      s"disjoint buckets scored only $alarm")
+
+    // deterministic under repartition (the alert must never be flaky)
+    val again = Quality.psiDrift(side(0).repartition(7), side(5000).repartition(3),
+      col("b")).agg(sum(col("term_fp"))).as[Long].head()
+    assert(again == same)
+  }
 }

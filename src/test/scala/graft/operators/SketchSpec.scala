@@ -231,6 +231,29 @@ class SketchSpec extends SparkSpec {
     assert(nSus >= 8 && nSus <= nSh) // the leaked 12-gram carries 8 5-grams
   }
 
+  // ------------------------------------------------- join-size estimate
+
+  test("cmJoinSizeEstimate is one-sided and tight at adequate width") {
+    val a = (1 to 4000).map(i => s"k${i % 500}").toDF("k")   // 500 keys x 8
+    val b = (1 to 1000).map(i => s"k${i % 250}").toDF("k")   // 250 keys x 4
+    // true join size: 250 shared keys x 8 x 4
+    val truth = 250L * 8 * 4
+    val est = Sketch.cmJoinSizeEstimate(
+        Sketch.countMinBuild(a, "k", 4, 1 << 16),
+        Sketch.countMinBuild(b, "k", 4, 1 << 16), depth = 4)
+      .as[(Long, Long)].head()
+    assert(est._1 >= truth, s"estimate ${est._1} below truth $truth (must be one-sided)")
+    assert(est._1 <= truth * 1.2, s"estimate ${est._1} implausibly loose vs $truth")
+
+    // disjoint key spaces: estimate collapses toward zero, never negative
+    val d = (1 to 100).map(i => s"x$i").toDF("k")
+    val e2 = Sketch.cmJoinSizeEstimate(
+        Sketch.countMinBuild(a, "k", 4, 1 << 16),
+        Sketch.countMinBuild(d, "k", 4, 1 << 16), depth = 4)
+      .as[(Long, Long)].head()
+    assert(e2._1 >= 0 && e2._1 < 50, s"disjoint estimate ${e2._1} not near zero")
+  }
+
   // ----------------------------------------------------- grouped hll
 
   test("grouped HLL: each group's slice IS the standalone sketch") {
