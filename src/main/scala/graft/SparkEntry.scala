@@ -873,6 +873,14 @@ object SparkEntry {
       est.crossJoin(exact)
     }),
 
+    // Tukey-fence outliers from SAMPLED quartiles: the corpus is never
+    // sorted, fences broadcast, flags fall out of one scan-parallel filter
+    "ext_outlier_iqr" -> ((s, dir) =>
+      graft.operators.Quality.iqrOutliers(
+          Tables.events(s, dir).select(col("event_id"), col("value")),
+          "value", col("event_id"), 1.0 / 4)
+        .orderBy(col("event_id"))),
+
     // fixed-point PSI drift monitor between the two doc_id halves over
     // n_chars buckets — integer-exact end to end (a drift alert must not
     // be flaky in the last ulp); the bucket terms sum order-independently
@@ -1584,6 +1592,10 @@ object SparkEntry {
     // the exact dedup set (bitmaps sized so the deterministic md5 positions
     // produce zero false positives at test scale). RocksDB required by TWS,
     // conf restored after (same arrangement as stream_session_tws).
+    // live drift monitor: the stream maintains only bucket counts; the
+    // fixed-point PSI report projects over them vs the static reference
+    "stream_drift_psi" -> ((s, dir) => streamDriftPsi(s, dir)),
+
     // live percentiles at fixed memory: the stateless deterministic-hash
     // sample is the ONLY streaming state (sorted list + count in complete
     // mode); rank selection re-runs each trigger
@@ -1882,6 +1894,42 @@ object SparkEntry {
       ms.addData(chunks.head.toIndexedSeq); q.processAllAvailable()
     } finally q.stop()
     s.table("stream_hll_registers_t")
+  }
+
+  /** The live-drift run behind `stream_drift_psi`: the even-doc_id half is
+    * the STATIC reference corpus; the odd half streams in four
+    * micro-batches, its n_chars bucket counts maintained as a
+    * complete-mode aggregation (additive — each row feeds exactly once,
+    * like the count-min twin). The fixed-point PSI report is a stateless
+    * projection over the final maintained counts vs the reference cells —
+    * the monitor shape where the stream holds only G counter rows and the
+    * alert math replays exactly ([[graft.operators.Quality.psiDriftCounts]]).
+    * Graded by the same oracle as the batch `ext_drift_psi`. */
+  private def streamDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .select(floor(col("n_chars") / lit(64)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__ra"))
+    val rows = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
+      .as[(Long, Long)].collect()
+    val ms = MemoryStream[(Long, Long)]
+    val cells = ms.toDF().toDF("doc_id", "n_chars")
+      .select(floor(col("n_chars") / lit(64)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__rb"))
+    val ckpt = tempCkpt()
+    val q = cells.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_drift_psi_cells")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    graft.operators.Quality.psiDriftCounts(ref, s.table("stream_drift_psi_cells"))
+      .orderBy(col("bucket"))
   }
 
   /** The sharded-bloom dedup run behind `stream_bloom_dedup`: documents
@@ -2259,6 +2307,31 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
       |  FROM sc) t
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  private val psiDriftSql =
+"""WITH a AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+        |    count(*) AS ra FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+        |    count(*) AS rb FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |cells AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+        |    coalesce(ra, 0) + 1 AS n_a, coalesce(rb, 0) + 1 AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS na_tot,
+        |    CAST(sum(n_b) AS BIGINT) AS nb_tot FROM cells),
+        |fp AS (SELECT bucket, n_a, n_b,
+        |    n_a * 1048576 // na_tot - n_b * 1048576 // nb_tot AS dp,
+        |    n_a * nb_tot AS num, n_b * na_tot AS den
+        |  FROM cells CROSS JOIN t),
+        |y AS (SELECT bucket, n_a, n_b, dp, num, den,
+        |    CASE WHEN num >= den THEN num * 1024 // den
+        |         ELSE den * 1024 // num END AS yv FROM fp),
+        |e AS (SELECT *, length(bin(yv)) - 1 AS ee FROM y),
+        |alr AS (SELECT bucket, n_a, n_b, dp, num, den,
+        |    ee * 65536 + ((yv - (CAST(1 AS BIGINT) << ee)) * 65536 >> ee)
+        |      - 655360 AS av FROM e)
+        |SELECT bucket, n_a, n_b,
+        |  dp * (CASE WHEN num >= den THEN av ELSE -av END) AS term_fp
+        |FROM alr ORDER BY bucket""".stripMargin
 
   private val pqExactSql =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -2942,32 +3015,30 @@ object SparkEntry {
         |    ON l_orderkey = o_orderkey) AS exact_n
         |FROM ip""".stripMargin,
 
+    // sampled quartiles by the same rank selection, fence arithmetic in
+    // the same operation order, flags from the full relation
+    "ext_outlier_iqr" ->
+      """WITH ev AS (SELECT event_id, value FROM events),
+        |s AS (SELECT value AS v, event_id::VARCHAR AS id FROM ev
+        |  WHERE substr(md5(event_id::VARCHAR || '#qsample'), 1, 8) < '40000000'),
+        |sr AS (SELECT v, row_number() OVER (ORDER BY v, id) - 1 AS rnk FROM s),
+        |sn AS (SELECT count(*) AS n FROM s),
+        |qq AS (SELECT
+        |    max(CASE WHEN q = 0.25 THEN v END) AS q1,
+        |    max(CASE WHEN q = 0.75 THEN v END) AS q3
+        |  FROM (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.25), (0.75)) t(q))
+        |  CROSS JOIN sn JOIN sr ON floor(q * (n - 1)) = sr.rnk),
+        |f AS (SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM qq)
+        |SELECT event_id, value, lo, hi FROM ev CROSS JOIN f
+        |WHERE value < lo OR value > hi
+        |ORDER BY event_id""".stripMargin,
+
     // smoothed union-bucket cells, the same integer dp / pl2 log-ratio
     // arithmetic, per-bucket terms
-    "ext_drift_psi" ->
-      """WITH a AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
-        |    count(*) AS ra FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
-        |b AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
-        |    count(*) AS rb FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
-        |cells AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
-        |    coalesce(ra, 0) + 1 AS n_a, coalesce(rb, 0) + 1 AS n_b
-        |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
-        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS na_tot,
-        |    CAST(sum(n_b) AS BIGINT) AS nb_tot FROM cells),
-        |fp AS (SELECT bucket, n_a, n_b,
-        |    n_a * 1048576 // na_tot - n_b * 1048576 // nb_tot AS dp,
-        |    n_a * nb_tot AS num, n_b * na_tot AS den
-        |  FROM cells CROSS JOIN t),
-        |y AS (SELECT bucket, n_a, n_b, dp, num, den,
-        |    CASE WHEN num >= den THEN num * 1024 // den
-        |         ELSE den * 1024 // num END AS yv FROM fp),
-        |e AS (SELECT *, length(bin(yv)) - 1 AS ee FROM y),
-        |alr AS (SELECT bucket, n_a, n_b, dp, num, den,
-        |    ee * 65536 + ((yv - (CAST(1 AS BIGINT) << ee)) * 65536 >> ee)
-        |      - 655360 AS av FROM e)
-        |SELECT bucket, n_a, n_b,
-        |  dp * (CASE WHEN num >= den THEN av ELSE -av END) AS term_fp
-        |FROM alr ORDER BY bucket""".stripMargin,
+    "ext_drift_psi" -> psiDriftSql,
+    // the streamed counts ARE the batch counts (additive, fed once) — the
+    // same report, the same oracle
+    "stream_drift_psi" -> psiDriftSql,
 
     // the grouped register rebuild: same draws, same evidence columns,
     // every aggregate keyed by lang

@@ -193,6 +193,33 @@ object Quality {
     }: _*)).as("p")).select("p.*")
   }
 
+  /** Tukey-fence outlier report at corpus scale: quartiles come from the
+    * bounded deterministic sample ([[Sketch.sampleQuantiles]] — the corpus
+    * is never sorted), fences are `q1 - w*iqr` / `q3 + w*iqr`, and the
+    * flagged rows fall out of one scan-parallel filter against the
+    * broadcast 2-value fence row. Two scans of `df` total (the sample
+    * filter and the outlier filter); fences are picked ELEMENTS, so the
+    * whole report replays exactly cross-engine. Output: the input columns
+    * of flagged rows plus `(lo, hi)`. */
+  def iqrOutliers(
+      df: DataFrame,
+      valueCol: String,
+      id: Column,
+      fraction: Double,
+      whisker: Double = 1.5,
+      salt: String = "qsample"): DataFrame = {
+    val qs = Sketch.sampleQuantiles(df, valueCol, id, fraction,
+      Seq(0.25, 0.75), salt)
+    val fences = qs.agg(
+        max(when(col("q") === 0.25, col("value"))).as("q1"),
+        max(when(col("q") === 0.75, col("value"))).as("q3"))
+      .select(
+        (col("q1") - lit(whisker) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(whisker) * (col("q3") - col("q1"))).as("hi"))
+    df.crossJoin(broadcast(fences))
+      .filter(col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+  }
+
   /** Population-stability drift between two relations, per bucket, in
     * FIXED POINT — the PSI monitor (`sum_b (pA_b - pB_b) ln(pA_b/pB_b)`)
     * with the log in base 2 and every step integer-exact, so the drift
@@ -223,6 +250,14 @@ object Quality {
       .groupBy(col("bucket")).agg(count(lit(1)).as("__ra"))
     val cb = b.select(bucket.cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("__rb"))
+    psiDriftCounts(ca, cb)
+  }
+
+  /** [[psiDrift]] from pre-aggregated bucket counts `(bucket, __ra)` /
+    * `(bucket, __rb)` — the entry for callers that already maintain the
+    * counts (a complete-mode streaming aggregation, a rolled-up daily
+    * table): the fixed-point report is a stateless projection over them. */
+  def psiDriftCounts(ca: DataFrame, cb: DataFrame): DataFrame = {
     val cells = ca.join(cb, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         (coalesce(col("__ra"), lit(0L)) + 1L).as("n_a"),

@@ -327,6 +327,32 @@ class PlanSpec extends SparkSpec {
       "no range-partitioned global sort of the raw value column")
   }
 
+  test("x24_stratified_split: one shuffle on the stratum; both windows share it") {
+    val p = plan("x24_stratified_split")
+    // rank + count windows must share the stratum Exchange (one
+    // hashpartitioning on source), never add a second shuffle
+    val exchanges = "hashpartitioning\\(source".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected ONE stratum hash exchange, saw $exchanges:\n$p")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length == 2,
+      "both windows must appear, sharing the single exchange")
+  }
+
+  test("ext_join_estimate: sketches combine map-side; no scan-side join") {
+    val p = plan("ext_join_estimate")
+    assert(p.contains("partial_count"), "sketch counters must combine map-side")
+    // the estimate joins two counter tables — the raw relations must meet
+    // only in the EXACT-truth branch (one join of the two scans is that
+    // branch; the estimate side must not add a SortMergeJoin of scans)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ext_drift_psi: cells aggregate combinably, totals broadcast back") {
+    val p = plan("ext_drift_psi")
+    assert(p.contains("partial_count"), "bucket counts must combine map-side")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 2-value totals row must broadcast, not shuffle")
+  }
+
   test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col

@@ -122,6 +122,23 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("iqrOutliers flags exactly the out-of-fence rows, deterministically") {
+    // 1000 mild values + 20 planted extremes
+    val df = ((1 to 1000).map(i => (i.toLong, 50.0 + (i % 100))) ++
+      (1 to 10).map(i => (5000L + i, 100000.0 + i)) ++
+      (1 to 10).map(i => (6000L + i, -100000.0 - i))).toDF("id", "v")
+    val got = Quality.iqrOutliers(df, "v", col("id"), fraction = 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(got == ((1 to 10).map(5000L + _) ++ (1 to 10).map(6000L + _)).toSet,
+      s"flagged $got")
+    // sampled fences still flag the planted extremes and are stable
+    val s1 = Quality.iqrOutliers(df, "v", col("id"), 1.0 / 4)
+      .select("id").as[Long].collect().toSet
+    val s2 = Quality.iqrOutliers(df.repartition(7), "v", col("id"), 1.0 / 4)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2 && ((1 to 10).map(5000L + _).toSet -- s1).isEmpty)
+  }
+
   test("psiDrift: identical distributions score ~0, shifted ones alarm") {
     // same shape both sides: 4 buckets with 100/200/300/400 rows each
     def side(off: Long) = (0 until 1000).map { i =>
