@@ -470,6 +470,36 @@ object Bench {
           .count()
       }
 
+      // ---- IVF-PQ soak: pruning + compression composed at 1M -----------
+      // The capstone ANN number: nprobe 8 of nlist 64 prunes the candidate
+      // set ~8x vs flat ADC, and the probed side still carries codes, not
+      // embeddings. Encode + assignment are the one-time build (both cut);
+      // search alone is the recurring cost.
+      val sA3 = stage("ann_ivfpq_1m", perStage = true) {
+        import org.apache.spark.sql.functions.{lit, pmod, sequence, when, xxhash64, transform => hof}
+        def spikeVecs(n: Long, idStep: Long, idOffset: Long) = {
+          val label = ((col("id") * idStep + idOffset) % 100).cast("int")
+          spark.range(n).select(
+            (col("id") * idStep + idOffset).as("vec_id"), label.as("label"),
+            hof(sequence(lit(0), lit(15)), i =>
+              (pmod(xxhash64(col("id") * idStep + idOffset, i), lit(1000L))
+                .cast("double") / 1000.0) +
+                when(i === pmod(label, lit(16)),
+                  lit(10.0) + (label / lit(16)).cast("int") * lit(3.0))
+                  .otherwise(lit(0.0))).as("embedding"))
+        }
+        val corpus = spikeVecs(1000000L, 1L, 0L)
+        val model = graft.operators.Similarity.pqTrain(corpus, m = 8, ksub = 64)
+        val codes = graft.util.Checkpoints.cut(
+          graft.operators.Similarity.pqEncode(corpus, model))
+        val idx = graft.operators.Similarity.ivfIndex(corpus, nlist = 64, nprobe = 8)
+        spikeVecs(1000L, 997L, 2000000L)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+          .transform(q => graft.operators.Similarity.ivfPqTopK(
+            idx, codes, q, model, k = 10, nprobe = 8))
+          .count()
+      }
+
       // ---- bigram-LM soak: perplexity-proxy scoring at 500k docs --------
       // ~25x the graded corpus (tens of millions of bigram occurrences).
       // The claims: LM counts partial-combine map-side (the shuffle
@@ -680,7 +710,7 @@ object Bench {
       val s10 = if (stageFilter.exists(!_("session_tws_2m"))) ""
         else sessionTwsSoak(spark)
 
-      Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sB1, sK1, sK2, sK3, sK4, s4, s5, s6,
+      Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sB1, sK1, sK2, sK3, sK4, s4, s5, s6,
           s7, s8, sD1, sD2, sB2, sQ1, sQ2, s9, s10)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
