@@ -646,6 +646,45 @@ object SparkEntry {
     "x25_skew_profile" -> ((s, dir) =>
       graft.operators.Skew.keyProfile(Tables.events(s, dir), "user_id", topN = 20)),
 
+    // time-grid resample + forward-fill: per-user hourly grid (sequence
+    // explode — scan-parallel fan-out) as-of joined to the observations.
+    // The feature-grid shape: ML features at regular timestamps from
+    // irregular events, one shuffle on the key (the as-of union-window)
+    "x26_resample_ffill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+          date_trunc("hour", max(col("ts"))).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("interval 1 hour"))).as("grid_ts"))
+      graft.operators.AsOf.joinAsOf(grid, ev, keys = Seq("user_id"),
+          leftTs = "grid_ts", rightTs = "ts",
+          rightCols = Seq("value", "event_id"), rightPrefix = "f_")
+        .select(col("user_id"), unix_micros(col("grid_ts")).as("grid_us"),
+          unix_micros(col("f_ts")).as("src_us"), col("f_value").as("value"),
+          col("f_event_id").as("src_event_id"))
+        .orderBy(col("user_id"), col("grid_us"))
+    }),
+
+    // per-user 24h rolling spend over EVENT TIME (range frame, not row
+    // frame — sparse activity windows hold the right rows); cents keep the
+    // windowed sum integer-exact (sliding-window agg algorithms associate
+    // doubles differently across engines)
+    "x27_rolling_24h" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-86400000000L, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rolling_cents", sum(col("cents")).over(w))
+        .withColumn("rolling_n", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("rolling_cents"), col("rolling_n"))
+        .orderBy(col("event_id"))
+    }),
+
     // SCD2 dimension history: each user's event_type runs collapsed to
     // validity intervals (epoch-MICROsecond stamps — the events table has
     // sub-second timestamps, and integer micros are the cross-engine-exact
@@ -2779,6 +2818,36 @@ object SparkEntry {
     // earliest qualifying event at-or-after (and within 24h of) the
     // previous step's; counts are scalar subqueries so empty steps still
     // emit their row, mirroring the engine's count-on-empty aggregate
+    // per-user hourly generate_series + the last observation at-or-before
+    // each grid point (correlated order-by-limit — the union-window's
+    // semantics; ties impossible at microsecond event times)
+    "x26_resample_ffill" ->
+      """WITH b AS (SELECT user_id,
+        |    date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+        |  FROM b),
+        |f AS (SELECT g.user_id, epoch_us(g.grid_ts) AS grid_us,
+        |    (SELECT epoch_us(e.ts) FROM events e WHERE e.user_id = g.user_id
+        |      AND e.ts <= g.grid_ts ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS src_us,
+        |    (SELECT e.value FROM events e WHERE e.user_id = g.user_id
+        |      AND e.ts <= g.grid_ts ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS value,
+        |    (SELECT e.event_id FROM events e WHERE e.user_id = g.user_id
+        |      AND e.ts <= g.grid_ts ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS src_event_id
+        |  FROM g)
+        |SELECT user_id, grid_us, src_us, value, src_event_id FROM f
+        |ORDER BY user_id, grid_us""".stripMargin,
+
+    // the same range frame over epoch micros; cents via round-half-up
+    "x27_rolling_24h" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS rolling_cents,
+        |  count(*) OVER w AS rolling_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     // rank-range replay: same (md5 bucket, id) order, same floor(cum * n)
     // boundaries per stratum
     "x24_stratified_split" ->
