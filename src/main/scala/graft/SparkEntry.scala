@@ -1631,6 +1631,19 @@ object SparkEntry {
     // the exact dedup set (bitmaps sized so the deterministic md5 positions
     // produce zero false positives at test scale). RocksDB required by TWS,
     // conf restored after (same arrangement as stream_session_tws).
+    // streaming SCD2 changelog: one ValueState row per key in TWS, change
+    // rows append as attributes transition — the CDC shape of x23's
+    // dimension history (RocksDB required by TWS, conf restored after)
+    "stream_scd2_changes" -> ((s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      GraftSession.enableRocksDbState(s)
+      try streamScd2(s, dir) finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
     // live drift monitor: the stream maintains only bucket counts; the
     // fixed-point PSI report projects over them vs the static reference
     "stream_drift_psi" -> ((s, dir) => streamDriftPsi(s, dir)),
@@ -1933,6 +1946,38 @@ object SparkEntry {
       ms.addData(chunks.head.toIndexedSeq); q.processAllAvailable()
     } finally q.stop()
     s.table("stream_hll_registers_t")
+  }
+
+  /** The streaming-changelog run behind `stream_scd2_changes`: events fed
+    * in four ts-ordered micro-batches through the per-key TWS state
+    * machine ([[graft.streaming.Scd2Stream]] — one ValueState row per
+    * key), emitting a change row per attribute transition. The final
+    * table must equal the change half of the batch SCD2 (x23's runs —
+    * same lag-based oracle minus the interval close). */
+  private def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("user_id").cast("string").as("key"),
+        unix_micros(col("ts")).as("ts"), col("event_type").as("attr"),
+        col("event_id").as("id"))
+      .orderBy(col("ts"), col("id"))
+      .as[graft.streaming.Scd2Stream.Ev].collect()
+    val ms = MemoryStream[graft.streaming.Scd2Stream.Ev]
+    val ckpt = tempCkpt()
+    val q = graft.streaming.Scd2Stream.changes(ms.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_scd2_changes_t")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table("stream_scd2_changes_t")
+      .select(col("key").cast("long").as("user_id"), col("attr").as("event_type"),
+        col("valid_from"), col("version"))
+      .orderBy(col("user_id"), col("version"))
   }
 
   /** The live-drift run behind `stream_drift_psi`: the even-doc_id half is
@@ -2872,6 +2917,22 @@ object SparkEntry {
         |  n * 1000 * n_distinct_keys // total_rows AS skew_x1000
         |FROM c CROSS JOIN t
         |ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+
+    // the change half of x23's oracle: same lag-based run detection, no
+    // interval close (the streamed changelog publishes valid_from only)
+    "stream_scd2_changes" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS ts_s, event_id FROM events),
+        |ch AS (SELECT user_id, event_type, ts_s, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS prev
+        |  FROM e),
+        |runs AS (SELECT user_id, event_type, ts_s, event_id FROM ch
+        |  WHERE prev IS NULL OR prev != event_type)
+        |SELECT user_id, event_type, ts_s AS valid_from,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |    AS BIGINT) AS version
+        |FROM runs ORDER BY user_id, version""".stripMargin,
 
     // the two-window replay: change detection via lag over (ts, event_id),
     // interval close + version via lead/row_number on the filtered set
