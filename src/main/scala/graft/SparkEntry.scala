@@ -646,6 +646,24 @@ object SparkEntry {
     "x25_skew_profile" -> ((s, dir) =>
       graft.operators.Skew.keyProfile(Tables.events(s, dir), "user_id", topN = 20)),
 
+    // trending items: top-3 event types per 6h tumbling window by count —
+    // the windowed heavy-hitter leaderboard (rank inside each window
+    // partition; integer counts, micros window bounds)
+    "x28_trending" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val win = window(col("ts"), "6 hours")
+      val counts = Tables.events(s, dir)
+        .groupBy(win.as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("win_start"),
+          col("event_type"), col("n"))
+      val rankW = Window.partitionBy(col("win_start"))
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rank", row_number().over(rankW).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy(col("win_start"), col("rank"))
+    }),
+
     // time-grid resample + forward-fill: per-user hourly grid (sequence
     // explode — scan-parallel fan-out) as-of joined to the observations.
     // The feature-grid shape: ML features at regular timestamps from
@@ -2863,6 +2881,19 @@ object SparkEntry {
     // earliest qualifying event at-or-after (and within 24h of) the
     // previous step's; counts are scalar subqueries so empty steps still
     // emit their row, mirroring the engine's count-on-empty aggregate
+    // epoch-aligned tumbling buckets (Spark's window() aligns to the epoch
+    // in the session TZ = UTC), counts, rank-3 per bucket
+    "x28_trending" ->
+      """WITH c AS (SELECT
+        |    epoch_us(ts) // 21600000000 * 21600000000 AS win_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT win_start, event_type, n, rank FROM (
+        |  SELECT win_start, event_type, n, CAST(row_number() OVER (
+        |    PARTITION BY win_start ORDER BY n DESC, event_type) AS BIGINT) AS rank
+        |  FROM c) t
+        |WHERE rank <= 3 ORDER BY win_start, rank""".stripMargin,
+
     // per-user hourly generate_series + the last observation at-or-before
     // each grid point (correlated order-by-limit — the union-window's
     // semantics; ties impossible at microsecond event times)

@@ -353,6 +353,20 @@ class PlanSpec extends SparkSpec {
       "the 2-value totals row must broadcast, not shuffle")
   }
 
+  test("x26_resample_ffill: grid fan-out is a Generate; as-of stays one key shuffle") {
+    val p = plan("x26_resample_ffill")
+    assert(p.contains("Generate"), "the hourly grid must explode scan-parallel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the as-of must not plan a quadratic join")
+  }
+
+  test("x27_rolling_24h: one hash exchange on the user, range-frame window") {
+    val p = plan("x27_rolling_24h")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      "rolling window must shuffle once on the key")
+    assert(p.contains("RangeFrame"), "frame must be RANGE, not ROWS")
+  }
+
   test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
