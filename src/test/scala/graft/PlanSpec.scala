@@ -36,6 +36,62 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
   }
 
+  test("q7: ship-year range pushed to scan, dims broadcast, no cartesian") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q8: PROMO filter reaches the part scan before the 8-way join") {
+    val p = plan("q8_market_share")
+    assert(p.contains("EqualTo(p_type,PROMO)"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q13: priority exclusion pushed into the orders scan, two-level count") {
+    val p = plan("q13_custdist")
+    assert(p.contains("Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))"))
+    assert(p.contains("partial_count"))
+  }
+
+  test("q14: single ship-month window pushed to the lineitem scan") {
+    val p = plan("q14_promo_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1996-09-01") &&
+      p.contains("LessThan(l_shipdate,1996-10-01"))
+  }
+
+  test("q16: excluded suppliers are a broadcast anti-join; size list pushed") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("In(p_size"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q17: brand filter pushed; correlated threshold is a join, not a loop") {
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("EqualTo(p_brand,Brand#5)"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q19: Catalyst extracts the disjunction's bounds into BOTH scans") {
+    val p = plan("q19_disjunctive_pred")
+    // the OR of three (brand,size,qty) bands must not block pushdown: the
+    // quantity disjunct lands in lineitem's PushedFilters and the brand/size
+    // disjunct in part's — each scan prunes before the join.
+    assert("Or\\(.*l_quantity".r.findFirstIn(p).isDefined ||
+      p.contains("GreaterThanOrEqual(l_quantity"))
+    assert("Or\\(.*p_brand".r.findFirstIn(p).isDefined)
+  }
+
+  test("q21: sole-late-supplier is semi+anti joins, orderstatus pushed") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(p.contains("EqualTo(o_orderstatus,F)"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("a2: windowed aggregation is partial+final around one exchange") {
     val p = plan("a2_windowed_spend")
     assert(p.contains("partial_sum"))
