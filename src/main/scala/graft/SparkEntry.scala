@@ -349,6 +349,98 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_name"))
     }),
 
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2 shape (adapted: no partsupp — each supplier's observed
+      // unit sale price from lineitem is the "supply cost"). The correlated
+      // regional-minimum subquery becomes a per-part min over the
+      // region-filtered offers joined back on (part, price) — the offers
+      // relation is built once and reused for both sides (exchange reuse),
+      // equality on doubles being safe because both sides carry the same
+      // exact-decimal-derived value.
+      val offer = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg((sum(money(col("l_extendedprice"))).cast("double") /
+          sum(money(col("l_quantity"))).cast("double")).as("unit_price"))
+      val eu = offer
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      val mn = eu.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min(col("unit_price")).as("min_price"))
+      eu.join(mn, col("l_partkey") === col("m_partkey") &&
+          col("unit_price") === col("min_price"))
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_size") === 15 && col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_name"), col("unit_price"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+    }),
+
+    "q9_nation_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape (adapted: cost proxy is 0.6 x retail price per unit —
+      // no partsupp supplycost). Profit per supplier nation per order year
+      // over a part-name substring filter; both product terms widen to an
+      // exact DECIMAL(30,8) before the subtraction so the signed amounts
+      // aggregate order-independently.
+      val wide = DecimalType(30, 8)
+      val amount = (money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+        .cast(wide) -
+        (money(col("p_retailprice")) * lit(0.6).cast(DecimalType(2, 1)) *
+          money(col("l_quantity"))).cast(wide)
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    "q11_important_parts" -> ((s, dir) => {
+      // TPC-H Q11 shape (adapted: inventory value proxied by shipped
+      // quantity x retail price; three nations stand in for GERMANY). The
+      // 0.1%-of-total threshold is a 1-row broadcast from the SAME decimal
+      // rollup — never a second scan, never a double-sum.
+      val pv = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+            .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(money(col("l_quantity")) * money(col("p_retailprice"))).as("pv_dec"))
+      pv.join(broadcast(pv.agg(
+          (sum(col("pv_dec")).cast("double") * lit(0.001)).as("thresh"))))
+        .filter(col("pv_dec").cast("double") > col("thresh"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("pv_dec").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    }),
+
+    "q20_excess_shippers" -> ((s, dir) => {
+      // TPC-H Q20 shape (adapted: "excess stock" is shipping >300 units of
+      // PROMO parts in 1996). Agg-then-having feeding a left_semi back to
+      // supplier — only the qualified keys cross the join.
+      val qualified = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 300.0)
+        .select(col("l_suppkey"))
+      Tables.supplier(s, dir)
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_nationkey"))
+        .orderBy(col("s_name"))
+    }),
+
     // ---- aggregations (SURVEY §2.5) ------------------------------------
     "a1_windowed_tx" -> ((s, dir) =>
       // A1 literally: sliding window grouped by (window, user, event id) —
@@ -2909,6 +3001,54 @@ object SparkEntry {
         |    WHERE l3.l_orderkey=l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH offer AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit_price
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |eu AS (
+        |  SELECT o.*, s_acctbal, s_name, n_name FROM offer o
+        |  JOIN supplier ON s_suppkey=l_suppkey JOIN nation ON s_nationkey=n_nationkey
+        |  JOIN region ON n_regionkey=r_regionkey WHERE r_name='EUROPE'),
+        |mn AS (SELECT l_partkey AS m_partkey, min(unit_price) AS min_price FROM eu GROUP BY l_partkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_price
+        |FROM eu JOIN mn ON l_partkey=m_partkey AND unit_price=min_price
+        |JOIN part ON p_partkey=l_partkey
+        |WHERE p_size=15 AND p_type='STANDARD'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    "q9_nation_profit" ->
+      """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit FROM (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))*(CAST(1 AS DECIMAL(3,2))-CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,8))
+        |      - CAST(CAST(p_retailprice AS DECIMAL(18,2))*CAST(0.6 AS DECIMAL(2,1))*CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,8)) AS amount
+        |  FROM part JOIN lineitem ON p_partkey=l_partkey
+        |  JOIN supplier ON s_suppkey=l_suppkey JOIN orders ON o_orderkey=l_orderkey
+        |  JOIN nation ON s_nationkey=n_nationkey
+        |  WHERE p_name LIKE '%red%') t
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS pv_dec
+        |  FROM lineitem JOIN part ON p_partkey=l_partkey
+        |  JOIN supplier ON s_suppkey=l_suppkey JOIN nation ON s_nationkey=n_nationkey
+        |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey, CAST(pv_dec AS DOUBLE) AS part_value FROM pv
+        |WHERE CAST(pv_dec AS DOUBLE) > (SELECT CAST(sum(pv_dec) AS DOUBLE)*0.001 FROM pv)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+
+    "q20_excess_shippers" ->
+      """SELECT s_name, s_nationkey FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey=l_partkey
+        |  WHERE p_type='PROMO' AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0)
+        |ORDER BY s_name""".stripMargin,
 
     "a1_windowed_tx" ->
       """SELECT user_id, event_id, w_start, w_start + 600 AS w_end,

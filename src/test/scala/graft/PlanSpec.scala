@@ -92,6 +92,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q2: region filter pushed; correlated min joins, no cartesian") {
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("EqualTo(r_name,EUROPE)"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q9: part-name substring filter pushed into the scan") {
+    val p = plan("q9_nation_profit")
+    assert(p.contains("StringContains(p_name,red)"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q11: nation IN-list pushed; threshold join bounded to one row") {
+    val p = plan("q11_important_parts")
+    assert(p.contains("In(n_name"))
+    // the ONLY nested-loop allowed is the 1-row threshold broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q20: qualified shippers return as a broadcast semi-join") {
+    val p = plan("q20_excess_shippers")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("EqualTo(p_type,PROMO)"))
+  }
+
   test("a2: windowed aggregation is partial+final around one exchange") {
     val p = plan("a2_windowed_spend")
     assert(p.contains("partial_sum"))
