@@ -516,6 +516,20 @@ object SparkEntry {
           expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.95)").as("p95"))),
 
+    "a12_cube" -> ((s, dir) =>
+      // multi-dimensional grouping: one pass emits every (type, day) margin
+      // — per-cell, per-type, per-day, and grand total (2^2 grouping sets).
+      // Spark expands the sets BEFORE the shuffle (Expand + one partial
+      // aggregation), so the cube costs one exchange, not four scans.
+      // Neither dimension is nullable, so the 'ALL' coalesce labels are
+      // unambiguous margin markers.
+      Tables.events(s, dir)
+        .cube(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("et"),
+          coalesce(col("d"), lit("ALL")).as("d"), col("n"), col("val_sum"))
+        .orderBy(col("et"), col("d"))),
+
     "s7_pipeline_batch" -> ((s, dir) =>
       // end-to-end batch analog of the canonical pipeline over synthetic
       // data: generate -> wire-encode -> parse -> dedup -> daily totals,
@@ -1983,6 +1997,12 @@ object SparkEntry {
     // backs ext_countmin_topk (additive counters — each row fed once)
     "stream_countmin_registers" -> ((s, dir) => streamCountMinRegisters(s, dir)),
 
+    // per-group HLL on a live stream: (lang, bucket)-keyed max registers in
+    // complete mode — G x 2^p counter rows of state, duplicates free (max is
+    // idempotent, proven by re-feeding a whole chunk). Shares the batch
+    // row's full DuckDB rebuild oracle.
+    "stream_hll_groups" -> ((s, dir) => streamHllGroups(s, dir)),
+
     // the corpus vocabulary top-100 as a live leaderboard: complete-mode
     // count aggregation re-ranked and truncated each batch; shares
     // ext_vocab_topk's oracle
@@ -2316,6 +2336,48 @@ object SparkEntry {
       ms.addData(chunks.head.toIndexedSeq); q.processAllAvailable()
     } finally q.stop()
     s.table("stream_hll_registers_t")
+  }
+
+  /** The run behind `stream_hll_groups`: documents fed in 4 id-ordered
+    * micro-batches (plus the first chunk RE-FED whole — duplicate rows may
+    * not move a max-register), per-(lang, bucket) registers maintained as a
+    * complete-mode grouped max. The estimate projects over the final
+    * register table against the BATCH exact counts, so the output relation
+    * is the same one `ext_hll_groups` computes. */
+  private def streamHllGroups(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val Sk = graft.operators.Sketch
+    val rows = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text")).orderBy(col("doc_id"))
+      .as[(Long, String, String)].collect()
+    val ms = MemoryStream[(Long, String, String)]
+    val sh = ms.toDF()
+      .select(col("_2").as("lang"),
+        explode(graft.operators.Dedup.wordShingles(col("_3"), 5)).as("sh"))
+    val reg = Sk.hllBuildGrouped(sh, "sh", Seq("lang"), p = 10)
+    val ckpt = tempCkpt()
+    val q = reg.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_hll_groups_t")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+      ms.addData(chunks.head.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // lineage cut: the estimate's summary CTEs self-join the register
+    // relation — against the raw memory-sink table that resolves to
+    // conflicting references (same unresolved relation on both sides)
+    val est = Sk.hllEstimateGrouped(
+      graft.util.Checkpoints.cut(s.table("stream_hll_groups_t")),
+      Seq("lang"), p = 10)
+    val exact = Tables.ensureParallelism(Tables.documents(s, dir))
+      .select(col("lang"),
+        explode(graft.operators.Dedup.wordShingles(col("text"), 5)).as("sh"))
+      .groupBy(col("lang"))
+      .agg(count_distinct(col("sh")).as("exact_distinct"))
+    est.join(exact, "lang").orderBy(col("lang"))
   }
 
   /** The streaming-changelog run behind `stream_scd2_changes`: events fed
@@ -2833,6 +2895,40 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared by `ext_hll_groups` and its streaming twin: the complete DuckDB
+    * HLL rebuild (per-(lang, bucket) max registers -> nz/max_m/s summary ->
+    * alpha-corrected estimate) joined to the exact distinct counts. */
+  private lazy val hllGroupsOracleSql: String = {
+    val p = 10; val m = 1 << p
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    s"""WITH sh AS (SELECT lang, unnest(list_distinct(
+       |    [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)])) AS sh
+       |  FROM (SELECT lang, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |        FROM documents)),
+       |hx AS (SELECT lang,
+       |    CAST(CAST('0x' || substr(md5(sh || '#hll.b'), 1, 8) AS UBIGINT) AS BIGINT) % $m AS bucket,
+       |    CAST(CAST('0x' || substr(md5(sh || '#hll.w'), 1, 8) AS UBIGINT) AS BIGINT) AS w
+       |  FROM sh),
+       |reg AS (SELECT lang, bucket,
+       |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS register
+       |  FROM hx GROUP BY lang, bucket),
+       |st AS (SELECT lang, count(*) AS nz, max(register) AS max_m
+       |  FROM reg GROUP BY lang),
+       |sp AS (SELECT reg.lang,
+       |    CAST(sum(CAST(1 AS BIGINT) << (st.max_m - register)) AS BIGINT) AS s_present
+       |  FROM reg JOIN st USING (lang) GROUP BY reg.lang),
+       |fin AS (SELECT st.lang, st.nz, st.max_m,
+       |    sp.s_present + ($m - st.nz) * (CAST(1 AS BIGINT) << st.max_m) AS s
+       |  FROM st JOIN sp USING (lang)),
+       |ex AS (SELECT lang, count(DISTINCT sh) AS exact_distinct FROM sh GROUP BY lang)
+       |SELECT fin.lang, CAST($m AS BIGINT) AS m, CAST(nz AS BIGINT) AS nz,
+       |  CAST(max_m AS INTEGER) AS max_m, CAST(s AS BIGINT) AS s,
+       |  '$alpha'::DOUBLE * (CAST(${m.toLong * m} AS DOUBLE)
+       |    * CAST(CAST(1 AS BIGINT) << max_m AS DOUBLE) / CAST(s AS DOUBLE)) AS estimate,
+       |  ex.exact_distinct
+       |FROM fin JOIN ex USING (lang) ORDER BY lang""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3074,6 +3170,13 @@ object SparkEntry {
         |FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')""".stripMargin,
 
     "a5_count" -> "SELECT count(*) AS n FROM events",
+
+    "a12_cube" ->
+      """SELECT coalesce(event_type,'ALL') AS et,
+        |  coalesce(CAST(CAST(ts AS DATE) AS VARCHAR),'ALL') AS d,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY CUBE(event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+        |ORDER BY et, d""".stripMargin,
 
     "a8_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
@@ -3710,36 +3813,12 @@ object SparkEntry {
 
     // the grouped register rebuild: same draws, same evidence columns,
     // every aggregate keyed by lang
-    "ext_hll_groups" -> {
-      val p = 10; val m = 1 << p
-      val alpha = 0.7213 / (1 + 1.079 / m)
-      s"""WITH sh AS (SELECT lang, unnest(list_distinct(
-         |    [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)])) AS sh
-         |  FROM (SELECT lang, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
-         |        FROM documents)),
-         |hx AS (SELECT lang,
-         |    CAST(CAST('0x' || substr(md5(sh || '#hll.b'), 1, 8) AS UBIGINT) AS BIGINT) % $m AS bucket,
-         |    CAST(CAST('0x' || substr(md5(sh || '#hll.w'), 1, 8) AS UBIGINT) AS BIGINT) AS w
-         |  FROM sh),
-         |reg AS (SELECT lang, bucket,
-         |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS register
-         |  FROM hx GROUP BY lang, bucket),
-         |st AS (SELECT lang, count(*) AS nz, max(register) AS max_m
-         |  FROM reg GROUP BY lang),
-         |sp AS (SELECT reg.lang,
-         |    CAST(sum(CAST(1 AS BIGINT) << (st.max_m - register)) AS BIGINT) AS s_present
-         |  FROM reg JOIN st USING (lang) GROUP BY reg.lang),
-         |fin AS (SELECT st.lang, st.nz, st.max_m,
-         |    sp.s_present + ($m - st.nz) * (CAST(1 AS BIGINT) << st.max_m) AS s
-         |  FROM st JOIN sp USING (lang)),
-         |ex AS (SELECT lang, count(DISTINCT sh) AS exact_distinct FROM sh GROUP BY lang)
-         |SELECT fin.lang, CAST($m AS BIGINT) AS m, CAST(nz AS BIGINT) AS nz,
-         |  CAST(max_m AS INTEGER) AS max_m, CAST(s AS BIGINT) AS s,
-         |  '$alpha'::DOUBLE * (CAST(${m.toLong * m} AS DOUBLE)
-         |    * CAST(CAST(1 AS BIGINT) << max_m AS DOUBLE) / CAST(s AS DOUBLE)) AS estimate,
-         |  ex.exact_distinct
-         |FROM fin JOIN ex USING (lang) ORDER BY lang""".stripMargin
-    },
+    "ext_hll_groups" -> hllGroupsOracleSql,
+
+    // the streaming twin converges to the identical registers (max is
+    // idempotent under the re-fed duplicate chunk), so it shares the full
+    // DuckDB HLL rebuild verbatim
+    "stream_hll_groups" -> hllGroupsOracleSql,
 
     // the k smallest distinct md5 draws are engine-independent order
     // statistics; both estimates are one integer-exact numerator, one
