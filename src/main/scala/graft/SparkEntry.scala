@@ -1006,6 +1006,43 @@ object SparkEntry {
       graft.operators.Incremental.serve(s, tableDir)
     }),
 
+    // schema evolution at the storage layer: two writer generations share a
+    // directory (v2 added columns), mergeSchema unifies them at read time
+    // and the old shard's missing columns surface as nulls — the contract
+    // that lets a 100 TB corpus evolve without rewriting history. The
+    // oracle replays the union with typed NULLs.
+    "x30_schema_evolution" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft-evolve-" +
+        math.abs(dir.hashCode)
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("source"))
+        .write.mode("overwrite").parquet(s"$base/gen=v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("source"), col("lang"),
+          col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/gen=v2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .select(col("doc_id"), col("text"), col("source"), col("lang"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // small-file compaction: 64 undersized shards bin-packed to ~1 MB files
+    // (output count derived from actual input bytes, never hand-picked);
+    // the graded relation is the compacted table itself — compaction must
+    // be invisible to every query, so the oracle is the flat table.
+    // LayoutSpec pins the file-count contract.
+    "x31_compact" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft-compact-" +
+        math.abs(dir.hashCode)
+      Tables.documents(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(s"$base/small")
+      graft.operators.Layout.compact(
+        s, s"$base/small", s"$base/packed", targetBytes = 1L * 1024 * 1024)
+      s.read.parquet(s"$base/packed").orderBy(col("doc_id"))
+    }),
+
     // key-distribution diagnostic: top event users by row count with ppm
     // share and x1000 skew factor vs the mean key — the pre-flight for
     // every salted form in Skew
@@ -3548,6 +3585,18 @@ object SparkEntry {
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY d, event_type ORDER BY d, event_type""".stripMargin,
+
+    "x30_schema_evolution" ->
+      """SELECT doc_id, text, source, CAST(NULL AS VARCHAR) AS lang,
+        |  CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, text, source, lang, n_chars
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "x31_compact" ->
+      "SELECT * FROM documents ORDER BY doc_id",
 
     "x25_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),

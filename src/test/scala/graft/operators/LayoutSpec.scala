@@ -116,4 +116,25 @@ class LayoutSpec extends SparkSpec {
     assert(meanRange(linear, "x") < 64)
     assert(meanRange(linear, "y") > 200, s"linear y range ${meanRange(linear, "y")}")
   }
+
+  test("compact bin-packs small files to the byte-derived count, content intact") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-compact-spec")
+    val df = spark.range(50000).select(col("id"),
+      md5(col("id").cast("string")).as("payload"))
+    df.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    def parquetFiles(d: String): Seq[java.io.File] =
+      new java.io.File(d).listFiles.toSeq.filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/small").size == 64)
+    val smallBytes = parquetFiles(s"$base/small").map(_.length).sum
+    val target = smallBytes / 4 // force a multi-file pack, data-derived
+    val n = Layout.compact(spark, s"$base/small", s"$base/packed", target)
+    val out = parquetFiles(s"$base/packed")
+    assert(out.size == n, s"compact reported $n files, wrote ${out.size}")
+    assert(n < 64 && n >= 2, s"expected a real pack, got $n files")
+    // content-identical: compaction must be invisible to queries
+    val back = spark.read.parquet(s"$base/packed")
+    assert(back.count() == 50000)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
 }
