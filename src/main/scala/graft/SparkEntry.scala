@@ -1043,6 +1043,17 @@ object SparkEntry {
       s.read.parquet(s"$base/packed").orderBy(col("doc_id"))
     }),
 
+    // pipeline-health monitoring: per-type daily volumes against trailing
+    // 7-day rolling bands, 3-sigma flags — the feed-died/feed-surged alarm.
+    // The window input is the rolled-up daily table, so the per-key sort is
+    // 30 rows regardless of corpus size.
+    "x32_volume_anomaly" -> ((s, dir) =>
+      graft.operators.Quality.volumeAnomalies(
+          Tables.events(s, dir), "event_type", "ts")
+        .select(col("key").as("event_type"), col("d"), col("n"), col("mu"),
+          col("sigma"), col("is_anomaly"))
+        .orderBy(col("event_type"), col("d"))),
+
     // key-distribution diagnostic: top event users by row count with ppm
     // share and x1000 skew factor vs the mean key — the pre-flight for
     // every salted form in Skew
@@ -3597,6 +3608,25 @@ object SparkEntry {
 
     "x31_compact" ->
       "SELECT * FROM documents ORDER BY doc_id",
+
+    "x32_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d, count(*) AS n
+        |  FROM events GROUP BY event_type, d),
+        |w AS (
+        |  SELECT event_type, d, n,
+        |    CAST(sum(n) OVER win AS DOUBLE) / count(*) OVER win AS mu,
+        |    sqrt(greatest(CAST(sum(n*n) OVER win AS DOUBLE) / count(*) OVER win
+        |      - (CAST(sum(n) OVER win AS DOUBLE) / count(*) OVER win)
+        |        * (CAST(sum(n) OVER win AS DOUBLE) / count(*) OVER win), 0.0)) AS sigma,
+        |    count(*) OVER win AS w_cnt
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, d, n, mu, sigma,
+        |  CASE WHEN w_cnt >= 3 AND sigma > 0 AND abs(n - mu) > 3*sigma
+        |       THEN 1 ELSE 0 END AS is_anomaly
+        |FROM w ORDER BY event_type, d""".stripMargin,
 
     "x25_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),

@@ -276,4 +276,45 @@ object Quality {
         "__dp * (CASE WHEN __num >= __den THEN __alr ELSE -__alr END)"))
       .select(col("bucket"), col("n_a"), col("n_b"), col("term_fp"))
   }
+
+  /** Pipeline-health volume anomaly detection: per-key daily row counts
+    * against trailing rolling bands — |n - mu| > k*sigma over the previous
+    * `lookback` days flags a feed that surged or silently died, the first
+    * monitor any production ingest needs.
+    *
+    * The frame EXCLUDES the current row (`ROWS BETWEEN lookback PRECEDING
+    * AND 1 PRECEDING`): today must not drag its own baseline toward itself,
+    * and day one (empty frame) yields null bands rather than a fake zero.
+    * Variance uses the one-pass E[x^2]-E[x]^2 form — counts are small
+    * integers, so the classic cancellation hazard of that form (huge
+    * near-equal magnitudes) cannot bite; the integer window sums are exact,
+    * and everything after is identical IEEE arithmetic in any engine, which
+    * is what lets the DuckDB oracle replay the flags bit for bit. A key
+    * needs `minDays` observed days before it may alarm (cold feeds flap).
+    *
+    * Scale shape: one window over (key, day) — the input is the ALREADY
+    * rolled-up daily table (30 rows per key per month, not raw events), so
+    * the sort inside each key's partition is trivial at any corpus size. */
+  def volumeAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+      lookback: Int = 7, k: Double = 3.0, minDays: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).cast("string").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("key")).orderBy(col("d"))
+      .rowsBetween(-lookback, -1)
+    val mu = sum(col("n")).over(win).cast("double") / count(lit(1)).over(win)
+    val sigma = sqrt(greatest(
+      sum(col("n") * col("n")).over(win).cast("double") /
+        count(lit(1)).over(win) - mu * mu,
+      lit(0.0)))
+    daily
+      .withColumn("mu", mu)
+      .withColumn("sigma", sigma)
+      .withColumn("w_cnt", count(lit(1)).over(win))
+      .withColumn("is_anomaly",
+        when(col("w_cnt") >= minDays && col("sigma") > 0 &&
+          abs(col("n") - col("mu")) > lit(k) * col("sigma"), 1).otherwise(0))
+      .drop("w_cnt")
+  }
 }

@@ -164,4 +164,24 @@ class QualitySpec extends SparkSpec {
       col("b")).agg(sum(col("term_fp"))).as[Long].head()
     assert(again == same)
   }
+
+  test("volumeAnomalies flags an injected spike, stays quiet on steady volume") {
+    import java.sql.Timestamp
+    // 20 steady days of ~100 rows/day for key "a", then day 21 at 5x
+    val steady = for {
+      day <- 1 to 21
+      i <- 1 to (if (day == 21) 500 else 100 + (day % 3)) // mild jitter, real sigma
+    } yield ("a", Timestamp.valueOf(f"2024-03-$day%02d 12:00:00"), i)
+    val df = steady.toDF("k", "ts", "i")
+    val out = Quality.volumeAnomalies(df, "k", "ts").orderBy(col("d"))
+    val rows = out.collect()
+    assert(rows.length == 21)
+    // day one: empty trailing frame -> null bands, never a fake zero
+    assert(rows.head.isNullAt(rows.head.fieldIndex("mu")))
+    val flagged = rows.filter(_.getAs[Int]("is_anomaly") == 1).map(_.getAs[String]("d"))
+    assert(flagged.toSeq == Seq("2024-03-21"),
+      s"expected only the spike day flagged, got ${flagged.toSeq}")
+    // warm-up guard: the first minDays rows may not alarm even with sigma=0
+    assert(rows.take(3).forall(_.getAs[Int]("is_anomaly") == 0))
+  }
 }
