@@ -2051,6 +2051,11 @@ object SparkEntry {
     // row's full DuckDB rebuild oracle.
     "stream_hll_groups" -> ((s, dir) => streamHllGroups(s, dir)),
 
+    // the volume-anomaly monitor live: the stream maintains only the
+    // (type, day) counts; the rolling-band alarm projects over the final
+    // counter table — same oracle as the batch x32 row
+    "stream_volume_anomaly" -> ((s, dir) => streamVolumeAnomaly(s, dir)),
+
     // the corpus vocabulary top-100 as a live leaderboard: complete-mode
     // count aggregation re-ranked and truncated each batch; shares
     // ext_vocab_topk's oracle
@@ -2494,6 +2499,39 @@ object SparkEntry {
     } finally q.stop()
     graft.operators.Quality.psiDriftCounts(ref, s.table("stream_drift_psi_cells"))
       .orderBy(col("bucket"))
+  }
+
+  /** The run behind `stream_volume_anomaly`: events fed in 4 micro-batches,
+    * the stream maintaining ONLY the (event_type, day) counts (complete-mode
+    * additive aggregation — bounded state of keys x days counter rows); the
+    * rolling-band report is a stateless window projection over the final
+    * counts, so the alarm relation equals the batch row's exactly. */
+  private def streamVolumeAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("event_id"))
+      .as[(Long, String, Long)].collect()
+    val ms = MemoryStream[(Long, String, Long)]
+    val daily = ms.toDF().toDF("event_id", "event_type", "us")
+      .groupBy(col("event_type").as("key"),
+        to_date(timestamp_micros(col("us"))).cast("string").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val ckpt = tempCkpt()
+    val q = daily.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_volume_anomaly_t")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    graft.operators.Quality.volumeAnomalyReport(
+        s.table("stream_volume_anomaly_t"))
+      .select(col("key").as("event_type"), col("d"), col("n"), col("mu"),
+        col("sigma"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("d"))
   }
 
   /** The sharded-bloom dedup run behind `stream_bloom_dedup`: documents
@@ -2976,6 +3014,27 @@ object SparkEntry {
        |  ex.exact_distinct
        |FROM fin JOIN ex USING (lang) ORDER BY lang""".stripMargin
   }
+
+  /** Shared by `x32_volume_anomaly` and its streaming twin: trailing
+    * 7-day rolling bands over per-(type, day) counts, 3-sigma flags. */
+  private lazy val volumeAnomalyOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d, count(*) AS n
+      |  FROM events GROUP BY event_type, d),
+      |w AS (
+      |  SELECT event_type, d, n,
+      |    CAST(sum(n) OVER win AS DOUBLE) / count(*) OVER win AS mu,
+      |    sqrt(greatest(CAST(sum(n*n) OVER win AS DOUBLE) / count(*) OVER win
+      |      - (CAST(sum(n) OVER win AS DOUBLE) / count(*) OVER win)
+      |        * (CAST(sum(n) OVER win AS DOUBLE) / count(*) OVER win), 0.0)) AS sigma,
+      |    count(*) OVER win AS w_cnt
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY d
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, d, n, mu, sigma,
+      |  CASE WHEN w_cnt >= 3 AND sigma > 0 AND abs(n - mu) > 3*sigma
+      |       THEN 1 ELSE 0 END AS is_anomaly
+      |FROM w ORDER BY event_type, d""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_lineitem_agg" ->
@@ -3609,24 +3668,11 @@ object SparkEntry {
     "x31_compact" ->
       "SELECT * FROM documents ORDER BY doc_id",
 
-    "x32_volume_anomaly" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d, count(*) AS n
-        |  FROM events GROUP BY event_type, d),
-        |w AS (
-        |  SELECT event_type, d, n,
-        |    CAST(sum(n) OVER win AS DOUBLE) / count(*) OVER win AS mu,
-        |    sqrt(greatest(CAST(sum(n*n) OVER win AS DOUBLE) / count(*) OVER win
-        |      - (CAST(sum(n) OVER win AS DOUBLE) / count(*) OVER win)
-        |        * (CAST(sum(n) OVER win AS DOUBLE) / count(*) OVER win), 0.0)) AS sigma,
-        |    count(*) OVER win AS w_cnt
-        |  FROM daily
-        |  WINDOW win AS (PARTITION BY event_type ORDER BY d
-        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-        |SELECT event_type, d, n, mu, sigma,
-        |  CASE WHEN w_cnt >= 3 AND sigma > 0 AND abs(n - mu) > 3*sigma
-        |       THEN 1 ELSE 0 END AS is_anomaly
-        |FROM w ORDER BY event_type, d""".stripMargin,
+    "x32_volume_anomaly" -> volumeAnomalyOracleSql,
+
+    // the streamed counter table converges to the identical daily counts,
+    // so the band report (a stateless projection) shares the oracle
+    "stream_volume_anomaly" -> volumeAnomalyOracleSql,
 
     "x25_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),

@@ -296,11 +296,20 @@ object Quality {
     * rolled-up daily table (30 rows per key per month, not raw events), so
     * the sort inside each key's partition is trivial at any corpus size. */
   def volumeAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+      lookback: Int = 7, k: Double = 3.0, minDays: Int = 3): DataFrame =
+    volumeAnomalyReport(
+      events.groupBy(col(keyCol).as("key"),
+          to_date(col(tsCol)).cast("string").as("d"))
+        .agg(count(lit(1)).as("n")),
+      lookback, k, minDays)
+
+  /** [[volumeAnomalies]] from the pre-aggregated `(key, d, n)` daily table —
+    * the entry for callers that already maintain the counts (a complete-mode
+    * streaming aggregation, a stored rollup): the band report is a stateless
+    * window projection over them. */
+  def volumeAnomalyReport(daily: DataFrame,
       lookback: Int = 7, k: Double = 3.0, minDays: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = events
-      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).cast("string").as("d"))
-      .agg(count(lit(1)).as("n"))
     val win = Window.partitionBy(col("key")).orderBy(col("d"))
       .rowsBetween(-lookback, -1)
     val mu = sum(col("n")).over(win).cast("double") / count(lit(1)).over(win)
