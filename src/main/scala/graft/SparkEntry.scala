@@ -1054,6 +1054,20 @@ object SparkEntry {
           col("sigma"), col("is_anomaly"))
         .orderBy(col("event_type"), col("d"))),
 
+    // iterative graph ranking: fixed-point PageRank over the supplier
+    // co-order graph (top-15-neighbor edges — degree-bounded, so the graph
+    // stays sparse at any sf). Five exact integer iterations, lineage cut
+    // per step; the oracle unrolls the same five steps as CTEs.
+    "x33_pagerank" -> ((s, dir) => {
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", k = 15)
+      val nodes = Tables.supplier(s, dir).select(col("s_suppkey").as("node"))
+      graft.operators.Graph.pageRankFixedPoint(edges, nodes)
+        .select(col("node").as("s_suppkey"), col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("s_suppkey"))
+    }),
+
     // key-distribution diagnostic: top event users by row count with ppm
     // share and x1000 skew factor vs the mean key — the pre-flight for
     // every salted form in Skew
@@ -3036,7 +3050,42 @@ object SparkEntry {
       |       THEN 1 ELSE 0 END AS is_anomaly
       |FROM w ORDER BY event_type, d""".stripMargin
 
+  /** DuckDB replay of `x33_pagerank`: the five fixed-point iterations
+    * unrolled as CTE pairs (contribution sum, rank refresh) — identical
+    * integer arithmetic to [[graft.operators.Graph.pageRankFixedPoint]]. */
+  private lazy val pageRankOracleSql: String = {
+    val S = 1000000000000L
+    val pre =
+      s"""WITH nodes AS (SELECT s_suppkey AS node FROM supplier),
+         |cnt AS (SELECT count(*) AS n FROM nodes),
+         |pairs AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+         |    count(DISTINCT a.l_orderkey) AS w
+         |  FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey=b.l_orderkey AND a.l_suppkey<>b.l_suppkey
+         |  GROUP BY src, dst),
+         |edges AS (SELECT src, dst FROM (
+         |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+         |  FROM pairs) t WHERE rn <= 15),
+         |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT node, (SELECT $S // n FROM cnt) AS r FROM nodes)""".stripMargin
+    val its = (1 to 5).map { i =>
+      s""",
+         |c$i AS (SELECT dst AS node, sum(r // deg) AS s
+         |  FROM edges JOIN r${i - 1} ON edges.src = r${i - 1}.node
+         |  JOIN outdeg ON outdeg.src = edges.src
+         |  GROUP BY dst),
+         |r$i AS (SELECT nodes.node,
+         |    CAST((SELECT (15*$S//100)//n FROM cnt)
+         |      + (85*coalesce(s,0))//100 AS BIGINT) AS r
+         |  FROM nodes LEFT JOIN c$i ON nodes.node=c$i.node)""".stripMargin
+    }.mkString
+    pre + its +
+      "\nSELECT node AS s_suppkey, r AS rank_fp FROM r5 ORDER BY rank_fp DESC, s_suppkey"
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "x33_pagerank" -> pageRankOracleSql,
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

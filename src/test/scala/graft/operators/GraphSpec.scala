@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a small 2-community graph: groups 0-9 mix members 0-5, groups 10-19 mix
+  // members 6-11, one bridge group joins 5 and 6
+  private def rel = (
+    (for (g <- 0 until 10; m <- 0 until 6 if (g + m) % 2 == 0) yield (g, m)) ++
+    (for (g <- 10 until 20; m <- 6 until 12 if (g + m) % 2 == 1) yield (g, m)) ++
+    Seq((20, 5), (20, 6))
+  ).toDF("g", "m")
+
+  test("coOccurrenceEdges bounds out-degree and is deterministic") {
+    val e = Graph.coOccurrenceEdges(rel, "g", "m", k = 3)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    assert(deg.filter(col("d") > 3).isEmpty, "degree bound violated")
+    val again = Graph.coOccurrenceEdges(rel.repartition(7), "g", "m", k = 3)
+    assert(e.exceptAll(again).isEmpty && again.exceptAll(e).isEmpty,
+      "edge set depends on partitioning")
+  }
+
+  test("pageRank conserves mass up to floor dust, deterministic, discriminating") {
+    val edges = Graph.coOccurrenceEdges(rel, "g", "m", k = 3)
+    val nodes = rel.select(col("m").as("node")).distinct()
+    val scale = 1000000000000L
+    val r = Graph.pageRankFixedPoint(edges, nodes, iters = 5, scale = scale)
+    val rows = r.collect().map(x => (x.getInt(0), x.getLong(1))).toSeq
+    assert(rows.length == 12)
+    val mass = rows.map(_._2).sum
+    // every floor division drops < 1 unit; with 12 nodes x 5 iters x
+    // (per-edge + damping + teleport) divisions the dust is far below 0.1%
+    assert(mass <= scale && mass > (scale * 999) / 1000,
+      s"mass $mass vs scale $scale")
+    assert(rows.map(_._2).distinct.length > 1, "rank is uniform on a non-regular graph")
+    val again = Graph.pageRankFixedPoint(
+      edges.repartition(5), nodes.repartition(3), iters = 5, scale = scale)
+      .collect().map(x => (x.getInt(0), x.getLong(1))).toSeq
+    assert(rows.sorted == again.sorted, "pageRank depends on partitioning")
+  }
+
+  test("a node with no in-edges holds exactly the teleport floor") {
+    // star: everyone points at node 0; node 9 receives nothing
+    val edges = (1 to 9).map(i => (i, 0)).toDF("src", "dst")
+    val nodes = (0 to 9).toDF("node")
+    val scale = 1000000000000L
+    val r = Graph.pageRankFixedPoint(edges, nodes, iters = 3, scale = scale)
+      .collect().map(x => (x.getInt(0), x.getLong(1))).toMap
+    val base = (15L * scale / 100) / 10
+    assert(r(9) == base, s"leaf rank ${r(9)} != teleport floor $base")
+    assert(r(0) > r(9) * 5, "hub not dominant")
+  }
+}
