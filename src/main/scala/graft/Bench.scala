@@ -727,6 +727,23 @@ object Bench {
         spark.read.parquet(increllDir).count()
       }
 
+      // ---- pagerank soak: iterative ranking at 1M nodes / 8M edges ------
+      // five fixed-point iterations, each one edges⋈rank join + one
+      // aggregation by dst — the per-iteration cost must stay flat (lineage
+      // cut per step; without it iteration k re-executes the whole prefix).
+      // Synthetic 8-regular graph: node i -> 8 hash-derived neighbors.
+      val sG1 = stage("pagerank_1m") {
+        import org.apache.spark.sql.functions.{explode, pmod, sequence, xxhash64}
+        val nodes1m = spark.range(1000000L).select(col("id").as("node"))
+        val edges1m = spark.range(1000000L).select(col("id").as("src"),
+            explode(sequence(lit(0), lit(7))).as("j"))
+          .select(col("src"), pmod(xxhash64(col("src"), col("j")), lit(1000000L))
+            .as("dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.operators.Graph.pageRankFixedPoint(edges1m, nodes1m, iters = 5)
+          .count()
+      }
+
       // ---- streaming-state soak: watermark eviction bounds state --------
       // (VERDICT r4 #3) 2M events through the canonical daily-spend pipeline
       // (dedup on) in 10 MemoryStream batches, each advancing event time
@@ -739,7 +756,7 @@ object Bench {
         else sessionTwsSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sB1, sK1, sK2, sK3, sK4, s4, s5, s6,
-          s7, s8, sD1, sD2, sB2, sQ1, sQ2, sI1, sI2, s9, s10)
+          s7, s8, sD1, sD2, sB2, sQ1, sQ2, sI1, sI2, sG1, s9, s10)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
