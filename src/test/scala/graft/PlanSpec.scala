@@ -118,6 +118,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(p_type,PROMO)"))
   }
 
+  test("x34: bucketed tables join with zero Exchange before the aggregation") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+      val df = SparkEntry.queries("x34_bucketed_join")(spark, dir)
+      // plan text prints top-down, so the join subtree is what FOLLOWS the
+      // last (partial) HashAggregate line; the agg/orderBy above it may
+      // legitimately exchange — the join itself must not
+      val joinSubtree = df.queryExecution.executedPlan.toString
+        .split("HashAggregate").last
+      assert(!joinSubtree.contains("Exchange"),
+        s"bucketed join still shuffles:\n$joinSubtree")
+      assert(df.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("a2: windowed aggregation is partial+final around one exchange") {
     val p = plan("a2_windowed_spend")
     assert(p.contains("partial_sum"))
