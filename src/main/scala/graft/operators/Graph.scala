@@ -33,11 +33,17 @@ object Graph {
       k: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive, got $k")
-    val a = df.select(col(groupCol).as("g"), col(memberCol).as("src"))
-    val b = df.select(col(groupCol).as("g"), col(memberCol).as("dst"))
-    val pairs = a.join(b, Seq("g")).filter(col("src") =!= col("dst"))
+    // dedup to one (group, member) row BEFORE the self-join: a member with
+    // several rows in one group would otherwise multiply the pair rows and
+    // force a count_distinct expansion after the join — deduped input makes
+    // (g, src, dst) unique by construction, so a plain count suffices and
+    // the join itself is smaller
+    val m = df.select(col(groupCol).as("g"), col(memberCol).as("m")).distinct()
+    val pairs = m.select(col("g"), col("m").as("src"))
+      .join(m.select(col("g"), col("m").as("dst")), Seq("g"))
+      .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst"))
-      .agg(count_distinct(col("g")).as("w"))
+      .agg(count(lit(1)).as("w"))
     pairs
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst"))))
@@ -52,26 +58,42 @@ object Graph {
     * dangling nodes simply leak their mass to the floor term, identically
     * in the oracle. */
   def pageRankFixedPoint(edges: DataFrame, nodes: DataFrame,
-      iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+      iters: Int = 5, scale: Long = 1000000000000L,
+      cutEvery: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
     // one bounded driver lookup sizes the teleport constant (node count is
     // a dim-table cardinality, same arrangement as the IVF training sample)
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty node set")
     val base = (15L * scale / 100) / n
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // materialize the loop invariants ONCE: edges may be an expensive
+    // derivation (the co-order graph is a fact-table self-join + window),
+    // and a lazy plan would re-execute it inside every iteration — the
+    // sf0.1 bench showed 5 iterations paying ~11 edge rebuilds (18.7 s)
+    // before this cut, 5 joins of a materialized edge list after it
+    val e = graft.util.Checkpoints.cut(edges.select(col("src"), col("dst")))
+    val outdeg = graft.util.Checkpoints.cut(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     var rank = nodes.select(col("node"), lit(scale / n).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(rank, edges("src") === rank("node"))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(rank, col("src") === col("node"))
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      rank = graft.util.Checkpoints.cut(
-        nodes.join(contrib, Seq("node"), "left_outer")
-          .select(col("node"),
-            (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
-              .as("r")))
+      val next = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+      // lineage is cut PERIODICALLY, not per step: with the invariants
+      // materialized above, nothing re-executes between iterations — only
+      // the final action runs the chained plan, and a per-step cut is a
+      // per-step materialization job (pure overhead at small depths). The
+      // periodic cut exists to bound plan depth / codegen size when
+      // callers push iters up.
+      rank = if (i % cutEvery == 0 && i < iters)
+        graft.util.Checkpoints.cut(next) else next
     }
     rank
   }
