@@ -1101,6 +1101,19 @@ object SparkEntry {
         .orderBy(col("rank_fp").desc, col("s_suppkey"))
     }),
 
+    // per-node triangle counts over the same co-order graph: degree-ordered
+    // orientation (compact-forward) bounds the wedge join's fan-out at
+    // O(sqrt(|E|)) per vertex; the oracle enumerates ordered triples
+    // directly from the symmetrized edge list
+    "x35_triangles" -> ((s, dir) => {
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", k = 15)
+      graft.operators.Graph.triangleCounts(edges)
+        .select(col("node").as("s_suppkey"), col("triangles"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // key-distribution diagnostic: top event users by row count with ppm
     // share and x1000 skew factor vs the mean key — the pre-flight for
     // every salted form in Skew
@@ -1654,6 +1667,28 @@ object SparkEntry {
     "ext_dedup_ngram" -> ((s, dir) =>
       graft.operators.Dedup.nearDuplicates(Tables.documents(s, dir), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // EXACT set-similarity join via prefix filtering (PPJoin family): the
+    // same Jaccard >= 0.3 pair set as an all-pairs exact join — no LSH
+    // false negatives — with candidates from a rarest-token prefix
+    // equi-join. The oracle is an independent ALL-PAIRS join, so the hash
+    // match proves the pruning lossless, not just self-consistent.
+    "ext_setsim_prefix" -> ((s, dir) =>
+      graft.operators.Dedup.prefixJaccardPairs(Tables.documents(s, dir),
+          thrNum = 3, thrDen = 10)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // exact edit-distance record linkage: every title pair within
+    // Levenshtein 4, candidates from positional 3-gram blocking with the
+    // Gravano count bound — the oracle brute-forces all pairs, proving
+    // the blocking lossless
+    "ext_fuzzy_join" -> ((s, dir) => {
+      val titles = Tables.documents(s, dir).select(col("doc_id"),
+        substring(graft.operators.Dedup.normalize(col("text")), 1, 30).as("title"))
+      graft.operators.Dedup.editDistancePairs(titles, "title", "doc_id",
+          maxDist = 4, q = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // asymmetric containment (quote/subset detection — what symmetric
     // Jaccard misses): posting-list self-join over 3-gram shingles, with
@@ -3086,19 +3121,26 @@ object SparkEntry {
   /** DuckDB replay of `x33_pagerank`: the five fixed-point iterations
     * unrolled as CTE pairs (contribution sum, rank refresh) — identical
     * integer arithmetic to [[graft.operators.Graph.pageRankFixedPoint]]. */
+  /** Shared DuckDB CTE pair rebuilding
+    * [[graft.operators.Graph.coOccurrenceEdges]] over the supplier
+    * co-order graph (x33 PageRank and x35 triangles grade against the
+    * identical edge set). */
+  private val coOrderEdgesCte: String =
+    """pairs AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+      |    count(DISTINCT a.l_orderkey) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey=b.l_orderkey AND a.l_suppkey<>b.l_suppkey
+      |  GROUP BY src, dst),
+      |edges AS (SELECT src, dst FROM (
+      |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      |  FROM pairs) t WHERE rn <= 15)""".stripMargin
+
   private lazy val pageRankOracleSql: String = {
     val S = 1000000000000L
     val pre =
       s"""WITH nodes AS (SELECT s_suppkey AS node FROM supplier),
          |cnt AS (SELECT count(*) AS n FROM nodes),
-         |pairs AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
-         |    count(DISTINCT a.l_orderkey) AS w
-         |  FROM lineitem a JOIN lineitem b
-         |  ON a.l_orderkey=b.l_orderkey AND a.l_suppkey<>b.l_suppkey
-         |  GROUP BY src, dst),
-         |edges AS (SELECT src, dst FROM (
-         |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
-         |  FROM pairs) t WHERE rn <= 15),
+         |$coOrderEdgesCte,
          |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
          |r0 AS (SELECT node, (SELECT $S // n FROM cnt) AS r FROM nodes)""".stripMargin
     val its = (1 to 5).map { i =>
@@ -3119,6 +3161,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "x33_pagerank" -> pageRankOracleSql,
+
+    // ordered-triple enumeration over the symmetrized co-order edges —
+    // an algorithm independent of the Spark side's degree orientation
+    "x35_triangles" ->
+      s"""WITH $coOrderEdgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT node AS s_suppkey, count(*) AS triangles FROM (
+         |  SELECT x AS node FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri) t
+         |GROUP BY node ORDER BY s_suppkey""".stripMargin,
 
     "x34_bucketed_join" ->
       """SELECT o_orderpriority,
@@ -4648,6 +4705,37 @@ object SparkEntry {
         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
         |  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id) t
         |WHERE jaccard >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // ALL-PAIRS exact Jaccard — deliberately NOT a replay of the prefix
+    // filter: hash equality against the brute-force set proves the Spark
+    // side's prefix pruning lossless. Integer threshold compare
+    // (inter*10 >= uni*3) on both sides.
+    "ext_setsim_prefix" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+        |FROM pairs WHERE inter * 10 >= uni * 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // ALL-PAIRS Levenshtein over the 30-char normalized titles — again an
+    // independent brute force, proving the q-gram blocking lossless
+    "ext_fuzzy_join" ->
+      """WITH ti AS (SELECT doc_id,
+        |  substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 30) AS title
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.title, b.title) AS distance
+        |FROM ti a JOIN ti b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 4
         |ORDER BY id_a, id_b""".stripMargin,
 
     // containment replayed on the same 3-gram shingle CTE as the Jaccard

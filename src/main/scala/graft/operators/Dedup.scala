@@ -353,6 +353,149 @@ object Dedup {
       .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
   }
 
+  // ------------------------------------------------------ prefix filtering
+
+  /** EXACT set-similarity self-join via prefix filtering (the PPJoin
+    * family — Chaudhuri et al. ICDE 2006, Xiao et al. WWW 2008): every
+    * pair whose distinct-shingle Jaccard is at least `thrNum/thrDen`,
+    * with NO false negatives — the guarantee MinHash banding
+    * ([[nearDuplicates]]) trades away — yet never an all-pairs compare.
+    *
+    * Each document's shingles are sorted by ascending document frequency
+    * (ties by token text — a total order any engine reproduces), and only
+    * the first `len - ceil(t*len) + 1` tokens (the PREFIX) enter the
+    * candidate equi-join. Lossless by the prefix-filter theorem: Jaccard
+    * >= t forces an overlap of at least ceil(t*max(la,lb)) tokens, and
+    * under a shared total order two sets overlapping that much must meet
+    * inside these prefixes. The threshold is a rational `thrNum/thrDen`
+    * and the final filter compares `inter*thrDen >= union*thrNum` in
+    * integers, so the accept set is bit-exact in any engine.
+    *
+    * Scale shape: the candidate join is an equi-join on single prefix
+    * tokens — and because the order is df-ASCENDING, prefixes hold each
+    * document's RAREST shingles, so the join's buckets are small by
+    * construction (a df-D token fans out at most D^2/2 pairs, and prefix
+    * tokens have the smallest D in the corpus — the hot boilerplate keys
+    * that skew every posting-list join never reach this one). The length
+    * filter `t*lb <= la <= lb/t` prunes inside the join. Verification
+    * re-joins full shingle sets only for surviving candidate pairs. */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      thrNum: Int = 3,
+      thrDen: Int = 10,
+      n: Int = 3): DataFrame = {
+    require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
+      s"threshold must be a rational in (0,1]: $thrNum/$thrDen")
+    val toks = graft.sources.Tables.ensureParallelism(df)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(col("id"), explode(col("sh")).as("t"))
+    val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // per-doc shingle list in global (df asc, token asc) order; collect_list
+    // is partition-order-dependent but sort_array restores determinism
+    // ((df, t) is unique within a doc — shingles are distinct)
+    val ranked = graft.util.Checkpoints.cut( // reused: prefix explode + 2 verify joins
+      toks.join(dfreq, "t")
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
+        .select(col("id"),
+          transform(col("st"), x => x.getField("t")).as("s"),
+          size(col("st")).as("len")))
+    // prefix length p = len - ceil(t*len) + 1, ceil done in integers
+    val p = col("len") - floor((col("len") * thrNum + (thrDen - 1)) / thrDen) + 1
+    val pref = ranked.select(col("id"), col("len"),
+      explode(slice(col("s"), lit(1), p.cast("int"))).as("t"))
+    val cand = pref.select(col("id").as("id_a"), col("len").as("len_a"), col("t"))
+      .join(pref.select(col("id").as("id_b"), col("len").as("len_b"), col("t")), "t")
+      .filter(col("id_a") < col("id_b"))
+      // Jaccard >= t forces t <= min(la,lb)/max(la,lb): both directions
+      .filter(col("len_b") * thrDen >= col("len_a") * thrNum &&
+        col("len_a") * thrDen >= col("len_b") * thrNum)
+      .select(col("id_a"), col("id_b")).distinct()
+    val side = ranked.select(col("id"), col("s"))
+    cand
+      .join(side.select(col("id").as("id_a"), col("s").as("sh_a")), "id_a")
+      .join(side.select(col("id").as("id_b"), col("s").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter") * thrDen >= col("uni") * thrNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+  }
+
+  // ------------------------------------------------------- record linkage
+
+  /** EXACT edit-distance self-join (record linkage / fuzzy matching):
+    * every pair of strings with Levenshtein distance at most `maxDist`,
+    * found via positional q-gram blocking (Gravano et al. VLDB 2001) —
+    * never an all-pairs scan of the corpus.
+    *
+    * Candidate generation: each string explodes into its positional
+    * `q`-grams; pairs meet in an equi-join on the gram with positions
+    * within `maxDist` of each other, and survive only with at least
+    * `max(la,lb) - q + 1 - q*maxDist` matching grams (one edit destroys at
+    * most `q` of the longer string's grams — the Gravano count bound, so
+    * the filter is LOSSLESS; our per-gram match count can only overcount
+    * the bound's one-to-one matching, which keeps it safe). Pairs where
+    * both strings are shorter than `q*(maxDist+1)` fall outside the
+    * bound's guarantee and go through a short-string bucket instead —
+    * all-pairs over only the sub-15-char entries, a vanishing fraction of
+    * any real corpus. Verification runs the real `levenshtein` ONLY on
+    * surviving candidates, with the `|la-lb| <= maxDist` length prune
+    * first. Output: (id_a, id_b, distance), integer-exact in any engine.
+    *
+    * Input: `df` with one string per row. Scale shape: the gram join
+    * shuffles (gram, position) keys; the count filter collapses the
+    * fan-out before any string comparison runs; short strings aside, no
+    * stage is quadratic in the corpus. */
+  def editDistancePairs(
+      df: DataFrame,
+      strCol: String,
+      idCol: String,
+      maxDist: Int = 4,
+      q: Int = 3): DataFrame = {
+    require(maxDist >= 0 && q >= 1, s"bad params maxDist=$maxDist q=$q")
+    val base = graft.util.Checkpoints.cut( // reused: grams, shorts, verify joins
+      graft.sources.Tables.ensureParallelism(df)
+        .select(col(idCol).as("id"), col(strCol).as("v"))
+        .filter(col("v").isNotNull)
+        .withColumn("len", length(col("v"))))
+    val minGuaranteed = q * (maxDist + 1)
+    val longs = base.filter(col("len") >= q) // shorter strings have no q-grams
+    val grams = longs.select(col("id"), col("len"), explode(
+      transform(sequence(lit(1), col("len") - (q - 1)),
+        i => struct(i.as("pos"), col("v").substr(i, lit(q)).as("g")))).as("pg"))
+      .select(col("id"), col("len"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val candGram = grams.select(col("id").as("id_a"), col("len").as("len_a"),
+        col("pos").as("pos_a"), col("g"))
+      .join(grams.select(col("id").as("id_b"), col("len").as("len_b"),
+        col("pos").as("pos_b"), col("g")), "g")
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("pos_a") - col("pos_b")) <= maxDist)
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .groupBy(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
+      .agg(count(lit(1)).as("matches"))
+      .filter(col("matches") >=
+        greatest(lit(1), greatest(col("len_a"), col("len_b")) - (q - 1) - q * maxDist))
+      .select(col("id_a"), col("id_b"))
+    // pairs where BOTH sides are short enough to defeat the count bound:
+    // brute-force only this tiny bucket
+    val shorts = base.filter(col("len") < minGuaranteed)
+    val candShort = shorts.select(col("id").as("id_a"), col("len").as("len_a"))
+      .crossJoin(shorts.select(col("id").as("id_b"), col("len").as("len_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+    candGram.union(candShort).distinct()
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("distance", levenshtein(col("v_a"), col("v_b")))
+      .filter(col("distance") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("distance"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 60-bit SimHash over distinct whitespace tokens: per-bit majority vote

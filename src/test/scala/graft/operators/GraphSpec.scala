@@ -53,4 +53,30 @@ class GraphSpec extends SparkSpec {
     assert(r(9) == base, s"leaf rank ${r(9)} != teleport floor $base")
     assert(r(0) > r(9) * 5, "hub not dominant")
   }
+
+  test("triangleCounts: hand graph, duplicate/reversed edges, per-node counts") {
+    // two triangles sharing node 3: (1,2,3) and (3,4,5); pendant edge (5,6);
+    // edge (2,1) reversed and (1,2) duplicated — symmetrization must dedup
+    val edges = Seq((1, 2), (2, 1), (1, 2), (1, 3), (2, 3),
+      (3, 4), (4, 5), (5, 3), (5, 6), (6, 6)).toDF("src", "dst")
+    val t = Graph.triangleCounts(edges)
+      .collect().map(x => (x.getInt(0), x.getLong(1))).toMap
+    assert(t == Map(1 -> 1L, 2 -> 1L, 3 -> 2L, 4 -> 1L, 5 -> 1L),
+      s"got $t")
+  }
+
+  test("triangleCounts: K4 gives every node 3 triangles; partition invariant") {
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a, b)).toDF("src", "dst")
+    val t = Graph.triangleCounts(k4)
+    assert(t.collect().map(x => (x.getInt(0), x.getLong(1))).toMap ==
+      (1 to 4).map(_ -> 3L).toMap)
+    val again = Graph.triangleCounts(k4.repartition(7))
+    assert(t.exceptAll(again).isEmpty && again.exceptAll(t).isEmpty,
+      "triangle counts depend on partitioning")
+  }
+
+  test("triangleCounts: triangle-free graph (star + path) returns no rows") {
+    val star = ((1 to 5).map(i => (0, i)) ++ Seq((5, 7), (7, 8))).toDF("src", "dst")
+    assert(Graph.triangleCounts(star).isEmpty)
+  }
 }
