@@ -1668,6 +1668,15 @@ object SparkEntry {
       graft.operators.Dedup.nearDuplicates(Tables.documents(s, dir), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // distributed integer fixed-point k-means: 3 Lloyd iterations trained
+    // IN the engine (broadcast k x dim centroids -> scan-parallel argmin;
+    // update shuffle carries k*dim partial rows per task) — exact in any
+    // engine, so the oracle unrolls the identical iterations as CTEs
+    "ext_kmeans_fp" -> ((s, dir) =>
+      graft.operators.Similarity.kmeansFixedPoint(
+          Tables.embeddings(s, dir), k = 8, iters = 3)
+        .orderBy(col("vec_id"))),
+
     // EXACT set-similarity join via prefix filtering (PPJoin family): the
     // same Jaccard >= 0.3 pair set as an all-pairs exact join — no LSH
     // false negatives — with candidates from a rarest-token prefix
@@ -3158,9 +3167,52 @@ object SparkEntry {
       "\nSELECT node AS s_suppkey, r AS rank_fp FROM r5 ORDER BY rank_fp DESC, s_suppkey"
   }
 
+  /** DuckDB replay of `ext_kmeans_fp`: quantization, the three Lloyd
+    * iterations (broadcast argmin + truncating-division centroid update)
+    * unrolled as CTE triples, and the final assignment — identical integer
+    * arithmetic to [[graft.operators.Similarity.kmeansFixedPoint]]
+    * (floor quantization, d2/cid argmin ties, `//` = Spark `div` both
+    * truncate toward zero). */
+  private lazy val kmeansOracleSql: String = {
+    val pre =
+      """WITH pts AS (SELECT vec_id AS id,
+        |  [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT) for x in embedding] AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+        |  FROM (SELECT id, v FROM pts ORDER BY id LIMIT 8))""".stripMargin
+    val its = (1 to 3).map { i =>
+      s""",
+         |a$i AS (SELECT id, cid, v FROM (
+         |  SELECT p.id, c.cid, p.v,
+         |    list_sum([(p.v[j]-c.cv[j])*(p.v[j]-c.cv[j])
+         |      for j in generate_series(1, len(p.v))]) AS d2
+         |  FROM pts p CROSS JOIN c${i - 1} c)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cid) = 1),
+         |s$i AS (SELECT cid, e.i AS i, sum(e.x) AS s, count(*) AS cnt FROM (
+         |  SELECT cid, unnest([{'i': j, 'x': v[j]}
+         |    for j in generate_series(1, len(v))]) AS e
+         |  FROM a$i) GROUP BY cid, e.i),
+         |u$i AS (SELECT cid, list(CAST(s // cnt AS BIGINT) ORDER BY i) AS nxt
+         |  FROM s$i GROUP BY cid),
+         |c$i AS (SELECT c.cid, coalesce(u.nxt, c.cv) AS cv
+         |  FROM c${i - 1} c LEFT JOIN u$i u ON c.cid = u.cid)""".stripMargin
+    }.mkString
+    pre + its +
+      """
+        |SELECT id AS vec_id, cid AS cluster, d2 AS dist2 FROM (
+        |  SELECT p.id, c.cid,
+        |    CAST(list_sum([(p.v[j]-c.cv[j])*(p.v[j]-c.cv[j])
+        |      for j in generate_series(1, len(p.v))]) AS BIGINT) AS d2
+        |  FROM pts p CROSS JOIN c3 c)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cid) = 1
+        |ORDER BY vec_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "x33_pagerank" -> pageRankOracleSql,
+
+    "ext_kmeans_fp" -> kmeansOracleSql,
 
     // ordered-triple enumeration over the symmetrized co-order edges —
     // an algorithm independent of the Spark side's degree orientation

@@ -1069,4 +1069,83 @@ object Similarity {
       .groupBy(col(labelCol), col("dim_idx"))
       .agg(count(lit(1)).as("n"), (sum(col("v")) / count(lit(1))).as("value"))
       .select(col(labelCol), col("n"), col("dim_idx"), col("value"))
+
+  // ---------------------------------------------------- fixed-point kmeans
+
+  /** Fully DISTRIBUTED Lloyd's k-means in integer fixed point — the
+    * iterative train-a-model-in-the-engine loop, exact in any engine.
+    * Returns each vector's final `(idCol, cluster, dist2)` assignment
+    * after `iters` iterations; `dist2` is squared L2 in quantized units.
+    *
+    * Everything is engine-portable arithmetic: vectors quantize by
+    * `floor(x * scale)` (float→double is exact, `scale` a power of two so
+    * the product is exact, floor rounds identically everywhere — round()
+    * half-up vs half-even would diverge); distances are integer sums of
+    * squares; centroid updates are truncating integer division (`div`,
+    * matching DuckDB's integer `//`); argmin ties break by lowest cluster
+    * id. Init is the `k` lowest-id vectors — deterministic seeding;
+    * random restarts are a quality lever, not a correctness one. So
+    * `iters` unrolled CTEs in any SQL engine rebuild the bit-identical
+    * assignment, which is what the oracle does.
+    *
+    * Scale shape per iteration — the same two stages any 100 TB k-means
+    * pays: (1) assignment = a BROADCAST of the k×dim centroid relation
+    * against a scan of the corpus (no shuffle of the points), partial-
+    * aggregated argmin; (2) update = posexplode to (cluster, dim, value)
+    * rows and one hash aggregation on (cluster, dim) — map-side combined,
+    * so the shuffle carries k*dim partial rows per task, never vectors.
+    * Centroids (k rows) are the only materialized state between
+    * iterations; lineage is cut there so iteration i+1's plan does not
+    * re-execute iteration i. Empty clusters keep their previous centroid,
+    * as in [[lloydCentroids]]. */
+  def kmeansFixedPoint(
+      df: DataFrame,
+      k: Int = 8,
+      iters: Int = 3,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      scale: Long = 65536L): DataFrame = {
+    require(k >= 1 && iters >= 1, s"bad params k=$k iters=$iters")
+    require(scale > 0 && (scale & (scale - 1)) == 0,
+      s"scale must be a power of two for exact quantization, got $scale")
+    val dim = headDim(df, embCol)
+    val pts = graft.util.Checkpoints.cut( // scanned once per iteration
+      graft.sources.Tables.ensureParallelism(df).select(
+        col(idCol).as("id"),
+        transform(checkedWidth(col(embCol), dim, "kmeans").cast("array<double>"),
+          x => floor(x * scale).cast("long")).as("v"))
+        .filter(col("v").isNotNull))
+    import org.apache.spark.sql.expressions.Window
+    // k rows -> a one-partition window is fine; TakeOrdered bounds the sort
+    var cents = graft.util.Checkpoints.cut(
+      pts.orderBy(col("id")).limit(k)
+        .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cid"),
+          col("v").as("cv")))
+    val dist2 = aggregate(zip_with(col("v"), col("cv"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    // (d2, cid) is unique per point (cid breaks exact-distance ties), so
+    // min(struct) is a deterministic argmin and v rides along unconsulted
+    def assign(c: DataFrame): DataFrame =
+      pts.crossJoin(broadcast(c))
+        .select(col("id"), dist2.as("d2"), col("cid"), col("v"))
+        .groupBy(col("id"))
+        .agg(min(struct(col("d2"), col("cid"), col("v"))).as("m"))
+        .select(col("id"), col("m.cid").as("cluster"), col("m.d2").as("dist2"),
+          col("m.v").as("v"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(cents)
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(expr("sum(x) div count(1)").as("c"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("sc"))
+        .select(col("cluster").as("cid"),
+          transform(col("sc"), s => s.getField("c")).as("next"))
+      cents = graft.util.Checkpoints.cut(
+        cents.join(upd, Seq("cid"), "left_outer")
+          .select(col("cid"), coalesce(col("next"), col("cv")).as("cv")))
+    }
+    assign(cents).select(col("id").as(idCol), col("cluster"), col("dist2"))
+  }
 }
