@@ -1114,6 +1114,24 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // bounded-round k-core: parts sharing >= 2 orders form the graph (a
+    // weight threshold here, NOT the top-k bound — this synthetic
+    // co-order graph is near-regular under top-k and the core would be
+    // all-or-nothing); 8 peel rounds take 2,000 nodes to the 940-node
+    // 3-core, replayed round-for-round by the oracle's unrolled CTEs
+    "x36_kcore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("m")).distinct()
+      val edges = li.select(col("g"), col("m").as("src"))
+        .join(li.select(col("g"), col("m").as("dst")), Seq("g"))
+        .filter(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select(col("src"), col("dst"))
+      graft.operators.Graph.kCore(edges, kk = 3, rounds = 8)
+        .select(col("node").as("p_partkey"), col("deg"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // key-distribution diagnostic: top event users by row count with ppm
     // share and x1000 skew factor vs the mean key — the pre-flight for
     // every salted form in Skew
@@ -1667,6 +1685,14 @@ object SparkEntry {
     "ext_dedup_ngram" -> ((s, dir) =>
       graft.operators.Dedup.nearDuplicates(Tables.documents(s, dir), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // PMI collocation mining: top-50 bigrams by pointwise mutual
+    // information, ranked on the exact integer Q16 ratio (log is monotone
+    // — the ranking never needs it), marginals derived from the single
+    // pair-count aggregation
+    "ext_pmi_bigrams" -> ((s, dir) =>
+      graft.operators.TextAnalysis.pmiCollocations(
+        Tables.documents(s, dir), minCount = 5, k = 50)),
 
     // distributed integer fixed-point k-means: 3 Lloyd iterations trained
     // IN the engine (broadcast k x dim centroids -> scan-parallel argmin;
@@ -3208,11 +3234,57 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB replay of `x36_kcore`: the >= 2-shared-orders part graph and
+    * eight peel rounds unrolled as CTEs — identical fixed-round semantics
+    * to [[graft.operators.Graph.kCore]]. */
+  private lazy val kCoreOracleSql: String = {
+    val pre =
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        |n0 AS (SELECT DISTINCT u AS node FROM adj)""".stripMargin
+    val its = (1 to 8).map { i =>
+      s""",
+         |n$i AS (SELECT u AS node, count(*) AS deg FROM adj
+         |  JOIN n${i - 1} x ON adj.u = x.node
+         |  JOIN n${i - 1} y ON adj.v = y.node
+         |  GROUP BY u HAVING count(*) >= 3)""".stripMargin
+    }.mkString
+    pre + its +
+      "\nSELECT node AS p_partkey, deg FROM n8 ORDER BY p_partkey"
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "x33_pagerank" -> pageRankOracleSql,
 
     "ext_kmeans_fp" -> kmeansOracleSql,
+
+    "x36_kcore" -> kCoreOracleSql,
+
+    // same single pair-count aggregation, marginals and 1-row N derived
+    // from it, exact HUGEINT Q16 ratio — log-free PMI ranking
+    "ext_pmi_bigrams" ->
+      """WITH toks AS (SELECT string_split(
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |pr AS (SELECT e.l AS l, e.r AS r FROM (
+        |  SELECT unnest([{'l': t[i], 'r': t[i+1]}
+        |    for i in generate_series(1, len(t)-1)]) AS e
+        |  FROM toks WHERE len(t) >= 2)),
+        |cab AS (SELECT l, r, count(*) AS c_ab FROM pr GROUP BY l, r),
+        |cl AS (SELECT l, sum(c_ab) AS c_l FROM cab GROUP BY l),
+        |cr AS (SELECT r, sum(c_ab) AS c_r FROM cab GROUP BY r),
+        |nn AS (SELECT sum(c_ab) AS n FROM cab)
+        |SELECT l, r, c_ab,
+        |  CAST((CAST(c_ab AS HUGEINT) * n * 65536) //
+        |    (CAST(c_l AS HUGEINT) * c_r) AS BIGINT) AS pmi_q16
+        |FROM cab JOIN cl USING (l) JOIN cr USING (r) CROSS JOIN nn
+        |WHERE c_ab >= 5
+        |ORDER BY pmi_q16 DESC, l, r LIMIT 50""".stripMargin,
 
     // ordered-triple enumeration over the symmetrized co-order edges —
     // an algorithm independent of the Spark side's degree orientation

@@ -143,4 +143,45 @@ object Graph {
     tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
+
+  /** Bounded-round k-core peeling over the UNDIRECTED support of `edges`:
+    * `rounds` iterations of "drop every node with fewer than `kk`
+    * surviving neighbors", returning the survivors with their last-round
+    * degree `(node, deg)`. A FIXED round count rather than
+    * run-to-convergence, for the same reason [[pageRankFixedPoint]] fixes
+    * its iterations: the computation is then a pure function of the input
+    * that any engine replays exactly (the oracle unrolls the same rounds
+    * as CTEs), with no convergence-test action per loop. Peeling only
+    * shrinks the node set, so the result is exact (the true k-core) as
+    * soon as `rounds` reaches the graph's peel depth — long chains are
+    * the only structures that peel slowly, and real co-occurrence graphs
+    * peel in a handful of rounds (spec pins a chain actually needing
+    * them).
+    *
+    * Scale shape per round: two semi-joins of the (materialized,
+    * symmetrized) adjacency against the shrinking survivor set and one
+    * count aggregation — all hash-partitioned on node ids; survivors are
+    * the only state between rounds and lineage is cut there. */
+  def kCore(edges: DataFrame, kk: Int, rounds: Int = 8): DataFrame = {
+    require(kk >= 1 && rounds >= 1, s"bad params kk=$kk rounds=$rounds")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = graft.util.Checkpoints.cut( // scanned twice per round
+      und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v"))))
+    var alive = adj.select(col("u").as("node")).distinct()
+    var out = alive.select(col("node"), lit(0L).as("deg"))
+    for (_ <- 1 to rounds) {
+      out = graft.util.Checkpoints.cut(
+        adj.join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+          .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= kk)
+          .select(col("u").as("node"), col("deg")))
+      alive = out.select(col("node"))
+    }
+    out
+  }
 }

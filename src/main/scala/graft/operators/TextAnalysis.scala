@@ -523,4 +523,48 @@ object TextAnalysis {
         sum(length(t).cast("long")).as("n_chars"),
         countDistinct(fingerprint(t)).as("n_unique_docs"))
   }
+
+  /** PMI collocation mining: the top-`k` adjacent-token bigrams by
+    * pointwise mutual information — the classic "new york"/"byte pair"
+    * phrase detector (Church & Hanks 1990), here over bigram-slot
+    * probabilities (p(a,.), p(.,b), p(a,b) all from the one bigram
+    * relation). PMI = log of `c_ab * N / (c_l * c_r)` and log is
+    * monotone, so the RANKING never needs one: the score is the exact
+    * integer `(c_ab * N * 2^16) div (c_l * c_r)` (the PMI ratio in Q16
+    * fixed point, DECIMAL-widened so a 100 TB corpus's `c_ab * N` cannot
+    * overflow a long), and ties break by the bigram text. `minCount`
+    * drops hapax pairs whose ratio explodes on noise — the standard PMI
+    * caveat.
+    *
+    * Scale shape: one scan explodes bigrams; ONE combinable aggregation
+    * counts pairs; both marginals derive from the pair counts (group-bys
+    * of the already-aggregated relation, never a second scan); N is a
+    * 1-row aggregate broadcast by the cross join; final top-k is
+    * TakeOrdered, never a global sort. */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String = "text",
+      minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad params minCount=$minCount k=$k")
+    // bigrams() emits "l r" strings (tokens split on \s+ contain no
+    // spaces, so the join is reversible)
+    val pairs = graft.sources.Tables.ensureParallelism(df)
+      .select(explode(bigrams(col(textCol))).as("bg"))
+      .select(element_at(split(col("bg"), " "), 1).as("l"),
+        element_at(split(col("bg"), " "), 2).as("r"))
+    val cAB = graft.util.Checkpoints.cut( // reused: marginals + N + score
+      pairs.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_ab")))
+    val cL = cAB.groupBy(col("l")).agg(sum(col("c_ab")).as("c_l"))
+    val cR = cAB.groupBy(col("r")).agg(sum(col("c_ab")).as("c_r"))
+    val n = cAB.agg(sum(col("c_ab")).as("n"))
+    cAB.filter(col("c_ab") >= minCount)
+      .join(cL, "l").join(cR, "r")
+      .crossJoin(broadcast(n))
+      .select(col("l"), col("r"), col("c_ab"),
+        expr("CAST((CAST(c_ab AS DECIMAL(38,0)) * n * 65536) div " +
+          "(CAST(c_l AS DECIMAL(38,0)) * c_r) AS BIGINT)").as("pmi_q16"))
+      .orderBy(col("pmi_q16").desc, col("l"), col("r"))
+      .limit(k)
+  }
 }

@@ -79,4 +79,29 @@ class GraphSpec extends SparkSpec {
     val star = ((1 to 5).map(i => (0, i)) ++ Seq((5, 7), (7, 8))).toDF("src", "dst")
     assert(Graph.triangleCounts(star).isEmpty)
   }
+
+  // K4 on nodes 10-13 plus a chain 1-2-3-4-5 hanging off node 10
+  private def coreGraph = (
+    (for (a <- 10 to 13; b <- 10 to 13 if a < b) yield (a, b)) ++
+    Seq((10, 1), (1, 2), (2, 3), (3, 4), (4, 5))
+  ).toDF("src", "dst")
+
+  test("kCore peels the chain over multiple rounds, keeps K4 at degree 3") {
+    val core = Graph.kCore(coreGraph, kk = 2, rounds = 8)
+      .collect().map(x => (x.getInt(0), x.getLong(1))).toMap
+    assert(core == (10 to 13).map(_ -> 3L).toMap, s"got $core")
+    // the chain needs several rounds: round 1 peels only the degree-1 tip
+    // (node 5); 1-4 all still have two live neighbors — fixed small round
+    // counts are not automatically the converged core
+    val r1 = Graph.kCore(coreGraph, kk = 2, rounds = 1)
+      .select("node").as[Int].collect().toSet
+    assert(Set(1, 2, 3, 4).subsetOf(r1), s"round 1 peeled too much: $r1")
+    assert(!r1.contains(5), "the degree-1 tip survived round 1")
+  }
+
+  test("kCore is partition-count invariant") {
+    val a = Graph.kCore(coreGraph, kk = 2, rounds = 4)
+    val b = Graph.kCore(coreGraph.repartition(7), kk = 2, rounds = 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
