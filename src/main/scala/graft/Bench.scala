@@ -500,6 +500,30 @@ object Bench {
           .count()
       }
 
+      // ---- k-means soak: 3 distributed Lloyd iterations at 1M vectors ---
+      // The claims at volume: (a) ASSIGNMENT never shuffles the points —
+      // the k x dim centroid relation broadcasts against a corpus scan and
+      // the argmin partial-aggregates; (b) the UPDATE shuffle carries only
+      // (cluster, dim) partial sums — k*16 rows per map task, never
+      // vectors (shuffle_write_mb is the witness); (c) the k-row centroid
+      // table is the only state between iterations. Same spike generator
+      // as the ANN soaks, so the 8 seeded centroids land in distinct
+      // spike clusters.
+      val sKm = stage("kmeans_1m", perStage = true) {
+        import org.apache.spark.sql.functions.{lit, pmod, sequence, when, xxhash64, transform => hof}
+        val label = (col("id") % 100).cast("int")
+        val corpus = spark.range(1000000L).select(
+          col("id").as("vec_id"), label.as("label"),
+          hof(sequence(lit(0), lit(15)), i =>
+            (pmod(xxhash64(col("id"), i), lit(1000L)).cast("double") / 1000.0) +
+              when(i === pmod(label, lit(16)),
+                lit(10.0) + (label / lit(16)).cast("int") * lit(3.0))
+                .otherwise(lit(0.0))).as("embedding"))
+        graft.operators.Similarity.kmeansFixedPoint(
+            corpus, k = 8, iters = 3, scale = 1024L)
+          .count()
+      }
+
       // ---- bigram-LM soak: perplexity-proxy scoring at 500k docs --------
       // ~25x the graded corpus (tens of millions of bigram occurrences).
       // The claims: LM counts partial-combine map-side (the shuffle
@@ -755,8 +779,8 @@ object Bench {
       val s10 = if (stageFilter.exists(!_("session_tws_2m"))) ""
         else sessionTwsSoak(spark)
 
-      Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sB1, sK1, sK2, sK3, sK4, s4, s5, s6,
-          s7, s8, sD1, sD2, sB2, sQ1, sQ2, sI1, sI2, sG1, s9, s10)
+      Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
+          s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sI1, sI2, sG1, s9, s10)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
