@@ -2207,6 +2207,7 @@ object SparkEntry {
     // live drift monitor: the stream maintains only bucket counts; the
     // fixed-point PSI report projects over them vs the static reference
     "stream_drift_psi" -> ((s, dir) => streamDriftPsi(s, dir)),
+    "stream_pmi_bigrams" -> ((s, dir) => streamPmiBigrams(s, dir)),
 
     // live percentiles at fixed memory: the stateless deterministic-hash
     // sample is the ONLY streaming state (sorted list + count in complete
@@ -2580,6 +2581,36 @@ object SparkEntry {
       .select(col("key").cast("long").as("user_id"), col("attr").as("event_type"),
         col("valid_from"), col("version"))
       .orderBy(col("user_id"), col("version"))
+  }
+
+  /** The live run behind `stream_pmi_bigrams`: documents stream in four
+    * micro-batches; the ONLY state is the complete-mode (l, r) pair-count
+    * table (additive — each bigram occurrence feeds exactly once), and
+    * the exact Q16 PMI ranking is a stateless projection over the final
+    * counters ([[graft.operators.TextAnalysis.pmiFromCounts]]) — live
+    * collocation monitoring at bounded memory. Graded by the same oracle
+    * as the batch `ext_pmi_bigrams`. */
+  private def streamPmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val counts = graft.operators.TextAnalysis.bigramPairs(
+        ms.toDF().toDF("doc_id", "text"))
+      .groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_ab"))
+    val ckpt = tempCkpt()
+    val q = counts.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_pmi_counts")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    graft.operators.TextAnalysis.pmiFromCounts(
+      s.table("stream_pmi_counts"), minCount = 5, k = 50)
   }
 
   /** The live-drift run behind `stream_drift_psi`: the even-doc_id half is
@@ -3257,6 +3288,25 @@ object SparkEntry {
       "\nSELECT node AS p_partkey, deg FROM n8 ORDER BY p_partkey"
   }
 
+  private lazy val pmiBigramsSql: String =
+    """WITH toks AS (SELECT string_split(
+      |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |pr AS (SELECT e.l AS l, e.r AS r FROM (
+      |  SELECT unnest([{'l': t[i], 'r': t[i+1]}
+      |    for i in generate_series(1, len(t)-1)]) AS e
+      |  FROM toks WHERE len(t) >= 2)),
+      |cab AS (SELECT l, r, count(*) AS c_ab FROM pr GROUP BY l, r),
+      |cl AS (SELECT l, sum(c_ab) AS c_l FROM cab GROUP BY l),
+      |cr AS (SELECT r, sum(c_ab) AS c_r FROM cab GROUP BY r),
+      |nn AS (SELECT sum(c_ab) AS n FROM cab)
+      |SELECT l, r, c_ab,
+      |  CAST((CAST(c_ab AS HUGEINT) * n * 65536) //
+      |    (CAST(c_l AS HUGEINT) * c_r) AS BIGINT) AS pmi_q16
+      |FROM cab JOIN cl USING (l) JOIN cr USING (r) CROSS JOIN nn
+      |WHERE c_ab >= 5
+      |ORDER BY pmi_q16 DESC, l, r LIMIT 50""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "x33_pagerank" -> pageRankOracleSql,
@@ -3266,25 +3316,10 @@ object SparkEntry {
     "x36_kcore" -> kCoreOracleSql,
 
     // same single pair-count aggregation, marginals and 1-row N derived
-    // from it, exact HUGEINT Q16 ratio — log-free PMI ranking
-    "ext_pmi_bigrams" ->
-      """WITH toks AS (SELECT string_split(
-        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
-        |  FROM documents),
-        |pr AS (SELECT e.l AS l, e.r AS r FROM (
-        |  SELECT unnest([{'l': t[i], 'r': t[i+1]}
-        |    for i in generate_series(1, len(t)-1)]) AS e
-        |  FROM toks WHERE len(t) >= 2)),
-        |cab AS (SELECT l, r, count(*) AS c_ab FROM pr GROUP BY l, r),
-        |cl AS (SELECT l, sum(c_ab) AS c_l FROM cab GROUP BY l),
-        |cr AS (SELECT r, sum(c_ab) AS c_r FROM cab GROUP BY r),
-        |nn AS (SELECT sum(c_ab) AS n FROM cab)
-        |SELECT l, r, c_ab,
-        |  CAST((CAST(c_ab AS HUGEINT) * n * 65536) //
-        |    (CAST(c_l AS HUGEINT) * c_r) AS BIGINT) AS pmi_q16
-        |FROM cab JOIN cl USING (l) JOIN cr USING (r) CROSS JOIN nn
-        |WHERE c_ab >= 5
-        |ORDER BY pmi_q16 DESC, l, r LIMIT 50""".stripMargin,
+    // from it, exact HUGEINT Q16 ratio — log-free PMI ranking (shared by
+    // the batch row and its streaming counter-table twin)
+    "ext_pmi_bigrams" -> pmiBigramsSql,
+    "stream_pmi_bigrams" -> pmiBigramsSql,
 
     // ordered-triple enumeration over the symmetrized co-order edges —
     // an algorithm independent of the Spark side's degree orientation

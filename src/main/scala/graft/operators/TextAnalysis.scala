@@ -546,15 +546,29 @@ object TextAnalysis {
       textCol: String = "text",
       minCount: Long = 5L,
       k: Int = 50): DataFrame = {
-    require(minCount >= 1 && k >= 1, s"bad params minCount=$minCount k=$k")
-    // bigrams() emits "l r" strings (tokens split on \s+ contain no
-    // spaces, so the join is reversible)
-    val pairs = graft.sources.Tables.ensureParallelism(df)
-      .select(explode(bigrams(col(textCol))).as("bg"))
+    pmiFromCounts(
+      bigramPairs(graft.sources.Tables.ensureParallelism(df), textCol)
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_ab")),
+      minCount, k)
+  }
+
+  /** The (left, right) adjacent-token pair relation [[pmiCollocations]]
+    * counts — exposed so a stream can maintain the pair counts live
+    * (bigrams() emits "l r" strings; tokens split on \s+ contain no
+    * spaces, so the split back is reversible). Stateless per row. */
+  def bigramPairs(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(bigrams(col(textCol))).as("bg"))
       .select(element_at(split(col("bg"), " "), 1).as("l"),
         element_at(split(col("bg"), " "), 2).as("r"))
+
+  /** [[pmiCollocations]] from an already-maintained `(l, r, c_ab)` count
+    * relation — the projection a streaming monitor runs over its
+    * complete-mode counter table (counts are the ONLY state; the PMI
+    * report is stateless over them). */
+  def pmiFromCounts(counts: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad params minCount=$minCount k=$k")
     val cAB = graft.util.Checkpoints.cut( // reused: marginals + N + score
-      pairs.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_ab")))
+      counts.select(col("l"), col("r"), col("c_ab")))
     val cL = cAB.groupBy(col("l")).agg(sum(col("c_ab")).as("c_l"))
     val cR = cAB.groupBy(col("r")).agg(sum(col("c_ab")).as("c_r"))
     val n = cAB.agg(sum(col("c_ab")).as("n"))

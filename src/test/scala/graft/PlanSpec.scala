@@ -465,6 +465,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RangeFrame"), "frame must be RANGE, not ROWS")
   }
 
+  test("ext_setsim_prefix: no quadratic join; verify counts partial-aggregate") {
+    val p = plan("ext_setsim_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix filtering must never plan an all-pairs join")
+    assert(p.contains("partial_count"),
+      "pair intersection counts must combine map-side")
+  }
+
+  test("ext_fuzzy_join: only the bounded short bucket may nested-loop") {
+    val p = plan("ext_fuzzy_join")
+    // the gram join is an equi-join; the one BroadcastNestedLoopJoin NODE
+    // (formatted mode prints each node twice: tree + details) is the
+    // documented sub-15-char fallback bucket (empty on this corpus)
+    assert(!p.contains("CartesianProduct"))
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "only the short-string bucket may plan a nested loop")
+  }
+
+  test("ext_kmeans_fp: points never shuffle for assignment — centroids broadcast") {
+    val p = plan("ext_kmeans_fp")
+    assert(p.contains("BroadcastExchange"), "k-row centroid side must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "an assignment planned as a point-side shuffle join defeats the design")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "argmin/update aggregations must partial-combine")
+  }
+
+  test("x35_triangles / x36_kcore: graph joins are equi-joins, never quadratic") {
+    for (n <- Seq("x35_triangles", "x36_kcore")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n plans a quadratic join")
+    }
+  }
+
+  test("ext_pmi_bigrams: one pair aggregation feeds marginals; top-k is TakeOrdered") {
+    val p = plan("ext_pmi_bigrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not be a global sort")
+    // the pair-count aggregation itself sits behind the lineage cut; the
+    // marginal sums derived from it must still combine map-side
+    assert(p.contains("partial_sum"), "marginal sums must combine map-side")
+  }
+
   test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
