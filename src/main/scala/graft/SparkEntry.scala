@@ -1132,6 +1132,22 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // synchronous majority-vote label propagation over the same
+    // >= 2-shared-orders part graph: 4 deterministic rounds (ties to the
+    // smallest label), nodes sharing a final label = one community
+    "x37_communities" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("m")).distinct()
+      val edges = li.select(col("g"), col("m").as("src"))
+        .join(li.select(col("g"), col("m").as("dst")), Seq("g"))
+        .filter(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select(col("src"), col("dst"))
+      graft.operators.Graph.labelPropagation(edges, rounds = 4)
+        .select(col("node").as("p_partkey"), col("label"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // key-distribution diagnostic: top event users by row count with ppm
     // share and x1000 skew factor vs the mean key — the pre-flight for
     // every salted form in Skew
@@ -3288,6 +3304,30 @@ object SparkEntry {
       "\nSELECT node AS p_partkey, deg FROM n8 ORDER BY p_partkey"
   }
 
+  /** DuckDB replay of `x37_communities`: the same part graph, four
+    * synchronous majority-vote rounds unrolled (QUALIFY row_number on
+    * (cnt DESC, label) = the deterministic argmax with smallest-label
+    * ties), identical to [[graft.operators.Graph.labelPropagation]]. */
+  private lazy val labelPropOracleSql: String = {
+    val pre =
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj)""".stripMargin
+    val its = (1 to 4).map { i =>
+      s""",
+         |l$i AS (SELECT u AS node, label FROM (
+         |  SELECT u, label, count(*) AS cnt FROM adj
+         |  JOIN l${i - 1} ON adj.v = l${i - 1}.node GROUP BY u, label)
+         |  QUALIFY row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label) = 1)""".stripMargin
+    }.mkString
+    pre + its +
+      "\nSELECT node AS p_partkey, label FROM l4 ORDER BY p_partkey"
+  }
+
   private lazy val pmiBigramsSql: String =
     """WITH toks AS (SELECT string_split(
       |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
@@ -3314,6 +3354,8 @@ object SparkEntry {
     "ext_kmeans_fp" -> kmeansOracleSql,
 
     "x36_kcore" -> kCoreOracleSql,
+
+    "x37_communities" -> labelPropOracleSql,
 
     // same single pair-count aggregation, marginals and 1-row N derived
     // from it, exact HUGEINT Q16 ratio — log-free PMI ranking (shared by

@@ -162,6 +162,43 @@ object Graph {
     * symmetrized) adjacency against the shrinking survivor set and one
     * count aggregation — all hash-partitioned on node ids; survivors are
     * the only state between rounds and lineage is cut there. */
+  /** Synchronous majority-vote label propagation (Raghavan et al. 2007)
+    * over the UNDIRECTED support of `edges`, `rounds` fixed iterations:
+    * every node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — a total order, so
+    * each round is a pure deterministic function of the last and the
+    * oracle unrolls the same rounds as CTEs. Labels start as node ids.
+    * Returns `(node, label)`; nodes sharing a label after the fixed
+    * rounds are one community. (Classic async LPA is run-order dependent
+    * — unreproducible by construction; the synchronous determinized form
+    * is the one a distributed engine can honestly compute.)
+    *
+    * Scale shape per round: one join of the (materialized, symmetrized)
+    * adjacency to the current label table on the neighbor key, a
+    * (node, label) count aggregation — partial-combined, the shuffle
+    * carries counts — and a min(struct) argmax per node. Labels are the
+    * only inter-round state; lineage is cut there. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = graft.util.Checkpoints.cut( // scanned once per round
+      und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v"))))
+    var labels = adj.select(col("u").as("node"), col("u").as("label")).distinct()
+    for (_ <- 1 to rounds) {
+      labels = graft.util.Checkpoints.cut(
+        adj.join(labels.select(col("node").as("v"), col("label")), "v")
+          .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("u"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+          .select(col("u").as("node"), col("m.l").as("label")))
+    }
+    labels
+  }
+
   def kCore(edges: DataFrame, kk: Int, rounds: Int = 8): DataFrame = {
     require(kk >= 1 && rounds >= 1, s"bad params kk=$kk rounds=$rounds")
     val und = edges.filter(col("src") =!= col("dst"))

@@ -104,4 +104,25 @@ class GraphSpec extends SparkSpec {
     val b = Graph.kCore(coreGraph.repartition(7), kk = 2, rounds = 4)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  // two K4 cliques bridged by one edge (4, 11)
+  private def cliques = (
+    (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a, b)) ++
+    (for (a <- 11 to 14; b <- 11 to 14 if a < b) yield (a, b)) ++
+    Seq((4, 11))
+  ).toDF("src", "dst")
+
+  test("labelPropagation: bridged cliques settle into two communities") {
+    val l = Graph.labelPropagation(cliques, rounds = 4)
+      .collect().map(x => (x.getInt(0), x.getInt(1))).toMap
+    assert(Set(l(1), l(2), l(3)).size == 1, s"clique A split: $l")
+    assert(Set(l(12), l(13), l(14)).size == 1, s"clique B split: $l")
+    assert(l(1) != l(12), s"cliques merged across the bridge: $l")
+  }
+
+  test("labelPropagation is partition-count invariant") {
+    val a = Graph.labelPropagation(cliques, rounds = 4)
+    val b = Graph.labelPropagation(cliques.repartition(7), rounds = 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
