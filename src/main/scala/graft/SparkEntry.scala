@@ -1132,6 +1132,20 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // common-neighbors link prediction on the part graph: top-100
+    // non-adjacent pairs by shared-neighbor count — integer-exact,
+    // TakeOrdered top-k, wedge join + one anti-join
+    "x38_link_prediction" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("m")).distinct()
+      val edges = li.select(col("g"), col("m").as("src"))
+        .join(li.select(col("g"), col("m").as("dst")), Seq("g"))
+        .filter(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select(col("src"), col("dst"))
+      graft.operators.Graph.commonNeighbors(edges, k = 100)
+    }),
+
     // synchronous majority-vote label propagation over the same
     // >= 2-shared-orders part graph: 4 deterministic rounds (ties to the
     // smallest label), nodes sharing a final label = one community
@@ -3356,6 +3370,22 @@ object SparkEntry {
     "x36_kcore" -> kCoreOracleSql,
 
     "x37_communities" -> labelPropOracleSql,
+
+    // wedge counts minus existing edges, ranked by (common DESC, ids) —
+    // the same part-graph CTEs as x36/x37
+    "x38_link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        |w AS (SELECT x.v AS id_a, y.v AS id_b, count(*) AS common
+        |  FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, common FROM w
+        |ANTI JOIN und ON w.id_a = und.a AND w.id_b = und.b
+        |ORDER BY common DESC, id_a, id_b LIMIT 100""".stripMargin,
 
     // same single pair-count aggregation, marginals and 1-row N derived
     // from it, exact HUGEINT Q16 ratio — log-free PMI ranking (shared by

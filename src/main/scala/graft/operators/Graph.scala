@@ -162,6 +162,41 @@ object Graph {
     * symmetrized) adjacency against the shrinking survivor set and one
     * count aggregation — all hash-partitioned on node ids; survivors are
     * the only state between rounds and lineage is cut there. */
+  /** Common-neighbors link prediction: the top-`k` NON-adjacent node
+    * pairs ranked by how many neighbors they share — the classic
+    * "people you may know" / co-purchase suggestion baseline
+    * (Liben-Nowell & Kleinberg 2003), exact and integer-only. Ties break
+    * by the pair ids, so the top-k is a total order any engine
+    * reproduces. Returns `(id_a, id_b, common)` with `id_a < id_b`.
+    *
+    * Scale shape: wedges enumerate at their center vertex (the same
+    * u-keyed self-join as [[triangleCounts]], here WITHOUT the degree
+    * orientation — both endpoints of every wedge must surface), the
+    * (x, y) counts partial-combine, existing edges leave via one
+    * anti-join, and the final top-k is TakeOrdered, never a global
+    * sort. A hub of degree D fans out D^2/2 wedge rows — the documented
+    * hot spot; cap hub degree upstream ([[coOccurrenceEdges]]' top-k
+    * bound) when the graph carries one. */
+  def commonNeighbors(edges: DataFrame, k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val und = graft.util.Checkpoints.cut( // reused: wedges + anti-join
+      edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val wedges = adj.select(col("u"), col("v").as("x"))
+      .join(adj.select(col("u"), col("v").as("y")), "u")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x").as("id_a"), col("y").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    wedges
+      .join(und, col("id_a") === col("a") && col("id_b") === col("b"), "left_anti")
+      .orderBy(col("common").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
   /** Synchronous majority-vote label propagation (Raghavan et al. 2007)
     * over the UNDIRECTED support of `edges`, `rounds` fixed iterations:
     * every node simultaneously adopts the most frequent label among its

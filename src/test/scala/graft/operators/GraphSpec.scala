@@ -120,6 +120,19 @@ class GraphSpec extends SparkSpec {
     assert(l(1) != l(12), s"cliques merged across the bridge: $l")
   }
 
+  test("commonNeighbors: diagonals of a square rank first; edges never suggested") {
+    // cycle 1-2-3-4 plus pendant (4,5): diagonals (1,3),(2,4) share two
+    // neighbors; pendant pairs share one
+    val sq = Seq((1, 2), (2, 3), (3, 4), (4, 1), (4, 5)).toDF("src", "dst")
+    val top = Graph.commonNeighbors(sq, k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(top.take(2).map(t => (t._1, t._2)).toSet == Set((1, 3), (2, 4)), s"got ${top.toList}")
+    assert(top.take(2).forall(_._3 == 2L))
+    val suggested = top.map(t => (t._1, t._2)).toSet
+    for (e <- Seq((1, 2), (2, 3), (3, 4), (1, 4), (4, 5)))
+      assert(!suggested.contains(e), s"existing edge $e suggested")
+  }
+
   test("labelPropagation is partition-count invariant") {
     val a = Graph.labelPropagation(cliques, rounds = 4)
     val b = Graph.labelPropagation(cliques.repartition(7), rounds = 4)
