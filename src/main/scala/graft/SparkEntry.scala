@@ -1132,6 +1132,18 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // deterministic random walks over the supplier co-order graph: the
+    // DeepWalk-style graph-to-sequence corpus (2 walks x 4 steps per
+    // node), each step a hash-min neighbor choice the oracle replays
+    // string-compare for string-compare
+    "x39_random_walks" -> ((s, dir) => {
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", k = 15)
+      graft.operators.Graph.randomWalks(edges, walksPerNode = 2, steps = 4)
+        .orderBy(col("walk_id"), col("step"))
+    }),
+
     // common-neighbors link prediction on the part graph: top-100
     // non-adjacent pairs by shared-neighbor count — integer-exact,
     // TakeOrdered top-k, wedge join + one anti-join
@@ -3361,9 +3373,45 @@ object SparkEntry {
       |WHERE c_ab >= 5
       |ORDER BY pmi_q16 DESC, l, r LIMIT 50""".stripMargin
 
+  /** DuckDB replay of `x39_random_walks`: the same hash-min neighbor
+    * choice per step ([[graft.operators.Graph.randomWalks]]) — the md5 of
+    * `walk_id|step|here|neighbor` ordered lexicographically, four steps
+    * unrolled. */
+  private lazy val randomWalksOracleSql: String = {
+    val pre =
+      s"""WITH $coOrderEdgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+         |f0 AS (SELECT CAST(start AS VARCHAR) || '#' || CAST(w AS VARCHAR) AS walk_id,
+         |    start, start AS node
+         |  FROM (SELECT DISTINCT u AS start FROM adj)
+         |  CROSS JOIN (SELECT unnest([0, 1]) AS w))""".stripMargin
+    val its = (1 to 4).map { i =>
+      s""",
+         |f$i AS (SELECT walk_id, start, node FROM (
+         |  SELECT f.walk_id, f.start, adj.v AS node,
+         |    row_number() OVER (PARTITION BY f.walk_id ORDER BY
+         |      md5(f.walk_id || '|' || '$i' || '|' ||
+         |          CAST(adj.u AS VARCHAR) || '|' || CAST(adj.v AS VARCHAR)),
+         |      adj.v) AS rn
+         |  FROM f${i - 1} f JOIN adj ON f.node = adj.u) WHERE rn = 1)""".stripMargin
+    }.mkString
+    pre + its + """
+      |SELECT walk_id, start, step, node FROM (
+      |  SELECT walk_id, start, 0 AS step, node FROM f0
+      |  UNION ALL SELECT walk_id, start, 1, node FROM f1
+      |  UNION ALL SELECT walk_id, start, 2, node FROM f2
+      |  UNION ALL SELECT walk_id, start, 3, node FROM f3
+      |  UNION ALL SELECT walk_id, start, 4, node FROM f4)
+      |ORDER BY walk_id, step""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "x33_pagerank" -> pageRankOracleSql,
+
+    "x39_random_walks" -> randomWalksOracleSql,
 
     "ext_kmeans_fp" -> kmeansOracleSql,
 

@@ -162,6 +162,58 @@ object Graph {
     * symmetrized) adjacency against the shrinking survivor set and one
     * count aggregation — all hash-partitioned on node ids; survivors are
     * the only state between rounds and lineage is cut there. */
+  /** Deterministic random walks: `walksPerNode` walks of `steps` steps
+    * from every node of the UNDIRECTED support of `edges` — the
+    * graph-to-sequence corpus generator behind DeepWalk/node2vec-style
+    * embedding training (Perozzi et al. KDD 2014). The "random" choice at
+    * each step is the neighbor with the smallest
+    * `md5(walk || step || here || neighbor)` — hash-min selection, so the
+    * walk corpus is a pure function of the graph (any engine replays it
+    * string-compare for string-compare; the md5-hex-min device is the
+    * same one MinHash signatures use). Returns
+    * `(walk_id, start, step, node)` with step 0 at the start node.
+    *
+    * Scale shape per step: ONE join of the walk frontier to the
+    * (materialized, symmetrized) adjacency on the current node and a
+    * min(struct) argmin per walk — frontier size is constant
+    * (nodes x walksPerNode rows), shuffles are hash-partitioned on node
+    * ids, and the frontier is the only inter-step state (lineage cut).
+    * Walks stop early at sink-free nodes only if the graph is directed —
+    * the symmetrized support has no sinks, so every walk runs full
+    * length. */
+  def randomWalks(edges: DataFrame, walksPerNode: Int = 2, steps: Int = 4): DataFrame = {
+    require(walksPerNode >= 1 && steps >= 1,
+      s"bad params walksPerNode=$walksPerNode steps=$steps")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = graft.util.Checkpoints.cut( // scanned once per step
+      und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v"))))
+    val starts = adj.select(col("u").as("start")).distinct()
+      .crossJoin(broadcast(
+        und.sparkSession.range(walksPerNode).select(col("id").cast("int").as("w"))))
+    var frontier = starts.select(
+      concat_ws("#", col("start"), col("w")).as("walk_id"),
+      col("start"), col("start").as("node"))
+    var out = frontier.select(col("walk_id"), col("start"),
+      lit(0).as("step"), col("node"))
+    for (s <- 1 to steps) {
+      frontier = graft.util.Checkpoints.cut(
+        frontier.join(adj, col("node") === col("u"))
+          .select(col("walk_id"), col("start"),
+            struct(md5(concat_ws("|", col("walk_id"), lit(s), col("u"), col("v"))
+              .cast("binary")).as("h"), col("v").as("v")).as("hv"))
+          .groupBy(col("walk_id"), col("start"))
+          .agg(min(col("hv")).as("m"))
+          .select(col("walk_id"), col("start"), col("m.v").as("node")))
+      out = out.union(frontier.select(col("walk_id"), col("start"),
+        lit(s).as("step"), col("node")))
+    }
+    out
+  }
+
   /** Common-neighbors link prediction: the top-`k` NON-adjacent node
     * pairs ranked by how many neighbors they share — the classic
     * "people you may know" / co-purchase suggestion baseline

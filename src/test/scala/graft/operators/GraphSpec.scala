@@ -138,4 +138,22 @@ class GraphSpec extends SparkSpec {
     val b = Graph.labelPropagation(cliques.repartition(7), rounds = 4)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("randomWalks: full-length walks, every hop a real edge, deterministic") {
+    val walks = Graph.randomWalks(cliques, walksPerNode = 2, steps = 3)
+    val nNodes = 8
+    assert(walks.count() == nNodes * 2 * 4, "every walk must run full length")
+    // every consecutive (node, next) pair must be an edge of the support
+    val hops = walks.selectExpr("walk_id", "step", "node")
+      .as[(String, Int, Int)].collect()
+      .groupBy(_._1).values
+      .flatMap(w => w.sortBy(_._2).sliding(2).map(p => (p(0)._3, p(1)._3)))
+      .toSet
+    val es = cliques.as[(Int, Int)].collect()
+      .flatMap(e => Seq(e, e.swap)).toSet
+    assert(hops.subsetOf(es), s"non-edges walked: ${hops -- es}")
+    val again = Graph.randomWalks(cliques.repartition(7), walksPerNode = 2, steps = 3)
+    assert(walks.exceptAll(again).isEmpty && again.exceptAll(walks).isEmpty,
+      "walk corpus depends on partitioning")
+  }
 }
