@@ -1767,6 +1767,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // CROSS-relation fuzzy linkage — the entity-resolution shape (dirty
+    // feed vs clean master): odd-id titles matched against even-id
+    // titles, same lossless q-gram blocking, all-pairs oracle
+    "ext_fuzzy_link" -> ((s, dir) => {
+      val titles = Tables.documents(s, dir).select(col("doc_id"),
+        substring(graft.operators.Dedup.normalize(col("text")), 1, 30).as("title"))
+      graft.operators.Dedup.editDistanceLink(
+          titles.filter(col("doc_id") % 2 === 1),
+          titles.filter(col("doc_id") % 2 === 0),
+          "title", "doc_id", maxDist = 4, q = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Benford first-digit screen over transaction values: integer-ppm
+    // observed distribution against the hardcoded log10(1+1/d) table —
+    // no log at run time, one scan, a 9-group aggregation
+    "ext_benford" -> ((s, dir) =>
+      graft.operators.Quality.benfordDigits(Tables.events(s, dir), "value")
+        .orderBy(col("digit"))),
+
     // asymmetric containment (quote/subset detection — what symmetric
     // Jaccard misses): posting-list self-join over 3-gram shingles, with
     // the hot-shingle df cap exercised in the graded path
@@ -5004,6 +5024,36 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
         |FROM pairs WHERE inter * 10 >= uni * 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // cross-halves all-pairs Levenshtein — the linkage form's brute force
+    "ext_fuzzy_link" ->
+      """WITH ti AS (SELECT doc_id,
+        |  substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 30) AS title
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.title, b.title) AS distance
+        |FROM ti a JOIN ti b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |WHERE levenshtein(a.title, b.title) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // first significant digit from the decimal string (every printed form
+    // of a nonzero double leads with its significant digits), integer ppm
+    "ext_benford" ->
+      """WITH g AS (SELECT regexp_extract(CAST(abs(value) AS VARCHAR), '[1-9]') AS digit,
+        |    count(*) AS n
+        |  FROM events WHERE value IS NOT NULL AND value <> 0
+        |  GROUP BY 1),
+        |gg AS (SELECT digit, n FROM g WHERE digit <> ''),
+        |t AS (SELECT sum(n) AS total FROM gg)
+        |SELECT digit, n,
+        |  CAST(n * 1000000 // total AS BIGINT) AS observed_ppm,
+        |  ([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757])
+        |    [CAST(digit AS INT)] AS benford_ppm,
+        |  abs(CAST(n * 1000000 // total AS BIGINT) -
+        |    ([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757])
+        |      [CAST(digit AS INT)]) AS gap_ppm
+        |FROM gg CROSS JOIN t
+        |ORDER BY digit""".stripMargin,
 
     // ALL-PAIRS Levenshtein over the 30-char normalized titles — again an
     // independent brute force, proving the q-gram blocking lossless

@@ -488,23 +488,56 @@ object Dedup {
       idCol: String,
       maxDist: Int = 4,
       q: Int = 3): DataFrame = {
-    require(maxDist >= 0 && q >= 1, s"bad params maxDist=$maxDist q=$q")
-    val base = graft.util.Checkpoints.cut( // reused: grams, shorts, verify joins
+    val base = prepStrings(df, strCol, idCol)
+    editDistanceCandidates(base, base, maxDist, q, selfJoin = true)
+  }
+
+  /** The CROSS-relation form of [[editDistancePairs]] — the production
+    * entity-resolution shape: match every `left` record against `right`
+    * (dirty feed vs clean master), `(id_a, id_b, distance)` with `id_a`
+    * from `left`. Identical lossless blocking; the two relations' grams
+    * meet in the same equi-join, and a left id never compares against
+    * another left id. */
+  def editDistanceLink(
+      left: DataFrame,
+      right: DataFrame,
+      strCol: String,
+      idCol: String,
+      maxDist: Int = 4,
+      q: Int = 3): DataFrame =
+    editDistanceCandidates(
+      prepStrings(left, strCol, idCol), prepStrings(right, strCol, idCol),
+      maxDist, q, selfJoin = false)
+
+  private def prepStrings(df: DataFrame, strCol: String, idCol: String): DataFrame =
+    graft.util.Checkpoints.cut( // reused: grams, shorts, verify joins
       graft.sources.Tables.ensureParallelism(df)
         .select(col(idCol).as("id"), col(strCol).as("v"))
         .filter(col("v").isNotNull)
         .withColumn("len", length(col("v"))))
+
+  /** Shared body of [[editDistancePairs]]/[[editDistanceLink]]: q-gram
+    * candidate generation with the Gravano count bound over prepped
+    * `(id, v, len)` relations, then the levenshtein verify. `selfJoin`
+    * dedups unordered pairs by `id_a < id_b`; the cross form keeps every
+    * (left, right) combination once by construction. */
+  private def editDistanceCandidates(
+      baseA: DataFrame, baseB: DataFrame,
+      maxDist: Int, q: Int, selfJoin: Boolean): DataFrame = {
+    require(maxDist >= 0 && q >= 1, s"bad params maxDist=$maxDist q=$q")
+    val pairFilter =
+      if (selfJoin) col("id_a") < col("id_b") else lit(true)
     val minGuaranteed = q * (maxDist + 1)
-    val longs = base.filter(col("len") >= q) // shorter strings have no q-grams
-    val grams = longs.select(col("id"), col("len"), explode(
-      transform(sequence(lit(1), col("len") - (q - 1)),
-        i => struct(i.as("pos"), col("v").substr(i, lit(q)).as("g")))).as("pg"))
+    def grams(base: DataFrame) = base.filter(col("len") >= q)
+      .select(col("id"), col("len"), explode(
+        transform(sequence(lit(1), col("len") - (q - 1)),
+          i => struct(i.as("pos"), col("v").substr(i, lit(q)).as("g")))).as("pg"))
       .select(col("id"), col("len"), col("pg.pos").as("pos"), col("pg.g").as("g"))
-    val candGram = grams.select(col("id").as("id_a"), col("len").as("len_a"),
-        col("pos").as("pos_a"), col("g"))
-      .join(grams.select(col("id").as("id_b"), col("len").as("len_b"),
+    val candGram = grams(baseA).select(col("id").as("id_a"),
+        col("len").as("len_a"), col("pos").as("pos_a"), col("g"))
+      .join(grams(baseB).select(col("id").as("id_b"), col("len").as("len_b"),
         col("pos").as("pos_b"), col("g")), "g")
-      .filter(col("id_a") < col("id_b"))
+      .filter(pairFilter)
       .filter(abs(col("pos_a") - col("pos_b")) <= maxDist)
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
       .groupBy(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
@@ -514,15 +547,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     // pairs where BOTH sides are short enough to defeat the count bound:
     // brute-force only this tiny bucket
-    val shorts = base.filter(col("len") < minGuaranteed)
-    val candShort = shorts.select(col("id").as("id_a"), col("len").as("len_a"))
-      .crossJoin(shorts.select(col("id").as("id_b"), col("len").as("len_b")))
-      .filter(col("id_a") < col("id_b"))
+    val candShort = baseA.filter(col("len") < minGuaranteed)
+      .select(col("id").as("id_a"), col("len").as("len_a"))
+      .crossJoin(baseB.filter(col("len") < minGuaranteed)
+        .select(col("id").as("id_b"), col("len").as("len_b")))
+      .filter(pairFilter)
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
       .select(col("id_a"), col("id_b"))
     candGram.union(candShort).distinct()
-      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .join(baseA.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(baseB.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("distance", levenshtein(col("v_a"), col("v_b")))
       .filter(col("distance") <= maxDist)
       .select(col("id_a"), col("id_b"), col("distance"))

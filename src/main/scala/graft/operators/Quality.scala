@@ -326,4 +326,37 @@ object Quality {
           abs(col("n") - col("mu")) > lit(k) * col("sigma"), 1).otherwise(0))
       .drop("w_cnt")
   }
+
+  /** log10(1 + 1/d) in parts-per-million for d = 1..9 — Benford's first-
+    * digit law as integer constants, so the report never computes a log. */
+  private val benfordPpm: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** First-significant-digit distribution vs Benford's law — the
+    * fabricated-data / broken-feed screen for naturally-spanning numeric
+    * columns (amounts, populations, file sizes). Returns one row per
+    * digit 1-9: observed count, observed ppm (exact integer division) and
+    * the Benford expectation ppm, plus the absolute gap. Zero and null
+    * values carry no first significant digit and are excluded.
+    *
+    * The digit is extracted from the value's decimal string (first
+    * [1-9] character) — portable across engines because every printed
+    * form of a nonzero double, plain or scientific, leads with its
+    * significant digits. One scan, a 9-group aggregation, integer
+    * arithmetic only. */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = regexp_extract(abs(col(valueCol)).cast("string"), "[1-9]", 0)
+    val expected = element_at(
+      array(benfordPpm.map(lit): _*), col("digit").cast("int"))
+    df.filter(col(valueCol).isNotNull && col(valueCol) =!= 0)
+      .select(digit.as("digit"))
+      .filter(col("digit") =!= "")
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("observed_ppm"),
+        expected.as("benford_ppm"))
+      .withColumn("gap_ppm", abs(col("observed_ppm") - col("benford_ppm")))
+  }
 }

@@ -184,4 +184,20 @@ class QualitySpec extends SparkSpec {
     // warm-up guard: the first minDays rows may not alarm even with sigma=0
     assert(rows.take(3).forall(_.getAs[Int]("is_anomaly") == 0))
   }
+
+  test("benfordDigits: exact ppm, sci-notation and negatives handled, zeros out") {
+    import spark.implicits._
+    // 10 values: digit 1 x5 (one negative, one scientific-formatted small,
+    // one large), digit 2 x3, digit 9 x2; plus excluded zero and null
+    val vals = Seq[java.lang.Double](1.0, -12.5, 0.00013, 1.9e7, 100.0,
+      2.0, 0.25, -2000.0, 9.9, 0.0009, 0.0, null)
+      .toDF("value")
+    val rows = Quality.benfordDigits(vals, "value")
+      .orderBy(org.apache.spark.sql.functions.col("digit"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(t => t._1 -> t._2).toMap == Map("1" -> 5L, "2" -> 3L, "9" -> 2L))
+    val d1 = rows.find(_._1 == "1").get
+    assert(d1._3 == 500000L, s"observed ppm ${d1._3}") // 5 of 10 exactly
+    assert(d1._4 == 301030L, "Benford constant for digit 1")
+  }
 }

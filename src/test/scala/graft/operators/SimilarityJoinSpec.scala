@@ -97,6 +97,22 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(tight.filter(col("id_a") === 1 && col("id_b") === 3).isEmpty)
   }
 
+  test("editDistanceLink equals the cross brute force; never matches within a side") {
+    val left = names.filter(col("id") % 2 === 1)
+    val right = names.filter(col("id") % 2 === 0)
+    val linked = Dedup.editDistanceLink(left, right, "name", "id", maxDist = 2, q = 3)
+    val brute = left.select(col("id").as("id_a"), col("name").as("v_a"))
+      .crossJoin(right.select(col("id").as("id_b"), col("name").as("v_b")))
+      .withColumn("distance", levenshtein(col("v_a"), col("v_b")))
+      .filter(col("distance") <= 2)
+      .select(col("id_a"), col("id_b"), col("distance"))
+    assert(linked.exceptAll(brute).isEmpty && brute.exceptAll(linked).isEmpty,
+      "cross-linkage differs from brute force")
+    // ids 1 and 2 are within distance 1 but sit on opposite sides — the
+    // ONLY orientation produced is (left=1, right=2)
+    assert(linked.filter(col("id_a") === 2).isEmpty, "right-side id surfaced as id_a")
+  }
+
   test("editDistancePairs is partition-count invariant") {
     val a = Dedup.editDistancePairs(names, "name", "id", maxDist = 2, q = 3)
     val b = Dedup.editDistancePairs(names.repartition(5), "name", "id", maxDist = 2, q = 3)
