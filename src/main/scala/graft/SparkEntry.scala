@@ -2375,6 +2375,22 @@ object SparkEntry {
       }
     }),
 
+    // stream-STREAM join, inner: the live transaction stream joined to a
+    // live refund stream on transaction_id PLUS an event-time range
+    // (refund within 30 min of the transaction). Both sides carry
+    // watermarks, so join state is evicted as event time advances — the
+    // shape that runs forever at 100 TB/day where an unbounded-state join
+    // would OOM. The refund delays span 0-2,400 s, so ~25% of refunds fall
+    // outside the window and the range condition genuinely filters.
+    "stream_stream_join" -> ((s, dir) => streamStreamJoin(s, "inner")),
+
+    // stream-stream LEFT OUTER join: same two streams and condition, but
+    // every transaction must appear exactly once — unmatched rows emit
+    // with a null delay only after the watermark proves no refund can
+    // still arrive. The null-emission path (watermark-gated, one batch
+    // late by design) is the part the inner row cannot exercise.
+    "stream_stream_join_left" -> ((s, dir) => streamStreamJoin(s, "left_outer")),
+
     "q3_join_revenue" -> ((s, dir) => {
       // TPC-H Q3 shape: fact-fact shuffle join + broadcast dim join.
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -2524,6 +2540,85 @@ object SparkEntry {
       ms.addData(Seq(sentinelJson)); q2.processAllAvailable()
     } finally q2.stop()
     s.read.parquet(outDir).filter(col("customer_id") =!= "-1")
+  }
+
+  /** The two-stream join run behind `stream_stream_join` /
+    * `stream_stream_join_left`: the transaction stream joined to the
+    * derived refund stream ([[graft.sources.DataGen.refunds]]) on
+    * `transaction_id` with a `[ts, ts + 30 min]` event-time range, both
+    * sides watermarked (2 h — comfortably above the 2,400 s max
+    * event-time skew between a transaction and its refund, so no valid
+    * match is ever evicted early while state still stays bounded by event
+    * time). Feeds interleave tx/refund chunks; a refund can land a
+    * micro-batch before its transaction and must wait in join state.
+    *
+    * Finalization: inner matches emit on arrival, but LEFT OUTER null
+    * rows emit only once the watermark proves the 30-min window closed —
+    * and Structured Streaming emits them in the batch AFTER the watermark
+    * advances. Two sentinel pairs a day apart (fed to BOTH streams — the
+    * global watermark is the min across sources) first push the watermark
+    * past every real window, then trigger the extra batch that flushes
+    * the null-padded rows. Sentinel keys never match a real row; the tx
+    * sentinel's own (possibly null-padded) output row is filtered by its
+    * customer_id. */
+  private def streamStreamJoin(s: SparkSession, joinType: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType, TimestampType}
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val name = if (joinType == "inner") "stream_stream_join_t"
+      else "stream_stream_join_left_t"
+    val txPayloads = graft.sources.DataGen
+      .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
+      .select(to_json(struct(col("*"))).as("value")).collect().map(_.getString(0))
+    val rfPayloads = graft.sources.DataGen
+      .refunds(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
+      .select(to_json(struct(col("*"))).as("value")).collect().map(_.getString(0))
+    val msTx = MemoryStream[String]
+    val msRf = MemoryStream[String]
+    val tx = Ingest.parseTransactions(msTx.toDF())
+      .select(col("transaction_id"), col("customer_id"), col("timestamp"),
+        col("amount"))
+      .withWatermark("timestamp", "2 hours")
+    val rfSchema = StructType(Seq(
+      StructField("transaction_id", StringType),
+      StructField("refund_ts", TimestampType),
+      StructField("refund_amount", DoubleType)))
+    val rf = msRf.toDF()
+      .select(from_json(col("value"), rfSchema).as("r")).select(col("r.*"))
+      .withColumnRenamed("transaction_id", "r_transaction_id")
+      .withWatermark("refund_ts", "2 hours")
+    val joined = tx.join(rf,
+      col("transaction_id") === col("r_transaction_id") &&
+        col("refund_ts") >= col("timestamp") &&
+        col("refund_ts") <= col("timestamp") + expr("INTERVAL 30 MINUTES"),
+      joinType)
+    val out = joined.select(col("transaction_id"), col("customer_id"),
+      col("amount"),
+      (col("refund_ts").cast("long") - col("timestamp").cast("long"))
+        .as("delay_sec"))
+    val ckpt = tempCkpt()
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt).start()
+    val rfSentinel = (ts: String) =>
+      s"""{"transaction_id":"sentinel-r","refund_ts":"$ts","refund_amount":1.0}"""
+    val txSentinel2 = sentinelJson.replace("2024-06-01", "2024-06-02")
+    try {
+      val txChunks = txPayloads.grouped(math.max(1, txPayloads.length / 4)).toSeq
+      val rfChunks = rfPayloads.grouped(math.max(1, rfPayloads.length / 4)).toSeq
+      txChunks.zipAll(rfChunks, Array.empty[String], Array.empty[String])
+        .foreach { case (t, r) =>
+          msTx.addData(t.toIndexedSeq); msRf.addData(r.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      msTx.addData(Seq(sentinelJson))
+      msRf.addData(Seq(rfSentinel("2024-06-01T00:00:00.000Z")))
+      q.processAllAvailable()
+      msTx.addData(Seq(txSentinel2))
+      msRf.addData(Seq(rfSentinel("2024-06-02T00:00:00.000Z")))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).filter(col("customer_id") =!= "-1")
   }
 
   /** The streaming document-curation run behind `stream_doc_clean`:
@@ -5467,6 +5562,45 @@ object SparkEntry {
          |  strftime(make_timestamp(te * 1000000), '%Y-%m-%d') AS transaction_date,
          |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
          |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // stream-stream inner join: a refund exists iff status = Failed, and
+    // it matches iff its md5-derived delay fits the 30-minute range — the
+    // whole two-stream join collapses to a pure function of the generator
+    "stream_stream_join" ->
+      s"""WITH g AS (SELECT range AS id FROM range(0, $streamN)),
+         |h AS (SELECT id,
+         |  md5('42-' || CAST(id AS VARCHAR)) AS transaction_id,
+         |  CAST(CAST('0x' || substr(md5('42#cust#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hc,
+         |  CAST(CAST('0x' || substr(md5('42#amt#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS ha,
+         |  CAST(CAST('0x' || substr(md5('42#st#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hs,
+         |  CAST(CAST('0x' || substr(md5('42#rdelay#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hd
+         |FROM g)
+         |SELECT transaction_id,
+         |  CAST(hc % 1000 + 1 AS VARCHAR) AS customer_id,
+         |  (ha % 99900 + 100) / 100.0 AS amount,
+         |  hd % 2400 AS delay_sec
+         |FROM h
+         |WHERE (['Success','Pending','Failed'])[CAST(hs % 3 + 1 AS INTEGER)] = 'Failed'
+         |  AND hd % 2400 <= 1800""".stripMargin,
+
+    // left outer: every transaction exactly once; delay only where the
+    // refund exists AND fits the window, else NULL (the watermark-flushed
+    // null-padded rows)
+    "stream_stream_join_left" ->
+      s"""WITH g AS (SELECT range AS id FROM range(0, $streamN)),
+         |h AS (SELECT id,
+         |  md5('42-' || CAST(id AS VARCHAR)) AS transaction_id,
+         |  CAST(CAST('0x' || substr(md5('42#cust#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hc,
+         |  CAST(CAST('0x' || substr(md5('42#amt#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS ha,
+         |  CAST(CAST('0x' || substr(md5('42#st#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hs,
+         |  CAST(CAST('0x' || substr(md5('42#rdelay#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hd
+         |FROM g)
+         |SELECT transaction_id,
+         |  CAST(hc % 1000 + 1 AS VARCHAR) AS customer_id,
+         |  (ha % 99900 + 100) / 100.0 AS amount,
+         |  CASE WHEN (['Success','Pending','Failed'])[CAST(hs % 3 + 1 AS INTEGER)] = 'Failed'
+         |    AND hd % 2400 <= 1800 THEN hd % 2400 END AS delay_sec
+         |FROM h""".stripMargin,
 
     "stream_windowed_spend" ->
       s"""WITH ${streamTxCte(streamN, streamEpoch)}

@@ -60,6 +60,34 @@ object DataGen {
     spark.range(startId, startId + n)
       .select(fields(col("id"), seed, startEpoch, eventsPerSecond): _*)
 
+  /** Derived refund stream for stream-stream join rows: every Failed
+    * transaction produces exactly one refund event carrying the same
+    * `transaction_id`, a deterministic 0-2399 s delay after the original
+    * event time, and the original amount. The delay is md5-derived like
+    * every other field, so a SQL oracle reproduces each refund bit-for-bit
+    * — and because the delay range (2,400 s) exceeds a 30-minute join
+    * window, a time-range stream-stream join genuinely drops the ~25% of
+    * refunds that land outside the window instead of trivially matching
+    * everything. */
+  def refunds(
+      spark: SparkSession,
+      n: Long,
+      seed: Long = 42L,
+      startEpoch: Long = 1704067200L,
+      eventsPerSecond: Double = 10.0): DataFrame = {
+    val id = col("id")
+    val delay = prand(id, seed, "rdelay") % 2400
+    spark.range(n)
+      .filter(element_at(
+        array(statuses.map(lit): _*), (prand(id, seed, "st") % 3 + 1).cast("int"))
+        === "Failed")
+      .select(
+        md5(concat_ws("-", lit(seed), id)).as("transaction_id"),
+        timestamp_seconds(lit(startEpoch) + (id / eventsPerSecond) + delay)
+          .as("refund_ts"),
+        ((prand(id, seed, "amt") % 99900 + 100) / lit(100.0)).as("refund_amount"))
+  }
+
   /** Batch: same rows wire-encoded as a JSON `value` column (Kafka shape). */
   def transactionsJson(
       spark: SparkSession, n: Long, seed: Long = 42L, startId: Long = 0L): DataFrame =
