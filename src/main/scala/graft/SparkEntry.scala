@@ -1043,6 +1043,27 @@ object SparkEntry {
       s.read.parquet(s"$base/packed").orderBy(col("doc_id"))
     }),
 
+    // date-partitioned fact layout + partition pruning, graded: events
+    // written Hive-partitioned by day, read back with a two-day predicate.
+    // The scan must touch the two selected directories, never the thirty
+    // stored (PlanSpec pins the scan's partition count); the aggregate
+    // proves the pruned read still sees every row OF THOSE DAYS. At 100 TB
+    // this layout is what turns "last week" queries from full scans into
+    // listing seven directories.
+    "x40_partition_prune" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft-datepart-" +
+        math.abs(dir.hashCode)
+      graft.operators.Layout.writeDatePartitioned(
+        Tables.events(s, dir), col("ts"), base)
+      s.read.parquet(base)
+        .filter(col("event_date") >= lit("2024-01-03").cast("date") &&
+          col("event_date") <= lit("2024-01-04").cast("date"))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("event_date").cast("string").as("event_date"),
+          col("event_type"), col("n_events"), col("total_value"))
+    }),
+
     // pipeline-health monitoring: per-type daily volumes against trailing
     // 7-day rolling bands, 3-sigma flags — the feed-died/feed-surged alarm.
     // The window input is the rolled-up daily table, so the per-key sort is
@@ -4206,6 +4227,17 @@ object SparkEntry {
 
     "x31_compact" ->
       "SELECT * FROM documents ORDER BY doc_id",
+
+    // the partitioned layout must be content-preserving: the pruned
+    // two-day read aggregates to exactly what a date filter over the
+    // original table yields
+    "x40_partition_prune" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-03' AND '2024-01-04'
+        |GROUP BY 1, 2""".stripMargin,
 
     "x32_volume_anomaly" -> volumeAnomalyOracleSql,
 

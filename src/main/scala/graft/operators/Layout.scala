@@ -147,6 +147,31 @@ object Layout {
     z
   }
 
+  // ------------------------------------------------- date partitioning
+
+  /** Write an event relation Hive-partitioned by event date
+    * (`event_date=YYYY-MM-DD/` directories). THE canonical fact-table
+    * layout at 100 TB: almost every production query carries a date
+    * predicate, and a date-partitioned layout turns that predicate into
+    * directory-level pruning — a two-day query against a ten-year table
+    * lists two directories instead of scanning 3,650 days of files. The
+    * graded row (`x40_partition_prune`) reads the layout back with a
+    * date-range filter; `PlanSpec` pins that the scan's partition count
+    * equals the days selected, not the days stored.
+    *
+    * One shuffle, on the date itself: without it, every input task writes
+    * a file into every date directory (tasks × days small files — the
+    * pathology [[compact]] exists to undo); repartitioning by the
+    * partition column first gives one task per day writing that day's
+    * single file. A production table would hash-bucket WITHIN the date
+    * too ([[shardId]]) to parallelize huge days; at testdata scale the
+    * per-day file is the right shape. */
+  def writeDatePartitioned(
+      df: DataFrame, tsCol: Column, outDir: String): Unit =
+    df.withColumn("event_date", to_date(tsCol))
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+
   // ------------------------------------------------------------ compaction
 
   /** Bin-pack a directory of small parquet files into ~`targetBytes` files,

@@ -509,6 +509,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "marginal sums must combine map-side")
   }
 
+  test("x40: date-range scan prunes to the selected partitions") {
+    // run the query once so the layout exists, then pin the pruned scan
+    SparkEntry.queries("x40_partition_prune")(spark, dir).collect()
+    val base = sys.props("java.io.tmpdir") + "/graft-datepart-" +
+      math.abs(dir.hashCode)
+    import org.apache.spark.sql.functions.{col, lit}
+    val pruned = spark.read.parquet(base)
+      .filter(col("event_date") >= lit("2024-01-03").cast("date") &&
+        col("event_date") <= lit("2024-01-04").cast("date"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the pruned plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "the date predicate must become a partition filter, not a data filter")
+    val touched = scan.selectedPartitions.partitionCount
+    val stored = spark.read.parquet(base).select("event_date").distinct().count()
+    assert(touched == 2,
+      s"scan touches $touched partitions; the predicate selects 2 of $stored days")
+  }
+
   test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
