@@ -1223,6 +1223,30 @@ object SparkEntry {
     // explode — scan-parallel fan-out) as-of joined to the observations.
     // The feature-grid shape: ML features at regular timestamps from
     // irregular events, one shuffle on the key (the as-of union-window)
+    // per-key exponential smoothing (EWMA, alpha = 1/2) over the daily
+    // series — the classic trend-vs-noise signal for monitoring feeds.
+    // EWMA's recurrence is inherently sequential, but only WITHIN a key:
+    // the engine aggregates each user's ~30 daily totals into one sorted
+    // array (exact decimal sums, scaled to integer cents) and folds the
+    // recurrence e' = (e + x) div 2 with a codegen'd higher-order
+    // aggregate — integer floor-division at every step, so the fold is
+    // bit-exact in any engine and immune to float summation order. The
+    // shuffle carries one row per (user, day); the sequential part never
+    // exceeds the per-key series length, which is what makes per-key
+    // recurrences tractable at 100 TB (a GLOBAL recurrence would not be).
+    "x41_ewma" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        // stay in decimal until the final cast: dsum's double result times
+        // 100 would truncate a cent on ~8% of totals (x.995… * 100)
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      daily.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("xs"))
+        .select(col("user_id"), expr("transform(xs, t -> t.cents)").as("cs"))
+        .selectExpr("user_id", "size(cs) AS n_days",
+          "aggregate(slice(cs, 2, size(cs)), cs[0], (acc, x) -> (acc + x) div 2) AS ewma_cents")
+    }),
+
     "x26_resample_ffill" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("value"), col("event_id"))
@@ -4164,6 +4188,17 @@ object SparkEntry {
     // per-user hourly generate_series + the last observation at-or-before
     // each grid point (correlated order-by-limit — the union-window's
     // semantics; ties impossible at microsecond event times)
+    // same integer-cents fold: list_reduce seeds its accumulator with the
+    // first element, mirroring the engine's aggregate(slice(..), cs[0], ..)
+    "x41_ewma" ->
+      """WITH daily AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT user_id, list(cents ORDER BY d) AS cs FROM daily GROUP BY user_id)
+        |SELECT user_id, len(cs) AS n_days,
+        |  list_reduce(cs, (acc, x) -> (acc + x) // 2) AS ewma_cents
+        |FROM a""".stripMargin,
+
     "x26_resample_ffill" ->
       """WITH b AS (SELECT user_id,
         |    date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
