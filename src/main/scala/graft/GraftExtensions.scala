@@ -72,6 +72,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.functions.TopKByScore(args(0), args(1), intArg(args(2), "k"))))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProductHof)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }
 
@@ -152,6 +153,11 @@ object GraftExtensions {
         .contains(graft.plans.RewriteDotProductHof)) {
       spark.sessionState.experimentalMethods.extraOptimizations ++=
         Seq(graft.plans.RewriteDotProductHof)
+    }
+    if (!spark.sessionState.experimentalMethods.extraOptimizations
+        .contains(graft.plans.MvRewrite)) {
+      spark.sessionState.experimentalMethods.extraOptimizations ++=
+        Seq(graft.plans.MvRewrite)
     }
   }
 }

@@ -1064,6 +1064,29 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("total_value"))
     }),
 
+    // materialized-rollup rewrite, graded: a per-(day, type) rollup MV is
+    // built and registered, then the USER QUERY — written against the raw
+    // base parquet, grouping by a COARSER key (type only) — is silently
+    // answered by re-aggregating the MV ([[graft.plans.MvRewrite]]).
+    // Correctness: the result must equal the same query run on the base
+    // table (the oracle). PlanSpec pins that the scan reads the MV
+    // directory and never the base file. The 100 TB story: dashboards
+    // keep their base-table SQL; plans stop scanning the fact table.
+    "x42_mv_rewrite" -> ((s, dir) => {
+      val mvDir = sys.props("java.io.tmpdir") + "/graft-mv-" +
+        math.abs(dir.hashCode)
+      graft.plans.MvRewrite.buildAndRegister(s, s"$dir/events.parquet", mvDir,
+        dims = Seq(
+          "event_date" -> to_date(col("ts").cast("timestamp")),
+          "event_type" -> col("event_type")),
+        measures = Seq("value" -> col("value").cast(DecimalType(18, 2))))
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+    }),
+
     // pipeline-health monitoring: per-type daily volumes against trailing
     // 7-day rolling bands, 3-sigma flags — the feed-died/feed-surged alarm.
     // The window input is the rolled-up daily table, so the per-key sort is
@@ -4262,6 +4285,13 @@ object SparkEntry {
 
     "x31_compact" ->
       "SELECT * FROM documents ORDER BY doc_id",
+
+    // the MV rewrite must be invisible to results: the oracle is the same
+    // aggregate over the base table the user query was written against
+    "x42_mv_rewrite" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // the partitioned layout must be content-preserving: the pruned
     // two-day read aggregates to exactly what a date filter over the

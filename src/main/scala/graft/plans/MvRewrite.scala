@@ -1,0 +1,230 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** Materialized-rollup rewrite: answer aggregates over a huge base table
+  * from a small pre-aggregated table, transparently.
+  *
+  * A rollup MV stores, per combination of its dimension columns, the
+  * partial aggregates `mv_n = count(*)` and one `mv_sum_<c> = sum(c)` per
+  * registered measure. Because count and sum are decomposable, ANY
+  * aggregate over the base table that (a) groups by a subset of the MV's
+  * dimensions and (b) computes only count/sum shapes over registered
+  * measures can be answered by RE-aggregating the MV — `count(*)` becomes
+  * `sum(mv_n)`, `sum(x)` becomes `sum(mv_sum_x)`. At 100 TB that is the
+  * difference between scanning the fact table per dashboard query and
+  * scanning a table the size of the dimension cross product; the rewrite
+  * makes it transparent, so queries keep targeting the base table and
+  * plans silently read the MV.
+  *
+  * The rule is deliberately conservative — it rewrites only when it can
+  * PROVE the MV answers the query, and leaves the plan untouched
+  * otherwise: distinct/filtered aggregates, groupings outside the
+  * dimension set, measures it has no column for, or any operator between
+  * the Aggregate and the scan other than a column-preserving Project all
+  * fall through to the base scan. Matching is structural: expression
+  * trees are compared with attributes normalized to their column names
+  * (the MV definition and the user query never share exprIds).
+  *
+  * Registered per base-table path via [[MvRewrite.buildAndRegister]] (one
+  * shuffle to build — the same aggregate the queries would have run) and
+  * injected like every graft rule through [[graft.GraftExtensions]].
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** One registered rollup: MV parquet dir, dimension name -> defining
+    * expression over the base columns (normalized), measure normalized
+    * sum-operand tree -> MV sum column name. */
+  final case class Entry(
+      mvDir: String,
+      dims: Seq[(String, Expression)],
+      measures: Seq[(Expression, String)])
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  /** Attribute-name normalization: two trees define the same value over
+    * the base table iff their normalized forms are semantically equal. */
+  private def norm(e: Expression): Expression = e.transformUp {
+    case a: AttributeReference => UnresolvedAttribute(a.name)
+    case al: Alias => al.child
+  }
+
+  // plain case-class equality on the normalized trees: semanticEquals
+  // would canonicalize, and canonicalization calls dataType on the
+  // UnresolvedAttribute placeholders norm() introduces. Both sides come
+  // out of the same analyzer under the same session, so structurally
+  // identical Column code yields structurally equal trees.
+  private def sameTree(a: Expression, b: Expression): Boolean =
+    norm(a) == norm(b)
+
+  /** The scan this subtree reads, if it is a bare parquet relation or a
+    * column-preserving Project over one; also returns the substitution of
+    * project-output attributes by their defining expressions. */
+  private def baseScan(plan: LogicalPlan): Option[(String, Map[ExprId, Expression])] =
+    plan match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Some((fs.location.rootPaths.map(_.toString).sorted.mkString(","), Map.empty))
+      case Project(projList, child) =>
+        baseScan(child).map { case (path, inner) =>
+          val subst = projList.map {
+            case al: Alias => al.exprId -> al.child.transformUp {
+              case a: AttributeReference => inner.getOrElse(a.exprId, a)
+            }
+            case a: AttributeReference =>
+              a.exprId -> inner.getOrElse(a.exprId, a)
+          }.toMap
+          (path, subst)
+        }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(groupings, aggExprs, child, _) =>
+        val rewritten = for {
+          (path, subst) <- baseScan(child)
+          entry <- Option(registry.get(path))
+          out <- rewrite(agg, groupings, aggExprs, subst, entry)
+        } yield out
+        rewritten.getOrElse(agg)
+    }
+  }
+
+  private def inline(e: Expression, subst: Map[ExprId, Expression]): Expression =
+    e.transformUp { case a: AttributeReference => subst.getOrElse(a.exprId, a) }
+
+  private def rewrite(
+      agg: Aggregate,
+      groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      subst: Map[ExprId, Expression],
+      entry: Entry): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val mvPlan = spark.read.parquet(entry.mvDir).queryExecution.analyzed
+    val mvAttr: Map[String, AttributeReference] =
+      mvPlan.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
+
+    // every grouping must be one of the MV's dimensions
+    val dimOf = groupings.map { g =>
+      val gi = inline(g, subst)
+      entry.dims.collectFirst { case (name, tree) if sameTree(gi, tree) => name }
+    }
+    if (dimOf.exists(_.isEmpty)) return None
+    val groupSubst: Seq[(Expression, Expression)] =
+      groupings.zip(dimOf).map { case (g, d) => (g, mvAttr(d.get)) }
+
+    // every aggregate function must be a decomposable count/sum the MV
+    // carries; anything else vetoes the rewrite
+    var ok = true
+    def replaceAgg(ae: AggregateExpression): Expression = {
+      if (ae.isDistinct || ae.filter.isDefined) { ok = false; return ae }
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(_, _))) =>
+          AggregateExpression(Sum(mvAttr("mv_n")), Complete, isDistinct = false)
+        case Sum(opnd, _) =>
+          val oi = inline(opnd, subst)
+          entry.measures.collectFirst {
+            case (tree, mvCol) if sameTree(oi, tree) => mvCol
+          } match {
+            case Some(mvCol) =>
+              Cast(
+                AggregateExpression(Sum(mvAttr(mvCol)), Complete, isDistinct = false),
+                ae.dataType)
+            case None => ok = false; ae
+          }
+        case _ => ok = false; ae
+      }
+    }
+
+    val newAggExprs = aggExprs.map { ne =>
+      val replaced = ne.transformUp {
+        case ae: AggregateExpression => replaceAgg(ae)
+      }
+      // grouping subtrees (exact trees or their attribute refs) map to the
+      // MV's dimension columns
+      val regrouped = groupSubst.foldLeft(replaced) { case (e, (from, to)) =>
+        e.transformUp {
+          case sub if sub.fastEquals(from) => to
+          case a: AttributeReference => from match {
+            case f: NamedExpression if f.exprId == a.exprId => to
+            case _ => a
+          }
+        }
+      }
+      regrouped match {
+        case a: Alias => a
+        case a: AttributeReference => a
+        case other =>
+          // a bare grouping column became the MV attribute — re-alias it
+          // under the ORIGINAL name and exprId so parents resolve unchanged
+          Alias(other, ne.name)(exprId = ne.exprId)
+      }
+    }
+    if (!ok) return None
+    // bare passthrough outputs whose exprId changed (grouping attr -> MV
+    // attr) must keep the original id; detect and re-alias
+    val fixed = newAggExprs.zip(aggExprs).map {
+      case (n: AttributeReference, o) if n.exprId != o.exprId =>
+        Alias(n, o.name)(exprId = o.exprId)
+      case (n, _) => n
+    }
+    Some(Aggregate(groupSubst.map(_._2), fixed, mvPlan))
+  }
+
+  // ------------------------------------------------------------ building
+
+  /** Build the rollup MV for `base` (a parquet-backed DataFrame), write it
+    * to `mvDir`, and register it for the rewrite. `dims` name the
+    * dimension columns as expressions over the base schema; `measures`
+    * lists the exact sum operands queries will use (e.g.
+    * `value.cast("decimal(18,2)")`). One aggregation shuffle — the same
+    * work a single query over the base table pays, amortized over every
+    * query the rewrite serves afterwards. */
+  def buildAndRegister(
+      spark: SparkSession,
+      basePath: String,
+      mvDir: String,
+      dims: Seq[(String, org.apache.spark.sql.Column)],
+      measures: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    val base = spark.read.parquet(basePath)
+    val dimCols = dims.map { case (n, c) => c.as(n) }
+    val aggCols = count(lit(1)).as("mv_n") +:
+      measures.map { case (n, c) => sum(c).as(s"mv_sum_$n") }
+    base.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      .write.mode("overwrite").parquet(mvDir)
+    // resolved expression trees for the dims/measures: OPTIMIZE a
+    // projection of exactly those columns over the base — the rule
+    // compares against optimized plans, where RuntimeReplaceable sugar
+    // (to_date -> cast chains, etc.) is already rewritten; probing the
+    // merely-analyzed plan would register the unreplaced sugar and never
+    // match a query
+    val probe = base.select(
+        dims.map { case (n, c) => c.as(s"d_$n") } ++
+          measures.map { case (n, c) => c.as(s"m_$n") }: _*)
+      .queryExecution.optimizedPlan.asInstanceOf[Project].projectList
+    val treeByName = probe.collect { case al: Alias => al.name -> norm(al.child) }.toMap
+    val entry = Entry(
+      mvDir,
+      dims.map { case (n, _) => (n, treeByName(s"d_$n")) },
+      measures.map { case (n, _) => (treeByName(s"m_$n"), s"mv_sum_$n") })
+    val key = spark.read.parquet(basePath).queryExecution.analyzed match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString).sorted.mkString(",")
+      case other => throw new IllegalStateException(
+        s"not a file-backed relation: $other")
+    }
+    registry.put(key, entry)
+  }
+
+  /** Test/lifecycle hook: forget every registered MV. */
+  def clear(): Unit = registry.clear()
+}

@@ -529,6 +529,14 @@ class PlanSpec extends SparkSpec {
       s"scan touches $touched partitions; the predicate selects 2 of $stored days")
   }
 
+  test("x42: the graded query's plan reads the MV, never the base scan") {
+    GraftExtensions.register(spark)
+    val df = SparkEntry.queries("x42_mv_rewrite")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft-mv-"), s"MV rewrite did not fire:\n$p")
+    assert(!p.contains("events.parquet"), s"plan still scans the base:\n$p")
+  }
+
   test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col

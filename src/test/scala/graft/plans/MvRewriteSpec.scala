@@ -1,0 +1,85 @@
+package graft.plans
+
+import graft.{GraftExtensions, SparkSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The materialized-rollup rewrite must (a) actually fire — the plan reads
+  * the MV, not the base scan — (b) be invisible to results, and (c) refuse
+  * every shape it cannot prove: those fall through to the base table. */
+class MvRewriteSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val base = s"$dir/events.parquet"
+  private lazy val mvDir = {
+    GraftExtensions.register(spark)
+    val d = sys.props("java.io.tmpdir") + "/graft-mv-spec"
+    MvRewrite.buildAndRegister(spark, base, d,
+      dims = Seq(
+        "event_date" -> to_date(col("ts").cast("timestamp")),
+        "event_type" -> col("event_type")),
+      measures = Seq("value" -> col("value").cast(DecimalType(18, 2))))
+    d
+  }
+
+  private def q() = spark.read.parquet(base)
+    .groupBy(col("event_type"))
+    .agg(count(lit(1)).as("n"),
+      sum(col("value").cast(DecimalType(18, 2))).cast("double").as("t"))
+
+  test("rewrite fires: the plan scans the MV directory, not the base file") {
+    mvDir
+    val p = q().queryExecution.executedPlan.toString
+    assert(p.contains("graft-mv-spec"), s"plan does not read the MV:\n$p")
+    assert(!p.contains("events.parquet"), s"plan still scans the base:\n$p")
+  }
+
+  test("rewrite is invisible to results, including the full-dim grouping") {
+    mvDir
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val viaMv = rows(q())
+    try {
+      MvRewrite.clear()
+      assert(viaMv == rows(q()))
+    } finally mvDir // leave registered for other tests (re-register below)
+    MvRewrite.buildAndRegister(spark, base, mvDir,
+      dims = Seq(
+        "event_date" -> to_date(col("ts").cast("timestamp")),
+        "event_type" -> col("event_type")),
+      measures = Seq("value" -> col("value").cast(DecimalType(18, 2))))
+    // grouping by BOTH dims also answers from the MV (no re-aggregation
+    // error: one MV row per group)
+    val full = spark.read.parquet(base)
+      .groupBy(to_date(col("ts").cast("timestamp")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(full.queryExecution.executedPlan.toString.contains("graft-mv-spec"))
+    assert(full.agg(sum(col("n"))).collect()(0).getLong(0) ==
+      spark.read.parquet(base).count())
+  }
+
+  test("unsupported shapes refuse the rewrite and scan the base") {
+    mvDir
+    val unsupported = Seq(
+      // avg is not a registered decomposable aggregate
+      spark.read.parquet(base).groupBy(col("event_type"))
+        .agg(avg(col("value")).as("a")),
+      // distinct count cannot come from partial counts
+      spark.read.parquet(base).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("d")),
+      // grouping outside the dimension set
+      spark.read.parquet(base).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n")),
+      // sum of a measure the MV does not carry (raw double, no cast)
+      spark.read.parquet(base).groupBy(col("event_type"))
+        .agg(sum(col("value")).as("s")),
+      // a filter between scan and aggregate blocks the rewrite (v1)
+      spark.read.parquet(base).filter(col("value") > 100)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n")))
+    unsupported.foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("graft-mv-spec"), s"unsound rewrite fired:\n$p")
+      assert(p.contains("events.parquet"))
+    }
+  }
+}
