@@ -778,9 +778,11 @@ object Bench {
         else streamStateSoak(spark)
       val s10 = if (stageFilter.exists(!_("session_tws_2m"))) ""
         else sessionTwsSoak(spark)
+      val s11 = if (stageFilter.exists(!_("stream_join_2m"))) ""
+        else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sI1, sI2, sG1, s9, s10)
+          s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sI1, sI2, sG1, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
@@ -883,6 +885,83 @@ object Bench {
       s""""stream_state_2m":{"sec":$sec,"events":${batches * perBatch},"batches":$batches,$d,$r}"""
     } catch { case t: Throwable =>
       s""""stream_state_2m":{"err":"${graft.util.Json.escape(t.toString, maxLen = 300)}"}"""
+    }
+  }
+
+  /** Stream-stream join soak: 2M transactions joined live to their derived
+    * refund stream (inner, transaction_id + 30-minute event-time range,
+    * both sides watermarked 1 h) in 10 interleaved batches, each advancing
+    * event time ~5.6 h. The scale property under test: join state holds
+    * only rows inside the watermark horizon — the per-batch state-row
+    * curve must stay FLAT while cumulative input grows 10x (an unbounded
+    * stream-stream join buffers both streams forever; the watermark +
+    * range condition is what makes the join run indefinitely at
+    * 100 TB/day). Matched output is cumulative and monotone. */
+  private def streamJoinSoak(spark: SparkSession): String = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, expr, from_json, to_json, struct}
+    val batches = 10
+    val perBatch = 200000L
+    val t0 = System.nanoTime()
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val msTx = MemoryStream[String]
+      val msRf = MemoryStream[String]
+      val tx = graft.operators.Ingest.parseTransactions(msTx.toDF())
+        .select(col("transaction_id"), col("timestamp"), col("amount"))
+        .withWatermark("timestamp", "1 hour")
+      val rfSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("transaction_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("refund_ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("refund_amount",
+          org.apache.spark.sql.types.DoubleType)))
+      val rf = msRf.toDF()
+        .select(from_json(col("value"), rfSchema).as("r")).select(col("r.*"))
+        .withColumnRenamed("transaction_id", "r_transaction_id")
+        .withWatermark("refund_ts", "1 hour")
+      val joined = tx.join(rf,
+        col("transaction_id") === col("r_transaction_id") &&
+          col("refund_ts") >= col("timestamp") &&
+          col("refund_ts") <= col("timestamp") + expr("INTERVAL 30 MINUTES"),
+        "inner")
+      val q = joined.select(col("transaction_id"),
+          (col("refund_ts").cast("long") - col("timestamp").cast("long"))
+            .as("delay_sec"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("soak_stream_join")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("soak-join-ckpt").toString)
+        .start()
+      val stateRows = Array.newBuilder[Long]
+      val matched = Array.newBuilder[Long]
+      try {
+        (0 until batches).foreach { b =>
+          val txChunk = graft.sources.DataGen
+            .transactionsJson(spark, perBatch, startId = b * perBatch)
+            .collect().map(_.getString(0))
+          val rfChunk = graft.sources.DataGen
+            .refunds(spark, perBatch, startId = b * perBatch)
+            .select(to_json(struct(col("*"))).as("value"))
+            .collect().map(_.getString(0))
+          txChunk.grouped(txChunk.length / 8 + 1)
+            .foreach(c => msTx.addData(c.toIndexedSeq))
+          rfChunk.grouped(rfChunk.length / 8 + 1)
+            .foreach(c => msRf.addData(c.toIndexedSeq))
+          q.processAllAvailable()
+          stateRows += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+          matched += spark.table("soak_stream_join").count()
+        }
+      } finally q.stop()
+      val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+      s""""stream_join_2m":{"sec":$sec,"events":${batches * perBatch},""" +
+        s""""batches":$batches,""" +
+        s""""state_rows":${stateRows.result().mkString("[", ",", "]")},""" +
+        s""""matched":${matched.result().mkString("[", ",", "]")}}"""
+    } catch { case t: Throwable =>
+      s""""stream_join_2m":{"err":"${graft.util.Json.escape(t.toString, maxLen = 300)}"}"""
     }
   }
 

@@ -74,10 +74,11 @@ object DataGen {
       n: Long,
       seed: Long = 42L,
       startEpoch: Long = 1704067200L,
-      eventsPerSecond: Double = 10.0): DataFrame = {
+      eventsPerSecond: Double = 10.0,
+      startId: Long = 0L): DataFrame = {
     val id = col("id")
     val delay = prand(id, seed, "rdelay") % 2400
-    spark.range(n)
+    spark.range(startId, startId + n)
       .filter(element_at(
         array(statuses.map(lit): _*), (prand(id, seed, "st") % 3 + 1).cast("int"))
         === "Failed")
