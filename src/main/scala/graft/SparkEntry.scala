@@ -530,6 +530,36 @@ object SparkEntry {
           coalesce(col("d"), lit("ALL")).as("d"), col("n"), col("val_sum"))
         .orderBy(col("et"), col("d"))),
 
+    "a13_grouping_sets" -> ((s, dir) => {
+      // arbitrary GROUPING SETS (the general form a9's ROLLUP and a12's
+      // CUBE are sugar for), exercised through the SQL surface: one pass,
+      // Expand + one exchange — NOT one scan per set
+      Tables.events(s, dir).createOrReplaceTempView("graft_events_gs")
+      s.sql("""SELECT event_type, user_id, count(1) AS n,
+              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM graft_events_gs
+              |GROUP BY GROUPING SETS ((event_type), (event_type, user_id))"""
+        .stripMargin)
+    }),
+
+    "a14_unpivot" -> ((s, dir) =>
+      // unpivot/melt: the four lineitem measures to (metric, amount) long
+      // form — a Generate (Expand) over the scan, no shuffle at all; the
+      // deterministic 1% key sample keeps the graded frame small while the
+      // shape stays the full-table one
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"),
+          col("l_tax").cast("double").as("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "amount")),
+
     "s7_pipeline_batch" -> ((s, dir) =>
       // end-to-end batch analog of the canonical pipeline over synthetic
       // data: generate -> wire-encode -> parse -> dedup -> daily totals,
@@ -1064,6 +1094,35 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("total_value"))
     }),
 
+    // partitioned MERGE/upsert, graded: the date-partitioned events table
+    // takes a keyed change batch — half of two days' rows corrected
+    // in place, new keys appended to one day — via dynamic partition
+    // overwrite ([[graft.operators.Merge.upsertPartitioned]]). Only the
+    // two affected day-directories are rewritten (MergeSpec pins untouched
+    // partitions byte-identical by mtime); the graded aggregate proves
+    // updates replaced their keys, survivors stayed, and appends landed.
+    "x44_upsert" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft-upsert-" +
+        math.abs(dir.hashCode)
+      graft.operators.Layout.writeDatePartitioned(
+        Tables.events(s, dir), col("ts"), base)
+      val d = Tables.events(s, dir).withColumn("event_date", to_date(col("ts")))
+      val inWindow = col("event_date") >= lit("2024-01-05").cast("date") &&
+        col("event_date") <= lit("2024-01-06").cast("date")
+      val updExisting = d.filter(inWindow && col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + 1000.0)
+      val updNew = d
+        .filter(col("event_date") === lit("2024-01-05").cast("date") &&
+          col("event_id") % 2 === 1)
+        .withColumn("event_id", col("event_id") + 10000000L)
+      graft.operators.Merge.upsertPartitioned(s, base,
+        updExisting.unionByName(updNew), Seq("event_id"), "event_date")
+      s.read.parquet(base)
+        .groupBy(col("event_date").cast("string").as("event_date"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    }),
+
     // materialized-rollup rewrite, graded: a per-(day, type) rollup MV is
     // built and registered, then the USER QUERY — written against the raw
     // base parquet, grouping by a COARSER key (type only) — is silently
@@ -1191,6 +1250,22 @@ object SparkEntry {
     // common-neighbors link prediction on the part graph: top-100
     // non-adjacent pairs by shared-neighbor count — integer-exact,
     // TakeOrdered top-k, wedge join + one anti-join
+    // bounded-round frontier BFS from a deterministic seed set over the
+    // directed co-order supplier graph: exact hop distances within 4
+    // rounds. The frontier/anti-join structure (not a closure join) is
+    // what BFS looks like when the graph is 100 TB of edges.
+    "x45_bfs" -> ((s, dir) => {
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", k = 15)
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 50 === 0)
+        .select(col("s_suppkey").as("node"))
+      graft.operators.Graph.bfsDistances(edges, seeds, rounds = 4)
+        .select(col("node").as("s_suppkey"), col("d").as("dist"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "x38_link_prediction" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("g"), col("l_partkey").as("m")).distinct()
@@ -3426,6 +3501,28 @@ object SparkEntry {
       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
       |  FROM pairs) t WHERE rn <= 15)""".stripMargin
 
+  /** DuckDB replay of `x45_bfs`: four expand-and-min rounds unrolled over
+    * the same directed co-order edge set. The unrolled form expands the
+    * whole known set each round where the engine expands only the
+    * frontier — same fixed-round min-distance relation, different work
+    * profile (the oracle only has to be right, not scalable). */
+  private lazy val bfsOracleSql: String = {
+    val pre =
+      s"""WITH $coOrderEdgesCte,
+         |d0 AS (SELECT s_suppkey AS node, 0 AS d FROM supplier
+         |  WHERE s_suppkey % 50 = 0)""".stripMargin
+    val its = (1 to 4).map { i =>
+      s""",
+         |d$i AS (SELECT node, min(d) AS d FROM (
+         |  SELECT node, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, p.d + 1 AS d
+         |  FROM d${i - 1} p JOIN edges e ON e.src = p.node) u
+         |  GROUP BY node)""".stripMargin
+    }.mkString
+    pre + its + "\nSELECT node AS s_suppkey, d AS dist FROM d4 ORDER BY s_suppkey"
+  }
+
   private lazy val pageRankOracleSql: String = {
     val S = 1000000000000L
     val pre =
@@ -3595,6 +3692,8 @@ object SparkEntry {
     "x33_pagerank" -> pageRankOracleSql,
 
     "x39_random_walks" -> randomWalksOracleSql,
+
+    "x45_bfs" -> bfsOracleSql,
 
     "ext_kmeans_fp" -> kmeansOracleSql,
 
@@ -3895,6 +3994,25 @@ object SparkEntry {
     "a8_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "a13_grouping_sets" ->
+      """SELECT event_type, user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (event_type, user_id))""".stripMargin,
+
+    // portable long-form: UNION ALL of the four measures (UNPIVOT sugar
+    // differs per engine; the relation does not)
+    "a14_unpivot" ->
+      """WITH b AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  CAST(l_quantity AS DOUBLE) AS amount FROM b
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  CAST(l_extendedprice AS DOUBLE) FROM b
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  CAST(l_discount AS DOUBLE) FROM b
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+        |  CAST(l_tax AS DOUBLE) FROM b""".stripMargin,
 
     "a9_rollup" ->
       """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
@@ -4285,6 +4403,25 @@ object SparkEntry {
 
     "x31_compact" ->
       "SELECT * FROM documents ORDER BY doc_id",
+
+    // replay of the merge relation: kept originals + updated evens + the
+    // appended odd-key copies, aggregated like the graded read-back
+    "x44_upsert" ->
+      """WITH d AS (SELECT event_id, event_type, value,
+        |    strftime(ts, '%Y-%m-%d') AS ed FROM events),
+        |upd AS (SELECT event_id, event_type, value + 1000 AS value, ed
+        |  FROM d WHERE ed BETWEEN '2024-01-05' AND '2024-01-06'
+        |    AND event_id % 2 = 0),
+        |nw AS (SELECT event_id + 10000000 AS event_id, event_type, value, ed
+        |  FROM d WHERE ed = '2024-01-05' AND event_id % 2 = 1),
+        |keep AS (SELECT event_id, event_type, value, ed FROM d
+        |  WHERE NOT (ed BETWEEN '2024-01-05' AND '2024-01-06'
+        |    AND event_id % 2 = 0)),
+        |t AS (SELECT * FROM keep UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM nw)
+        |SELECT ed AS event_date, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     // the MV rewrite must be invisible to results: the oracle is the same
     // aggregate over the base table the user query was written against

@@ -308,4 +308,36 @@ object Graph {
     }
     out
   }
+
+  /** Bounded-round frontier BFS over the DIRECTED `edges` from a seed
+    * relation: after `rounds` rounds, `(node, d)` is the exact shortest
+    * hop distance for every node within `rounds` hops of a seed
+    * (unreached nodes are absent). Deterministic by construction — min
+    * distance is order-free.
+    *
+    * Scale shape, the reason this is the distributed BFS and not a
+    * transitive-closure join: each round expands ONLY the frontier (nodes
+    * first reached last round, kept via one anti-join against the known
+    * set), so total work is O(edges-touched-once) across the whole
+    * traversal — an expand-everything-each-round loop would re-join the
+    * entire reached set every round, and a recursive closure without the
+    * dedup would enumerate PATHS (combinatorial on dense graphs). Lineage
+    * is cut on the two inter-round tables (known, frontier); rounds are
+    * fixed so the oracle unrolls the identical CTE chain. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = graft.util.Checkpoints.cut(edges.select(col("src"), col("dst")))
+    var known = seeds.select(col("node"), lit(0).as("d"))
+    var frontier = known
+    for (i <- 1 to rounds) {
+      val reached = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+      frontier = graft.util.Checkpoints.cut(
+        reached.join(known, Seq("node"), "left_anti")
+          .select(col("node"), lit(i).as("d")))
+      known = graft.util.Checkpoints.cut(known.unionByName(frontier))
+    }
+    known
+  }
 }

@@ -156,4 +156,24 @@ class GraphSpec extends SparkSpec {
     assert(walks.exceptAll(again).isEmpty && again.exceptAll(walks).isEmpty,
       "walk corpus depends on partitioning")
   }
+
+  test("bfsDistances: hand-computed hops, bounded rounds, unreached absent") {
+    // directed path 1->2->3->4->5->6 with a shortcut 1->4 and an island 9
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 4), (7, 9))
+      .toDF("src", "dst")
+    val seeds = Seq(1).toDF("node")
+    val d = Graph.bfsDistances(edges, seeds, rounds = 4)
+      .as[(Int, Int)].collect().toMap
+    // shortcut wins: 4 is at distance 1, so 6 lands inside 4 rounds
+    assert(d == Map(1 -> 0, 2 -> 1, 4 -> 1, 3 -> 2, 5 -> 2, 6 -> 3),
+      s"got $d")
+    // rounds bound: with 1 round only direct successors appear
+    val d1 = Graph.bfsDistances(edges, seeds, rounds = 1)
+      .as[(Int, Int)].collect().toMap
+    assert(d1 == Map(1 -> 0, 2 -> 1, 4 -> 1), s"got $d1")
+    // partition invariance
+    val again = Graph.bfsDistances(edges.repartition(5), seeds, rounds = 4)
+      .as[(Int, Int)].collect().toMap
+    assert(again == d, "distances depend on partitioning")
+  }
 }
