@@ -695,6 +695,45 @@ object SparkEntry {
         .dropDuplicates("user_id", "transaction_date")),
 
     // ---- window functions / joins (beyond-reference capability) --------
+    "w5_ntile" -> ((s, dir) => {
+      // equi-depth bucketing (quartiles) per event type on a TOTAL order
+      // (value, event_id) — ntile's bucket boundaries are only
+      // deterministic when the order has no ties, which the unique id
+      // tie-break guarantees; both engines then assign identical buckets
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("quartile", ntile(4).over(w))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("quartile"))
+    }),
+
+    // exact correlation at scale: the five co-moment sums computed as
+    // INTEGER aggregates (value in cents via the exact decimal cast —
+    // order-independent in any engine), the final Pearson r assembled from
+    // those exact integers in one mirrored double expression. The usual
+    // corr() aggregate streams incremental float updates and can never
+    // hash-match across engines; sums of integers can.
+    "ext_corr_exact" -> ((s, dir) => {
+      val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+      Tables.events(s, dir)
+        .select(col("event_type"), cents.as("x"), col("user_id").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("corr_xy",
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+    }),
+
     "w1_rank_per_user" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -1090,6 +1129,34 @@ object SparkEntry {
           col("event_date") <= lit("2024-01-04").cast("date"))
         .groupBy(col("event_date"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("event_date").cast("string").as("event_date"),
+          col("event_type"), col("n_events"), col("total_value"))
+    }),
+
+    // incremental MV maintenance + rewrite, graded end to end: the rollup
+    // is built over only the first twenty days, the remaining days arrive
+    // as a delta folded into the stored partials
+    // ([[graft.plans.MvRewrite.refreshIncremental]] — aggregate the DELTA,
+    // re-sum against the dim-sized MV; never rescan the base), then the
+    // full-table user query is answered from the refreshed MV. A stale or
+    // double-counted partial shifts a daily total and fails the hash.
+    "x46_mv_refresh" -> ((s, dir) => {
+      val base = s"$dir/events.parquet"
+      val mvDir = sys.props("java.io.tmpdir") + "/graft-mv2-" +
+        math.abs(dir.hashCode)
+      val eventDate = to_date(col("ts").cast("timestamp"))
+      val cut = lit("2024-01-20").cast("date")
+      graft.plans.MvRewrite.buildAndRegister(s, base, mvDir,
+        dims = Seq("event_date" -> eventDate, "event_type" -> col("event_type")),
+        measures = Seq("value" -> col("value").cast(DecimalType(18, 2))),
+        buildFrom = Some(s.read.parquet(base).filter(eventDate <= cut)))
+      graft.plans.MvRewrite.refreshIncremental(s, base,
+        s.read.parquet(base).filter(eventDate > cut))
+      s.read.parquet(base)
+        .groupBy(eventDate.as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
         .select(col("event_date").cast("string").as("event_date"),
           col("event_type"), col("n_events"), col("total_value"))
     }),
@@ -4154,6 +4221,34 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
         |FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')""".stripMargin,
 
+    "w5_ntile" ->
+      """SELECT event_id, event_type, value,
+        |  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+        |    AS quartile
+        |FROM events""".stripMargin,
+
+    // same five integer sums, same single-expression double assembly —
+    // multiply/divide/sqrt are IEEE-correctly-rounded in both engines, so
+    // identical inputs and identical expression shape give identical bits
+    "ext_corr_exact" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    user_id AS y
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM b GROUP BY event_type)
+        |SELECT event_type, n, sx, sy, sxy, sxx, syy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+        |FROM s""".stripMargin,
+
     "w1_rank_per_user" ->
       """SELECT user_id, event_id, value, rn FROM (
         |  SELECT user_id, event_id, value,
@@ -4403,6 +4498,14 @@ object SparkEntry {
 
     "x31_compact" ->
       "SELECT * FROM documents ORDER BY doc_id",
+
+    // the refreshed MV must answer exactly what the base table would:
+    // the oracle is the plain full-table aggregate
+    "x46_mv_refresh" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // replay of the merge relation: kept originals + updated evens + the
     // appended odd-key copies, aggregated like the graded read-back

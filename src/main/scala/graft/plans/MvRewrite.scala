@@ -41,11 +41,15 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   /** One registered rollup: MV parquet dir, dimension name -> defining
     * expression over the base columns (normalized), measure normalized
-    * sum-operand tree -> MV sum column name. */
+    * sum-operand tree -> MV sum column name, plus the original Column
+    * build spec (kept for incremental refresh — the trees are for
+    * matching, the Columns re-aggregate a delta). */
   final case class Entry(
       mvDir: String,
       dims: Seq[(String, Expression)],
-      measures: Seq[(Expression, String)])
+      measures: Seq[(Expression, String)],
+      dimCols: Seq[(String, org.apache.spark.sql.Column)],
+      measureCols: Seq[(String, org.apache.spark.sql.Column)])
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -194,12 +198,10 @@ object MvRewrite extends Rule[LogicalPlan] {
       basePath: String,
       mvDir: String,
       dims: Seq[(String, org.apache.spark.sql.Column)],
-      measures: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+      measures: Seq[(String, org.apache.spark.sql.Column)],
+      buildFrom: Option[DataFrame] = None): Unit = {
     val base = spark.read.parquet(basePath)
-    val dimCols = dims.map { case (n, c) => c.as(n) }
-    val aggCols = count(lit(1)).as("mv_n") +:
-      measures.map { case (n, c) => sum(c).as(s"mv_sum_$n") }
-    base.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    rollup(buildFrom.getOrElse(base), dims, measures)
       .write.mode("overwrite").parquet(mvDir)
     // resolved expression trees for the dims/measures: OPTIMIZE a
     // projection of exactly those columns over the base — the rule
@@ -215,14 +217,56 @@ object MvRewrite extends Rule[LogicalPlan] {
     val entry = Entry(
       mvDir,
       dims.map { case (n, _) => (n, treeByName(s"d_$n")) },
-      measures.map { case (n, _) => (treeByName(s"m_$n"), s"mv_sum_$n") })
-    val key = spark.read.parquet(basePath).queryExecution.analyzed match {
+      measures.map { case (n, _) => (treeByName(s"m_$n"), s"mv_sum_$n") },
+      dims, measures)
+    registry.put(pathKey(spark, basePath), entry)
+  }
+
+  private def pathKey(spark: SparkSession, basePath: String): String =
+    spark.read.parquet(basePath).queryExecution.analyzed match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.map(_.toString).sorted.mkString(",")
       case other => throw new IllegalStateException(
         s"not a file-backed relation: $other")
     }
-    registry.put(key, entry)
+
+  /** The partial-aggregate rollup of `rows` under a dim/measure spec. */
+  private def rollup(
+      rows: DataFrame,
+      dims: Seq[(String, org.apache.spark.sql.Column)],
+      measures: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val dimCols = dims.map { case (n, c) => c.as(n) }
+    val aggCols = count(lit(1)).as("mv_n") +:
+      measures.map { case (n, c) => sum(c).as(s"mv_sum_$n") }
+    rows.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Incremental MV maintenance: fold a DELTA of base-schema rows into the
+    * stored partials — count and sum partials merge by addition, so the
+    * refresh aggregates ONLY the delta and re-sums against the (already
+    * dim-cardinality-sized) MV. Maintenance cost tracks the delta, never
+    * the base table — the property that keeps an MV affordable when the
+    * 100 TB base grows by a day's partition ([[graft.operators.Incremental]]
+    * is the same idea for an explicitly-queried rollup; this one feeds the
+    * transparent rewrite). */
+  def refreshIncremental(
+      spark: SparkSession, basePath: String, delta: DataFrame): Unit = {
+    val entry = Option(registry.get(pathKey(spark, basePath))).getOrElse(
+      throw new IllegalStateException(s"no MV registered for $basePath"))
+    val deltaAgg = rollup(delta, entry.dimCols, entry.measureCols)
+    val old = spark.read.parquet(entry.mvDir)
+    val dimNames = entry.dims.map(_._1)
+    val merged = old.unionByName(deltaAgg
+        .select(old.columns.map(col): _*))
+      .groupBy(dimNames.map(col): _*)
+      .agg(sum(col("mv_n")).cast("long").as("mv_n"),
+        entry.measures.map { case (_, mvCol) =>
+          sum(col(mvCol)).cast(old.schema(mvCol).dataType).as(mvCol)
+        }: _*)
+    // stage before overwriting the directory being read (same discipline
+    // as Merge.upsertPartitioned) — the cut holds dim-cardinality rows
+    graft.util.Checkpoints.cut(merged)
+      .write.mode("overwrite").parquet(entry.mvDir)
   }
 
   /** Test/lifecycle hook: forget every registered MV. */

@@ -537,6 +537,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("events.parquet"), s"plan still scans the base:\n$p")
   }
 
+  test("x46: the full-table query is answered from the refreshed MV") {
+    GraftExtensions.register(spark)
+    val df = SparkEntry.queries("x46_mv_refresh")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft-mv2-"), s"MV rewrite did not fire:\n$p")
+    assert(!p.contains("events.parquet"), s"plan still scans the base:\n$p")
+  }
+
   test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
