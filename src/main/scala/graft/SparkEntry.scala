@@ -1133,6 +1133,29 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("total_value"))
     }),
 
+    // dynamic partition pruning, graded: the date-partitioned fact joined
+    // to a FILTERED day dimension — the partitions to scan are only known
+    // at runtime (they come out of the dim's rows), so static pruning
+    // can't help; Spark's DPP broadcasts the dim's join keys into the
+    // fact scan's partition filter. PlanSpec pins the
+    // dynamicpruningexpression on the scan. At 100 TB this is how a
+    // "revenue for promo days" join reads 4 directories, not 3,650.
+    "x47_dpp" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft-datepart-" +
+        math.abs(dir.hashCode)
+      graft.operators.Layout.writeDatePartitioned(
+        Tables.events(s, dir), col("ts"), base)
+      val dim = s.range(0, 30).select(
+          date_add(lit("2024-01-01").cast("date"), col("id").cast("int"))
+            .as("event_date"),
+          (col("id") % 7).cast("int").as("dow"))
+        .filter(col("dow") === 2)
+      s.read.parquet(base).join(broadcast(dim), "event_date")
+        .groupBy(col("event_date").cast("string").as("event_date"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // incremental MV maintenance + rewrite, graded end to end: the rollup
     // is built over only the first twenty days, the remaining days arrive
     // as a delta folded into the stored partials
@@ -2585,6 +2608,16 @@ object SparkEntry {
       }
     }),
 
+    // streaming CDC apply: every micro-batch upserts into the
+    // date-partitioned table via foreachBatch + the keyed partitioned
+    // MERGE ([[graft.operators.Merge.upsertPartitioned]]) — the standard
+    // "stream into a warehouse table" sink when the sink must be a plain
+    // parquet layout. Exactly-once here comes from IDEMPOTENCE, not the
+    // sink's commit log: the last feed chunk is re-fed whole, and the
+    // replayed keys overwrite themselves. Graded by reading the final
+    // table back into the canonical daily rollup.
+    "stream_upsert_table" -> ((s, dir) => streamUpsertTable(s)),
+
     // stream-STREAM join, inner: the live transaction stream joined to a
     // live refund stream on transaction_id PLUS an event-time range
     // (refund within 30 min of the transaction). Both sides carry
@@ -2829,6 +2862,50 @@ object SparkEntry {
       q.processAllAvailable()
     } finally q.stop()
     s.table(name).filter(col("customer_id") =!= "-1")
+  }
+
+  /** The streaming-CDC run behind `stream_upsert_table`: the transaction
+    * stream applied to a date-partitioned parquet table batch-by-batch
+    * through the keyed partitioned MERGE. The first batch seeds the
+    * layout; every later batch (including the deliberately re-fed
+    * duplicate chunk) upserts — replayed keys rewrite their own rows, so
+    * the final table is exactly one row per distinct transaction no
+    * matter how many times a chunk is delivered. */
+  private def streamUpsertTable(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val payloads = graft.sources.DataGen
+      .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
+      .select(to_json(struct(col("*"))).as("value"))
+      .collect().map(_.getString(0))
+    val ms = MemoryStream[String]
+    val outDir = tempCkpt() // reaped like every graded stream artifact
+    val q = Ingest.parseTransactions(ms.toDF())
+      .writeStream
+      .option("checkpointLocation", tempCkpt())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .withColumn("t_date", to_date(col("timestamp")))
+        if (!new java.io.File(outDir).exists()) {
+          rows.repartition(col("t_date"))
+            .write.mode("overwrite").partitionBy("t_date").parquet(outDir)
+        } else {
+          graft.operators.Merge.upsertPartitioned(
+            s, outDir, rows, Seq("transaction_id"), "t_date")
+        }
+      }
+      .start()
+    try {
+      val chunks = payloads.grouped(math.max(1, payloads.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+      // replayed delivery: the upsert must absorb it without duplicates
+      ms.addData(chunks.last.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(outDir)
+      .groupBy(col("customer_id"),
+        col("t_date").cast("string").as("transaction_date"))
+      .agg(dsum(col("amount")).as("total_spent"))
   }
 
   /** The streaming document-curation run behind `stream_doc_clean`:
@@ -4499,6 +4576,15 @@ object SparkEntry {
     "x31_compact" ->
       "SELECT * FROM documents ORDER BY doc_id",
 
+    // the dim selects days 3, 10, 17, 24 of January (index % 7 = 2); the
+    // oracle filters the base directly — DPP must be invisible to results
+    "x47_dpp" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+        |  count(*) AS n_events
+        |FROM events
+        |WHERE (CAST(strftime(ts, '%d') AS INTEGER) - 1) % 7 = 2
+        |GROUP BY 1, 2""".stripMargin,
+
     // the refreshed MV must answer exactly what the base table would:
     // the oracle is the plain full-table aggregate
     "x46_mv_refresh" ->
@@ -5894,6 +5980,16 @@ object SparkEntry {
     // identical to stream_daily_spend's oracle: the 1,000 late-fed rows
     // must contribute NOTHING — the on-time-only relation is the truth
     "stream_late_data_drop" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)}
+         |SELECT customer_id,
+         |  strftime(make_timestamp(te * 1000000), '%Y-%m-%d') AS transaction_date,
+         |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // the CDC-applied table must aggregate to the same daily rollup as the
+    // generator relation — a replayed chunk that duplicated rows, or an
+    // upsert that dropped survivors, shifts a total
+    "stream_upsert_table" ->
       s"""WITH ${streamTxCte(streamN, streamEpoch)}
          |SELECT customer_id,
          |  strftime(make_timestamp(te * 1000000), '%Y-%m-%d') AS transaction_date,

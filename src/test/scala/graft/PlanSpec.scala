@@ -537,6 +537,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("events.parquet"), s"plan still scans the base:\n$p")
   }
 
+  test("x47: the fact scan carries a dynamic partition pruning filter") {
+    val df = SparkEntry.queries("x47_dpp")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no DPP filter on the partitioned scan:\n$p")
+  }
+
   test("x46: the full-table query is answered from the refreshed MV") {
     GraftExtensions.register(spark)
     val df = SparkEntry.queries("x46_mv_refresh")(spark, dir)
