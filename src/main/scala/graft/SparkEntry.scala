@@ -1901,6 +1901,14 @@ object SparkEntry {
         Tables.ensureParallelism(Tables.documents(s, dir)),
         col("source").isin("src0", "src1", "src2", "src3", "src4"))),
 
+    // k-anonymity audit: group sizes over the (nation, segment) quasi-
+    // identifier pair on customers, groups under k=5 flagged — the
+    // re-identification screen a privacy-conscious pipeline runs before a
+    // table is joined into a training corpus
+    "ext_k_anonymity" -> ((s, dir) =>
+      graft.operators.Pii.kAnonymity(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"), k = 5)),
+
     "ext_pii_redact" -> ((s, dir) => {
       // deterministic synthetic PII is appended per doc (the corpus itself
       // is clean), then counted and scrubbed; the oracle regenerates the
@@ -2608,6 +2616,14 @@ object SparkEntry {
       }
     }),
 
+    // streaming vector search: a live stream of query ids scored against
+    // the static corpus micro-batch by micro-batch (broadcast the batch's
+    // queries, stream the corpus through the codegen'd dot product —
+    // exactly the batch engine's plan, driven by foreachBatch). Stateless:
+    // results append as they compute; the final relation must equal the
+    // batch search for the same query set (same oracle as ext_knn_brute).
+    "stream_knn" -> ((s, dir) => streamKnn(s, dir)),
+
     // streaming CDC apply: every micro-batch upserts into the
     // date-partitioned table via foreachBatch + the keyed partitioned
     // MERGE ([[graft.operators.Merge.upsertPartitioned]]) — the standard
@@ -2862,6 +2878,37 @@ object SparkEntry {
       q.processAllAvailable()
     } finally q.stop()
     s.table(name).filter(col("customer_id") =!= "-1")
+  }
+
+  /** The streaming-search run behind `stream_knn`: query ids arrive as a
+    * MemoryStream in three micro-batches; each batch's vectors are looked
+    * up in the static corpus and brute-force-scored against it
+    * ([[graft.operators.Similarity.bruteForceTopK]] — broadcast queries,
+    * corpus-parallel codegen'd dot product), appending per-batch results
+    * to a parquet sink. The union of batches must equal the one-shot
+    * batch search over the same ten queries. */
+  private def streamKnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val ms = MemoryStream[Long]
+    val outDir = tempCkpt()
+    val q = ms.toDS().toDF("id").writeStream
+      .option("checkpointLocation", tempCkpt())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qs = batch.join(emb, batch("id") === emb("vec_id"))
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        graft.operators.Similarity.bruteForceTopK(emb, qs, k = 5)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      Seq(0L until 4L, 4L until 7L, 7L until 10L).foreach { ids =>
+        ms.addData(ids.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.parquet(outDir)
   }
 
   /** The streaming-CDC run behind `stream_upsert_table`: the transaction
@@ -5410,6 +5457,11 @@ object SparkEntry {
         |  unnest(generate_series(0, copies - 1)) AS copy_idx
         |FROM c WHERE copies > 0""".stripMargin,
 
+    "ext_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+        |  count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
     "ext_pii_redact" -> {
       import graft.operators.Pii
       s"""WITH p AS (SELECT doc_id,
@@ -5848,6 +5900,8 @@ object SparkEntry {
     },
 
     "ext_knn_brute" -> bruteKnnSql,
+    // the streamed per-batch searches union to the identical relation
+    "stream_knn" -> bruteKnnSql,
     // the SQL-registry twin computes the identical scored relation and
     // ranks through graft_top_k — same oracle by construction
     "ext_knn_brute_sql" -> bruteKnnSql,

@@ -39,4 +39,19 @@ object Pii {
   /** Full scrub: email -> IP -> phone (order matters — see [[phoneRe]]). */
   def redact(text: Column): Column =
     redactPhones(redactIpv4(redactEmails(text)))
+
+  /** k-anonymity audit over a set of quasi-identifier columns: the size of
+    * every QI combination, flagged where fewer than `k` records share it —
+    * the re-identification risk screen run before a table feeds a training
+    * corpus. One group-by on the QI tuple; the at-risk flag is a pure
+    * projection. At 100 TB the QI group count (not the row count) bounds
+    * the result — pick QIs with sane cardinality or pre-generalize
+    * (truncate zip codes, bucket ages) upstream. */
+  def kAnonymity(df: org.apache.spark.sql.DataFrame,
+      quasiIds: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < k)
+  }
 }
