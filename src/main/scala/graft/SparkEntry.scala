@@ -2616,6 +2616,15 @@ object SparkEntry {
       }
     }),
 
+    // streaming incremental near-dup: new documents arrive in micro-batches
+    // and dedup against the PERSISTED band index, which then absorbs each
+    // batch's bands — the full production loop (screen the delta, grow the
+    // index; never re-shingle the corpus). Cross-batch new x new pairs
+    // surface because earlier batches' bands are already in the index by
+    // the time later ones arrive. Same oracle as the one-shot incremental
+    // batch row.
+    "stream_dedup_incremental" -> ((s, dir) => streamDedupIncremental(s, dir)),
+
     // streaming vector search: a live stream of query ids scored against
     // the static corpus micro-batch by micro-batch (broadcast the batch's
     // queries, stream the corpus through the codegen'd dot product —
@@ -2878,6 +2887,49 @@ object SparkEntry {
       q.processAllAvailable()
     } finally q.stop()
     s.table(name).filter(col("customer_id") =!= "-1")
+  }
+
+  /** The streaming-dedup run behind `stream_dedup_incremental`: the band
+    * index seeds from the stored nine tenths of the corpus; the new tenth
+    * streams in three micro-batches. Per batch: candidates against the
+    * CURRENT index (new x old AND within-batch new x new), then the
+    * batch's own bands append into the index so later batches collide
+    * with earlier ones. The final pair set must equal the one-shot
+    * incremental run over the whole new tenth. */
+  private def streamDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val indexDir = tempCkpt()
+    val pairsDir = tempCkpt()
+    graft.operators.Dedup.minhashBands(docs.filter(col("doc_id") % 10 =!= 0))
+      .write.mode("overwrite").parquet(indexDir)
+    val newIds = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0)) // bounded: a tenth of the corpus' IDS
+    val ms = MemoryStream[Long]
+    val q = ms.toDS().toDF("sid").writeStream
+      .option("checkpointLocation", tempCkpt())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val newDocs = batch.join(docs, batch("sid") === docs("doc_id"))
+          .select(col("doc_id"), col("text"))
+        graft.operators.Dedup.minhashCandidatesIncremental(
+            newDocs, s.read.parquet(indexDir))
+          .write.mode("append").parquet(pairsDir)
+        // grow the index AFTER the screen: append never disturbs the
+        // files the screen just read
+        graft.operators.Dedup.minhashBands(newDocs)
+          .write.mode("append").parquet(indexDir)
+      }
+      .start()
+    try {
+      newIds.grouped(math.max(1, newIds.length / 3)).foreach { ids =>
+        ms.addData(ids.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.parquet(pairsDir).distinct()
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** The streaming-search run behind `stream_knn`: query ids arrive as a
@@ -3691,6 +3743,29 @@ object SparkEntry {
       |edges AS (SELECT src, dst FROM (
       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
       |  FROM pairs) t WHERE rn <= 15)""".stripMargin
+
+  /** DuckDB band-index replay shared by the one-shot and streamed
+    * incremental dedup rows: every pair sharing a band with at least one
+    * new-tenth doc. */
+  private lazy val incrementalDedupSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+      |  FROM toks),
+      |sig AS (SELECT doc_id,
+      |  [list_min(list_transform(s, x -> md5(x || '#' || CAST(j AS VARCHAR))))
+      |   for j in generate_series(0, 11)] AS g FROM sh),
+      |bands AS (SELECT doc_id, band,
+      |  md5(g[band*3+1] || '|' || g[band*3+2] || '|' || g[band*3+3]) AS key,
+      |  (doc_id % 10 = 0) AS nw
+      |  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b)
+      |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |FROM bands x JOIN bands y
+      |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+      |  AND (x.nw OR y.nw)
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** DuckDB replay of `x45_bfs`: four expand-and-min rounds unrolled over
     * the same directed co-order edge set. The unrolled form expands the
@@ -5532,25 +5607,10 @@ object SparkEntry {
 
     // same band replay with a new-batch flag: pairs keep only new x new
     // and new x old (old x old was adjudicated when the corpus was built)
-    "ext_dedup_incremental" ->
-      """WITH toks AS (SELECT doc_id,
-        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-        |  FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(
-        |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
-        |  FROM toks),
-        |sig AS (SELECT doc_id,
-        |  [list_min(list_transform(s, x -> md5(x || '#' || CAST(j AS VARCHAR))))
-        |   for j in generate_series(0, 11)] AS g FROM sh),
-        |bands AS (SELECT doc_id, band,
-        |  md5(g[band*3+1] || '|' || g[band*3+2] || '|' || g[band*3+3]) AS key,
-        |  (doc_id % 10 = 0) AS nw
-        |  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b)
-        |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |FROM bands x JOIN bands y
-        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-        |  AND (x.nw OR y.nw)
-        |ORDER BY id_a, id_b""".stripMargin,
+    "ext_dedup_incremental" -> incrementalDedupSql,
+    // the streamed loop (screen each micro-batch, grow the index) must
+    // converge to the identical pair set
+    "stream_dedup_incremental" -> incrementalDedupSql,
 
     "ext_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id,
