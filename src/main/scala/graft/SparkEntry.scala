@@ -1156,6 +1156,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // manifest-based time travel, graded: v0 commits the full relation,
+    // v1 upserts the x44-style change batch via
+    // [[graft.operators.Versioned.commitUpsert]] (new files ONLY for the
+    // touched partitions; untouched partitions carry their v0 files
+    // forward on the manifest — VersionedSpec pins the shared paths).
+    // ONE query reads BOTH snapshots: the v0 aggregate must show the
+    // pre-change totals even though v1 exists — a stale or leaky manifest
+    // shifts a row and fails the hash.
+    "x48_time_travel" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft-versioned-" +
+        math.abs(dir.hashCode)
+      deleteRecursively(base)
+      val rel = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).cast("string").as("event_date"))
+      graft.operators.Versioned.commitFull(s, base, rel, "event_date")
+      val inWindow = col("event_date") >= "2024-01-05" &&
+        col("event_date") <= "2024-01-06"
+      val upd = rel.filter(inWindow && col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + 1000.0)
+      val nw = rel
+        .filter(col("event_date") === "2024-01-05" && col("event_id") % 2 === 1)
+        .withColumn("event_id", col("event_id") + 10000000L)
+      graft.operators.Versioned.commitUpsert(s, base,
+        upd.unionByName(nw), Seq("event_id"), "event_date")
+      def agg(v: Int) = graft.operators.Versioned.read(s, base, v)
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .withColumn("version", lit(v))
+      agg(0).unionByName(agg(1))
+    }),
+
     // incremental MV maintenance + rewrite, graded end to end: the rollup
     // is built over only the first twenty days, the remaining days arrive
     // as a delta folded into the stored partials
@@ -4706,6 +4738,30 @@ object SparkEntry {
         |FROM events
         |WHERE (CAST(strftime(ts, '%d') AS INTEGER) - 1) % 7 = 2
         |GROUP BY 1, 2""".stripMargin,
+
+    // v0 = the untouched relation's aggregate; v1 = the merged relation's
+    // (x44's replay) — both snapshots from one versioned table
+    "x48_time_travel" ->
+      """WITH d AS (SELECT event_id, event_type, value,
+        |    strftime(ts, '%Y-%m-%d') AS ed FROM events),
+        |upd AS (SELECT event_id, event_type, value + 1000 AS value, ed
+        |  FROM d WHERE ed BETWEEN '2024-01-05' AND '2024-01-06'
+        |    AND event_id % 2 = 0),
+        |nw AS (SELECT event_id + 10000000 AS event_id, event_type, value, ed
+        |  FROM d WHERE ed = '2024-01-05' AND event_id % 2 = 1),
+        |keep AS (SELECT event_id, event_type, value, ed FROM d
+        |  WHERE NOT (ed BETWEEN '2024-01-05' AND '2024-01-06'
+        |    AND event_id % 2 = 0)),
+        |v1 AS (SELECT * FROM keep UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM nw)
+        |SELECT ed AS event_date, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  0 AS version
+        |FROM d GROUP BY 1, 2
+        |UNION ALL
+        |SELECT ed, event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 1
+        |FROM v1 GROUP BY 1, 2""".stripMargin,
 
     // the refreshed MV must answer exactly what the base table would:
     // the oracle is the plain full-table aggregate

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Manifest-based versioning: commits must be O(delta) (untouched
+  * partitions SHARE files across versions, by path), historical snapshots
+  * must be immutable, and manifest-level pruning must scan only the
+  * selected partitions' files. */
+class VersionedSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rel = Tables.events(spark, dir)
+    .select(col("event_id"), col("event_type"), col("value"),
+      to_date(col("ts")).cast("string").as("event_date"))
+
+  test("upsert commit shares untouched partitions' files with the parent") {
+    val base = Files.createTempDirectory("graft-versioned-spec").toString
+    Versioned.commitFull(spark, base, rel, "event_date")
+    val m0 = Versioned.readManifest(base, 0)
+    val upd = rel.filter(col("event_date") === "2024-01-05")
+      .withColumn("value", col("value") + 1.0)
+    val v1 = Versioned.commitUpsert(spark, base, upd,
+      Seq("event_id"), "event_date")
+    assert(v1 == 1)
+    val m1 = Versioned.readManifest(base, 1)
+    val untouched0 = m0.entries.filterNot(_.part == "2024-01-05").toSet
+    val untouched1 = m1.entries.filterNot(_.part == "2024-01-05").toSet
+    assert(untouched0 == untouched1,
+      "untouched partitions must carry the SAME file paths forward")
+    assert(m1.entries.filter(_.part == "2024-01-05") !=
+      m0.entries.filter(_.part == "2024-01-05"),
+      "the touched partition must get new files")
+
+    // snapshot immutability: v0 still reads the pre-update values
+    val v0sum = Versioned.read(spark, base, 0)
+      .filter(col("event_date") === "2024-01-05")
+      .agg(sum(col("value").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
+    val v1sum = Versioned.read(spark, base, 1)
+      .filter(col("event_date") === "2024-01-05")
+      .agg(sum(col("value").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
+    val n = upd.count()
+    assert(v1sum.subtract(v0sum).longValue() == n,
+      s"v1 - v0 must be exactly +1.00 per updated row ($n rows)")
+
+    // manifest-level pruning: the filtered read plans only that part's files
+    val pruned = Versioned.read(spark, base, 1, _ == "2024-01-05")
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.getOrElse(fail("no file scan"))
+    assert(scanned.forall(_.contains("part-2024-01-05")),
+      s"pruned read scans foreign partitions: $scanned")
+    assert(pruned.count() ==
+      rel.filter(col("event_date") === "2024-01-05").count())
+
+    // appends to a brand-new partition value land as a new part
+    val nova = rel.limit(5).withColumn("event_date", lit("2099-12-31"))
+      .withColumn("event_id", col("event_id") + 20000000L)
+    val v2 = Versioned.commitUpsert(spark, base, nova,
+      Seq("event_id"), "event_date")
+    assert(Versioned.read(spark, base, v2, _ == "2099-12-31").count() == 5)
+    assert(Versioned.readManifest(base, v2).entries.map(_.part)
+      .contains("2099-12-31"))
+  }
+}
