@@ -2001,6 +2001,29 @@ object SparkEntry {
       graft.operators.Dedup.nearDuplicates(Tables.documents(s, dir), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // dedup-quality evaluation — the measurement a pipeline owner runs
+    // before trusting LSH at 100 TB: banding candidates vs the EXACT
+    // threshold-pair truth set (prefix-pruned, proven lossless by its own
+    // oracle), reduced to TP/FN/FP counts and integer basis-point
+    // precision/recall. All set algebra, no floats until never.
+    "ext_dedup_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val truth = graft.operators.Dedup
+        .prefixJaccardPairs(docs, thrNum = 3, thrDen = 10)
+        .select(col("id_a"), col("id_b"))
+      val cand = graft.operators.Dedup.minhashCandidates(docs)
+        .select(col("id_a"), col("id_b")).distinct()
+      val tp = cand.intersect(truth)
+      truth.agg(count(lit(1)).as("truth_pairs"))
+        .crossJoin(cand.agg(count(lit(1)).as("cand_pairs")))
+        .crossJoin(tp.agg(count(lit(1)).as("tp")))
+        .selectExpr("truth_pairs", "cand_pairs", "tp",
+          "truth_pairs - tp AS false_negatives",
+          "cand_pairs - tp AS false_positives",
+          "tp * 10000 div cand_pairs AS precision_bp",
+          "tp * 10000 div truth_pairs AS recall_bp")
+    }),
+
     // PMI collocation mining: top-50 bigrams by pointwise mutual
     // information, ranked on the exact integer Q16 ratio (log is monotone
     // — the ranking never needs it), marginals derived from the single
@@ -5667,6 +5690,42 @@ object SparkEntry {
     // the streamed loop (screen each micro-batch, grow the index) must
     // converge to the identical pair set
     "stream_dedup_incremental" -> incrementalDedupSql,
+
+    // exact truth (the setsim CTE), band candidates (the incremental CTE
+    // without the new flag), one INTERSECT, integer basis points
+    "ext_dedup_eval" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 10 >=
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 3),
+        |sh2 AS (SELECT doc_id, list_distinct(
+        |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+        |  FROM toks),
+        |sig AS (SELECT doc_id,
+        |  [list_min(list_transform(s, x -> md5(x || '#' || CAST(j AS VARCHAR))))
+        |   for j in generate_series(0, 11)] AS g FROM sh2),
+        |bands AS (SELECT doc_id, band,
+        |  md5(g[band*3+1] || '|' || g[band*3+2] || '|' || g[band*3+3]) AS key
+        |  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |tp_t AS (SELECT id_a, id_b FROM cand INTERSECT SELECT id_a, id_b FROM truth),
+        |c AS (SELECT (SELECT count(*) FROM truth) AS truth_pairs,
+        |  (SELECT count(*) FROM cand) AS cand_pairs,
+        |  (SELECT count(*) FROM tp_t) AS tp)
+        |SELECT truth_pairs, cand_pairs, tp,
+        |  truth_pairs - tp AS false_negatives,
+        |  cand_pairs - tp AS false_positives,
+        |  tp * 10000 // cand_pairs AS precision_bp,
+        |  tp * 10000 // truth_pairs AS recall_bp
+        |FROM c""".stripMargin,
 
     "ext_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id,
