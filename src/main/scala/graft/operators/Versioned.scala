@@ -128,6 +128,52 @@ object Versioned {
     v1
   }
 
+  /** Compaction commit: rewrite ONE partition's files into a single new
+    * file dir, content-identical — the maintenance verb for a partition
+    * that accumulated many small upsert files. Produces a new version
+    * (compaction must never mutate history); every other partition
+    * carries forward. Readers of old versions still see the old files. */
+  def compactPartition(spark: SparkSession, dir: String, part: String): Int = {
+    val v0 = latestVersion(dir)
+    require(v0 >= 0, s"$dir has no commits")
+    val m = readManifest(dir, v0)
+    val (target, carried) = m.entries.partition(_.part == part)
+    require(target.nonEmpty, s"partition $part absent at v$v0")
+    val v1 = v0 + 1
+    val rows = graft.util.Checkpoints.cut(
+      spark.read.parquet(target.map(_.path): _*).coalesce(1))
+    val e = writePart(dir, v1, part, rows)
+    writeManifest(dir, Manifest(v1, carried :+ e))
+    v1
+  }
+
+  /** Vacuum: drop every manifest BELOW `keepFrom`, then delete data files
+    * referenced by NO surviving manifest. Time travel earlier than
+    * `keepFrom` is gone after this — that is the contract that makes
+    * deleting safe (a file is only removed once no readable version can
+    * name it). Returns the deleted file dirs. */
+  def vacuum(dir: String, keepFrom: Int): Seq[String] = {
+    val latest = latestVersion(dir)
+    require(keepFrom >= 0 && keepFrom <= latest,
+      s"keepFrom $keepFrom outside [0, $latest]")
+    val live = (keepFrom to latest)
+      .flatMap(v => readManifest(dir, v).entries.map(_.path)).toSet
+    val dead = (0 until keepFrom)
+      .flatMap(v => readManifest(dir, v).entries.map(_.path))
+      .distinct.filterNot(live)
+    (0 until keepFrom).foreach { v =>
+      Files.deleteIfExists(manifestDir(dir).resolve(s"v$v.json"))
+    }
+    dead.foreach { p =>
+      val root = Paths.get(p)
+      if (Files.exists(root)) {
+        Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => Files.deleteIfExists(f))
+      }
+    }
+    dead
+  }
+
   /** Snapshot read at `version` (default: latest). The manifest is the
     * table — no directory listing. `partFilter` prunes at MANIFEST level:
     * only entries whose partition value passes are scanned at all. */

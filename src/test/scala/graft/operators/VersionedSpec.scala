@@ -66,5 +66,26 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, base, v2, _ == "2099-12-31").count() == 5)
     assert(Versioned.readManifest(base, v2).entries.map(_.part)
       .contains("2099-12-31"))
+
+    // compaction: content-identical, new version, history intact
+    val preCompact = Versioned.read(spark, base, v2)
+      .filter(col("event_date") === "2024-01-05")
+      .orderBy(col("event_id")).collect().map(_.toString).toSeq
+    val v3 = Versioned.compactPartition(spark, base, "2024-01-05")
+    val postCompact = Versioned.read(spark, base, v3)
+      .filter(col("event_date") === "2024-01-05")
+      .orderBy(col("event_id")).collect().map(_.toString).toSeq
+    assert(postCompact == preCompact, "compaction changed content")
+    assert(Versioned.read(spark, base, 0).count() > 0, "history lost")
+
+    // vacuum: versions below keepFrom become unreadable, their exclusive
+    // files are gone, every surviving version still reads
+    val deleted = Versioned.vacuum(base, keepFrom = v3)
+    assert(deleted.nonEmpty, "nothing vacuumed despite rewritten partitions")
+    deleted.foreach(p =>
+      assert(!Files.exists(java.nio.file.Paths.get(p)), s"dead file $p survived"))
+    intercept[Exception](Versioned.readManifest(base, 0))
+    assert(Versioned.read(spark, base, v3).count() ==
+      rel.count() + 5 /* nova */ + 0)
   }
 }
