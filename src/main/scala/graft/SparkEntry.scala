@@ -2001,6 +2001,21 @@ object SparkEntry {
       graft.operators.Dedup.nearDuplicates(Tables.documents(s, dir), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SQL-registry twin for the simhash expression: pure SQL text through
+    // GraftExtensions' function registry, graded against the DuckDB bit
+    // replay — the third registry row (after fold-key and graft_top_k)
+    // proving the SQL surface is the same engine, not a parallel one
+    "ext_simhash_sql" -> ((s, dir) => {
+      // graft_simhash takes the distinct token ARRAY (the expression's
+      // contract) — the tokenization spelled in SQL is byte-identical to
+      // Dedup.simhash's Column form
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs_sh")
+      s.sql("""SELECT doc_id, graft_simhash(
+              |  array_distinct(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' '))
+              |) AS sim
+              |FROM graft_docs_sh ORDER BY doc_id""".stripMargin)
+    }),
+
     // dedup-quality evaluation — the measurement a pipeline owner runs
     // before trusting LSH at 100 TB: banding candidates vs the EXACT
     // threshold-pair truth set (prefix-pruned, proven lossless by its own
@@ -2671,6 +2686,15 @@ object SparkEntry {
       }
     }),
 
+    // streaming data-quality monitor: the suite's counters (row count,
+    // non-null count, per-rule pass counts) maintained as ONE complete-mode
+    // global aggregation over the live stream — counters are additive, so
+    // state is a handful of longs forever; the metric divisions project
+    // AFTER the counters finalize (the Monitor pattern: counts on the
+    // stream, report off it). The amount and status rules are genuinely
+    // fractional (~90% / ~33%), so the ratios discriminate.
+    "stream_quality_monitor" -> ((s, dir) => streamQualityMonitor(s)),
+
     // streaming incremental near-dup: new documents arrive in micro-batches
     // and dedup against the PERSISTED band index, which then absorbs each
     // batch's bands — the full production loop (screen the delta, grow the
@@ -2942,6 +2966,46 @@ object SparkEntry {
       q.processAllAvailable()
     } finally q.stop()
     s.table(name).filter(col("customer_id") =!= "-1")
+  }
+
+  /** The streaming-quality run behind `stream_quality_monitor`: four
+    * additive counters over the whole transaction stream in complete
+    * mode; the final counter row unfolds into per-check metric rows. */
+  private def streamQualityMonitor(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val payloads = graft.sources.DataGen
+      .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
+      .select(to_json(struct(col("*"))).as("value"))
+      .collect().map(_.getString(0))
+    val ms = MemoryStream[String]
+    val counters = Ingest.parseTransactions(ms.toDF()).agg(
+      count(lit(1)).as("n"),
+      count(col("customer_id")).as("comp_cust"),
+      sum(when(col("amount") >= 100, 1L).otherwise(0L)).as("amt_ok"),
+      sum(when(col("status") === "Success", 1L).otherwise(0L)).as("st_ok"))
+    val q = counters.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_quality_monitor_t")
+      .option("checkpointLocation", tempCkpt()).start()
+    try {
+      payloads.grouped(math.max(1, payloads.length / 4))
+        .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table("stream_quality_monitor_t")
+      .select(explode(array(
+        struct(lit("completeness:customer_id").as("check"),
+          col("comp_cust").as("num"), col("n").as("den")),
+        struct(lit("compliance:amount>=100").as("check"),
+          col("amt_ok").as("num"), col("n").as("den")),
+        struct(lit("compliance:status=Success").as("check"),
+          col("st_ok").as("num"), col("n").as("den")))).as("e"))
+      .select(col("e.check").as("check"), col("e.num").as("num"),
+        col("e.den").as("den"),
+        (col("e.num").cast("double") / col("e.den").cast("double"))
+          .as("metric"),
+        (col("e.num").cast("double") / col("e.den").cast("double") >= 0.25)
+          .as("passed"))
   }
 
   /** The streaming-dedup run behind `stream_dedup_incremental`: the band
@@ -5691,6 +5755,20 @@ object SparkEntry {
     // converge to the identical pair set
     "stream_dedup_incremental" -> incrementalDedupSql,
 
+    // the per-doc half of the simhash replay (same h/sim CTEs as the
+    // dedup row, emitted before banding)
+    "ext_simhash_sql" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(
+        |    list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')),
+        |    t -> CAST(CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) AS BIGINT)) AS hs
+        |  FROM documents)
+        |SELECT doc_id, CAST(list_sum(
+        |  [CASE WHEN 2 * len(list_filter(hs, x -> (x >> b) & 1 = 1)) > len(hs)
+        |   THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
+        |   for b in generate_series(0, 59)]) AS BIGINT) AS sim
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     // exact truth (the setsim CTE), band candidates (the incremental CTE
     // without the new flag), one INTERSECT, integer basis points
     "ext_dedup_eval" ->
@@ -6214,6 +6292,31 @@ object SparkEntry {
          |  strftime(make_timestamp(te * 1000000), '%Y-%m-%d') AS transaction_date,
          |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
          |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // the generator's counter truth: every field a pure md5 function, the
+    // three ratios replayed as the same single divisions
+    "stream_quality_monitor" ->
+      s"""WITH g AS (SELECT range AS id FROM range(0, $streamN)),
+         |t AS (SELECT
+         |  CAST(CAST(CAST('0x' || substr(md5('42#cust#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 1000 + 1 AS VARCHAR) AS cid,
+         |  (CAST(CAST('0x' || substr(md5('42#amt#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 99900 + 100) / 100.0 AS amount,
+         |  (['Success','Pending','Failed'])[CAST(CAST(CAST('0x' || substr(md5('42#st#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 3 + 1 AS INTEGER)] AS status
+         |FROM g),
+         |c AS (SELECT count(*) AS n, count(cid) AS comp_cust,
+         |  CAST(sum(CASE WHEN amount >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS amt_ok,
+         |  CAST(sum(CASE WHEN status = 'Success' THEN 1 ELSE 0 END) AS BIGINT) AS st_ok
+         |FROM t)
+         |SELECT 'completeness:customer_id' AS "check", comp_cust AS num, n AS den,
+         |  CAST(comp_cust AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
+         |  CAST(comp_cust AS DOUBLE) / CAST(n AS DOUBLE) >= 0.25 AS passed FROM c
+         |UNION ALL
+         |SELECT 'compliance:amount>=100', amt_ok, n,
+         |  CAST(amt_ok AS DOUBLE) / CAST(n AS DOUBLE),
+         |  CAST(amt_ok AS DOUBLE) / CAST(n AS DOUBLE) >= 0.25 FROM c
+         |UNION ALL
+         |SELECT 'compliance:status=Success', st_ok, n,
+         |  CAST(st_ok AS DOUBLE) / CAST(n AS DOUBLE),
+         |  CAST(st_ok AS DOUBLE) / CAST(n AS DOUBLE) >= 0.25 FROM c""".stripMargin,
 
     // the CDC-applied table must aggregate to the same daily rollup as the
     // generator relation — a replayed chunk that duplicated rows, or an
