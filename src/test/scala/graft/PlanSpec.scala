@@ -364,6 +364,20 @@ class PlanSpec extends SparkSpec {
       s"SQL and Column forms diverged:\n--- sql ---\n$sqlPlan\n--- col ---\n$colPlan")
   }
 
+  test("SQL-registry twin: graft_simhash SQL text matches the Column form's values") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val viaSql = SparkEntry.queries("ext_simhash_sql")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaCol = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.operators.Dedup.simhash(col("text")).as("sim"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty,
+      "registry simhash diverges from the Column form")
+  }
+
   test("ANN top-k runs as the bounded heap aggregate, not a window sort") {
     // the scale property behind the ann_ivf_1m soak numbers: the per-query
     // top-k must plan as ObjectHashAggregate over TopKByScore (map-side
