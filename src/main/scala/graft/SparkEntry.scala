@@ -695,6 +695,21 @@ object SparkEntry {
         .dropDuplicates("user_id", "transaction_date")),
 
     // ---- window functions / joins (beyond-reference capability) --------
+    "w6_lag_delta" -> ((s, dir) => {
+      // lag/lead analytics: per-user event-to-event value delta and gap
+      // seconds on the (ts, event_id) total order — the session-analysis
+      // primitive (x23's SCD2 change detection is this shape's consumer)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("gap_sec",
+          col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("prev_value"), col("gap_sec"))
+    }),
+
     "w5_ntile" -> ((s, dir) => {
       // equi-depth bucketing (quartiles) per event type on a TOTAL order
       // (value, event_id) — ntile's bucket boundaries are only
@@ -4538,6 +4553,14 @@ object SparkEntry {
       """SELECT user_id, strftime(ts, '%Y-%m-%d') AS transaction_date,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
         |FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')""".stripMargin,
+
+    "w6_lag_delta" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  epoch_us(ts) // 1000000
+        |    - lag(epoch_us(ts) // 1000000, 1) OVER w AS gap_sec
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "w5_ntile" ->
       """SELECT event_id, event_type, value,
