@@ -2276,12 +2276,17 @@ object SparkEntry {
         graft.operators.Similarity.bruteForceTopK(emb, q, k = 5))
     }),
 
+    // REAL pruned IVF (nprobe < nlist — centroid quality decides recall),
+    // hash-checked end to end: exactTrain derives the centroids via the
+    // integer-exact Lloyd trainer (quantized sample, deterministic
+    // hash-order init, truncating-division updates), so the DuckDB oracle
+    // replays training, corpus assignment, query probing, and scoring as
+    // unrolled CTEs — the same contract that oracles ext_kmeans_fp
     "ext_knn_ivf" -> ((s, dir) => {
-      // rows-only: centroids are data-dependent (trained in-engine), not
-      // expressible as an independent SQL oracle
       val emb = Tables.embeddings(s, dir)
       graft.operators.Similarity.ivfTopK(
-        emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"), k = 5)
+        emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        k = 5, nlist = 16, nprobe = 4, exactTrain = true, trainIters = 3)
     }),
 
     // hash-checked IVF: with nprobe = nlist every inverted list is probed,
@@ -2290,13 +2295,16 @@ object SparkEntry {
     // assignment argmin, list probing, scoring, ranking) against the
     // brute-force oracle; centroid QUALITY is covered by the recall spec.
     // product quantization, real compression: codes are 8 ints per vector
-    // (vs 64 doubles), ADC scores via per-query lookup tables. Codebooks
-    // are trained in-engine -> rows-only here; the machinery is graded
-    // exactly by ext_knn_pq_exact and recall is spec-pinned (PqSpec)
+    // (vs 64 doubles), ADC scores via per-query lookup tables. exactTrain
+    // derives every sub-codebook via the integer-exact Lloyd trainer, so
+    // the DuckDB oracle replays training (subspace as a CTE column —
+    // one Lloyd unroll covers all m subspaces), encode argmin, and the
+    // left-associative ADC sum; degenerate-parameter exactness stays
+    // graded by ext_knn_pq_exact and recall stays spec-pinned (PqSpec)
     "ext_knn_pq" -> ((s, dir) => {
       val Sim = graft.operators.Similarity
       val emb = Tables.embeddings(s, dir)
-      val model = Sim.pqTrain(emb, m = 8, ksub = 16)
+      val model = Sim.pqTrain(emb, m = 8, ksub = 16, iters = 3, exactTrain = true)
       Sim.pqTopK(Sim.pqEncode(emb, model),
         emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
         model, k = 5)
@@ -2380,13 +2388,16 @@ object SparkEntry {
       graft.operators.Similarity.loadIvfIndex(s, ivfDir).search(q, k = 5)
     }),
 
-    // in-engine recall number for IVF (rows-only for the same reason; the
-    // >= 0.9 bar is asserted in ExtensionSpec)
+    // in-engine recall number for pruned IVF — exactTrain makes the recall
+    // itself deterministic, so the oracle recomputes it independently
+    // (replayed-IVF top-k vs brute top-k, hits/k per query and the exact
+    // sum(hits)/sum(k) mean); the >= 0.9 bar stays asserted in ExtensionSpec
     "ext_knn_ivf_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id")
       graft.operators.Similarity.recallAtK(
-        graft.operators.Similarity.ivfTopK(emb, q, k = 5),
+        graft.operators.Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 4,
+          exactTrain = true, trainIters = 3),
         graft.operators.Similarity.bruteForceTopK(emb, q, k = 5))
     }),
 
@@ -3985,6 +3996,174 @@ object SparkEntry {
         |  FROM pts p CROSS JOIN c3 c)
         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cid) = 1
         |ORDER BY vec_id""".stripMargin
+  }
+
+  /** The exact-trained IVF replay shared by `ext_knn_ivf` and
+    * `ext_knn_ivf_recall`: quantized training sample in deterministic
+    * md5-hash order (mirroring [[graft.operators.Sampling.hashBucket]] +
+    * the trainCap limit), `iters` integer Lloyd rounds unrolled
+    * ([[graft.operators.Similarity.lloydCentroidsExact]] — same
+    * floor-quantization, argmin-with-cid-ties, truncating `//` division),
+    * centroids dequantized to exact doubles, then full-corpus nearest-list
+    * assignment and per-query nprobe probing via the same
+    * (d2, cid)-ordered double argmin the engine's literal-centroid path
+    * computes, cosine scoring inside probed lists, window top-k. */
+  private def ivfReplayCtes(nlist: Int, nprobe: Int, iters: Int): String = {
+    val pre =
+      s"""ivfp AS (SELECT vec_id AS id, h,
+         |  [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT) for x in embedding] AS v
+         |  FROM (SELECT vec_id, embedding,
+         |          substr(md5(CAST(vec_id AS VARCHAR) || '#ivf-train'), 1, 8) AS h
+         |        FROM embeddings WHERE embedding IS NOT NULL
+         |        ORDER BY h, vec_id LIMIT 16384)),
+         |ic0 AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid, v AS cv
+         |  FROM (SELECT h, id, v FROM ivfp ORDER BY h, id LIMIT $nlist))""".stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |ia$i AS (SELECT id, cid, v FROM (
+         |  SELECT p.id, c.cid, p.v,
+         |    list_sum([(p.v[j]-c.cv[j])*(p.v[j]-c.cv[j])
+         |      for j in generate_series(1, len(p.v))]) AS d2
+         |  FROM ivfp p CROSS JOIN ic${i - 1} c)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cid) = 1),
+         |is$i AS (SELECT cid, e.i AS i, sum(e.x) AS s, count(*) AS cnt FROM (
+         |  SELECT cid, unnest([{'i': j, 'x': v[j]}
+         |    for j in generate_series(1, len(v))]) AS e
+         |  FROM ia$i) GROUP BY cid, e.i),
+         |iu$i AS (SELECT cid, list(CAST(s // cnt AS BIGINT) ORDER BY i) AS nxt
+         |  FROM is$i GROUP BY cid),
+         |ic$i AS (SELECT c.cid, coalesce(u.nxt, c.cv) AS cv
+         |  FROM ic${i - 1} c LEFT JOIN iu$i u ON c.cid = u.cid)""".stripMargin
+    }.mkString
+    pre + its +
+      s""",
+         |icent AS (SELECT cid, [CAST(q AS DOUBLE) / 65536.0 for q in cv] AS cv
+         |  FROM ic$iters),
+         |nrm AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |       CAST(embedding AS DOUBLE[]))) AS nm
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |asg AS (SELECT vec_id, e, nm, cid AS list_id FROM (
+         |  SELECT vec_id, e, nm, cid, list_dot_product(d, d) AS d2 FROM (
+         |    SELECT n.vec_id, n.e, n.nm, c.cid,
+         |      [n.e[j] - c.cv[j] for j in generate_series(1, len(n.e))] AS d
+         |    FROM nrm n CROSS JOIN icent c))
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+         |prb AS (SELECT q_id, qe, qn, cid AS list_id FROM (
+         |  SELECT q_id, qe, qn, cid, list_dot_product(d, d) AS d2 FROM (
+         |    SELECT n.vec_id AS q_id, n.e AS qe, n.nm AS qn, c.cid,
+         |      [n.e[j] - c.cv[j] for j in generate_series(1, len(n.e))] AS d
+         |    FROM nrm n CROSS JOIN icent c WHERE n.vec_id < 10))
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) <= $nprobe),
+         |ivfk AS (SELECT q_id, vec_id, cosine,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+         |  FROM (SELECT q.q_id, a.vec_id,
+         |          list_dot_product(a.e, q.qe) / (a.nm * q.qn) AS cosine
+         |        FROM asg a JOIN prb q ON a.list_id = q.list_id
+         |        WHERE a.vec_id != q.q_id)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 5)""".stripMargin
+  }
+
+  private lazy val ivfExactTrainSql: String =
+    "WITH " + ivfReplayCtes(nlist = 16, nprobe = 4, iters = 3) +
+      "\nSELECT q_id, vec_id, cosine, rank FROM ivfk"
+
+  /** Recall of the replayed pruned IVF against the replayed brute-force
+    * top-k — hits/k per query, mean as the exact single division
+    * sum(hits)/sum(k) ([[graft.operators.Similarity.recallAtK]]). */
+  private lazy val ivfRecallSql: String =
+    "WITH " + ivfReplayCtes(nlist = 16, nprobe = 4, iters = 3) +
+      """,
+        |bk AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.q_id, n.vec_id,
+        |    list_dot_product(n.e, q.qe) / (n.nm * q.qn) AS cosine
+        |  FROM nrm n CROSS JOIN (SELECT vec_id AS q_id, e AS qe, nm AS qn
+        |                         FROM nrm WHERE vec_id < 10) q
+        |  WHERE n.vec_id != q.q_id)
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 5),
+        |hits AS (SELECT i.q_id, count(*) AS hits FROM ivfk i
+        |  JOIN bk b ON i.q_id = b.q_id AND i.vec_id = b.vec_id GROUP BY i.q_id),
+        |truth AS (SELECT q_id, count(*) AS k FROM bk GROUP BY q_id),
+        |j AS (SELECT t.q_id, coalesce(h.hits, 0) AS hits, t.k
+        |  FROM truth t LEFT JOIN hits h USING (q_id))
+        |SELECT q_id, CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall, mean_recall
+        |FROM j CROSS JOIN (SELECT CAST(sum(hits) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
+        |                   AS mean_recall FROM j) m""".stripMargin
+
+  /** DuckDB replay of `ext_knn_pq` (exact-trained): one Lloyd unroll
+    * covers all m subspaces by carrying `sub` as a column, then encode
+    * argmin per (vector, subspace) and the left-associative m-term ADC
+    * sum — identical arithmetic to
+    * [[graft.operators.Similarity.pqTrain]]/[[graft.operators.Similarity.pqEncode]]/
+    * [[graft.operators.Similarity.pqTopK]] at exactTrain. */
+  private lazy val pqExactTrainSql: String = {
+    val m = 8; val dsub = 8; val ksub = 16; val iters = 3
+    val pre =
+      s"""WITH pqp AS (SELECT vec_id AS id, h,
+         |  [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT) for x in embedding] AS v
+         |  FROM (SELECT vec_id, embedding,
+         |          substr(md5(CAST(vec_id AS VARCHAR) || '#pq-train'), 1, 8) AS h
+         |        FROM embeddings WHERE embedding IS NOT NULL
+         |        ORDER BY h, vec_id LIMIT 16384)),
+         |spl AS (SELECT id, h, s.sub AS sub, s.sv AS v FROM (
+         |  SELECT id, h, unnest([{'sub': s, 'sv': v[s*$dsub+1 : (s+1)*$dsub]}
+         |    for s in generate_series(0, ${m - 1})]) AS s
+         |  FROM pqp)),
+         |pc0 AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY h, id) - 1 AS cid,
+         |    v AS cv
+         |  FROM spl
+         |  QUALIFY row_number() OVER (PARTITION BY sub ORDER BY h, id) <= $ksub)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |pa$i AS (SELECT id, sub, cid, v FROM (
+         |  SELECT p.id, p.sub, c.cid, p.v,
+         |    list_sum([(p.v[j]-c.cv[j])*(p.v[j]-c.cv[j])
+         |      for j in generate_series(1, len(p.v))]) AS d2
+         |  FROM spl p JOIN pc${i - 1} c ON p.sub = c.sub)
+         |  QUALIFY row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) = 1),
+         |ps$i AS (SELECT sub, cid, e.i AS i, sum(e.x) AS s, count(*) AS cnt FROM (
+         |  SELECT sub, cid, unnest([{'i': j, 'x': v[j]}
+         |    for j in generate_series(1, len(v))]) AS e
+         |  FROM pa$i) GROUP BY sub, cid, e.i),
+         |pu$i AS (SELECT sub, cid, list(CAST(s // cnt AS BIGINT) ORDER BY i) AS nxt
+         |  FROM ps$i GROUP BY sub, cid),
+         |pc$i AS (SELECT c.sub, c.cid, coalesce(u.nxt, c.cv) AS cv
+         |  FROM pc${i - 1} c LEFT JOIN pu$i u ON c.sub = u.sub AND c.cid = u.cid)""".stripMargin
+    }.mkString
+    val adcTerms = (0 until m)
+      .map(s => s"max(CASE WHEN sub = $s THEN dp END)").mkString("\n  + ")
+    pre + its +
+      s""",
+         |cb AS (SELECT sub, cid, [CAST(q AS DOUBLE) / 65536.0 for q in cv] AS cv
+         |  FROM pc$iters),
+         |ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |cs AS (SELECT vec_id, s.sub AS sub, s.sv AS sv FROM (
+         |  SELECT vec_id, unnest([{'sub': s, 'sv': e[s*$dsub+1 : (s+1)*$dsub]}
+         |    for s in generate_series(0, ${m - 1})]) AS s
+         |  FROM ce)),
+         |codes AS (SELECT vec_id, sub, cid FROM (
+         |  SELECT vec_id, sub, cid, list_dot_product(d, d) AS d2 FROM (
+         |    SELECT c.vec_id, c.sub, b.cid,
+         |      [c.sv[j] - b.cv[j] for j in generate_series(1, len(c.sv))] AS d
+         |    FROM cs c JOIN cb b ON c.sub = b.sub))
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) = 1),
+         |qsub AS (SELECT vec_id AS q_id, sub, sv FROM cs WHERE vec_id < 10),
+         |adc AS (SELECT q.q_id, c.vec_id, c.sub, list_dot_product(q.sv, b.cv) AS dp
+         |  FROM codes c JOIN cb b ON c.sub = b.sub AND c.cid = b.cid
+         |  JOIN qsub q ON q.sub = c.sub
+         |  WHERE c.vec_id != q.q_id),
+         |sc AS (SELECT q_id, vec_id,
+         |    $adcTerms AS score
+         |  FROM adc GROUP BY q_id, vec_id)
+         |SELECT q_id, vec_id, score, rank FROM (
+         |  SELECT q_id, vec_id, score, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+         |  FROM sc) t
+         |WHERE rank <= 5""".stripMargin
   }
 
   /** DuckDB replay of `x36_kcore`: the >= 2-shared-orders part graph and
@@ -6186,6 +6365,12 @@ object SparkEntry {
     // its oracle (see the ext_knn_ivf_exact query comment); the _join twin
     // grades the broadcast-join assignment/probe path against the same SQL
     "ext_knn_ivf_exact" -> bruteKnnSql,
+
+    // the PRUNED rows: exact-trained centroids/codebooks let the oracle
+    // replay training + assignment + probe/encode + scoring end to end
+    "ext_knn_ivf" -> ivfExactTrainSql,
+    "ext_knn_ivf_recall" -> ivfRecallSql,
+    "ext_knn_pq" -> pqExactTrainSql,
     "ext_knn_ivf_exact_join" -> bruteKnnSql,
 
     // PQ exact twin: ADC with per-vector codebooks is slice-wise exact

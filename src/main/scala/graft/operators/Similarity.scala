@@ -392,6 +392,58 @@ object Similarity {
     centroids
   }
 
+  /** Integer-exact Lloyd trainer — the [[kmeansFixedPoint]] contract
+    * applied to INDEX training, so IVF centroids (and PQ sub-codebooks)
+    * become exact functions of the corpus that an independent SQL engine
+    * replays bit-for-bit: quantize to `floor(x * scale)` longs, init from
+    * the FIRST `nlist` sample rows (the sample arrives in its
+    * deterministic (hash, id) order — no RNG), iterate argmin (ties to the
+    * lowest cid) + truncating-division mean updates entirely in Long
+    * arithmetic, and return centroids as `q / scale` doubles (exact —
+    * scale is a power of two, |q| is small). DuckDB's `//` and JVM Long
+    * division both truncate toward zero, so the unrolled-CTE oracle
+    * reproduces every centroid value exactly. */
+  private[operators] def lloydCentroidsExact(
+      samples: Array[Array[Double]], nlist: Int, iters: Int,
+      scale: Long = 65536L): Array[Array[Double]] = {
+    require(samples.nonEmpty, "exact training needs a non-empty corpus sample")
+    require(scale > 0 && (scale & (scale - 1)) == 0,
+      s"scale must be a power of two for exact quantization, got $scale")
+    val dim = samples.head.length
+    require(samples.forall(_.length == dim),
+      s"training sample has mixed embedding widths (expected $dim)")
+    val q = samples.map(_.map(x => math.floor(x * scale).toLong))
+    var cents: Array[Array[Long]] = q.take(nlist).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val counts = new Array[Long](cents.length)
+      q.foreach { v =>
+        var best = 0; var bestD = Long.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d = 0L; var i = 0
+          val cv = cents(c)
+          while (i < dim) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c } // strict < keeps lowest cid on ties
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) // empty list keeps its centroid
+        else {
+          val out = new Array[Long](dim); var i = 0
+          while (i < dim) { out(i) = sums(c)(i) / counts(c); i += 1 }
+          out
+        }
+      }.toArray
+      it += 1
+    }
+    cents.map(_.map(_.toDouble / scale))
+  }
+
   /** A built IVF index: trained centroids plus the assigned corpus
     * relation. Build ONCE per corpus (training + the full assignment scan
     * happen at build), then [[search]] any number of query batches against
@@ -596,7 +648,9 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       trainCap: Int = 16384,
-      literalCentroidMax: Int = LiteralCentroidMax): IvfIndex = {
+      literalCentroidMax: Int = LiteralCentroidMax,
+      exactTrain: Boolean = false,
+      trainIters: Int = 8): IvfIndex = {
     // null-embedding corpus rows carry nothing to index — skipped up front
     // on BOTH branches (on the literal branch they would otherwise be
     // assigned a real list via the literal-centroid transform and surface
@@ -610,7 +664,9 @@ object Similarity {
       .sort(col("__h"), col("__id"))
       .limit(trainCap)
       .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = lloydCentroids(samples, nlist, seed).toIndexedSeq
+    val centroids =
+      (if (exactTrain) lloydCentroidsExact(samples, nlist, trainIters)
+       else lloydCentroids(samples, nlist, seed, trainIters)).toIndexedSeq
     val assigned = assignToLists(cIn, centroids, idCol, embCol, literalCentroidMax)
     // Building an index IS a materialization: cut lineage eagerly so the
     // assigned relation is computed exactly once. Without the cut, every
@@ -691,8 +747,11 @@ object Similarity {
       embCol: String = "embedding",
       qIdCol: String = "q_id",
       trainCap: Int = 16384,
-      literalCentroidMax: Int = LiteralCentroidMax): DataFrame =
-    ivfIndex(corpus, nlist, nprobe, seed, idCol, embCol, trainCap, literalCentroidMax)
+      literalCentroidMax: Int = LiteralCentroidMax,
+      exactTrain: Boolean = false,
+      trainIters: Int = 8): DataFrame =
+    ivfIndex(corpus, nlist, nprobe, seed, idCol, embCol, trainCap,
+      literalCentroidMax, exactTrain, trainIters)
       .search(queries, k, nprobe, qIdCol, embCol)
 
   /** Recall@k of an ANN result against the exact brute-force result: the
@@ -911,7 +970,8 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       trainCap: Int = 16384,
-      iters: Int = 8): PqModel = {
+      iters: Int = 8,
+      exactTrain: Boolean = false): PqModel = {
     val dim = headDim(corpus, embCol)
     require(m > 0 && dim % m == 0,
       s"m must divide the embedding width ($dim), got m=$m")
@@ -927,7 +987,12 @@ object Similarity {
     val books = (0 until m).map { sub =>
       val sliced = samples.map(v =>
         java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
-      lloydCentroids(sliced, ksub, seed + sub, iters).toIndexedSeq
+      // exactTrain: the oracle-replayable integer Lloyd (deterministic
+      // init = the first ksub sample slices in hash order — per-subspace
+      // codebooks still differ because the SLICES differ); iters = 0
+      // keeps the frozen-sample exact-twin contract on both branches
+      (if (exactTrain && iters > 0) lloydCentroidsExact(sliced, ksub, iters)
+       else lloydCentroids(sliced, ksub, seed + sub, iters)).toIndexedSeq
     }
     // Lloyd yields min(ksub, sample size) centroids — the model records
     // the EFFECTIVE size (lookup-table offsets depend on it)
