@@ -357,7 +357,18 @@ object SparkEntry {
       // relation is built once and reused for both sides (exchange reuse),
       // equality on doubles being safe because both sides carry the same
       // exact-decimal-derived value.
+      // the selective part predicate is applied FIRST: a broadcast
+      // semi-join against the filtered part keys prunes lineitem BEFORE
+      // the per-(part, supplier) aggregation, the EU joins, and the
+      // per-part min — every downstream stage shrinks ~50x, and the
+      // per-part min is computed per part either way so the kept groups'
+      // values are unchanged. At 100 TB this is the difference between
+      // aggregating the full fact table and aggregating one part slice.
+      val partF = Tables.part(s, dir)
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
       val offer = Tables.lineitem(s, dir)
+        .join(broadcast(partF.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg((sum(money(col("l_extendedprice"))).cast("double") /
           sum(money(col("l_quantity"))).cast("double")).as("unit_price"))
@@ -370,9 +381,7 @@ object SparkEntry {
         .agg(min(col("unit_price")).as("min_price"))
       eu.join(mn, col("l_partkey") === col("m_partkey") &&
           col("unit_price") === col("min_price"))
-        .join(broadcast(Tables.part(s, dir)
-            .filter(col("p_size") === 15 && col("p_type") === "STANDARD")),
-          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
           col("p_name"), col("unit_price"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -1277,6 +1286,30 @@ object SparkEntry {
           "event_type" -> col("event_type")),
         measures = Seq("value" -> col("value").cast(DecimalType(18, 2))))
       s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+    }),
+
+    // aggregate-over-FILTER answered from the MV (the dashboard query
+    // shape): the predicate is on an MV dimension (a date range), so
+    // filtering the per-(day, type) partials before re-aggregating equals
+    // filtering the base rows — [[graft.plans.MvRewrite]] proves that by
+    // substituting dim trees into the predicate and vetoing on any base-
+    // column residue. Oracle = the same filtered aggregate over the base
+    // table; PlanSpec pins that the MV is scanned, never the base.
+    "x49_mv_filter" -> ((s, dir) => {
+      val mvDir = sys.props("java.io.tmpdir") + "/graft-mv3-" +
+        math.abs(dir.hashCode)
+      graft.plans.MvRewrite.buildAndRegister(s, s"$dir/events.parquet", mvDir,
+        dims = Seq(
+          "event_date" -> to_date(col("ts").cast("timestamp")),
+          "event_type" -> col("event_type")),
+        measures = Seq("value" -> col("value").cast(DecimalType(18, 2))))
+      s.read.parquet(s"$dir/events.parquet")
+        .filter(to_date(col("ts").cast("timestamp"))
+          .between(lit("2024-01-05").cast("date"), lit("2024-01-10").cast("date")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double")
@@ -2814,7 +2847,7 @@ object SparkEntry {
     * directory under a loaded provider fails a LATER stateful query in the
     * same session with the dead path (observed: stream_late_data_drop
     * failing on an earlier query's deleted state dir). */
-  private def tempCkpt(): String = {
+  private[graft] def tempCkpt(): String = {
     val dir = sys.props("java.io.tmpdir") + "/graft-ckpt-" +
       java.util.UUID.randomUUID().toString
     ckptsToReap.synchronized { ckptsToReap += dir }
@@ -5085,6 +5118,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // same invisibility contract for the filtered shape
+    "x49_mv_filter" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10'
+        |GROUP BY event_type""".stripMargin,
 
     // the partitioned layout must be content-preserving: the pruned
     // two-day read aggregates to exactly what a date filter over the

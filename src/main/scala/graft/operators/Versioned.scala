@@ -42,7 +42,19 @@ object Versioned {
         s"""{"path":"${graft.util.Json.escape(e.path)}","part":"${
           graft.util.Json.escape(e.part)}"}""")
       .mkString(s"""{"version":${m.version},"entries":[""", ",", "]}")
-    Files.writeString(manifestDir(dir).resolve(s"v${m.version}.json"), body)
+    // the commit point must be atomic: a manifest is either fully present
+    // or absent (an in-place write interrupted mid-stream would leave a
+    // truncated vN.json that latestVersion selects, breaking every later
+    // read and commit). Write to a temp sibling and move into place; a
+    // pre-existing target means a concurrent/duplicate commit — fail loudly
+    // rather than silently rewrite committed history.
+    val target = manifestDir(dir).resolve(s"v${m.version}.json")
+    if (Files.exists(target))
+      throw new IllegalStateException(
+        s"manifest v${m.version} already committed at $dir")
+    val tmp = Files.createTempFile(manifestDir(dir), s"v${m.version}", ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Latest committed version, or -1 for an empty table. */
@@ -79,18 +91,41 @@ object Versioned {
     Entry(path, part)
   }
 
-  /** Initial commit (v0): the full relation, one file dir per partition
-    * value. `partCol` must be castable to string (it is stored both in the
+  /** Hex of a partition value's UTF-8 bytes — the filesystem-safe
+    * directory key the single-pass bootstrap partitions by. Matches Spark's
+    * `hex()` (uppercase), so the Scala-side manifest entries and the
+    * executor-side directory names are the same pure function of the
+    * value — no escaping rules, no post-write listing/decoding. */
+  private def hexKey(p: String): String =
+    p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map("%02X".format(_)).mkString
+
+  /** Initial commit (v0): the full relation in ONE `partitionBy` pass —
+    * one job regardless of how many partition values the table has (a
+    * per-partition filter loop would launch one full scan of the staged
+    * relation per value: 3,650 jobs for a 10-year daily table). The data
+    * files keep `partCol` as a real column (the table contract): the
+    * write partitions by a hex-keyed COPY, which Spark drops into the
+    * directory name, and each manifest entry points at its value's leaf
+    * dir. `partCol` must be castable to string (it is stored both in the
     * data and on the manifest entry). */
   def commitFull(
       spark: SparkSession, dir: String, rows: DataFrame, partCol: String): Int = {
     require(latestVersion(dir) == -1, s"$dir already has commits")
     val staged = graft.util.Checkpoints.cut(
       rows.withColumn(partCol, col(partCol).cast("string")))
+    // bounded: partition values are sized in days/categories by contract
     val parts = staged.select(col(partCol)).distinct()
       .collect().map(_.getString(0)).sorted
+    val base = Paths.get(dir, "files", "v0").toString
+    staged.withColumn("__part", hex(col(partCol).cast("binary")))
+      .repartition(col("__part"))
+      .write.partitionBy("__part").mode("overwrite").parquet(base)
     val entries = parts.map { p =>
-      writePart(dir, 0, p, staged.filter(col(partCol) === p))
+      val path = s"$base/__part=${hexKey(p)}"
+      require(Files.exists(Paths.get(path)),
+        s"bootstrap wrote no directory for partition value '$p' ($path)")
+      Entry(path, p)
     }
     writeManifest(dir, Manifest(0, entries.toSeq))
     0
@@ -161,15 +196,23 @@ object Versioned {
     val dead = (0 until keepFrom)
       .flatMap(v => readManifest(dir, v).entries.map(_.path))
       .distinct.filterNot(live)
-    (0 until keepFrom).foreach { v =>
-      Files.deleteIfExists(manifestDir(dir).resolve(s"v$v.json"))
-    }
+    // data files FIRST, manifests LAST: a crash mid-vacuum then leaves the
+    // dead manifests still on disk naming the already-deleted files, and
+    // RE-RUNNING vacuum(keepFrom) recomputes the same dead set and
+    // completes (every delete is idempotent). The reverse order would
+    // orphan data files no surviving manifest names — invisible forever,
+    // because vacuum only ever deletes files a dead manifest points at.
+    // Versions below keepFrom are un-readable either way (that is the
+    // vacuum contract); crash-safety here means re-runnable, not readable.
     dead.foreach { p =>
       val root = Paths.get(p)
       if (Files.exists(root)) {
         Files.walk(root).iterator().asScala.toSeq.reverseIterator
           .foreach(f => Files.deleteIfExists(f))
       }
+    }
+    (0 until keepFrom).foreach { v =>
+      Files.deleteIfExists(manifestDir(dir).resolve(s"v$v.json"))
     }
     dead
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -54,6 +54,22 @@ object MvRewrite extends Rule[LogicalPlan] {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
+  /** MV maintenance must never be answered BY the MV: the build rollup and
+    * the incremental-refresh delta aggregate are themselves Aggregates over
+    * the registered base (the refresh delta is even filter-shaped, so the
+    * filter-aware rewrite would happily map it), and rewriting them reads
+    * the stale/mid-overwrite MV — silent corruption. Planning happens on
+    * the calling thread at action time, so a thread-local suspend flag
+    * scopes the bypass exactly to the maintenance computation. */
+  private val suspended: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  private def bypassed[T](body: => T): T = {
+    val prev = suspended.get
+    suspended.set(true)
+    try body finally suspended.set(prev)
+  }
+
   /** Attribute-name normalization: two trees define the same value over
     * the base table iff their normalized forms are semantically equal. */
   private def norm(e: Expression): Expression = e.transformUp {
@@ -70,14 +86,18 @@ object MvRewrite extends Rule[LogicalPlan] {
     norm(a) == norm(b)
 
   /** The scan this subtree reads, if it is a bare parquet relation or a
-    * column-preserving Project over one; also returns the substitution of
-    * project-output attributes by their defining expressions. */
-  private def baseScan(plan: LogicalPlan): Option[(String, Map[ExprId, Expression])] =
+    * column-preserving Project/Filter chain over one; returns the
+    * substitution of project-output attributes by their defining
+    * expressions plus the conjunctive filter predicates encountered,
+    * inlined down to base-relation attributes. */
+  private def baseScan(
+      plan: LogicalPlan): Option[(String, Map[ExprId, Expression], Seq[Expression])] =
     plan match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        Some((fs.location.rootPaths.map(_.toString).sorted.mkString(","), Map.empty))
+        Some((fs.location.rootPaths.map(_.toString).sorted.mkString(","),
+          Map.empty, Nil))
       case Project(projList, child) =>
-        baseScan(child).map { case (path, inner) =>
+        baseScan(child).map { case (path, inner, conds) =>
           val subst = projList.map {
             case al: Alias => al.exprId -> al.child.transformUp {
               case a: AttributeReference => inner.getOrElse(a.exprId, a)
@@ -85,19 +105,31 @@ object MvRewrite extends Rule[LogicalPlan] {
             case a: AttributeReference =>
               a.exprId -> inner.getOrElse(a.exprId, a)
           }.toMap
-          (path, subst)
+          (path, subst, conds)
+        }
+      case Filter(cond, child) =>
+        baseScan(child).map { case (path, inner, conds) =>
+          val split = splitAnd(cond).map(_.transformUp {
+            case a: AttributeReference => inner.getOrElse(a.exprId, a)
+          })
+          (path, inner, conds ++ split)
         }
       case _ => None
     }
 
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty) return plan
+    if (suspended.get || registry.isEmpty) return plan
     plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
         val rewritten = for {
-          (path, subst) <- baseScan(child)
+          (path, subst, conds) <- baseScan(child)
           entry <- Option(registry.get(path))
-          out <- rewrite(agg, groupings, aggExprs, subst, entry)
+          out <- rewrite(agg, groupings, aggExprs, subst, conds, entry)
         } yield out
         rewritten.getOrElse(agg)
     }
@@ -111,11 +143,75 @@ object MvRewrite extends Rule[LogicalPlan] {
       groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       subst: Map[ExprId, Expression],
+      conds: Seq[Expression],
       entry: Entry): Option[LogicalPlan] = {
     val spark = SparkSession.active
     val mvPlan = spark.read.parquet(entry.mvDir).queryExecution.analyzed
     val mvAttr: Map[String, AttributeReference] =
       mvPlan.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
+
+    // aggregate-over-filter (the dashboard shape): a predicate is
+    // answerable from the MV iff, after substituting every occurrence of a
+    // dimension's defining tree with the MV's dimension column, NO base
+    // attribute survives — the predicate is then a pure function of dims,
+    // and filtering the per-dim-combination partials before re-aggregating
+    // is exactly filtering the base rows (each base row lands in exactly
+    // one dim combination). Any residue of a base column vetoes the whole
+    // rewrite — 'only rewrite when provable'.
+    //
+    // Date-range predicates need one extra recognition step: by the time
+    // this rule runs, the optimizer has UNWRAPPED `date(ts) >= d` into raw
+    // timestamp bounds (`ts >= midnight(d) AND ts < midnight(d+1)`), so
+    // the dim tree no longer appears. That transformation is exactly
+    // invertible — the optimizer only ever produces MIDNIGHT `>=`/`<`
+    // bounds (and IsNotNull) from date comparisons — so a midnight-bound
+    // comparison against a column whose date-cast is a registered dim maps
+    // back to the dim; a non-midnight bound is a genuine sub-day predicate
+    // the day-granularity partials cannot answer, and vetoes.
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+    def stripCasts(e: Expression): Expression = e match {
+      case c: Cast => stripCasts(c.child)
+      case x => x
+    }
+    def dateDimOf(a: AttributeReference): Option[AttributeReference] =
+      entry.dims.collectFirst {
+        case (n, t) if t.isInstanceOf[Cast] && t.dataType == DateType &&
+          stripCasts(t) == UnresolvedAttribute(a.name) => mvAttr(n)
+      }
+    def midnightDays(l: Literal): Option[Int] = l match {
+      case Literal(v: Long, TimestampNTZType)
+          if Math.floorMod(v, 86400000000L) == 0L =>
+        Some(Math.floorDiv(v, 86400000000L).toInt)
+      case _ => None
+    }
+    val mvConds = conds.map { c =>
+      val replaced = c.transformUp {
+        case sub if entry.dims.exists { case (_, t) => sameTree(sub, t) } =>
+          mvAttr(entry.dims.collectFirst {
+            case (n, t) if sameTree(sub, t) => n }.get)
+        case cmp @ GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+          (dateDimOf(a), midnightDays(l)) match {
+            case (Some(d), Some(days)) =>
+              GreaterThanOrEqual(d, Literal(days, DateType))
+            case _ => cmp
+          }
+        case cmp @ LessThan(a: AttributeReference, l: Literal) =>
+          (dateDimOf(a), midnightDays(l)) match {
+            case (Some(d), Some(days)) => LessThan(d, Literal(days, DateType))
+            case _ => cmp
+          }
+        case nn @ IsNotNull(a: AttributeReference) =>
+          // date(a) is null iff a is null: the null-ts base rows land in
+          // the null-dim partial, so the filters drop the same rows
+          dateDimOf(a).map(IsNotNull(_)).getOrElse(nn)
+      }
+      val residual = replaced.exists {
+        case a: AttributeReference => !mvAttr.get(a.name).exists(_.exprId == a.exprId)
+        case _ => false
+      }
+      if (residual) return None
+      replaced
+    }
 
     // every grouping must be one of the MV's dimensions
     val dimOf = groupings.map { g =>
@@ -132,7 +228,9 @@ object MvRewrite extends Rule[LogicalPlan] {
     def replaceAgg(ae: AggregateExpression): Expression = {
       if (ae.isDistinct || ae.filter.isDefined) { ok = false; return ae }
       ae.aggregateFunction match {
-        case Count(Seq(Literal(_, _))) =>
+        // non-null literal only: count(NULL) is 0, not the row count —
+        // rewriting it to sum(mv_n) would be a soundness hole
+        case Count(Seq(Literal(v, _))) if v != null =>
           AggregateExpression(Sum(mvAttr("mv_n")), Complete, isDistinct = false)
         case Sum(opnd, _) =>
           val oi = inline(opnd, subst)
@@ -181,7 +279,10 @@ object MvRewrite extends Rule[LogicalPlan] {
         Alias(n, o.name)(exprId = o.exprId)
       case (n, _) => n
     }
-    Some(Aggregate(groupSubst.map(_._2), fixed, mvPlan))
+    val source =
+      if (mvConds.isEmpty) mvPlan
+      else Filter(mvConds.reduce(And), mvPlan)
+    Some(Aggregate(groupSubst.map(_._2), fixed, source))
   }
 
   // ------------------------------------------------------------ building
@@ -200,9 +301,17 @@ object MvRewrite extends Rule[LogicalPlan] {
       dims: Seq[(String, org.apache.spark.sql.Column)],
       measures: Seq[(String, org.apache.spark.sql.Column)],
       buildFrom: Option[DataFrame] = None): Unit = {
+    // drop any EXISTING registration for this base first: the build query
+    // below is itself subject to the rewrite rule, and a stale entry would
+    // rewrite it to read the registered mvDir while the overwrite deletes
+    // that same directory mid-read — corrupting the MV so every later
+    // rewritten query silently returns wrong results
+    registry.remove(pathKey(spark, basePath))
     val base = spark.read.parquet(basePath)
-    rollup(buildFrom.getOrElse(base), dims, measures)
-      .write.mode("overwrite").parquet(mvDir)
+    bypassed {
+      rollup(buildFrom.getOrElse(base), dims, measures)
+        .write.mode("overwrite").parquet(mvDir)
+    }
     // resolved expression trees for the dims/measures: OPTIMIZE a
     // projection of exactly those columns over the base — the rule
     // compares against optimized plans, where RuntimeReplaceable sugar
@@ -264,9 +373,14 @@ object MvRewrite extends Rule[LogicalPlan] {
           sum(col(mvCol)).cast(old.schema(mvCol).dataType).as(mvCol)
         }: _*)
     // stage before overwriting the directory being read (same discipline
-    // as Merge.upsertPartitioned) — the cut holds dim-cardinality rows
-    graft.util.Checkpoints.cut(merged)
-      .write.mode("overwrite").parquet(entry.mvDir)
+    // as Merge.upsertPartitioned) — the cut holds dim-cardinality rows.
+    // bypassed: the delta rollup inside `merged` is an aggregate over the
+    // registered base and must aggregate the DELTA ROWS, not be rewritten
+    // to read the stale MV it is refreshing
+    bypassed {
+      graft.util.Checkpoints.cut(merged)
+        .write.mode("overwrite").parquet(entry.mvDir)
+    }
   }
 
   /** Test/lifecycle hook: forget every registered MV. */

@@ -96,6 +96,13 @@ class PlanSpec extends SparkSpec {
     val p = plan("q2_min_cost_supplier")
     assert(p.contains("EqualTo(r_name,EUROPE)"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the selective part predicate prunes lineitem BEFORE the offer
+    // aggregation (broadcast semi-join on the filtered part keys), and the
+    // predicate itself is pushed into the part scan
+    assert(p.contains("LeftSemi"),
+      s"no part-key semi-join pruning the offer aggregation:\n$p")
+    assert(p.contains("EqualTo(p_size,15)") && p.contains("EqualTo(p_type,STANDARD)"),
+      "part predicate must be pushed into the part scan")
   }
 
   test("q9: part-name substring filter pushed into the scan") {
@@ -548,6 +555,14 @@ class PlanSpec extends SparkSpec {
     val df = SparkEntry.queries("x42_mv_rewrite")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("graft-mv-"), s"MV rewrite did not fire:\n$p")
+    assert(!p.contains("events.parquet"), s"plan still scans the base:\n$p")
+  }
+
+  test("x49: the filtered aggregate reads the MV, never the base scan") {
+    GraftExtensions.register(spark)
+    val df = SparkEntry.queries("x49_mv_filter")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft-mv3-"), s"filtered MV rewrite did not fire:\n$p")
     assert(!p.contains("events.parquet"), s"plan still scans the base:\n$p")
   }
 

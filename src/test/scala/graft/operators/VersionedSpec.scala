@@ -88,4 +88,46 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, base, v3).count() ==
       rel.count() + 5 /* nova */ + 0)
   }
+
+  test("single-pass bootstrap, atomic manifests, re-runnable vacuum") {
+    val base = Files.createTempDirectory("graft-versioned-crash").toString
+    Versioned.commitFull(spark, base, rel, "event_date")
+    val m0 = Versioned.readManifest(base, 0)
+    // the bootstrap is ONE partitionBy pass: every v0 entry is a hive-keyed
+    // leaf of the same write, and the data files keep the partition column
+    assert(m0.entries.forall(_.path.contains("/files/v0/__part=")),
+      s"v0 entries not from the single-pass layout: ${m0.entries.take(3)}")
+    assert(Versioned.read(spark, base, 0).columns.toSet ==
+      rel.columns.toSet, "partitionBy bootstrap changed the read schema")
+    assert(Versioned.read(spark, base, 0).count() == rel.count())
+
+    val upd = rel.filter(col("event_date") === "2024-01-05")
+      .withColumn("value", col("value") + 1.0)
+    val v1 = Versioned.commitUpsert(spark, base, upd, Seq("event_id"), "event_date")
+
+    // manifests commit atomically via temp-file + move: no .tmp residue
+    val residue = Files.list(java.nio.file.Paths.get(base, "_manifests"))
+      .iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(residue)
+      .asScala.map(_.getFileName.toString).toSeq
+    assert(names.sorted == Seq("v0.json", "v1.json"), s"manifest dir: $names")
+
+    // a vacuum interrupted between its two phases (data files deleted,
+    // dead manifests still present) must complete on RE-RUN: simulate the
+    // crash by deleting a dead-exclusive file dir by hand, then vacuum
+    val deadExclusive = m0.entries.filter(_.part == "2024-01-05").map(_.path)
+    assert(deadExclusive.nonEmpty)
+    deadExclusive.foreach { p =>
+      val root = java.nio.file.Paths.get(p)
+      val files = Files.walk(root).iterator()
+      scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+        .toSeq.reverseIterator.foreach(f => Files.deleteIfExists(f))
+    }
+    val deleted = Versioned.vacuum(base, keepFrom = v1)
+    assert(!Files.exists(java.nio.file.Paths.get(base, "_manifests", "v0.json")),
+      "re-run vacuum left the dead manifest behind")
+    deleted.foreach(p =>
+      assert(!Files.exists(java.nio.file.Paths.get(p)), s"dead file $p survived"))
+    assert(Versioned.read(spark, base, v1).count() == rel.count())
+  }
 }
