@@ -99,7 +99,7 @@ object Bench {
     try SparkEntry.queries("q1_lineitem_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    def runOnce(fn: (SparkSession, String) => DataFrame): Sample = {
+    def runOnceIn(fn: (SparkSession, String) => DataFrame, dir: String): Sample = {
       val atMs = System.currentTimeMillis()
       val t0 = System.nanoTime()
       // noop sink materializes every output column — a count() would let
@@ -110,12 +110,14 @@ object Bench {
       // inside the timed region.
       val err = try {
         graft.util.Checkpoints.scoped {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          fn(spark, dir).write.mode("overwrite").format("noop").save()
         }
         None
       } catch { case t: Throwable => Some(t.toString) }
       Sample((System.nanoTime() - t0) / 1e9, atMs, err)
     }
+    def runOnce(fn: (SparkSession, String) => DataFrame): Sample =
+      runOnceIn(fn, sfDir)
 
     // Contention-proof timing (two rounds of misgraded records taught this):
     // consecutive samples of one query share a machine-contention window, so
@@ -156,19 +158,25 @@ object Bench {
       else try graft.sources.DataGen.transactionsJson(spark, 200000L)
         .collect().map(_.getString(0))
       catch { case _: Throwable => Array.empty }
-    def streamEpsOnce(round: Int): Double = {
+    def streamEpsOnce(round: Int): Double =
+      streamEpsPipeline(s"r$round", df =>
+        graft.streaming.SpendingPipeline.dailySpend(spark,
+          graft.streaming.SpendingPipeline.Source.Raw(df)))
+
+    def streamEpsPipeline(tag: String,
+        build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Double = {
       import graft.streaming.SpendingPipeline
-      import graft.streaming.SpendingPipeline.{Config, Sink, Source}
+      import graft.streaming.SpendingPipeline.{Config, Sink}
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
       val ms = MemoryStream[String]
-      val daily = SpendingPipeline.dailySpend(spark, Source.Raw(ms.toDF()))
+      val daily = build(ms.toDF())
       // warmup micro-batch: pays query start, codegen/JIT and state-store
       // init once, so the timed region measures steady-state throughput
       ms.addData(payloads.take(1000).toIndexedSeq)
-      val q = SpendingPipeline.start(daily, Sink.Memory(s"bench_stream_$round"),
-        Config(), s"bench_stream_q_$round")
+      val q = SpendingPipeline.start(daily, Sink.Memory(s"bench_stream_$tag"),
+        Config(), s"bench_stream_q_$tag")
       try {
         q.processAllAvailable()
         // measured batch, added in cpu-count chunks: MemoryStream scans one
@@ -197,6 +205,24 @@ object Bench {
     val pass1 = names.map { case (n, fn) => n -> runOnce(fn) }
     val pass2 = names.map { case (n, fn) => n -> runOnce(fn) }
     val epsRound2 = epsRound(2)
+    // pinned per-pipeline eps core: drift in the headline eps decomposes
+    // into WHICH stage moved (parse-only vs windowed agg vs the daily
+    // headline) instead of averaging over a changing row mix — a new
+    // heavier stream row elsewhere in the bench can no longer masquerade
+    // as a throughput regression. One sample each; the headline daily
+    // number keeps its best-of-2 audit pair.
+    val epsCore: Seq[(String, Sample)] =
+      if (soakOnly || payloads.isEmpty) Seq.empty
+      else Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        "parse_only" -> (df => graft.streaming.SpendingPipeline.transactions(spark,
+          graft.streaming.SpendingPipeline.Source.Raw(df))),
+        "windowed_spend" -> (df => graft.streaming.SpendingPipeline.windowedSpend(spark,
+          graft.streaming.SpendingPipeline.Source.Raw(df)))
+      ).map { case (n, b) =>
+        val atMs = System.currentTimeMillis()
+        n -> (try Sample(streamEpsPipeline(n, b), atMs, None)
+              catch { case t: Throwable => Sample(-1.0, atMs, Some(t.toString)) })
+      }
     val byName = (pass1 ++ pass2).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val slowNames = names.filter { case (n, _) =>
       val clean = byName(n).collect { case Sample(t, _, None) => t }
@@ -257,6 +283,54 @@ object Bench {
       val v = if (s.err.isDefined) "-1" else s.sec.toLong.toString
       s"[$v,${s.atMs}]"
     }.mkString("[", ",", "]")
+    // fixed-core per-pipeline eps: daily headline + the measured stages
+    val epsCoreJson = (("daily_spend", eps.toLong) +: epsCore.map { case (n, s) =>
+      (n, if (s.err.isDefined) -1L else s.sec.toLong)
+    }).map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+
+    // ---- scaling ladder -------------------------------------------------
+    // "Would this survive 100x" as a MEASURED number instead of a
+    // plan-reading argument: a fixed 10-query core (scan-agg, joins,
+    // window, dedup, ANN, text) runs at sf0.01 AND the bench scale, and
+    // each query records t_big/t_small over the 10x data step. A
+    // linear-with-overhead plan lands well under 10 (fixed planning/JIT
+    // cost amortizes); a ratio bending ABOVE the data growth flags a
+    // stage whose cost curve is super-linear (quadratic candidate set,
+    // unbounded sort) before any cluster sees it. Best-of-2 per scale,
+    // passes interleaved like the main timing loop.
+    val ladderJson = {
+      val smallDir = new java.io.File(new java.io.File(sfDir).getParentFile,
+        "sf0.01").toString
+      val ladderOn = !soakOnly && smallDir != sfDir &&
+        new java.io.File(smallDir, "lineitem.parquet").exists()
+      if (!ladderOn) "{}"
+      else {
+        val core = Seq("q1_lineitem_agg", "q3_join_revenue", "q5_region_revenue",
+          "q9_nation_profit", "q18_large_orders", "a2_windowed_spend",
+          "w2_running_total", "ext_dedup_minhash", "ext_knn_brute",
+          "ext_text_profile").flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+        def pass(dir: String) = core.map { case (n, fn) => n -> runOnceIn(fn, dir) }
+        val small = pass(smallDir) ++ pass(smallDir)
+        val big = pass(sfDir) ++ pass(sfDir)
+        def best(ss: Seq[(String, Sample)]): Map[String, Double] =
+          ss.groupBy(_._1).view.mapValues { v =>
+            val clean = v.collect { case (_, Sample(t, _, None)) => t }
+            if (clean.nonEmpty) clean.min else -1.0
+          }.toMap
+        val bs = best(small); val bb = best(big)
+        val perQ = core.map(_._1).map { n =>
+          val (ts, tb) = (bs(n), bb(n))
+          val ratio = if (ts > 0 && tb > 0) tb / ts else -1.0
+          (n, ts, tb, ratio)
+        }
+        val ratios = perQ.map(_._4).filter(_ > 0).sorted
+        val median = if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
+        val qj = perQ.map { case (n, ts, tb, r) =>
+          f"""\"$n\":{\"t_small\":$ts%.3f,\"t_big\":$tb%.3f,\"ratio\":$r%.2f}"""
+        }.mkString("{", ",", "}")
+        f"""{\"small_sf\":\"$smallDir\",\"big_sf\":\"$sfDir\",\"median_ratio\":$median%.2f,\"queries\":$qj}"""
+      }
+    }
 
     // ---- scale soak ----------------------------------------------------
     // The 100 TB claims, executed instead of argued (VERDICT r3 #2): the
@@ -786,7 +860,7 @@ object Bench {
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"samples":$sampleJson,"errors":$errors,"flaky_errors":$flakyErrors,"stream_events_per_sec":${eps.toLong},"stream_eps_samples":$epsSampleJson,"soak":$soakJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"samples":$sampleJson,"errors":$errors,"flaky_errors":$flakyErrors,"stream_events_per_sec":${eps.toLong},"stream_eps_core":$epsCoreJson,"stream_eps_samples":$epsSampleJson,"scaling_ladder":$ladderJson,"soak":$soakJson,"sf":"$sfDir"}"""
     println(line)
     // durability: the driver records only a truncated tail of stdout (r4 and
     // r5 both lost the per-query map past ~2,000 chars) — the full line also
@@ -809,7 +883,7 @@ object Bench {
     val slowest = results.collect { case (k, v, _, None, _) => (k, v) }
       .sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val tail = s"""{"metric":"total_tail","value":$total,"unit":"sec","queries_n":${results.size},"errors_n":${results.count(_._4.isDefined)},"stream_events_per_sec":${eps.toLong},"queries":$slowest,"queries_note":"slowest 12 of ${results.size}; full map in $outPath","sf":"$sfDir"}"""
+    val tail = s"""{"metric":"total_tail","value":$total,"unit":"sec","queries_n":${results.size},"errors_n":${results.count(_._4.isDefined)},"stream_events_per_sec":${eps.toLong},"stream_eps_core":$epsCoreJson,"scaling_ladder":$ladderJson,"queries":$slowest,"queries_note":"slowest 12 of ${results.size}; full map in $outPath","sf":"$sfDir"}"""
     // A SOAK_ONLY / stage-filtered iteration run has no query results; writing
     // its empty trailer over the durable file would hand the driver a
     // "queries_n":0 snapshot from the last full run (this exact thing got
@@ -932,8 +1006,7 @@ object Bench {
             .as("delay_sec"))
         .writeStream.outputMode("append").format("memory")
         .queryName("soak_stream_join")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("soak-join-ckpt").toString)
+        .option("checkpointLocation", SparkEntry.tempCkpt())
         .start()
       val stateRows = Array.newBuilder[Long]
       val matched = Array.newBuilder[Long]
@@ -997,8 +1070,7 @@ object Bench {
           .transformWithStateStreaming(ev, gapMs = 15 * 60 * 1000L)
         val q = sessions.toDF().writeStream.outputMode("append")
           .format("memory").queryName("soak_session_tws")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("soak-tws-ckpt").toString)
+          .option("checkpointLocation", SparkEntry.tempCkpt())
           .start()
         val stateRows = Array.newBuilder[Long]
         val timersReg = Array.newBuilder[Long]
