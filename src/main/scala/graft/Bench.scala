@@ -796,6 +796,14 @@ object Bench {
             Seq(0.01, 0.25, 0.5, 0.75, 0.99))
           .collect().length
       }
+      // the EXACT answer by bucket refinement: same result set as the
+      // percentile() stage above, but shuffles carry counts, never values —
+      // compare sec + spill against quantile_exact_20m's single reducer
+      val sQ3 = stage("quantile_exact_dist_20m") {
+        graft.operators.Sketch.exactQuantiles(
+            quantileRelation, "v", Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+          .collect().length
+      }
 
       // ---- incremental-rollup soak: delta cost vs full rebuild ----------
       // 20M events over 30 days into the date-partitioned materialized
@@ -856,7 +864,7 @@ object Bench {
         else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sI1, sI2, sG1, s9, s10, s11)
+          s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sQ3, sI1, sI2, sG1, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 

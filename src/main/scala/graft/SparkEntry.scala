@@ -1915,6 +1915,17 @@ object SparkEntry {
       samp.join(exact, "q").orderBy(col("q"))
     }),
 
+    // distributed EXACT quantiles with NO global sort: two count-histogram
+    // refinement rounds locate each rank's 1/B² value slice, a final
+    // aggregation keys only that slice by exact value — shuffles carry
+    // counts, never values ([[graft.operators.Sketch.exactQuantiles]]; the
+    // quantile_exact_20m soak measured Spark's own percentile() holding
+    // all 20M values in one 140 s reducer for the same answer)
+    "ext_quantile_exact_dist" -> ((s, dir) =>
+      graft.operators.Sketch.exactQuantiles(
+        Tables.lineitem(s, dir), "l_extendedprice",
+        Seq(0.01, 0.5, 0.9, 0.99, 0.999))),
+
     "ext_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
@@ -5796,6 +5807,20 @@ object SparkEntry {
         |FROM qv CROSS JOIN sn CROSS JOIN en
         |JOIN sr ON floor(q * (sample_n - 1)) = sr.rnk
         |JOIN er ON floor(q * (exact_n - 1)) = er.rnk
+        |ORDER BY q""".stripMargin,
+
+    // the exact-quantile element is rank-defined, so the oracle computes it
+    // the direct way (row_number) — ANY exact engine must agree with the
+    // bucket-refinement path
+    "ext_quantile_exact_dist" ->
+      """WITH li AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM li),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rnk FROM li),
+        |qv AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.01), (0.5),
+        |    (0.9), (0.99), (0.999)) t(q))
+        |SELECT q, n, CAST(floor(q * (n - 1)) AS BIGINT) AS rank, r.v AS value
+        |FROM qv CROSS JOIN n JOIN r ON floor(q * (n - 1)) = r.rnk
         |ORDER BY q""".stripMargin,
 
     "ext_fingerprint" ->

@@ -455,6 +455,108 @@ object Sketch {
       .select(gcols ++ Seq(col("q"), col("sample_n"), col("rank"), col("value")): _*)
   }
 
+  /** EXACT quantiles over the full relation WITHOUT a global sort — the
+    * 100 TB shape of "give me the real p99, not an estimate".
+    *
+    * Spark's `percentile` holds every value in one reducer (the
+    * `quantile_exact_20m` soak measured a 140 s single-task straggler);
+    * this runs iterative BUCKET REFINEMENT instead: one count-histogram
+    * over B value buckets locates each target rank's bucket, a second
+    * histogram refines within it (resolution (max-min)/B²), and a final
+    * aggregation keys only the surviving bucket's rows by exact value and
+    * walks the cumulative count to the rank. Every job is a map-side
+    * combinable COUNT aggregation — shuffles carry counts, never values —
+    * and the only per-value work is one window over the distinct values of
+    * a 1/B² slice of the range, expected ~n/1M rows at B = 1024.
+    *
+    * Correctness does not depend on float boundary arithmetic: bucket
+    * membership in every round is the SAME pure function of the value
+    * (integer comparisons of `i1`/`i2`), and the final pass recomputes the
+    * below-rank count from scratch through that function — a boundary ULP
+    * can shift WHICH bucket refines (costing resolution, never
+    * correctness), and a mis-sized bucket fails loudly rather than
+    * returning a wrong element.
+    *
+    * Returns one row per requested quantile, `(q, n, rank, value)` with
+    * `rank = floor(q * (n-1))` (0-based discrete rank, the
+    * [[sampleQuantiles]] convention) and `value` the element at that rank
+    * under ascending value order — exact, deterministic, engine-portable
+    * (the DuckDB oracle computes the same element by row_number). */
+  def exactQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      qs: Seq[Double],
+      buckets: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1], got $qs")
+    require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = graft.sources.Tables.ensureParallelism(
+      df.select(col(valueCol).cast("double").as("v")).filter(col("v").isNotNull))
+    val Array(st) = vals.agg(count(lit(1)).as("n"),
+      min(col("v")).as("lo"), max(col("v")).as("hi")).collect()
+    val n = st.getLong(0)
+    if (n == 0L) return Seq.empty[(Double, Long, Long, Double)]
+      .toDF("q", "n", "rank", "value")
+    val (lo, hi) = (st.getDouble(1), st.getDouble(2))
+    val targets = qs.sorted.map(q => q -> math.floor(q * (n - 1)).toLong)
+    if (lo == hi) // constant column: every rank selects the one value
+      return targets.map { case (q, r) => (q, n, r, lo) }.toDF("q", "n", "rank", "value")
+    val B = buckets
+    // scaled position in [0, B); i1/i2 are the SAME pure function of v in
+    // every round — membership is integer comparison, never a float bound
+    val pos = (col("v") - lit(lo)) / lit(hi - lo) * lit(B.toDouble)
+    val i1 = least(greatest(floor(pos).cast("int"), lit(0)), lit(B - 1))
+    // round 1: one histogram serves every quantile (shared [lo, hi])
+    val h1 = vals.groupBy(i1.as("i1")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def pick(hist: Map[Int, Long], rank1b: Long): (Int, Long) = {
+      // bucket holding the rank1b-th (1-based) row, plus exact count below
+      var below = 0L; var b = 0
+      while (b < B && below + hist.getOrElse(b, 0L) < rank1b) {
+        below += hist.getOrElse(b, 0L); b += 1
+      }
+      require(b < B, s"rank $rank1b beyond histogram total (${below})")
+      (b, below)
+    }
+    val r1 = targets.map { case (q, r) => (q, r, pick(h1, r + 1)) }
+    val b1Set = r1.map(_._3._1).distinct
+    // round 2: refine inside the surviving buckets — the offset is taken
+    // from the CLAMPED i1 (not floor(pos)) so v == max, whose pos is
+    // exactly B, refines to the TOP sub-bucket of bucket B-1 and
+    // (i1, i2) order stays monotone with value order
+    val i2 = least(greatest(floor((pos - i1.cast("double")) * lit(B.toDouble))
+      .cast("int"), lit(0)), lit(B - 1))
+    val h2 = vals.filter(i1.isin(b1Set: _*))
+      .groupBy(i1.as("i1"), i2.as("i2")).agg(count(lit(1)).as("c"))
+      .collect().groupBy(_.getInt(0)).view
+      .mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+    val cfg = r1.map { case (q, r, (b1, below1)) =>
+      val (b2, _) = pick(h2(b1), r + 1 - below1)
+      (q, r, b1, b2)
+    }
+    // final: exact values of each target's (b1, b2) slice; rows below the
+    // slice collapse to one NULL key whose count REPROVES the below-rank
+    // total through the same pure function (no dependence on the driver's
+    // running sums), rows above are dropped by the same integer predicate
+    val cfgDf = broadcast(cfg.toDF("q", "rank", "b1", "b2"))
+    val keyed = vals.crossJoin(cfgDf)
+      .filter(i1 < col("b1") ||
+        (i1 === col("b1") && i2 <= col("b2")))
+      .select(col("q"), col("rank"),
+        when(i1 === col("b1") && i2 === col("b2"), col("v")).as("key"))
+      .groupBy(col("q"), col("rank"), col("key")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("key").asc_nulls_first)
+    keyed
+      .withColumn("cum", sum(col("c")).over(w))
+      .filter(col("key").isNotNull && col("cum") >= col("rank") + 1L &&
+        col("cum") - col("c") < col("rank") + 1L)
+      .select(col("q"), lit(n).as("n"), col("rank"), col("key").as("value"))
+      .orderBy(col("q"))
+  }
+
   def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
     require(p >= 4 && p <= 18, s"hll precision p must be in [4, 18], got $p")
     val m = 1 << p

@@ -357,6 +357,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantiles: bucket refinement equals the direct sorted rank") {
+    // adversarial value set: heavy duplication (one value holds >half the
+    // mass), extremes, negatives, sub-bucket-width clusters near max
+    val vs = Seq.fill(500)(42.0) ++ (1 to 200).map(_ * 0.001) ++
+      Seq(-1e9, -1.0, 0.0, 1e9, 1e9 - 1e-3) ++
+      (1 to 50).map(i => 999999999.999 + i * 1e-9)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val qs = Seq(0.0, 0.01, 0.5, 0.66, 0.9, 0.999, 1.0)
+    val got = Sketch.exactQuantiles(df, "v", qs)
+      .select($"q", $"n", $"rank", $"value")
+      .as[(Double, Long, Long, Double)].collect().sortBy(_._1)
+    val sorted = vs.sorted
+    qs.sorted.zip(got).foreach { case (q, (gq, n, rank, value)) =>
+      assert(gq == q && n == vs.size)
+      val expRank = math.floor(q * (n - 1)).toLong
+      assert(rank == expRank, s"q=$q rank")
+      assert(value == sorted(expRank.toInt), s"q=$q value")
+    }
+    // constant column: every quantile is the one value, no jobs wasted
+    val const = Sketch.exactQuantiles(
+      Seq(7.5, 7.5, 7.5).toDF("v"), "v", Seq(0.0, 0.5, 1.0))
+      .select($"value").as[Double].collect().toSeq
+    assert(const == Seq(7.5, 7.5, 7.5))
+    // empty relation: empty result, correct schema
+    val empty = Sketch.exactQuantiles(
+      Seq.empty[Double].toDF("v"), "v", Seq(0.5))
+    assert(empty.columns.toSeq == Seq("q", "n", "rank", "value"))
+    assert(empty.count() == 0)
+  }
+
   test("bloom artifact round-trips bitmap and build parameters exactly") {
     val bm = Sketch.bloomBuild(Seq("a", "b", "c").toDF("s"), "s", 3, 1 << 10)
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom-rt").toString
