@@ -1579,6 +1579,35 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // z-order + footer skip index composed, graded end to end: the events
+    // relation is z-ordered on (day, value-bucket) so every file covers a
+    // tight range of BOTH dims, a min/max skip index is built from the
+    // parquet FOOTERS only, and a value-range read opens just the files
+    // whose range intersects — the lakehouse data-skipping pattern
+    // ([[graft.operators.Layout.buildSkipIndex]]). Skipping is a superset
+    // guarantee, so the filtered aggregate must equal the same query on
+    // the raw table (the oracle); LayoutSpec asserts the pruning itself
+    // (selected files strictly fewer than total).
+    "x50_skip_index" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-zskip-" +
+        math.abs(dir.hashCode)
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        col("value"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+      val dx = pmod(col("day").cast("long"), lit(256L))
+      val dy = least(greatest(floor(col("value") / 4.0).cast("long"), lit(0L)),
+        lit(255L))
+      graft.operators.Layout.writeZOrdered(ev, out, Seq(dx, dy),
+        bits = 8, numFiles = 16)
+      graft.operators.Layout.writeSkipIndex(s, out, Seq("value", "day"))
+      val (pruned, _, _) =
+        graft.operators.Layout.readSkipping(s, out, "value", 100.0, 150.0)
+      pruned.filter(col("value") >= 100.0 && col("value") <= 150.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // passage-level keep-first dedup (CCNet/RefinedWeb treatment): the
     // corpus cut into 3-word tiles, each distinct tile keeps its first
     // (doc_id, tile_idx) occurrence, docs reassembled from survivors —
@@ -5239,6 +5268,14 @@ object SparkEntry {
          |SELECT event_id, CAST($terms AS BIGINT) AS zval
          |FROM d ORDER BY event_id""".stripMargin
     },
+
+    // skipping is a superset guarantee — pruned-then-filtered must equal
+    // the plain filtered aggregate over the raw table
+    "x50_skip_index" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE value >= 100.0 AND value <= 150.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // tiles replayed literally (grouping by tile text = the engine's
     // md5(tile) grouping); keep-first = row_number over (doc_id, tile_idx)

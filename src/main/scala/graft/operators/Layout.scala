@@ -147,6 +147,116 @@ object Layout {
     z
   }
 
+  // ------------------------------------------------------- skip index
+
+  /** File-level min/max skip index from parquet FOOTERS — the lakehouse
+    * data-skipping pattern ([[zOrder]]'s other half: z-ordering makes
+    * per-file ranges tight, the index turns a predicate into "open 3 of
+    * 200 files"). No data pages are read: each file contributes its
+    * footer's per-row-group column statistics, folded to one (min, max,
+    * nulls) per column. Spark's own parquet reader prunes ROW GROUPS
+    * after opening a file; this prunes at PLANNING — unselected files are
+    * never opened, listed I/O drops with the selectivity, and the index
+    * itself is a tiny relation (one row per file × column) that lives
+    * beside the data and answers any range predicate on an indexed
+    * column.
+    *
+    * Footers are read on EXECUTORS (one task per file batch) — at 100 TB a
+    * table is ~1e5 files and footer reads are the bounded per-file cost
+    * the format already charges any reader. Numeric and date columns only
+    * (min/max fold to doubles; a date's epoch-day int is its own range).
+    * Columns whose statistics are absent (or non-numeric) yield a
+    * (-inf, +inf) row — "never skip", the only safe default. */
+  def buildSkipIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "skip index needs at least one column")
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val it = fs.listFiles(root, true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().getPath.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("/_"))
+      .toVector.sorted
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val colSet = cols.toSet
+    val nParts = math.min(files.size,
+      spark.sparkContext.defaultParallelism).max(1)
+    spark.createDataset(files).repartition(nParts).mapPartitions { paths =>
+      // fresh conf per task: footer reads need only filesystem defaults
+      val conf = new org.apache.hadoop.conf.Configuration()
+      paths.flatMap { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = r.getFooter.getBlocks.asScala
+          val rows = blocks.map(_.getRowCount).sum
+          val byCol = blocks.flatMap(_.getColumns.asScala)
+            .filter(c => colSet(c.getPath.toDotString))
+            .groupBy(_.getPath.toDotString)
+          colSet.toSeq.sorted.map { c =>
+            def num(v: Any): Option[Double] = v match {
+              case i: java.lang.Integer => Some(i.toDouble)
+              case l: java.lang.Long => Some(l.toDouble)
+              case f: java.lang.Float => Some(f.toDouble)
+              case d: java.lang.Double => Some(d)
+              case _ => None
+            }
+            val stats = byCol.getOrElse(c, Seq.empty).map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+            val mins = stats.flatMap(s => num(s.genericGetMin))
+            val maxs = stats.flatMap(s => num(s.genericGetMax))
+            if (stats.nonEmpty && mins.size == stats.size && maxs.size == stats.size)
+              (p, rows, c, mins.min, maxs.max)
+            else // absent/non-numeric stats: (-inf, +inf) = never skip
+              (p, rows, c, Double.NegativeInfinity, Double.PositiveInfinity)
+          }
+        } finally r.close()
+      }
+    }.toDF("file", "rows", "col", "min", "max")
+  }
+
+  /** Persist the skip index beside the data (`dir/_skipindex` — the
+    * leading underscore keeps every parquet reader from scanning it as
+    * table data). */
+  def writeSkipIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      cols: Seq[String]): Unit =
+    buildSkipIndex(spark, dir, cols)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_skipindex")
+
+  /** Range-predicate read through the skip index: open ONLY the files
+    * whose [min, max] for `column` intersects [lo, hi]. Skipping is a
+    * superset guarantee — the caller still applies the row-level filter;
+    * the index only decides which files are worth opening. Returns the
+    * pruned relation plus the (selected, total) file counts (the
+    * skipping evidence a caller or spec asserts on). */
+  def readSkipping(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double): (DataFrame, Int, Int) = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val idx = spark.read.parquet(s"$dir/_skipindex")
+      .filter(col("col") === column)
+      .select(col("file"), col("min"), col("max"))
+      .collect() // one row per file: bounded by the file count, driver-sized
+    val selected = idx.filter(r => r.getDouble(2) >= lo && r.getDouble(1) <= hi)
+      .map(_.getString(0)).sorted
+    val full = spark.read.parquet(dir)
+    val pruned =
+      if (selected.isEmpty) full.filter(lit(false)) // schema-stable empty
+      else spark.read.schema(full.schema).parquet(selected.toIndexedSeq: _*)
+    (pruned, selected.length, idx.length)
+  }
+
   // ------------------------------------------------- date partitioning
 
   /** Write an event relation Hive-partitioned by event date

@@ -117,6 +117,36 @@ class LayoutSpec extends SparkSpec {
     assert(meanRange(linear, "y") > 200, s"linear y range ${meanRange(linear, "y")}")
   }
 
+  test("skip index prunes files by footer stats; reads stay a superset") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-skip-spec").toString
+    // value correlated with id so a range predicate is file-clusterable
+    val df = spark.range(40000).select(col("id"),
+      (col("id") % 997).cast("double").as("v"),
+      (col("id") % 31).cast("int").as("d"))
+    val dims = Seq(pmod(col("d").cast("long"), lit(256L)),
+      least(col("v").cast("long") / 4L, lit(255L)))
+    Layout.writeZOrdered(df, base, dims, bits = 8, numFiles = 16)
+    Layout.writeSkipIndex(spark, base, Seq("v", "d"))
+    val idx = spark.read.parquet(s"$base/_skipindex")
+    val nFiles = idx.select(col("file")).distinct().count()
+    assert(idx.count() == nFiles * 2, "one index row per (file, column)")
+    // narrow range: strictly fewer files opened than exist
+    val (pruned, sel, tot) = Layout.readSkipping(spark, base, "v", 100.0, 120.0)
+    assert(tot == nFiles && sel < tot,
+      s"no pruning: $sel of $tot files selected")
+    // superset guarantee: pruned+filtered == full filtered, exactly
+    val a = pruned.filter(col("v").between(100.0, 120.0))
+      .agg(count(lit(1)), sum(col("id"))).collect()(0)
+    val b = df.filter(col("v").between(100.0, 120.0))
+      .agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(a == b, s"skipping dropped rows: $a vs $b")
+    // out-of-domain range: zero files, schema-stable empty relation
+    val (none, sel0, _) = Layout.readSkipping(spark, base, "v", 5000.0, 6000.0)
+    assert(sel0 == 0 && none.count() == 0)
+    assert(none.columns.toSeq == pruned.columns.toSeq)
+  }
+
   test("compact bin-packs small files to the byte-derived count, content intact") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft-compact-spec")
