@@ -914,6 +914,27 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // LEAKAGE-SAFE split: a plain per-doc hash split puts near-duplicate
+    // docs on both sides of the train/test fence (the classic eval
+    // contamination). Here every doc inherits its near-dup CLUSTER's
+    // draw — minhash candidates -> connected components -> the component
+    // representative's hash decides for every member — so a duplicate
+    // cluster can never straddle splits (SamplingSpec asserts it). Scale
+    // shape: the same banded candidate + CC machinery the dedup tier
+    // already runs, plus one per-row hash — no new shuffles.
+    "x51_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.minhashCandidates(docs))
+      val rep = docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep"))
+      graft.operators.Sampling.hashSplit(rep, "rep",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-source document quota (corpus balancing)
     "x3_source_quota" -> ((s, dir) =>
       graft.operators.Sampling.perKeyQuota(Tables.documents(s, dir), "source", 15,
@@ -4030,6 +4051,32 @@ object SparkEntry {
       "\nSELECT node AS s_suppkey, r AS rank_fp FROM r5 ORDER BY rank_fp DESC, s_suppkey"
   }
 
+  /** The minhash-band candidate + reachability CTEs shared by
+    * `ext_dedup_components` and `x51_leakage_safe_split` (identical band
+    * construction to [[graft.operators.Dedup.minhashCandidates]]). */
+  private lazy val nearDupComponentsCtes: String =
+    """toks AS (SELECT doc_id,
+      |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+      |  FROM toks),
+      |sig AS (SELECT doc_id,
+      |  [list_min(list_transform(s, x -> md5(x || '#' || CAST(j AS VARCHAR))))
+      |   for j in generate_series(0, 11)] AS g FROM sh),
+      |bands AS (SELECT doc_id, band,
+      |  md5(g[band*3+1] || '|' || g[band*3+2] || '|' || g[band*3+3]) AS key
+      |  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b),
+      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM bands x JOIN bands y
+      |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      |und AS (SELECT id_a AS a, id_b AS b FROM cand
+      |  UNION SELECT id_b, id_a FROM cand),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)""".stripMargin
+
   /** DuckDB replay of `ext_kmeans_fp`: quantization, the three Lloyd
     * iterations (broadcast argmin + truncating-division centroid update)
     * unrolled as CTE triples, and the final assignment — identical integer
@@ -6284,29 +6331,23 @@ object SparkEntry {
     // same MinHash banding CTEs as ext_dedup_minhash, then a recursive
     // transitive closure; component = min reachable id (incl. self)
     "ext_dedup_components" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id,
-        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-        |  FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(
-        |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
-        |  FROM toks),
-        |sig AS (SELECT doc_id,
-        |  [list_min(list_transform(s, x -> md5(x || '#' || CAST(j AS VARCHAR))))
-        |   for j in generate_series(0, 11)] AS g FROM sh),
-        |bands AS (SELECT doc_id, band,
-        |  md5(g[band*3+1] || '|' || g[band*3+2] || '|' || g[band*3+3]) AS key
-        |  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b),
-        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |  FROM bands x JOIN bands y
-        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-        |und AS (SELECT id_a AS a, id_b AS b FROM cand
-        |  UNION SELECT id_b, id_a FROM cand),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+      s"""WITH RECURSIVE $nearDupComponentsCtes
         |SELECT a AS doc_id, least(a, min(b)) AS component
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // leakage-safe split: every doc inherits its near-dup CLUSTER
+    // representative's hash draw, so a cluster can never straddle splits
+    "x51_leakage_safe_split" ->
+      s"""WITH RECURSIVE $nearDupComponentsCtes,
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |rep AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, rep,
+        |  CASE WHEN substr(md5(rep::VARCHAR || '#split'), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(rep::VARCHAR || '#split'), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM rep ORDER BY doc_id""".stripMargin,
 
     "ext_dedup_simhash" ->
       """WITH h AS (SELECT doc_id,

@@ -250,6 +250,33 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.weightedSample(df, "id", col("w"), k = 500).count() == 50)
   }
 
+  test("leakage-safe split keeps every near-dup cluster on one side") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.minhashCandidates(docs)
+    val labels = Dedup.connectedComponents(pairs)
+    val rep = docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep"))
+    val split = Sampling.hashSplit(rep, "rep",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // the leakage property: within any connected component, ONE split
+    val straddling = split.join(labels, split("doc_id") === labels("id"))
+      .groupBy(col("comp"))
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1)
+    assert(straddling.isEmpty,
+      s"clusters straddle splits:\n${straddling.head(5).mkString("\n")}")
+    // while a PLAIN per-doc split does leak on this corpus (the test
+    // would be vacuous if no cluster sat near a split boundary)
+    val plain = Sampling.hashSplit(docs.select(col("doc_id")), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val plainStraddle = plain.join(labels, plain("doc_id") === labels("id"))
+      .groupBy(col("comp")).agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(plainStraddle > 0,
+      "corpus has no boundary-straddling cluster — test is vacuous")
+  }
+
   test("weightedSample fails loudly past maxWeight") {
     val df = spark.range(5).toDF("id").withColumn("w", lit(10L))
     val e = intercept[Exception] {
