@@ -1965,6 +1965,13 @@ object SparkEntry {
       samp.join(exact, "q").orderBy(col("q"))
     }),
 
+    // exact phrase search over the positional inverted index — the
+    // retrieval shape bag-of-words BM25 cannot express (tokens must be
+    // CONSECUTIVE); per-term postings equi-join on (doc, pos - offset)
+    "ext_phrase_search" -> ((s, dir) =>
+      graft.operators.TextAnalysis.phraseSearch(
+        Tables.documents(s, dir), Seq("slow", "hash", "batch"))),
+
     // distributed EXACT quantiles with NO global sort: two count-histogram
     // refinement rounds locate each rank's 1/B² value slice, a final
     // aggregation keys only that slice by exact value — shuffles carry
@@ -5892,6 +5899,19 @@ object SparkEntry {
         |JOIN sr ON floor(q * (sample_n - 1)) = sr.rnk
         |JOIN er ON floor(q * (exact_n - 1)) = er.rnk
         |ORDER BY q""".stripMargin,
+
+    // consecutive-position replay: a match is any index i where all three
+    // tokens line up; positions are 0-based in the engine (posexplode), so
+    // DuckDB's 1-based list index shifts by one
+    "ext_phrase_search" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, i FROM (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+        |  WHERE t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch')
+        |SELECT doc_id, count(*) AS n_matches, min(i) - 1 AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the exact-quantile element is rank-defined, so the oracle computes it
     // the direct way (row_number) — ANY exact engine must agree with the

@@ -320,6 +320,44 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Exact PHRASE search over a positional inverted index — the retrieval
+    * companion to [[bm25Search]]'s bag-of-words ranking: "slow hash batch"
+    * must match those tokens CONSECUTIVELY, which tf scoring cannot
+    * express. The index relation is (doc, token, position) — one
+    * `posexplode` over the shared [[Dedup.normalize]] tokenizer — and a
+    * phrase of length L matches by L-1 equi-joins on `(doc, pos - offset)`:
+    * each join's input is the postings of ONE term (the token filter
+    * reaches the scan), so the join keys shrink to the rarest term's
+    * postings after the first hop, never the corpus. Output: one row per
+    * matching doc, `(idCol, n_matches, first_pos)` with 0-based positions.
+    *
+    * Scale shape: at 100 TB the postings relation is the thing you
+    * materialize once (it IS the search index; pair with [[Layout]] to
+    * shard it by term), and each query costs per-term postings scans +
+    * bounded equi-joins — no text is re-tokenized at query time if the
+    * postings are persisted. */
+  def phraseSearch(
+      df: DataFrame,
+      phrase: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(phrase.forall(_.nonEmpty), s"empty token in phrase $phrase")
+    val post = df.select(col(idCol),
+      posexplode(split(Dedup.normalize(col(textCol)), " ")).as(Seq("pos", "tok")))
+    val anchor = post.filter(col("tok") === phrase.head)
+      .select(col(idCol), col("pos"))
+    phrase.zipWithIndex.drop(1)
+      .foldLeft(anchor) { case (acc, (t, i)) =>
+        acc.join(post.filter(col("tok") === t)
+          .select(col(idCol), (col("pos") - i).as("pos")), Seq(idCol, "pos"))
+      }
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+      .orderBy(col(idCol))
+  }
+
+
   /** Bigram language-model quality score — the CCNet/Wenzek-style
     * perplexity filter re-expressed with integer-exact math. An LM is
     * "trained" as bigram occurrence counts over a deterministic

@@ -71,6 +71,29 @@ class Bm25Spec extends SparkSpec {
     assert(s2(10L) > s2(1L), "rare term (df=2) must outscore common (df=10)")
   }
 
+  test("phraseSearch: consecutive-only, overlapping, position-exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),       // one match at pos 1
+      (2L, "b c x b c"),     // two matches, first at 0
+      (3L, "c b"),           // reversed order: no match
+      (4L, "b x c"),         // gap: no match
+      (5L, "b b b"),         // overlapping "b b": 2 matches
+      (6L, "B   C")          // normalize: case + whitespace collapse
+    ).toDF("doc_id", "text")
+    val bc = TextAnalysis.phraseSearch(d, Seq("b", "c"))
+      .as[(Long, Long, Int)].collect().toList
+    assert(bc == List((1L, 1L, 1), (2L, 2L, 0), (6L, 1L, 0)), s"got $bc")
+    val bb = TextAnalysis.phraseSearch(d, Seq("b", "b"))
+      .as[(Long, Long, Int)].collect().toList
+    assert(bb == List((5L, 2L, 0)), s"overlap: $bb")
+    // single-token phrase degenerates to postings lookup
+    assert(TextAnalysis.phraseSearch(d, Seq("x")).count() == 2)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseSearch(d, Seq.empty)
+    }
+  }
+
   test("only matching docs are returned; k truncates; params validated") {
     val hits = TextAnalysis.bm25Search(docs, Seq("rare"), k = 40)
     assert(hits.count() == 4)
