@@ -1965,6 +1965,21 @@ object SparkEntry {
       samp.join(exact, "q").orderBy(col("q"))
     }),
 
+    // monitoring-shaped quantiles: fixed-bucket histogram counts (additive,
+    // keys x 256 counter rows of state) + a stateless "p99 <= upper"
+    // projection — the Prometheus histogram_quantile pattern, exact
+    // arithmetic so any engine derives the same bucket from the same
+    // counts. The streaming twin maintains the SAME counts in complete
+    // mode and shares this oracle.
+    "ext_histogram_quantile" -> ((s, dir) =>
+      graft.operators.Quality.histogramQuantileReport(
+          graft.operators.Quality.histogramCounts(
+            Tables.events(s, dir), "event_type", "value", step = 4.0),
+          Seq(0.5, 0.95, 0.99), step = 4.0)
+        .select(col("key").as("event_type"), col("q"), col("total_n"),
+          col("bucket"), col("upper"))
+        .orderBy(col("event_type"), col("q"))),
+
     // exact phrase search over the positional inverted index — the
     // retrieval shape bag-of-words BM25 cannot express (tokens must be
     // CONSECUTIVE); per-term postings equi-join on (doc, pos - offset)
@@ -2672,6 +2687,11 @@ object SparkEntry {
     // (type, day) counts; the rolling-band alarm projects over the final
     // counter table — same oracle as the batch x32 row
     "stream_volume_anomaly" -> ((s, dir) => streamVolumeAnomaly(s, dir)),
+
+    // live p50/p95/p99 value monitor: the stream maintains only the
+    // (type, bucket) histogram counters; the quantile bound projects over
+    // the final table — same oracle as the batch ext_histogram_quantile
+    "stream_histogram_p99" -> ((s, dir) => streamHistogramQuantile(s, dir)),
 
     // the corpus vocabulary top-100 as a live leaderboard: complete-mode
     // count aggregation re-ranked and truncated each batch; shares
@@ -3443,6 +3463,41 @@ object SparkEntry {
     * additive aggregation — bounded state of keys x days counter rows); the
     * rolling-band report is a stateless window projection over the final
     * counts, so the alarm relation equals the batch row's exactly. */
+  /** The live percentile monitor behind `stream_histogram_p99`: the stream
+    * maintains ONLY the (key, bucket) counter table (complete mode — at
+    * most keys x 256 additive counter rows of state, duplicates are new
+    * observations by design), and the quantile report is a stateless
+    * projection over the final counters — the same relation the batch
+    * histogram computes, so the DuckDB rebuild oracle is shared. */
+  private def streamHistogramQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .orderBy(col("event_id"))
+      .as[(Long, String, Double)].collect()
+    val ms = MemoryStream[(Long, String, Double)]
+    val counts = ms.toDF().toDF("event_id", "event_type", "value")
+      .groupBy(col("event_type").as("key"),
+        least(greatest(floor(col("value") / lit(4.0)).cast("int"), lit(0)),
+          lit(255)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_histogram_p99_t")
+      .option("checkpointLocation", tempCkpt()).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    graft.operators.Quality.histogramQuantileReport(
+        s.table("stream_histogram_p99_t"), Seq(0.5, 0.95, 0.99), step = 4.0)
+      .select(col("key").as("event_type"), col("q"), col("total_n"),
+        col("bucket"), col("upper"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
   private def streamVolumeAnomaly(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = s.sqlContext
@@ -4057,6 +4112,25 @@ object SparkEntry {
     pre + its +
       "\nSELECT node AS s_suppkey, r AS rank_fp FROM r5 ORDER BY rank_fp DESC, s_suppkey"
   }
+
+  /** Shared by `ext_histogram_quantile` and its streaming twin: the full
+    * DuckDB histogram rebuild (clamped bucket, per-key counts, cumulative
+    * crossing of ceil(q * total), bucket upper bound). */
+  private lazy val histogramQuantileSql: String =
+    """WITH b AS (SELECT event_type,
+      |  least(greatest(CAST(floor(value / 4.0) AS INTEGER), 0), 255) AS bucket
+      |  FROM events WHERE value IS NOT NULL),
+      |c AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+      |cc AS (SELECT event_type, bucket, n,
+      |  sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+      |  sum(n) OVER (PARTITION BY event_type) AS total FROM c),
+      |qv AS (SELECT CAST(q AS DOUBLE) AS q
+      |  FROM (VALUES (0.5), (0.95), (0.99)) t(q))
+      |SELECT event_type, q, CAST(total AS BIGINT) AS total_n, bucket,
+      |  (bucket + 1) * 4.0 AS upper
+      |FROM cc CROSS JOIN qv
+      |WHERE cum >= ceil(q * total) AND cum - n < ceil(q * total)
+      |ORDER BY event_type, q""".stripMargin
 
   /** The minhash-band candidate + reachability CTEs shared by
     * `ext_dedup_components` and `x51_leakage_safe_split` (identical band
@@ -5899,6 +5973,9 @@ object SparkEntry {
         |JOIN sr ON floor(q * (sample_n - 1)) = sr.rnk
         |JOIN er ON floor(q * (exact_n - 1)) = er.rnk
         |ORDER BY q""".stripMargin,
+
+    "ext_histogram_quantile" -> histogramQuantileSql,
+    "stream_histogram_p99" -> histogramQuantileSql,
 
     // consecutive-position replay: a match is any index i where all three
     // tokens line up; positions are 0-based in the engine (posexplode), so

@@ -344,6 +344,60 @@ object Quality {
     * form of a nonzero double, plain or scientific, leads with its
     * significant digits. One scan, a 9-group aggregation, integer
     * arithmetic only. */
+  // ------------------------------------------------ histogram quantiles
+
+  /** Fixed-bucket histogram counts per key: `bucket = clamp(floor(value /
+    * step), 0, buckets-1)` — one combinable count aggregation whose state
+    * is at most `keys x buckets` counter rows. The monitoring-shaped
+    * quantile substrate: counts are ADDITIVE (mergeable across batches,
+    * partitions, or micro-batches — a complete-mode streaming aggregation
+    * maintains exactly this relation), and every quantile read is a
+    * stateless projection over them ([[histogramQuantileReport]]).
+    * Negative values clamp to bucket 0, values past the range to the top
+    * bucket — monitors care about the tail bound, not open-ended outliers. */
+  def histogramCounts(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      step: Double,
+      buckets: Int = 256): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
+    val b = least(greatest(floor(col(valueCol) / lit(step)).cast("int"), lit(0)),
+      lit(buckets - 1))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), b.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile bounds from a `(key, bucket, n)` histogram: for each
+    * requested q, the smallest bucket whose cumulative count reaches
+    * `ceil(q * total)`, reported with its UPPER bound `(bucket+1) * step`
+    * — the "p99 <= x" guarantee a latency monitor publishes (resolution
+    * one bucket; exact arithmetic, so any engine reproduces the same
+    * bucket from the same counts). The per-key window sorts at most
+    * `buckets` rows. */
+  def histogramQuantileReport(
+      counts: DataFrame,
+      qs: Seq[Double],
+      step: Double): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    val cum = counts
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("key"))))
+    cum.crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("cum") >= ceil(col("q") * col("total")) &&
+        col("cum") - col("n") < ceil(col("q") * col("total")))
+      .select(col("key"), col("q"), col("total").as("total_n"),
+        col("bucket"), ((col("bucket") + 1) * lit(step)).as("upper"))
+  }
+
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
     val digit = regexp_extract(abs(col(valueCol)).cast("string"), "[1-9]", 0)
     val expected = element_at(
