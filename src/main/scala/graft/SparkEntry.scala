@@ -1209,6 +1209,42 @@ object SparkEntry {
     // ONE query reads BOTH snapshots: the v0 aggregate must show the
     // pre-change totals even though v1 exists — a stale or leaky manifest
     // shifts a row and fails the hash.
+    // change data feed across the versioned table's history, graded: v0
+    // full load, v1 the x48-style upsert, v2 a keyed DELETE (the third
+    // warehouse verb, [[graft.operators.Versioned.commitDelete]]) — then
+    // [[graft.operators.Versioned.changesBetween]] emits exactly the
+    // inserts/updates (0->1) and deletes (1->2), value-diffing away the
+    // rewritten-but-identical survivor rows and never scanning partitions
+    // whose manifest file sets match. The oracle recomputes the same feed
+    // from the raw relation.
+    "x52_change_feed" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft-cdf-" +
+        math.abs(dir.hashCode)
+      deleteRecursively(base)
+      val rel = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).cast("string").as("event_date"))
+      graft.operators.Versioned.commitFull(s, base, rel, "event_date")
+      val inWindow = col("event_date") >= "2024-01-05" &&
+        col("event_date") <= "2024-01-06"
+      val upd = rel.filter(inWindow && col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + 1000.0)
+      val nw = rel
+        .filter(col("event_date") === "2024-01-05" && col("event_id") % 2 === 1)
+        .withColumn("event_id", col("event_id") + 10000000L)
+      graft.operators.Versioned.commitUpsert(s, base,
+        upd.unionByName(nw), Seq("event_id"), "event_date")
+      graft.operators.Versioned.commitDelete(s, base,
+        rel.filter(col("event_date") === "2024-01-07" && col("event_id") % 3 === 0)
+          .select(col("event_id"), col("event_date")),
+        Seq("event_id"), "event_date")
+      def ch(a: Int, b: Int) =
+        graft.operators.Versioned.changesBetween(s, base, a, b, Seq("event_id"))
+          .withColumn("vfrom", lit(a)).withColumn("vto", lit(b))
+      ch(0, 1).unionByName(ch(1, 2))
+        .orderBy(col("vfrom"), col("event_id"))
+    }),
+
     "x48_time_travel" -> ((s, dir) => {
       val base = sys.props("java.io.tmpdir") + "/graft-versioned-" +
         math.abs(dir.hashCode)
@@ -5252,6 +5288,27 @@ object SparkEntry {
         |SELECT ed, event_type, count(*),
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 1
         |FROM v1 GROUP BY 1, 2""".stripMargin,
+
+    // the feed replayed from the raw relation: inserts = the appended new
+    // rows, updates = the +1000 evens (survivor rows rewritten with
+    // identical values must NOT appear), deletes = the v1 rows the keyed
+    // delete removed, carrying OLD values
+    "x52_change_feed" ->
+      """WITH d AS (SELECT event_id, event_type, value,
+        |    strftime(ts, '%Y-%m-%d') AS ed FROM events),
+        |upd AS (SELECT event_id, event_type, value + 1000 AS value, ed
+        |  FROM d WHERE ed BETWEEN '2024-01-05' AND '2024-01-06'
+        |    AND event_id % 2 = 0),
+        |nw AS (SELECT event_id + 10000000 AS event_id, event_type, value, ed
+        |  FROM d WHERE ed = '2024-01-05' AND event_id % 2 = 1)
+        |SELECT 'insert' AS change_type, event_id, event_type, value,
+        |  ed AS event_date, 0 AS vfrom, 1 AS vto FROM nw
+        |UNION ALL
+        |SELECT 'update', event_id, event_type, value, ed, 0, 1 FROM upd
+        |UNION ALL
+        |SELECT 'delete', event_id, event_type, value, ed, 1, 2 FROM d
+        |WHERE ed = '2024-01-07' AND event_id % 3 = 0
+        |ORDER BY vfrom, event_id""".stripMargin,
 
     // the refreshed MV must answer exactly what the base table would:
     // the oracle is the plain full-table aggregate

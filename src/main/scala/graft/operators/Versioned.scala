@@ -96,7 +96,7 @@ object Versioned {
     * `hex()` (uppercase), so the Scala-side manifest entries and the
     * executor-side directory names are the same pure function of the
     * value — no escaping rules, no post-write listing/decoding. */
-  private def hexKey(p: String): String =
+  private[operators] def hexKey(p: String): String =
     p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       .map("%02X".format(_)).mkString
 
@@ -161,6 +161,87 @@ object Versioned {
     }
     writeManifest(dir, Manifest(v1, carried ++ newEntries))
     v1
+  }
+
+  /** Keyed DELETE commit — the missing third of the warehouse verb set
+    * (full load, upsert, delete): rewrite ONLY the partitions the delete
+    * keys touch, anti-joining their current rows against the keys;
+    * untouched partitions carry their entries forward. `keys` must carry
+    * `keyCols` plus `partCol` (the same locality contract
+    * [[commitUpsert]]'s updates meet — without the partition value a
+    * delete would scan the whole table to find its rows). A partition
+    * whose rows are all deleted drops off the manifest entirely. Returns
+    * the new version; history below it stays readable (time travel sees
+    * the rows until [[vacuum]]). */
+  def commitDelete(
+      spark: SparkSession, dir: String, keys: DataFrame,
+      keyCols: Seq[String], partCol: String): Int = {
+    val v0 = latestVersion(dir)
+    require(v0 >= 0, s"$dir has no initial commit")
+    val m = readManifest(dir, v0)
+    val v1 = v0 + 1
+    val k = graft.util.Checkpoints.cut(
+      keys.withColumn(partCol, col(partCol).cast("string")))
+    val touched = k.select(col(partCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (affected, carried) = m.entries.partition(e => touched(e.part))
+    val affectedByPart = affected.groupBy(_.part)
+    val newEntries = touched.toSeq.sorted.flatMap { p =>
+      affectedByPart.get(p).map { es =>
+        val current = spark.read.parquet(es.map(_.path): _*)
+        val survivors = graft.util.Checkpoints.cut(
+          current.join(k.filter(col(partCol) === p).select(keyCols.map(col): _*),
+            keyCols, "left_anti"))
+        if (survivors.isEmpty) None // partition fully deleted: no entry
+        else Some(writePart(dir, v1, p, survivors))
+      }.getOrElse(None) // keys naming an absent partition delete nothing
+    }
+    writeManifest(dir, Manifest(v1, carried ++ newEntries))
+    v1
+  }
+
+  /** Change data feed between two committed versions: one row per key
+    * whose state differs, `(change_type, <table columns>)` with
+    * `change_type` in insert/update/delete — inserts and updates carry
+    * the NEW values, deletes the OLD. The diff never scans the whole
+    * table: partitions whose manifest file sets are IDENTICAL between the
+    * versions are skipped unread (immutable files — same paths means same
+    * rows), so the scan cost tracks what actually changed, and rewritten-
+    * but-identical rows (an upsert re-writing a partition's survivors)
+    * are value-diffed away by null-safe struct comparison. */
+  def changesBetween(
+      spark: SparkSession, dir: String, v0: Int, v1: Int,
+      keyCols: Seq[String]): DataFrame = {
+    require(v0 < v1, s"need v0 < v1, got $v0 >= $v1")
+    val e0 = readManifest(dir, v0).entries.groupBy(_.part)
+    val e1 = readManifest(dir, v1).entries.groupBy(_.part)
+    val changed = (e0.keySet ++ e1.keySet).filter { p =>
+      e0.get(p).map(_.map(_.path).toSet) != e1.get(p).map(_.map(_.path).toSet)
+    }
+    def side(m: Map[String, Seq[Entry]]): Seq[String] =
+      changed.toSeq.sorted.flatMap(p => m.getOrElse(p, Seq.empty).map(_.path))
+    val schema = read(spark, dir, v1).schema
+    def load(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(paths: _*)
+    val dataCols = schema.fieldNames.toSeq
+    val nonKey = dataCols.filterNot(keyCols.contains)
+    require(keyCols.nonEmpty && keyCols.forall(dataCols.contains),
+      s"keyCols $keyCols not all present in $dataCols")
+    val o = load(side(e0)).select(
+      keyCols.map(col) :+ struct(nonKey.map(col): _*).as("__ov"): _*)
+    val n = load(side(e1)).select(
+      keyCols.map(col) :+ struct(nonKey.map(col): _*).as("__nv"): _*)
+    val j = o.join(n, keyCols, "full_outer")
+    val typ = when(col("__ov").isNull, "insert")
+      .when(col("__nv").isNull, "delete")
+      .when(!(col("__ov") <=> col("__nv")), "update")
+    val src = when(col("__nv").isNull, col("__ov")).otherwise(col("__nv"))
+    j.withColumn("change_type", typ)
+      .filter(col("change_type").isNotNull)
+      .select(col("change_type") +: dataCols.map(c =>
+        if (keyCols.contains(c)) col(c) else src.getField(c).as(c)): _*)
   }
 
   /** Compaction commit: rewrite ONE partition's files into a single new

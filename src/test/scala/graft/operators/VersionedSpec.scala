@@ -89,6 +89,55 @@ class VersionedSpec extends SparkSpec {
       rel.count() + 5 /* nova */ + 0)
   }
 
+  test("keyed delete and the change feed between versions") {
+    val base = Files.createTempDirectory("graft-versioned-cdf").toString
+    Versioned.commitFull(spark, base, rel, "event_date")
+    val upd = rel.filter(col("event_date") === "2024-01-05")
+      .withColumn("value", col("value") + 1.0)
+    Versioned.commitUpsert(spark, base, upd, Seq("event_id"), "event_date")
+
+    // 0 -> 1: every 01-05 row is an update (+1.0 changes each value);
+    // rewritten survivors elsewhere don't exist, so NO inserts/deletes
+    val f01 = Versioned.changesBetween(spark, base, 0, 1, Seq("event_id"))
+    val types01 = f01.groupBy(col("change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types01.keySet == Set("update"), s"feed 0->1: $types01")
+    assert(types01("update") == upd.count())
+    // the feed's plan reads ONLY the changed partition's files
+    // (sparkPlan: the pre-adaptive physical plan — AQE wraps executedPlan
+    // so its leaves hide the scans until execution)
+    val scanned = f01.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(p =>
+      p.contains("2024-01-05") || p.contains(Versioned.hexKey("2024-01-05"))),
+      s"feed scans unchanged partitions: $scanned")
+
+    // v2: delete EVERY row of 2024-01-06 plus half of 2024-01-08
+    val delAll = rel.filter(col("event_date") === "2024-01-06")
+    val delHalf = rel.filter(col("event_date") === "2024-01-08" &&
+      col("event_id") % 2 === 0)
+    val v2 = Versioned.commitDelete(spark, base,
+      delAll.unionByName(delHalf).select(col("event_id"), col("event_date")),
+      Seq("event_id"), "event_date")
+    // fully-deleted partition drops off the manifest
+    assert(!Versioned.readManifest(base, v2).entries.exists(_.part == "2024-01-06"))
+    assert(Versioned.read(spark, base, v2)
+      .filter(col("event_date") === "2024-01-06").count() == 0)
+    assert(Versioned.read(spark, base, v2).count() ==
+      rel.count() - delAll.count() - delHalf.count())
+    // 1 -> 2: deletes only, carrying the OLD rows
+    val f12 = Versioned.changesBetween(spark, base, 1, v2, Seq("event_id"))
+    val types12 = f12.groupBy(col("change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types12.keySet == Set("delete") &&
+      types12("delete") == delAll.count() + delHalf.count(), s"feed 1->2: $types12")
+    // history intact: v1 still reads the deleted rows
+    assert(Versioned.read(spark, base, 1)
+      .filter(col("event_date") === "2024-01-06").count() == delAll.count())
+  }
+
   test("single-pass bootstrap, atomic manifests, re-runnable vacuum") {
     val base = Files.createTempDirectory("graft-versioned-crash").toString
     Versioned.commitFull(spark, base, rel, "event_date")
