@@ -2001,6 +2001,14 @@ object SparkEntry {
       samp.join(exact, "q").orderBy(col("q"))
     }),
 
+    // REAL BPE merge training in-engine (Sennrich): six rounds of
+    // pick-most-frequent-adjacent-pair + merge-everywhere over the word-
+    // frequency vocabulary; the DuckDB oracle replays pair counting,
+    // (n DESC, a, b) selection, and the greedy merge fold (list_reduce)
+    // round for round
+    "ext_bpe_train" -> ((s, dir) =>
+      graft.functions.Bpe.trainMerges(Tables.documents(s, dir), rounds = 6)),
+
     // monitoring-shaped quantiles: fixed-bucket histogram counts (additive,
     // keys x 256 counter rows of state) + a stateless "p99 <= upper"
     // projection — the Prometheus histogram_quantile pattern, exact
@@ -4149,6 +4157,40 @@ object SparkEntry {
       "\nSELECT node AS s_suppkey, r AS rank_fp FROM r5 ORDER BY rank_fp DESC, s_suppkey"
   }
 
+  /** DuckDB replay of `ext_bpe_train`: the vocabulary, then per round a
+    * weighted adjacent-pair count, the (n DESC, a, b) argmax, and the
+    * greedy merge expressed as the same string-accumulator fold
+    * ([[graft.functions.Bpe.trainMerges]]) via `list_reduce`. */
+  private lazy val bpeTrainSql: String = {
+    val rounds = 6
+    val pre =
+      """WITH w0 AS (SELECT w, count(*) AS freq FROM (
+        |  SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents) WHERE length(w) >= 1 GROUP BY w),
+        |v0 AS (SELECT freq, array_to_string(
+        |  [substring(w, i, 1) for i in generate_series(1, length(w))], ' ') AS seq
+        |  FROM w0)""".stripMargin
+    val its = (1 to rounds).map { r =>
+      s""",
+         |p$r AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i
+         |        FROM (SELECT freq, string_split(seq, ' ') AS s FROM v${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a AS ba, b AS bb, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |v$r AS (SELECT freq, list_reduce(string_split(seq, ' '), (acc, x) -> CASE
+         |    WHEN (acc = ba OR suffix(acc, ' ' || ba)) AND x = bb
+         |    THEN substring(acc, 1, length(acc) - length(ba)) || ba || bb
+         |    ELSE acc || ' ' || x END) AS seq
+         |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString
+    val sel = (1 to rounds).map { r =>
+      (if (r == 1) s"SELECT 1 AS round, ba AS a, bb AS b, n FROM b1"
+       else s"UNION ALL SELECT $r, ba, bb, n FROM b$r")
+    }.mkString("\n")
+    pre + its + "\n" + sel + "\nORDER BY round"
+  }
+
   /** Shared by `ext_histogram_quantile` and its streaming twin: the full
     * DuckDB histogram rebuild (clamped bucket, per-key counts, cumulative
     * crossing of ceil(q * total), bucket upper bound). */
@@ -6030,6 +6072,8 @@ object SparkEntry {
         |JOIN sr ON floor(q * (sample_n - 1)) = sr.rnk
         |JOIN er ON floor(q * (exact_n - 1)) = er.rnk
         |ORDER BY q""".stripMargin,
+
+    "ext_bpe_train" -> bpeTrainSql,
 
     "ext_histogram_quantile" -> histogramQuantileSql,
     "stream_histogram_p99" -> histogramQuantileSql,

@@ -85,6 +85,78 @@ object Bpe {
     * rank by pair text, so the output is deterministic in any engine. The
     * in-word HOF is interpreted per element — fuse it like
     * [[WordShingles]] if a profile ever shows it hot. */
+  /** REAL BPE merge training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): start from
+    * character-level symbol sequences over the word-frequency vocabulary,
+    * then `rounds` times pick the most frequent adjacent symbol pair
+    * (weighted by word frequency, ties to the lexicographically smallest
+    * (a, b)) and merge it everywhere. Returns the learned merge table —
+    * one row per round, `(round, a, b, n)` with `n` the pair's weighted
+    * count at selection time.
+    *
+    * Distributed the way map-reduce BPE trainers shard the problem: all
+    * per-round work runs over the (freq, seq) VOCABULARY relation (corpus
+    * text is scanned exactly once to build it), the pair count is a
+    * combinable sum whose shuffle carries (pair, count) partials, and the
+    * merge rewrite is a scan-parallel fold over each word's symbol
+    * sequence. Only the single best pair per round reaches the driver.
+    *
+    * The merge fold is the textbook greedy left-to-right pass expressed
+    * as a string-accumulator fold ("replace the trailing symbol when it
+    * is `a` and the next is `b`") — a formulation DuckDB's `list_reduce`
+    * replays lambda-for-lambda, which is what makes the whole trainer
+    * hash-checkable (`ext_bpe_train`). Symbols never contain spaces (they
+    * are substrings of whitespace-split words), so the space-joined
+    * sequence encoding is unambiguous. */
+  def trainMerges(
+      df: org.apache.spark.sql.DataFrame,
+      rounds: Int = 6,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = graft.util.Checkpoints.cut(
+      df.select(explode(split(graft.operators.Dedup.normalize(col(textCol)), " "))
+          .as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        // chars via substring comprehension (split-by-empty-regex keeps a
+        // trailing empty element — this form is quirk-free in any engine)
+        .select(col("freq"), concat_ws(" ",
+          transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1)))).as("seq")))
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val s = split(col("seq"), " ")
+      val best = vocab
+        .select(col("freq"),
+          explode(when(size(s) >= 2,
+            transform(sequence(lit(1), size(s) - 1),
+              i => struct(element_at(s, i).as("a"), element_at(s, i + 1).as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"no adjacent pairs left at round $r " +
+        "(every word fully merged — lower rounds)")
+      val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      learned += ((r, a, b, n))
+      // textbook greedy merge as a string-accumulator fold: the trailing
+      // symbol merges with the incoming one iff they are exactly (a, b);
+      // a just-formed merge is strictly longer than `a`, so it never
+      // re-merges within its own round
+      vocab = graft.util.Checkpoints.cut(vocab.select(col("freq"),
+        aggregate(split(col("seq"), " "), lit(""),
+          (acc, x) => when(acc === lit(""), x)
+            .when((acc === lit(a) || acc.endsWith(lit(" " + a))) && x === lit(b),
+              concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
+            .otherwise(concat(acc, lit(" "), x))).as("seq")))
+    }
+    learned.result().toDF("round", "a", "b", "n").orderBy(col("round"))
+  }
+
   def pairStats(
       df: org.apache.spark.sql.DataFrame,
       k: Int = 50,

@@ -74,4 +74,28 @@ class BpeSpec extends SparkSpec {
     // compression is bounded: a token covers at most 3 chars
     assert(stats.getLong(2) == 0L)
   }
+
+  test("trainMerges reproduces the textbook Sennrich example") {
+    import spark.implicits._
+    // the classic corpus: low x5, lower x2, newest x6, widest x3.
+    // Hand-computed: r1 pair counts peak at es=9 tied with st=9, (e,s)
+    // wins lexicographically; r2 (es,t)=9; r3 lo=7 ties ow=7, (l,o) wins.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Bpe.trainMerges(df, rounds = 3)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(got == List((1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)),
+      s"got $got")
+    // merging continues correctly past multi-char symbols: round 4 merges
+    // (lo, w) -> "low" with count 7
+    val r4 = Bpe.trainMerges(df, rounds = 4)
+      .as[(Int, String, String, Long)].collect().last
+    assert(r4 == ((4, "lo", "w", 7L)), s"round 4: $r4")
+    // identical-symbol runs follow greedy left-to-right: "aaaa" with one
+    // word merges (a,a) twice -> [aa, aa], then (aa,aa) next round
+    val runs = Bpe.trainMerges(Seq((1L, "aaaa")).toDF("doc_id", "text"), rounds = 2)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(runs == List((1, "a", "a", 3L), (2, "aa", "aa", 1L)), s"runs: $runs")
+  }
 }
