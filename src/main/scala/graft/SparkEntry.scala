@@ -2009,6 +2009,13 @@ object SparkEntry {
     "ext_bpe_train" -> ((s, dir) =>
       graft.functions.Bpe.trainMerges(Tables.documents(s, dir), rounds = 6)),
 
+    // train-then-apply: the corpus tokenized by the merges just learned on
+    // it — per-doc subword totals via a vocab-sized join, the trained
+    // segmentation never recomputed per occurrence
+    "ext_bpe_encode" -> ((s, dir) =>
+      graft.functions.Bpe.encodeWithTrainedMerges(Tables.documents(s, dir), rounds = 6)
+        .orderBy(col("doc_id"))),
+
     // monitoring-shaped quantiles: fixed-bucket histogram counts (additive,
     // keys x 256 counter rows of state) + a stateless "p99 <= upper"
     // projection — the Prometheus histogram_quantile pattern, exact
@@ -4161,14 +4168,33 @@ object SparkEntry {
     * weighted adjacent-pair count, the (n DESC, a, b) argmax, and the
     * greedy merge expressed as the same string-accumulator fold
     * ([[graft.functions.Bpe.trainMerges]]) via `list_reduce`. */
-  private lazy val bpeTrainSql: String = {
-    val rounds = 6
+  private lazy val bpeTrainSql: String =
+    bpeTrainCtes(6) + "\n" + (1 to 6).map { r =>
+      (if (r == 1) s"SELECT 1 AS round, ba AS a, bb AS b, n FROM b1"
+       else s"UNION ALL SELECT $r, ba, bb, n FROM b$r")
+    }.mkString("\n") + "\nORDER BY round"
+
+  /** The encode face of the same trainer: every word occurrence joins to
+    * its final trained segmentation, per-doc subword totals. */
+  private lazy val bpeEncodeSql: String =
+    bpeTrainCtes(6) +
+      """
+        |SELECT d.doc_id, count(*) AS n_words,
+        |  CAST(sum(len(string_split(v.seq, ' '))) AS BIGINT) AS n_subwords
+        |FROM (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents) d
+        |JOIN v6 v ON d.w = v.w
+        |WHERE length(d.w) >= 1
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  private def bpeTrainCtes(rounds: Int): String = {
     val pre =
       """WITH w0 AS (SELECT w, count(*) AS freq FROM (
         |  SELECT unnest(string_split(
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
         |  FROM documents) WHERE length(w) >= 1 GROUP BY w),
-        |v0 AS (SELECT freq, array_to_string(
+        |v0 AS (SELECT w, freq, array_to_string(
         |  [substring(w, i, 1) for i in generate_series(1, length(w))], ' ') AS seq
         |  FROM w0)""".stripMargin
     val its = (1 to rounds).map { r =>
@@ -4178,17 +4204,13 @@ object SparkEntry {
          |        FROM (SELECT freq, string_split(seq, ' ') AS s FROM v${r - 1}))
          |  GROUP BY 1, 2),
          |b$r AS (SELECT a AS ba, b AS bb, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-         |v$r AS (SELECT freq, list_reduce(string_split(seq, ' '), (acc, x) -> CASE
+         |v$r AS (SELECT w, freq, list_reduce(string_split(seq, ' '), (acc, x) -> CASE
          |    WHEN (acc = ba OR suffix(acc, ' ' || ba)) AND x = bb
          |    THEN substring(acc, 1, length(acc) - length(ba)) || ba || bb
          |    ELSE acc || ' ' || x END) AS seq
          |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin
     }.mkString
-    val sel = (1 to rounds).map { r =>
-      (if (r == 1) s"SELECT 1 AS round, ba AS a, bb AS b, n FROM b1"
-       else s"UNION ALL SELECT $r, ba, bb, n FROM b$r")
-    }.mkString("\n")
-    pre + its + "\n" + sel + "\nORDER BY round"
+    pre + its
   }
 
   /** Shared by `ext_histogram_quantile` and its streaming twin: the full
@@ -6074,6 +6096,7 @@ object SparkEntry {
         |ORDER BY q""".stripMargin,
 
     "ext_bpe_train" -> bpeTrainSql,
+    "ext_bpe_encode" -> bpeEncodeSql,
 
     "ext_histogram_quantile" -> histogramQuantileSql,
     "stream_histogram_p99" -> histogramQuantileSql,

@@ -71,20 +71,6 @@ object Bpe {
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(normalized)))
   }
 
-  /** The learning half of the tokenizer story: corpus-wide adjacent
-    * character-pair frequencies — the statistic every BPE training round
-    * consumes (rank pairs, merge the top one, repeat). One distributed
-    * pass ranks the top-`k` merge candidates; iterating rounds re-runs it
-    * over re-tokenized text (each round is this same job, so the 100 TB
-    * cost model is k passes, never a driver-side corpus).
-    *
-    * Scale shape: word explode then in-word pair explode keep the fan-out
-    * distributed; the pair count partial-aggregates map-side, so the ONE
-    * shuffle carries (pair, count) partials bounded by alphabet², not
-    * corpus size; the top-k is a TakeOrdered, never a global sort. Ties
-    * rank by pair text, so the output is deterministic in any engine. The
-    * in-word HOF is interpreted per element — fuse it like
-    * [[WordShingles]] if a profile ever shows it hot. */
   /** REAL BPE merge training (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units"): start from
     * character-level symbol sequences over the word-frequency vocabulary,
@@ -111,7 +97,36 @@ object Bpe {
   def trainMerges(
       df: org.apache.spark.sql.DataFrame,
       rounds: Int = 6,
-      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    trainCore(df, rounds, textCol)._1
+
+  /** Tokenize the corpus with merges trained ON it — the train-then-apply
+    * loop as one call: every word's final symbol sequence (after `rounds`
+    * merges) joins back to the documents, giving per-doc subword counts.
+    * The join side is the VOCABULARY (distinct words), so application cost
+    * is corpus-scan + a vocab-sized broadcast-able join — the trained
+    * segmentation is never recomputed per occurrence.
+    * Output: (idCol, n_words, n_subwords). */
+  def encodeWithTrainedMerges(
+      df: org.apache.spark.sql.DataFrame,
+      rounds: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vocab = trainCore(df, rounds, textCol)._2
+      .select(col("w"), size(split(col("seq"), " ")).as("n_sub"))
+    df.select(col(idCol),
+        explode(split(graft.operators.Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(vocab, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+
+  private def trainCore(
+      df: org.apache.spark.sql.DataFrame,
+      rounds: Int,
+      textCol: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.functions._
     require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
     val spark = df.sparkSession
@@ -123,7 +138,7 @@ object Bpe {
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
         // chars via substring comprehension (split-by-empty-regex keeps a
         // trailing empty element — this form is quirk-free in any engine)
-        .select(col("freq"), concat_ws(" ",
+        .select(col("w"), col("freq"), concat_ws(" ",
           transform(sequence(lit(1), length(col("w"))),
             i => col("w").substr(i, lit(1)))).as("seq")))
     val learned = Seq.newBuilder[(Int, String, String, Long)]
@@ -147,16 +162,30 @@ object Bpe {
       // symbol merges with the incoming one iff they are exactly (a, b);
       // a just-formed merge is strictly longer than `a`, so it never
       // re-merges within its own round
-      vocab = graft.util.Checkpoints.cut(vocab.select(col("freq"),
+      vocab = graft.util.Checkpoints.cut(vocab.select(col("w"), col("freq"),
         aggregate(split(col("seq"), " "), lit(""),
           (acc, x) => when(acc === lit(""), x)
             .when((acc === lit(a) || acc.endsWith(lit(" " + a))) && x === lit(b),
               concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
             .otherwise(concat(acc, lit(" "), x))).as("seq")))
     }
-    learned.result().toDF("round", "a", "b", "n").orderBy(col("round"))
+    (learned.result().toDF("round", "a", "b", "n").orderBy(col("round")), vocab)
   }
 
+  /** The learning half of the tokenizer story: corpus-wide adjacent
+    * character-pair frequencies — the statistic every BPE training round
+    * consumes (rank pairs, merge the top one, repeat). One distributed
+    * pass ranks the top-`k` merge candidates; iterating rounds re-runs it
+    * over re-tokenized text (each round is this same job, so the 100 TB
+    * cost model is k passes, never a driver-side corpus).
+    *
+    * Scale shape: word explode then in-word pair explode keep the fan-out
+    * distributed; the pair count partial-aggregates map-side, so the ONE
+    * shuffle carries (pair, count) partials bounded by alphabet², not
+    * corpus size; the top-k is a TakeOrdered, never a global sort. Ties
+    * rank by pair text, so the output is deterministic in any engine. The
+    * in-word HOF is interpreted per element — fuse it like
+    * [[WordShingles]] if a profile ever shows it hot. */
   def pairStats(
       df: org.apache.spark.sql.DataFrame,
       k: Int = 50,
