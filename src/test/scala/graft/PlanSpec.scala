@@ -16,6 +16,24 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("exact quantiles: count-only shuffles, no value sort, no percentile") {
+    val p = plan("ext_quantile_exact_dist")
+    // the whole point: never Spark's single-reducer percentile aggregate,
+    // and every shuffle is a partial-combined COUNT — values stay put
+    assert(!p.toLowerCase.contains("percentile"), "fell back to percentile()")
+    assert(p.contains("partial_count"), "histogram counts must combine map-side")
+    // the only scan column is the value being ranked
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      "scan reads columns the operator never uses")
+  }
+
+  test("phrase search: postings joins are equi-joins, never nested loops") {
+    val p = plan("ext_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase adjacency must join on (doc, pos), not filter a cross product:\n$p")
+    assert(p.contains("Join"), "expected positional equi-joins in the plan")
+  }
+
   test("q1: filter pushed to parquet scan, columns pruned, partial agg") {
     val p = plan("q1_lineitem_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
