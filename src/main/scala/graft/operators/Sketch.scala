@@ -492,8 +492,14 @@ object Sketch {
     require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = graft.sources.Tables.ensureParallelism(
-      df.select(col(valueCol).cast("double").as("v")).filter(col("v").isNotNull))
+    // the refinement makes FOUR passes (stats, two histograms, final);
+    // cut the single-column projection once so rounds read the bounded
+    // materialized column instead of re-scanning the source — at any
+    // scale the cut holds one double per row, the cheapest representation
+    // of the relation the passes can possibly consume
+    val vals = graft.util.Checkpoints.cut(
+      graft.sources.Tables.ensureParallelism(
+        df.select(col(valueCol).cast("double").as("v")).filter(col("v").isNotNull)))
     val Array(st) = vals.agg(count(lit(1)).as("n"),
       min(col("v")).as("lo"), max(col("v")).as("hi")).collect()
     val n = st.getLong(0)
