@@ -2038,6 +2038,15 @@ object SparkEntry {
       graft.operators.TextAnalysis.phraseSearch(
         Tables.documents(s, dir), Seq("slow", "hash", "batch"))),
 
+    // the per-key form: exact p50/p99 per return flag via the same
+    // refinement, every per-key range/bucket choice joined as broadcast
+    // config ([[graft.operators.Sketch.exactQuantilesByKey]])
+    "ext_quantile_exact_groups" -> ((s, dir) =>
+      graft.operators.Sketch.exactQuantilesByKey(
+          Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+          Seq(0.5, 0.9, 0.99))
+        .withColumnRenamed("l_returnflag", "flag")),
+
     // distributed EXACT quantiles with NO global sort: two count-histogram
     // refinement rounds locate each rank's 1/B² value slice, a final
     // aggregation keys only that slice by exact value — shuffles carry
@@ -6113,6 +6122,19 @@ object SparkEntry {
         |  WHERE t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch')
         |SELECT doc_id, count(*) AS n_matches, min(i) - 1 AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ext_quantile_exact_groups" ->
+      """WITH li AS (SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT k, count(*) AS n FROM li GROUP BY k),
+        |r AS (SELECT k, v,
+        |  row_number() OVER (PARTITION BY k ORDER BY v) - 1 AS rnk FROM li),
+        |qv AS (SELECT CAST(q AS DOUBLE) AS q
+        |  FROM (VALUES (0.5), (0.9), (0.99)) t(q))
+        |SELECT n.k AS flag, q, n, CAST(floor(q * (n - 1)) AS BIGINT) AS rank,
+        |  r.v AS value
+        |FROM qv CROSS JOIN n JOIN r ON n.k = r.k AND floor(q * (n - 1)) = r.rnk
+        |ORDER BY flag, q""".stripMargin,
 
     // the exact-quantile element is rank-defined, so the oracle computes it
     // the direct way (row_number) — ANY exact engine must agree with the

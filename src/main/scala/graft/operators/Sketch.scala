@@ -563,6 +563,108 @@ object Sketch {
       .orderBy(col("q"))
   }
 
+  /** Per-key [[exactQuantiles]] — exact p50/p99 per group, same
+    * count-histogram refinement, with every per-key range/bucket choice
+    * carried as a BROADCAST config relation instead of literals (the keys
+    * differ in [lo, hi], so the bucket function joins its parameters).
+    * Driver state is `keys x buckets` counters per round — dashboard-sized
+    * key sets by contract (`maxKeys` guards the collect; for unbounded
+    * keys use [[histogramQuantileReport]]'s fixed buckets, which never
+    * collects). Output: (keyCol, q, n, rank, value), exact under the same
+    * rank convention as the global form. */
+  def exactQuantilesByKey(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      buckets: Int = 1024,
+      maxKeys: Int = 8192): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1], got $qs")
+    require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val B = buckets
+    val vals = graft.util.Checkpoints.cut(
+      graft.sources.Tables.ensureParallelism(
+        df.select(col(keyCol).cast("string").as("k"),
+            col(valueCol).cast("double").as("v"))
+          .filter(col("k").isNotNull && col("v").isNotNull)))
+    val stats = vals.groupBy(col("k")).agg(count(lit(1)).as("n"),
+      min(col("v")).as("lo"), max(col("v")).as("hi")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    require(stats.size <= maxKeys,
+      s"${stats.size} keys exceed maxKeys=$maxKeys (per-key refinement " +
+        "state is keys x buckets counters; use histogramQuantileReport " +
+        "for unbounded key sets)")
+    val empty = Seq.empty[(String, Double, Long, Long, Double)]
+      .toDF("k", "q", "n", "rank", "value")
+    if (stats.isEmpty) return empty.withColumnRenamed("k", keyCol)
+    // constant keys (lo == hi) resolve without any refinement
+    val constRows = stats.toSeq.collect { case (k, (n, lo, hi)) if lo == hi =>
+      qs.sorted.map(q => (k, q, n, math.floor(q * (n - 1)).toLong, lo))
+    }.flatten
+    val ranged = stats.filter { case (_, (_, lo, hi)) => lo != hi }
+    val refined = if (ranged.isEmpty) empty else {
+      val cfg1 = broadcast(ranged.toSeq.map { case (k, (_, lo, hi)) =>
+        (k, lo, hi) }.toDF("k", "lo", "hi"))
+      val pos = (col("v") - col("lo")) / (col("hi") - col("lo")) * lit(B.toDouble)
+      val i1 = least(greatest(floor(pos).cast("int"), lit(0)), lit(B - 1))
+      val i2 = least(greatest(floor((pos - i1.cast("double")) * lit(B.toDouble))
+        .cast("int"), lit(0)), lit(B - 1))
+      val h1 = vals.join(cfg1, "k").groupBy(col("k"), i1.as("i1"))
+        .agg(count(lit(1)).as("c")).collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+      def pick(hist: Map[Int, Long], rank1b: Long): (Int, Long) = {
+        var below = 0L; var b = 0
+        while (b < B && below + hist.getOrElse(b, 0L) < rank1b) {
+          below += hist.getOrElse(b, 0L); b += 1
+        }
+        require(b < B, s"rank $rank1b beyond histogram total ($below)")
+        (b, below)
+      }
+      val targets = for {
+        (k, (n, _, _)) <- ranged.toSeq
+        q <- qs.sorted
+      } yield (k, q, n, math.floor(q * (n - 1)).toLong)
+      val r1 = targets.map { case (k, q, n, r) =>
+        (k, q, n, r, pick(h1(k), r + 1)) }
+      val b1ByKey = r1.map { case (k, _, _, _, (b1, _)) => (k, b1) }.distinct
+      val cfg2 = broadcast(b1ByKey.map { case (k, b1) =>
+        val (_, lo, hi) = stats(k); (k, lo, hi, b1) }
+        .toDF("k", "lo", "hi", "b1"))
+      val h2 = vals.join(cfg2, "k").filter(i1 === col("b1"))
+        .groupBy(col("k"), i1.as("i1"), i2.as("i2"))
+        .agg(count(lit(1)).as("c")).collect()
+        .groupBy(r => (r.getString(0), r.getInt(1))).view
+        .mapValues(_.map(r => r.getInt(2) -> r.getLong(3)).toMap).toMap
+      val cfgF = broadcast(r1.map { case (k, q, n, r, (b1, below1)) =>
+        val (b2, _) = pick(h2((k, b1)), r + 1 - below1)
+        val (_, lo, hi) = stats(k)
+        (k, q, n, r, lo, hi, b1, b2)
+      }.toDF("k", "q", "n", "rank", "lo", "hi", "b1", "b2"))
+      vals.join(cfgF, "k")
+        .filter(i1 < col("b1") || (i1 === col("b1") && i2 <= col("b2")))
+        .select(col("k"), col("q"), col("n"), col("rank"),
+          when(i1 === col("b1") && i2 === col("b2"), col("v")).as("key"))
+        .groupBy(col("k"), col("q"), col("n"), col("rank"), col("key"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k"), col("q"))
+            .orderBy(col("key").asc_nulls_first)))
+        .filter(col("key").isNotNull && col("cum") >= col("rank") + 1L &&
+          col("cum") - col("c") < col("rank") + 1L)
+        .select(col("k"), col("q"), col("n"), col("rank"),
+          col("key").as("value"))
+    }
+    refined.unionByName(constRows.toDF("k", "q", "n", "rank", "value"))
+      .withColumnRenamed("k", keyCol)
+      .orderBy(col(keyCol), col("q"))
+  }
+
   def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
     require(p >= 4 && p <= 18, s"hll precision p must be in [4, 18], got $p")
     val m = 1 << p

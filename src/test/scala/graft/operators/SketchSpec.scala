@@ -387,6 +387,28 @@ class SketchSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("exactQuantilesByKey: per-key refinement equals per-key sorted rank") {
+    // keys with different shapes: a ranged key, a CONSTANT key (lo == hi),
+    // and a single-row key
+    val rows = (1 to 300).map(i => ("a", i * 0.5)) ++
+      Seq.fill(40)(("b", 9.25)) ++ Seq(("c", -3.0))
+    val df = rows.toDF("k", "v")
+    val qs = Seq(0.0, 0.5, 0.99, 1.0)
+    val got = Sketch.exactQuantilesByKey(df, "k", "v", qs)
+      .as[(String, Double, Long, Long, Double)].collect().toList
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = (for {
+      k <- Seq("a", "b", "c"); q <- qs.sorted
+    } yield {
+      val vs = byKey(k); val r = math.floor(q * (vs.size - 1)).toLong
+      (k, q, vs.size.toLong, r, vs(r.toInt))
+    }).toList
+    assert(got == expected, s"got $got")
+    intercept[IllegalArgumentException] {
+      Sketch.exactQuantilesByKey(df, "k", "v", qs, maxKeys = 2).collect()
+    }
+  }
+
   test("bloom artifact round-trips bitmap and build parameters exactly") {
     val bm = Sketch.bloomBuild(Seq("a", "b", "c").toDF("s"), "s", 3, 1 << 10)
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom-rt").toString
