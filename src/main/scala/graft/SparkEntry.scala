@@ -2945,6 +2945,14 @@ object SparkEntry {
     // late by design) is the part the inner row cannot exercise.
     "stream_stream_join_left" -> ((s, dir) => streamStreamJoin(s, "left_outer")),
 
+    // stream-stream FULL OUTER join: both unmatched sides surface —
+    // transactions with no in-window refund as null-delay rows, refunds
+    // whose 30-min window closed with no in-range transaction as
+    // right-only rows carrying just the id. Both emission paths are
+    // watermark-gated; the oracle enumerates matched + left-only +
+    // right-only from the same deterministic generator.
+    "stream_stream_join_full" -> ((s, dir) => streamStreamJoin(s, "full_outer")),
+
     "q3_join_revenue" -> ((s, dir) => {
       // TPC-H Q3 shape: fact-fact shuffle join + broadcast dim join.
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -3120,8 +3128,11 @@ object SparkEntry {
     import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType, TimestampType}
     implicit val sqlCtx = s.sqlContext
     import s.implicits._
-    val name = if (joinType == "inner") "stream_stream_join_t"
-      else "stream_stream_join_left_t"
+    val name = joinType match {
+      case "inner" => "stream_stream_join_t"
+      case "left_outer" => "stream_stream_join_left_t"
+      case _ => "stream_stream_join_full_t"
+    }
     val txPayloads = graft.sources.DataGen
       .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
       .select(to_json(struct(col("*"))).as("value")).collect().map(_.getString(0))
@@ -3147,8 +3158,12 @@ object SparkEntry {
         col("refund_ts") >= col("timestamp") &&
         col("refund_ts") <= col("timestamp") + expr("INTERVAL 30 MINUTES"),
       joinType)
-    val out = joined.select(col("transaction_id"), col("customer_id"),
-      col("amount"),
+    // coalesced id: a FULL OUTER right-only row (refund whose window
+    // closed with no in-range transaction) carries only r_transaction_id;
+    // for inner/left the left id is always present so this is identity
+    val out = joined.select(
+      coalesce(col("transaction_id"), col("r_transaction_id")).as("transaction_id"),
+      col("customer_id"), col("amount"),
       (col("refund_ts").cast("long") - col("timestamp").cast("long"))
         .as("delay_sec"))
     val ckpt = tempCkpt()
@@ -3172,7 +3187,12 @@ object SparkEntry {
       msRf.addData(Seq(rfSentinel("2024-06-02T00:00:00.000Z")))
       q.processAllAvailable()
     } finally q.stop()
-    s.table(name).filter(col("customer_id") =!= "-1")
+    // drop BOTH sentinels: the tx sentinel by its customer_id (null-safe —
+    // full outer's right-only rows have a null customer and must survive),
+    // the refund sentinel by its coalesced id
+    s.table(name)
+      .filter(coalesce(col("customer_id"), lit("")) =!= "-1" &&
+        col("transaction_id") =!= "sentinel-r")
   }
 
   /** The streaming-quality run behind `stream_quality_monitor`: four
@@ -6961,6 +6981,28 @@ object SparkEntry {
          |  CASE WHEN (['Success','Pending','Failed'])[CAST(hs % 3 + 1 AS INTEGER)] = 'Failed'
          |    AND hd % 2400 <= 1800 THEN hd % 2400 END AS delay_sec
          |FROM h""".stripMargin,
+
+    // full outer: the left-outer relation PLUS one right-only row per
+    // refund whose window closed unmatched (Failed with delay > 1800)
+    "stream_stream_join_full" ->
+      s"""WITH g AS (SELECT range AS id FROM range(0, $streamN)),
+         |h AS (SELECT id,
+         |  md5('42-' || CAST(id AS VARCHAR)) AS transaction_id,
+         |  CAST(CAST('0x' || substr(md5('42#cust#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hc,
+         |  CAST(CAST('0x' || substr(md5('42#amt#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS ha,
+         |  CAST(CAST('0x' || substr(md5('42#st#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hs,
+         |  CAST(CAST('0x' || substr(md5('42#rdelay#' || CAST(id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS hd
+         |FROM g)
+         |SELECT transaction_id,
+         |  CAST(hc % 1000 + 1 AS VARCHAR) AS customer_id,
+         |  (ha % 99900 + 100) / 100.0 AS amount,
+         |  CASE WHEN (['Success','Pending','Failed'])[CAST(hs % 3 + 1 AS INTEGER)] = 'Failed'
+         |    AND hd % 2400 <= 1800 THEN hd % 2400 END AS delay_sec
+         |FROM h
+         |UNION ALL
+         |SELECT transaction_id, NULL, NULL, NULL FROM h
+         |WHERE (['Success','Pending','Failed'])[CAST(hs % 3 + 1 AS INTEGER)] = 'Failed'
+         |  AND hd % 2400 > 1800""".stripMargin,
 
     "stream_windowed_spend" ->
       s"""WITH ${streamTxCte(streamN, streamEpoch)}
