@@ -3559,11 +3559,11 @@ object SparkEntry {
       .orderBy(col("event_id"))
       .as[(Long, String, Double)].collect()
     val ms = MemoryStream[(Long, String, Double)]
-    val counts = ms.toDF().toDF("event_id", "event_type", "value")
-      .groupBy(col("event_type").as("key"),
-        least(greatest(floor(col("value") / lit(4.0)).cast("int"), lit(0)),
-          lit(255)).as("bucket"))
-      .agg(count(lit(1)).as("n"))
+    // the SAME histogramCounts the batch row runs — one bucket function,
+    // one oracle; plain filter+groupBy+agg streams unchanged
+    val counts = graft.operators.Quality.histogramCounts(
+      ms.toDF().toDF("event_id", "event_type", "value"),
+      "event_type", "value", step = 4.0)
     val q = counts.writeStream.outputMode("complete").format("memory")
       .queryName("stream_histogram_p99_t")
       .option("checkpointLocation", tempCkpt()).start()

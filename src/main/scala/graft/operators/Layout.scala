@@ -185,9 +185,19 @@ object Layout {
     val colSet = cols.toSet
     val nParts = math.min(files.size,
       spark.sparkContext.defaultParallelism).max(1)
+    // the session Hadoop conf must travel to the tasks (object-store
+    // credentials, HA nameservice mappings — a bare Configuration() only
+    // works for local paths); Configuration is not Serializable, so ship
+    // its entries and rebuild per task
+    val confEntries: Array[(String, String)] = {
+      val it = hconf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
     spark.createDataset(files).repartition(nParts).mapPartitions { paths =>
-      // fresh conf per task: footer reads need only filesystem defaults
       val conf = new org.apache.hadoop.conf.Configuration()
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
       paths.flatMap { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(p), conf)
@@ -248,12 +258,17 @@ object Layout {
       .filter(col("col") === column)
       .select(col("file"), col("min"), col("max"))
       .collect() // one row per file: bounded by the file count, driver-sized
+    require(idx.nonEmpty, s"no skip-index rows for column '$column' at $dir")
     val selected = idx.filter(r => r.getDouble(2) >= lo && r.getDouble(1) <= hi)
       .map(_.getString(0)).sorted
-    val full = spark.read.parquet(dir)
+    // schema from ONE indexed file — never list/sample the whole table
+    // (that listing cost is exactly what the index exists to avoid)
+    val schema = spark.read.parquet(idx.head.getString(0)).schema
     val pruned =
-      if (selected.isEmpty) full.filter(lit(false)) // schema-stable empty
-      else spark.read.schema(full.schema).parquet(selected.toIndexedSeq: _*)
+      if (selected.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(selected.toIndexedSeq: _*)
     (pruned, selected.length, idx.length)
   }
 

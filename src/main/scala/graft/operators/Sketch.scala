@@ -482,6 +482,19 @@ object Sketch {
     * [[sampleQuantiles]] convention) and `value` the element at that rank
     * under ascending value order — exact, deterministic, engine-portable
     * (the DuckDB oracle computes the same element by row_number). */
+  /** Bucket holding the `rank1b`-th (1-based) row of a cumulative
+    * histogram, plus the exact count below it — shared by the global and
+    * per-key refinement passes. */
+  private def pickBucket(
+      hist: Map[Int, Long], rank1b: Long, buckets: Int): (Int, Long) = {
+    var below = 0L; var b = 0
+    while (b < buckets && below + hist.getOrElse(b, 0L) < rank1b) {
+      below += hist.getOrElse(b, 0L); b += 1
+    }
+    require(b < buckets, s"rank $rank1b beyond histogram total ($below)")
+    (b, below)
+  }
+
   def exactQuantiles(
       df: DataFrame,
       valueCol: String,
@@ -506,7 +519,9 @@ object Sketch {
     if (n == 0L) return Seq.empty[(Double, Long, Long, Double)]
       .toDF("q", "n", "rank", "value")
     val (lo, hi) = (st.getDouble(1), st.getDouble(2))
-    val targets = qs.sorted.map(q => q -> math.floor(q * (n - 1)).toLong)
+    // distinct: a duplicated q would duplicate its cfg row and double
+    // every count in the final crossJoin pass (one row per distinct q)
+    val targets = qs.distinct.sorted.map(q => q -> math.floor(q * (n - 1)).toLong)
     if (lo == hi) // constant column: every rank selects the one value
       return targets.map { case (q, r) => (q, n, r, lo) }.toDF("q", "n", "rank", "value")
     val B = buckets
@@ -517,16 +532,7 @@ object Sketch {
     // round 1: one histogram serves every quantile (shared [lo, hi])
     val h1 = vals.groupBy(i1.as("i1")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    def pick(hist: Map[Int, Long], rank1b: Long): (Int, Long) = {
-      // bucket holding the rank1b-th (1-based) row, plus exact count below
-      var below = 0L; var b = 0
-      while (b < B && below + hist.getOrElse(b, 0L) < rank1b) {
-        below += hist.getOrElse(b, 0L); b += 1
-      }
-      require(b < B, s"rank $rank1b beyond histogram total (${below})")
-      (b, below)
-    }
-    val r1 = targets.map { case (q, r) => (q, r, pick(h1, r + 1)) }
+    val r1 = targets.map { case (q, r) => (q, r, pickBucket(h1, r + 1, B)) }
     val b1Set = r1.map(_._3._1).distinct
     // round 2: refine inside the surviving buckets — the offset is taken
     // from the CLAMPED i1 (not floor(pos)) so v == max, whose pos is
@@ -539,7 +545,7 @@ object Sketch {
       .collect().groupBy(_.getInt(0)).view
       .mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
     val cfg = r1.map { case (q, r, (b1, below1)) =>
-      val (b2, _) = pick(h2(b1), r + 1 - below1)
+      val (b2, _) = pickBucket(h2(b1), r + 1 - below1, B)
       (q, r, b1, b2)
     }
     // final: exact values of each target's (b1, b2) slice; rows below the
@@ -601,9 +607,12 @@ object Sketch {
     val empty = Seq.empty[(String, Double, Long, Long, Double)]
       .toDF("k", "q", "n", "rank", "value")
     if (stats.isEmpty) return empty.withColumnRenamed("k", keyCol)
+    // distinct: a duplicated q would duplicate its cfgF row and double
+    // every count in the final join pass (one row per distinct q per key)
+    val dqs = qs.distinct.sorted
     // constant keys (lo == hi) resolve without any refinement
     val constRows = stats.toSeq.collect { case (k, (n, lo, hi)) if lo == hi =>
-      qs.sorted.map(q => (k, q, n, math.floor(q * (n - 1)).toLong, lo))
+      dqs.map(q => (k, q, n, math.floor(q * (n - 1)).toLong, lo))
     }.flatten
     val ranged = stats.filter { case (_, (_, lo, hi)) => lo != hi }
     val refined = if (ranged.isEmpty) empty else {
@@ -617,20 +626,12 @@ object Sketch {
         .agg(count(lit(1)).as("c")).collect()
         .groupBy(_.getString(0)).view
         .mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
-      def pick(hist: Map[Int, Long], rank1b: Long): (Int, Long) = {
-        var below = 0L; var b = 0
-        while (b < B && below + hist.getOrElse(b, 0L) < rank1b) {
-          below += hist.getOrElse(b, 0L); b += 1
-        }
-        require(b < B, s"rank $rank1b beyond histogram total ($below)")
-        (b, below)
-      }
       val targets = for {
         (k, (n, _, _)) <- ranged.toSeq
-        q <- qs.sorted
+        q <- dqs
       } yield (k, q, n, math.floor(q * (n - 1)).toLong)
       val r1 = targets.map { case (k, q, n, r) =>
-        (k, q, n, r, pick(h1(k), r + 1)) }
+        (k, q, n, r, pickBucket(h1(k), r + 1, B)) }
       val b1ByKey = r1.map { case (k, _, _, _, (b1, _)) => (k, b1) }.distinct
       val cfg2 = broadcast(b1ByKey.map { case (k, b1) =>
         val (_, lo, hi) = stats(k); (k, lo, hi, b1) }
@@ -641,7 +642,7 @@ object Sketch {
         .groupBy(r => (r.getString(0), r.getInt(1))).view
         .mapValues(_.map(r => r.getInt(2) -> r.getLong(3)).toMap).toMap
       val cfgF = broadcast(r1.map { case (k, q, n, r, (b1, below1)) =>
-        val (b2, _) = pick(h2((k, b1)), r + 1 - below1)
+        val (b2, _) = pickBucket(h2((k, b1)), r + 1 - below1, B)
         val (_, lo, hi) = stats(k)
         (k, q, n, r, lo, hi, b1, b2)
       }.toDF("k", "q", "n", "rank", "lo", "hi", "b1", "b2"))

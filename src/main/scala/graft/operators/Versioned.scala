@@ -49,12 +49,20 @@ object Versioned {
     // pre-existing target means a concurrent/duplicate commit — fail loudly
     // rather than silently rewrite committed history.
     val target = manifestDir(dir).resolve(s"v${m.version}.json")
-    if (Files.exists(target))
-      throw new IllegalStateException(
-        s"manifest v${m.version} already committed at $dir")
     val tmp = Files.createTempFile(manifestDir(dir), s"v${m.version}", ".tmp")
     Files.writeString(tmp, body)
-    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // createLink is atomic AND non-replacing (rename(2)/ATOMIC_MOVE would
+    // silently replace an existing target, so a racing duplicate commit
+    // could overwrite committed history after both passed an exists()
+    // check) — the loser gets FileAlreadyExistsException and fails loudly
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"manifest v${m.version} already committed at $dir")
+    }
+    Files.deleteIfExists(tmp)
   }
 
   /** Latest committed version, or -1 for an empty table. */
@@ -115,8 +123,16 @@ object Versioned {
     val staged = graft.util.Checkpoints.cut(
       rows.withColumn(partCol, col(partCol).cast("string")))
     // bounded: partition values are sized in days/categories by contract
-    val parts = staged.select(col(partCol)).distinct()
-      .collect().map(_.getString(0)).sorted
+    val rawParts = staged.select(col(partCol)).distinct()
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    // null/empty partition values would collapse into Spark's shared
+    // __HIVE_DEFAULT_PARTITION__ directory (merging distinct values and
+    // breaking the hex-keyed manifest mapping) — reject loudly
+    require(!rawParts.exists(p => p == null || p.isEmpty),
+      s"partition column '$partCol' has null/empty values: a versioned " +
+        "table needs a real partition value per row (map blanks to an " +
+        "explicit sentinel before committing)")
+    val parts = rawParts.sorted
     val base = Paths.get(dir, "files", "v0").toString
     staged.withColumn("__part", hex(col(partCol).cast("binary")))
       .repartition(col("__part"))

@@ -385,6 +385,13 @@ class SketchSpec extends SparkSpec {
       Seq.empty[Double].toDF("v"), "v", Seq(0.5))
     assert(empty.columns.toSeq == Seq("q", "n", "rank", "value"))
     assert(empty.count() == 0)
+    // duplicated quantiles must not double-count through the config join
+    // (one row per DISTINCT q, with the correct element)
+    val dup = Sketch.exactQuantiles(df, "v", Seq(0.9, 0.9, 0.5))
+      .select($"q", $"value").as[(Double, Double)].collect().toList
+    assert(dup == List(
+      (0.5, sorted(math.floor(0.5 * (vs.size - 1)).toInt)),
+      (0.9, sorted(math.floor(0.9 * (vs.size - 1)).toInt))), s"dup qs: $dup")
   }
 
   test("exactQuantilesByKey: per-key refinement equals per-key sorted rank") {
