@@ -1665,6 +1665,26 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // metadata-ONLY aggregation: count(*) and per-column min/max answered
+    // from the skip index alone — zero data files opened (the footers
+    // already paid for these numbers at write time). Exact by
+    // construction, so the oracle computes the same aggregates from the
+    // raw rows; LayoutSpec pins that the plan scans only _skipindex.
+    "x53_stats_only" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-zskip2-" +
+        math.abs(dir.hashCode)
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        col("value"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+      val dx = pmod(col("day").cast("long"), lit(256L))
+      val dy = least(greatest(floor(col("value") / 4.0).cast("long"), lit(0L)),
+        lit(255L))
+      graft.operators.Layout.writeZOrdered(ev, out, Seq(dx, dy),
+        bits = 8, numFiles = 16)
+      graft.operators.Layout.writeSkipIndex(s, out, Seq("value", "day"))
+      graft.operators.Layout.statsOnlyAggregates(s, out).orderBy(col("col"))
+    }),
+
     // passage-level keep-first dedup (CCNet/RefinedWeb treatment): the
     // corpus cut into 3-word tiles, each distinct tile keeps its first
     // (doc_id, tile_idx) occurrence, docs reassembled from survivors —
@@ -5546,6 +5566,18 @@ object SparkEntry {
          |SELECT event_id, CAST($terms AS BIGINT) AS zval
          |FROM d ORDER BY event_id""".stripMargin
     },
+
+    // the metadata answers must equal the scan answers exactly
+    "x53_stats_only" ->
+      """WITH e AS (SELECT value,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events)
+        |SELECT 'day' AS col, count(*) AS n_rows,
+        |  CAST(min(day) AS DOUBLE) AS min, CAST(max(day) AS DOUBLE) AS max
+        |FROM e
+        |UNION ALL
+        |SELECT 'value', count(*), min(value), max(value) FROM e
+        |ORDER BY col""".stripMargin,
 
     // skipping is a superset guarantee — pruned-then-filtered must equal
     // the plain filtered aggregate over the raw table

@@ -241,6 +241,33 @@ object Layout {
     buildSkipIndex(spark, dir, cols)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_skipindex")
 
+  /** METADATA-ONLY aggregates from the skip index: `count(*)` plus each
+    * indexed column's global min/max, answered from the index relation
+    * alone — zero data files opened (the Delta/Iceberg "stats-only query"
+    * shape: the footers already paid for these numbers at write time).
+    * Exact: per-file row counts sum exactly, and parquet footer min/max
+    * are real data values, so the fold over files equals the fold over
+    * rows. A column carrying the (-inf, +inf) "never skip" sentinel (a
+    * file with absent/non-numeric stats) CANNOT be answered and fails
+    * loudly — a silent ±inf would masquerade as data.
+    * Output: one row per indexed column, (col, n_rows, min, max). */
+  def statsOnlyAggregates(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val idx = spark.read.parquet(s"$dir/_skipindex")
+    idx.groupBy(col("col"))
+      .agg(sum(col("rows")).as("n_rows"),
+        min(col("min")).as("min"), max(col("max")).as("max"))
+      .select(col("col"),
+        when(col("min") === Double.NegativeInfinity ||
+          col("max") === Double.PositiveInfinity,
+          raise_error(concat(lit("column "), col("col"),
+            lit(" has files without usable footer stats: metadata-only " +
+              "aggregation would return sentinel infinities"))))
+          .otherwise(col("n_rows")).as("n_rows"),
+        col("min"), col("max"))
+  }
+
   /** Range-predicate read through the skip index: open ONLY the files
     * whose [min, max] for `column` intersects [lo, hi]. Skipping is a
     * superset guarantee — the caller still applies the row-level filter;

@@ -145,6 +145,21 @@ class LayoutSpec extends SparkSpec {
     val (none, sel0, _) = Layout.readSkipping(spark, base, "v", 5000.0, 6000.0)
     assert(sel0 == 0 && none.count() == 0)
     assert(none.columns.toSeq == pruned.columns.toSeq)
+
+    // metadata-only aggregates: exact count/min/max with ONLY the index
+    // scanned (no data file appears in the plan)
+    val so = Layout.statsOnlyAggregates(spark, base)
+    val scannedPaths = so.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scannedPaths.nonEmpty && scannedPaths.forall(_.contains("_skipindex")),
+      s"stats-only query touched data files: $scannedPaths")
+    val soMap = so.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(soMap("v") == ((40000L, 0.0, 996.0)), s"v stats: ${soMap("v")}")
+    assert(soMap("d") == ((40000L, 0.0, 30.0)), s"d stats: ${soMap("d")}")
   }
 
   test("compact bin-packs small files to the byte-derived count, content intact") {
