@@ -2058,6 +2058,15 @@ object SparkEntry {
       graft.operators.TextAnalysis.phraseSearch(
         Tables.documents(s, dir), Seq("slow", "hash", "batch"))),
 
+    // robust outliers: |v - median| > 3 * MAD with BOTH statistics
+    // rank-exact per key ([[graft.operators.Quality.madOutliers]] —
+    // median/MAD have a 50% breakdown point where mean/stddev get
+    // dragged by the outliers they hunt)
+    "ext_outlier_mad" -> ((s, dir) =>
+      graft.operators.Quality.madOutliers(
+          Tables.events(s, dir), "event_type", "event_id", "value")
+        .orderBy(col("event_type"), col("event_id"))),
+
     // the per-key form: exact p50/p99 per return flag via the same
     // refinement, every per-key range/bucket choice joined as broadcast
     // config ([[graft.operators.Sketch.exactQuantilesByKey]])
@@ -6174,6 +6183,31 @@ object SparkEntry {
         |  WHERE t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch')
         |SELECT doc_id, count(*) AS n_matches, min(i) - 1 AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // replay: the same rank-selection convention for median and MAD
+    "ext_outlier_mad" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+        |mr AS (SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rnk
+        |  FROM e),
+        |med AS (SELECT n.event_type, mr.value AS med FROM n
+        |  JOIN mr ON n.event_type = mr.event_type
+        |  AND mr.rnk = CAST(floor(0.5 * (n - 1)) AS BIGINT)),
+        |dev AS (SELECT e.event_type, e.event_id, e.value, med.med,
+        |  abs(e.value - med.med) AS absdev
+        |  FROM e JOIN med ON e.event_type = med.event_type),
+        |dr AS (SELECT event_type, absdev,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY absdev) - 1 AS rnk
+        |  FROM dev),
+        |mad AS (SELECT n.event_type, dr.absdev AS mad FROM n
+        |  JOIN dr ON n.event_type = dr.event_type
+        |  AND dr.rnk = CAST(floor(0.5 * (n - 1)) AS BIGINT))
+        |SELECT d.event_type, d.event_id, d.value, d.med, mad.mad
+        |FROM dev d JOIN mad ON d.event_type = mad.event_type
+        |WHERE d.absdev > 3.0 * mad.mad
+        |ORDER BY d.event_type, d.event_id""".stripMargin,
 
     "ext_quantile_exact_groups" ->
       """WITH li AS (SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v

@@ -344,6 +344,42 @@ object Quality {
     * form of a nonzero double, plain or scientific, leads with its
     * significant digits. One scan, a 9-group aggregation, integer
     * arithmetic only. */
+  // ------------------------------------------------------ MAD outliers
+
+  /** Robust outlier flags by median absolute deviation: a row is an
+    * outlier when `|v - median| > k * MAD`, with both the per-key median
+    * and the MAD computed EXACTLY by
+    * [[Sketch.exactQuantilesByKey]]'s rank selection (element at rank
+    * `floor(0.5 * (n-1))` — deterministic, engine-replayable; no float
+    * interpolation). Mean/stddev outliers ([[iqrOutliers]]'s cousin) are
+    * themselves dragged by the outliers they hunt; median/MAD have a 50%
+    * breakdown point — the robust-statistics default for heavy-tailed
+    * value columns.
+    *
+    * Scale shape: two grouped exact-quantile refinements (count-only
+    * shuffles) plus two broadcast joins of key-sized statistics; the flag
+    * itself is a per-row expression. Keys are dashboard-sized by the
+    * quantile contract. Output: the flagged rows,
+    * (keyCol, idCol, valueCol, med, mad). */
+  def madOutliers(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val med = Sketch.exactQuantilesByKey(df, keyCol, valueCol, Seq(0.5))
+      .select(col(keyCol), col("value").as("med"))
+    val dev = df.select(col(keyCol), col(idCol), col(valueCol))
+      .join(broadcast(med), keyCol)
+      .withColumn("__absdev", abs(col(valueCol) - col("med")))
+    val mad = Sketch.exactQuantilesByKey(dev, keyCol, "__absdev", Seq(0.5))
+      .select(col(keyCol), col("value").as("mad"))
+    dev.join(broadcast(mad), keyCol)
+      .filter(col("__absdev") > lit(k) * col("mad"))
+      .select(col(keyCol), col(idCol), col(valueCol), col("med"), col("mad"))
+  }
+
   // ------------------------------------------------ histogram quantiles
 
   /** Fixed-bucket histogram counts per key: `bucket = clamp(floor(value /
