@@ -2058,6 +2058,13 @@ object SparkEntry {
       graft.operators.TextAnalysis.phraseSearch(
         Tables.documents(s, dir), Seq("slow", "hash", "batch"))),
 
+    // deterministic label-stratified negative sampling (contrastive
+    // training pairs): every choice a content-hash function resolved by
+    // equi-join on (donor label, permutation rank) — no all-pairs scoring
+    "ext_negative_sample" -> ((s, dir) =>
+      graft.operators.Sampling.negativeSample(Tables.embeddings(s, dir), k = 4)
+        .orderBy(col("vec_id"), col("neg_slot"))),
+
     // robust outliers: |v - median| > 3 * MAD with BOTH statistics
     // rank-exact per key ([[graft.operators.Quality.madOutliers]] —
     // median/MAD have a 50% breakdown point where mean/stddev get
@@ -6183,6 +6190,34 @@ object SparkEntry {
         |  WHERE t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch')
         |SELECT doc_id, count(*) AS n_matches, min(i) - 1 AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // replay: md5 permutation ranks per label, hash donor/index draws,
+    // the same 1-based list picks
+    "ext_negative_sample" ->
+      """WITH b AS (SELECT vec_id AS id, label AS lbl FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+        |labs AS (SELECT list(lbl ORDER BY lbl) AS ls
+        |  FROM (SELECT DISTINCT lbl FROM b)),
+        |cand AS (SELECT id, lbl, row_number() OVER (PARTITION BY lbl
+        |    ORDER BY substr(md5(CAST(id AS VARCHAR) || '#negperm'), 1, 8), id)
+        |    - 1 AS nr FROM b),
+        |sizes AS (SELECT lbl, count(*) AS cnt FROM b GROUP BY lbl),
+        |anchors AS (SELECT b.id, b.lbl, j,
+        |    list_filter(ls, x -> x != b.lbl) AS others,
+        |    CAST(id AS VARCHAR) || '|' || CAST(j AS VARCHAR) AS dk
+        |  FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) CROSS JOIN labs),
+        |donor AS (SELECT id, lbl, j,
+        |    others[CAST(CAST(CAST('0x' || substr(md5(dk || '#negdonor'), 1, 8)
+        |      AS UBIGINT) AS BIGINT) % len(others) AS INTEGER) + 1] AS donor,
+        |    CAST(CAST('0x' || substr(md5(dk || '#negidx'), 1, 8)
+        |      AS UBIGINT) AS BIGINT) AS idraw
+        |  FROM anchors)
+        |SELECT d.id AS vec_id, d.j AS neg_slot, c.id AS neg_id,
+        |  d.donor AS neg_label
+        |FROM donor d
+        |JOIN sizes s ON d.donor = s.lbl
+        |JOIN cand c ON c.lbl = d.donor AND c.nr = d.idraw % s.cnt
+        |ORDER BY vec_id, neg_slot""".stripMargin,
 
     // replay: the same rank-selection convention for median and MAD
     "ext_outlier_mad" ->

@@ -279,4 +279,55 @@ object Sampling {
       .withColumn("bin", floor(excl / contextLen).cast("long"))
       .withColumn("bin_offset", (excl % contextLen).cast("long"))
   }
+
+  /** Deterministic label-stratified NEGATIVE SAMPLING — the contrastive-
+    * training data step: each anchor row draws `k` negatives from rows
+    * with a DIFFERENT label, every choice a pure content-hash function
+    * (same negatives every run, any partitioning, any engine — the
+    * reproducibility that makes a training set auditable).
+    *
+    * Scheme: per slot j the anchor hash-picks a DONOR label among the
+    * other labels, then an index into the donor pool's deterministic
+    * md5-permuted order; the pick resolves by EQUI-JOIN on
+    * (label, permutation rank). Label-stratified by construction (donor
+    * labels uniform, then uniform within the donor) — the usual
+    * contrastive recipe, and the property that keeps the join bounded:
+    * no all-pairs scoring, one per-label ranking window plus one
+    * (anchors x k) -> candidates equi-join.
+    *
+    * Output: (idCol, neg_slot, neg_id, neg_label), k rows per anchor. */
+  def negativeSample(
+      df: DataFrame,
+      k: Int = 4,
+      idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && k <= 64, s"k out of range: $k")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("id"), col(labelCol).cast("int").as("lbl"))
+      .filter(col("id").isNotNull && col("lbl").isNotNull)
+    // bounded: the label set of a contrastive corpus is classes, not rows
+    val labels = base.select(col("lbl")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(labels.length >= 2,
+      s"negative sampling needs >= 2 labels, found ${labels.length}")
+    val cand = base.withColumn("nr",
+      row_number().over(Window.partitionBy(col("lbl"))
+        .orderBy(hashBucket(col("id"), "negperm"), col("id"))).cast("long") - 1L)
+    val sizes = cand.groupBy(col("lbl")).agg(count(lit(1)).as("cnt"))
+    val slots = spark.range(k).select(col("id").cast("int").as("j"))
+    val drawKey = concat(col("id").cast("string"), lit("|"), col("j"))
+    val others = array_remove(array(labels.toIndexedSeq.map(lit): _*), col("lbl"))
+    val anchors = base.crossJoin(broadcast(slots))
+      .withColumn("donor", element_at(others,
+        (hashDraw(drawKey, "negdonor") % lit(labels.length - 1)).cast("int") + 1))
+    anchors
+      .join(broadcast(sizes.withColumnRenamed("lbl", "donor")), "donor")
+      .withColumn("nr", hashDraw(drawKey, "negidx") % col("cnt"))
+      .join(cand.select(col("lbl").as("donor"), col("id").as("neg_id"),
+        col("nr")), Seq("donor", "nr"))
+      .select(col("id").as(idCol), col("j").as("neg_slot"),
+        col("neg_id"), col("donor").as("neg_label"))
+  }
 }

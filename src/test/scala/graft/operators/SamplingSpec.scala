@@ -277,6 +277,27 @@ class SamplingSpec extends SparkSpec {
       "corpus has no boundary-straddling cluster — test is vacuous")
   }
 
+  test("negativeSample: k per anchor, never the anchor's label, stable") {
+    val df = (1L to 200L).map(i => (i, (i % 5).toInt)).toDF("vec_id", "label")
+    val neg = Sampling.negativeSample(df, k = 3)
+    val rows = neg.as[(Long, Int, Long, Int)].collect()
+    assert(rows.length == 200 * 3)
+    val byAnchor = rows.groupBy(_._1)
+    assert(byAnchor.values.forall(_.map(_._2).toSet == Set(0, 1, 2)))
+    // the invariant: a negative NEVER shares the anchor's label
+    val lbl = df.as[(Long, Int)].collect().toMap
+    rows.foreach { case (a, _, n, nl) =>
+      assert(lbl(n) == nl && nl != lbl(a), s"anchor $a got same-label negative $n")
+    }
+    // deterministic under repartitioning
+    val again = Sampling.negativeSample(df.repartition(7), k = 3)
+      .as[(Long, Int, Long, Int)].collect()
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.negativeSample(df.filter($"label" === 0), k = 2).collect()
+    }
+  }
+
   test("weightedSample fails loudly past maxWeight") {
     val df = spark.range(5).toDF("id").withColumn("w", lit(10L))
     val e = intercept[Exception] {
