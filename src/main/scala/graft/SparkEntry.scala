@@ -2058,6 +2058,16 @@ object SparkEntry {
       graft.operators.TextAnalysis.phraseSearch(
         Tables.documents(s, dir), Seq("slow", "hash", "batch"))),
 
+    // HARD negatives: per query the top-5 most-similar DIFFERENT-label
+    // vectors (near-the-margin pairs; uniform negatives go stale) —
+    // exact here, the same label predicate rides an IVF probe at scale
+    "ext_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.hardNegatives(
+        emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        k = 5)
+    }),
+
     // deterministic label-stratified negative sampling (contrastive
     // training pairs): every choice a content-hash function resolved by
     // equi-join on (donor label, permutation rank) — no all-pairs scoring
@@ -6190,6 +6200,23 @@ object SparkEntry {
         |  WHERE t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch')
         |SELECT doc_id, count(*) AS n_matches, min(i) - 1 AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the brute replay with the label-exclusion predicate
+    "ext_hard_negatives" ->
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |       CAST(embedding AS DOUBLE[]))) AS nm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_lbl, e AS qe, nm AS qn
+        |  FROM n WHERE vec_id < 10),
+        |scored AS (SELECT q_id, n.vec_id, n.label AS neg_label,
+        |  list_dot_product(n.e, qe) / (n.nm * qn) AS cosine
+        |  FROM n, q WHERE n.vec_id != q_id AND n.label != q_lbl)
+        |SELECT q_id, vec_id, neg_label, cosine, rank FROM (
+        |  SELECT q_id, vec_id, neg_label, cosine, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
 
     // replay: md5 permutation ranks per label, hash donor/index draws,
     // the same 1-based list picks

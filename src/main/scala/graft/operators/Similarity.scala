@@ -150,6 +150,43 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** HARD-negative mining — the contrastive companion to
+    * [[Sampling.negativeSample]]'s uniform draws: for each query, the
+    * top-k most similar corpus vectors with a DIFFERENT label (the
+    * near-the-margin negatives that carry the training signal; uniform
+    * negatives go stale after early epochs). Exact top-k here (the label
+    * predicate rides the same scored join as [[bruteForceTopK]], ranked
+    * by the bounded-heap aggregate); at corpus scale run the same
+    * label-exclusion predicate inside an [[IvfIndex.search]] probe join —
+    * candidate generation prunes by list, the label filter is per-pair
+    * either way. Output: (q_id, vec_id, neg_label, cosine, rank). */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      labelCol: String = "label",
+      embCol: String = "embedding",
+      qIdCol: String = "q_id"): DataFrame = {
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("vec_id"), col(labelCol).as("neg_label"),
+        col(embCol).as("c_emb"), Vectors.norm(col(embCol)).as("c_nrm"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(labelCol).as("q_lbl"),
+      col(embCol).as("q_emb"), Vectors.norm(col(embCol)).as("q_nrm"))
+    val scored = c.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("neg_label") =!= col("q_lbl"))
+      .select(col("q_id"), col("vec_id"), col("neg_label"),
+        Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"),
+          col("q_emb"), col("q_nrm")).as("cosine"))
+    // heap top-k per query, label riding along via a second lookup join
+    // would re-shuffle — instead rank with the window that tolerates
+    // extra columns (k x queries rows; tiny)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic random hyperplanes: `nPlanes` x `dim` gaussians.
     * Exposed within graft so the oracle layer can embed the SAME plane
     * values as literals in cross-engine SQL (making LSH output
