@@ -2058,6 +2058,25 @@ object SparkEntry {
       graft.operators.TextAnalysis.phraseSearch(
         Tables.documents(s, dir), Seq("slow", "hash", "batch"))),
 
+    // contrastive TRIPLETS, the tier's capstone: each anchor pairs its
+    // HARDEST same-label positive (top-1 by cosine) with its 4 sampled
+    // uniform negatives — the (anchor, positive, negative) rows a triplet
+    // loss consumes, every choice deterministic and oracle-replayed
+    "x54_triplets" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id")
+      val pos = graft.operators.Similarity.hardPositives(emb, q, k = 1)
+        .select(col("q_id").as("anchor_id"), col("vec_id").as("pos_id"),
+          col("cosine").as("pos_cosine"))
+      val neg = graft.operators.Sampling.negativeSample(emb, k = 4)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("anchor_id"), col("neg_slot"), col("neg_id"))
+      pos.join(neg, "anchor_id")
+        .select(col("anchor_id"), col("pos_id"), col("pos_cosine"),
+          col("neg_slot"), col("neg_id"))
+        .orderBy(col("anchor_id"), col("neg_slot"))
+    }),
+
     // HARD negatives: per query the top-5 most-similar DIFFERENT-label
     // vectors (near-the-margin pairs; uniform negatives go stale) —
     // exact here, the same label predicate rides an IVF probe at scale
@@ -4307,6 +4326,29 @@ object SparkEntry {
       |WHERE cum >= ceil(q * total) AND cum - n < ceil(q * total)
       |ORDER BY event_type, q""".stripMargin
 
+  /** The deterministic negative-draw CTEs shared by `ext_negative_sample`
+    * and `x54_triplets` (identical arithmetic to
+    * [[graft.operators.Sampling.negativeSample]]). */
+  private lazy val negativeSampleCtes: String =
+    """b AS (SELECT vec_id AS id, label AS lbl FROM embeddings
+      |  WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+      |labs AS (SELECT list(lbl ORDER BY lbl) AS ls
+      |  FROM (SELECT DISTINCT lbl FROM b)),
+      |cand AS (SELECT id, lbl, row_number() OVER (PARTITION BY lbl
+      |    ORDER BY substr(md5(CAST(id AS VARCHAR) || '#negperm'), 1, 8), id)
+      |    - 1 AS nr FROM b),
+      |sizes AS (SELECT lbl, count(*) AS cnt FROM b GROUP BY lbl),
+      |anchors AS (SELECT b.id, b.lbl, j,
+      |    list_filter(ls, x -> x != b.lbl) AS others,
+      |    CAST(id AS VARCHAR) || '|' || CAST(j AS VARCHAR) AS dk
+      |  FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) CROSS JOIN labs),
+      |donor AS (SELECT id, lbl, j,
+      |    others[CAST(CAST(CAST('0x' || substr(md5(dk || '#negdonor'), 1, 8)
+      |      AS UBIGINT) AS BIGINT) % len(others) AS INTEGER) + 1] AS donor,
+      |    CAST(CAST('0x' || substr(md5(dk || '#negidx'), 1, 8)
+      |      AS UBIGINT) AS BIGINT) AS idraw
+      |  FROM anchors)""".stripMargin
+
   /** The minhash-band candidate + reachability CTEs shared by
     * `ext_dedup_components` and `x51_leakage_safe_split` (identical band
     * construction to [[graft.operators.Dedup.minhashCandidates]]). */
@@ -6221,30 +6263,41 @@ object SparkEntry {
     // replay: md5 permutation ranks per label, hash donor/index draws,
     // the same 1-based list picks
     "ext_negative_sample" ->
-      """WITH b AS (SELECT vec_id AS id, label AS lbl FROM embeddings
-        |  WHERE vec_id IS NOT NULL AND label IS NOT NULL),
-        |labs AS (SELECT list(lbl ORDER BY lbl) AS ls
-        |  FROM (SELECT DISTINCT lbl FROM b)),
-        |cand AS (SELECT id, lbl, row_number() OVER (PARTITION BY lbl
-        |    ORDER BY substr(md5(CAST(id AS VARCHAR) || '#negperm'), 1, 8), id)
-        |    - 1 AS nr FROM b),
-        |sizes AS (SELECT lbl, count(*) AS cnt FROM b GROUP BY lbl),
-        |anchors AS (SELECT b.id, b.lbl, j,
-        |    list_filter(ls, x -> x != b.lbl) AS others,
-        |    CAST(id AS VARCHAR) || '|' || CAST(j AS VARCHAR) AS dk
-        |  FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) CROSS JOIN labs),
-        |donor AS (SELECT id, lbl, j,
-        |    others[CAST(CAST(CAST('0x' || substr(md5(dk || '#negdonor'), 1, 8)
-        |      AS UBIGINT) AS BIGINT) % len(others) AS INTEGER) + 1] AS donor,
-        |    CAST(CAST('0x' || substr(md5(dk || '#negidx'), 1, 8)
-        |      AS UBIGINT) AS BIGINT) AS idraw
-        |  FROM anchors)
+      s"""WITH $negativeSampleCtes
         |SELECT d.id AS vec_id, d.j AS neg_slot, c.id AS neg_id,
         |  d.donor AS neg_label
         |FROM donor d
         |JOIN sizes s ON d.donor = s.lbl
         |JOIN cand c ON c.lbl = d.donor AND c.nr = d.idraw % s.cnt
         |ORDER BY vec_id, neg_slot""".stripMargin,
+
+    // triplets = the hardest positive joined to the sampled negatives,
+    // both replays composed
+    "x54_triplets" ->
+      s"""WITH $negativeSampleCtes,
+        |n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |       CAST(embedding AS DOUBLE[]))) AS nm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_lbl, e AS qe, nm AS qn
+        |  FROM n WHERE vec_id < 10),
+        |pos AS (SELECT q_id, vec_id AS pos_id, cosine AS pos_cosine FROM (
+        |  SELECT q_id, n.vec_id,
+        |    list_dot_product(n.e, qe) / (n.nm * qn) AS cosine,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY list_dot_product(n.e, qe) / (n.nm * qn) DESC,
+        |        n.vec_id) AS rnk
+        |  FROM n, q WHERE n.vec_id != q_id AND n.label = q_lbl) t
+        |  WHERE rnk = 1),
+        |neg AS (SELECT d.id AS q_id, d.j AS neg_slot, c.id AS neg_id
+        |  FROM donor d
+        |  JOIN sizes s ON d.donor = s.lbl
+        |  JOIN cand c ON c.lbl = d.donor AND c.nr = d.idraw % s.cnt
+        |  WHERE d.id < 10)
+        |SELECT p.q_id AS anchor_id, p.pos_id, p.pos_cosine,
+        |  neg.neg_slot, neg.neg_id
+        |FROM pos p JOIN neg ON p.q_id = neg.q_id
+        |ORDER BY anchor_id, neg_slot""".stripMargin,
 
     // replay: the same rank-selection convention for median and MAD
     "ext_outlier_mad" ->

@@ -167,20 +167,49 @@ object Similarity {
       idCol: String = "vec_id",
       labelCol: String = "label",
       embCol: String = "embedding",
-      qIdCol: String = "q_id"): DataFrame = {
+      qIdCol: String = "q_id"): DataFrame =
+    labelTopK(corpus, queries, k, sameLabel = false, "neg_label",
+      idCol, labelCol, embCol, qIdCol)
+
+  /** The positive face of [[hardNegatives]]: top-k most similar SAME-label
+    * vectors (excluding self) — the hardest-positive pick a triplet
+    * builder anchors on. Output: (q_id, vec_id, pos_label, cosine, rank). */
+  def hardPositives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 1,
+      idCol: String = "vec_id",
+      labelCol: String = "label",
+      embCol: String = "embedding",
+      qIdCol: String = "q_id"): DataFrame =
+    labelTopK(corpus, queries, k, sameLabel = true, "pos_label",
+      idCol, labelCol, embCol, qIdCol)
+
+  private def labelTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      sameLabel: Boolean,
+      outLabelCol: String,
+      idCol: String,
+      labelCol: String,
+      embCol: String,
+      qIdCol: String): DataFrame = {
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("vec_id"), col(labelCol).as("neg_label"),
+      .select(col(idCol).as("vec_id"), col(labelCol).as(outLabelCol),
         col(embCol).as("c_emb"), Vectors.norm(col(embCol)).as("c_nrm"))
     val q = queries.select(col(qIdCol).as("q_id"), col(labelCol).as("q_lbl"),
       col(embCol).as("q_emb"), Vectors.norm(col(embCol)).as("q_nrm"))
+    val labelCond =
+      if (sameLabel) col(outLabelCol) === col("q_lbl")
+      else col(outLabelCol) =!= col("q_lbl")
     val scored = c.join(broadcast(q),
-        col("vec_id") =!= col("q_id") && col("neg_label") =!= col("q_lbl"))
-      .select(col("q_id"), col("vec_id"), col("neg_label"),
+        col("vec_id") =!= col("q_id") && labelCond)
+      .select(col("q_id"), col("vec_id"), col(outLabelCol),
         Vectors.cosinePrenormed(col("c_emb"), col("c_nrm"),
           col("q_emb"), col("q_nrm")).as("cosine"))
-    // heap top-k per query, label riding along via a second lookup join
-    // would re-shuffle — instead rank with the window that tolerates
-    // extra columns (k x queries rows; tiny)
+    // window top-k (k x queries rows — tiny; the heap aggregate would
+    // drop the label column it does not know about)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
