@@ -2058,6 +2058,25 @@ object SparkEntry {
       graft.operators.TextAnalysis.phraseSearch(
         Tables.documents(s, dir), Seq("slow", "hash", "batch"))),
 
+    // embedding-quality eval: 1-NN label classification over the corpus
+    // (each query predicted by its nearest OTHER vector's label) with the
+    // per-query verdict and the exact-ratio accuracy in every row — the
+    // standard quick probe of whether an embedding space separates labels
+    "ext_knn_classify_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 50).withColumnRenamed("vec_id", "q_id")
+      val pred = graft.operators.Similarity.bruteForceTopK(emb, q, k = 1)
+        .select(col("q_id"), col("vec_id").as("nn_id"))
+        .join(emb.select(col("vec_id").as("nn_id"), col("label").as("pred")), "nn_id")
+        .join(q.select(col("q_id"), col("label").as("truth")), "q_id")
+        .select(col("q_id"), col("nn_id"), col("pred"), col("truth"),
+          (col("pred") === col("truth")).as("correct"))
+      pred.crossJoin(broadcast(pred.agg(
+          (sum(when(col("correct"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("accuracy"))))
+        .orderBy(col("q_id"))
+    }),
+
     // contrastive TRIPLETS, the tier's capstone: each anchor pairs its
     // HARDEST same-label positive (top-1 by cosine) with its 4 sampled
     // uniform negatives — the (anchor, positive, negative) rows a triplet
@@ -6242,6 +6261,26 @@ object SparkEntry {
         |  WHERE t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch')
         |SELECT doc_id, count(*) AS n_matches, min(i) - 1 AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same brute top-1 replay + label joins + one exact division
+    "ext_knn_classify_eval" ->
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |       CAST(embedding AS DOUBLE[]))) AS nm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS truth, e AS qe, nm AS qn
+        |  FROM n WHERE vec_id < 50),
+        |nn AS (SELECT q_id, vec_id AS nn_id, truth FROM (
+        |  SELECT q_id, n.vec_id, truth, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY list_dot_product(n.e, qe) / (n.nm * qn) DESC, n.vec_id) AS rnk
+        |  FROM n, q WHERE n.vec_id != q_id) t WHERE rnk = 1),
+        |p AS (SELECT nn.q_id, nn.nn_id, m.label AS pred, nn.truth,
+        |  m.label = nn.truth AS correct
+        |  FROM nn JOIN n m ON nn.nn_id = m.vec_id)
+        |SELECT q_id, nn_id, pred, truth, correct, accuracy
+        |FROM p CROSS JOIN (SELECT CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS accuracy FROM p) a
+        |ORDER BY q_id""".stripMargin,
 
     // the brute replay with the label-exclusion predicate
     "ext_hard_negatives" ->
