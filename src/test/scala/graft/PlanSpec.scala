@@ -22,9 +22,10 @@ class PlanSpec extends SparkSpec {
     // and every shuffle is a partial-combined COUNT — values stay put
     assert(!p.toLowerCase.contains("percentile"), "fell back to percentile()")
     assert(p.contains("partial_count"), "histogram counts must combine map-side")
-    // the only scan column is the value being ranked
-    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
-      "scan reads columns the operator never uses")
+    // the refinement passes read the ONE materialized value column (the
+    // lineage cut), never re-scanning the source per pass
+    assert(p.contains("ExistingRDD") && !p.contains("FileScan"),
+      "final pass re-scans the source instead of the cut column")
   }
 
   test("phrase search: postings joins are equi-joins, never nested loops") {
