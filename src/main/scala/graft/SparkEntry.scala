@@ -1493,6 +1493,25 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // weighted shortest paths (bounded Bellman-Ford) over the same
+    // co-order graph: edge cost inversely tied to co-occurrence strength
+    // (greatest(1, 6-w)), exact min path cost within 4 relaxation rounds.
+    // Delta relaxation — only improved nodes re-relax — where the oracle
+    // relaxes everything every round; distances only decrease, so the two
+    // schedules agree round for round.
+    "x57_shortest_path" -> ((s, dir) => {
+      val edges = graft.operators.Graph.coOccurrenceEdgesWeighted(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          "l_orderkey", "l_suppkey", k = 15)
+        .withColumn("w", greatest(lit(1L), lit(6L) - col("w")))
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 50 === 0)
+        .select(col("s_suppkey").as("node"))
+      graft.operators.Graph.shortestPaths(edges, seeds, rounds = 4)
+        .select(col("node").as("s_suppkey"), col("d").as("cost"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "x38_link_prediction" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("g"), col("l_partkey").as("m")).distinct()
@@ -1627,6 +1646,20 @@ object SparkEntry {
     "x20_retention" -> ((s, dir) =>
       graft.operators.Funnel.cohortRetention(Tables.events(s, dir),
         "user_id", "ts", periods = 14)),
+
+    // bitmap retention: one bit_or-built 64-bit day mask per user, every
+    // retention stat popcount/shift algebra over it — the scale form of
+    // x20 (adding an offset is a bit test, not another count_distinct pass)
+    "x55_bitmap_retention" -> ((s, dir) =>
+      graft.operators.Funnel.bitmapRetention(Tables.events(s, dir),
+        "user_id", "ts")),
+
+    // first-order event transitions: per-user total order (ts, event_id)
+    // -> lead pairs -> corpus-wide counts + integer-bp share of the
+    // from-state's outgoing mass; the Markov view of the event log
+    "x56_transitions" -> ((s, dir) =>
+      graft.operators.Funnel.transitions(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id")),
 
     "x15_zorder" -> ((s, dir) => {
       val dx = pmod(col("user_id"), lit(256L))
@@ -4199,12 +4232,15 @@ object SparkEntry {
     * [[graft.operators.Graph.coOccurrenceEdges]] over the supplier
     * co-order graph (x33 PageRank and x35 triangles grade against the
     * identical edge set). */
-  private val coOrderEdgesCte: String =
+  private val coOrderPairsCte: String =
     """pairs AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
       |    count(DISTINCT a.l_orderkey) AS w
       |  FROM lineitem a JOIN lineitem b
       |  ON a.l_orderkey=b.l_orderkey AND a.l_suppkey<>b.l_suppkey
-      |  GROUP BY src, dst),
+      |  GROUP BY src, dst)""".stripMargin
+
+  private val coOrderEdgesCte: String =
+    coOrderPairsCte + """,
       |edges AS (SELECT src, dst FROM (
       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
       |  FROM pairs) t WHERE rn <= 15)""".stripMargin
@@ -4252,6 +4288,33 @@ object SparkEntry {
          |  GROUP BY node)""".stripMargin
     }.mkString
     pre + its + "\nSELECT node AS s_suppkey, d AS dist FROM d4 ORDER BY s_suppkey"
+  }
+
+  /** DuckDB replay of `x57_shortest_path`: four full Bellman-Ford
+    * relaxations unrolled over the weighted co-order edge set (cost =
+    * greatest(1, 6 - co-occurrence count)). The engine relaxes only the
+    * delta set each round; this relaxes everything — same bounded-hop
+    * min-cost relation. */
+  private lazy val shortestPathOracleSql: String = {
+    val pre =
+      s"""WITH $coOrderPairsCte,
+         |wedges AS (SELECT src, dst,
+         |  CAST(CASE WHEN 6 - w < 1 THEN 1 ELSE 6 - w END AS BIGINT) AS c
+         |  FROM (SELECT src, dst, w,
+         |    row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+         |    FROM pairs) t WHERE rn <= 15),
+         |d0 AS (SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS d
+         |  FROM supplier WHERE s_suppkey % 50 = 0)""".stripMargin
+    val its = (1 to 4).map { i =>
+      s""",
+         |d$i AS (SELECT node, min(d) AS d FROM (
+         |  SELECT node, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, p.d + e.c AS d
+         |  FROM d${i - 1} p JOIN wedges e ON e.src = p.node) u
+         |  GROUP BY node)""".stripMargin
+    }.mkString
+    pre + its + "\nSELECT node AS s_suppkey, d AS cost FROM d4 ORDER BY s_suppkey"
   }
 
   private lazy val pageRankOracleSql: String = {
@@ -4710,6 +4773,8 @@ object SparkEntry {
     "x39_random_walks" -> randomWalksOracleSql,
 
     "x45_bfs" -> bfsOracleSql,
+
+    "x57_shortest_path" -> shortestPathOracleSql,
 
     "ext_kmeans_fp" -> kmeansOracleSql,
 
@@ -5642,6 +5707,38 @@ object SparkEntry {
         |  CAST(day_offset AS INTEGER) AS day_offset,
         |  count(DISTINCT u) AS n_users
         |FROM j WHERE day_offset < 14 GROUP BY 1, 2""".stripMargin,
+
+    // the per-user mask is identical bit algebra in both engines; DuckDB's
+    // sum(BIGINT) widens to HUGEINT, so every sum is cast back
+    "x55_bitmap_retention" ->
+      """WITH f AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT e.user_id AS u, f.cohort,
+        |  date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS off
+        |  FROM events e JOIN f ON e.user_id = f.u),
+        |bm AS (SELECT u, cohort, bit_or(CAST(1 AS BIGINT) << off) AS bm
+        |  FROM o WHERE off BETWEEN 0 AND 63 GROUP BY 1, 2)
+        |SELECT CAST(cohort AS VARCHAR) AS cohort, count(*) AS n_users,
+        |  CAST(sum(CAST(bit_count(bm) AS BIGINT)) AS BIGINT) AS active_user_days,
+        |  CAST(sum((bm >> 1) & 1) AS BIGINT) AS ret_d1,
+        |  CAST(sum((bm >> 7) & 1) AS BIGINT) AS ret_d7,
+        |  CAST(sum((bm >> 14) & 1) AS BIGINT) AS ret_d14
+        |FROM bm GROUP BY 1""".stripMargin,
+
+    // lead over the same unique total order, then integral division for
+    // the share (// in DuckDB, DIV in Spark — float division truncates
+    // differently at exact-integer boundaries)
+    "x56_transitions" ->
+      """WITH p AS (SELECT user_id AS u, event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST((n * 10000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS share_bp
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "x15_zorder" -> {
       val terms = (for (b <- 0 until 8; (d, j) <- Seq(("dx", 0), ("dy", 1)))

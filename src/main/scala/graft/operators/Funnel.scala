@@ -81,4 +81,77 @@ object Funnel {
       .select(col("cohort").cast("string").as("cohort"),
         col("day_offset").cast("int").as("day_offset"), col("n_users"))
   }
+
+  /** Bitmap cohort retention: each user's activity collapses to ONE 64-bit
+    * mask (bit d set = active d days after their first touch, offsets >= 64
+    * ignored), built with a single `bit_or` aggregation; every retention
+    * statistic is then popcount/shift algebra over that long. Emits one row
+    * per cohort date: `(cohort, n_users, active_user_days, ret_d1, ret_d7,
+    * ret_d14)` where `ret_dK` counts cohort users active exactly K days
+    * after first touch.
+    *
+    * This is the 100 TB form of [[cohortRetention]]: that operator answers
+    * K offsets with a `count_distinct` per (cohort, offset) pair — each a
+    * full exact-distinct aggregation whose shuffle carries user ids per
+    * offset. Here the per-user mask is 8 bytes, `bit_or` combines map-side,
+    * and adding another offset column is a popcount test over the already-
+    * aggregated frame — no new pass over the log. The same trick backs
+    * production bitmap engines (Druid/ClickHouse retention functions).
+    */
+  def bitmapRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val log = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+    val first = log.groupBy(col("u")).agg(min(col("day")).as("cohort"))
+    val bitAt = (d: Int) =>
+      shiftright(col("bm"), d).bitwiseAND(lit(1L)).cast("long")
+    log.join(first, "u")
+      .select(col("u"), col("cohort"),
+        datediff(col("day"), col("cohort")).as("off"))
+      .filter(col("off") >= 0 && col("off") <= 63)
+      .groupBy(col("u"), col("cohort"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), off)")).as("bm"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(bit_count(col("bm")).cast("long")).as("active_user_days"),
+        sum(bitAt(1)).as("ret_d1"),
+        sum(bitAt(7)).as("ret_d7"),
+        sum(bitAt(14)).as("ret_d14"))
+      .select(col("cohort").cast("string").as("cohort"), col("n_users"),
+        col("active_user_days"), col("ret_d1"), col("ret_d7"), col("ret_d14"))
+  }
+
+  /** First-order event transitions (the Markov view of the log): for each
+    * user the events are totally ordered by `(ts, idCol)` — the unique id
+    * breaks timestamp ties so `lead` is deterministic in any engine — and
+    * every consecutive `(from_type, to_type)` pair is counted corpus-wide.
+    * A terminal event (user's last) emits no pair. Output adds each pair's
+    * share of its from-state's outgoing mass in integer basis points.
+    *
+    * 100 TB shape: ONE shuffle hash-partitions by user for the `lead`
+    * window, then the pair count combines map-side (the second exchange
+    * carries `(type, type, count)` rows — bounded by the type-vocabulary
+    * squared, not by the log). The from-state totals reuse the counted
+    * frame (a window over the tiny pair table), never the log.
+    */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("ts"), col("id"))
+    val pairs = events
+      .select(col(userCol).as("u"), col(typeCol).as("from_type"),
+        col(tsCol).as("ts"), col(idCol).as("id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    // integral DIV, not `/`: long / long is DOUBLE division in both Spark
+    // and DuckDB, and a float that rounds to the boundary truncates
+    // differently from exact integer division
+    pairs
+      .withColumn("from_total", sum(col("n")).over(wf))
+      .withColumn("share_bp", expr("n * 10000 DIV from_total"))
+      .drop("from_total")
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -51,6 +51,24 @@ object Graph {
       .select(col("src"), col("dst"))
   }
 
+  /** [[coOccurrenceEdges]] keeping the co-occurrence count as the edge
+    * weight `(src, dst, w)` — same dedup, same per-src top-k cap. */
+  def coOccurrenceEdgesWeighted(df: DataFrame, groupCol: String,
+      memberCol: String, k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val m = df.select(col(groupCol).as("g"), col(memberCol).as("m")).distinct()
+    m.select(col("g"), col("m").as("src"))
+      .join(m.select(col("g"), col("m").as("dst")), Seq("g"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst"))))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("w"))
+  }
+
   /** Fixed-point PageRank: `iters` exact integer steps over `edges`
     * `(src, dst)` for the node set `nodes` `(node)`. Returns `(node, r)`
     * with rank mass in units of `scale` (sum over nodes ~= scale minus
@@ -324,6 +342,46 @@ object Graph {
     * dedup would enumerate PATHS (combinatorial on dense graphs). Lineage
     * is cut on the two inter-round tables (known, frontier); rounds are
     * fixed so the oracle unrolls the identical CTE chain. */
+  /** Bounded-round single-source-set shortest paths (Bellman-Ford) over
+    * DIRECTED weighted `edges` `(src, dst, w)` from a seed relation: after
+    * `rounds` rounds, `(node, d)` is the exact minimum path cost over all
+    * paths of at most `rounds` edges (unreached nodes absent). Integer
+    * weights, so the result is engine-exact.
+    *
+    * Scale shape — delta relaxation, the weighted twin of
+    * [[bfsDistances]]'s frontier: each round relaxes ONLY the nodes whose
+    * distance improved last round. A settled node's outgoing relaxations
+    * were already folded into the running min the round after it settled,
+    * so re-relaxing it every round (what the unrolled oracle does) adds
+    * nothing — the delta set shrinks toward empty while the naive loop
+    * stays O(V) joins per round. Distances only ever decrease, which is
+    * why the two schedules agree round for round.
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = graft.util.Checkpoints.cut(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
+    var dist = seeds.select(col("node"), lit(0L).as("d"))
+    var delta = dist
+    for (_ <- 1 to rounds) {
+      val cand = delta
+        .join(e, delta("node") === e("src"))
+        .groupBy(col("dst")).agg(min(col("d") + col("w")).as("nd"))
+        .select(col("dst").as("node"), col("nd"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+      delta = graft.util.Checkpoints.cut(
+        merged.filter(col("nd").isNotNull &&
+            (col("d").isNull || col("nd") < col("d")))
+          .select(col("node"), col("nd").as("d")))
+      dist = graft.util.Checkpoints.cut(
+        merged.select(col("node"),
+          least(coalesce(col("d"), col("nd")),
+            coalesce(col("nd"), col("d"))).as("d")))
+    }
+    dist
+  }
+
   def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = graft.util.Checkpoints.cut(edges.select(col("src"), col("dst")))

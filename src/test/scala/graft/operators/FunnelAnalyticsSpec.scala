@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the bitmap-retention / transition / weighted-
+  * shortest-path operators on hand-built adversarial fixtures (the
+  * cross-engine grading is the x55/x56/x57 oracles). */
+class FunnelAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bitmapRetention: popcount stats match hand-built masks") {
+    // A: days 0,1,7 (day-1 dup must OR away); B: 0,14; C starts a day
+    // later: 0 only; D: offset 70 beyond the mask width is ignored
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-02"),
+      (1L, "2024-01-08"),
+      (2L, "2024-01-01"), (2L, "2024-01-15"),
+      (3L, "2024-01-02"),
+      (4L, "2024-01-01"), (4L, "2024-03-11")
+    ).toDF("user_id", "day").select($"user_id", $"day".cast("timestamp").as("ts"))
+    val out = Funnel.bitmapRetention(ev, "user_id", "ts")
+      .orderBy($"cohort")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      // cohort 01-01: A(3 days, d1+d7) + B(2 days, d14) + D(1 day kept, 70 dropped)
+      ("2024-01-01", 3L, 6L, 1L, 1L, 1L),
+      ("2024-01-02", 1L, 1L, 0L, 0L, 0L)), s"got $out")
+  }
+
+  test("transitions: tie-broken order, terminal rows absent, DIV share") {
+    // user 1: a->b->b (equal ts on the last two — event_id breaks the tie);
+    // user 2: a->c; the c and final b are terminal (no outgoing pair)
+    val ev = Seq(
+      (10L, 1L, "a", "2024-01-01 00:00:00"),
+      (11L, 1L, "b", "2024-01-01 00:01:00"),
+      (12L, 1L, "b", "2024-01-01 00:01:00"),
+      (20L, 2L, "a", "2024-01-01 00:00:00"),
+      (21L, 2L, "c", "2024-01-01 00:05:00")
+    ).toDF("event_id", "user_id", "event_type", "s")
+      .select($"event_id", $"user_id", $"event_type",
+        $"s".cast("timestamp").as("ts"))
+    val out = Funnel.transitions(ev, "user_id", "event_type", "ts", "event_id")
+      .as[(String, String, Long, Long)].collect().toList
+    // a's mass splits 1/1 -> 5000 bp each; b->b is all of b's mass
+    assert(out == List(("a", "b", 1L, 5000L), ("a", "c", 1L, 5000L),
+      ("b", "b", 1L, 10000L)), s"got $out")
+  }
+
+  test("shortestPaths: cheaper multi-hop path beats the direct edge") {
+    // seed 0: direct 0->3 costs 10, but 0->1->2->3 costs 3; the cheap
+    // path needs 3 relaxation rounds to surface
+    val e = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    def dist(rounds: Int) =
+      Graph.shortestPaths(e, seeds, rounds).as[(Long, Long)].collect().toMap
+    val d1 = dist(1)
+    assert(d1(3L) == 10L, s"round 1 must only know the direct edge: $d1")
+    val d3 = dist(3)
+    assert(d3(3L) == 3L && d3(2L) == 2L, s"got $d3")
+    // node 4 via the cheap chain = 4 hops: absent at 3 rounds, 4 at 4
+    // rounds is still beaten by 10+1 through the direct edge ONLY if
+    // relaxed — both paths exist; min must win
+    assert(!d3.contains(4L) || d3(4L) == 11L, s"got $d3")
+    assert(dist(4)(4L) == 4L)
+  }
+}
