@@ -200,6 +200,34 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Vocabulary coverage / out-of-vocabulary rate per segment: token
+    * occurrences outside the corpus top-`k` vocabulary ([[vocabTopK]] —
+    * deterministic ties) counted per `segCol`, with the OOV share in
+    * integer basis points. The tokenizer-coverage question a training
+    * pipeline asks before committing to a vocab size: which sources/
+    * languages fall outside the vocabulary, and by how much.
+    *
+    * Scale shape: tokens collapse to per-(segment, token) counts FIRST
+    * (partial-aggregated map-side — the membership join then sees the
+    * distinct-token relation, not the token stream), and the k-row
+    * vocabulary is broadcast, so the only full shuffle is the count's.
+    */
+  def vocabCoverage(df: DataFrame, segCol: String, textCol: String = "text",
+      k: Int = 100): DataFrame = {
+    val vocab = vocabTopK(df, textCol, k)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    df.select(col(segCol).as("seg"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("seg"), col("token")).agg(count(lit(1)).as("n"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("seg"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("n_oov * 10000 DIV n_tokens"))
+      .select(col("seg").as(segCol), col("n_tokens"), col("n_oov"),
+        col("oov_bp"))
+  }
+
   /** Document rarity from corpus document frequency: for each doc, the
     * number of distinct tokens, the sum of those tokens' corpus df, and
     * their mean df — low mean df = rare vocabulary, the standard

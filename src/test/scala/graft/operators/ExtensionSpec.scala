@@ -171,6 +171,16 @@ class ExtensionSpec extends SparkSpec {
     assert(got == Seq(("a", 3L), ("b", 3L), ("c", 1L))) // lowercased; tie a<b
   }
 
+  test("vocabCoverage: OOV counted per segment against the corpus top-k") {
+    import graft.operators.TextAnalysis.vocabCoverage
+    // corpus top-2 vocab = {a (x3), b (x2)}; seg s1 is fully covered,
+    // s2 has 2 OOV of 3 tokens -> 6666 bp by integral division
+    val df = Seq(("s1", "a b a"), ("s2", "a c d"), ("s1", "b")).toDF("source", "text")
+    val got = vocabCoverage(df, "source", "text", 2)
+      .orderBy(col("source")).as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", 4L, 0L, 0L), ("s2", 3L, 2L, 6666L)), s"got $got")
+  }
+
   test("dsirResample shifts weight toward the target domain") {
     import graft.operators.TextAnalysis.dsirResample
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
