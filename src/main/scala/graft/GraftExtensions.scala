@@ -73,6 +73,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.TopKByScore(args(0), args(1), intArg(args(2), "k"))))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProductHof)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // whole-operator tier: the native as-of join's planner strategy
+    // (AsOfJoinPlan logical -> AsOfJoinExec sort-merge physical)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -158,6 +161,11 @@ object GraftExtensions {
         .contains(graft.plans.MvRewrite)) {
       spark.sessionState.experimentalMethods.extraOptimizations ++=
         Seq(graft.plans.MvRewrite)
+    }
+    if (!spark.sessionState.experimentalMethods.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy)) {
+      spark.sessionState.experimentalMethods.extraStrategies ++=
+        Seq(graft.plans.AsOfJoinStrategy)
     }
   }
 }

@@ -826,6 +826,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // x1 through the NATIVE as-of operator: AsOfJoinPlan -> planner
+    // strategy -> AsOfJoinExec sort-merge (the whole-operator extension
+    // tier). Same relation as the composed form; AsOfNativeSpec pins the
+    // physical node and the value parity, this row grades it cross-engine.
+    "x62_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.AsOf.joinAsOfNative(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("event_id"), rightPrefix = "click_")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("click_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .as("micros_since_click"))
+        .orderBy(col("event_id"))
+    }),
+
     // forward as-of: FIRST click at-or-after each purchase (follow-up
     // attribution), same single-shuffle union-window plan
     "x4_asof_forward" -> ((s, dir) => {
@@ -1641,6 +1659,32 @@ object SparkEntry {
         "user_id", "event_type", "ts",
         Seq("signup", "view", "click", "purchase"), windowSec = 86400L)),
 
+    // file-level bloom index: point lookups on a uniformly-distributed id
+    // — the layout where min/max skipping can never prune (every file's
+    // [min, max] spans the domain); the per-file bloom opens only maybe-
+    // containing files, and an absent key opens ~none. Superset guarantee:
+    // pruned-then-filtered must equal the plain filter (the oracle);
+    // LayoutSpec asserts the pruning itself.
+    "x60_bloom_skip_index" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-fbloom-" +
+        math.abs(dir.hashCode)
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      // 16 files hashed on event_id: every file holds a mix of users
+      ev.repartition(16, col("event_id"))
+        .write.mode("overwrite").parquet(out)
+      graft.operators.Layout.writeBloomIndex(s, out, "user_id")
+      val keys = Seq(7L, 42L, 999999999L) // two present, one absent
+      keys.map { k =>
+        val (rel, _, _) = graft.operators.Layout.readBloomSkipping(s, out,
+          k.toString)
+        rel.filter(col("user_id") === k)
+          .agg(count(lit(1)).as("n_events"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(k).as("user_id"), col("n_events"), col("sum_cents"))
+      }.reduce(_.unionByName(_)).orderBy(col("user_id"))
+    }),
+
     // daily cohort retention: users bucketed by first-activity date, the
     // distinct-active count at each offset day 0..13 — integer-exact
     "x20_retention" -> ((s, dir) =>
@@ -1660,6 +1704,53 @@ object SparkEntry {
     "x56_transitions" -> ((s, dir) =>
       graft.operators.Funnel.transitions(Tables.events(s, dir),
         "user_id", "event_type", "ts", "event_id")),
+
+    // funnel conversion latency: per converting user the epoch-micros gap
+    // between consecutive step reach times (x19's exact recurrence via
+    // Funnel.reachTimes), min/max/sum per step pair — integer-exact
+    "x58_conversion_lag" -> ((s, dir) => {
+      val rt = graft.operators.Funnel.reachTimes(Tables.events(s, dir),
+          "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "purchase"), windowSec = 86400L)
+        .select(col("u"), col("step"), unix_micros(col("reached")).as("us"))
+      rt.as("a").join(rt.as("b"),
+          col("a.u") === col("b.u") && col("b.step") === col("a.step") + 1)
+        .select(col("a.step").as("from_step"),
+          (col("b.us") - col("a.us")).as("lag_us"))
+        .groupBy(col("from_step"))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("lag_us")).as("min_us"), max(col("lag_us")).as("max_us"),
+          sum(col("lag_us")).as("sum_us"))
+        .orderBy(col("from_step"))
+    }),
+
+    // grouped top-k OUTSIDE the ANN tier: top-3 revenue parts per nation
+    // through the bounded-heap top_k_by_score aggregate — the shuffle
+    // carries at most k entries per nation per task (a window form sorts
+    // every part; the ann_ivf_1m soak measured that difference at 4.9 GB
+    // of spill). Revenue scored in exact 1e-4-dollar integer units; the
+    // long->double score cast is exact below 2^53.
+    "x59_grouped_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("l_partkey"))
+        .agg((sum(graft.functions.Exact.money(col("l_extendedprice")) *
+            (one - graft.functions.Exact.money(col("l_discount")))) *
+            lit(10000)).cast("long").as("rev_e4"))
+      val agg = ColumnBridge.column(graft.functions.TopKByScore(
+        ColumnBridge.expression(col("rev_e4").cast("double")),
+        ColumnBridge.expression(col("l_partkey")), k = 3)
+        .toAggregateExpression())
+      rev.groupBy(col("n_name")).agg(agg.as("__top"))
+        .select(col("n_name"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("n_name"), (col("__pos") + 1).cast("int").as("rank"),
+          col("__e.id").as("p_partkey"), col("__e.score").cast("long").as("rev_e4"))
+        .orderBy(col("n_name"), col("rank"))
+    }),
 
     "x15_zorder" -> ((s, dir) => {
       val dx = pmod(col("user_id"), lit(256L))
@@ -1953,6 +2044,29 @@ object SparkEntry {
       est.join(exact, "lang").orderBy(col("lang"))
     }),
 
+    // sliding-window distinct via sketch REUSE: per-day HLL registers of
+    // the active-user set built once, then every 7-day window answered by
+    // register max-merge — the pattern that replaces 7x re-scans of the
+    // log with algebra over D * 2^p counter rows. Registers, integer
+    // evidence, the two-rounding estimate AND the exact windowed truth
+    // all hash-match the DuckDB rebuild.
+    "ext_hll_sliding" -> ((s, dir) => {
+      val Sk = graft.operators.Sketch
+      val ev = Tables.events(s, dir).select(
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"),
+        col("user_id"))
+      val regs = Sk.hllBuildGrouped(ev, "user_id", Seq("day"), p = 10)
+      val days = regs.select(col("day")).distinct().select(col("day").as("d"))
+      val win = regs.join(broadcast(days),
+          col("day").between(col("d") - 6, col("d")))
+        .groupBy(col("d"), col("bucket")).agg(max(col("register")).as("register"))
+      val est = Sk.hllEstimateGrouped(win, Seq("d"), p = 10)
+      val exact = ev.join(broadcast(days),
+          col("day").between(col("d") - 6, col("d")))
+        .groupBy(col("d")).agg(count_distinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "d").orderBy(col("d"))
+    }),
+
     // KMV corpus-overlap estimate: distinct shingles SHARED by the two
     // doc_id-parity halves, from two 512-hash sketches alone — the set
     // operation HLL can't do. Sketches, union-kth-min, match count and
@@ -2226,6 +2340,37 @@ object SparkEntry {
       // -> TakeOrdered (ties by token text)
       graft.operators.TextAnalysis.vocabTopK(
         Tables.ensureParallelism(Tables.documents(s, dir)), "text", 100)),
+
+    // per-source OOV rate against the corpus top-100 vocabulary: the
+    // tokenizer-coverage question (which sources fall outside a vocab
+    // size, in integer basis points)
+    "ext_vocab_coverage" -> ((s, dir) =>
+      graft.operators.TextAnalysis.vocabCoverage(
+          Tables.ensureParallelism(Tables.documents(s, dir)), "source",
+          "text", 100)
+        .orderBy(col("source"))),
+
+    // winsorized per-type stats: exact global p05/p95 of the cents column
+    // (count-histogram refinement, [[graft.operators.Sketch.exactQuantiles]])
+    // clamp every value — robust-mean prep where trimming bounds, not
+    // drops, the tails. Quantiles are two driver-collected longs; the
+    // clamped aggregation is one combinable pass.
+    "ext_winsorize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val qv = graft.operators.Sketch.exactQuantiles(ev, "cents",
+          Seq(0.05, 0.95))
+        .select(col("q"), col("value")).collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1).toLong).toMap
+      val (lo, hi) = (qv(0.05), qv(0.95))
+      ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(least(greatest(col("cents"), lit(lo)), lit(hi)))
+            .as("winsorized_cents"),
+          sum(when(col("cents") < lo, 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("cents") > hi, 1L).otherwise(0L)).as("n_clip_hi"))
+        .orderBy(col("event_type"))
+    }),
 
     "ext_bigram_quality" -> ((s, dir) =>
       // bigram-LM perplexity-proxy filter: counts trained on the 80%
@@ -2925,6 +3070,36 @@ object SparkEntry {
     // stateless per-row argmin — the "score the stream with a trained
     // model" pattern; shares ext_centroid_assign's oracle
     "stream_centroid_assign" -> ((s, dir) => centroidAssignStream(s, dir)),
+
+    // cross-batch sequence stitching: one latest-event ValueState per user
+    // emits each (from, to) transition the moment the successor arrives —
+    // a lead() window can't run on a stream; the pair multiset must equal
+    // the batch window's (shares x56's oracle). RocksDB required by TWS,
+    // conf restored after.
+    "stream_transitions" -> ((s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      GraftSession.enableRocksDbState(s)
+      try streamTransitions(s, dir) finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
+    // real-time conversion funnel: per-user progress ValueState advances
+    // and emits the moment a step completes — the greedy in-order scan
+    // computes exactly the batch recurrence's earliest-qualifying reach,
+    // so the (user, step) reach set equals x19's frame (shared oracle).
+    // RocksDB required by TWS, conf restored after.
+    "stream_funnel" -> ((s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      GraftSession.enableRocksDbState(s)
+      try streamFunnel(s, dir) finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
 
     // stream-static enrichment: the live stream joined to a static
     // dimension (merchant -> category) — the canonical "enrich the stream
@@ -3857,6 +4032,76 @@ object SparkEntry {
     s.table("stream_vocab_topk_t")
   }
 
+  /** Feed the events table globally (ts, event_id)-ordered in 4 chunks
+    * through [[graft.streaming.Transitions.pairs]]; the graded projection
+    * re-counts the streamed pair multiset into x56's exact relation. */
+  private def streamTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (u, t, us, id) => graft.streaming.Transitions.Ev(u, t, us, id) }
+    val ms = MemoryStream[graft.streaming.Transitions.Ev]
+    val pairs = graft.streaming.Transitions.pairs(ms.toDS())
+    val ckpt = tempCkpt()
+    val q = pairs.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("stream_transitions_t")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table("stream_transitions_t")
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("share_bp", expr("n * 10000 DIV from_total"))
+      .drop("from_total")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Feed the events table (ts, event_id)-ordered in 4 chunks through
+    * [[graft.streaming.FunnelStream.reaches]]; the graded projection
+    * counts the streamed reach set into x19's exact step frame (a step
+    * nobody reaches still emits its zero row, like the batch operator). */
+  private def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val steps = Seq("signup", "view", "click", "purchase")
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (u, t, us, id) => graft.streaming.FunnelStream.Ev(u, t, us, id) }
+    val ms = MemoryStream[graft.streaming.FunnelStream.Ev]
+    val reaches = graft.streaming.FunnelStream.reaches(ms.toDS(), steps,
+      windowSec = 86400L)
+    val ckpt = tempCkpt()
+    val q = reaches.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("stream_funnel_t")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val stepFrame = steps.zipWithIndex
+      .map { case (n, i) => (i + 1, n) }.toDF("step", "step_name")
+      .select(col("step").cast("int").as("step"), col("step_name"))
+    stepFrame
+      .join(s.table("stream_funnel_t").groupBy(col("step"))
+        .agg(count(lit(1)).as("n_users")), Seq("step"), "left")
+      .select(col("step"), col("step_name"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy(col("step"))
+  }
+
   private def docCleanStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = s.sqlContext
@@ -4075,6 +4320,54 @@ object SparkEntry {
         |FROM hit GROUP BY train_id
         |HAVING n_suspect >= 2 ORDER BY train_id""".stripMargin
 
+  /** Shared by `x19_funnel` (batch step chain) and its TWS twin
+    * `stream_funnel`: the strict ordered funnel unrolled as one CTE per
+    * step, counted per step with explicit zero rows. */
+  private lazy val funnelOracleSql: String = {
+    def step(n: Int, ty: String) =
+      s"""s$n AS (SELECT e.user_id AS u, min(e.ts) AS reached FROM events e
+         |  JOIN s${n - 1} ON e.user_id = s${n - 1}.u
+         |  WHERE e.event_type = '$ty' AND e.ts >= s${n - 1}.reached
+         |    AND e.ts <= s${n - 1}.reached + INTERVAL 86400 SECOND
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH s1 AS (SELECT user_id AS u, min(ts) AS reached FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |${step(2, "view")},
+       |${step(3, "click")},
+       |${step(4, "purchase")}
+       |SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name,
+       |  (SELECT count(*) FROM s1) AS n_users
+       |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+       |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+       |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin
+  }
+
+  /** Shared by `x1_asof_attribution` (composed union-window form) and
+    * `x62_asof_native` (custom AsOfJoinExec): DuckDB's native ASOF JOIN. */
+  private val asofAttributionSql =
+    """SELECT p.event_id, p.user_id, p.value, c.event_id AS click_event_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Shared by `x56_transitions` and its TWS twin `stream_transitions`:
+    * lead over the unique (ts, event_id) per-user order, then integral
+    * division for the share (// in DuckDB, DIV in Spark — float division
+    * truncates differently at exact-integer boundaries). */
+  private val transitionsSql =
+    """WITH p AS (SELECT user_id AS u, event_type AS from_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST((n * 10000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |    AS share_bp
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   private val vocabTopKSql =
     """SELECT token, count(*) AS n FROM (
       |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
@@ -4202,6 +4495,44 @@ object SparkEntry {
        |    * CAST(CAST(1 AS BIGINT) << max_m AS DOUBLE) / CAST(s AS DOUBLE)) AS estimate,
        |  ex.exact_distinct
        |FROM fin JOIN ex USING (lang) ORDER BY lang""".stripMargin
+  }
+
+  /** DuckDB replay of `ext_hll_sliding`: per-day registers (same two md5
+    * draws over the stringified user id), a day-range join for the 7-day
+    * max-merge, then the identical nz/max_m/s evidence and two-rounding
+    * estimate per window, joined to the exact windowed distinct. */
+  private lazy val hllSlidingOracleSql: String = {
+    val p = 10; val m = 1 << p
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    s"""WITH ev AS (SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+       |    user_id FROM events),
+       |hx AS (SELECT day,
+       |    CAST(CAST('0x' || substr(md5(user_id || '#hll.b'), 1, 8) AS UBIGINT) AS BIGINT) % $m AS bucket,
+       |    CAST(CAST('0x' || substr(md5(user_id || '#hll.w'), 1, 8) AS UBIGINT) AS BIGINT) AS w
+       |  FROM ev),
+       |reg AS (SELECT day, bucket,
+       |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS register
+       |  FROM hx GROUP BY day, bucket),
+       |days AS (SELECT DISTINCT day AS d FROM reg),
+       |win AS (SELECT d, bucket, max(register) AS register
+       |  FROM reg JOIN days ON day BETWEEN d - 6 AND d GROUP BY d, bucket),
+       |st AS (SELECT d, count(*) AS nz, max(register) AS max_m
+       |  FROM win GROUP BY d),
+       |sp AS (SELECT win.d,
+       |    CAST(sum(CAST(1 AS BIGINT) << (st.max_m - register)) AS BIGINT) AS s_present
+       |  FROM win JOIN st USING (d) GROUP BY win.d),
+       |fin AS (SELECT st.d, st.nz, st.max_m,
+       |    sp.s_present + ($m - st.nz) * (CAST(1 AS BIGINT) << st.max_m) AS s
+       |  FROM st JOIN sp USING (d)),
+       |ex AS (SELECT d, count(DISTINCT user_id) AS exact_distinct
+       |  FROM ev JOIN days ON day BETWEEN d - 6 AND d GROUP BY d)
+       |SELECT CAST(fin.d AS INTEGER) AS d, CAST($m AS BIGINT) AS m,
+       |  CAST(nz AS BIGINT) AS nz, CAST(max_m AS INTEGER) AS max_m,
+       |  CAST(s AS BIGINT) AS s,
+       |  '$alpha'::DOUBLE * (CAST(${m.toLong * m} AS DOUBLE)
+       |    * CAST(CAST(1 AS BIGINT) << max_m AS DOUBLE) / CAST(s AS DOUBLE)) AS estimate,
+       |  ex.exact_distinct
+       |FROM fin JOIN ex USING (d) ORDER BY d""".stripMargin
   }
 
   /** Shared by `x32_volume_anomaly` and its streaming twin: trailing
@@ -5278,13 +5609,11 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase') t
         |WHERE rn <= 3""".stripMargin,
 
-    "x1_asof_attribution" ->
-      """SELECT p.event_id, p.user_id, p.value, c.event_id AS click_event_id,
-        |  epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin,
+    "x1_asof_attribution" -> asofAttributionSql,
+
+    // the native sort-merge operator must produce the composed form's
+    // exact relation — same oracle
+    "x62_asof_native" -> asofAttributionSql,
 
     "w2_running_total" ->
       """SELECT user_id, event_id,
@@ -5677,24 +6006,11 @@ object SparkEntry {
         |    AS BIGINT) AS version
         |FROM runs ORDER BY user_id, version""".stripMargin,
 
-    "x19_funnel" -> {
-      def step(n: Int, ty: String) =
-        s"""s$n AS (SELECT e.user_id AS u, min(e.ts) AS reached FROM events e
-           |  JOIN s${n - 1} ON e.user_id = s${n - 1}.u
-           |  WHERE e.event_type = '$ty' AND e.ts >= s${n - 1}.reached
-           |    AND e.ts <= s${n - 1}.reached + INTERVAL 86400 SECOND
-           |  GROUP BY 1)""".stripMargin
-      s"""WITH s1 AS (SELECT user_id AS u, min(ts) AS reached FROM events
-         |  WHERE event_type = 'signup' GROUP BY 1),
-         |${step(2, "view")},
-         |${step(3, "click")},
-         |${step(4, "purchase")}
-         |SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name,
-         |  (SELECT count(*) FROM s1) AS n_users
-         |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
-         |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
-         |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin
-    },
+    "x19_funnel" -> funnelOracleSql,
+
+    // the TWS greedy scan must reproduce the batch recurrence's reach set
+    // exactly — same oracle
+    "stream_funnel" -> funnelOracleSql,
 
     "x20_retention" ->
       """WITH f AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort
@@ -5728,17 +6044,57 @@ object SparkEntry {
     // lead over the same unique total order, then integral division for
     // the share (// in DuckDB, DIV in Spark — float division truncates
     // differently at exact-integer boundaries)
-    "x56_transitions" ->
-      """WITH p AS (SELECT user_id AS u, event_type AS from_type,
-        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    AS to_type
-        |  FROM events),
-        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
-        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT from_type, to_type, n,
-        |  CAST((n * 10000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
-        |    AS share_bp
-        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // x19's step chain carried one level further: the reach-time frames
+    // joined pairwise per user, gaps in epoch micros
+    "x58_conversion_lag" -> {
+      def step(n: Int, ty: String) =
+        s"""s$n AS (SELECT e.user_id AS u, min(e.ts) AS reached FROM events e
+           |  JOIN s${n - 1} ON e.user_id = s${n - 1}.u
+           |  WHERE e.event_type = '$ty' AND e.ts >= s${n - 1}.reached
+           |    AND e.ts <= s${n - 1}.reached + INTERVAL 86400 SECOND
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH s1 AS (SELECT user_id AS u, min(ts) AS reached FROM events
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |${step(2, "view")},
+         |${step(3, "click")},
+         |${step(4, "purchase")},
+         |lags AS (
+         |  SELECT 1 AS from_step,
+         |    epoch_us(s2.reached) - epoch_us(s1.reached) AS lag_us
+         |  FROM s1 JOIN s2 USING (u)
+         |  UNION ALL SELECT 2, epoch_us(s3.reached) - epoch_us(s2.reached)
+         |  FROM s2 JOIN s3 USING (u)
+         |  UNION ALL SELECT 3, epoch_us(s4.reached) - epoch_us(s3.reached)
+         |  FROM s3 JOIN s4 USING (u))
+         |SELECT CAST(from_step AS INTEGER) AS from_step,
+         |  count(*) AS n_converted, min(lag_us) AS min_us,
+         |  max(lag_us) AS max_us, CAST(sum(lag_us) AS BIGINT) AS sum_us
+         |FROM lags GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // the window idiom IS the oracle for the heap aggregate (the spec pins
+    // their equality; here the oracle proves it cross-engine)
+    "x59_grouped_topk" ->
+      """WITH rev AS (SELECT n_name, l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+        |    AS rev_e4
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT n_name, l_partkey AS p_partkey, rev_e4,
+        |  row_number() OVER (PARTITION BY n_name
+        |    ORDER BY rev_e4 DESC, l_partkey) AS rank
+        |  FROM rev)
+        |SELECT n_name, CAST(rank AS INTEGER) AS rank, p_partkey, rev_e4
+        |FROM r WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin,
+
+    "x56_transitions" -> transitionsSql,
+
+    // the TWS state stitching must reproduce the batch lead() pair
+    // multiset exactly — same oracle
+    "stream_transitions" -> transitionsSql,
 
     "x15_zorder" -> {
       val terms = (for (b <- 0 until 8; (d, j) <- Seq(("dx", 0), ("dy", 1)))
@@ -5762,6 +6118,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'value', count(*), min(value), max(value) FROM e
         |ORDER BY col""".stripMargin,
+
+    // bloom skipping is a superset guarantee — the pruned point lookups
+    // must equal the plain filters; the absent key still emits its zero
+    // row (the engine unions one aggregate per key)
+    "x60_bloom_skip_index" ->
+      """WITH ks AS (SELECT CAST(unnest([7, 42, 999999999]) AS BIGINT) AS user_id),
+        |a AS (SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events WHERE user_id IN (7, 42, 999999999) GROUP BY 1)
+        |SELECT ks.user_id, coalesce(n, 0) AS n_events,
+        |  coalesce(s, 0) AS sum_cents
+        |FROM ks LEFT JOIN a USING (user_id) ORDER BY user_id""".stripMargin,
 
     // skipping is a superset guarantee — pruned-then-filtered must equal
     // the plain filtered aggregate over the raw table
@@ -5951,6 +6319,8 @@ object SparkEntry {
     // the grouped register rebuild: same draws, same evidence columns,
     // every aggregate keyed by lang
     "ext_hll_groups" -> hllGroupsOracleSql,
+
+    "ext_hll_sliding" -> hllSlidingOracleSql,
 
     // the streaming twin converges to the identical registers (max is
     // idempotent under the re-fed duplicate chunk), so it shares the full
@@ -6553,6 +6923,46 @@ object SparkEntry {
         |SELECT doc_id, clean, length(clean) AS n_clean FROM c""".stripMargin,
 
     "ext_vocab_topk" -> vocabTopKSql,
+
+    // same tokenization as the vocab; sums cast back from HUGEINT, share
+    // via integral //
+    "ext_vocab_coverage" ->
+      """WITH tok AS (SELECT source AS seg,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |v AS (SELECT token FROM (
+        |  SELECT token, count(*) AS n FROM tok GROUP BY token
+        |  ORDER BY n DESC, token LIMIT 100) t),
+        |st AS (SELECT seg, token, count(*) AS n FROM tok GROUP BY 1, 2)
+        |SELECT seg AS source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST((sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) * 10000)
+        |    // sum(n) AS BIGINT) AS oov_bp
+        |FROM st LEFT JOIN v USING (token)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the exact-quantile element is the row_number()-selected value at
+    // rank 1 + floor(q*(n-1)) — the same discrete-rank convention the
+    // engine's histogram refinement proves; clamp + count in one pass
+    "ext_winsorize" ->
+      """WITH v AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+        |  count(*) OVER () AS n FROM v),
+        |b AS (SELECT
+        |  max(CASE WHEN rn = 1 + CAST(floor(0.05*(n-1)) AS BIGINT)
+        |    THEN cents END) AS lo,
+        |  max(CASE WHEN rn = 1 + CAST(floor(0.95*(n-1)) AS BIGINT)
+        |    THEN cents END) AS hi FROM r)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN cents < lo THEN lo WHEN cents > hi THEN hi
+        |    ELSE cents END) AS BIGINT) AS winsorized_cents,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi
+        |FROM v, b GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the complete-mode streaming leaderboard converges to the same
     // corpus-wide top-100 after its final batch
     "stream_vocab_topk" -> vocabTopKSql,

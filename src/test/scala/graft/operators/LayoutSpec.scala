@@ -162,6 +162,32 @@ class LayoutSpec extends SparkSpec {
     assert(soMap("d") == ((40000L, 0.0, 30.0)), s"d stats: ${soMap("d")}")
   }
 
+  test("file bloom index prunes point lookups; absent key opens ~no files") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-fbloom-spec").toString
+    // uniformly-hashed ids: every file's [min, max] spans the domain, so
+    // range skipping could never prune — the bloom's home turf
+    val df = spark.range(20000).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(500L)).as("uid"))
+    df.repartition(8, col("id")).write.mode("overwrite").parquet(base)
+    Layout.writeBloomIndex(spark, base, "uid", kHashes = 4, mBits = 1 << 14)
+    val (rel, sel, tot) = Layout.readBloomSkipping(spark, base, "7")
+    assert(tot == 8, s"expected 8 files, got $tot")
+    // superset guarantee: exact equality with the plain filter
+    val a = rel.filter(col("uid") === 7L)
+      .agg(count(lit(1)), sum(col("id"))).collect()(0)
+    val b = df.filter(col("uid") === 7L)
+      .agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(a == b, s"bloom skipping dropped rows: $a vs $b")
+    assert(sel > 0 && sel <= tot)
+    // a key outside the domain: at these parameters (4 hashes, 16 Kbit,
+    // ~500 distinct values per file) false positives are ~impossible —
+    // the lookup must open zero files and stay schema-stable
+    val (none, sel0, _) = Layout.readBloomSkipping(spark, base, "no-such-key")
+    assert(sel0 == 0 && none.count() == 0, s"absent key opened $sel0 files")
+    assert(none.columns.toSeq == rel.columns.toSeq)
+  }
+
   test("compact bin-packs small files to the byte-derived count, content intact") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft-compact-spec")
