@@ -1287,6 +1287,40 @@ object SparkEntry {
       agg(0).unionByName(agg(1))
     }),
 
+    // O(1) rollback, graded end to end: full load (v0), a keyed upsert
+    // that corrupts two days (v1), a keyed delete (v2), then
+    // [[graft.operators.Versioned.rollback]] back to v0 — v3 restores
+    // v0's content by re-listing its immutable files in a new manifest,
+    // never copying a byte (at 100 TB: one manifest write undoes a bad
+    // load). The graded read aggregates v2 (damage applied) AND v3
+    // (damage undone): a manifest entry leaked from v1/v2 into the
+    // rollback shifts a daily total and fails the hash.
+    "x63_rollback" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft-rollback-" +
+        math.abs(dir.hashCode)
+      deleteRecursively(base)
+      val rel = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).cast("string").as("event_date"))
+      graft.operators.Versioned.commitFull(s, base, rel, "event_date")
+      val inWindow = col("event_date") >= "2024-01-05" &&
+        col("event_date") <= "2024-01-06"
+      graft.operators.Versioned.commitUpsert(s, base,
+        rel.filter(inWindow && col("event_id") % 2 === 0)
+          .withColumn("value", col("value") + 1000.0),
+        Seq("event_id"), "event_date")
+      graft.operators.Versioned.commitDelete(s, base,
+        rel.filter(col("event_date") === "2024-01-07" && col("event_id") % 3 === 0)
+          .select(col("event_id"), col("event_date")),
+        Seq("event_id"), "event_date")
+      val v3 = graft.operators.Versioned.rollback(base, 0)
+      def agg(v: Int) = graft.operators.Versioned.read(s, base, v)
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .withColumn("version", lit(v))
+      agg(2).unionByName(agg(v3))
+    }),
+
     // incremental MV maintenance + rewrite, graded end to end: the rollup
     // is built over only the first twenty days, the remaining days arrive
     // as a delta folded into the stored partials
@@ -5903,6 +5937,29 @@ object SparkEntry {
         |SELECT 'delete', event_id, event_type, value, ed, 1, 2 FROM d
         |WHERE ed = '2024-01-07' AND event_id % 3 = 0
         |ORDER BY vfrom, event_id""".stripMargin,
+
+    // v2 = upsert applied then the 01-07 thirds deleted; v3 (the rollback)
+    // = the original relation verbatim
+    "x63_rollback" ->
+      """WITH d AS (SELECT event_id, event_type, value,
+        |    strftime(ts, '%Y-%m-%d') AS ed FROM events),
+        |upd AS (SELECT event_id, event_type, value + 1000 AS value, ed
+        |  FROM d WHERE ed BETWEEN '2024-01-05' AND '2024-01-06'
+        |    AND event_id % 2 = 0),
+        |keep AS (SELECT event_id, event_type, value, ed FROM d
+        |  WHERE NOT (ed BETWEEN '2024-01-05' AND '2024-01-06'
+        |    AND event_id % 2 = 0)),
+        |v1 AS (SELECT * FROM keep UNION ALL SELECT * FROM upd),
+        |v2 AS (SELECT * FROM v1
+        |  WHERE NOT (ed = '2024-01-07' AND event_id % 3 = 0))
+        |SELECT ed AS event_date, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  2 AS version
+        |FROM v2 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT ed, event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3
+        |FROM d GROUP BY 1, 2""".stripMargin,
 
     // the refreshed MV must answer exactly what the base table would:
     // the oracle is the plain full-table aggregate

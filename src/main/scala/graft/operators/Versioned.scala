@@ -314,6 +314,25 @@ object Versioned {
     dead
   }
 
+  /** Rollback commit: restore the table to the content of `toVersion` by
+    * writing a NEW manifest that re-lists that version's entries verbatim.
+    * Because data files are immutable and already on disk, restoring is
+    * O(1) I/O at ANY table size — rolling a 100 TB table back from a bad
+    * load costs one manifest write, never a data copy. The bad versions
+    * stay readable (rollback is an ordinary commit, auditable and itself
+    * rollback-able); [[vacuum]] computes liveness from surviving manifests,
+    * so a post-rollback vacuum keeps the restored files alive even when
+    * every pre-rollback version is dropped. */
+  def rollback(dir: String, toVersion: Int): Int = {
+    val latest = latestVersion(dir)
+    require(toVersion >= 0 && toVersion < latest,
+      s"rollback target $toVersion outside [0, ${latest - 1}] " +
+        s"(latest is v$latest; rolling back to latest is a no-op)")
+    val v1 = latest + 1
+    writeManifest(dir, Manifest(v1, readManifest(dir, toVersion).entries))
+    v1
+  }
+
   /** Snapshot read at `version` (default: latest). The manifest is the
     * table — no directory listing. `partFilter` prunes at MANIFEST level:
     * only entries whose partition value passes are scanned at all. */

@@ -179,4 +179,44 @@ class VersionedSpec extends SparkSpec {
       assert(!Files.exists(java.nio.file.Paths.get(p)), s"dead file $p survived"))
     assert(Versioned.read(spark, base, v1).count() == rel.count())
   }
+
+  test("rollback restores a version O(1), survives vacuum, is re-rollbackable") {
+    val base = Files.createTempDirectory("graft-versioned-rb").toString
+    Versioned.commitFull(spark, base, rel, "event_date")
+    val upd = rel.filter(col("event_date") === "2024-01-05")
+      .withColumn("value", col("value") + 1.0)
+    val v1 = Versioned.commitUpsert(spark, base, upd, Seq("event_id"), "event_date")
+
+    val filesBefore = Files.walk(java.nio.file.Paths.get(base, "files"))
+      .iterator()
+    val countBefore = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(filesBefore).asScala.size
+    val v2 = Versioned.rollback(base, 0)
+    assert(v2 == v1 + 1)
+    // O(1): the rollback wrote NO data files — only a manifest
+    val filesAfter = Files.walk(java.nio.file.Paths.get(base, "files"))
+      .iterator()
+    val countAfter = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(filesAfter).asScala.size
+    assert(countAfter == countBefore,
+      s"rollback touched data files: $countBefore -> $countAfter")
+    // content identical to v0, entry list verbatim
+    assert(Versioned.readManifest(base, v2).entries ==
+      Versioned.readManifest(base, 0).entries)
+    val d0 = Versioned.read(spark, base, 0).orderBy("event_id")
+      .collect().toSeq
+    assert(Versioned.read(spark, base, v2).orderBy("event_id")
+      .collect().toSeq == d0)
+
+    // rolling back the rollback restores v1
+    val v3 = Versioned.rollback(base, v1)
+    assert(Versioned.readManifest(base, v3).entries ==
+      Versioned.readManifest(base, v1).entries)
+
+    // vacuum keeping only the latest (a v1-content rollback) must keep the
+    // restored files alive — liveness comes from surviving manifests
+    Versioned.vacuum(base, keepFrom = v3)
+    assert(Versioned.read(spark, base, v3).count() == rel.count())
+    intercept[IllegalArgumentException](Versioned.rollback(base, v3)) // no-op target
+  }
 }
