@@ -30,6 +30,12 @@ object SparkEntry {
 
   private val one = lit(1).cast(DecimalType(3, 2))
 
+  /** Query vocabulary for the retrieval-eval rows (`ext_search_mrr`,
+    * `ext_search_ndcg`) — shared verbatim by the Spark queries and the
+    * DuckDB oracle replays. */
+  private val evalTerms = Seq(
+    "spark", "table", "merge", "window", "hash", "scan", "sort", "batch")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- headline analytics (bench) ------------------------------------
@@ -2524,6 +2530,91 @@ object SparkEntry {
           "cand_pairs - tp AS false_positives",
           "tp * 10000 div cand_pairs AS precision_bp",
           "tp * 10000 div truth_pairs AS recall_bp")
+    }),
+
+    // ---- evaluation-metrics tier ([[graft.operators.Eval]]): grade the
+    // classifiers and retrievers a curation pipeline runs. All metrics
+    // are exact-integer assembled; doubles appear only in one final
+    // mirrored division or an ordered literal-weight fold. ----
+
+    // exact ROC-AUC per user segment — can the spend amount rank
+    // purchases above other events? Mann-Whitney over a
+    // (segment, floor(value)) histogram: the one shuffle carries a row
+    // per distinct integer score (never the raw events), ties count
+    // half, and everything stays long until the single division
+    "ext_auc" -> ((s, dir) =>
+      graft.operators.Eval.aucByGroup(Tables.events(s, dir),
+          pmod(col("user_id"), lit(4L)),
+          floor(col("value")),
+          col("event_type") === "purchase")
+        .orderBy(col("segment"))),
+
+    // confusion-matrix suite for the rule classifier "value >= 150 means
+    // purchase": tp/fp/fn/tn plus precision/recall/F1/accuracy/Cohen's
+    // kappa in ONE combinable aggregate; kappa's n-squared products widen
+    // through decimal(18,0) so they stay exact at any corpus size and
+    // inside both engines' 38-digit decimal ceiling
+    "ext_eval_confusion" -> ((s, dir) =>
+      graft.operators.Eval.confusion(Tables.events(s, dir),
+        col("event_type") === "purchase", col("value") >= 150.0)),
+
+    // retrieval eval, MRR@10: the tf retriever's ranked run
+    // ([[graft.operators.Eval.rankedRun]] — inverted-index shape, tf
+    // counted in one pass, bounded-heap top-k so the shuffle carries at
+    // most 10 candidates per term per task) graded against "an English
+    // doc is relevant". Reciprocal ranks stay integer via the LCM trick
+    // (2520 div rank is exact for rank <= 10), so each per-query rr and
+    // the corpus MRR are single divisions of longs.
+    "ext_search_mrr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val run = graft.operators.Eval.rankedRun(
+        docs, col("text"), col("doc_id"), evalTerms, k = 10)
+      val rel = run.join(
+        docs.select(col("doc_id"), (col("lang") === "en").as("is_rel")),
+        Seq("doc_id"))
+      val firsts = rel.filter(col("is_rel"))
+        .groupBy(col("query")).agg(min(col("rank")).as("first_rank"))
+      val perQ = rel.select(col("query")).distinct()
+        .join(firsts, Seq("query"), "left")
+        .withColumn("rr_num", when(col("first_rank").isNull, 0L)
+          .otherwise(expr("2520 div first_rank")))
+        .select(col("query"), coalesce(col("first_rank"), lit(0L)).as("first_rank"),
+          (col("rr_num").cast("double") / lit(2520.0)).as("rr"), col("rr_num"))
+      val all = perQ.agg(sum(col("rr_num")).as("num"))
+        .select(lit("*all*").as("query"), lit(0L).as("first_rank"),
+          (col("num").cast("double") / lit(2520.0 * evalTerms.size)).as("rr"),
+          col("num").as("rr_num"))
+      perQ.unionByName(all).orderBy(col("query"))
+    }),
+
+    // retrieval eval, NDCG@10 with graded relevance (en=2, de=1, else
+    // 0): DCG and ideal DCG are ordered left folds of rel x literal
+    // 1/log2(rank+1) weights ([[graft.operators.Eval.dcgFold]] — the
+    // weights are computed ONCE driver-side and fed to both engines as
+    // string-cast double literals), so even the doubles hash-match; the
+    // final ndcg is one division
+    "ext_search_ndcg" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val k = 10
+      val run = graft.operators.Eval.rankedRun(
+        docs, col("text"), col("doc_id"), evalTerms, k)
+      run.join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 2).when(col("lang") === "de", 1)
+            .otherwise(0).as("grel")), Seq("doc_id"))
+        .groupBy(col("query"))
+        .agg(sort_array(collect_list(struct(col("rank"), col("grel"))))
+          .as("hits"))
+        .select(col("query"),
+          concat(transform(col("hits"), h => h.getField("grel")),
+            array_repeat(lit(0),
+              (lit(k) - size(col("hits"))).cast("int"))).as("rels"))
+        .select(col("query"),
+          graft.operators.Eval.dcgFold(col("rels"), k).as("dcg"),
+          graft.operators.Eval.dcgFold(
+            sort_array(col("rels"), asc = false), k).as("idcg"))
+        .withColumn("ndcg",
+          when(col("idcg") > 0.0, col("dcg") / col("idcg")).otherwise(0.0))
+        .orderBy(col("query"))
     }),
 
     // PMI collocation mining: top-50 bigrams by pointwise mutual
@@ -7203,6 +7294,112 @@ object SparkEntry {
         |  tp * 10000 // cand_pairs AS precision_bp,
         |  tp * 10000 // truth_pairs AS recall_bp
         |FROM c""".stripMargin,
+
+    // the same histogram Mann-Whitney: positives beat negatives scored
+    // strictly below plus half the ties; longs until the one division
+    "ext_auc" ->
+      """WITH h AS (SELECT user_id % 4 AS segment,
+        |    CAST(floor(value) AS BIGINT) AS s,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS neg
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT segment, pos, neg,
+        |    COALESCE(sum(neg) OVER (PARTITION BY segment ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |  FROM h)
+        |SELECT segment, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(neg) AS BIGINT) AS n_neg,
+        |  CAST(sum(pos * (neg_below * 2 + neg)) AS BIGINT) AS auc_num2,
+        |  CAST(sum(pos * (neg_below * 2 + neg)) AS DOUBLE) /
+        |    CAST(sum(pos) * sum(neg) * 2 AS DOUBLE) AS auc
+        |FROM c GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // same counts, same single-division metric assembly; kappa's products
+    // replay the decimal(18,0) widening
+    "ext_eval_confusion" ->
+      """WITH c AS (SELECT
+        |  CAST(sum(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN event_type <> 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(sum(CASE WHEN event_type <> 'purchase' AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM events)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+        |  CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1,
+        |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
+        |  CAST((CAST(tp AS DECIMAL(18,0)) * CAST(tn AS DECIMAL(18,0)) -
+        |        CAST(fp AS DECIMAL(18,0)) * CAST(fn AS DECIMAL(18,0)))
+        |       * 2::DECIMAL(1,0) AS DOUBLE) /
+        |  CAST((CAST(tp AS DECIMAL(18,0)) + CAST(fp AS DECIMAL(18,0))) *
+        |       (CAST(fp AS DECIMAL(18,0)) + CAST(tn AS DECIMAL(18,0))) +
+        |       (CAST(tp AS DECIMAL(18,0)) + CAST(fn AS DECIMAL(18,0))) *
+        |       (CAST(fn AS DECIMAL(18,0)) + CAST(tn AS DECIMAL(18,0)))
+        |       AS DOUBLE) AS kappa
+        |FROM c""".stripMargin,
+
+    // the ranked run replayed as the window idiom the bounded-heap
+    // aggregate is value-identical to; MRR via the same 2520 LCM trick
+    "ext_search_mrr" -> {
+      val inList = evalTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT t.tok AS query, d.doc_id, d.lang,
+         |    count(*) AS tf
+         |  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+         |  WHERE t.tok IN ($inList) GROUP BY 1, 2, 3),
+         |top AS (SELECT * FROM (SELECT query, doc_id, lang,
+         |    row_number() OVER (PARTITION BY query
+         |      ORDER BY tf DESC, doc_id ASC) AS rank
+         |  FROM toks) WHERE rank <= 10),
+         |firsts AS (SELECT query, min(rank) AS first_rank FROM top
+         |  WHERE lang = 'en' GROUP BY 1),
+         |perq AS (SELECT q.query, COALESCE(f.first_rank, 0) AS first_rank,
+         |    CASE WHEN f.first_rank IS NULL THEN 0
+         |      ELSE 2520 // f.first_rank END AS rr_num
+         |  FROM (SELECT DISTINCT query FROM top) q
+         |  LEFT JOIN firsts f USING (query))
+         |SELECT query, first_rank,
+         |  CAST(rr_num AS DOUBLE) / '2520.0'::DOUBLE AS rr,
+         |  CAST(rr_num AS BIGINT) AS rr_num FROM perq
+         |UNION ALL
+         |SELECT '*all*', 0,
+         |  CAST(sum(rr_num) AS DOUBLE) / '${2520.0 * evalTerms.size}'::DOUBLE,
+         |  CAST(sum(rr_num) AS BIGINT) FROM perq
+         |ORDER BY query""".stripMargin
+    },
+
+    // the same folds over the same string-cast double weights, replayed
+    // with list_reduce (left fold, zero prepended — exactly Spark's
+    // aggregate(..., 0.0, +)); rank-padded to 10 with zero relevance
+    "ext_search_ndcg" -> {
+      val inList = evalTerms.map(t => s"'$t'").mkString(", ")
+      val w = graft.operators.Eval.dcgWeights(10)
+        .map(x => s"'$x'::DOUBLE").mkString("[", ", ", "]")
+      s"""WITH toks AS (SELECT t.tok AS query, d.doc_id, d.lang,
+         |    count(*) AS tf
+         |  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+         |  WHERE t.tok IN ($inList) GROUP BY 1, 2, 3),
+         |top AS (SELECT * FROM (SELECT query, doc_id, lang,
+         |    row_number() OVER (PARTITION BY query
+         |      ORDER BY tf DESC, doc_id ASC) AS rank
+         |  FROM toks) WHERE rank <= 10),
+         |g AS (SELECT query, rank,
+         |    CASE WHEN lang = 'en' THEN 2 WHEN lang = 'de' THEN 1
+         |      ELSE 0 END AS grel FROM top),
+         |lists AS (SELECT query,
+         |    list_resize(list(grel ORDER BY rank), 10, 0) AS rels
+         |  FROM g GROUP BY 1),
+         |folded AS (SELECT query,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(rels, (x, i) -> x * ($w)[i])),
+         |      (a, b) -> a + b) AS dcg,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(list_reverse_sort(rels), (x, i) -> x * ($w)[i])),
+         |      (a, b) -> a + b) AS idcg
+         |  FROM lists)
+         |SELECT query, dcg, idcg,
+         |  CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0::DOUBLE END AS ndcg
+         |FROM folded ORDER BY query""".stripMargin
+    },
 
     "ext_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id,
