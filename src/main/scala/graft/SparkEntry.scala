@@ -36,6 +36,32 @@ object SparkEntry {
   private val evalTerms = Seq(
     "spark", "table", "merge", "window", "hash", "scan", "sort", "batch")
 
+  /** Shared oracle for `ext_eval_confusion` and its streaming twin
+    * `stream_eval_confusion` (complete-mode counters finalize to the same
+    * counts): same single-division metric assembly; kappa's products
+    * replay the decimal(18,0) widening. */
+  private val evalConfusionSql =
+    """WITH c AS (SELECT
+      |  CAST(sum(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |  CAST(sum(CASE WHEN event_type <> 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |  CAST(sum(CASE WHEN event_type <> 'purchase' AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM events)
+      |SELECT tp, fp, fn, tn,
+      |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+      |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+      |  CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1,
+      |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
+      |  CAST((CAST(tp AS DECIMAL(18,0)) * CAST(tn AS DECIMAL(18,0)) -
+      |        CAST(fp AS DECIMAL(18,0)) * CAST(fn AS DECIMAL(18,0)))
+      |       * 2::DECIMAL(1,0) AS DOUBLE) /
+      |  CAST((CAST(tp AS DECIMAL(18,0)) + CAST(fp AS DECIMAL(18,0))) *
+      |       (CAST(fp AS DECIMAL(18,0)) + CAST(tn AS DECIMAL(18,0))) +
+      |       (CAST(tp AS DECIMAL(18,0)) + CAST(fn AS DECIMAL(18,0))) *
+      |       (CAST(fn AS DECIMAL(18,0)) + CAST(tn AS DECIMAL(18,0)))
+      |       AS DOUBLE) AS kappa
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- headline analytics (bench) ------------------------------------
@@ -2558,6 +2584,23 @@ object SparkEntry {
       graft.operators.Eval.confusion(Tables.events(s, dir),
         col("event_type") === "purchase", col("value") >= 150.0)),
 
+    // calibration reliability table for the same score: ten equal-width
+    // confidence bins, per-bin exact counts, observed accuracy and
+    // |claimed - observed| gap — the table an ECE sums. Shuffle carries
+    // ten rows; every double is one mirrored division (or abs of their
+    // difference) of exact longs.
+    "ext_calibration" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(floor(col("value") / 50.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_pos"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          ((col("bin").cast("double") + 0.5) / 10.0).as("conf"),
+          (col("n_pos").cast("double") / col("n").cast("double")).as("acc"))
+        .withColumn("gap", abs(col("conf") - col("acc")))
+        .orderBy(col("bin"))),
+
     // retrieval eval, MRR@10: the tf retriever's ranked run
     // ([[graft.operators.Eval.rankedRun]] — inverted-index shape, tf
     // counted in one pass, bounded-heap top-k so the shuffle carries at
@@ -3319,6 +3362,12 @@ object SparkEntry {
     // fractional (~90% / ~33%), so the ratios discriminate.
     "stream_quality_monitor" -> ((s, dir) => streamQualityMonitor(s)),
 
+    // streaming confusion suite: the classifier eval as a complete-mode
+    // global aggregation over micro-batches — four additive longs of
+    // state regardless of stream length, metrics projected after
+    // finalization; must equal the batch suite (same oracle)
+    "stream_eval_confusion" -> ((s, dir) => streamEvalConfusion(s, dir)),
+
     // streaming incremental near-dup: new documents arrive in micro-batches
     // and dedup against the PERSISTED band index, which then absorbs each
     // batch's bands — the full production loop (screen the delta, grow the
@@ -3615,6 +3664,38 @@ object SparkEntry {
   /** The streaming-quality run behind `stream_quality_monitor`: four
     * additive counters over the whole transaction stream in complete
     * mode; the final counter row unfolds into per-check metric rows. */
+  /** The streaming run behind `stream_eval_confusion`: the events table
+    * fed in four micro-batches, the confusion counters maintained as ONE
+    * complete-mode global aggregation (state = four additive longs,
+    * bounded by construction at any stream length); the derived metrics
+    * project AFTER finalization ([[graft.operators.Eval.metricsFromCounts]]),
+    * so the finished relation must equal the batch suite over the same
+    * rows — same oracle as `ext_eval_confusion`. */
+  private def streamEvalConfusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val ms = MemoryStream[(String, Double)]
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val label = col("event_type") === "purchase"
+    val pred = col("value") >= 150.0
+    val counters = ms.toDF().toDF("event_type", "value").agg(
+      cnt(label && pred).as("tp"), cnt(!label && pred).as("fp"),
+      cnt(label && !pred).as("fn"), cnt(!label && !pred).as("tn"))
+    val q = counters.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_eval_confusion_t")
+      .option("checkpointLocation", tempCkpt()).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4))
+        .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    graft.operators.Eval.metricsFromCounts(s.table("stream_eval_confusion_t"))
+  }
+
   private def streamQualityMonitor(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = s.sqlContext
@@ -7314,29 +7395,24 @@ object SparkEntry {
         |    CAST(sum(pos) * sum(neg) * 2 AS DOUBLE) AS auc
         |FROM c GROUP BY segment ORDER BY segment""".stripMargin,
 
-    // same counts, same single-division metric assembly; kappa's products
-    // replay the decimal(18,0) widening
-    "ext_eval_confusion" ->
-      """WITH c AS (SELECT
-        |  CAST(sum(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-        |  CAST(sum(CASE WHEN event_type <> 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-        |  CAST(sum(CASE WHEN event_type <> 'purchase' AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS tn
-        |  FROM events)
-        |SELECT tp, fp, fn, tn,
-        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
-        |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
-        |  CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1,
-        |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
-        |  CAST((CAST(tp AS DECIMAL(18,0)) * CAST(tn AS DECIMAL(18,0)) -
-        |        CAST(fp AS DECIMAL(18,0)) * CAST(fn AS DECIMAL(18,0)))
-        |       * 2::DECIMAL(1,0) AS DOUBLE) /
-        |  CAST((CAST(tp AS DECIMAL(18,0)) + CAST(fp AS DECIMAL(18,0))) *
-        |       (CAST(fp AS DECIMAL(18,0)) + CAST(tn AS DECIMAL(18,0))) +
-        |       (CAST(tp AS DECIMAL(18,0)) + CAST(fn AS DECIMAL(18,0))) *
-        |       (CAST(fn AS DECIMAL(18,0)) + CAST(tn AS DECIMAL(18,0)))
-        |       AS DOUBLE) AS kappa
-        |FROM c""".stripMargin,
+    "ext_eval_confusion" -> evalConfusionSql,
+
+    // the complete-mode counters finalize to the batch counts exactly
+    "stream_eval_confusion" -> evalConfusionSql,
+
+    // same bins, same exact counts, same mirrored divisions
+    "ext_calibration" ->
+      """WITH b AS (SELECT CAST(floor(value / '50.0'::DOUBLE) AS BIGINT) AS bin,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos
+        |  FROM events GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  (CAST(bin AS DOUBLE) + '0.5'::DOUBLE) / '10.0'::DOUBLE AS conf,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+        |  abs((CAST(bin AS DOUBLE) + '0.5'::DOUBLE) / '10.0'::DOUBLE -
+        |      CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+        |FROM b ORDER BY bin""".stripMargin,
 
     // the ranked run replayed as the window idiom the bounded-heap
     // aggregate is value-identical to; MRR via the same 2520 LCM trick

@@ -60,10 +60,17 @@ object Eval {
     */
   def confusion(rows: DataFrame, label: Column, pred: Column): DataFrame = {
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-    def dec(c: Column) = c.cast("decimal(18,0)")
-    val counted = rows.agg(
+    metricsFromCounts(rows.agg(
       cnt(label && pred).as("tp"), cnt(!label && pred).as("fp"),
-      cnt(label && !pred).as("fn"), cnt(!label && !pred).as("tn"))
+      cnt(label && !pred).as("fn"), cnt(!label && !pred).as("tn")))
+  }
+
+  /** The metric suite derived from an already-counted (tp, fp, fn, tn)
+    * row — split out so the streaming twin can maintain the four counts
+    * in complete mode (additive longs, state bounded by construction) and
+    * project the metrics only after finalization. */
+  def metricsFromCounts(counted: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(18,0)")
     val Seq(tp, fp, fn, tn) = Seq("tp", "fp", "fn", "tn").map(col)
     val kNum = (dec(tp) * dec(tn) - dec(fp) * dec(fn)) * 2
     val kDen = (dec(tp) + dec(fp)) * (dec(fp) + dec(tn)) +
