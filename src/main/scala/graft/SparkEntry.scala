@@ -2677,6 +2677,16 @@ object SparkEntry {
           Tables.embeddings(s, dir), k = 8, iters = 3)
         .orderBy(col("vec_id"))),
 
+    // cluster-quality eval over the SAME trained clustering: simplified
+    // (centroid-based) silhouette — a = d² to the own centroid, b = d² to
+    // the nearest other, s = (b−a)/max(a,b) — no all-pairs stage, exact
+    // longs until the one division; the oracle re-trains the identical
+    // Lloyd iterations and ranks the same k distances per point
+    "ext_silhouette" -> ((s, dir) =>
+      graft.operators.Similarity.silhouetteSimplified(
+          Tables.embeddings(s, dir), k = 8, iters = 3)
+        .orderBy(col("vec_id"))),
+
     // EXACT set-similarity join via prefix filtering (PPJoin family): the
     // same Jaccard >= 0.3 pair set as an all-pairs exact join — no LSH
     // false negatives — with candidates from a rarest-token prefix
@@ -5000,7 +5010,10 @@ object SparkEntry {
     * arithmetic to [[graft.operators.Similarity.kmeansFixedPoint]]
     * (floor quantization, d2/cid argmin ties, `//` = Spark `div` both
     * truncate toward zero). */
-  private lazy val kmeansOracleSql: String = {
+  /** The Lloyd-iteration CTE prefix shared by the kmeans oracle and the
+    * silhouette oracle: quantized points `pts` and trained centroids
+    * `c3`. */
+  private lazy val kmeansCtes: String = {
     val pre =
       """WITH pts AS (SELECT vec_id AS id,
         |  [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT) for x in embedding] AS v
@@ -5024,7 +5037,11 @@ object SparkEntry {
          |c$i AS (SELECT c.cid, coalesce(u.nxt, c.cv) AS cv
          |  FROM c${i - 1} c LEFT JOIN u$i u ON c.cid = u.cid)""".stripMargin
     }.mkString
-    pre + its +
+    pre + its
+  }
+
+  private lazy val kmeansOracleSql: String =
+    kmeansCtes +
       """
         |SELECT id AS vec_id, cid AS cluster, d2 AS dist2 FROM (
         |  SELECT p.id, c.cid,
@@ -5033,7 +5050,26 @@ object SparkEntry {
         |  FROM pts p CROSS JOIN c3 c)
         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cid) = 1
         |ORDER BY vec_id""".stripMargin
-  }
+
+  /** The silhouette tail over the same trained centroids: rank the k
+    * squared distances per point; rn=1 is the own cluster (the trainer's
+    * argmin), rn=2 the nearest other; one division assembles s. */
+  private lazy val silhouetteOracleSql: String =
+    kmeansCtes +
+      """,
+        |d AS (SELECT p.id, c.cid,
+        |    CAST(list_sum([(p.v[j]-c.cv[j])*(p.v[j]-c.cv[j])
+        |      for j in generate_series(1, len(p.v))]) AS BIGINT) AS d2
+        |  FROM pts p CROSS JOIN c3 c),
+        |r AS (SELECT id, cid, d2,
+        |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+        |  FROM d)
+        |SELECT a.id AS vec_id, a.cid AS cluster, a.d2 AS a2, b.d2 AS b2,
+        |  CASE WHEN greatest(a.d2, b.d2) = 0 THEN 0.0::DOUBLE
+        |    ELSE CAST(b.d2 - a.d2 AS DOUBLE) /
+        |         CAST(greatest(a.d2, b.d2) AS DOUBLE) END AS sil
+        |FROM r a JOIN r b ON a.id = b.id AND a.rn = 1 AND b.rn = 2
+        |ORDER BY vec_id""".stripMargin
 
   /** The exact-trained IVF replay shared by `ext_knn_ivf` and
     * `ext_knn_ivf_recall`: quantized training sample in deterministic
@@ -5314,6 +5350,7 @@ object SparkEntry {
     "x57_shortest_path" -> shortestPathOracleSql,
 
     "ext_kmeans_fp" -> kmeansOracleSql,
+    "ext_silhouette" -> silhouetteOracleSql,
 
     "x36_kcore" -> kCoreOracleSql,
 

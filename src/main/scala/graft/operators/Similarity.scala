@@ -1236,6 +1236,57 @@ object Similarity {
       embCol: String = "embedding",
       idCol: String = "vec_id",
       scale: Long = 65536L): DataFrame = {
+    val (_, cents, assign) =
+      kmeansState(df, k, iters, embCol, idCol, scale)
+    assign(cents).select(col("id").as(idCol), col("cluster"), col("dist2"))
+  }
+
+  /** Simplified silhouette over the fixed-point k-means clustering: per
+    * point, a = squared distance to its OWN (nearest) centroid, b = the
+    * squared distance to the nearest OTHER centroid, s = (b−a)/max(a,b) —
+    * the centroid-based variant (Hruschka et al.) that needs no all-pairs
+    * stage, so it scales exactly like the assignment itself: broadcast
+    * centroids, one shuffle of k rows per point, and every term an exact
+    * long until the single division (ties and degenerate max(a,b)=0
+    * resolved deterministically). The cluster-quality companion to the
+    * classifier/retrieval metrics in [[Eval]]. */
+  def silhouetteSimplified(
+      df: DataFrame,
+      k: Int = 8,
+      iters: Int = 3,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      scale: Long = 65536L): DataFrame = {
+    val (pts, cents, _) = kmeansState(df, k, iters, embCol, idCol, scale)
+    val dist2 = aggregate(zip_with(col("v"), col("cv"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    // the k (d2, cid) pairs per point, ascending: [0] is the own-cluster
+    // assignment (same deterministic argmin as kmeansFixedPoint), [1] the
+    // nearest other cluster. collect_list is bounded by k by construction.
+    pts.crossJoin(broadcast(cents))
+      .select(col("id"), dist2.as("d2"), col("cid"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("d2"), col("cid")))).as("arr"))
+      .select(col("id").as(idCol),
+        col("arr").getItem(0).getField("cid").as("cluster"),
+        col("arr").getItem(0).getField("d2").as("a2"),
+        col("arr").getItem(1).getField("d2").as("b2"))
+      .withColumn("sil",
+        when(greatest(col("a2"), col("b2")) === 0L, lit(0.0))
+          .otherwise((col("b2") - col("a2")).cast("double") /
+            greatest(col("a2"), col("b2")).cast("double")))
+  }
+
+  /** The quantized points, trained centroids, and deterministic assigner
+    * behind [[kmeansFixedPoint]] — shared with [[silhouetteSimplified]] so
+    * the eval scores exactly the clustering the trainer produced. */
+  private def kmeansState(
+      df: DataFrame,
+      k: Int,
+      iters: Int,
+      embCol: String,
+      idCol: String,
+      scale: Long): (DataFrame, DataFrame, DataFrame => DataFrame) = {
     require(k >= 1 && iters >= 1, s"bad params k=$k iters=$iters")
     require(scale > 0 && (scale & (scale - 1)) == 0,
       s"scale must be a power of two for exact quantization, got $scale")
@@ -1277,6 +1328,6 @@ object Similarity {
         cents.join(upd, Seq("cid"), "left_outer")
           .select(col("cid"), coalesce(col("next"), col("cv")).as("cv")))
     }
-    assign(cents).select(col("id").as(idCol), col("cluster"), col("dist2"))
+    (pts, cents, assign)
   }
 }

@@ -32,6 +32,31 @@ class KmeansSpec extends SparkSpec {
       "assignment depends on partitioning")
   }
 
+  test("silhouette: agrees with the trainer's assignment, bounded, separable blobs score high") {
+    val sil = Similarity.silhouetteSimplified(twoBlobs, k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val km = Similarity.kmeansFixedPoint(twoBlobs, k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    // own cluster and a2 are EXACTLY the trainer's assignment and dist2
+    km.foreach { case (id, (cl, d2)) =>
+      assert(sil(id)._1 == cl && sil(id)._2 == d2, s"id $id drifted") }
+    // b >= a by construction; s in [0, 1] here and near 1 on tight blobs
+    sil.values.foreach { case (_, a2, b2, s) =>
+      assert(b2 >= a2 && s >= 0.0 && s <= 1.0)
+      assert(s > 0.9, s"tight separable blobs scored s=$s") }
+  }
+
+  test("silhouette: a point sitting ON its centroid with b=0 too scores 0, not NaN") {
+    // two identical points seed two centroids at the same location:
+    // a2 = b2 = 0 for both -> the max(a,b)=0 guard must yield 0.0
+    val dup = Seq(
+      (1L, Seq(0.5f, 0.5f)), (2L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val s = Similarity.silhouetteSimplified(dup, k = 2, iters = 1)
+      .select("sil").as[Double].collect()
+    assert(s.forall(_ == 0.0), s"degenerate silhouette: ${s.toSeq}")
+  }
+
   test("an emptied cluster keeps its previous centroid (no crash, no vanishing k)") {
     // k=3 over the two blobs: the centroid seeded on vec 3 (same blob as
     // vec 1) loses all points to centroid 0 after one update; later
