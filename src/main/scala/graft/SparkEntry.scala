@@ -2584,6 +2584,20 @@ object SparkEntry {
       graft.operators.Eval.confusion(Tables.events(s, dir),
         col("event_type") === "purchase", col("value") >= 150.0)),
 
+    // multi-touch attribution ([[graft.operators.Funnel.attributionEven]]):
+    // each purchase's value split in exact integer cents across the
+    // user's clicks in a 3-day lookback, remainder to the first touch —
+    // per conversion the credits sum to the conversion exactly (books
+    // balance at any rollup), which a float 1/n split cannot guarantee.
+    // The pair stage is the interval-join shape: equi-join on user plus a
+    // time-range residual.
+    "ext_attribution" -> ((s, dir) =>
+      graft.operators.Funnel.attributionEven(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id", "value",
+          convType = "purchase", touchType = "click",
+          windowSec = 3L * 86400L)
+        .orderBy(col("conv_id"), col("touch_rank"))),
+
     // calibration reliability table for the same score: ten equal-width
     // confidence bins, per-bin exact counts, observed accuracy and
     // |claimed - observed| gap — the table an ECE sums. Shuffle carries
@@ -7436,6 +7450,28 @@ object SparkEntry {
 
     // the complete-mode counters finalize to the batch counts exactly
     "stream_eval_confusion" -> evalConfusionSql,
+
+    // the same even split replayed: integer floor division, remainder to
+    // the rank-1 touch
+    "ext_attribution" ->
+      """WITH conv AS (SELECT user_id AS u, event_id AS conv_id, ts AS cts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS conv_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id AS u, event_id AS touch_id, ts AS tts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT c.conv_id, c.u, t.touch_id, c.conv_cents,
+        |    row_number() OVER (PARTITION BY c.conv_id
+        |      ORDER BY t.tts, t.touch_id) AS touch_rank,
+        |    count(*) OVER (PARTITION BY c.conv_id) AS n_touches
+        |  FROM conv c JOIN touch t ON c.u = t.u
+        |    AND t.tts <= c.cts
+        |    AND t.tts >= c.cts - INTERVAL 259200 SECOND)
+        |SELECT conv_id, u, touch_id, touch_rank,
+        |  CAST(n_touches AS BIGINT) AS n_touches,
+        |  conv_cents // n_touches +
+        |    CASE WHEN touch_rank = 1 THEN conv_cents % n_touches
+        |      ELSE 0 END AS credit_cents
+        |FROM p ORDER BY conv_id, touch_rank""".stripMargin,
 
     // same bins, same exact counts, same mirrored divisions
     "ext_calibration" ->

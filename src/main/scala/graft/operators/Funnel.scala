@@ -184,4 +184,52 @@ object Funnel {
       .drop("from_total")
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** Multi-touch attribution: each conversion's value is split EVENLY (in
+    * integer cents) across every touch event by the same user inside the
+    * preceding `windowSec` lookback, the division remainder going to the
+    * FIRST touch — so per conversion the credits sum to the conversion's
+    * cents exactly, and the books balance at any aggregation level (the
+    * property a float 1/n split cannot give). Complements the last-touch
+    * as-of attribution (`x1_asof_attribution`): there the newest touch
+    * takes all, here every touch in the window shares.
+    *
+    * Returns one row per (conversion, touch):
+    * `(conv_id, u, touch_id, touch_rank, n_touches, credit_cents)`.
+    *
+    * 100 TB shape: the two sides are filtered to their event types AT THE
+    * SCAN, the pair join is an equi-join on user plus a time-range
+    * residual (the stream-stream interval-join shape — state bounded by
+    * the lookback window), and the per-conversion rank/count windows run
+    * over touch groups sized by the window, never the log.
+    */
+  def attributionEven(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      idCol: String, valueCol: String, convType: String, touchType: String,
+      windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"lookback must be positive, got $windowSec")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), col(idCol).as("conv_id"),
+        col(tsCol).cast("timestamp").as("cts"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+          .as("conv_cents"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("u"), col(idCol).as("touch_id"),
+        col(tsCol).cast("timestamp").as("tts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("tts"), col("touch_id"))
+    conv.join(touch, Seq("u"))
+      .filter(col("tts") <= col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL $windowSec SECOND"))
+      .withColumn("touch_rank", row_number().over(w))
+      .withColumn("n_touches",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("conv_id"))))
+      .withColumn("credit_cents",
+        expr("conv_cents DIV n_touches") +
+          when(col("touch_rank") === 1,
+            expr("conv_cents % n_touches")).otherwise(0L))
+      .select(col("conv_id"), col("u"), col("touch_id"), col("touch_rank"),
+        col("n_touches"), col("credit_cents"))
+  }
 }

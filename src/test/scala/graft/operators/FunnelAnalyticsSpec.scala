@@ -64,6 +64,29 @@ class FunnelAnalyticsSpec extends SparkSpec {
       s"got $rt")
   }
 
+  test("attributionEven: books balance per conversion, remainder to first touch, window bound") {
+    // user 1: purchase of 1.00 (100 cents) at t=1000 with three clicks in
+    // window -> 34/33/33; one click at t=500 is outside the 300 s lookback
+    // and one at t=1001 is after the conversion. user 2: no clicks -> the
+    // purchase yields no credit rows.
+    val ev = Seq(
+      (10L, 1L, "click", 500L, 0.0), (11L, 1L, "click", 800L, 0.0),
+      (12L, 1L, "click", 900L, 0.0), (13L, 1L, "click", 950L, 0.0),
+      (14L, 1L, "purchase", 1000L, 1.00), (15L, 1L, "click", 1001L, 0.0),
+      (16L, 2L, "purchase", 1000L, 5.00)
+    ).toDF("event_id", "user_id", "event_type", "epoch", "value")
+      .withColumn("ts", col("epoch").cast("timestamp"))
+    val credits = Funnel.attributionEven(ev, "user_id", "event_type", "ts",
+      "event_id", "value", "purchase", "click", windowSec = 300L)
+      .orderBy("conv_id", "touch_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(credits.toSeq == Seq(
+      (14L, 11L, 1, 3L, 34L), (14L, 12L, 2, 3L, 33L), (14L, 13L, 3, 3L, 33L)))
+    // the invariant the float split cannot give: credits sum EXACTLY
+    assert(credits.map(_._5).sum == 100L)
+  }
+
   test("shortestPaths: cheaper multi-hop path beats the direct edge") {
     // seed 0: direct 0->3 costs 10, but 0->1->2->3 costs 3; the cheap
     // path needs 3 relaxation rounds to surface
