@@ -1353,6 +1353,41 @@ object SparkEntry {
       agg(2).unionByName(agg(v3))
     }),
 
+    // O(1) shallow clone, graded as DIVERGING branches: the source takes
+    // an upsert (v1) and is cloned; the CLONE then takes a keyed delete
+    // the source never sees. The graded read aggregates the source's
+    // latest (upsert applied, nothing deleted) against the clone's latest
+    // (upsert AND delete) — a write leaking across the shared immutable
+    // files shifts a daily total on the wrong branch and fails the hash.
+    "x64_clone" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft-clone-src-" +
+        math.abs(dir.hashCode)
+      val dst = sys.props("java.io.tmpdir") + "/graft-clone-dst-" +
+        math.abs(dir.hashCode)
+      deleteRecursively(base); deleteRecursively(dst)
+      val rel = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).cast("string").as("event_date"))
+      graft.operators.Versioned.commitFull(s, base, rel, "event_date")
+      val inWindow = col("event_date") >= "2024-01-05" &&
+        col("event_date") <= "2024-01-06"
+      graft.operators.Versioned.commitUpsert(s, base,
+        rel.filter(inWindow && col("event_id") % 2 === 0)
+          .withColumn("value", col("value") + 1000.0),
+        Seq("event_id"), "event_date")
+      graft.operators.Versioned.cloneTable(base, dst)
+      graft.operators.Versioned.commitDelete(s, dst,
+        rel.filter(col("event_date") === "2024-01-07" && col("event_id") % 3 === 0)
+          .select(col("event_id"), col("event_date")),
+        Seq("event_id"), "event_date")
+      def agg(tableDir: String, tag: Int) =
+        graft.operators.Versioned.read(s, tableDir)
+          .groupBy(col("event_date"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+          .withColumn("branch", lit(tag))
+      agg(base, 0).unionByName(agg(dst, 1))
+    }),
+
     // incremental MV maintenance + rewrite, graded end to end: the rollup
     // is built over only the first twenty days, the remaining days arrive
     // as a delta folded into the stored partials
@@ -6160,6 +6195,29 @@ object SparkEntry {
         |SELECT 'delete', event_id, event_type, value, ed, 1, 2 FROM d
         |WHERE ed = '2024-01-07' AND event_id % 3 = 0
         |ORDER BY vfrom, event_id""".stripMargin,
+
+    // branch 0 (source latest) = the upsert only; branch 1 (clone latest)
+    // = upsert AND the clone-side delete
+    "x64_clone" ->
+      """WITH d AS (SELECT event_id, event_type, value,
+        |    strftime(ts, '%Y-%m-%d') AS ed FROM events),
+        |upd AS (SELECT event_id, event_type, value + 1000 AS value, ed
+        |  FROM d WHERE ed BETWEEN '2024-01-05' AND '2024-01-06'
+        |    AND event_id % 2 = 0),
+        |keep AS (SELECT event_id, event_type, value, ed FROM d
+        |  WHERE NOT (ed BETWEEN '2024-01-05' AND '2024-01-06'
+        |    AND event_id % 2 = 0)),
+        |v1 AS (SELECT * FROM keep UNION ALL SELECT * FROM upd),
+        |dl AS (SELECT * FROM v1
+        |  WHERE NOT (ed = '2024-01-07' AND event_id % 3 = 0))
+        |SELECT ed AS event_date, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  0 AS branch
+        |FROM v1 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT ed, event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 1
+        |FROM dl GROUP BY 1, 2""".stripMargin,
 
     // v2 = upsert applied then the 01-07 thirds deleted; v3 (the rollback)
     // = the original relation verbatim

@@ -290,9 +290,16 @@ object Versioned {
       s"keepFrom $keepFrom outside [0, $latest]")
     val live = (keepFrom to latest)
       .flatMap(v => readManifest(dir, v).entries.map(_.path)).toSet
+    // foreign-file guard: a shallow [[cloneTable]] manifest names files
+    // under the SOURCE table's root — this table's vacuum must never
+    // delete another table's data, so only paths under our own root
+    // qualify as dead
+    val ownRoot = Paths.get(dir).toAbsolutePath.normalize
+    def own(p: String) =
+      Paths.get(p).toAbsolutePath.normalize.startsWith(ownRoot)
     val dead = (0 until keepFrom)
       .flatMap(v => readManifest(dir, v).entries.map(_.path))
-      .distinct.filterNot(live)
+      .distinct.filterNot(live).filter(own)
     // data files FIRST, manifests LAST: a crash mid-vacuum then leaves the
     // dead manifests still on disk naming the already-deleted files, and
     // RE-RUNNING vacuum(keepFrom) recomputes the same dead set and
@@ -312,6 +319,23 @@ object Versioned {
       Files.deleteIfExists(manifestDir(dir).resolve(s"v$v.json"))
     }
     dead
+  }
+
+  /** Shallow clone: a NEW table at `dstDir` whose v0 re-lists `version`'s
+    * entries verbatim — O(1) I/O at any table size (Delta's shallow-clone
+    * semantics). The clone SHARES the source's immutable files: commits to
+    * either table only ever add files under their own directory, so the
+    * branches diverge safely — but a [[vacuum]] on the SOURCE can delete
+    * files a clone still names (deep-copy or compact the clone first if
+    * the source's history must go). A vacuum on the CLONE never touches
+    * shared files: it only deletes files under its own root (the
+    * foreign-file guard in [[vacuum]]). */
+  def cloneTable(srcDir: String, dstDir: String, version: Int = -1): Int = {
+    require(latestVersion(dstDir) == -1, s"$dstDir already has commits")
+    val v = if (version < 0) latestVersion(srcDir) else version
+    require(v >= 0, s"$srcDir has no commits to clone")
+    writeManifest(dstDir, Manifest(0, readManifest(srcDir, v).entries))
+    0
   }
 
   /** Rollback commit: restore the table to the content of `toVersion` by

@@ -219,4 +219,33 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, base, v3).count() == rel.count())
     intercept[IllegalArgumentException](Versioned.rollback(base, v3)) // no-op target
   }
+
+  test("shallow clone: O(1), branches diverge, clone vacuum spares shared files") {
+    val src = Files.createTempDirectory("graft-clone-src").toString
+    val dst = Files.createTempDirectory("graft-clone-dst").toString
+    Versioned.commitFull(spark, src, rel, "event_date")
+    Versioned.cloneTable(src, dst)
+    // O(1): the clone wrote a manifest only — no data directory at all
+    assert(!Files.exists(java.nio.file.Paths.get(dst, "files")))
+    assert(Versioned.readManifest(dst, 0).entries ==
+      Versioned.readManifest(src, 0).entries)
+    assert(Versioned.read(spark, dst).count() == rel.count())
+
+    // diverge: delete one day on the CLONE; the source must not move
+    val day = rel.filter(col("event_date") === "2024-01-05")
+      .select(col("event_id"), col("event_date"))
+    val dv1 = Versioned.commitDelete(spark, dst, day, Seq("event_id"), "event_date")
+    assert(Versioned.read(spark, src).count() == rel.count())
+    assert(Versioned.read(spark, dst).count() ==
+      rel.count() - day.count())
+
+    // vacuum the clone down to its delete commit: the dropped v0 manifest
+    // names ONLY source-owned files — the foreign-file guard must delete
+    // nothing, and the source stays fully readable
+    val deleted = Versioned.vacuum(dst, keepFrom = dv1)
+    assert(deleted.isEmpty, s"clone vacuum deleted shared files: $deleted")
+    assert(Versioned.read(spark, src).count() == rel.count())
+    // cloning into a non-empty table fails loudly
+    intercept[IllegalArgumentException](Versioned.cloneTable(src, dst))
+  }
 }
