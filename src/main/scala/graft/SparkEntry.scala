@@ -2495,6 +2495,15 @@ object SparkEntry {
       graft.operators.Pii.kAnonymity(
         Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"), k = 5)),
 
+    // l-diversity audit over the same quasi-identifier: a big group whose
+    // members all share one account-balance band still leaks (homogeneity
+    // attack) — groups carrying fewer than 3 distinct sensitive bands are
+    // flagged even when k-anonymity passes them
+    "ext_l_diversity" -> ((s, dir) =>
+      graft.operators.Pii.lDiversity(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long"), l = 3)),
+
     "ext_pii_redact" -> ((s, dir) => {
       // deterministic synthetic PII is appended per doc (the corpus itself
       // is clean), then counted and scrubbed; the oracle regenerates the
@@ -7358,6 +7367,14 @@ object SparkEntry {
     "ext_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
         |  count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "ext_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / '1000.0'::DOUBLE)
+        |    AS BIGINT)) AS BIGINT) AS distinct_sensitive,
+        |  count(DISTINCT CAST(floor(c_acctbal / '1000.0'::DOUBLE)
+        |    AS BIGINT)) < 3 AS at_risk
         |FROM customer GROUP BY 1, 2""".stripMargin,
 
     "ext_pii_redact" -> {

@@ -54,4 +54,21 @@ object Pii {
       .agg(count(lit(1)).as("group_size"))
       .withColumn("at_risk", col("group_size") < k)
   }
+
+  /** l-diversity audit — the attack k-anonymity misses: a group can be
+    * large yet leak because every member shares ONE sensitive value
+    * (homogeneity attack). A quasi-identifier group is l-diverse when it
+    * carries at least `l` DISTINCT sensitive values; groups below are
+    * flagged. One grouped distinct aggregate: the shuffle carries
+    * (QI, sensitive) pairs — bounded by the QI x sensitive cross
+    * cardinality, never the row count. */
+  def lDiversity(df: org.apache.spark.sql.DataFrame,
+      quasiIds: Seq[String], sensitive: org.apache.spark.sql.Column,
+      l: Int): org.apache.spark.sql.DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(sensitive).as("distinct_sensitive"))
+      .withColumn("at_risk", col("distinct_sensitive") < l)
+  }
 }
