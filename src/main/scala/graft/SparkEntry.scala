@@ -1710,6 +1710,40 @@ object SparkEntry {
           "aggregate(slice(cs, 2, size(cs)), cs[0], (acc, x) -> (acc + x) div 2) AS ewma_cents")
     }),
 
+    // Holt double-exponential smoothing (alpha = beta = 1/2) per user over
+    // daily cents: level absorbs each day, trend absorbs each level step —
+    // both floor-free TRUNCATING integer divisions so the recurrence is
+    // bit-exact in any engine (x41's EWMA with a trend term; the forecast
+    // is level + trend). The fold is an ordered struct accumulator inside
+    // one codegen'd higher-order function — no shuffle beyond the daily
+    // rollup; the oracle replays the identical recurrence as a recursive
+    // CTE with trunc() division (DuckDB's // floors, Spark's div truncates
+    // — they differ on negative trends, so the oracle mirrors trunc).
+    "ext_holt" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      daily.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("xs"))
+        .select(col("user_id"), expr("transform(xs, t -> t.cents)").as("cs"))
+        .filter(size(col("cs")) >= 2)
+        .selectExpr("user_id", "size(cs) AS n_days",
+          """aggregate(
+            |  slice(cs, 2, size(cs) - 1),
+            |  named_struct(
+            |    'level', element_at(cs, 1),
+            |    'trend', element_at(cs, 2) - element_at(cs, 1)),
+            |  (acc, x) -> named_struct(
+            |    'level', (x + acc.level + acc.trend) div 2,
+            |    'trend', (((x + acc.level + acc.trend) div 2 - acc.level)
+            |              + acc.trend) div 2),
+            |  acc -> acc) AS h""".stripMargin)
+        .select(col("user_id"), col("n_days"),
+          col("h.level").as("holt_level"), col("h.trend").as("holt_trend"),
+          (col("h.level") + col("h.trend")).as("forecast_next"))
+        .orderBy(col("user_id"))
+    }),
+
     "x26_resample_ffill" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("value"), col("event_id"))
@@ -6086,6 +6120,29 @@ object SparkEntry {
         |SELECT user_id, len(cs) AS n_days,
         |  list_reduce(cs, (acc, x) -> (acc + x) // 2) AS ewma_cents
         |FROM a""".stripMargin,
+
+    // the identical recurrence unrolled as a recursive CTE; trunc-division
+    // (NOT //, which floors) mirrors Spark's `div` on negative trends
+    "ext_holt" ->
+      """WITH RECURSIVE daily AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT user_id, list(cents ORDER BY d) AS cs FROM daily
+        |  GROUP BY user_id HAVING len(cs) >= 2),
+        |r AS (
+        |  SELECT user_id, cs, len(cs) AS n, 1 AS i,
+        |    cs[1] AS level, cs[2] - cs[1] AS trend
+        |  FROM a
+        |  UNION ALL
+        |  SELECT user_id, cs, n, i + 1,
+        |    CAST(trunc(CAST(cs[i+1] + level + trend AS DOUBLE) / 2) AS BIGINT),
+        |    CAST(trunc(CAST(
+        |      CAST(trunc(CAST(cs[i+1] + level + trend AS DOUBLE) / 2) AS BIGINT)
+        |      - level + trend AS DOUBLE) / 2) AS BIGINT)
+        |  FROM r WHERE i < n)
+        |SELECT user_id, n AS n_days, level AS holt_level, trend AS holt_trend,
+        |  level + trend AS forecast_next
+        |FROM r WHERE i = n ORDER BY user_id""".stripMargin,
 
     "x26_resample_ffill" ->
       """WITH b AS (SELECT user_id,
