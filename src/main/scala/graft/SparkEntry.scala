@@ -36,6 +36,17 @@ object SparkEntry {
   private val evalTerms = Seq(
     "spark", "table", "merge", "window", "hash", "scan", "sort", "batch")
 
+  /** Shared oracle for `x41_ewma` and its day-per-batch streaming twin
+    * `stream_ewma`: the same ordered integer fold. */
+  private val ewmaSql =
+    """WITH daily AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS d,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |a AS (SELECT user_id, list(cents ORDER BY d) AS cs FROM daily GROUP BY user_id)
+      |SELECT user_id, len(cs) AS n_days,
+      |  list_reduce(cs, (acc, x) -> (acc + x) // 2) AS ewma_cents
+      |FROM a""".stripMargin
+
   /** Shared oracle for `ext_eval_confusion` and its streaming twin
     * `stream_eval_confusion` (complete-mode counters finalize to the same
     * counts): same single-division metric assembly; kappa's products
@@ -3470,6 +3481,12 @@ object SparkEntry {
     // finalization; must equal the batch suite (same oracle)
     "stream_eval_confusion" -> ((s, dir) => streamEvalConfusion(s, dir)),
 
+    // streaming EWMA: the per-user fold arrives one DAY per micro-batch
+    // (the order the recurrence requires); foreachBatch folds each day
+    // into a one-row-per-user parquet levels table — O(users) state, the
+    // incremental-table pattern. Must equal the batch fold (x41's oracle).
+    "stream_ewma" -> ((s, dir) => streamEwma(s, dir)),
+
     // streaming incremental near-dup: new documents arrive in micro-batches
     // and dedup against the PERSISTED band index, which then absorbs each
     // batch's bands — the full production loop (screen the delta, grow the
@@ -3796,6 +3813,54 @@ object SparkEntry {
         .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
     } finally q.stop()
     graft.operators.Eval.metricsFromCounts(s.table("stream_eval_confusion_t"))
+  }
+
+  /** The run behind `stream_ewma`: daily per-user cents fed one day per
+    * micro-batch; each batch full-outer-merges into the persisted levels
+    * table — existing users fold `(level + x) div 2`, absent users carry
+    * their level forward, new users initialize at their first day. The
+    * state table is one row per user at any stream length. */
+  private def streamEwma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val stateDir = sys.props("java.io.tmpdir") + "/graft-ewma-stream-" +
+      math.abs(dir.hashCode)
+    deleteRecursively(stateDir)
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      .select(col("user_id"), col("d").cast("string").as("d"), col("cents"))
+      .as[(Long, String, Long)].collect() // bounded: users x days
+    val days = daily.map(_._2).distinct.sorted
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = ms.toDF().toDF("user_id", "d", "cents").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(col("user_id"), col("cents").as("x"))
+        val first = !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(stateDir))
+        val merged =
+          if (first)
+            b.select(col("user_id"), col("x").as("level"),
+              lit(1L).as("n_days"))
+          else s.read.parquet(stateDir).join(b, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              when(col("x").isNull, col("level"))
+                .when(col("level").isNull, col("x"))
+                .otherwise(expr("(level + x) div 2")).as("level"),
+              (coalesce(col("n_days"), lit(0L)) +
+                when(col("x").isNull, 0L).otherwise(1L)).as("n_days"))
+        // stage before overwriting the directory being read
+        graft.util.Checkpoints.cut(merged)
+          .write.mode("overwrite").parquet(stateDir)
+      }.start()
+    try days.foreach { day =>
+      ms.addData(daily.filter(_._2 == day).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(stateDir)
+      .select(col("user_id"), col("n_days"), col("level").as("ewma_cents"))
+      .orderBy(col("user_id"))
   }
 
   private def streamQualityMonitor(s: SparkSession): DataFrame = {
@@ -6112,14 +6177,10 @@ object SparkEntry {
     // semantics; ties impossible at microsecond event times)
     // same integer-cents fold: list_reduce seeds its accumulator with the
     // first element, mirroring the engine's aggregate(slice(..), cs[0], ..)
-    "x41_ewma" ->
-      """WITH daily AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS d,
-        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-        |  FROM events GROUP BY 1, 2),
-        |a AS (SELECT user_id, list(cents ORDER BY d) AS cs FROM daily GROUP BY user_id)
-        |SELECT user_id, len(cs) AS n_days,
-        |  list_reduce(cs, (acc, x) -> (acc + x) // 2) AS ewma_cents
-        |FROM a""".stripMargin,
+    "x41_ewma" -> ewmaSql,
+
+    // day-per-batch streaming fold converges to the identical levels
+    "stream_ewma" -> ewmaSql,
 
     // the identical recurrence unrolled as a recursive CTE; trunc-division
     // (NOT //, which floors) mirrors Spark's `div` on negative trends
