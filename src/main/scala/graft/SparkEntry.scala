@@ -1721,6 +1721,35 @@ object SparkEntry {
           "aggregate(slice(cs, 2, size(cs)), cs[0], (acc, x) -> (acc + x) div 2) AS ewma_cents")
     }),
 
+    // data repair: per-user LOWER-median imputation of untrusted readings
+    // (an 'error' event's value is replaced by the user's median over
+    // trusted rows — rank (n+1) div 2, purely integer so no interpolation
+    // ambiguity cross-engine; a user with no trusted rows imputes null).
+    // Scale shape: the median table is one row per user built from one
+    // partitioned rank window over trusted rows only, then an equi-join
+    // back — never a global sort.
+    "ext_impute_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+      val good = ev.filter(col("event_type") =!= "error")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cents"), col("event_id"))
+      val med = good
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("r") === expr("(n + 1) div 2"))
+        .select(col("user_id"), col("cents").as("median_cents"))
+      ev.join(med, Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          when(col("event_type") === "error", col("median_cents"))
+            .otherwise(col("cents")).as("cents_imputed"),
+          (col("event_type") === "error").as("was_imputed"))
+        .orderBy(col("event_id"))
+    }),
+
     // Holt double-exponential smoothing (alpha = beta = 1/2) per user over
     // daily cents: level absorbs each day, trend absorbs each level step —
     // both floor-free TRUNCATING integer divisions so the recurrence is
@@ -6181,6 +6210,25 @@ object SparkEntry {
 
     // day-per-batch streaming fold converges to the identical levels
     "stream_ewma" -> ewmaSql,
+
+    // the same lower-median rank selection and join-back
+    "ext_impute_median" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |good AS (SELECT user_id, cents, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY cents, event_id) AS r,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM ev WHERE event_type <> 'error'),
+        |med AS (SELECT user_id, cents AS median_cents FROM good
+        |  WHERE r = (n + 1) // 2)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN e.event_type = 'error' THEN m.median_cents
+        |    ELSE e.cents END AS cents_imputed,
+        |  e.event_type = 'error' AS was_imputed
+        |FROM ev e LEFT JOIN med m ON e.user_id = m.user_id
+        |ORDER BY e.event_id""".stripMargin,
 
     // the identical recurrence unrolled as a recursive CTE; trunc-division
     // (NOT //, which floors) mirrors Spark's `div` on negative trends
