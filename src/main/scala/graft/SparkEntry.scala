@@ -1721,6 +1721,29 @@ object SparkEntry {
           "aggregate(slice(cs, 2, size(cs)), cs[0], (acc, x) -> (acc + x) div 2) AS ewma_cents")
     }),
 
+    // exact ROLLING median over event time: per user, the lower median of
+    // the 24h range frame ending at each event — order statistics in a
+    // sliding window, where the windowed SUM (x27) cannot see a
+    // distribution shift that keeps the total flat. The frame collects
+    // only the window's rows (bounded by per-user activity in 24h, never
+    // the log), and the median is a pure integer rank pick, so it
+    // hash-matches cross-engine with no interpolation ambiguity.
+    "ext_rolling_median_24h" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-86400000000L, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          element_at(col("arr"), expr("(size(arr) + 1) div 2").cast("int"))
+            .as("roll_med_cents"),
+          size(col("arr")).cast("long").as("rolling_n"))
+        .orderBy(col("event_id"))
+    }),
+
     // data repair: per-user LOWER-median imputation of untrusted readings
     // (an 'error' event's value is replaced by the user's median over
     // trusted rows — rank (n+1) div 2, purely integer so no interpolation
@@ -6210,6 +6233,20 @@ object SparkEntry {
 
     // day-per-batch streaming fold converges to the identical levels
     "stream_ewma" -> ewmaSql,
+
+    // the same 24h range frame, list-collected and rank-picked
+    "ext_rolling_median_24h" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |f AS (SELECT event_id, user_id, ts_us,
+        |    list_sort(list(cents) OVER w) AS arr
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts_us,
+        |  arr[(len(arr) + 1) // 2] AS roll_med_cents,
+        |  CAST(len(arr) AS BIGINT) AS rolling_n
+        |FROM f ORDER BY event_id""".stripMargin,
 
     // the same lower-median rank selection and join-back
     "ext_impute_median" ->
