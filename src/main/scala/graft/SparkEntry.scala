@@ -1561,6 +1561,23 @@ object SparkEntry {
         .orderBy(col("rank_fp").desc, col("s_suppkey"))
     }),
 
+    // personalized PageRank over the same co-order graph: teleport mass
+    // confined to a 10-supplier seed set — scores are closeness TO THE
+    // SEEDS (the recommendation/seed-expansion primitive), unreachable
+    // nodes score exactly 0, and the integer fixed-point makes the whole
+    // surface hash-comparable; the oracle unrolls the same iterations
+    // with the per-node teleport column
+    "x65_ppr" -> ((s, dir) => {
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", k = 15)
+      val nodes = Tables.supplier(s, dir).select(col("s_suppkey").as("node"))
+      graft.operators.Graph.personalizedPageRank(edges, nodes,
+          nodes.filter(col("node") % 10 === 1))
+        .select(col("node").as("s_suppkey"), col("r").as("ppr_fp"))
+        .orderBy(col("ppr_fp").desc, col("s_suppkey"))
+    }),
+
     // per-node triangle counts over the same co-order graph: degree-ordered
     // orientation (compact-forward) bounds the wedge join's fan-out at
     // O(sqrt(|E|)) per vertex; the oracle enumerates ordered triples
@@ -5096,6 +5113,37 @@ object SparkEntry {
       "\nSELECT node AS s_suppkey, r AS rank_fp FROM r5 ORDER BY rank_fp DESC, s_suppkey"
   }
 
+  /** The personalized variant: the teleport column b is `base` on the
+    * seed set and 0 elsewhere; iterations are otherwise identical. */
+  private lazy val pprOracleSql: String = {
+    val S = 1000000000000L
+    val pre =
+      s"""WITH nodes AS (SELECT s_suppkey AS node FROM supplier),
+         |srcs AS (SELECT node FROM nodes WHERE node % 10 = 1),
+         |cnt AS (SELECT count(*) AS m FROM srcs),
+         |$coOrderEdgesCte,
+         |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |tp AS (SELECT n.node,
+         |    CASE WHEN s.node IS NULL THEN 0
+         |      ELSE (SELECT (15*$S//100)//m FROM cnt) END AS b
+         |  FROM nodes n LEFT JOIN srcs s ON n.node = s.node),
+         |r0 AS (SELECT node,
+         |    CASE WHEN b > 0 THEN (SELECT $S // m FROM cnt) ELSE 0 END AS r
+         |  FROM tp)""".stripMargin
+    val its = (1 to 5).map { i =>
+      s""",
+         |c$i AS (SELECT dst AS node, sum(r // deg) AS s
+         |  FROM edges JOIN r${i - 1} ON edges.src = r${i - 1}.node
+         |  JOIN outdeg ON outdeg.src = edges.src
+         |  GROUP BY dst),
+         |r$i AS (SELECT tp.node,
+         |    CAST(tp.b + (85*coalesce(s,0))//100 AS BIGINT) AS r
+         |  FROM tp LEFT JOIN c$i ON tp.node=c$i.node)""".stripMargin
+    }.mkString
+    pre + its +
+      "\nSELECT node AS s_suppkey, r AS ppr_fp FROM r5 ORDER BY ppr_fp DESC, s_suppkey"
+  }
+
   /** DuckDB replay of `ext_bpe_train`: the vocabulary, then per round a
     * weighted adjacent-pair count, the (n DESC, a, b) argmax, and the
     * greedy merge expressed as the same string-accumulator fold
@@ -5551,6 +5599,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "x33_pagerank" -> pageRankOracleSql,
+
+    "x65_ppr" -> pprOracleSql,
 
     "x39_random_walks" -> randomWalksOracleSql,
 

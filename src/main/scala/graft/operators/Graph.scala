@@ -116,6 +116,49 @@ object Graph {
     rank
   }
 
+  /** Personalized PageRank: the 15% teleport mass lands ONLY on the
+    * source set (uniformly across it), never on the rest of the graph —
+    * scores become "importance relative to S" (recommendation /
+    * seed-expansion semantics) instead of global centrality, and nodes
+    * unreachable from S score exactly 0. Same integer fixed-point
+    * arithmetic and loop discipline as [[pageRankFixedPoint]]
+    * (invariants materialized once, periodic lineage cuts), plus one
+    * materialized per-node teleport column so the source set is joined
+    * ONCE, not per iteration. */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
+      sources: DataFrame, iters: Int = 5, scale: Long = 1000000000000L,
+      cutEvery: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val srcs = graft.util.Checkpoints.cut(
+      sources.select(col("node")).distinct())
+    val m = srcs.count() // bounded: a seed set, dim-table sized
+    require(m > 0, "personalized PageRank needs a non-empty source set")
+    val base = (15L * scale / 100) / m
+    val e = graft.util.Checkpoints.cut(edges.select(col("src"), col("dst")))
+    val outdeg = graft.util.Checkpoints.cut(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val teleport = graft.util.Checkpoints.cut(
+      nodes.join(srcs.withColumn("is_s", lit(true)), Seq("node"), "left_outer")
+        .select(col("node"),
+          when(col("is_s"), lit(base)).otherwise(lit(0L)).as("b")))
+    var rank = teleport.select(col("node"),
+      when(col("b") > 0, lit(scale / m)).otherwise(lit(0L)).as("r"))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(rank, col("src") === col("node"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      val next = teleport.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (col("b") + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+      rank = if (i % cutEvery == 0 && i < iters)
+        graft.util.Checkpoints.cut(next) else next
+    }
+    rank
+  }
+
   /** Per-node triangle counts over the UNDIRECTED support of `edges`
     * `(src, dst)` — the clustering-coefficient numerator and the standard
     * local-density signal. Returns `(node, triangles)` for every node in

@@ -42,6 +42,29 @@ class GraphSpec extends SparkSpec {
     assert(rows.sorted == again.sorted, "pageRank depends on partitioning")
   }
 
+  test("personalized PageRank: unreachable nodes score exactly 0, seeds carry the mass") {
+    // two disjoint components: a 3-cycle {1,2,3} and a 2-cycle {8,9};
+    // seeding {1} must leave the other component at EXACTLY zero (global
+    // pageRank gives every node a teleport floor — the behavioral split)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (8L, 9L), (9L, 8L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 8L, 9L).toDF("node")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.personalizedPageRank(edges, nodes, seeds, iters = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r(8L) == 0L && r(9L) == 0L, s"unreachable component scored: $r")
+    assert(r(1L) > 0L && r(2L) > 0L && r(3L) > 0L)
+    assert(r(1L) > r(2L), "the seed must outrank its downstream neighbors")
+    val global = Graph.pageRankFixedPoint(edges, nodes, iters = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(global(8L) > 0L, "global pageRank keeps a teleport floor everywhere")
+    // determinism under repartition
+    val again = Graph.personalizedPageRank(
+      edges.repartition(5), nodes.repartition(3), seeds, iters = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == again, "ppr depends on partitioning")
+  }
+
   test("a node with no in-edges holds exactly the teleport floor") {
     // star: everyone points at node 0; node 9 receives nothing
     val edges = (1 to 9).map(i => (i, 0)).toDF("src", "dst")
