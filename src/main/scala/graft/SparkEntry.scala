@@ -1503,6 +1503,33 @@ object SparkEntry {
             .as("total_value"))
     }),
 
+    // MV rewrite extended to MIN/MAX partials (decomposable like sum: the
+    // min over groups of per-group minima is the row-level min): the MV
+    // stores mv_min/mv_max per range measure and the rule rewrites
+    // min(value)/max(value) — composed here with a dimension filter, so
+    // one dashboard query (count + sum + min + max over a date range) is
+    // answered ENTIRELY from the rollup. MvRewriteSpec pins the base is
+    // never scanned; the oracle is the base-table query.
+    "x66_mv_minmax" -> ((s, dir) => {
+      val mvDir = sys.props("java.io.tmpdir") + "/graft-mv4-" +
+        math.abs(dir.hashCode)
+      graft.plans.MvRewrite.buildAndRegister(s, s"$dir/events.parquet", mvDir,
+        dims = Seq(
+          "event_date" -> to_date(col("ts").cast("timestamp")),
+          "event_type" -> col("event_type")),
+        measures = Seq("value" -> col("value").cast(DecimalType(18, 2))),
+        rangeMeasures = Seq("value" -> col("value")))
+      s.read.parquet(s"$dir/events.parquet")
+        .filter(to_date(col("ts").cast("timestamp"))
+          .between(lit("2024-01-05").cast("date"), lit("2024-01-10").cast("date")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+    }),
+
     // pipeline-health monitoring: per-type daily volumes against trailing
     // 7-day rolling bands, 3-sigma flags — the feed-died/feed-surged alarm.
     // The window input is the rolled-up daily table, so the per-key sort is
@@ -6542,6 +6569,16 @@ object SparkEntry {
     "x49_mv_filter" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10'
+        |GROUP BY event_type""".stripMargin,
+
+    // the rewrite must be invisible: the oracle is the base-table query
+    // (min/max of doubles are exact selections, hash-safe)
+    "x66_mv_minmax" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  min(value) AS min_value, max(value) AS max_value
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10'
         |GROUP BY event_type""".stripMargin,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -49,7 +49,12 @@ object MvRewrite extends Rule[LogicalPlan] {
       dims: Seq[(String, Expression)],
       measures: Seq[(Expression, String)],
       dimCols: Seq[(String, org.apache.spark.sql.Column)],
-      measureCols: Seq[(String, org.apache.spark.sql.Column)])
+      measureCols: Seq[(String, org.apache.spark.sql.Column)],
+      // range measures: min/max are decomposable too (min of per-group
+      // minima IS the minimum) — tree -> base measure name, stored as
+      // mv_min_<n> / mv_max_<n> partials
+      ranges: Seq[(Expression, String)] = Nil,
+      rangeCols: Seq[(String, org.apache.spark.sql.Column)] = Nil)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -243,6 +248,28 @@ object MvRewrite extends Rule[LogicalPlan] {
                 ae.dataType)
             case None => ok = false; ae
           }
+        // min/max decompose like sum: the min over groups of per-group
+        // minima is the min over rows — rewrite to the stored partial
+        case Min(opnd) =>
+          val oi = inline(opnd, subst)
+          entry.ranges.collectFirst {
+            case (tree, n) if sameTree(oi, tree) => n
+          } match {
+            case Some(n) =>
+              Cast(AggregateExpression(Min(mvAttr(s"mv_min_$n")), Complete,
+                isDistinct = false), ae.dataType)
+            case None => ok = false; ae
+          }
+        case Max(opnd) =>
+          val oi = inline(opnd, subst)
+          entry.ranges.collectFirst {
+            case (tree, n) if sameTree(oi, tree) => n
+          } match {
+            case Some(n) =>
+              Cast(AggregateExpression(Max(mvAttr(s"mv_max_$n")), Complete,
+                isDistinct = false), ae.dataType)
+            case None => ok = false; ae
+          }
         case _ => ok = false; ae
       }
     }
@@ -300,7 +327,8 @@ object MvRewrite extends Rule[LogicalPlan] {
       mvDir: String,
       dims: Seq[(String, org.apache.spark.sql.Column)],
       measures: Seq[(String, org.apache.spark.sql.Column)],
-      buildFrom: Option[DataFrame] = None): Unit = {
+      buildFrom: Option[DataFrame] = None,
+      rangeMeasures: Seq[(String, org.apache.spark.sql.Column)] = Nil): Unit = {
     // drop any EXISTING registration for this base first: the build query
     // below is itself subject to the rewrite rule, and a stale entry would
     // rewrite it to read the registered mvDir while the overwrite deletes
@@ -309,7 +337,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     registry.remove(pathKey(spark, basePath))
     val base = spark.read.parquet(basePath)
     bypassed {
-      rollup(buildFrom.getOrElse(base), dims, measures)
+      rollup(buildFrom.getOrElse(base), dims, measures, rangeMeasures)
         .write.mode("overwrite").parquet(mvDir)
     }
     // resolved expression trees for the dims/measures: OPTIMIZE a
@@ -320,14 +348,17 @@ object MvRewrite extends Rule[LogicalPlan] {
     // match a query
     val probe = base.select(
         dims.map { case (n, c) => c.as(s"d_$n") } ++
-          measures.map { case (n, c) => c.as(s"m_$n") }: _*)
+          measures.map { case (n, c) => c.as(s"m_$n") } ++
+          rangeMeasures.map { case (n, c) => c.as(s"r_$n") }: _*)
       .queryExecution.optimizedPlan.asInstanceOf[Project].projectList
     val treeByName = probe.collect { case al: Alias => al.name -> norm(al.child) }.toMap
     val entry = Entry(
       mvDir,
       dims.map { case (n, _) => (n, treeByName(s"d_$n")) },
       measures.map { case (n, _) => (treeByName(s"m_$n"), s"mv_sum_$n") },
-      dims, measures)
+      dims, measures,
+      rangeMeasures.map { case (n, _) => (treeByName(s"r_$n"), n) },
+      rangeMeasures)
     registry.put(pathKey(spark, basePath), entry)
   }
 
@@ -343,10 +374,13 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def rollup(
       rows: DataFrame,
       dims: Seq[(String, org.apache.spark.sql.Column)],
-      measures: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+      measures: Seq[(String, org.apache.spark.sql.Column)],
+      ranges: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
     val dimCols = dims.map { case (n, c) => c.as(n) }
     val aggCols = count(lit(1)).as("mv_n") +:
-      measures.map { case (n, c) => sum(c).as(s"mv_sum_$n") }
+      (measures.map { case (n, c) => sum(c).as(s"mv_sum_$n") } ++
+        ranges.flatMap { case (n, c) =>
+          Seq(min(c).as(s"mv_min_$n"), max(c).as(s"mv_max_$n")) })
     rows.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
@@ -362,16 +396,23 @@ object MvRewrite extends Rule[LogicalPlan] {
       spark: SparkSession, basePath: String, delta: DataFrame): Unit = {
     val entry = Option(registry.get(pathKey(spark, basePath))).getOrElse(
       throw new IllegalStateException(s"no MV registered for $basePath"))
-    val deltaAgg = rollup(delta, entry.dimCols, entry.measureCols)
+    val deltaAgg = rollup(delta, entry.dimCols, entry.measureCols,
+      entry.rangeCols)
     val old = spark.read.parquet(entry.mvDir)
     val dimNames = entry.dims.map(_._1)
+    val mergedAggs =
+      entry.measures.map { case (_, mvCol) =>
+        sum(col(mvCol)).cast(old.schema(mvCol).dataType).as(mvCol)
+      } ++ entry.ranges.flatMap { case (_, n) =>
+        // min/max partials merge by min/max — same decomposability the
+        // rewrite relies on
+        Seq(min(col(s"mv_min_$n")).as(s"mv_min_$n"),
+          max(col(s"mv_max_$n")).as(s"mv_max_$n"))
+      }
     val merged = old.unionByName(deltaAgg
         .select(old.columns.map(col): _*))
       .groupBy(dimNames.map(col): _*)
-      .agg(sum(col("mv_n")).cast("long").as("mv_n"),
-        entry.measures.map { case (_, mvCol) =>
-          sum(col(mvCol)).cast(old.schema(mvCol).dataType).as(mvCol)
-        }: _*)
+      .agg(sum(col("mv_n")).cast("long").as("mv_n"), mergedAggs: _*)
     // stage before overwriting the directory being read (same discipline
     // as Merge.upsertPartitioned) — the cut holds dim-cardinality rows.
     // bypassed: the delta rollup inside `merged` is an aggregate over the

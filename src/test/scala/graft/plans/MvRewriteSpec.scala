@@ -87,6 +87,66 @@ class MvRewriteSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("graft-mv-spec-incr"))
   }
 
+  test("min/max rewrite: fires from range partials, vetoes without them") {
+    GraftExtensions.register(spark)
+    // the default registration carries NO range measures: min must veto
+    mvDir
+    val noRanges = spark.read.parquet(base).groupBy(col("event_type"))
+      .agg(min(col("value")).as("mn"))
+    assert(!noRanges.queryExecution.executedPlan.toString.contains("graft-mv-spec"),
+      "min rewrote without a stored range partial")
+    // an independent base with ranges registered: min/max/count/sum all
+    // answer from the MV, values identical to the base scan
+    val base2 = s"$dir/lineitem.parquet"
+    val mv2 = sys.props("java.io.tmpdir") + "/graft-mv-spec-range"
+    MvRewrite.buildAndRegister(spark, base2, mv2,
+      dims = Seq("flag" -> col("l_returnflag")),
+      measures = Seq("qty" -> col("l_quantity").cast(DecimalType(18, 2))),
+      rangeMeasures = Seq("price" -> col("l_extendedprice")))
+    def q2() = spark.read.parquet(base2).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("t"),
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+    val p = q2().queryExecution.executedPlan.toString
+    assert(p.contains("graft-mv-spec-range"), s"range rewrite did not fire:\n$p")
+    assert(!p.contains("lineitem.parquet"), s"plan still scans the base:\n$p")
+    // the x66 composition: dimension filter + min/max in one query must
+    // also fire (mvConds path and range partials together)
+    def filtered() = spark.read.parquet(base2)
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), min(col("l_extendedprice")).as("mn"))
+    val pf = filtered().queryExecution.executedPlan.toString
+    assert(pf.contains("graft-mv-spec-range") && !pf.contains("lineitem.parquet"),
+      s"filtered min/max rewrite did not fire:\n$pf")
+    val viaMv = q2().collect().map(_.toString).sorted.toSeq
+    val viaMvF = filtered().collect().map(_.toString).sorted.toSeq
+    MvRewrite.clear()
+    assert(viaMv == q2().collect().map(_.toString).sorted.toSeq,
+      "min/max rewrite changed results")
+    assert(viaMvF == filtered().collect().map(_.toString).sorted.toSeq,
+      "filtered min/max rewrite changed results")
+    // refresh must merge range partials by min/max: rebuild, fold a delta
+    val mv3 = sys.props("java.io.tmpdir") + "/graft-mv-spec-range2"
+    MvRewrite.buildAndRegister(spark, base2, mv3,
+      dims = Seq("flag" -> col("l_returnflag")),
+      measures = Seq("qty" -> col("l_quantity").cast(DecimalType(18, 2))),
+      rangeMeasures = Seq("price" -> col("l_extendedprice")),
+      buildFrom = Some(spark.read.parquet(base2).filter(col("l_orderkey") % 2 === 0)))
+    MvRewrite.refreshIncremental(spark, base2,
+      spark.read.parquet(base2).filter(col("l_orderkey") % 2 =!= 0))
+    val refreshed = q2().collect().map(_.toString).sorted.toSeq
+    assert(refreshed == viaMv, "refreshed range partials diverge")
+    MvRewrite.clear()
+    // re-register the events MV for any later test
+    MvRewrite.buildAndRegister(spark, base, mvDir,
+      dims = Seq(
+        "event_date" -> to_date(col("ts").cast("timestamp")),
+        "event_type" -> col("event_type")),
+      measures = Seq("value" -> col("value").cast(DecimalType(18, 2))))
+  }
+
   test("unsupported shapes refuse the rewrite and scan the base") {
     mvDir
     val unsupported = Seq(
