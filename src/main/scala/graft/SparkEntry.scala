@@ -1896,6 +1896,36 @@ object SparkEntry {
           unix_micros(col("ts")), col("event_id"))
         .orderBy(col("user_id"), col("version"))),
 
+    // point-in-time lookup over the SCD2 table: each user's state AS OF
+    // 2024-01-15T00:00Z — the temporal-query verb the validity intervals
+    // exist for (filter valid_from <= T < valid_to, open intervals
+    // included); one predicate over the interval table, no join
+    "ext_scd2_asof" -> ((s, dir) => {
+      val t = lit(1705276800000000L) // 2024-01-15T00:00:00Z, micros
+      graft.operators.AsOf.scd2Intervals(
+          Tables.events(s, dir), "user_id", "event_type",
+          unix_micros(col("ts")), col("event_id"))
+        .filter(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .orderBy(col("user_id"))
+    }),
+
+    // data-contract enforcement with quarantine routing
+    // ([[graft.operators.Quality.quarantine]]): rows tagged with the
+    // FIRST rule they fail, pass rows tagged null — graded as the per-rule
+    // violation census (first-failure attribution means the counts are
+    // order-sensitive, which the oracle replays)
+    "ext_quarantine" -> ((s, dir) =>
+      graft.operators.Quality.quarantine(Tables.events(s, dir), Seq(
+          "value_le_400" -> (col("value") <= 400.0),
+          "purchase_le_300" ->
+            (col("event_type") =!= "purchase" || col("value") <= 300.0),
+          "known_type" -> col("event_type").isin(
+            "view", "click", "signup", "purchase", "error")))
+        .groupBy(coalesce(col("quarantine_rule"), lit("PASS")).as("rule"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("rule"))),
+
     "x19_funnel" -> ((s, dir) =>
       graft.operators.Funnel.ordered(Tables.events(s, dir),
         "user_id", "event_type", "ts",
@@ -6644,6 +6674,40 @@ object SparkEntry {
         |FROM runs ORDER BY user_id, version""".stripMargin,
 
     "x19_funnel" -> funnelOracleSql,
+
+    // the same runs, filtered to the intervals containing T
+    "ext_scd2_asof" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS ts_s, event_id FROM events),
+        |ch AS (SELECT user_id, event_type, ts_s, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS prev
+        |  FROM e),
+        |runs AS (SELECT user_id, event_type, ts_s, event_id FROM ch
+        |  WHERE prev IS NULL OR prev != event_type),
+        |iv AS (SELECT user_id, event_type, ts_s AS valid_from,
+        |    lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |      AS valid_to,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS BIGINT) AS version
+        |  FROM runs)
+        |SELECT * FROM iv
+        |WHERE valid_from <= 1705276800000000
+        |  AND (valid_to IS NULL OR valid_to > 1705276800000000)
+        |ORDER BY user_id""".stripMargin,
+
+    // first-failure attribution replayed as the same ordered CASE
+    "ext_quarantine" ->
+      """WITH t AS (SELECT
+        |    CASE WHEN NOT COALESCE(value <= 400, FALSE) THEN 'value_le_400'
+        |      WHEN NOT COALESCE(event_type <> 'purchase' OR value <= 300,
+        |        FALSE) THEN 'purchase_le_300'
+        |      WHEN NOT COALESCE(event_type IN
+        |        ('view','click','signup','purchase','error'), FALSE)
+        |        THEN 'known_type'
+        |      ELSE 'PASS' END AS rule
+        |  FROM events)
+        |SELECT rule, count(*) AS n FROM t GROUP BY rule ORDER BY rule""".stripMargin,
 
     // the TWS greedy scan must reproduce the batch recurrence's reach set
     // exactly — same oracle

@@ -449,4 +449,22 @@ object Quality {
         expected.as("benford_ppm"))
       .withColumn("gap_ppm", abs(col("observed_ppm") - col("benford_ppm")))
   }
+
+  /** Data-contract enforcement with quarantine routing: every row is
+    * tested against the rules IN DECLARED ORDER and tagged with the first
+    * rule it fails (`quarantine_rule`, null when it passes all) — so a
+    * pipeline can split pass rows downstream and park violations with a
+    * machine-readable reason, and re-processing a fixed rule re-admits
+    * exactly its rows. One scan, zero joins: the tag is a pure per-row
+    * conditional, identical in batch and on a stream. A null rule result
+    * counts as a FAILURE (a contract that cannot be evaluated is not
+    * met), so three-valued SQL nulls can't leak rows past the fence. */
+  def quarantine(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "quarantine needs at least one rule")
+    val tag = coalesce(rules.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name))
+    } :+ lit(null).cast("string"): _*)
+    df.withColumn("quarantine_rule", tag)
+      .withColumn("passed", col("quarantine_rule").isNull)
+  }
 }

@@ -200,4 +200,25 @@ class QualitySpec extends SparkSpec {
     assert(d1._3 == 500000L, s"observed ppm ${d1._3}") // 5 of 10 exactly
     assert(d1._4 == 301030L, "Benford constant for digit 1")
   }
+
+  test("quarantine: first-failure attribution, null predicate fails closed") {
+    val rows = Seq(
+      (1L, Some(10.0)),  // passes both
+      (2L, Some(-1.0)),  // fails rule1 AND rule2 -> tagged rule1 only
+      (3L, Some(500.0)), // fails rule2 only
+      (4L, None)         // null: BOTH predicates are null -> fails rule1
+    ).toDF("id", "v")
+    val got = Quality.quarantine(rows, Seq(
+        "nonneg" -> (col("v") >= 0.0),
+        "le_100" -> (col("v") <= 100.0)))
+      .select("id", "quarantine_rule", "passed")
+      .as[(Long, Option[String], Boolean)].collect()
+      .map { case (id, r, p) => id -> ((r, p)) }.toMap
+    assert(got(1L) == ((None, true)))
+    assert(got(2L) == ((Some("nonneg"), false)),
+      s"first-failure attribution broke: ${got(2L)}")
+    assert(got(3L) == ((Some("le_100"), false)))
+    assert(got(4L) == ((Some("nonneg"), false)),
+      "a null rule result must fail closed, not leak past the fence")
+  }
 }
