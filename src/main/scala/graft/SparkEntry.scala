@@ -1527,7 +1527,8 @@ object SparkEntry {
           sum(col("value").cast(DecimalType(18, 2))).cast("double")
             .as("total_value"),
           min(col("value")).as("min_value"),
-          max(col("value")).as("max_value"))
+          max(col("value")).as("max_value"),
+          count(col("value")).as("n_value"))
     }),
 
     // pipeline-health monitoring: per-type daily volumes against trailing
@@ -6608,7 +6609,8 @@ object SparkEntry {
     "x66_mv_minmax" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-        |  min(value) AS min_value, max(value) AS max_value
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  count(value) AS n_value
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10'
         |GROUP BY event_type""".stripMargin,

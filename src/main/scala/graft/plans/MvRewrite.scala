@@ -50,9 +50,10 @@ object MvRewrite extends Rule[LogicalPlan] {
       measures: Seq[(Expression, String)],
       dimCols: Seq[(String, org.apache.spark.sql.Column)],
       measureCols: Seq[(String, org.apache.spark.sql.Column)],
-      // range measures: min/max are decomposable too (min of per-group
-      // minima IS the minimum) — tree -> base measure name, stored as
-      // mv_min_<n> / mv_max_<n> partials
+      // range measures: min/max/count(x) are decomposable too (min of
+      // per-group minima IS the minimum; non-null counts add) — tree ->
+      // base measure name, stored as mv_min_<n> / mv_max_<n> / mv_cnt_<n>
+      // partials
       ranges: Seq[(Expression, String)] = Nil,
       rangeCols: Seq[(String, org.apache.spark.sql.Column)] = Nil)
 
@@ -237,6 +238,18 @@ object MvRewrite extends Rule[LogicalPlan] {
         // rewriting it to sum(mv_n) would be a soundness hole
         case Count(Seq(Literal(v, _))) if v != null =>
           AggregateExpression(Sum(mvAttr("mv_n")), Complete, isDistinct = false)
+        // count(x) — non-null counts per group sum across groups; only for
+        // registered range measures (they carry the mv_cnt partial)
+        case Count(Seq(opnd)) =>
+          val oi = inline(opnd, subst)
+          entry.ranges.collectFirst {
+            case (tree, n) if sameTree(oi, tree) => n
+          } match {
+            case Some(n) =>
+              Cast(AggregateExpression(Sum(mvAttr(s"mv_cnt_$n")), Complete,
+                isDistinct = false), ae.dataType)
+            case None => ok = false; ae
+          }
         case Sum(opnd, _) =>
           val oi = inline(opnd, subst)
           entry.measures.collectFirst {
@@ -380,7 +393,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     val aggCols = count(lit(1)).as("mv_n") +:
       (measures.map { case (n, c) => sum(c).as(s"mv_sum_$n") } ++
         ranges.flatMap { case (n, c) =>
-          Seq(min(c).as(s"mv_min_$n"), max(c).as(s"mv_max_$n")) })
+          Seq(min(c).as(s"mv_min_$n"), max(c).as(s"mv_max_$n"),
+            count(c).as(s"mv_cnt_$n")) })
     rows.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
@@ -404,10 +418,11 @@ object MvRewrite extends Rule[LogicalPlan] {
       entry.measures.map { case (_, mvCol) =>
         sum(col(mvCol)).cast(old.schema(mvCol).dataType).as(mvCol)
       } ++ entry.ranges.flatMap { case (_, n) =>
-        // min/max partials merge by min/max — same decomposability the
-        // rewrite relies on
+        // min/max partials merge by min/max, non-null counts by addition —
+        // the same decomposability the rewrite relies on
         Seq(min(col(s"mv_min_$n")).as(s"mv_min_$n"),
-          max(col(s"mv_max_$n")).as(s"mv_max_$n"))
+          max(col(s"mv_max_$n")).as(s"mv_max_$n"),
+          sum(col(s"mv_cnt_$n")).cast("long").as(s"mv_cnt_$n"))
       }
     val merged = old.unionByName(deltaAgg
         .select(old.columns.map(col): _*))

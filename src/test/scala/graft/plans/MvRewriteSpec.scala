@@ -107,7 +107,8 @@ class MvRewriteSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("t"),
         min(col("l_extendedprice")).as("mn"),
-        max(col("l_extendedprice")).as("mx"))
+        max(col("l_extendedprice")).as("mx"),
+        count(col("l_extendedprice")).as("nn"))
     val p = q2().queryExecution.executedPlan.toString
     assert(p.contains("graft-mv-spec-range"), s"range rewrite did not fire:\n$p")
     assert(!p.contains("lineitem.parquet"), s"plan still scans the base:\n$p")
