@@ -36,6 +36,27 @@ object SparkEntry {
   private val evalTerms = Seq(
     "spark", "table", "merge", "window", "hash", "scan", "sort", "batch")
 
+  /** The langId replay CTEs (stop-word scores + deterministic tie-break),
+    * shared by `ext_lang_id` and the `ext_langid_eval` composition. */
+  private val langPredCtes =
+    """s AS (SELECT doc_id,
+      |  string_split_regex(trim(lower(text)), '\s+') AS lt FROM documents),
+      |c AS (SELECT doc_id,
+      |  len(list_filter(lt, t -> list_contains(['the','is','and','of','a'], t))) AS s_en,
+      |  len(list_filter(lt, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
+      |  len(list_filter(lt, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+      |  len(list_filter(lt, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr,
+      |  len(list_filter(lt, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+      |FROM s),
+      |pred AS (SELECT doc_id, CASE
+      |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'en'
+      |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'es'
+      |  WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'de'
+      |  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'fr'
+      |  WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'zh'
+      |  ELSE 'und' END AS lang_pred
+      |FROM c)""".stripMargin
+
   /** Shared oracle for `x41_ewma` and its day-per-batch streaming twin
     * `stream_ewma`: the same ordered integer fold. */
   private val ewmaSql =
@@ -2200,6 +2221,16 @@ object SparkEntry {
     "ext_lang_id" -> ((s, dir) =>
       Tables.ensureParallelism(Tables.documents(s, dir)).select(col("doc_id"),
         graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // the eval tier grading the engine's OWN classifier: langId's
+    // English-vs-rest confusion against the corpus labels — the
+    // composition a real curation pipeline runs before trusting a filter
+    "ext_langid_eval" -> ((s, dir) => {
+      val docs = Tables.ensureParallelism(Tables.documents(s, dir))
+      graft.operators.Eval.confusion(docs,
+        col("lang") === "en",
+        graft.operators.TextAnalysis.langId(col("text")) === "en")
+    }),
 
     // corpus data card: per-(source, language) release summary — counts
     // and integer sums only (no float means), so the artifact is
@@ -7165,23 +7196,35 @@ object SparkEntry {
     },
 
     "ext_lang_id" ->
-      """WITH s AS (SELECT doc_id,
-        |  string_split_regex(trim(lower(text)), '\s+') AS lt FROM documents),
-        |c AS (SELECT doc_id,
-        |  len(list_filter(lt, t -> list_contains(['the','is','and','of','a'], t))) AS s_en,
-        |  len(list_filter(lt, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
-        |  len(list_filter(lt, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
-        |  len(list_filter(lt, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr,
-        |  len(list_filter(lt, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
-        |FROM s)
-        |SELECT doc_id, CASE
-        |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'en'
-        |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'es'
-        |  WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'de'
-        |  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'fr'
-        |  WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) AND greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN 'zh'
-        |  ELSE 'und' END AS lang_pred
-        |FROM c""".stripMargin,
+      s"""WITH $langPredCtes
+         |SELECT doc_id, lang_pred FROM pred""".stripMargin,
+
+    // the engine's own classifier graded by the engine's own eval suite:
+    // confusion of (lang = 'en') vs (langId = 'en'), same metric assembly
+    "ext_langid_eval" ->
+      s"""WITH $langPredCtes,
+         |j AS (SELECT d.lang, p.lang_pred FROM documents d
+         |  JOIN pred p ON d.doc_id = p.doc_id),
+         |cc AS (SELECT
+         |  CAST(sum(CASE WHEN lang = 'en' AND lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN lang <> 'en' AND lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN lang = 'en' AND lang_pred <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN lang <> 'en' AND lang_pred <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM j)
+         |SELECT tp, fp, fn, tn,
+         |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+         |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+         |  CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1,
+         |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
+         |  CAST((CAST(tp AS DECIMAL(18,0)) * CAST(tn AS DECIMAL(18,0)) -
+         |        CAST(fp AS DECIMAL(18,0)) * CAST(fn AS DECIMAL(18,0)))
+         |       * 2::DECIMAL(1,0) AS DOUBLE) /
+         |  CAST((CAST(tp AS DECIMAL(18,0)) + CAST(fp AS DECIMAL(18,0))) *
+         |       (CAST(fp AS DECIMAL(18,0)) + CAST(tn AS DECIMAL(18,0))) +
+         |       (CAST(tp AS DECIMAL(18,0)) + CAST(fn AS DECIMAL(18,0))) *
+         |       (CAST(fn AS DECIMAL(18,0)) + CAST(tn AS DECIMAL(18,0)))
+         |       AS DOUBLE) AS kappa
+         |FROM cc""".stripMargin,
 
     // each check's metric replayed as the same single exact division; the
     // passed booleans compare those identical doubles, so they replay too
