@@ -2873,9 +2873,12 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val run = graft.operators.Eval.rankedRun(
         docs, col("text"), col("doc_id"), evalTerms, k = 10)
-      val rel = run.join(
+      // cut once: the run feeds three consumers (per-query distinct,
+      // first-relevant ranks, the corpus MRR row) — without the cut each
+      // would re-run the corpus tokenization scan
+      val rel = graft.util.Checkpoints.cut(run.join(
         docs.select(col("doc_id"), (col("lang") === "en").as("is_rel")),
-        Seq("doc_id"))
+        Seq("doc_id")))
       val firsts = rel.filter(col("is_rel"))
         .groupBy(col("query")).agg(min(col("rank")).as("first_rank"))
       val perQ = rel.select(col("query")).distinct()
