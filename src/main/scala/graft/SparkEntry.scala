@@ -3010,6 +3010,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy(col("doc_id"))),
 
+    // survivorship over the near-dup clusters: one FUSED record per
+    // cluster, each field independently resolved (longest text ties to
+    // min id, min source/lang, max n_chars) — where keepCanonical drops
+    // rows, this merges them, so the golden record can carry values from
+    // different members. All rules are grouped argmin/argmax aggregates.
+    "ext_golden_record" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dedup.goldenRecords(docs,
+          graft.operators.Dedup.connectedComponents(
+            graft.operators.Dedup.minhashCandidates(docs)))
+        .orderBy(col("cluster"))
+    }),
+
     "ext_dedup_simhash" -> ((s, dir) =>
       // maxHamming = 3: the largest distance the 4-block LSH recall
       // guarantee covers (pigeonhole: <= 3 differing bits leave one block
@@ -8204,6 +8217,26 @@ object SparkEntry {
       s"""WITH RECURSIVE $nearDupComponentsCtes
         |SELECT a AS doc_id, least(a, min(b)) AS component
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // the same components, field rules replayed: longest text via the
+    // rank-1 window (ties min id), min/max per remaining field
+    "ext_golden_record" ->
+      s"""WITH RECURSIVE $nearDupComponentsCtes,
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |lab AS (SELECT coalesce(c.component, d.doc_id) AS cluster,
+        |    d.doc_id, d.text, d.source, d.lang, d.n_chars
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |best AS (SELECT cluster, text FROM (SELECT cluster, text,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY length(text) DESC, doc_id ASC) AS rn FROM lab)
+        |  WHERE rn = 1)
+        |SELECT l.cluster, count(*) AS n_members,
+        |  any_value(b.text) AS text,
+        |  min(l.source) AS source, min(l.lang) AS lang,
+        |  max(l.n_chars) AS n_chars
+        |FROM lab l JOIN best b ON l.cluster = b.cluster
+        |GROUP BY l.cluster ORDER BY l.cluster""".stripMargin,
 
     // leakage-safe split: every doc inherits its near-dup CLUSTER
     // representative's hash draw, so a cluster can never straddle splits

@@ -686,6 +686,29 @@ object Dedup {
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
+  /** Survivorship / golden-record merge — entity resolution's last mile:
+    * where [[keepCanonicalByLabels]] KEEPS one member row per duplicate
+    * cluster, this FUSES the cluster into one merged record whose fields
+    * are independently resolved by deterministic rules (longest text,
+    * ties to the smallest id; lexicographic-min source and lang; max
+    * n_chars), so the survivor can carry its best values from DIFFERENT
+    * members. Every rule is an argmin/argmax via min/max(struct(...)) —
+    * one grouped aggregate per cluster, combinable map-side, never a
+    * per-cluster window sort. Unclustered docs are their own cluster. */
+  def goldenRecords(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = docs.join(labels, docs("doc_id") === labels("id"), "left_outer")
+      .select(coalesce(col("comp"), col("doc_id")).as("cluster"),
+        col("doc_id"), col("text"), col("source"), col("lang"),
+        col("n_chars"))
+    lab.groupBy(col("cluster")).agg(
+      count(lit(1)).as("n_members"),
+      max(struct(length(col("text")).as("l"), (-col("doc_id")).as("nid"),
+        col("text").as("v"))).getField("v").as("text"),
+      min(col("source")).as("source"),
+      min(col("lang")).as("lang"),
+      max(col("n_chars")).as("n_chars"))
+  }
+
   // ------------------------------------------------ passage-level dedup
 
   /** Fixed-size word tiles of normalized text — the passage granularity

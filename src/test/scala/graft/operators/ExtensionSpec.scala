@@ -138,6 +138,30 @@ class ExtensionSpec extends SparkSpec {
     assert(kept == Set(1L, 7L, 9L)) // singletons untouched, losers dropped
   }
 
+  test("goldenRecords fuses fields from DIFFERENT cluster members") {
+    // cluster {1,2}: doc 1 has the longer text, doc 2 the smaller source
+    // and the larger n_chars — the golden record must mix them
+    val docs = Seq(
+      (1L, "a much longer text body", "srcZ", "en", 10L),
+      (2L, "short", "srcA", "de", 99L),
+      (9L, "solo", "srcM", "fr", 4L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val labels = Dedup.connectedComponents(Seq((1L, 2L)).toDF("id_a", "id_b"))
+    val got = Dedup.goldenRecords(docs, labels)
+      .orderBy("cluster")
+      .as[(Long, Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, "a much longer text body", "srcA", "de", 99L),
+      (9L, 1L, "solo", "srcM", "fr", 4L)))
+    // text tie breaks to the SMALLER doc_id
+    val tie = Seq(
+      (5L, "same", "s1", "en", 1L), (6L, "same", "s2", "en", 2L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val tl = Dedup.connectedComponents(Seq((5L, 6L)).toDF("id_a", "id_b"))
+    val t = Dedup.goldenRecords(tie, tl).collect().head
+    assert(t.getString(2) == "same" && t.getLong(0) == 5L)
+  }
+
   test("connected components: a long chain converges via pointer halving") {
     // 60-hop chain: plain min-propagation needs ~60 rounds; pointer halving
     // must close it well inside the 25-round budget
