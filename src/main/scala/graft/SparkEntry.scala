@@ -694,6 +694,43 @@ object SparkEntry {
     }),
 
     // ---- sources (SURVEY §2.1) -----------------------------------------
+    // CSV file-source surface with corrupt-record capture: the events
+    // table round-trips through a CSV file where every 20th line carries
+    // an unparseable amount field ("###"); the PERMISSIVE read parses the
+    // well-formed lines against an explicit schema and quarantines the
+    // rest into _corrupt_record — graded as the parse census plus the
+    // exact-decimal total of the parsed rows (a silently-dropped or
+    // silently-nulled line shifts one of them). At 100 TB this is the
+    // landing-zone contract: malformed vendor lines must surface, never
+    // vanish. (A SHORT line, by contrast, is legal CSV — Spark null-pads
+    // missing trailing columns without flagging it; the type mismatch is
+    // what makes a record malformed.)
+    "s8_csv_corrupt" -> ((s, dir) => {
+      val csvDir = sys.props("java.io.tmpdir") + "/graft-csv-" +
+        math.abs(dir.hashCode)
+      deleteRecursively(csvDir)
+      val amount = when(col("event_id") % 20 === 0, lit("###"))
+        .otherwise(format_string("%.2f", col("value")))
+      Tables.events(s, dir)
+        .select(concat_ws(",", col("event_id"), col("user_id"),
+          col("event_type"), amount).as("value"))
+        .write.mode("overwrite").text(csvDir)
+      val schema = "event_id LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, _corrupt_record STRING"
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(csvDir)
+      parsed.agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+          .as("n_parsed"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"),
+        dsum(when(col("_corrupt_record").isNull, col("value"))
+          .otherwise(lit(null))).as("parsed_total"))
+    }),
+
     "s5_memory_relation" -> ((s, dir) => {
       // S5: in-memory local relation (Seq -> DataFrame).
       import s.implicits._
@@ -7916,6 +7953,21 @@ object SparkEntry {
         |  tp * 10000 // cand_pairs AS precision_bp,
         |  tp * 10000 // truth_pairs AS recall_bp
         |FROM c""".stripMargin,
+
+    // the census replayed from the source relation: corrupt = the
+    // truncated twentieths; the parsed total re-rounds each value to the
+    // two decimals the CSV carried
+    "s8_csv_corrupt" ->
+      """WITH p AS (SELECT event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN event_id % 20 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_parsed,
+        |  CAST(sum(CASE WHEN event_id % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(sum(CASE WHEN event_id % 20 <> 0 THEN v END) AS DOUBLE)
+        |    AS parsed_total
+        |FROM p""".stripMargin,
 
     // the same histogram Mann-Whitney: positives beat negatives scored
     // strictly below plus half the ties; longs until the one division
