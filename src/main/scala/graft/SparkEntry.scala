@@ -36,6 +36,20 @@ object SparkEntry {
   private val evalTerms = Seq(
     "spark", "table", "merge", "window", "hash", "scan", "sort", "batch")
 
+  /** Shared oracle for `ext_quarantine` and its stateless streaming twin:
+    * the same first-failure CASE, nulls failing closed. */
+  private val quarantineSql =
+    """WITH t AS (SELECT
+      |    CASE WHEN NOT COALESCE(value <= 400, FALSE) THEN 'value_le_400'
+      |      WHEN NOT COALESCE(event_type <> 'purchase' OR value <= 300,
+      |        FALSE) THEN 'purchase_le_300'
+      |      WHEN NOT COALESCE(event_type IN
+      |        ('view','click','signup','purchase','error'), FALSE)
+      |        THEN 'known_type'
+      |      ELSE 'PASS' END AS rule
+      |  FROM events)
+      |SELECT rule, count(*) AS n FROM t GROUP BY rule ORDER BY rule""".stripMargin
+
   /** The langId replay CTEs (stop-word scores + deterministic tie-break),
     * shared by `ext_lang_id` and the `ext_langid_eval` composition. */
   private val langPredCtes =
@@ -3692,6 +3706,12 @@ object SparkEntry {
     // finalization; must equal the batch suite (same oracle)
     "stream_eval_confusion" -> ((s, dir) => streamEvalConfusion(s, dir)),
 
+    // streaming contract enforcement: the SAME quarantine expression on a
+    // live stream (stateless per-row tagging, append mode) — violations
+    // surface with their rule id as they arrive instead of at day-end
+    // batch audit; the final census equals the batch row's oracle
+    "stream_quarantine" -> ((s, dir) => streamQuarantine(s, dir)),
+
     // streaming EWMA: the per-user fold arrives one DAY per micro-batch
     // (the order the recurrence requires); foreachBatch folds each day
     // into a one-row-per-user parquet levels table — O(users) state, the
@@ -4024,6 +4044,39 @@ object SparkEntry {
         .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
     } finally q.stop()
     graft.operators.Eval.metricsFromCounts(s.table("stream_eval_confusion_t"))
+  }
+
+  /** The run behind `stream_quarantine`: events fed in four micro-batches
+    * through the same [[graft.operators.Quality.quarantine]] expression —
+    * stateless, append mode — then the appended rows are rolled into the
+    * per-rule census the batch oracle states. */
+  private def streamQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+    val ms = MemoryStream[(Long, String, Double)]
+    val tagged = graft.operators.Quality.quarantine(
+      ms.toDF().toDF("event_id", "event_type", "value"), Seq(
+        "value_le_400" -> (col("value") <= 400.0),
+        "purchase_le_300" ->
+          (col("event_type") =!= "purchase" || col("value") <= 300.0),
+        "known_type" -> col("event_type").isin(
+          "view", "click", "signup", "purchase", "error")))
+      .select(col("event_id"), coalesce(col("quarantine_rule"), lit("PASS"))
+        .as("rule"))
+    val q = tagged.writeStream.outputMode("append").format("memory")
+      .queryName("stream_quarantine_t")
+      .option("checkpointLocation", tempCkpt()).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4))
+        .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table("stream_quarantine_t")
+      .groupBy(col("rule")).agg(count(lit(1)).as("n"))
+      .orderBy(col("rule"))
   }
 
   /** The run behind `stream_ewma`: daily per-user cents fed one day per
@@ -6783,17 +6836,10 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     // first-failure attribution replayed as the same ordered CASE
-    "ext_quarantine" ->
-      """WITH t AS (SELECT
-        |    CASE WHEN NOT COALESCE(value <= 400, FALSE) THEN 'value_le_400'
-        |      WHEN NOT COALESCE(event_type <> 'purchase' OR value <= 300,
-        |        FALSE) THEN 'purchase_le_300'
-        |      WHEN NOT COALESCE(event_type IN
-        |        ('view','click','signup','purchase','error'), FALSE)
-        |        THEN 'known_type'
-        |      ELSE 'PASS' END AS rule
-        |  FROM events)
-        |SELECT rule, count(*) AS n FROM t GROUP BY rule ORDER BY rule""".stripMargin,
+    "ext_quarantine" -> quarantineSql,
+
+    // the stateless per-row tagging appends to the same census
+    "stream_quarantine" -> quarantineSql,
 
     // the TWS greedy scan must reproduce the batch recurrence's reach set
     // exactly — same oracle
