@@ -1861,6 +1861,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // hashing-trick featurization ([[graft.operators.Sampling.featureHash]]):
+    // three categoricals per event land in 64 signed buckets with no
+    // vocabulary pass — the fixed-dimensional sparse features a linear
+    // model trains on; pure per-row md5 hashing plus one grouped sum
+    "ext_feature_hash" -> ((s, dir) =>
+      graft.operators.Sampling.featureHash(Tables.events(s, dir),
+          col("event_id"), Seq(
+            "type" -> col("event_type"),
+            "uband" -> pmod(col("user_id"), lit(100L)),
+            "vband" -> floor(col("value") / 50.0).cast("long")),
+          k = 64)
+        .orderBy(col("id"), col("bucket"))),
+
     // data repair: per-user LOWER-median imputation of untrusted readings
     // (an 'error' event's value is replaced by the user's median over
     // trusted rows — rank (n+1) div 2, purely integer so no interpolation
@@ -6478,6 +6491,23 @@ object SparkEntry {
 
     // day-per-batch streaming fold converges to the identical levels
     "stream_ewma" -> ewmaSql,
+
+    // same md5 buckets and sign bits, same signed collision sum
+    "ext_feature_hash" ->
+      """WITH f AS (SELECT event_id AS id, unnest([
+        |    'type=' || event_type,
+        |    'uband=' || CAST(user_id % 100 AS VARCHAR),
+        |    'vband=' || CAST(CAST(floor(value / '50.0'::DOUBLE) AS BIGINT)
+        |      AS VARCHAR)]) AS key
+        |  FROM events),
+        |h AS (SELECT id,
+        |    CAST(CAST('0x' || substr(md5(key), 1, 15) AS UBIGINT) AS BIGINT)
+        |      % 64 AS bucket,
+        |    CASE WHEN CAST(CAST('0x' || substr(md5(key || '#sign'), 1, 1)
+        |      AS UBIGINT) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM f)
+        |SELECT id, bucket, CAST(sum(s) AS BIGINT) AS v
+        |FROM h GROUP BY id, bucket ORDER BY id, bucket""".stripMargin,
 
     // the same 24h range frame, list-collected and rank-picked
     "ext_rolling_median_24h" ->

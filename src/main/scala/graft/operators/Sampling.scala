@@ -23,6 +23,34 @@ object Sampling {
   def hashBucket(id: Column, salt: String): Column =
     substring(md5(concat(id.cast("string"), lit("#" + salt)).cast("binary")), 1, 8)
 
+  /** Hashing-trick featurization (Weinberger et al.): each categorical
+    * (name, value) feature maps to `bucket = md5("name=value") % k`, with
+    * a ±1 sign from an independent md5 bit so colliding features cancel
+    * in expectation instead of biasing upward. Returns the SPARSE
+    * `(id, bucket, v)` relation (v = signed collision sum; null feature
+    * values contribute nothing). The fixed k caps model dimensionality
+    * with no vocabulary pass — pure per-row hashing plus one grouped sum,
+    * so the shuffle carries at most min(|feats|, k) rows per id at any
+    * corpus size, and the same md5 arithmetic replays in any engine. */
+  def featureHash(
+      df: DataFrame, id: Column, feats: Seq[(String, Column)],
+      k: Int): DataFrame = {
+    require(k >= 2 && feats.nonEmpty, s"need k >= 2 and features, got k=$k")
+    val entries = feats.map { case (n, c) =>
+      val key = concat(lit(n + "="), c.cast("string"))
+      struct(
+        (conv(substring(md5(key.cast("binary")), 1, 15), 16, 10)
+          .cast("long") % k).as("bucket"),
+        when(conv(substring(md5(concat(key, lit("#sign")).cast("binary")),
+            1, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L).as("s"))
+    }
+    df.select(id.as("id"), explode(array(entries: _*)).as("f"))
+      .filter(col("f.bucket").isNotNull)
+      .groupBy(col("id"), col("f.bucket").as("bucket"))
+      .agg(sum(col("f.s")).as("v"))
+  }
+
   /** The hex threshold below which a uniform 8-hex-digit draw falls with
     * probability `fraction`. */
   def hexThreshold(fraction: Double): String = {
