@@ -2017,6 +2017,29 @@ object SparkEntry {
         "user_id", "event_type", "ts",
         Seq("signup", "view", "click", "purchase"), windowSec = 86400L)),
 
+    // SESSION-scoped funnel: the same ordered recurrence, but each step
+    // must happen inside one 30-minute-gap session — composed by keying
+    // Funnel.ordered on (user, session) instead of user (sessions
+    // assigned by the classic gap method: lag + running sum, one window
+    // over the per-user order). Counts are sessions converting, not
+    // users ever converting — the product question x19 cannot answer.
+    "x67_session_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("new_s",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L,
+            1L).otherwise(0L))
+        .withColumn("sess", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("skey", concat_ws("#", col("user_id"), col("sess")))
+      graft.operators.Funnel.ordered(ev, "skey", "event_type", "ts_us",
+        Seq("view", "click", "purchase"), windowSec = 0L)
+    }),
+
     // file-level bloom index: point lookups on a uniformly-distributed id
     // — the layout where min/max skipping can never prune (every file's
     // [min, max] spans the domain); the per-file bloom opens only maybe-
@@ -6843,6 +6866,34 @@ object SparkEntry {
         |FROM runs ORDER BY user_id, version""".stripMargin,
 
     "x19_funnel" -> funnelOracleSql,
+
+    // sessions replayed by the same gap method, the recurrence keyed on
+    // (user '#' session); windowSec=0 — the session gap is the bound
+    "x67_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS prev FROM e),
+        |sx AS (SELECT user_id, event_type, ts_us,
+        |    sum(CASE WHEN prev IS NOT NULL AND ts_us - prev > 1800000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM l),
+        |k AS (SELECT CAST(user_id AS VARCHAR) || '#' ||
+        |    CAST(sess AS VARCHAR) AS u, event_type, ts_us FROM sx),
+        |s1 AS (SELECT u, min(ts_us) AS reached FROM k
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT k.u, min(k.ts_us) AS reached FROM k
+        |  JOIN s1 ON k.u = s1.u
+        |  WHERE k.event_type = 'click' AND k.ts_us >= s1.reached GROUP BY 1),
+        |s3 AS (SELECT k.u, min(k.ts_us) AS reached FROM k
+        |  JOIN s2 ON k.u = s2.u
+        |  WHERE k.event_type = 'purchase' AND k.ts_us >= s2.reached GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
 
     // the same runs, filtered to the intervals containing T
     "ext_scd2_asof" ->
