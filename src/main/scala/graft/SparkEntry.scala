@@ -2418,6 +2418,28 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // EMBEDDING drift: the PSI monitor lifted to vectors — each embedding
+    // buckets by the sign pattern of 4 seeded hyperplane projections (16
+    // cells, the LSH sketch of the distribution), then the same
+    // fixed-point PSI compares the two corpus halves. At 100 TB this is
+    // how you watch an embedding model's output distribution move without
+    // ever pairing vectors: per-row projections, then counts.
+    "ext_embedding_drift" -> ((s, dir) => {
+      val proj = graft.operators.Similarity.randomProject(
+        col("embedding").cast("array<double>"), outDim = 4, dim = 64)
+      val bucket = (0 until 4).map(i =>
+          when(element_at(proj, i + 1) >= 0.0, lit(1L << i))
+            .otherwise(lit(0L)))
+        .reduce(_ + _)
+      val b = Tables.embeddings(s, dir)
+        .select(col("vec_id"), bucket.as("bucket"))
+      graft.operators.Quality.psiDrift(
+          b.filter(col("vec_id") % 2 === 0),
+          b.filter(col("vec_id") % 2 === 1),
+          col("bucket"))
+        .orderBy(col("bucket"))
+    }),
+
     // per-group HLL: distinct-shingle estimate PER LANGUAGE from one pass
     // — G * 2^p counter rows total; each lang's slice is a standalone
     // mergeable sketch. Registers, integer evidence and the two-rounding
@@ -5065,12 +5087,11 @@ object SparkEntry {
       |  FROM sc) t
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
-  private val psiDriftSql =
-"""WITH a AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
-        |    count(*) AS ra FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
-        |b AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
-        |    count(*) AS rb FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
-        |cells AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+  /** The fixed-point PSI projection over CTEs `a(bucket, ra)` /
+    * `b(bucket, rb)` — shared by the n_chars drift rows and the
+    * embedding-drift composition. */
+  private val psiTailSql =
+    """cells AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
         |    coalesce(ra, 0) + 1 AS n_a, coalesce(rb, 0) + 1 AS n_b
         |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
         |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS na_tot,
@@ -5089,6 +5110,13 @@ object SparkEntry {
         |SELECT bucket, n_a, n_b,
         |  dp * (CASE WHEN num >= den THEN av ELSE -av END) AS term_fp
         |FROM alr ORDER BY bucket""".stripMargin
+
+  private val psiDriftSql =
+    s"""WITH a AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+        |    count(*) AS ra FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+        |    count(*) AS rb FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |$psiTailSql""".stripMargin
 
   private val pqExactSql =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -7226,6 +7254,25 @@ object SparkEntry {
     // smoothed union-bucket cells, the same integer dp / pl2 log-ratio
     // arithmetic, per-bucket terms
     "ext_drift_psi" -> psiDriftSql,
+
+    // the same sign-pattern buckets from the same string-cast plane
+    // literals, then the shared PSI tail
+    "ext_embedding_drift" -> {
+      val ps = graft.operators.Similarity.planes(4, 64, 42L)
+      val scale = 1.0 / math.sqrt(4.0)
+      val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(e, ${planeList(p)}) * '$scale'::DOUBLE >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n         |      + ")
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |bk AS (SELECT vec_id,
+         |      $bucketExpr AS bucket
+         |  FROM n),
+         |a AS (SELECT bucket, count(*) AS ra FROM bk
+         |  WHERE vec_id % 2 = 0 GROUP BY 1),
+         |b AS (SELECT bucket, count(*) AS rb FROM bk
+         |  WHERE vec_id % 2 = 1 GROUP BY 1),
+         |$psiTailSql""".stripMargin
+    },
     // the streamed counts ARE the batch counts (additive, fed once) — the
     // same report, the same oracle
     "stream_drift_psi" -> psiDriftSql,
