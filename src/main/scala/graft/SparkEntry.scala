@@ -1861,6 +1861,40 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // A/B experiment readout: users split into two deterministic arms,
+    // per-arm conversion (any purchase) counted exactly, then the
+    // two-proportion z statistic assembled from the integer counts in ONE
+    // mirrored IEEE expression (pooled variance; the divisions and sqrt
+    // are the only double ops, so the statistic hash-matches). Lift is
+    // reported in exact basis points — the experimentation verb every
+    // product pipeline ends at.
+    "ext_ab_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= 300.0, 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      val counts = perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val a = counts.filter(col("arm") === 0)
+        .select(col("n").as("n_a"), col("conv").as("conv_a"))
+      val b = counts.filter(col("arm") === 1)
+        .select(col("n").as("n_b"), col("conv").as("conv_b"))
+      val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val se = sqrt(pooled * (lit(1.0) - pooled) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double")))
+      val diff = col("conv_b").cast("double") / col("n_b").cast("double") -
+        col("conv_a").cast("double") / col("n_a").cast("double")
+      a.crossJoin(b).select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("conv_b * 10000 div n_b - conv_a * 10000 div n_a").as("lift_bp"),
+        // a degenerate experiment (pooled rate 0 or 1) has zero variance:
+        // report z = 0 rather than divide by an exact 0.0 (ANSI errors)
+        when(se > 0.0, diff / se).otherwise(lit(0.0)).as("z"))
+    }),
+
     // hashing-trick featurization ([[graft.operators.Sampling.featureHash]]):
     // three categoricals per event land in 64 signed buckets with no
     // vocabulary pass — the fixed-dimensional sparse features a linear
@@ -6542,6 +6576,37 @@ object SparkEntry {
 
     // day-per-batch streaming fold converges to the identical levels
     "stream_ewma" -> ewmaSql,
+
+    // same per-arm counts, the z statistic assembled by the identical
+    // IEEE expression (each sub-expression mirrored operation for
+    // operation)
+    "ext_ab_test" ->
+      """WITH pu AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 300
+        |      THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1),
+        |arms AS (SELECT user_id % 2 AS arm,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS conv
+        |  FROM pu GROUP BY 1),
+        |ab AS (SELECT
+        |    (SELECT n FROM arms WHERE arm = 0) AS n_a,
+        |    (SELECT conv FROM arms WHERE arm = 0) AS conv_a,
+        |    (SELECT n FROM arms WHERE arm = 1) AS n_b,
+        |    (SELECT conv FROM arms WHERE arm = 1) AS conv_b),
+        |se AS (SELECT *,
+        |    sqrt(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) *
+        |      (1.0::DOUBLE - CAST(conv_a + conv_b AS DOUBLE) /
+        |        CAST(n_a + n_b AS DOUBLE)) *
+        |      (1.0::DOUBLE / CAST(n_a AS DOUBLE) +
+        |       1.0::DOUBLE / CAST(n_b AS DOUBLE))) AS sev
+        |  FROM ab)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  conv_b * 10000 // n_b - conv_a * 10000 // n_a AS lift_bp,
+        |  CASE WHEN sev > 0 THEN
+        |    (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+        |     CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / sev
+        |  ELSE 0.0::DOUBLE END AS z
+        |FROM se""".stripMargin,
 
     // same md5 buckets and sign bits, same signed collision sum
     "ext_feature_hash" ->
