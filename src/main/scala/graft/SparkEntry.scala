@@ -1861,6 +1861,47 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // sequence-pattern mining: the top-20 event-type TRIGRAMS over each
+    // user's event order (two leads in one window pass — the pair table's
+    // extension to length-3 paths, bounded by the type-vocabulary cubed,
+    // never the log), with deterministic (n DESC, types) ranking
+    "ext_event_trigrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("t1"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+
+    // broadcast BAND (non-equi) join: every line item priced into an
+    // irregular 6-band rate card by `lo <= price < hi` against a
+    // broadcast dim — the range-lookup join shape (tax tables, rate
+    // cards, SLA tiers) where no equi-key exists; at 100 TB the tiny
+    // band table broadcasts and the fact table never shuffles
+    "ext_band_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("B1", 0.0, 1000.0), ("B2", 1000.0, 5000.0), ("B3", 5000.0, 20000.0),
+        ("B4", 20000.0, 40000.0), ("B5", 40000.0, 60000.0),
+        ("B6", 60000.0, 1e18)).toDF("band", "lo", "hi")
+      Tables.lineitem(s, dir)
+        .join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") &&
+            col("l_extendedprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("band"))
+    }),
+
     // A/B experiment readout: users split into two deterministic arms,
     // per-arm conversion (any purchase) counted exactly, then the
     // two-proportion z statistic assembled from the integer counts in ONE
@@ -6576,6 +6617,29 @@ object SparkEntry {
 
     // day-per-batch streaming fold converges to the identical levels
     "stream_ewma" -> ewmaSql,
+
+    // same two leads, same deterministic ranking
+    "ext_event_trigrams" ->
+      """WITH e AS (SELECT user_id, event_type AS t1,
+        |    epoch_us(ts) AS ts_us, event_id FROM events),
+        |l AS (SELECT t1,
+        |    lead(t1, 1) OVER w AS t2, lead(t1, 2) OVER w AS t3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT t1, t2, t3, count(*) AS n FROM l WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+
+    // the same irregular rate card inlined
+    "ext_band_lookup" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('B1', 0.0, 1000.0), ('B2', 1000.0, 5000.0),
+        |  ('B3', 5000.0, 20000.0), ('B4', 20000.0, 40000.0),
+        |  ('B5', 40000.0, 60000.0), ('B6', 60000.0, 1e18))
+        |SELECT band, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM lineitem JOIN bands
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
 
     // same per-arm counts, the z statistic assembled by the identical
     // IEEE expression (each sub-expression mirrored operation for
