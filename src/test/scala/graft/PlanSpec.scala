@@ -600,6 +600,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("events.parquet"), s"plan still scans the base:\n$p")
   }
 
+  test("attribution: both sides' type filters reach the scan, small side broadcast") {
+    val p = plan("ext_attribution")
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+      p.contains("EqualTo(event_type,click)"),
+      s"type filters did not push to the parquet scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the touch side should broadcast under the user equi-key:\n$p")
+    assert(!p.contains("CartesianProduct"), "pair stage degenerated to a cross")
+  }
+
+  test("band lookup: broadcast non-equi join, fact table never shuffles before it") {
+    val p = plan("ext_band_lookup")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"a 6-row rate card must broadcast, not shuffle the fact side:\n$p")
+    val beforeJoin = p.substring(0, p.indexOf("BroadcastNestedLoopJoin"))
+    assert(!beforeJoin.contains("Exchange hashpartitioning"),
+      s"fact side shuffled before the band join:\n$p")
+  }
+
+  test("feature hash: one grouped sum, no join, histogram combines map-side") {
+    val p = plan("ext_feature_hash")
+    assert(!p.contains("Join"), s"featurization must be join-free:\n$p")
+    assert(p.contains("partial_sum"), "signed sums must combine map-side")
+  }
+
+  test("AUC: the histogram combines map-side; no scored-row shuffle") {
+    val p = plan("ext_auc")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "the (segment, score) histogram must partial-aggregate map-side")
+    assert(!p.contains("Join"), s"AUC needs no join:\n$p")
+  }
+
   test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
