@@ -1861,6 +1861,40 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // RFM segmentation: per-user Recency (days since last purchase,
+    // against the corpus max date), Frequency (purchase count), Monetary
+    // (exact cents), each quartiled by ntile over a UNIQUE order (metric,
+    // user_id — the tie-break that makes ntile deterministic
+    // cross-engine), composed into the three-digit RFM code marketing
+    // segments on. One aggregate plus three bounded windows over the
+    // per-user table, never the event log.
+    "ext_rfm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .withColumn("d", to_date(col("ts")))
+      val perUser = p.groupBy(col("user_id")).agg(
+        max(col("d")).as("last_d"),
+        count(lit(1)).as("frequency"),
+        (sum(money(col("value"))) * 100).cast("long").as("monetary_cents"))
+      val maxD = p.agg(max(col("d")).as("corpus_max"))
+      val rfm = perUser.crossJoin(broadcast(maxD))
+        .withColumn("recency_days",
+          datediff(col("corpus_max"), col("last_d")).cast("long"))
+      // recency: SMALLER is better -> ascending ntile; f/m: larger better
+      // -> descending, id tie-break keeps every rank deterministic
+      def q(c: String, asc: Boolean) = ntile(4).over(
+        if (asc) Window.orderBy(col(c).asc, col("user_id").asc)
+        else Window.orderBy(col(c).desc, col("user_id").asc))
+      rfm.select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          q("recency_days", asc = true).as("r_q"),
+          q("frequency", asc = false).as("f_q"),
+          q("monetary_cents", asc = false).as("m_q"))
+        .withColumn("rfm_code",
+          col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+        .orderBy(col("user_id"))
+    }),
+
     // sequence-pattern mining: the top-20 event-type TRIGRAMS over each
     // user's event order (two leads in one window pass — the pair table's
     // extension to length-3 paths, bounded by the type-vocabulary cubed,
@@ -6617,6 +6651,27 @@ object SparkEntry {
 
     // day-per-batch streaming fold converges to the identical levels
     "stream_ewma" -> ewmaSql,
+
+    // same per-user rollup, same tie-broken quartiles
+    "ext_rfm" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events
+        |  WHERE event_type = 'purchase'),
+        |pu AS (SELECT user_id, max(d) AS last_d,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(v) * 100 AS BIGINT) AS monetary_cents
+        |  FROM p GROUP BY 1),
+        |m AS (SELECT max(d) AS corpus_max FROM p),
+        |r AS (SELECT pu.*, CAST(datediff('day', last_d, corpus_max)
+        |    AS BIGINT) AS recency_days FROM pu CROSS JOIN m),
+        |qq AS (SELECT user_id, recency_days, frequency, monetary_cents,
+        |    ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_q,
+        |    ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_q,
+        |    ntile(4) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS m_q
+        |  FROM r)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        |  r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm_code
+        |FROM qq ORDER BY user_id""".stripMargin,
 
     // same two leads, same deterministic ranking
     "ext_event_trigrams" ->
