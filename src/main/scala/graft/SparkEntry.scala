@@ -1861,6 +1861,32 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // cohort LTV curves: users cohorted by FIRST purchase date, revenue
+    // rolled up per (cohort, age-in-days) in exact cents, then the
+    // cumulative lifetime value per cohort via one window over the
+    // cohort x age table (bounded by days², never the log) — the curve
+    // retention analyses price decisions against
+    "ext_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          (money(col("value")) * 100).cast("long").as("cents"))
+      val firstD = p.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+      val daily = p.join(firstD, "user_id")
+        .groupBy(col("cohort_d"),
+          datediff(col("d"), col("cohort_d")).cast("long").as("age_days"))
+        .agg(sum(col("cents")).as("day_cents"),
+          countDistinct(col("user_id")).as("active_users"))
+      val w = Window.partitionBy(col("cohort_d")).orderBy(col("age_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_cents", sum(col("day_cents")).over(w))
+        .select(col("cohort_d").cast("string").as("cohort"),
+          col("age_days"), col("day_cents"), col("active_users"),
+          col("cum_cents"))
+        .orderBy(col("cohort"), col("age_days"))
+    }),
+
     // RFM segmentation: per-user Recency (days since last purchase,
     // against the corpus max date), Frequency (purchase count), Monetary
     // (exact cents), each quartiled by ntile over a UNIQUE order (metric,
@@ -6651,6 +6677,24 @@ object SparkEntry {
 
     // day-per-batch streaming fold converges to the identical levels
     "stream_ewma" -> ewmaSql,
+
+    // same first-purchase cohorts, same exact-cent cumulative window
+    "ext_cohort_ltv" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, min(d) AS cohort_d FROM p GROUP BY 1),
+        |daily AS (SELECT cohort_d,
+        |    CAST(datediff('day', cohort_d, d) AS BIGINT) AS age_days,
+        |    CAST(sum(cents) AS BIGINT) AS day_cents,
+        |    CAST(count(DISTINCT p.user_id) AS BIGINT) AS active_users
+        |  FROM p JOIN f ON p.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT CAST(cohort_d AS VARCHAR) AS cohort, age_days, day_cents,
+        |  active_users,
+        |  CAST(sum(day_cents) OVER (PARTITION BY cohort_d ORDER BY age_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents
+        |FROM daily ORDER BY cohort, age_days""".stripMargin,
 
     // same per-user rollup, same tie-broken quartiles
     "ext_rfm" ->
