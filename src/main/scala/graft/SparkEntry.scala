@@ -1436,6 +1436,47 @@ object SparkEntry {
       agg(2).unionByName(agg(v3))
     }),
 
+    // retraction-based incremental rollup maintenance over the versioned
+    // table: a daily rollup built at v0 is carried to v2 (an upsert THEN
+    // a keyed delete) by aggregating ONLY the changed partitions' rows at
+    // both versions and folding (new − old) into the stored partials —
+    // deletes retract, updates retract-and-add, groups whose count
+    // reaches zero drop out. Maintenance cost tracks the changed
+    // partitions ([[graft.operators.Versioned.changedPartitionRows]]
+    // skips identical file sets unread); the oracle is the direct v2
+    // aggregate, so the hash proves the IVM invisible.
+    "x68_ivm_retract" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft-ivm-" +
+        math.abs(dir.hashCode)
+      deleteRecursively(base)
+      val rel = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).cast("string").as("event_date"))
+      graft.operators.Versioned.commitFull(s, base, rel, "event_date")
+      val inWindow = col("event_date") >= "2024-01-05" &&
+        col("event_date") <= "2024-01-06"
+      graft.operators.Versioned.commitUpsert(s, base,
+        rel.filter(inWindow && col("event_id") % 2 === 0)
+          .withColumn("value", col("value") + 1000.0),
+        Seq("event_id"), "event_date")
+      val v2 = graft.operators.Versioned.commitDelete(s, base,
+        rel.filter(col("event_date") === "2024-01-07" && col("event_id") % 3 === 0)
+          .select(col("event_id"), col("event_date")),
+        Seq("event_id"), "event_date")
+      def roll(df: DataFrame, sign: Int) = df
+        .groupBy(col("event_date"), col("event_type"))
+        .agg((count(lit(1)) * sign).as("n_events"),
+          (sum(money(col("value"))) * sign).as("dec_value"))
+      val r0 = roll(graft.operators.Versioned.read(s, base, 0), 1)
+      val (oldRows, newRows) =
+        graft.operators.Versioned.changedPartitionRows(s, base, 0, v2)
+      r0.unionByName(roll(newRows, 1)).unionByName(roll(oldRows, -1))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("dec_value")).cast("double").as("total_value"))
+        .filter(col("n_events") > 0)
+    }),
+
     // O(1) shallow clone, graded as DIVERGING branches: the source takes
     // an upsert (v1) and is cloned; the CLONE then takes a keyed delete
     // the source never sees. The graded read aggregates the source's
@@ -6961,6 +7002,24 @@ object SparkEntry {
         |SELECT 'delete', event_id, event_type, value, ed, 1, 2 FROM d
         |WHERE ed = '2024-01-07' AND event_id % 3 = 0
         |ORDER BY vfrom, event_id""".stripMargin,
+
+    // the maintained rollup must equal the direct v2 aggregate
+    "x68_ivm_retract" ->
+      """WITH d AS (SELECT event_id, event_type, value,
+        |    strftime(ts, '%Y-%m-%d') AS ed FROM events),
+        |upd AS (SELECT event_id, event_type, value + 1000 AS value, ed
+        |  FROM d WHERE ed BETWEEN '2024-01-05' AND '2024-01-06'
+        |    AND event_id % 2 = 0),
+        |keep AS (SELECT event_id, event_type, value, ed FROM d
+        |  WHERE NOT (ed BETWEEN '2024-01-05' AND '2024-01-06'
+        |    AND event_id % 2 = 0)),
+        |v1 AS (SELECT * FROM keep UNION ALL SELECT * FROM upd),
+        |v2 AS (SELECT * FROM v1
+        |  WHERE NOT (ed = '2024-01-07' AND event_id % 3 = 0))
+        |SELECT ed AS event_date, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM v2 GROUP BY 1, 2""".stripMargin,
 
     // branch 0 (source latest) = the upsert only; branch 1 (clone latest)
     // = upsert AND the clone-side delete

@@ -225,9 +225,15 @@ object Versioned {
     * rows), so the scan cost tracks what actually changed, and rewritten-
     * but-identical rows (an upsert re-writing a partition's survivors)
     * are value-diffed away by null-safe struct comparison. */
-  def changesBetween(
-      spark: SparkSession, dir: String, v0: Int, v1: Int,
-      keyCols: Seq[String]): DataFrame = {
+  /** The rows of every CHANGED partition at `v0` and at `v1` — partitions
+    * whose manifest file sets are identical are skipped unread (immutable
+    * files: same paths means same rows), so the pair's scan cost tracks
+    * what actually changed. The primitive under [[changesBetween]] (keyed
+    * diff) and retraction-based incremental rollup maintenance (aggregate
+    * new minus old). */
+  def changedPartitionRows(
+      spark: SparkSession, dir: String, v0: Int,
+      v1: Int): (DataFrame, DataFrame) = {
     require(v0 < v1, s"need v0 < v1, got $v0 >= $v1")
     val e0 = readManifest(dir, v0).entries.groupBy(_.part)
     val e1 = readManifest(dir, v1).entries.groupBy(_.part)
@@ -241,13 +247,20 @@ object Versioned {
       if (paths.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(paths: _*)
-    val dataCols = schema.fieldNames.toSeq
+    (load(side(e0)), load(side(e1)))
+  }
+
+  def changesBetween(
+      spark: SparkSession, dir: String, v0: Int, v1: Int,
+      keyCols: Seq[String]): DataFrame = {
+    val (oldRows, newRows) = changedPartitionRows(spark, dir, v0, v1)
+    val dataCols = newRows.schema.fieldNames.toSeq
     val nonKey = dataCols.filterNot(keyCols.contains)
     require(keyCols.nonEmpty && keyCols.forall(dataCols.contains),
       s"keyCols $keyCols not all present in $dataCols")
-    val o = load(side(e0)).select(
+    val o = oldRows.select(
       keyCols.map(col) :+ struct(nonKey.map(col): _*).as("__ov"): _*)
-    val n = load(side(e1)).select(
+    val n = newRows.select(
       keyCols.map(col) :+ struct(nonKey.map(col): _*).as("__nv"): _*)
     val j = o.join(n, keyCols, "full_outer")
     val typ = when(col("__ov").isNull, "insert")
