@@ -3130,6 +3130,32 @@ object SparkEntry {
           windowSec = 3L * 86400L)
         .orderBy(col("conv_id"), col("touch_rank"))),
 
+    // regression eval, completing the metric suite (classification,
+    // ranking, calibration, clustering — now point prediction): the
+    // "user-mean predictor" (integer lower mean of the user's cents)
+    // scored by MAE and RMSE per event type — residuals and their squares
+    // are exact longs (|res| < 2^31 keeps the square-sum in long range to
+    // ~2^32 rows per group; widen through decimal beyond), with one
+    // division (and one sqrt) per metric at the end
+    "ext_regression_eval" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), (money(col("value")) * 100).cast("long").as("cents"))
+      val pred = ev.groupBy(col("user_id"))
+        .agg(expr("sum(cents) div count(1)").as("pred_cents"))
+      ev.join(pred, Seq("user_id"))
+        .withColumn("res", col("cents") - col("pred_cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(abs(col("res"))).as("abs_sum"),
+          sum(col("res") * col("res")).as("sq_sum"))
+        .select(col("event_type"), col("n"),
+          (col("abs_sum").cast("double") / col("n").cast("double"))
+            .as("mae_cents"),
+          sqrt(col("sq_sum").cast("double") / col("n").cast("double"))
+            .as("rmse_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // calibration reliability table for the same score: ten equal-width
     // confidence bins, per-bin exact counts, observed accuracy and
     // |claimed - observed| gap — the table an ECE sums. Shuffle carries
@@ -8475,6 +8501,22 @@ object SparkEntry {
         |    CASE WHEN touch_rank = 1 THEN conv_cents % n_touches
         |      ELSE 0 END AS credit_cents
         |FROM p ORDER BY conv_id, touch_rank""".stripMargin,
+
+    // same integer lower-mean predictor, same exact residual sums
+    "ext_regression_eval" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT user_id, CAST(sum(cents) AS BIGINT) // count(*)
+        |    AS pred_cents FROM e GROUP BY 1),
+        |r AS (SELECT e.event_type, e.cents - p.pred_cents AS res
+        |  FROM e JOIN p ON e.user_id = p.user_id)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(abs(res)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mae_cents,
+        |  sqrt(CAST(sum(res * res) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    AS rmse_cents
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // same bins, same exact counts, same mirrored divisions
     "ext_calibration" ->
