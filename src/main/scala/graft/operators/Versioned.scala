@@ -292,6 +292,46 @@ object Versioned {
     v1
   }
 
+  /** Parquet data files under one entry path — the fragmentation unit:
+    * an upsert rewrites a partition as ONE manifest entry, but the dir
+    * holds a file per non-empty write task, and small upserts leave many
+    * small files. Metadata-only listing, bounded per partition. */
+  private def parquetFileCount(path: String): Int = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) 0
+    else Files.walk(root).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+  }
+
+  /** Policy-driven compaction: every partition whose dirs hold at least
+    * `minFiles` parquet data files is rewritten into a single file dir,
+    * ALL in one new version — one commit for the whole maintenance sweep
+    * instead of one version per partition ([[compactPartition]] stays
+    * the targeted verb). Untouched partitions carry forward; returns
+    * (newVersion, compacted partition values), or (-1, Nil) when nothing
+    * qualifies — no empty commit. */
+  def compactWhere(
+      spark: SparkSession, dir: String, minFiles: Int): (Int, Seq[String]) = {
+    require(minFiles >= 2, s"minFiles must be >= 2, got $minFiles")
+    val v0 = latestVersion(dir)
+    require(v0 >= 0, s"$dir has no commits")
+    val m = readManifest(dir, v0)
+    val byPart = m.entries.groupBy(_.part)
+    val targets = byPart
+      .filter(_._2.map(e => parquetFileCount(e.path)).sum >= minFiles)
+      .keys.toSeq.sorted
+    if (targets.isEmpty) return (-1, Nil)
+    val v1 = v0 + 1
+    val carried = m.entries.filterNot(e => targets.contains(e.part))
+    val rewritten = targets.map { p =>
+      val rows = graft.util.Checkpoints.cut(
+        spark.read.parquet(byPart(p).map(_.path): _*).coalesce(1))
+      writePart(dir, v1, p, rows)
+    }
+    writeManifest(dir, Manifest(v1, carried ++ rewritten))
+    (v1, targets)
+  }
+
   /** Vacuum: drop every manifest BELOW `keepFrom`, then delete data files
     * referenced by NO surviving manifest. Time travel earlier than
     * `keepFrom` is gone after this — that is the contract that makes

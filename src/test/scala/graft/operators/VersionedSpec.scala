@@ -220,6 +220,43 @@ class VersionedSpec extends SparkSpec {
     intercept[IllegalArgumentException](Versioned.rollback(base, v3)) // no-op target
   }
 
+  test("compactWhere sweeps every fragmented partition in ONE commit") {
+    val base = Files.createTempDirectory("graft-versioned-cw").toString
+    Versioned.commitFull(spark, base, rel, "event_date")
+    // fragment two partitions with single-day upserts (each adds a file)
+    for (day <- Seq("2024-01-05", "2024-01-06"); _ <- 1 to 2) {
+      val upd = rel.filter(col("event_date") === day)
+        .limit(5).withColumn("value", col("value") + 1.0)
+      Versioned.commitUpsert(spark, base, upd, Seq("event_id"), "event_date")
+    }
+    val before = Versioned.read(spark, base).orderBy("event_id").collect().toSeq
+    val v0 = Versioned.latestVersion(base)
+    def fileCounts(v: Int): Map[String, Int] =
+      Versioned.readManifest(base, v).entries.groupBy(_.part)
+        .view.mapValues(_.map(e => Files.walk(java.nio.file.Paths.get(e.path))
+          .iterator())
+        .map(it => scala.jdk.CollectionConverters.IteratorHasAsScala(it)
+          .asScala.count(_.getFileName.toString.endsWith(".parquet"))).sum)
+        .toMap
+    // the rewritten days' dirs hold a file per non-empty write task —
+    // genuinely fragmented; the bootstrap days hold one file each
+    val frag = fileCounts(v0)
+    assert(frag("2024-01-05") >= 2 && frag("2024-01-06") >= 2,
+      s"fixture fragmented wrong: $frag")
+    val minF = math.min(frag("2024-01-05"), frag("2024-01-06"))
+    val (v1, parts) = Versioned.compactWhere(spark, base, minFiles = minF)
+    assert(v1 == v0 + 1 && parts == Seq("2024-01-05", "2024-01-06"),
+      s"targets $parts from $frag")
+    // one version, every target now a single data file, content identical
+    val after = fileCounts(v1)
+    parts.foreach(p => assert(after(p) == 1, s"$p not compacted: $after"))
+    assert(Versioned.read(spark, base, v1).orderBy("event_id")
+      .collect().toSeq == before)
+    // nothing left to compact: no empty commit
+    assert(Versioned.compactWhere(spark, base, minFiles = 2) == ((-1, Nil)))
+    assert(Versioned.latestVersion(base) == v1)
+  }
+
   test("shallow clone: O(1), branches diverge, clone vacuum spares shared files") {
     val src = Files.createTempDirectory("graft-clone-src").toString
     val dst = Files.createTempDirectory("graft-clone-dst").toString
