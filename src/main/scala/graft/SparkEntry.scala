@@ -1902,6 +1902,30 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Pareto (80/20) contribution: users ranked by exact revenue cents,
+    // cumulative share in integer basis points over the ranked per-user
+    // table (never the log), heads flagged until the running share
+    // crosses 8000 bp — "which customers cover 80% of revenue"
+    "ext_pareto" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("user_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perUser
+        .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+        .withColumn("cum_cents", sum(col("cents")).over(w))
+        .select(col("user_id"), col("cents"),
+          expr("cum_cents * 10000 div total").as("cum_share_bp"),
+          // a head user is one whose PREDECESSORS had not yet covered
+          // 80%: the strictly-before share is below 8000 bp
+          (expr("(cum_cents - cents) * 10000 div total") < 8000L)
+            .as("in_head"))
+        .orderBy(col("cents").desc, col("user_id"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -6744,6 +6768,22 @@ object SparkEntry {
 
     // day-per-batch streaming fold converges to the identical levels
     "stream_ewma" -> ewmaSql,
+
+    // same exact ranked shares, same strictly-before head rule
+    "ext_pareto" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM pu),
+        |r AS (SELECT user_id, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, user_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM pu)
+        |SELECT user_id, cents,
+        |  cum_cents * 10000 // total AS cum_share_bp,
+        |  (cum_cents - cents) * 10000 // total < 8000 AS in_head
+        |FROM r CROSS JOIN t ORDER BY cents DESC, user_id""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
