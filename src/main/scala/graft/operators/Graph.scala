@@ -144,8 +144,11 @@ object Graph {
     var rank = teleport.select(col("node"),
       when(col("b") > 0, lit(scale / m)).otherwise(lit(0L)).as("r"))
     for (i <- 1 to iters) {
+      // sparse frontier: a zero-rank node contributes exactly 0, so the
+      // contribution join carries only the reached set — in early
+      // iterations that is the seeds' neighborhood, not the graph
       val contrib = e
-        .join(rank, col("src") === col("node"))
+        .join(rank.filter(col("r") > 0), col("src") === col("node"))
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
