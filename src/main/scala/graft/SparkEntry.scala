@@ -36,6 +36,21 @@ object SparkEntry {
   private val evalTerms = Seq(
     "spark", "table", "merge", "window", "hash", "scan", "sort", "batch")
 
+  /** Shared oracle for `ext_calibration` and its complete-mode streaming
+    * twin `stream_calibration`. */
+  private val calibrationSql =
+    """WITH b AS (SELECT CAST(floor(value / '50.0'::DOUBLE) AS BIGINT) AS bin,
+      |    count(*) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_pos
+      |  FROM events GROUP BY 1)
+      |SELECT bin, n, n_pos,
+      |  (CAST(bin AS DOUBLE) + '0.5'::DOUBLE) / '10.0'::DOUBLE AS conf,
+      |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+      |  abs((CAST(bin AS DOUBLE) + '0.5'::DOUBLE) / '10.0'::DOUBLE -
+      |      CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+      |FROM b ORDER BY bin""".stripMargin
+
   /** Shared oracle for `ext_quarantine` and its stateless streaming twin:
     * the same first-failure CASE, nulls failing closed. */
   private val quarantineSql =
@@ -3996,6 +4011,12 @@ object SparkEntry {
     // batch audit; the final census equals the batch row's oracle
     "stream_quarantine" -> ((s, dir) => streamQuarantine(s, dir)),
 
+    // streaming calibration monitor: the per-bin (n, n_pos) counters as a
+    // complete-mode grouped aggregation — ten rows of additive-long state
+    // at any stream length; conf/acc/gap project after finalization, so
+    // the finished table equals the batch reliability table (same oracle)
+    "stream_calibration" -> ((s, dir) => streamCalibration(s, dir)),
+
     // streaming EWMA: the per-user fold arrives one DAY per micro-batch
     // (the order the recurrence requires); foreachBatch folds each day
     // into a one-row-per-user parquet levels table — O(users) state, the
@@ -4361,6 +4382,37 @@ object SparkEntry {
     s.table("stream_quarantine_t")
       .groupBy(col("rule")).agg(count(lit(1)).as("n"))
       .orderBy(col("rule"))
+  }
+
+  /** The run behind `stream_calibration`: events in four micro-batches,
+    * per-bin counters in complete mode, the reliability columns projected
+    * only after the feed finishes. */
+  private def streamCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val ms = MemoryStream[(String, Double)]
+    val counters = ms.toDF().toDF("event_type", "value")
+      .groupBy(floor(col("value") / 50.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_pos"))
+    val q = counters.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_calibration_t")
+      .option("checkpointLocation", tempCkpt()).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4))
+        .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table("stream_calibration_t")
+      .select(col("bin"), col("n"), col("n_pos"),
+        ((col("bin").cast("double") + 0.5) / 10.0).as("conf"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("acc"))
+      .withColumn("gap", abs(col("conf") - col("acc")))
+      .orderBy(col("bin"))
   }
 
   /** The run behind `stream_ewma`: daily per-user cents fed one day per
@@ -8558,19 +8610,11 @@ object SparkEntry {
         |    AS rmse_cents
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    // same bins, same exact counts, same mirrored divisions
-    "ext_calibration" ->
-      """WITH b AS (SELECT CAST(floor(value / '50.0'::DOUBLE) AS BIGINT) AS bin,
-        |    count(*) AS n,
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_pos
-        |  FROM events GROUP BY 1)
-        |SELECT bin, n, n_pos,
-        |  (CAST(bin AS DOUBLE) + '0.5'::DOUBLE) / '10.0'::DOUBLE AS conf,
-        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
-        |  abs((CAST(bin AS DOUBLE) + '0.5'::DOUBLE) / '10.0'::DOUBLE -
-        |      CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
-        |FROM b ORDER BY bin""".stripMargin,
+    // same bins, same exact counts, same mirrored divisions (shared with
+    // the complete-mode streaming twin, whose counters finalize to the
+    // same per-bin counts)
+    "ext_calibration" -> calibrationSql,
+    "stream_calibration" -> calibrationSql,
 
     // the ranked run replayed as the window idiom the bounded-heap
     // aggregate is value-identical to; MRR via the same 2520 LCM trick
