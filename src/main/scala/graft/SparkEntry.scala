@@ -1796,6 +1796,27 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // landmark (harmonic) closeness centrality: every node's sum of
+    // reciprocal hop-distances to a 10-landmark panel — approximating
+    // full harmonic centrality at a landmark-sized cost. ONE labeled BFS
+    // carries all landmarks' frontiers ([[graft.operators.Graph
+    // .bfsDistancesLabeled]]); distances <= 4 keep the reciprocals
+    // integer via 12 div d, so the score is exact cross-engine.
+    "x69_landmark_closeness" -> ((s, dir) => {
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", k = 15)
+      val landmarks = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 100 === 0)
+        .select(col("s_suppkey").as("node"))
+      graft.operators.Graph.bfsDistancesLabeled(edges, landmarks, rounds = 4)
+        .filter(col("d") >= 1)
+        .groupBy(col("node").as("s_suppkey"))
+        .agg(count(lit(1)).as("n_landmarks"),
+          sum(expr("12 div d")).as("harmonic12"))
+        .orderBy(col("harmonic12").desc, col("s_suppkey"))
+    }),
+
     // weighted shortest paths (bounded Bellman-Ford) over the same
     // co-order graph: edge cost inversely tied to co-occurrence strength
     // (greatest(1, 6-w)), exact min path cost within 4 relaxation rounds.
@@ -5600,6 +5621,30 @@ object SparkEntry {
     pre + its + "\nSELECT node AS s_suppkey, d AS dist FROM d4 ORDER BY s_suppkey"
   }
 
+  /** DuckDB replay of `x69_landmark_closeness`: the same expand-and-min
+    * rounds with a seed label, then the integer harmonic fold. */
+  private lazy val landmarkClosenessOracleSql: String = {
+    val pre =
+      s"""WITH $coOrderEdgesCte,
+         |d0 AS (SELECT s_suppkey AS seed, s_suppkey AS node, 0 AS d
+         |  FROM supplier WHERE s_suppkey % 100 = 0)""".stripMargin
+    val its = (1 to 4).map { i =>
+      s""",
+         |d$i AS (SELECT seed, node, min(d) AS d FROM (
+         |  SELECT seed, node, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT p.seed, e.dst AS node, p.d + 1 AS d
+         |  FROM d${i - 1} p JOIN edges e ON e.src = p.node) u
+         |  GROUP BY seed, node)""".stripMargin
+    }.mkString
+    pre + its +
+      """
+        |SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_landmarks,
+        |  CAST(sum(12 // d) AS BIGINT) AS harmonic12
+        |FROM d4 WHERE d >= 1 GROUP BY node
+        |ORDER BY harmonic12 DESC, s_suppkey""".stripMargin
+  }
+
   /** DuckDB replay of `x57_shortest_path`: four full Bellman-Ford
     * relaxations unrolled over the weighted co-order edge set (cost =
     * greatest(1, 6 - co-occurrence count)). The engine relaxes only the
@@ -6142,6 +6187,8 @@ object SparkEntry {
     "x39_random_walks" -> randomWalksOracleSql,
 
     "x45_bfs" -> bfsOracleSql,
+
+    "x69_landmark_closeness" -> landmarkClosenessOracleSql,
 
     "x57_shortest_path" -> shortestPathOracleSql,
 

@@ -428,6 +428,31 @@ object Graph {
     dist
   }
 
+  /** Per-seed bounded BFS: [[bfsDistances]] keyed by ORIGIN — one loop
+    * carries every seed's frontier as (seed, node) labels, so k landmarks
+    * cost one traversal with a k-wide label, not k traversals. The input
+    * to landmark (harmonic) closeness: with hop distances bounded by
+    * `rounds` ≤ 4, the reciprocal ranks stay integer through the LCM
+    * device (12 div d), so the centrality is exact in any engine. */
+  def bfsDistancesLabeled(
+      edges: DataFrame, seeds: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = graft.util.Checkpoints.cut(edges.select(col("src"), col("dst")))
+    var known = seeds.select(col("node").as("seed"), col("node"),
+      lit(0).as("d"))
+    var frontier = known
+    for (i <- 1 to rounds) {
+      val reached = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      frontier = graft.util.Checkpoints.cut(
+        reached.join(known, Seq("seed", "node"), "left_anti")
+          .select(col("seed"), col("node"), lit(i).as("d")))
+      known = graft.util.Checkpoints.cut(known.unionByName(frontier))
+    }
+    known
+  }
+
   def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = graft.util.Checkpoints.cut(edges.select(col("src"), col("dst")))
