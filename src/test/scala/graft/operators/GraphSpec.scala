@@ -65,6 +65,22 @@ class GraphSpec extends SparkSpec {
     assert(r == again, "ppr depends on partitioning")
   }
 
+  test("labeled BFS equals one bfsDistances run per seed") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L), (2L, 1L),
+      (3L, 2L), (4L, 3L), (9L, 8L)).toDF("src", "dst")
+    val seeds = Seq(1L, 8L).toDF("node")
+    val labeled = Graph.bfsDistancesLabeled(edges, seeds, rounds = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    for (s <- Seq(1L, 8L)) {
+      val single = Graph.bfsDistances(edges, Seq(s).toDF("node"), rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val slice = labeled.collect { case ((`s`, n), d) => n -> d }.toMap
+      assert(slice == single, s"seed $s: $slice vs $single")
+    }
+    // the components never cross: seed 1 cannot see {8,9} and vice versa
+    assert(!labeled.contains((1L, 8L)) && !labeled.contains((8L, 1L)))
+  }
+
   test("a node with no in-edges holds exactly the teleport floor") {
     // star: everyone points at node 0; node 9 receives nothing
     val edges = (1 to 9).map(i => (i, 0)).toDF("src", "dst")
