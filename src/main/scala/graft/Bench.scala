@@ -820,6 +820,28 @@ object Bench {
           col("seg"), col("score"), col("y")).count()
       }
 
+      // multi-touch attribution at 10M synthetic events over 100k users:
+      // the pair stage is a user equi-join with a time-range residual,
+      // the credit windows run over per-conversion touch groups — the
+      // graded ext_attribution shape driven at 100x its bench volume
+      val sAttr = stage("attribution_10m") {
+        import org.apache.spark.sql.functions.{pmod, timestamp_micros, xxhash64}
+        val ev = spark.range(10000000L).select(
+          col("id").as("event_id"),
+          pmod(xxhash64(col("id"), lit(1)), lit(100000L)).as("user_id"),
+          org.apache.spark.sql.functions.when(
+            pmod(xxhash64(col("id"), lit(2)), lit(10L)) === 0L, "purchase")
+            .otherwise("click").as("event_type"),
+          timestamp_micros(lit(1700000000000000L) +
+            pmod(xxhash64(col("id"), lit(3)), lit(2592000L)) * 1000000L)
+            .as("ts"),
+          (pmod(xxhash64(col("id"), lit(4)), lit(9990L)).cast("double") / 100.0)
+            .as("value"))
+        graft.operators.Funnel.attributionEven(ev, "user_id", "event_type",
+          "ts", "event_id", "value", "purchase", "click",
+          windowSec = 86400L).count()
+      }
+
       // ---- skip-index soak: planning-time file pruning at 20M -----------
       // A 20M-row relation z-ordered on (day, value-bucket) into 64 files
       // + a footer skip index, then the SAME selective aggregate run as a
@@ -912,8 +934,8 @@ object Bench {
         else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sQ3, sAuc, sX1, sX2, sX3, sI1, sI2, sG1,
-          s9, s10, s11)
+          s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
+          sI2, sG1, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
