@@ -3442,6 +3442,20 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"), k = 5)
     }),
 
+    // FILTERED vector search: the metadata predicate restricts the corpus
+    // BEFORE scoring (pre-filter — the predicate reaches the scan, and
+    // only qualifying vectors are ever scored), not after the top-k —
+    // post-filtering k results against a selective predicate silently
+    // returns fewer than k. Same oracle family with the filter in the
+    // corpus CTE.
+    "ext_knn_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 3 === 0),
+        emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        k = 5)
+    }),
+
     "ext_knn_brute_sql" -> ((s, dir) => {
       // SQL-surface twin of ext_knn_brute: graft_dot + the graft_top_k
       // bounded-heap aggregate straight from the function registry, graded
@@ -9088,6 +9102,22 @@ object SparkEntry {
     },
 
     "ext_knn_brute" -> bruteKnnSql,
+
+    // the corpus CTE carries the metadata predicate; queries stay unfiltered
+    "ext_knn_filtered" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+        |  FROM embeddings),
+        |c AS (SELECT * FROM n WHERE vec_id % 3 = 0),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nm AS qn FROM n WHERE vec_id < 10),
+        |scored AS (SELECT q_id, c.vec_id,
+        |  list_dot_product(c.e, qe) / (c.nm * qn) AS cosine
+        |  FROM c, q WHERE c.vec_id != q_id)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        |  SELECT q_id, vec_id, cosine, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
     // the streamed per-batch searches union to the identical relation
     "stream_knn" -> bruteKnnSql,
     // the SQL-registry twin computes the identical scored relation and
