@@ -4046,6 +4046,13 @@ object SparkEntry {
     // batch audit; the final census equals the batch row's oracle
     "stream_quarantine" -> ((s, dir) => streamQuarantine(s, dir)),
 
+    // streaming embedding drift: the LIVE half's sign-bucket counters
+    // maintained in complete mode (16 additive longs of state) against
+    // the static reference half; the fixed-point PSI projects after the
+    // feed finishes — watching a model's output distribution move in
+    // flight. Same oracle as the batch row.
+    "stream_embedding_drift" -> ((s, dir) => streamEmbeddingDrift(s, dir)),
+
     // streaming calibration monitor: the per-bin (n, n_pos) counters as a
     // complete-mode grouped aggregation — ten rows of additive-long state
     // at any stream length; conf/acc/gap project after finalization, so
@@ -4417,6 +4424,43 @@ object SparkEntry {
     s.table("stream_quarantine_t")
       .groupBy(col("rule")).agg(count(lit(1)).as("n"))
       .orderBy(col("rule"))
+  }
+
+  /** The run behind `stream_embedding_drift`: the odd-id half of the
+    * embedding corpus streams in four micro-batches; per-batch the sign
+    * buckets aggregate in complete mode, and after the feed the counters
+    * join the static even-half counts through the same fixed-point PSI
+    * projection ([[graft.operators.Quality.psiDriftCounts]]). */
+  private def streamEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val proj = graft.operators.Similarity.randomProject(
+      col("embedding").cast("array<double>"), outDim = 4, dim = 64)
+    val bucket = (0 until 4).map(i =>
+        when(element_at(proj, i + 1) >= 0.0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val emb = Tables.embeddings(s, dir)
+    val staticCounts = emb.filter(col("vec_id") % 2 === 0)
+      .select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__ra"))
+    val rows = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val live = ms.toDF().toDF("vec_id", "embedding")
+      .select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__rb"))
+    val q = live.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_embdrift_t")
+      .option("checkpointLocation", tempCkpt()).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4))
+        .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    graft.operators.Quality.psiDriftCounts(
+        staticCounts, s.table("stream_embdrift_t"))
+      .orderBy(col("bucket"))
   }
 
   /** The run behind `stream_calibration`: events in four micro-batches,
@@ -5423,6 +5467,23 @@ object SparkEntry {
         |SELECT bucket, n_a, n_b,
         |  dp * (CASE WHEN num >= den THEN av ELSE -av END) AS term_fp
         |FROM alr ORDER BY bucket""".stripMargin
+
+  private lazy val embeddingDriftSql: String = {
+    val ps = graft.operators.Similarity.planes(4, 64, 42L)
+    val scale = 1.0 / math.sqrt(4.0)
+    val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(e, ${planeList(p)}) * '$scale'::DOUBLE >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bk AS (SELECT vec_id,
+       |      $bucketExpr AS bucket
+       |  FROM n),
+       |a AS (SELECT bucket, count(*) AS ra FROM bk
+       |  WHERE vec_id % 2 = 0 GROUP BY 1),
+       |b AS (SELECT bucket, count(*) AS rb FROM bk
+       |  WHERE vec_id % 2 = 1 GROUP BY 1),
+       |$psiTailSql""".stripMargin
+  }
 
   private val psiDriftSql =
     s"""WITH a AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
@@ -7722,23 +7783,10 @@ object SparkEntry {
     "ext_drift_psi" -> psiDriftSql,
 
     // the same sign-pattern buckets from the same string-cast plane
-    // literals, then the shared PSI tail
-    "ext_embedding_drift" -> {
-      val ps = graft.operators.Similarity.planes(4, 64, 42L)
-      val scale = 1.0 / math.sqrt(4.0)
-      val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN list_dot_product(e, ${planeList(p)}) * '$scale'::DOUBLE >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("\n         |      + ")
-      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |bk AS (SELECT vec_id,
-         |      $bucketExpr AS bucket
-         |  FROM n),
-         |a AS (SELECT bucket, count(*) AS ra FROM bk
-         |  WHERE vec_id % 2 = 0 GROUP BY 1),
-         |b AS (SELECT bucket, count(*) AS rb FROM bk
-         |  WHERE vec_id % 2 = 1 GROUP BY 1),
-         |$psiTailSql""".stripMargin
-    },
+    // literals, then the shared PSI tail (the streaming twin's complete-
+    // mode counters finalize to the same per-bucket counts)
+    "ext_embedding_drift" -> embeddingDriftSql,
+    "stream_embedding_drift" -> embeddingDriftSql,
     // the streamed counts ARE the batch counts (additive, fed once) — the
     // same report, the same oracle
     "stream_drift_psi" -> psiDriftSql,
