@@ -2022,6 +2022,28 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // significant terms (keyness): the 20 tokens most distinctive of the
+    // src0 slice vs the rest of the corpus, ranked by the +1-smoothed
+    // relative-frequency ratio in exact Q16 fixed point — the ratio is
+    // rational, so no log ever runs (log is monotone; the RANKING never
+    // needs it, the same device as PMI). Shuffles carry token counts,
+    // never tokens-times-docs.
+    "ext_keyness" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select((col("source") === "src0").as("in_a"),
+          explode(split(col("text"), " ")).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("b"))
+      val tot = counts.agg(sum(col("a")).as("at"), sum(col("b")).as("bt"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("tok"), col("a"), col("b"),
+          expr("((a + 1) * (bt + 1) * 65536) div ((b + 1) * (at + 1))")
+            .as("ratio_q16"))
+        .orderBy(col("ratio_q16").desc, col("tok"))
+        .limit(20)
+    }),
+
     // sequence-pattern mining: the top-20 event-type TRIGRAMS over each
     // user's event order (two leads in one window pass — the pair table's
     // extension to length-3 paths, bounded by the type-vocabulary cubed,
@@ -6997,6 +7019,21 @@ object SparkEntry {
         |SELECT user_id, recency_days, frequency, monetary_cents,
         |  r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm_code
         |FROM qq ORDER BY user_id""".stripMargin,
+
+    // same smoothed Q16 ratio, same deterministic ordering
+    "ext_keyness" ->
+      """WITH t AS (SELECT source = 'src0' AS in_a,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok,
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |  FROM t GROUP BY 1),
+        |tt AS (SELECT CAST(sum(a) AS BIGINT) AS at,
+        |    CAST(sum(b) AS BIGINT) AS bt FROM c)
+        |SELECT tok, a, b,
+        |  ((a + 1) * (bt + 1) * 65536) // ((b + 1) * (at + 1)) AS ratio_q16
+        |FROM c CROSS JOIN tt
+        |ORDER BY ratio_q16 DESC, tok LIMIT 20""".stripMargin,
 
     // same two leads, same deterministic ranking
     "ext_event_trigrams" ->
