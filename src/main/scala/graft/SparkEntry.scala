@@ -1717,6 +1717,21 @@ object SparkEntry {
         .orderBy(col("rank_fp").desc, col("s_suppkey"))
     }),
 
+    // WEIGHTED PageRank over the weighted co-order graph: rank mass
+    // distributes proportionally to co-occurrence strength — a supplier
+    // repeatedly co-ordered with a hub earns more endorsement than one
+    // sharing a single order; ranking differences vs x33 come only from
+    // the weights (same graph, same teleport, same integer arithmetic)
+    "x70_weighted_pagerank" -> ((s, dir) => {
+      val edges = graft.operators.Graph.coOccurrenceEdgesWeighted(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", k = 15)
+      val nodes = Tables.supplier(s, dir).select(col("s_suppkey").as("node"))
+      graft.operators.Graph.pageRankWeightedFixedPoint(edges, nodes)
+        .select(col("node").as("s_suppkey"), col("r").as("wrank_fp"))
+        .orderBy(col("wrank_fp").desc, col("s_suppkey"))
+    }),
+
     // personalized PageRank over the same co-order graph: teleport mass
     // confined to a 10-supplier seed set — scores are closeness TO THE
     // SEEDS (the recommendation/seed-expansion primitive), unreachable
@@ -5792,6 +5807,37 @@ object SparkEntry {
       "\nSELECT node AS s_suppkey, r AS rank_fp FROM r5 ORDER BY rank_fp DESC, s_suppkey"
   }
 
+  /** The weighted variant: contributions are `(r·w) div wt` over the
+    * weighted top-k edges; iterations otherwise identical. */
+  private lazy val weightedPageRankOracleSql: String = {
+    val S = 1000000000000L
+    val pre =
+      s"""WITH nodes AS (SELECT s_suppkey AS node FROM supplier),
+         |cnt AS (SELECT count(*) AS n FROM nodes),
+         |$coOrderPairsCte,
+         |wedges AS (SELECT src, dst, w FROM (
+         |  SELECT src, dst, w,
+         |    row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+         |  FROM pairs) t WHERE rn <= 15),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wt FROM wedges
+         |  GROUP BY src),
+         |r0 AS (SELECT node, (SELECT $S // n FROM cnt) AS r FROM nodes)""".stripMargin
+    val its = (1 to 5).map { i =>
+      s""",
+         |c$i AS (SELECT dst AS node, sum((r * w) // wt) AS s
+         |  FROM wedges JOIN r${i - 1} ON wedges.src = r${i - 1}.node
+         |  JOIN outw ON outw.src = wedges.src
+         |  GROUP BY dst),
+         |r$i AS (SELECT nodes.node,
+         |    CAST((SELECT (15*$S//100)//n FROM cnt)
+         |      + (85*coalesce(s,0))//100 AS BIGINT) AS r
+         |  FROM nodes LEFT JOIN c$i ON nodes.node=c$i.node)""".stripMargin
+    }.mkString
+    pre + its +
+      "\nSELECT node AS s_suppkey, r AS wrank_fp FROM r5 " +
+      "ORDER BY wrank_fp DESC, s_suppkey"
+  }
+
   /** The personalized variant: the teleport column b is `base` on the
     * seed set and 0 elsewhere; iterations are otherwise identical. */
   private lazy val pprOracleSql: String = {
@@ -6280,6 +6326,8 @@ object SparkEntry {
     "x33_pagerank" -> pageRankOracleSql,
 
     "x65_ppr" -> pprOracleSql,
+
+    "x70_weighted_pagerank" -> weightedPageRankOracleSql,
 
     "x39_random_walks" -> randomWalksOracleSql,
 

@@ -116,6 +116,42 @@ object Graph {
     rank
   }
 
+  /** Weighted PageRank: a node's rank mass distributes across its
+    * out-edges PROPORTIONALLY to edge weight (`c = (r · w) div wt`, wt =
+    * the node's total out-weight) instead of uniformly — a strong
+    * co-occurrence tie carries more endorsement than a weak one. Same
+    * integer fixed-point arithmetic and loop discipline as
+    * [[pageRankFixedPoint]]; `r · w` stays inside long range while
+    * `scale · max_weight < 2^63` (10^12 · the bounded co-occurrence
+    * counts here — orders of magnitude of headroom). */
+  def pageRankWeightedFixedPoint(edges: DataFrame, nodes: DataFrame,
+      iters: Int = 5, scale: Long = 1000000000000L,
+      cutEvery: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty node set")
+    val base = (15L * scale / 100) / n
+    val e = graft.util.Checkpoints.cut(
+      edges.select(col("src"), col("dst"), col("w")))
+    val outw = graft.util.Checkpoints.cut(
+      e.groupBy(col("src")).agg(sum(col("w")).as("wt")))
+    var rank = nodes.select(col("node"), lit(scale / n).as("r"))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(rank, col("src") === col("node"))
+        .join(outw, "src")
+        .select(col("dst").as("node"), expr("(r * w) div wt").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      val next = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+      rank = if (i % cutEvery == 0 && i < iters)
+        graft.util.Checkpoints.cut(next) else next
+    }
+    rank
+  }
+
   /** Personalized PageRank: the 15% teleport mass lands ONLY on the
     * source set (uniformly across it), never on the rest of the graph —
     * scores become "importance relative to S" (recommendation /
