@@ -65,6 +65,26 @@ class GraphSpec extends SparkSpec {
     assert(r == again, "ppr depends on partitioning")
   }
 
+  test("weighted PageRank favors the strong edge where uniform ties") {
+    // S endorses A with weight 9 and B with weight 1; A and B return the
+    // mass so it doesn't all drain. Uniform PR sees identical structure
+    // for A and B; the weighted form must rank A above B.
+    val edges = Seq((10L, 1L, 9L), (10L, 2L, 1L), (1L, 10L, 1L),
+      (2L, 10L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(10L, 1L, 2L).toDF("node")
+    val wr = Graph.pageRankWeightedFixedPoint(edges, nodes, iters = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(wr(1L) > wr(2L), s"weight-9 edge did not outrank weight-1: $wr")
+    val ur = Graph.pageRankFixedPoint(edges.select(col("src"), col("dst")),
+      nodes, iters = 5).collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(ur(1L) == ur(2L), s"uniform PR should tie A and B: $ur")
+    // determinism under repartition
+    val again = Graph.pageRankWeightedFixedPoint(
+      edges.repartition(5), nodes.repartition(2), iters = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(wr == again, "weighted PR depends on partitioning")
+  }
+
   test("labeled BFS equals one bfsDistances run per seed") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L), (2L, 1L),
       (3L, 2L), (4L, 3L), (9L, 8L)).toDF("src", "dst")
