@@ -2037,6 +2037,31 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // byte-entropy profile — the binary-content analysis a multimodal
+    // landing pipeline runs to flag compressed/encrypted blobs (entropy
+    // near 8 bits/byte) vs text (low): per-doc byte histogram, Shannon
+    // entropy in Q16 fixed point through the SAME piecewise-linear log2
+    // device as PSI/BM25 (y = n·1024 div n_b; log2 via the bin-length
+    // trick) — no transcendental ever runs, so the score replays exactly.
+    // Shuffle carries at most 256 rows per doc.
+    "ext_byte_entropy" -> ((s, dir) =>
+      Tables.ensureParallelism(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) === 1)
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("nb"))
+        .withColumn("n", sum(col("nb")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+        .withColumn("y", expr("n * 1024 div nb"))
+        .withColumn("e", expr("length(bin(y)) - 1"))
+        .withColumn("alr", expr(
+          "e * 65536 + shiftright((y - shiftleft(CAST(1 AS BIGINT), e)) * 65536, e) - 655360"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_chars_counted"),
+          count(lit(1)).as("distinct_bytes"),
+          sum(expr("nb * alr div n")).as("entropy_fp"))
+        .orderBy(col("doc_id"))),
+
     // significant terms (keyness): the 20 tokens most distinctive of the
     // src0 slice vs the rest of the corpus, ranked by the +1-smoothed
     // relative-frequency ratio in exact Q16 fixed point — the ratio is
@@ -7067,6 +7092,25 @@ object SparkEntry {
         |SELECT user_id, recency_days, frequency, monetary_cents,
         |  r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm_code
         |FROM qq ORDER BY user_id""".stripMargin,
+
+    // same per-character histogram, same bin-length log2 replay
+    "ext_byte_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        |  FROM documents),
+        |h AS (SELECT doc_id, c, count(*) AS nb FROM ch
+        |  WHERE length(c) = 1 GROUP BY 1, 2),
+        |t AS (SELECT doc_id, c, nb,
+        |    CAST(sum(nb) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM h),
+        |q AS (SELECT doc_id, nb, n, n * 1024 // nb AS y FROM t),
+        |a AS (SELECT doc_id, nb, n,
+        |    (length(bin(y)) - 1) * 65536 +
+        |    ((y - (CAST(1 AS BIGINT) << (length(bin(y)) - 1))) * 65536
+        |      >> (length(bin(y)) - 1)) - 655360 AS alr
+        |  FROM q)
+        |SELECT doc_id, max(n) AS n_chars_counted,
+        |  CAST(count(*) AS BIGINT) AS distinct_bytes,
+        |  CAST(sum(nb * alr // n) AS BIGINT) AS entropy_fp
+        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same smoothed Q16 ratio, same deterministic ordering
     "ext_keyness" ->
