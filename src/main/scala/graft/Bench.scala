@@ -920,6 +920,22 @@ object Bench {
           .count()
       }
 
+      // landmark closeness at 1M nodes / ~8M edges: ONE labeled BFS
+      // carries 8 landmarks' frontiers 4 rounds — the multi-source shape
+      // that replaces 8 separate traversals; rows = (seed, node) labels
+      val sG2 = stage("closeness_1m") {
+        import org.apache.spark.sql.functions.{explode, pmod, sequence, xxhash64}
+        val edges1m = spark.range(1000000L).select(col("id").as("src"),
+            explode(sequence(lit(0), lit(7))).as("j"))
+          .select(col("src"), pmod(xxhash64(col("src"), col("j")), lit(1000000L))
+            .as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val landmarks = spark.range(8L)
+          .select((col("id") * 125000L).as("node"))
+        graft.operators.Graph.bfsDistancesLabeled(edges1m, landmarks, rounds = 4)
+          .count()
+      }
+
       // ---- streaming-state soak: watermark eviction bounds state --------
       // (VERDICT r4 #3) 2M events through the canonical daily-spend pipeline
       // (dedup on) in 10 MemoryStream batches, each advancing event time
@@ -935,7 +951,7 @@ object Bench {
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
           s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
-          sI2, sG1, s9, s10, s11)
+          sI2, sG1, sG2, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
