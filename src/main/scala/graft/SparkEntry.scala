@@ -2037,6 +2037,32 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // SEASONAL volume anomaly: each (type, day)'s count against the
+    // day-of-week baseline (integer mean of the same weekday's other
+    // days — leave-one-out, so a spike can't inflate its own baseline),
+    // deviation in exact basis points, |dev| > 2500 bp flagged. The
+    // seasonal complement to x32's trailing bands: a quiet Sunday is
+    // normal here and alarming there. Window input is the rolled-up
+    // daily table, never the log.
+    "ext_seasonal_anomaly" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", dayofweek(col("d")).cast("long"))
+      val base = daily.groupBy(col("event_type").as("bt"), col("dow").as("bd"))
+        .agg(sum(col("n")).as("tot"), count(lit(1)).as("days"))
+      daily.join(base,
+          col("event_type") === col("bt") && col("dow") === col("bd"))
+        .filter(col("days") > 1) // leave-one-out needs a peer day
+        .select(col("event_type"), col("d").cast("string").as("day"),
+          col("dow"), col("n"),
+          expr("(tot - n) div (days - 1)").as("baseline"))
+        .withColumn("dev_bp",
+          expr("(n - baseline) * 10000 div greatest(baseline, 1)"))
+        .withColumn("is_anomaly", abs(col("dev_bp")) > 2500L)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // byte-entropy profile — the binary-content analysis a multimodal
     // landing pipeline runs to flag compressed/encrypted blobs (entropy
     // near 8 bits/byte) vs text (low): per-doc byte histogram, Shannon
@@ -7092,6 +7118,28 @@ object SparkEntry {
         |SELECT user_id, recency_days, frequency, monetary_cents,
         |  r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm_code
         |FROM qq ORDER BY user_id""".stripMargin,
+
+    // same leave-one-out weekday baseline, same integer bp deviation
+    "ext_seasonal_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |dd AS (SELECT event_type, d, n,
+        |    CAST(dayofweek(d) + 1 AS BIGINT) AS dow FROM daily),
+        |b AS (SELECT event_type AS bt, dow AS bd,
+        |    CAST(sum(n) AS BIGINT) AS tot, count(*) AS days
+        |  FROM dd GROUP BY 1, 2)
+        |SELECT event_type, CAST(d AS VARCHAR) AS day, dow, n, baseline,
+        |  dev_bp, abs(dev_bp) > 2500 AS is_anomaly
+        |FROM (SELECT event_type, d, dow, n, baseline,
+        |    -- trunc, not //: Spark's div truncates negative deviations
+        |    -- toward zero where DuckDB's // floors them
+        |    CAST(trunc(CAST((n - baseline) * 10000 AS DOUBLE) /
+        |      greatest(baseline, 1)) AS BIGINT) AS dev_bp
+        |  FROM (SELECT event_type, d, dow, n,
+        |      (tot - n) // (days - 1) AS baseline
+        |    FROM dd JOIN b ON event_type = bt AND dow = bd
+        |    WHERE days > 1))
+        |ORDER BY event_type, day""".stripMargin,
 
     // same per-character histogram, same bin-length log2 replay
     "ext_byte_entropy" ->
