@@ -1953,6 +1953,27 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Gini coefficient of revenue concentration — the scalar the Pareto
+    // table visualizes: G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+    // ascending-ranked exact cents (ties broken by user id — the rank
+    // formula is tie-order invariant because equal x contribute equally
+    // either way). Integers until the single division.
+    "ext_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      perUser
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("cents").asc, col("user_id").asc)).cast("long"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("i") * col("cents")).as("ix"))
+        .select(col("n"), col("s"),
+          (expr("2 * ix - (n + 1) * s").cast("double") /
+            expr("n * s").cast("double")).as("gini"))
+    }),
+
     // Pareto (80/20) contribution: users ranked by exact revenue cents,
     // cumulative share in integer basis points over the ranked per-user
     // table (never the log), heads flagged until the running share
@@ -7063,6 +7084,21 @@ object SparkEntry {
 
     // day-per-batch streaming fold converges to the identical levels
     "stream_ewma" -> ewmaSql,
+
+    // same ranked integer sums, one mirrored division
+    "ext_gini" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT cents, CAST(row_number() OVER (
+        |    ORDER BY cents ASC, user_id ASC) AS BIGINT) AS i FROM pu),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(sum(i * cents) AS BIGINT) AS ix FROM r)
+        |SELECT n, s,
+        |  CAST(2 * ix - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)
+        |    AS gini
+        |FROM t""".stripMargin,
 
     // same exact ranked shares, same strictly-before head rule
     "ext_pareto" ->
