@@ -1953,6 +1953,38 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // lag-1 autocorrelation of the daily revenue series per event type —
+    // the "is today like yesterday" time-series diagnostic that decides
+    // whether smoothing (ext_holt) has signal to exploit. Pearson r over
+    // (day_t, day_t+1) pairs from the SAME exact-integer co-moment
+    // assembly as ext_corr_exact: five long sums, one mirrored IEEE
+    // expression. The lead runs over the rolled-up daily table.
+    "ext_autocorr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      daily
+        .withColumn("y", lead(col("cents"), 1).over(w))
+        .filter(col("y").isNotNull)
+        .select(col("event_type"), col("cents").as("x"), col("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("autocorr_1",
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+        .orderBy(col("event_type"))
+    }),
+
     // Gini coefficient of revenue concentration — the scalar the Pareto
     // table visualizes: G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
     // ascending-ranked exact cents (ties broken by user id — the rank
@@ -7084,6 +7116,29 @@ object SparkEntry {
 
     // day-per-batch streaming fold converges to the identical levels
     "stream_ewma" -> ewmaSql,
+
+    // same daily pairs, same co-moment assembly
+    "ext_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, cents AS x,
+        |    lead(cents) OVER (PARTITION BY event_type ORDER BY d) AS y
+        |  FROM daily),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n, sx, sy, sxy, sxx, syy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS autocorr_1
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // same ranked integer sums, one mirrored division
     "ext_gini" ->
