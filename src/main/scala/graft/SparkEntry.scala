@@ -2030,6 +2030,75 @@ object SparkEntry {
         .orderBy(col("cents").desc, col("user_id"))
     }),
 
+    // 2D Pareto frontier over the catalog (minimize price, maximize size):
+    // the sort-based skyline — two range-frame window maxes after a
+    // partition-local prune — against an oracle that runs the textbook
+    // QUADRATIC NOT-EXISTS dominance scan, so the O(n log n) rewrite is
+    // independently cross-checked. Exact cents keep dominance integer.
+    "ext_skyline" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"),
+        (money(col("p_retailprice")) * 100).cast("long").as("price_cents"),
+        col("p_size"))
+      graft.operators.Skyline.frontier2d(p, "price_cents", "p_size")
+        .orderBy(col("price_cents"), col("p_partkey"))
+    }),
+
+    // maximum drawdown of cumulative daily revenue per event type: running
+    // peak minus running total over the (tiny) daily rollup, the trough
+    // dated at its EARLIEST occurrence via a join-back on the per-type max
+    // (engine-agnostic, unlike argmax aggregates whose tie rule is
+    // implementation-defined). All integers end to end.
+    "ext_drawdown" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily
+        .withColumn("cum", sum(col("cents")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .withColumn("dd", col("peak") - col("cum"))
+      val tops = dd.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_days"), max(col("cum")).as("peak_cents"),
+        sum(col("cents")).as("final_cents"),
+        max(col("dd")).as("max_drawdown_cents"))
+      tops.join(dd.select(col("event_type").as("t_et"), col("dd"), col("d")),
+          col("event_type") === col("t_et") &&
+            col("max_drawdown_cents") === col("dd"))
+        .groupBy(col("event_type"), col("n_days"),
+          col("peak_cents"), col("final_cents"), col("max_drawdown_cents"))
+        .agg(min(col("d")).cast("string").as("trough_d"))
+        .orderBy(col("event_type"))
+    }),
+
+    // peak concurrency via a sweep line: each user's daily activity span
+    // becomes a +1/-1 delta pair, deltas net per exact timestamp, one
+    // running sum per day gives the live-user curve, and a join-back dates
+    // the EARLIEST peak. O(points log points) — never interval x interval;
+    // the curve input is two rows per user-day, not the event log.
+    "ext_max_concurrency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(unix_micros(min(col("ts"))).as("s_us"),
+          unix_micros(max(col("ts"))).as("e_us"))
+      val pts = iv.select(col("d"), col("s_us").as("t"), lit(1L).as("delta"))
+        .unionAll(iv.select(col("d"), (col("e_us") + 1).as("t"),
+          lit(-1L).as("delta")))
+        .groupBy(col("d"), col("t")).agg(sum(col("delta")).as("net"))
+      val w = Window.partitionBy(col("d")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = pts.withColumn("conc", sum(col("net")).over(w))
+      val peak = curve.groupBy(col("d"))
+        .agg(max(col("conc")).as("max_concurrent"))
+      peak.join(curve.select(col("d").as("c_d"), col("conc"), col("t")),
+          col("d") === col("c_d") && col("max_concurrent") === col("conc"))
+        .groupBy(col("d").cast("string").as("d"), col("max_concurrent"))
+        .agg(min(col("t")).as("peak_at_us"))
+        .orderBy(col("d"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -7170,6 +7239,63 @@ object SparkEntry {
         |  cum_cents * 10000 // total AS cum_share_bp,
         |  (cum_cents - cents) * 10000 // total < 8000 AS in_head
         |FROM r CROSS JOIN t ORDER BY cents DESC, user_id""".stripMargin,
+
+    // the INDEPENDENT quadratic dominance scan — the engine's sort-based
+    // window rewrite must reproduce it row for row
+    "ext_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    p_size FROM part)
+        |SELECT p_partkey, price_cents, p_size FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+        |ORDER BY price_cents, p_partkey""".stripMargin,
+
+    // same daily rollup, same running peak, same earliest-trough join-back
+    "ext_drawdown" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, d, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum FROM daily),
+        |dd AS (SELECT event_type, d, cents, cum,
+        |    CAST(max(cum) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - cum AS dd FROM c),
+        |tops AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(max(cum) AS BIGINT) AS peak_cents,
+        |    CAST(sum(cents) AS BIGINT) AS final_cents,
+        |    CAST(max(dd) AS BIGINT) AS max_drawdown_cents
+        |  FROM dd GROUP BY 1)
+        |SELECT t.event_type, n_days, peak_cents, final_cents,
+        |  max_drawdown_cents, CAST(min(dd.d) AS VARCHAR) AS trough_d
+        |FROM tops t JOIN dd ON dd.event_type = t.event_type
+        |  AND dd.dd = t.max_drawdown_cents
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY t.event_type""".stripMargin,
+
+    // same +1/-1 sweep: deltas net per exact micros, one running sum,
+    // earliest peak via the same join-back
+    "ext_max_concurrency" ->
+      """WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (SELECT d, t, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |    SELECT d, s_us AS t, 1 AS delta FROM iv
+        |    UNION ALL SELECT d, e_us + 1, -1 FROM iv) u GROUP BY 1, 2),
+        |curve AS (SELECT d, t,
+        |    CAST(sum(net) OVER (PARTITION BY d ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS conc FROM pts),
+        |peak AS (SELECT d, CAST(max(conc) AS BIGINT) AS max_concurrent
+        |  FROM curve GROUP BY 1)
+        |SELECT CAST(p.d AS VARCHAR) AS d, p.max_concurrent,
+        |  CAST(min(c.t) AS BIGINT) AS peak_at_us
+        |FROM peak p JOIN curve c ON c.d = p.d AND c.conc = p.max_concurrent
+        |GROUP BY 1, 2 ORDER BY d""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
