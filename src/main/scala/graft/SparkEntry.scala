@@ -2099,6 +2099,65 @@ object SparkEntry {
         .orderBy(col("d"))
     }),
 
+    // market-basket association rules: orders are baskets, part brands the
+    // items; support/confidence in exact basis points, lift as one mirrored
+    // division of exact longs. The only join keyed on the basket id, pair
+    // fan-out bounded by per-order brand variety; item totals broadcast.
+    "ext_basket_rules" -> ((s, dir) => {
+      val bi = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      graft.operators.Basket.pairRules(bi, "l_orderkey", "p_brand",
+          minPairs = 5L)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // global clustering coefficient of the supplier co-order graph: closed
+    // wedge ends (3 x triangles, from the degree-oriented join) over open
+    // wedges (exact degree moments) — how cliquish the supply network is,
+    // as one number the per-node triangle table can't give directly
+    "ext_graph_clustering" -> ((s, dir) => {
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", k = 15)
+      graft.operators.Graph.globalClustering(edges)
+    }),
+
+    // CUSUM change-point statistic per event type: one-sided upper CUSUM
+    // s_i = max(0, s_{i-1} + x_i - mean) over daily cents, the classic
+    // drift detector. The recurrence folds an ordered struct accumulator
+    // inside one codegen'd higher-order function (x41/ext_holt's device);
+    // integer mean via truncating division, so every step is exact and the
+    // oracle replays it as a recursive CTE. Peak tie rule: the EARLIEST
+    // day reaching the max (strict > update).
+    "ext_cusum" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("xs"),
+          count(lit(1)).as("n_days"), sum(col("cents")).as("total"))
+        .withColumn("mean_cents", expr("total div n_days"))
+        .selectExpr("event_type", "n_days", "mean_cents",
+          """aggregate(xs,
+            |  named_struct('s', 0L, 'best', 0L,
+            |    'bestd', CAST(NULL AS DATE)),
+            |  (acc, x) -> named_struct(
+            |    's', greatest(0L, acc.s + x.cents - mean_cents),
+            |    'best', IF(greatest(0L, acc.s + x.cents - mean_cents)
+            |        > acc.best,
+            |      greatest(0L, acc.s + x.cents - mean_cents), acc.best),
+            |    'bestd', IF(greatest(0L, acc.s + x.cents - mean_cents)
+            |        > acc.best,
+            |      x.d, acc.bestd)),
+            |  acc -> acc) AS c""".stripMargin)
+        .select(col("event_type"), col("n_days"), col("mean_cents"),
+          col("c.best").as("max_cusum"), col("c.s").as("final_cusum"),
+          col("c.bestd").cast("string").as("peak_d"))
+        .orderBy(col("event_type"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -7296,6 +7355,75 @@ object SparkEntry {
         |  CAST(min(c.t) AS BIGINT) AS peak_at_us
         |FROM peak p JOIN curve c ON c.d = p.d AND c.conc = p.max_concurrent
         |GROUP BY 1, 2 ORDER BY d""".stripMargin,
+
+    // same dedup'd basket-item self-join, same integer bp, same one
+    // mirrored lift division
+    "ext_basket_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM bi GROUP BY 1),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT item_a, item_b, n_ab, a.ni AS n_a, b.ni AS n_b, n_baskets,
+        |  n_ab * 10000 // n_baskets AS support_bp,
+        |  n_ab * 10000 // a.ni AS conf_a_to_b_bp,
+        |  n_ab * 10000 // b.ni AS conf_b_to_a_bp,
+        |  CAST(n_ab * n_baskets AS DOUBLE) / CAST(a.ni * b.ni AS DOUBLE)
+        |    AS lift
+        |FROM p JOIN ic a ON a.i = item_a JOIN ic b ON b.i = item_b
+        |CROSS JOIN nb ORDER BY item_a, item_b""".stripMargin,
+
+    // same symmetrized edges, same degree moments, same oriented-triple
+    // triangle count scaled by 3
+    "ext_graph_clustering" ->
+      s"""WITH $coOrderEdgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS n FROM und UNION ALL SELECT b FROM und) t
+         |  GROUP BY 1),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges FROM deg),
+         |e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+         |t AS (SELECT CAST(3 * count(*) AS BIGINT) AS closed_ends FROM tri)
+         |SELECT n_nodes, n_edges, wedges, closed_ends,
+         |  CAST(closed_ends AS DOUBLE) / CAST(wedges AS DOUBLE) AS global_cc
+         |FROM s CROSS JOIN e CROSS JOIN t""".stripMargin,
+
+    // the identical recurrence as a recursive CTE: same truncating mean,
+    // same greatest(0, ...) step, same strict-> earliest-peak tie rule
+    "ext_cusum" ->
+      """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (SELECT event_type,
+        |    list(cents ORDER BY d) AS cs, list(d ORDER BY d) AS ds,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total
+        |  FROM daily GROUP BY 1),
+        |a2 AS (SELECT event_type, cs, ds, n, total // n AS mean_cents
+        |  FROM arr),
+        |r AS (SELECT event_type, cs, ds, n, mean_cents, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS best,
+        |    CAST(NULL AS DATE) AS bestd
+        |  FROM a2
+        |  UNION ALL
+        |  SELECT event_type, cs, ds, n, mean_cents, i + 1,
+        |    greatest(0, s + cs[i+1] - mean_cents),
+        |    CASE WHEN greatest(0, s + cs[i+1] - mean_cents) > best
+        |      THEN greatest(0, s + cs[i+1] - mean_cents) ELSE best END,
+        |    CASE WHEN greatest(0, s + cs[i+1] - mean_cents) > best
+        |      THEN ds[i+1] ELSE bestd END
+        |  FROM r WHERE i < n)
+        |SELECT event_type, n AS n_days, mean_cents, best AS max_cusum,
+        |  s AS final_cusum, CAST(bestd AS VARCHAR) AS peak_d
+        |FROM r WHERE i = n ORDER BY event_type""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->

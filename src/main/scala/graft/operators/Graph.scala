@@ -244,6 +244,33 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** One-row global summary of the UNDIRECTED support of `edges`: node and
+    * edge counts, open-wedge count Σ deg·(deg−1)/2, closed wedge ends
+    * (= 3 × triangle count, via [[triangleCounts]]'s oriented join — never
+    * an all-pairs pass), and the global clustering coefficient
+    * closed/wedges as the one mirrored double division. deg·(deg−1) is
+    * always even, so the `div 2` is exact. All inputs to the division are
+    * exact longs — any engine reproduces the quotient bit for bit. */
+  def globalClustering(edges: DataFrame): DataFrame = {
+    val und = graft.util.Checkpoints.cut(
+      edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("wedges"))
+    val edgeCnt = und.agg(count(lit(1)).as("n_edges"))
+    val closed = triangleCounts(edges)
+      .agg(coalesce(sum(col("triangles")), lit(0L)).as("closed_ends"))
+    degStats.crossJoin(edgeCnt).crossJoin(closed)
+      .select(col("n_nodes"), col("n_edges"), col("wedges"),
+        col("closed_ends"),
+        (col("closed_ends").cast("double") / col("wedges").cast("double"))
+          .as("global_cc"))
+  }
+
   /** Bounded-round k-core peeling over the UNDIRECTED support of `edges`:
     * `rounds` iterations of "drop every node with fewer than `kk`
     * surviving neighbors", returning the survivors with their last-round
