@@ -2158,6 +2158,66 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // degree assortativity of the supplier co-order graph: do well-connected
+    // suppliers trade alongside other well-connected ones? Newman's r from
+    // five exact integer co-moments (edges counted both directions, so the
+    // sqrt-free collapse is exact), one mirrored division.
+    "ext_assortativity" -> ((s, dir) => {
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", k = 15)
+      graft.operators.Graph.degreeAssortativity(edges)
+    }),
+
+    // burstiness of daily event volume per type: Fano factor (sample
+    // variance over mean) and the Goh-Barabasi burstiness coefficient
+    // (sigma-mu)/(sigma+mu) — exact integer count moments, divisions and
+    // the one sqrt mirrored IEEE expressions in both engines
+    "ext_burstiness" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("ss"))
+        .withColumn("fano",
+          expr("CAST(n_days * ss - s * s AS DOUBLE)") /
+            expr("CAST((n_days - 1) * s AS DOUBLE)"))
+        .withColumn("burstiness", {
+          val mu = expr("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)")
+          val sd = sqrt(expr("CAST(n_days * ss - s * s AS DOUBLE)") /
+            expr("CAST(n_days * (n_days - 1) AS DOUBLE)"))
+          (sd - mu) / (sd + mu)
+        })
+        .orderBy(col("event_type"))
+    }),
+
+    // audience overlap matrix: for every event-type pair, the exact
+    // intersection of their user bases with Jaccard and overlap
+    // coefficients in integer basis points. The only join is keyed on
+    // user_id with fan-out bounded by types-per-user; audience totals
+    // broadcast onto the pair counts.
+    "ext_audience_overlap" -> ((s, dir) => {
+      val tu = Tables.events(s, dir)
+        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      val aud = tu.groupBy(col("t")).agg(count(lit(1)).as("nu"))
+      val inter = tu.select(col("t").as("type_a"), col("u"))
+        .join(tu.select(col("t").as("type_b"), col("u")), Seq("u"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(aud.select(col("t").as("type_a"), col("nu").as("n_a"))),
+          Seq("type_a"))
+        .join(broadcast(aud.select(col("t").as("type_b"), col("nu").as("n_b"))),
+          Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          expr("n_both * 10000 div (n_a + n_b - n_both)").as("jaccard_bp"),
+          expr("n_both * 10000 div least(n_a, n_b)").as("overlap_bp"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -7424,6 +7484,61 @@ object SparkEntry {
         |SELECT event_type, n AS n_days, mean_cents, best AS max_cusum,
         |  s AS final_cusum, CAST(bestd AS VARCHAR) AS peak_d
         |FROM r WHERE i = n ORDER BY event_type""".stripMargin,
+
+    // same symmetrized edges and degree join, same sqrt-free collapse
+    "ext_assortativity" ->
+      s"""WITH $coOrderEdgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS n FROM und UNION ALL SELECT b FROM und) t
+         |  GROUP BY 1),
+         |ends AS (SELECT da.deg AS x, db.deg AS y
+         |  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b
+         |  UNION ALL
+         |  SELECT db.deg, da.deg
+         |  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_ends,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM ends)
+         |SELECT n_ends, sx, sxy, sxx,
+         |  CAST(n_ends * sxy - sx * sx AS DOUBLE) /
+         |    CAST(n_ends * sxx - sx * sx AS DOUBLE) AS assortativity
+         |FROM m""".stripMargin,
+
+    // same integer count moments, same mirrored divisions and sqrt
+    "ext_burstiness" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ss
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, s, ss,
+        |  CAST(n_days * ss - s * s AS DOUBLE) /
+        |    CAST((n_days - 1) * s AS DOUBLE) AS fano,
+        |  (sqrt(CAST(n_days * ss - s * s AS DOUBLE) /
+        |      CAST(n_days * (n_days - 1) AS DOUBLE))
+        |    - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+        |  (sqrt(CAST(n_days * ss - s * s AS DOUBLE) /
+        |      CAST(n_days * (n_days - 1) AS DOUBLE))
+        |    + CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) AS burstiness
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // same dedup'd (type, user) self-join, same integer bp coefficients
+    "ext_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |  FROM events),
+        |aud AS (SELECT t, CAST(count(*) AS BIGINT) AS nu FROM tu GROUP BY 1),
+        |inter AS (SELECT x.t AS type_a, y.t AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM tu x JOIN tu y ON x.u = y.u AND x.t < y.t
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, a.nu AS n_a, b.nu AS n_b, n_both,
+        |  n_both * 10000 // (a.nu + b.nu - n_both) AS jaccard_bp,
+        |  n_both * 10000 // least(a.nu, b.nu) AS overlap_bp
+        |FROM inter JOIN aud a ON a.t = type_a JOIN aud b ON b.t = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->

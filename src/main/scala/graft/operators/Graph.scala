@@ -271,6 +271,50 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** Degree assortativity of the UNDIRECTED support of `edges`: the Pearson
+    * correlation of endpoint degrees over the edge list with each edge
+    * counted in BOTH directions (Newman 2002's r — symmetric counting is
+    * what makes the x/y moments equal). All five co-moments are exact
+    * integer sums over the degree-joined edge list; the correlation is
+    * assembled from them in one mirrored IEEE expression, so any engine
+    * reproduces it bit for bit. One row: `(n_ends, sx, sxy, sxx, r)`.
+    *
+    * Scale shape: degrees via one count aggregation, then two broadcastable
+    * dimension joins (degree table is node-sized) onto the edge list and a
+    * single global co-moment aggregation — partial map-side, no shuffle
+    * carries edges. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val ends = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      // both directions: (da, db) and (db, da)
+      .select(explode(array(
+        struct(col("da").as("x"), col("db").as("y")),
+        struct(col("db").as("x"), col("da").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    ends.agg(count(lit(1)).as("n_ends"), sum(col("x")).as("sx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_ends"), col("sx"), col("sxy"), col("sxx"),
+        // symmetric counting: sy = sx and syy = sxx, so r collapses to
+        // (n*sxy - sx^2) / (n*sxx - sx^2) — exact integers in, one
+        // division. A REGULAR graph has zero degree variance: correlation
+        // is undefined there, surfaced as NULL (ANSI mode would otherwise
+        // reject the division outright).
+        when(col("n_ends") * col("sxx") === col("sx") * col("sx"),
+            lit(null).cast("double"))
+          .otherwise(
+            (col("n_ends") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("n_ends") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
+
   /** Bounded-round k-core peeling over the UNDIRECTED support of `edges`:
     * `rounds` iterations of "drop every node with fewer than `kk`
     * surviving neighbors", returning the survivors with their last-round

@@ -235,4 +235,17 @@ class GraphSpec extends SparkSpec {
       .as[(Int, Int)].collect().toMap
     assert(again == d, "distances depend on partitioning")
   }
+
+  test("degreeAssortativity: star is perfectly disassortative, clique NaN") {
+    // star: every edge pairs the hub (deg 4) with a leaf (deg 1) -> r = -1
+    val star = Seq((1, 2), (1, 3), (1, 4), (1, 5)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star)
+      .select("assortativity").as[Double].head()
+    assert(r == -1.0, s"star assortativity was $r")
+    // regular graph (triangle): zero degree variance -> undefined -> NULL
+    val tri = Seq((1, 2), (2, 3), (1, 3)).toDF("src", "dst")
+    val rt = Graph.degreeAssortativity(tri)
+      .select("assortativity").collect().head
+    assert(rt.isNullAt(0), s"regular-graph assortativity was $rt")
+  }
 }
