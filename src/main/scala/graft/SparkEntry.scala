@@ -97,6 +97,37 @@ object SparkEntry {
       |  list_reduce(cs, (acc, x) -> (acc + x) // 2) AS ewma_cents
       |FROM a""".stripMargin
 
+  /** Shared oracle for `ext_cusum` and its day-per-batch streaming twin
+    * `stream_cusum`: the identical greatest(0, ...) recurrence as a
+    * recursive CTE — same truncating mean, same strict-> earliest-peak
+    * tie rule. */
+  private val cusumSql =
+    """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |arr AS (SELECT event_type,
+      |    list(cents ORDER BY d) AS cs, list(d ORDER BY d) AS ds,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS total
+      |  FROM daily GROUP BY 1),
+      |a2 AS (SELECT event_type, cs, ds, n, total // n AS mean_cents
+      |  FROM arr),
+      |r AS (SELECT event_type, cs, ds, n, mean_cents, 0 AS i,
+      |    CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS best,
+      |    CAST(NULL AS DATE) AS bestd
+      |  FROM a2
+      |  UNION ALL
+      |  SELECT event_type, cs, ds, n, mean_cents, i + 1,
+      |    greatest(0, s + cs[i+1] - mean_cents),
+      |    CASE WHEN greatest(0, s + cs[i+1] - mean_cents) > best
+      |      THEN greatest(0, s + cs[i+1] - mean_cents) ELSE best END,
+      |    CASE WHEN greatest(0, s + cs[i+1] - mean_cents) > best
+      |      THEN ds[i+1] ELSE bestd END
+      |  FROM r WHERE i < n)
+      |SELECT event_type, n AS n_days, mean_cents, best AS max_cusum,
+      |  s AS final_cusum, CAST(bestd AS VARCHAR) AS peak_d
+      |FROM r WHERE i = n ORDER BY event_type""".stripMargin
+
   /** Shared oracle for `ext_eval_confusion` and its streaming twin
     * `stream_eval_confusion` (complete-mode counters finalize to the same
     * counts): same single-division metric assembly; kappa's products
@@ -2216,6 +2247,64 @@ object SparkEntry {
           expr("n_both * 10000 div (n_a + n_b - n_both)").as("jaccard_bp"),
           expr("n_both * 10000 div least(n_a, n_b)").as("overlap_bp"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // inter-arrival time profile per user: gaps between consecutive events
+    // in epoch micros (lag over the (ts, id) total order — the unique-id
+    // tie-break is what makes both the gap sequence and the median pick
+    // deterministic cross-engine), lower-median via the rank formula, mean
+    // via truncating division. Windows partition by user — no global sort.
+    "ext_interarrival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val gaps = ev.withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), (col("ts_us") - col("prev")).as("gap"),
+          col("event_id"))
+      val med = gaps
+        .withColumn("r", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("gap"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("r") === expr("(n + 1) div 2"))
+        .select(col("user_id"), col("gap").as("median_gap_us"))
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("min_gap_us"),
+          max(col("gap")).as("max_gap_us"),
+          expr("sum(gap) div count(1)").as("mean_gap_us"))
+        .join(med, Seq("user_id"))
+        .orderBy(col("user_id"))
+    }),
+
+    // degree distribution of the supplier co-order graph: node count per
+    // degree plus the CCDF in exact basis points (share of nodes at or
+    // above each degree) — the heavy-tail diagnostic read before choosing
+    // a skew strategy. The window runs over the degree histogram, which is
+    // at most max-degree rows, never the node table.
+    "ext_degree_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", k = 15)
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = und.select(col("a").as("n"))
+        .union(und.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      val wTop = Window.orderBy(col("deg").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("n_at_or_above", sum(col("n_nodes")).over(wTop))
+        .withColumn("total", sum(col("n_nodes")).over(Window.partitionBy()))
+        .select(col("deg"), col("n_nodes"), col("n_at_or_above"),
+          expr("n_at_or_above * 10000 div total").as("ccdf_bp"))
+        .orderBy(col("deg"))
     }),
 
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
@@ -4394,6 +4483,13 @@ object SparkEntry {
     // incremental-table pattern. Must equal the batch fold (x41's oracle).
     "stream_ewma" -> ((s, dir) => streamEwma(s, dir)),
 
+    // streaming CUSUM drift monitor: the production calibrate-then-monitor
+    // shape — the reference level is the per-type mean fixed by the batch
+    // calibration pass, then daily micro-batches fold the greatest(0, ...)
+    // recurrence into a one-row-per-type state table (s, best, best-day).
+    // Ends in exactly the batch detector's state: ext_cusum's oracle.
+    "stream_cusum" -> ((s, dir) => streamCusum(s, dir)),
+
     // streaming incremental near-dup: new documents arrive in micro-batches
     // and dedup against the PERSISTED band index, which then absorbs each
     // batch's bands — the full production loop (screen the delta, grow the
@@ -4869,6 +4965,75 @@ object SparkEntry {
     s.read.parquet(stateDir)
       .select(col("user_id"), col("n_days"), col("level").as("ewma_cents"))
       .orderBy(col("user_id"))
+  }
+
+  /** The run behind `stream_cusum`: per-type daily cents fed one day per
+    * micro-batch against the FIXED calibration mean (computed once, batch —
+    * the μ₀ a production CUSUM monitors against); each batch full-outer-
+    * merges the greatest(0, s + x − μ₀) step into the persisted per-type
+    * state (s, best, bestd, n_days) — one row per type at any stream
+    * length. Absent types carry state; the earliest-peak tie rule is the
+    * batch fold's strict `>`. */
+  private def streamCusum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val stateDir = sys.props("java.io.tmpdir") + "/graft-cusum-stream-" +
+      math.abs(dir.hashCode)
+    deleteRecursively(stateDir)
+    val dailyDf = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+    // calibration pass: the reference level each later day is scored against
+    val mean = dailyDf.groupBy(col("event_type"))
+      .agg(expr("sum(cents) div count(1)").as("mean_cents"))
+    val daily = dailyDf
+      .select(col("event_type"), col("d").cast("string").as("d"), col("cents"))
+      .as[(String, String, Long)].collect() // bounded: types x days
+    val days = daily.map(_._2).distinct.sorted
+    val ms = MemoryStream[(String, String, Long)]
+    val q = ms.toDF().toDF("event_type", "d", "cents").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.join(broadcast(mean), Seq("event_type"))
+          .select(col("event_type"), col("d").as("bd"),
+            col("cents").as("x"), col("mean_cents").as("mu"))
+        val first = !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(stateDir))
+        val stepped =
+          if (first) b.select(col("event_type"),
+            expr("greatest(0L, x - mu)").as("s"),
+            expr("greatest(0L, x - mu)").as("best"),
+            when(expr("greatest(0L, x - mu)") > 0L, col("bd")).as("bestd"),
+            lit(1L).as("n_days"))
+          else s.read.parquet(stateDir)
+            .join(b, Seq("event_type"), "full_outer")
+            .select(col("event_type"),
+              when(col("x").isNull, col("s"))
+                .otherwise(expr("greatest(0L, coalesce(s, 0L) + x - mu)"))
+                .as("s"),
+              when(col("x").isNull, col("best")).otherwise(
+                greatest(coalesce(col("best"), lit(0L)),
+                  expr("greatest(0L, coalesce(s, 0L) + x - mu)")))
+                .as("best"),
+              when(col("x").isNull, col("bestd")).otherwise(
+                when(expr("greatest(0L, coalesce(s, 0L) + x - mu)") >
+                    coalesce(col("best"), lit(0L)), col("bd"))
+                  .otherwise(col("bestd"))).as("bestd"),
+              (coalesce(col("n_days"), lit(0L)) +
+                when(col("x").isNull, 0L).otherwise(1L)).as("n_days"))
+        // stage before overwriting the directory being read
+        graft.util.Checkpoints.cut(stepped)
+          .write.mode("overwrite").parquet(stateDir)
+      }.start()
+    try days.foreach { day =>
+      ms.addData(daily.filter(_._2 == day).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(stateDir).join(broadcast(mean), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("mean_cents"),
+        col("best").as("max_cusum"), col("s").as("final_cusum"),
+        col("bestd").as("peak_d"))
+      .orderBy(col("event_type"))
   }
 
   private def streamQualityMonitor(s: SparkSession): DataFrame = {
@@ -7458,32 +7623,11 @@ object SparkEntry {
 
     // the identical recurrence as a recursive CTE: same truncating mean,
     // same greatest(0, ...) step, same strict-> earliest-peak tie rule
-    "ext_cusum" ->
-      """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
-        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-        |  FROM events GROUP BY 1, 2),
-        |arr AS (SELECT event_type,
-        |    list(cents ORDER BY d) AS cs, list(d ORDER BY d) AS ds,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(cents) AS BIGINT) AS total
-        |  FROM daily GROUP BY 1),
-        |a2 AS (SELECT event_type, cs, ds, n, total // n AS mean_cents
-        |  FROM arr),
-        |r AS (SELECT event_type, cs, ds, n, mean_cents, 0 AS i,
-        |    CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS best,
-        |    CAST(NULL AS DATE) AS bestd
-        |  FROM a2
-        |  UNION ALL
-        |  SELECT event_type, cs, ds, n, mean_cents, i + 1,
-        |    greatest(0, s + cs[i+1] - mean_cents),
-        |    CASE WHEN greatest(0, s + cs[i+1] - mean_cents) > best
-        |      THEN greatest(0, s + cs[i+1] - mean_cents) ELSE best END,
-        |    CASE WHEN greatest(0, s + cs[i+1] - mean_cents) > best
-        |      THEN ds[i+1] ELSE bestd END
-        |  FROM r WHERE i < n)
-        |SELECT event_type, n AS n_days, mean_cents, best AS max_cusum,
-        |  s AS final_cusum, CAST(bestd AS VARCHAR) AS peak_d
-        |FROM r WHERE i = n ORDER BY event_type""".stripMargin,
+    "ext_cusum" -> cusumSql,
+
+    // the day-per-batch monitor must finish in exactly the batch detector's
+    // state — same oracle
+    "stream_cusum" -> cusumSql,
 
     // same symmetrized edges and degree join, same sqrt-free collapse
     "ext_assortativity" ->
@@ -7539,6 +7683,52 @@ object SparkEntry {
         |  n_both * 10000 // least(a.nu, b.nu) AS overlap_bp
         |FROM inter JOIN aud a ON a.t = type_a JOIN aud b ON b.t = type_b
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // same (ts, id)-ordered lag, same rank-formula median, same
+    // truncating mean
+    "ext_interarrival" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |    ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS gap, event_id
+        |  FROM ev),
+        |gaps AS (SELECT user_id, CAST(gap AS BIGINT) AS gap, event_id
+        |  FROM g WHERE gap IS NOT NULL),
+        |med AS (SELECT user_id, gap AS median_gap_us FROM (
+        |    SELECT user_id, gap,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY gap, event_id) AS r,
+        |      count(*) OVER (PARTITION BY user_id) AS n
+        |    FROM gaps) t WHERE r = (n + 1) // 2),
+        |agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |    CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |    CAST(sum(gap) AS BIGINT) // count(*) AS mean_gap_us
+        |  FROM gaps GROUP BY 1)
+        |SELECT a.user_id, n_gaps, min_gap_us, max_gap_us, mean_gap_us,
+        |  median_gap_us
+        |FROM agg a JOIN med m ON m.user_id = a.user_id
+        |ORDER BY a.user_id""".stripMargin,
+
+    // same symmetrized degrees, same top-down cumulative share
+    "ext_degree_histogram" ->
+      s"""WITH $coOrderEdgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS n FROM und UNION ALL SELECT b FROM und) t
+         |  GROUP BY 1),
+         |hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM deg GROUP BY 1),
+         |c AS (SELECT deg, n_nodes,
+         |    CAST(sum(n_nodes) OVER (ORDER BY deg DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS n_at_or_above,
+         |    CAST(sum(n_nodes) OVER () AS BIGINT) AS total FROM hist)
+         |SELECT deg, n_nodes, n_at_or_above,
+         |  n_at_or_above * 10000 // total AS ccdf_bp
+         |FROM c ORDER BY deg""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
