@@ -97,6 +97,27 @@ object SparkEntry {
       |  list_reduce(cs, (acc, x) -> (acc + x) // 2) AS ewma_cents
       |FROM a""".stripMargin
 
+  /** Shared oracle for `ext_max_concurrency` and its day-per-batch
+    * streaming twin `stream_max_concurrency`: the same +1/−1 sweep with
+    * the same earliest-peak join-back. */
+  private val sweepConcurrencySql =
+    """WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS d,
+      |    epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+      |  FROM events GROUP BY 1, 2),
+      |pts AS (SELECT d, t, CAST(sum(delta) AS BIGINT) AS net FROM (
+      |    SELECT d, s_us AS t, 1 AS delta FROM iv
+      |    UNION ALL SELECT d, e_us + 1, -1 FROM iv) u GROUP BY 1, 2),
+      |curve AS (SELECT d, t,
+      |    CAST(sum(net) OVER (PARTITION BY d ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS conc FROM pts),
+      |peak AS (SELECT d, CAST(max(conc) AS BIGINT) AS max_concurrent
+      |  FROM curve GROUP BY 1)
+      |SELECT CAST(p.d AS VARCHAR) AS d, p.max_concurrent,
+      |  CAST(min(c.t) AS BIGINT) AS peak_at_us
+      |FROM peak p JOIN curve c ON c.d = p.d AND c.conc = p.max_concurrent
+      |GROUP BY 1, 2 ORDER BY d""".stripMargin
+
   /** Shared oracle for `ext_cusum` and its day-per-batch streaming twin
     * `stream_cusum`: the identical greatest(0, ...) recurrence as a
     * recursive CTE — same truncating mean, same strict-> earliest-peak
@@ -2307,6 +2328,40 @@ object SparkEntry {
         .orderBy(col("deg"))
     }),
 
+    // HITS hubs/authorities over the DIRECTED co-order graph (the top-k
+    // bound makes direction meaningful): 3 integer half-step rounds, each
+    // renormalized to scale by truncating division — the oracle unrolls
+    // the identical half-steps as CTEs
+    "x71_hits" -> ((s, dir) => {
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", k = 15)
+      graft.operators.Graph.hitsFixedPoint(edges, iters = 3,
+          scale = 1000000L)
+        .select(col("node").as("s_suppkey"), col("hub"), col("auth"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Simpson concentration / diversity of the language mix per source:
+    // lambda = sum n_i(n_i-1) / N(N-1) from exact category counts, the
+    // collision probability a sampling-without-replacement draw actually
+    // has — one mirrored division; diversity is its complement
+    "ext_simpson" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("ni"))
+      counts.groupBy(col("source"))
+        .agg(sum(col("ni")).as("n_docs"), count(lit(1)).as("n_langs"),
+          sum(col("ni") * (col("ni") - 1)).as("coll"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          (col("coll").cast("double") /
+            (col("n_docs") * (col("n_docs") - 1)).cast("double"))
+            .as("simpson"),
+          (lit(1.0) - col("coll").cast("double") /
+            (col("n_docs") * (col("n_docs") - 1)).cast("double"))
+            .as("diversity"))
+        .orderBy(col("source"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -4483,6 +4538,12 @@ object SparkEntry {
     // incremental-table pattern. Must equal the batch fold (x41's oracle).
     "stream_ewma" -> ((s, dir) => streamEwma(s, dir)),
 
+    // streaming peak-concurrency: one day of raw events per micro-batch;
+    // each batch builds its day's user intervals, runs the +1/-1 sweep,
+    // and appends that day's peak row — days are independent, so the
+    // appended union must equal the batch sweep (same oracle)
+    "stream_max_concurrency" -> ((s, dir) => streamMaxConcurrency(s, dir)),
+
     // streaming CUSUM drift monitor: the production calibrate-then-monitor
     // shape — the reference level is the per-type mean fixed by the batch
     // calibration pass, then daily micro-batches fold the greatest(0, ...)
@@ -4965,6 +5026,53 @@ object SparkEntry {
     s.read.parquet(stateDir)
       .select(col("user_id"), col("n_days"), col("level").as("ewma_cents"))
       .orderBy(col("user_id"))
+  }
+
+  /** The run behind `stream_max_concurrency`: raw events fed one day per
+    * micro-batch; each batch rolls its day's rows into per-user activity
+    * intervals, runs the same +1/−1 sweep as the batch query, and APPENDS
+    * the day's single peak row to the results table — per-day independence
+    * is what makes the streaming union equal the one-shot sweep. */
+  private def streamMaxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val outDir = sys.props("java.io.tmpdir") + "/graft-conc-stream-" +
+      math.abs(dir.hashCode)
+    deleteRecursively(outDir)
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("d"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long)].collect()
+    val days = rows.map(_._2).distinct.sorted
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = ms.toDF().toDF("user_id", "d", "ts_us").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val iv = batch.groupBy(col("user_id"), col("d"))
+          .agg(min(col("ts_us")).as("s_us"), max(col("ts_us")).as("e_us"))
+        val pts = iv.select(col("d"), col("s_us").as("t"), lit(1L).as("delta"))
+          .unionAll(iv.select(col("d"), (col("e_us") + 1).as("t"),
+            lit(-1L).as("delta")))
+          .groupBy(col("d"), col("t")).agg(sum(col("delta")).as("net"))
+        val w = Window.partitionBy(col("d")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val curve = pts.withColumn("conc", sum(col("net")).over(w))
+        val peak = curve.groupBy(col("d"))
+          .agg(max(col("conc")).as("max_concurrent"))
+        peak.join(curve.select(col("d").as("c_d"), col("conc"), col("t")),
+            col("d") === col("c_d") && col("max_concurrent") === col("conc"))
+          .groupBy(col("d"), col("max_concurrent"))
+          .agg(min(col("t")).as("peak_at_us"))
+          .write.mode("append").parquet(outDir)
+      }.start()
+    try days.foreach { day =>
+      ms.addData(rows.filter(_._2 == day).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(outDir)
+      .select(col("d"), col("max_concurrent"), col("peak_at_us"))
+      .orderBy(col("d"))
   }
 
   /** The run behind `stream_cusum`: per-type daily cents fed one day per
@@ -6173,6 +6281,39 @@ object SparkEntry {
     * whole known set each round where the engine expands only the
     * frontier — same fixed-round min-distance relation, different work
     * profile (the oracle only has to be right, not scalable). */
+  /** DuckDB replay of `x71_hits`: the same three HITS rounds unrolled —
+    * per round, the in-edge hub sum, its total, the truncating rescale to
+    * 10^6, then the same three steps for hubs from the fresh authorities. */
+  private lazy val hitsOracleSql: String = {
+    val pre =
+      s"""WITH $coOrderEdgesCte,
+         |nodes AS (SELECT DISTINCT n FROM (
+         |  SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges) t),
+         |h0 AS (SELECT n AS node, CAST(1000000 AS BIGINT) AS h
+         |  FROM nodes)""".stripMargin
+    val its = (1 to 3).map { i =>
+      s"""a${i}r AS (SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS v
+         |  FROM edges e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+         |a${i}s AS (SELECT CAST(sum(v) AS BIGINT) AS sv FROM a${i}r),
+         |a$i AS (SELECT n.n AS node,
+         |  CAST(coalesce(v, 0) * 1000000 // sv AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN a${i}r r ON r.node = n.n
+         |  CROSS JOIN a${i}s),
+         |h${i}r AS (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS v
+         |  FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |h${i}s AS (SELECT CAST(sum(v) AS BIGINT) AS sv FROM h${i}r),
+         |h$i AS (SELECT n.n AS node,
+         |  CAST(coalesce(v, 0) * 1000000 // sv AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN h${i}r r ON r.node = n.n
+         |  CROSS JOIN h${i}s)""".stripMargin
+    }.mkString(",\n")
+    s"""$pre,
+       |$its
+       |SELECT h3.node AS s_suppkey, h3.h AS hub, a3.a AS auth
+       |FROM h3 JOIN a3 ON a3.node = h3.node
+       |ORDER BY s_suppkey""".stripMargin
+  }
+
   private lazy val bfsOracleSql: String = {
     val pre =
       s"""WITH $coOrderEdgesCte,
@@ -6789,6 +6930,7 @@ object SparkEntry {
     "x39_random_walks" -> randomWalksOracleSql,
 
     "x45_bfs" -> bfsOracleSql,
+    "x71_hits" -> hitsOracleSql,
 
     "x69_landmark_closeness" -> landmarkClosenessOracleSql,
 
@@ -7563,23 +7705,25 @@ object SparkEntry {
 
     // same +1/-1 sweep: deltas net per exact micros, one running sum,
     // earliest peak via the same join-back
-    "ext_max_concurrency" ->
-      """WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS d,
-        |    epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
-        |  FROM events GROUP BY 1, 2),
-        |pts AS (SELECT d, t, CAST(sum(delta) AS BIGINT) AS net FROM (
-        |    SELECT d, s_us AS t, 1 AS delta FROM iv
-        |    UNION ALL SELECT d, e_us + 1, -1 FROM iv) u GROUP BY 1, 2),
-        |curve AS (SELECT d, t,
-        |    CAST(sum(net) OVER (PARTITION BY d ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS conc FROM pts),
-        |peak AS (SELECT d, CAST(max(conc) AS BIGINT) AS max_concurrent
-        |  FROM curve GROUP BY 1)
-        |SELECT CAST(p.d AS VARCHAR) AS d, p.max_concurrent,
-        |  CAST(min(c.t) AS BIGINT) AS peak_at_us
-        |FROM peak p JOIN curve c ON c.d = p.d AND c.conc = p.max_concurrent
-        |GROUP BY 1, 2 ORDER BY d""".stripMargin,
+    "ext_max_concurrency" -> sweepConcurrencySql,
+
+    // the per-day batches' appended union must equal the one-shot sweep
+    "stream_max_concurrency" -> sweepConcurrencySql,
+
+    // same exact category counts, same mirrored collision division
+    "ext_simpson" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS ni
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT source, CAST(sum(ni) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_langs,
+        |    CAST(sum(ni * (ni - 1)) AS BIGINT) AS coll
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_docs, n_langs,
+        |  CAST(coll AS DOUBLE) / CAST(n_docs * (n_docs - 1) AS DOUBLE)
+        |    AS simpson,
+        |  1.0 - CAST(coll AS DOUBLE) / CAST(n_docs * (n_docs - 1) AS DOUBLE)
+        |    AS diversity
+        |FROM m ORDER BY source""".stripMargin,
 
     // same dedup'd basket-item self-join, same integer bp, same one
     // mirrored lift division

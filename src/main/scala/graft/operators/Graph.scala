@@ -271,6 +271,53 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** HITS hubs-and-authorities, integer fixed point (Kleinberg 1999): over
+    * the DIRECTED edge set, `iters` rounds of
+    * auth(i) = Σ hub(j) over in-edges, hub(i) = Σ auth(j) over out-edges,
+    * each half-step renormalized to total mass `scale` by truncating
+    * division — the normalization that makes the float formulation
+    * converge becomes an exact integer rescale any engine replays (the
+    * oracle unrolls the same half-steps as CTEs). Nodes are the edge
+    * endpoints; a node with no in-edges holds authority 0, no out-edges
+    * hub 0. Returns `(node, hub, auth)` after `iters` rounds.
+    *
+    * Scale shape: per half-step, ONE hash join of the materialized edge
+    * list to the node-sized score table, a partial-aggregated sum per
+    * endpoint, and a one-row total broadcast back for the rescale —
+    * identical profile to [[pageRankFixedPoint]]. Products stay in long
+    * range while max-degree · scale² / scale < 2^63, i.e. scale 10^6
+    * leaves 6 orders of headroom over any bounded-degree graph. */
+  def hitsFixedPoint(edges: DataFrame, iters: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = graft.util.Checkpoints.cut(edges.select(col("src"), col("dst")))
+    val nodes = graft.util.Checkpoints.cut(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    var hub = nodes.select(col("node"), lit(scale).as("h"))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("v"))
+      val aTot = aRaw.agg(sum(col("v")).as("sv"))
+      auth = nodes.join(aRaw, Seq("node"), "left_outer")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          expr(s"coalesce(v, 0L) * ${scale}L div sv").as("a"))
+      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("v"))
+      val hTot = hRaw.agg(sum(col("v")).as("sv"))
+      val next = nodes.join(hRaw, Seq("node"), "left_outer")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          expr(s"coalesce(v, 0L) * ${scale}L div sv").as("h"))
+      hub = if (i < iters) graft.util.Checkpoints.cut(next) else next
+      if (i == iters) auth = graft.util.Checkpoints.cut(auth)
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+
   /** Degree assortativity of the UNDIRECTED support of `edges`: the Pearson
     * correlation of endpoint degrees over the edge list with each edge
     * counted in BOTH directions (Newman 2002's r — symmetric counting is
