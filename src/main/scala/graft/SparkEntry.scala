@@ -2362,6 +2362,42 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Heaps-law vocabulary growth: docs in doc_id order cut into ten
+    // corpus-prefix buckets; each token TYPE is charged to the bucket of
+    // its FIRST document (one min per type — the distributed way to get
+    // every prefix's vocabulary without re-scanning per checkpoint), then
+    // one 10-row cumulative window yields types-vs-instances. The curve
+    // data scaling laws fit before committing a tokenizer budget.
+    "ext_vocab_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // bucket = corpus-prefix decile by doc_id rank (dim-table window)
+      val ranked = docs
+        .withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("bucket", expr("(rk - 1) * 10 div n"))
+      val perBucket = ranked
+        .select(col("bucket"),
+          size(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+            .cast("long").as("n_inst"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_inst")).as("n_instances"))
+      val firstBucket = ranked
+        .select(col("bucket"), explode(array_distinct(
+          graft.operators.TextAnalysis.tokens(lower(col("text"))))).as("tok"))
+        .groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBucket.join(firstBucket, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_docs"), col("n_instances"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("docs_cum", sum(col("n_docs")).over(w))
+        .withColumn("instances_cum", sum(col("n_instances")).over(w))
+        .withColumn("vocab_cum", sum(col("new_types")).over(w))
+        .orderBy(col("bucket"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -7873,6 +7909,33 @@ object SparkEntry {
          |SELECT deg, n_nodes, n_at_or_above,
          |  n_at_or_above * 10000 // total AS ccdf_bp
          |FROM c ORDER BY deg""".stripMargin,
+
+    // same decile cut by doc_id rank, same first-bucket charge per type,
+    // same 10-row cumulative window
+    "ext_vocab_growth" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, toks, row_number() OVER (ORDER BY doc_id) AS rk,
+        |    count(*) OVER () AS n FROM d),
+        |b AS (SELECT doc_id, toks, (rk - 1) * 10 // n AS bucket FROM r),
+        |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(toks)) AS BIGINT) AS n_instances
+        |  FROM b GROUP BY 1),
+        |fb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM (
+        |    SELECT tok, min(bucket) AS bucket FROM (
+        |      SELECT bucket, unnest(list_distinct(toks)) AS tok FROM b) t
+        |    GROUP BY 1) g GROUP BY 1)
+        |SELECT p.bucket, n_docs, n_instances,
+        |  CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(sum(n_docs) OVER w AS BIGINT) AS docs_cum,
+        |  CAST(sum(n_instances) OVER w AS BIGINT) AS instances_cum,
+        |  CAST(sum(coalesce(new_types, 0)) OVER w AS BIGINT) AS vocab_cum
+        |FROM pb p LEFT JOIN fb f ON f.bucket = p.bucket
+        |WINDOW w AS (ORDER BY p.bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY p.bucket""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
