@@ -2398,6 +2398,116 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // lead-lag cross-correlation: does click volume predict purchase
+    // volume k days later? Daily counts joined at offsets 0/1/2, Pearson r
+    // per lag from exact integer co-moments (the autocorr device, crossed
+    // over two series) — the join is date-keyed over the 30-row daily
+    // tables, never the log
+    "ext_xcorr" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val clicks = daily.filter(col("event_type") === "click")
+        .select(col("d"), col("n").as("x"))
+      val buys = daily.filter(col("event_type") === "purchase")
+        .select(col("d").as("bd"), col("n").as("y"))
+      val lags = clicks.select(col("d"), col("x"),
+        explode(array(lit(0), lit(1), lit(2))).as("lag"))
+      lags.join(buys, expr("bd = date_add(d, lag)"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("r",
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+        .orderBy(col("lag"))
+    }),
+
+    // robust anomaly flags via MAD: per type, the lower median of daily
+    // cents (rank formula over the (cents, d) total order), the lower
+    // median of absolute deviations from it, and the 3-MAD flag — all
+    // integer comparisons, no distribution assumption, immune to the very
+    // outliers it hunts (unlike the z-score the mean-based monitors use)
+    "ext_mad_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      def lowerMedian(df: DataFrame, valueCol: String, out: String) = df
+        .withColumn("r", row_number().over(Window
+          .partitionBy(col("event_type")).orderBy(col(valueCol), col("d"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("r") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+      val med = lowerMedian(daily, "cents", "med_cents")
+      val dev = daily.join(med, Seq("event_type"))
+        .withColumn("dev", abs(col("cents") - col("med_cents")))
+      val mad = lowerMedian(dev.select(col("event_type"), col("d"),
+        col("dev").as("cents")), "cents", "mad_cents")
+      dev.join(mad, Seq("event_type"))
+        .select(col("event_type"), col("d").cast("string").as("d"),
+          col("cents"), col("med_cents"), col("mad_cents"), col("dev"),
+          (col("dev") > col("mad_cents") * 3).as("flagged"))
+        .orderBy(col("event_type"), col("d"))
+    }),
+
+    // DAU/MAU stickiness: exact trailing-30-day active users per day via
+    // the window-explode trick — each (user, active-day) row claims the 30
+    // report days it keeps the user "monthly active" for, so one distinct
+    // count per report day replaces 30 re-scans; the input is the per-user
+    // day table, not the log. Ratio in exact basis points.
+    "ext_stickiness" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val dau = ud.groupBy(col("d"))
+        .agg(count(lit(1)).as("dau"))
+      val claims = ud.select(col("user_id"),
+          explode(sequence(col("d"), date_add(col("d"), 29))).as("rd"))
+        .distinct()
+      val mau = claims.groupBy(col("rd").as("d"))
+        .agg(count(lit(1)).as("mau"))
+      dau.join(mau, Seq("d"))
+        .select(col("d").cast("string").as("d"), col("dau"), col("mau"),
+          expr("dau * 10000 div mau").as("stickiness_bp"))
+        .orderBy(col("d"))
+    }),
+
+    // chi-square test of independence (order priority x status): exact
+    // observed/marginal counts; each cell's (oN-RC)^2/(N R C) contribution
+    // is one mirrored double division, and the statistic sums them in a
+    // FIXED (priority, status) fold order — an ordered list reduction, so
+    // the float sum associates identically in any engine. Marginal
+    // products stay in long range while N*R*C < 2^63 (6 orders of headroom
+    // at the graded scales; cast the product first at larger ones).
+    "ext_chi_square" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cells = o.groupBy(col("o_orderpriority").as("p"),
+          col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("obs"))
+      val rowm = cells.groupBy(col("p")).agg(sum(col("obs")).as("rm"))
+      val colm = cells.groupBy(col("st")).agg(sum(col("obs")).as("cm"))
+      val tot = cells.agg(sum(col("obs")).as("n"),
+        countDistinct(col("p")).as("nr"), countDistinct(col("st")).as("nc"))
+      cells.join(broadcast(rowm), Seq("p")).join(broadcast(colm), Seq("st"))
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib",
+          ((col("obs") * col("n") - col("rm") * col("cm")).cast("double") *
+            (col("obs") * col("n") - col("rm") * col("cm")).cast("double")) /
+          (col("n") * col("rm") * col("cm")).cast("double"))
+        .groupBy(col("n"), expr("(nr - 1) * (nc - 1)").as("df"))
+        .agg(sort_array(collect_list(
+          struct(col("p"), col("st"), col("contrib")))).as("xs"))
+        .selectExpr("n", "df",
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib) AS chi2")
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -7936,6 +8046,92 @@ object SparkEntry {
         |WINDOW w AS (ORDER BY p.bucket
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY p.bucket""".stripMargin,
+
+    // same daily counts, same offset join, same co-moment assembly
+    "ext_xcorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |c AS (SELECT d, n AS x FROM daily WHERE event_type = 'click'),
+        |p AS (SELECT d AS bd, n AS y FROM daily
+        |  WHERE event_type = 'purchase'),
+        |l AS (SELECT d, x, unnest([0, 1, 2]) AS lag FROM c),
+        |j AS (SELECT lag, x, y FROM l JOIN p ON bd = d + lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT lag, n, sx, sy, sxy, sxx, syy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM m ORDER BY lag""".stripMargin,
+
+    // same two rank-formula medians, same integer 3-MAD rule
+    "ext_mad_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, cents AS med_cents FROM (
+        |    SELECT event_type, cents, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY cents, d) AS r,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM daily) t WHERE r = (n + 1) // 2),
+        |dev AS (SELECT daily.event_type, d, cents, med_cents,
+        |    abs(cents - med_cents) AS dev
+        |  FROM daily JOIN med ON med.event_type = daily.event_type),
+        |mad AS (SELECT event_type, dev AS mad_cents FROM (
+        |    SELECT event_type, dev, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY dev, d) AS r,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dev) t WHERE r = (n + 1) // 2)
+        |SELECT dev.event_type, CAST(d AS VARCHAR) AS d, cents, med_cents,
+        |  mad_cents, dev, dev > mad_cents * 3 AS flagged
+        |FROM dev JOIN mad ON mad.event_type = dev.event_type
+        |ORDER BY dev.event_type, d""".stripMargin,
+
+    // same per-user-day claims explode, same exact distinct counts
+    "ext_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud
+        |  GROUP BY 1),
+        |claims AS (SELECT DISTINCT user_id,
+        |    CAST(unnest(generate_series(d, d + 29, INTERVAL 1 DAY)) AS DATE)
+        |      AS rd
+        |  FROM ud),
+        |mau AS (SELECT rd AS d, CAST(count(*) AS BIGINT) AS mau FROM claims
+        |  GROUP BY 1)
+        |SELECT CAST(dau.d AS VARCHAR) AS d, dau.dau, mau.mau,
+        |  dau * 10000 // mau AS stickiness_bp
+        |FROM dau JOIN mau ON mau.d = dau.d
+        |ORDER BY d""".stripMargin,
+
+    // same exact marginals, same mirrored per-cell division, same fixed
+    // (priority, status) fold order for the float sum
+    "ext_chi_square" ->
+      """WITH cells AS (SELECT o_orderpriority AS p, o_orderstatus AS st,
+        |    CAST(count(*) AS BIGINT) AS obs FROM orders GROUP BY 1, 2),
+        |rm AS (SELECT p, CAST(sum(obs) AS BIGINT) AS rm FROM cells
+        |  GROUP BY 1),
+        |cm AS (SELECT st, CAST(sum(obs) AS BIGINT) AS cm FROM cells
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT p) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT st) AS BIGINT) AS nc FROM cells),
+        |con AS (SELECT cells.p, cells.st,
+        |    CAST(obs * n - rm * cm AS DOUBLE) *
+        |    CAST(obs * n - rm * cm AS DOUBLE) /
+        |    CAST(n * rm * cm AS DOUBLE) AS contrib, n, nr, nc
+        |  FROM cells JOIN rm ON rm.p = cells.p JOIN cm ON cm.st = cells.st
+        |  CROSS JOIN tot)
+        |SELECT n, (nr - 1) * (nc - 1) AS df,
+        |  list_reduce(list(contrib ORDER BY p, st), (a, b) -> a + b) AS chi2
+        |FROM con GROUP BY 1, 2""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
