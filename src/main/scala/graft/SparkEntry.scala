@@ -2508,6 +2508,75 @@ object SparkEntry {
           "aggregate(xs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib) AS chi2")
     }),
 
+    // weekly cohort retention matrix: users cohorted by first ACTIVE week,
+    // the classic triangle of "how many of week-w's signups were still
+    // around k weeks later" in exact counts and basis points. Inputs are
+    // the per-user-week distinct table; offsets are exact (weeks align, so
+    // the datediff div 7 has no remainder).
+    "ext_retention_matrix" -> ((s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("w"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+      val sizes = cohort.groupBy(col("w0")).agg(count(lit(1)).as("cohort_size"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy(col("w0"),
+          expr("datediff(w, w0) div 7").as("offset_w"))
+        .agg(count(lit(1)).as("active_users"))
+        .join(broadcast(sizes), Seq("w0"))
+        .select(col("w0").cast("string").as("cohort_w"), col("offset_w"),
+          col("active_users"), col("cohort_size"),
+          expr("active_users * 10000 div cohort_size").as("retention_bp"))
+        .orderBy(col("cohort_w"), col("offset_w"))
+    }),
+
+    // signup-to-first-purchase conversion latency: per user, the first
+    // purchase at-or-after the first signup; the latency distribution in
+    // exact micros (min/max, truncating mean, rank-formula median over the
+    // (latency, user) total order) plus the conversion count
+    "ext_conversion_latency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(signup, Seq("user_id"))
+        .filter(col("ts_us") >= col("s_us"))
+        .groupBy(col("user_id"), col("s_us"))
+        .agg(min(col("ts_us")).as("p_us"))
+        .select(col("user_id"), (col("p_us") - col("s_us")).as("lat"))
+      val med = conv
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("lat"), col("user_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("r") === expr("(n + 1) div 2"))
+        .select(col("lat").as("median_lat_us"))
+      conv.agg(count(lit(1)).as("n_converted"),
+          min(col("lat")).as("min_lat_us"), max(col("lat")).as("max_lat_us"),
+          expr("sum(lat) div count(1)").as("mean_lat_us"))
+        .crossJoin(med)
+    }),
+
+    // adoption curve: new users per first-seen day, the cumulative count,
+    // and the share of the eventual base in exact basis points — one
+    // aggregate to first days, one day-keyed rollup, one 30-row window
+    "ext_user_adoption" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val first = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("d0"))
+      val daily = first.groupBy(col("d0")).agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("d0"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .withColumn("total", sum(col("new_users")).over(Window.partitionBy()))
+        .select(col("d0").cast("string").as("d"), col("new_users"),
+          col("cum_users"), expr("cum_users * 10000 div total").as("adoption_bp"))
+        .orderBy(col("d"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -8132,6 +8201,58 @@ object SparkEntry {
         |SELECT n, (nr - 1) * (nc - 1) AS df,
         |  list_reduce(list(contrib ORDER BY p, st), (a, b) -> a + b) AS chi2
         |FROM con GROUP BY 1, 2""".stripMargin,
+
+    // same first-week cohorts, same exact week offsets and bp
+    "ext_retention_matrix" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |cohort AS (SELECT user_id, min(w) AS w0 FROM uw GROUP BY 1),
+        |sizes AS (SELECT w0, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM cohort GROUP BY 1),
+        |act AS (SELECT w0, date_diff('day', w0, w) // 7 AS offset_w,
+        |    CAST(count(*) AS BIGINT) AS active_users
+        |  FROM uw JOIN cohort ON cohort.user_id = uw.user_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(a.w0 AS VARCHAR) AS cohort_w, offset_w, active_users,
+        |  cohort_size, active_users * 10000 // cohort_size AS retention_bp
+        |FROM act a JOIN sizes s ON s.w0 = a.w0
+        |ORDER BY cohort_w, offset_w""".stripMargin,
+
+    // same first-signup/first-purchase pairing, same rank-formula median
+    "ext_conversion_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |s AS (SELECT user_id, min(ts_us) AS s_us FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (SELECT e.user_id, min(ts_us) - s_us AS lat
+        |  FROM ev e JOIN s ON s.user_id = e.user_id
+        |  WHERE event_type = 'purchase' AND ts_us >= s_us
+        |  GROUP BY e.user_id, s_us),
+        |med AS (SELECT lat AS median_lat_us FROM (
+        |    SELECT lat, row_number() OVER (ORDER BY lat, user_id) AS r,
+        |      count(*) OVER () AS n FROM conv) t
+        |  WHERE r = (n + 1) // 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(min(lat) AS BIGINT) AS min_lat_us,
+        |  CAST(max(lat) AS BIGINT) AS max_lat_us,
+        |  CAST(sum(lat) AS BIGINT) // count(*) AS mean_lat_us,
+        |  CAST(median_lat_us AS BIGINT) AS median_lat_us
+        |FROM conv CROSS JOIN med GROUP BY median_lat_us""".stripMargin,
+
+    // same first-seen rollup, same cumulative window and bp share
+    "ext_user_adoption" ->
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0 FROM events
+        |  GROUP BY 1),
+        |daily AS (SELECT d0, CAST(count(*) AS BIGINT) AS new_users FROM f
+        |  GROUP BY 1),
+        |c AS (SELECT d0, new_users,
+        |    CAST(sum(new_users) OVER (ORDER BY d0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_users,
+        |    CAST(sum(new_users) OVER () AS BIGINT) AS total FROM daily)
+        |SELECT CAST(d0 AS VARCHAR) AS d, new_users, cum_users,
+        |  cum_users * 10000 // total AS adoption_bp
+        |FROM c ORDER BY d""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
