@@ -2577,6 +2577,51 @@ object SparkEntry {
         .orderBy(col("d"))
     }),
 
+    // Holt-Winters additive triple smoothing (alpha=beta=gamma=1/2,
+    // weekly period) per event type over daily cents: level, trend AND a
+    // 7-slot seasonal register that shifts each step — the seasonal
+    // extension of ext_holt, still one codegen'd ordered HOF fold whose
+    // every update is a truncating integer division (the oracle replays
+    // the recurrence as a recursive CTE carrying the same 7-element list,
+    // with trunc() mirroring Spark's toward-zero div on negative
+    // seasonals). Init: level = first-week mean, trend 0, seasonals =
+    // first-week deviations.
+    "ext_holt_winters" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("xs"),
+          count(lit(1)).as("n_days"))
+        .filter(col("n_days") >= 8)
+        .select(col("event_type"), col("n_days"),
+          expr("transform(xs, t -> t.cents)").as("cs"))
+        .withColumn("l0",
+          expr("aggregate(slice(cs, 1, 7), 0L, (a, x) -> a + x) div 7"))
+        .selectExpr("event_type", "n_days",
+          """aggregate(
+            |  slice(cs, 8, size(cs) - 7),
+            |  named_struct('level', l0, 'trend', 0L,
+            |    'seas', transform(slice(cs, 1, 7), x -> x - l0)),
+            |  (acc, x) -> named_struct(
+            |    'level',
+            |    (x - element_at(acc.seas, 1) + acc.level + acc.trend) div 2,
+            |    'trend',
+            |    ((x - element_at(acc.seas, 1) + acc.level + acc.trend) div 2
+            |      - acc.level + acc.trend) div 2,
+            |    'seas',
+            |    concat(slice(acc.seas, 2, 6), array(
+            |      (x - (x - element_at(acc.seas, 1) + acc.level + acc.trend)
+            |        div 2 + element_at(acc.seas, 1)) div 2))),
+            |  acc -> acc) AS h""".stripMargin)
+        .select(col("event_type"), col("n_days"),
+          col("h.level").as("hw_level"), col("h.trend").as("hw_trend"),
+          element_at(col("h.seas"), 1).as("hw_seas_next"))
+        .withColumn("forecast_next",
+          col("hw_level") + col("hw_trend") + col("hw_seas_next"))
+        .orderBy(col("event_type"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -8253,6 +8298,38 @@ object SparkEntry {
         |SELECT CAST(d0 AS VARCHAR) AS d, new_users, cum_users,
         |  cum_users * 10000 // total AS adoption_bp
         |FROM c ORDER BY d""".stripMargin,
+
+    // the identical triple recurrence as a recursive CTE carrying the
+    // 7-element seasonal list; trunc() mirrors the toward-zero div
+    "ext_holt_winters" ->
+      """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (SELECT event_type, list(cents ORDER BY d) AS cs,
+        |    CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+        |b AS (SELECT event_type, cs, n,
+        |    CAST(list_sum(cs[1:7]) AS BIGINT) // 7 AS l0
+        |  FROM arr WHERE n >= 8),
+        |r AS (SELECT event_type, cs, n, CAST(7 AS BIGINT) AS i,
+        |    l0 AS level, CAST(0 AS BIGINT) AS trend,
+        |    [CAST(cs[k] - l0 AS BIGINT) for k in generate_series(1, 7)]
+        |      AS seas
+        |  FROM b
+        |  UNION ALL
+        |  SELECT event_type, cs, n, i + 1,
+        |    CAST(trunc(CAST(cs[i+1] - seas[1] + level + trend AS DOUBLE)
+        |      / 2) AS BIGINT),
+        |    CAST(trunc(CAST(
+        |      CAST(trunc(CAST(cs[i+1] - seas[1] + level + trend AS DOUBLE)
+        |        / 2) AS BIGINT) - level + trend AS DOUBLE) / 2) AS BIGINT),
+        |    seas[2:7] || [CAST(trunc(CAST(cs[i+1] -
+        |      CAST(trunc(CAST(cs[i+1] - seas[1] + level + trend AS DOUBLE)
+        |        / 2) AS BIGINT) + seas[1] AS DOUBLE) / 2) AS BIGINT)]
+        |  FROM r WHERE i < n)
+        |SELECT event_type, n AS n_days, level AS hw_level, trend AS hw_trend,
+        |  seas[1] AS hw_seas_next,
+        |  level + trend + seas[1] AS forecast_next
+        |FROM r WHERE i = n ORDER BY event_type""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
