@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashBandKeys, MinHashMd5, SimHash64,
-  StripAccentsExpr, UnicodeNfc, WordShingles}
+import graft.functions.{DamerauLevenshtein, DotProduct, MinHashBandKeys,
+  MinHashMd5, SimHash64, StripAccentsExpr, UnicodeNfc, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_damerau"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "graft_damerau"),
+      (args: Seq[Expression]) => DamerauLevenshtein(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
@@ -132,6 +136,8 @@ object GraftExtensions {
       args => DotProduct(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       args => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_damerau",
+      args => DamerauLevenshtein(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       args => MinHashMd5(args(0), intLit(args(1), "k")), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_bands",

@@ -2622,6 +2622,26 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // transposition-aware fuzzy distance: the graft_damerau native
+    // expression (TRUE Damerau-Levenshtein, not the OSA restriction) next
+    // to builtin levenshtein over 16-char doc prefixes, on a hash-sampled
+    // candidate set blocked by language — the scalar the q-gram fuzzy join
+    // would score with; the oracle is DuckDB's independent builtin pair
+    "ext_fuzzy_dl" -> ((s, dir) => {
+      val sample = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 16).as("p"))
+      sample.select(col("lang"), col("doc_id").as("id_a"), col("p").as("pa"))
+        .join(sample.select(col("lang"), col("doc_id").as("id_b"),
+          col("p").as("pb")), Seq("lang"))
+        .filter(col("id_a") < col("id_b"))
+        .selectExpr("lang", "id_a", "id_b",
+          "CAST(graft_damerau(pa, pb) AS BIGINT) AS dl",
+          "CAST(levenshtein(pa, pb) AS BIGINT) AS lev")
+        .orderBy(col("lang"), col("id_a"), col("id_b"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -8330,6 +8350,17 @@ object SparkEntry {
         |  seas[1] AS hw_seas_next,
         |  level + trend + seas[1] AS forecast_next
         |FROM r WHERE i = n ORDER BY event_type""".stripMargin,
+
+    // INDEPENDENT implementations: DuckDB's builtin Damerau-Levenshtein
+    // (same unrestricted variant) and levenshtein over the same prefixes
+    "ext_fuzzy_dl" ->
+      """WITH s AS (SELECT doc_id, lang, substr(text, 1, 16) AS p
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(damerau_levenshtein(a.p, b.p) AS BIGINT) AS dl,
+        |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev
+        |FROM s a JOIN s b ON b.lang = a.lang AND a.doc_id < b.doc_id
+        |ORDER BY a.lang, id_a, id_b""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
