@@ -936,6 +936,18 @@ object Bench {
           .count()
       }
 
+      // skyline at 10M points: the partition-local prune must leave the
+      // global (single-partition) pass only the per-partition survivors —
+      // O(log n) expected frontier points per partition on random data —
+      // so wall time is dominated by the parallel scan, not the sort
+      val sSky = stage("skyline_10m") {
+        import org.apache.spark.sql.functions.{pmod, xxhash64}
+        val pts = spark.range(10000000L).select(
+          pmod(xxhash64(col("id")), lit(1000000L)).as("cost"),
+          pmod(xxhash64(col("id"), lit(1L)), lit(1000000L)).as("size"))
+        graft.operators.Skyline.frontier2d(pts, "cost", "size").count()
+      }
+
       // ---- streaming-state soak: watermark eviction bounds state --------
       // (VERDICT r4 #3) 2M events through the canonical daily-spend pipeline
       // (dedup on) in 10 MemoryStream batches, each advancing event time
@@ -951,7 +963,7 @@ object Bench {
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
           s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
-          sI2, sG1, sG2, s9, s10, s11)
+          sI2, sG1, sG2, sSky, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 

@@ -2642,6 +2642,36 @@ object SparkEntry {
         .orderBy(col("lang"), col("id_a"), col("id_b"))
     }),
 
+    // join-key skew diagnostics: the numbers that decide between a plain
+    // hash join, a broadcast, and salting — per candidate key, the top-1
+    // key's row share and the p99/p50 frequency ratio in exact basis
+    // points (rank-formula picks over the key-frequency table, which is
+    // keys-sized, never the fact table)
+    "ext_skew_metrics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def profile(df: DataFrame, keyCol: String, rel: String): DataFrame = {
+        val freq = df.groupBy(col(keyCol).as("k"))
+          .agg(count(lit(1)).as("f"))
+        def pick(rank: String) = freq
+          .withColumn("r", row_number().over(Window.orderBy(col("f"), col("k"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("r") === expr(rank))
+          .select(col("f"))
+        val p50 = pick("(n + 1) div 2").select(col("f").as("p50_freq"))
+        val p99 = pick("(n * 99 + 99) div 100").select(col("f").as("p99_freq"))
+        freq.agg(sum(col("f")).as("n_rows"), count(lit(1)).as("n_keys"),
+            max(col("f")).as("top1_freq"))
+          .crossJoin(p50).crossJoin(p99)
+          .select(lit(rel).as("relation"), col("n_rows"), col("n_keys"),
+            expr("top1_freq * 10000 div n_rows").as("top1_bp"),
+            col("p50_freq"), col("p99_freq"),
+            expr("p99_freq * 10000 div p50_freq").as("p99_p50_bp"))
+      }
+      profile(Tables.lineitem(s, dir), "l_suppkey", "lineitem.l_suppkey")
+        .unionAll(profile(Tables.events(s, dir), "user_id", "events.user_id"))
+        .orderBy(col("relation"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -8361,6 +8391,33 @@ object SparkEntry {
         |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev
         |FROM s a JOIN s b ON b.lang = a.lang AND a.doc_id < b.doc_id
         |ORDER BY a.lang, id_a, id_b""".stripMargin,
+
+    // same key-frequency tables, same rank-formula percentile picks
+    "ext_skew_metrics" ->
+      """WITH lf AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS f
+        |  FROM lineitem GROUP BY 1),
+        |ef AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS f
+        |  FROM events GROUP BY 1),
+        |lr AS (SELECT f, row_number() OVER (ORDER BY f, k) AS r,
+        |    count(*) OVER () AS n FROM lf),
+        |er AS (SELECT f, row_number() OVER (ORDER BY f, k) AS r,
+        |    count(*) OVER () AS n FROM ef),
+        |l AS (SELECT 'lineitem.l_suppkey' AS relation,
+        |    (SELECT CAST(sum(f) AS BIGINT) FROM lf) AS n_rows,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lf) AS n_keys,
+        |    (SELECT CAST(max(f) AS BIGINT) FROM lf) AS top1_freq,
+        |    (SELECT f FROM lr WHERE r = (n + 1) // 2) AS p50_freq,
+        |    (SELECT f FROM lr WHERE r = (n * 99 + 99) // 100) AS p99_freq),
+        |e AS (SELECT 'events.user_id' AS relation,
+        |    (SELECT CAST(sum(f) AS BIGINT) FROM ef) AS n_rows,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ef) AS n_keys,
+        |    (SELECT CAST(max(f) AS BIGINT) FROM ef) AS top1_freq,
+        |    (SELECT f FROM er WHERE r = (n + 1) // 2) AS p50_freq,
+        |    (SELECT f FROM er WHERE r = (n * 99 + 99) // 100) AS p99_freq)
+        |SELECT relation, n_rows, n_keys, top1_freq * 10000 // n_rows AS top1_bp,
+        |  p50_freq, p99_freq, p99_freq * 10000 // p50_freq AS p99_p50_bp
+        |FROM (SELECT * FROM l UNION ALL SELECT * FROM e) u
+        |ORDER BY relation""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
