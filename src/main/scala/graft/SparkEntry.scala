@@ -97,6 +97,20 @@ object SparkEntry {
       |  list_reduce(cs, (acc, x) -> (acc + x) // 2) AS ewma_cents
       |FROM a""".stripMargin
 
+  /** Shared oracle for `ext_skyline` and the incremental `stream_skyline`:
+    * the textbook quadratic NOT-EXISTS dominance scan — independent of the
+    * engine's sort-based rewrite AND of its monotone state maintenance. */
+  private val skylineSql =
+    """WITH p AS (SELECT p_partkey,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_cents,
+      |    p_size FROM part)
+      |SELECT p_partkey, price_cents, p_size FROM p a
+      |WHERE NOT EXISTS (SELECT 1 FROM p b
+      |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+      |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+      |ORDER BY price_cents, p_partkey""".stripMargin
+
   /** Shared oracle for `ext_max_concurrency` and its day-per-batch
     * streaming twin `stream_max_concurrency`: the same +1/−1 sweep with
     * the same earliest-peak join-back. */
@@ -2672,6 +2686,61 @@ object SparkEntry {
         .orderBy(col("relation"))
     }),
 
+    // exact quantile ladder: p10/p25/p50/p75/p90 of per-event cents per
+    // type via ceiling-rank picks over the (cents, id) total order — one
+    // ranking window; the 5 candidate ranks ride an explode so the ladder
+    // costs one pass regardless of how many quantiles it reports
+    "ext_quantile_ladder" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          (money(col("value")) * 100).cast("long").as("cents"),
+          col("event_id"))
+        .withColumn("r", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("cents"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("cents"), col("r"), col("n"),
+          explode(array(lit(10L), lit(25L), lit(50L), lit(75L), lit(90L)))
+            .as("q_pct"))
+        .filter(col("r") === expr("(q_pct * n + 99) div 100"))
+        .select(col("event_type"), col("q_pct"),
+          col("cents").as("value_cents"))
+        .orderBy(col("event_type"), col("q_pct"))
+    }),
+
+    // first-occurrence precedence: for each event-type pair, among users
+    // who did both, how often a's FIRST occurrence precedes b's — the
+    // directional ordering signal transitions can't give (they only see
+    // adjacent steps). Firsts via rank-1 picks over the (ts, id) total
+    // order; the only join is user-keyed with type-pair fan-out.
+    "ext_seq_precedence" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val first = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("r", row_number().over(Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_us"), col("event_id"))))
+        .filter(col("r") === 1)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"))
+      first.select(col("user_id"), col("event_type").as("type_a"),
+          col("ts_us").as("a_us"), col("event_id").as("a_id"))
+        .join(first.select(col("user_id"), col("event_type").as("type_b"),
+          col("ts_us").as("b_us"), col("event_id").as("b_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"),
+          sum(when(col("a_us") < col("b_us") ||
+            (col("a_us") === col("b_us") && col("a_id") < col("b_id")),
+            1L).otherwise(0L)).as("n_a_first"))
+        .withColumn("a_first_bp", expr("n_a_first * 10000 div n_both"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -4854,6 +4923,13 @@ object SparkEntry {
     // appended union must equal the batch sweep (same oracle)
     "stream_max_concurrency" -> ((s, dir) => streamMaxConcurrency(s, dir)),
 
+    // streaming skyline: the frontier is MONOTONE-MAINTAINABLE state — each
+    // micro-batch unions its points into the persisted frontier and
+    // re-prunes (dominated rows can never return, so state is the frontier
+    // itself, tiny at any corpus size); must converge to the one-shot
+    // skyline (same oracle)
+    "stream_skyline" -> ((s, dir) => streamSkyline(s, dir)),
+
     // streaming CUSUM drift monitor: the production calibrate-then-monitor
     // shape — the reference level is the per-type mean fixed by the batch
     // calibration pass, then daily micro-batches fold the greatest(0, ...)
@@ -5383,6 +5459,44 @@ object SparkEntry {
     s.read.parquet(outDir)
       .select(col("d"), col("max_concurrent"), col("peak_at_us"))
       .orderBy(col("d"))
+  }
+
+  /** The run behind `stream_skyline`: catalog rows fed in four chunks;
+    * each micro-batch unions into the persisted frontier and re-runs the
+    * dominance prune — the skyline is monotone state (a dominated row can
+    * never rejoin), so the state table IS the answer and stays
+    * frontier-sized at any stream length. */
+  private def streamSkyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val stateDir = sys.props("java.io.tmpdir") + "/graft-skyline-stream-" +
+      math.abs(dir.hashCode)
+    deleteRecursively(stateDir)
+    val rows = Tables.part(s, dir)
+      .select(col("p_partkey"),
+        (money(col("p_retailprice")) * 100).cast("long").as("price_cents"),
+        col("p_size"))
+      .as[(Long, Long, Int)].collect()
+    val ms = MemoryStream[(Long, Long, Int)]
+    val q = ms.toDF().toDF("p_partkey", "price_cents", "p_size").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val first = !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(stateDir))
+        val candidates =
+          if (first) batch
+          else s.read.parquet(stateDir).unionByName(batch)
+        graft.util.Checkpoints.cut( // stage before overwriting the source
+          graft.operators.Skyline.frontier2d(
+            candidates, "price_cents", "p_size"))
+          .write.mode("overwrite").parquet(stateDir)
+      }.start()
+    try rows.grouped(math.max(1, rows.length / 4))
+      .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    finally q.stop()
+    s.read.parquet(stateDir)
+      .select(col("p_partkey"), col("price_cents"), col("p_size"))
+      .orderBy(col("price_cents"), col("p_partkey"))
   }
 
   /** The run behind `stream_cusum`: per-type daily cents fed one day per
@@ -7978,16 +8092,11 @@ object SparkEntry {
 
     // the INDEPENDENT quadratic dominance scan — the engine's sort-based
     // window rewrite must reproduce it row for row
-    "ext_skyline" ->
-      """WITH p AS (SELECT p_partkey,
-        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS price_cents,
-        |    p_size FROM part)
-        |SELECT p_partkey, price_cents, p_size FROM p a
-        |WHERE NOT EXISTS (SELECT 1 FROM p b
-        |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
-        |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
-        |ORDER BY price_cents, p_partkey""".stripMargin,
+    "ext_skyline" -> skylineSql,
+
+    // an incrementally-maintained frontier must converge to the one-shot
+    // skyline — same oracle
+    "stream_skyline" -> skylineSql,
 
     // same daily rollup, same running peak, same earliest-trough join-back
     "ext_drawdown" ->
@@ -8418,6 +8527,42 @@ object SparkEntry {
         |  p50_freq, p99_freq, p99_freq * 10000 // p50_freq AS p99_p50_bp
         |FROM (SELECT * FROM l UNION ALL SELECT * FROM e) u
         |ORDER BY relation""".stripMargin,
+
+    // same ceiling-rank picks over the same total order
+    "ext_quantile_ladder" ->
+      """WITH r AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |        event_id) AS r,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |q AS (SELECT event_type, cents, r, n,
+        |    unnest([10, 25, 50, 75, 90]) AS q_pct FROM r)
+        |SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
+        |  cents AS value_cents
+        |FROM q WHERE r = (q_pct * n + 99) // 100
+        |ORDER BY event_type, q_pct""".stripMargin,
+
+    // same rank-1 firsts, same lexicographic (ts, id) comparison
+    "ext_seq_precedence" ->
+      """WITH f AS (SELECT user_id, event_type, ts_us, event_id FROM (
+        |    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY epoch_us(ts), event_id) AS r
+        |    FROM events) t WHERE r = 1)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN a.ts_us < b.ts_us OR
+        |      (a.ts_us = b.ts_us AND a.event_id < b.event_id)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_a_first,
+        |  CAST(sum(CASE WHEN a.ts_us < b.ts_us OR
+        |      (a.ts_us = b.ts_us AND a.event_id < b.event_id)
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 10000 //
+        |    CAST(count(*) AS BIGINT) AS a_first_bp
+        |FROM f a JOIN f b ON b.user_id = a.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
