@@ -2741,6 +2741,40 @@ object SparkEntry {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // growth accounting: each week's actives split into new (first week),
+    // retained (also active previous week), resurrected (returning after a
+    // gap), plus the previous week's churn — the four exact counts every
+    // growth dashboard opens with. One full-outer join of the user-week
+    // table against its one-week shift, flags resolved per row; weeks
+    // cropped to the corpus range so shift artifacts can't invent rows.
+    "ext_growth_accounting" -> ((s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("w"))
+        .distinct()
+      val firstW = uw.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+      val shifted = uw.select(col("user_id"),
+        date_add(col("w"), 7).as("w"), lit(1L).as("prev"))
+      val weeks = uw.select(col("w")).distinct()
+      uw.withColumn("act", lit(1L))
+        .join(shifted, Seq("user_id", "w"), "full_outer")
+        .join(weeks, Seq("w"), "left_semi") // crop shift overhang
+        .join(broadcast(firstW), Seq("user_id"))
+        .groupBy(col("w"))
+        .agg(
+          sum(when(col("act").isNotNull && col("w") === col("w0"), 1L)
+            .otherwise(0L)).as("new_users"),
+          sum(when(col("act").isNotNull && col("prev").isNotNull, 1L)
+            .otherwise(0L)).as("retained"),
+          sum(when(col("act").isNotNull && col("prev").isNull &&
+            col("w") =!= col("w0"), 1L).otherwise(0L)).as("resurrected"),
+          sum(when(col("act").isNull && col("prev").isNotNull, 1L)
+            .otherwise(0L)).as("churned"))
+        .select(col("w").cast("string").as("week"), col("new_users"),
+          col("retained"), col("resurrected"), col("churned"))
+        .orderBy(col("week"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -8563,6 +8597,29 @@ object SparkEntry {
         |FROM f a JOIN f b ON b.user_id = a.user_id
         |  AND a.event_type < b.event_type
         |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+
+    // same user-week shift join, same flag resolution, same week crop
+    "ext_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |f AS (SELECT user_id, min(w) AS w0 FROM uw GROUP BY 1),
+        |sh AS (SELECT user_id, w + 7 AS w, 1 AS prev FROM uw),
+        |wk AS (SELECT DISTINCT w FROM uw),
+        |j AS (SELECT coalesce(a.user_id, sh.user_id) AS user_id,
+        |    coalesce(a.w, sh.w) AS w, a.act, sh.prev
+        |  FROM (SELECT user_id, w, 1 AS act FROM uw) a
+        |  FULL OUTER JOIN sh ON sh.user_id = a.user_id AND sh.w = a.w)
+        |SELECT CAST(j.w AS VARCHAR) AS week,
+        |  CAST(sum(CASE WHEN act IS NOT NULL AND j.w = w0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN act IS NOT NULL AND prev IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |  CAST(sum(CASE WHEN act IS NOT NULL AND prev IS NULL AND j.w <> w0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+        |  CAST(sum(CASE WHEN act IS NULL AND prev IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS churned
+        |FROM j JOIN wk ON wk.w = j.w JOIN f ON f.user_id = j.user_id
+        |GROUP BY 1 ORDER BY week""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->

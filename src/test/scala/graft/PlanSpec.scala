@@ -632,6 +632,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"AUC needs no join:\n$p")
   }
 
+  test("skyline: local prune runs before ANY exchange; global sort fed by it") {
+    val p = plan("ext_skyline")
+    // the 10M-point soak measured the windowed prune shuffling the whole
+    // input (126 MB) vs 0 after the mapPartitions rewrite — the prune must
+    // stay upstream of the first Exchange. Formatted mode numbers operators
+    // in EXECUTION order (leaf = 1), so compare ids, not text positions.
+    def opIds(name: String): Seq[Int] =
+      ("""\((\d+)\) [A-Za-z]*""" + name).r.findAllMatchIn(p)
+        .map(_.group(1).toInt).toSeq
+    val prune = opIds("MapPartitions").headOption.getOrElse(-1)
+    val exchange = opIds("Exchange").sorted.headOption.getOrElse(-1)
+    assert(prune >= 1, s"expected the mapPartitions local prune:\n$p")
+    assert(exchange < 0 || prune < exchange,
+      s"local prune (op $prune) must run before the first exchange " +
+        s"(op $exchange):\n$p")
+  }
+
+  test("basket rules: item totals and basket count broadcast onto pairs") {
+    val p = plan("ext_basket_rules")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"dimension-sized item counts must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      "pair counting must combine map-side")
+  }
+
+  test("audience overlap: pair counting partial-aggregates map-side") {
+    val p = plan("ext_audience_overlap")
+    assert(p.contains("partial_count"),
+      "the (type_a, type_b) counts must combine map-side")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"audience totals must broadcast onto the pair table:\n$p")
+  }
+
   test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
