@@ -2775,6 +2775,85 @@ object SparkEntry {
         .orderBy(col("week"))
     }),
 
+    // frame-boundary window values: first/last/nth over running and
+    // centered row frames on the per-user event sequence — the remaining
+    // window-function surface (w1-w6 cover rank/lag/distribution/ntile);
+    // all frames over the (ts, id) total order so every pick is
+    // deterministic cross-engine
+    "w7_frame_values" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val running = base.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val centered = base.rowsBetween(-1, 1)
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          (money(col("value")) * 100).cast("long").as("cents"))
+        .withColumn("first_cents", first(col("cents")).over(running))
+        .withColumn("third_cents", nth_value(col("cents"), 3).over(running))
+        .withColumn("window_sum_3", sum(col("cents")).over(centered))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("first_cents"), col("third_cents"), col("window_sum_3"))
+        .orderBy(col("event_id"))
+    }),
+
+    // one-way ANOVA of per-event cents by weekday: per-group exact
+    // (n, sum, sum-of-squares) longs; SSB/SSW/F assembled in ONE fixed
+    // weekday-ordered fold so every float add associates identically in
+    // any engine (the chi-square device applied to variance decomposition)
+    "ext_anova_weekday" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .select(dayofweek(to_date(col("ts"))).cast("long").as("dow"),
+          (money(col("value")) * 100).cast("long").as("x"))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+          sum(col("x") * col("x")).as("ssg"))
+      g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("sg")).as("s"), sum(col("ssg")).as("ss"),
+          sort_array(collect_list(struct(col("dow"), col("ng"), col("sg"))))
+            .as("xs"))
+        .selectExpr("k", "n", "ss", "s",
+          """aggregate(xs, CAST(0.0 AS DOUBLE),
+            |  (acc, t) -> acc + CAST(t.sg AS DOUBLE) * CAST(t.sg AS DOUBLE)
+            |    / CAST(t.ng AS DOUBLE),
+            |  acc -> acc) AS sq_over_n""".stripMargin)
+        .selectExpr("k", "n",
+          "sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb",
+          "CAST(ss AS DOUBLE) - sq_over_n AS ssw")
+        .selectExpr("k", "n", "ssb", "ssw",
+          "(ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) AS f_stat")
+    }),
+
+    // Cramér's V effect size for the priority x status table: the
+    // chi-square fold re-run to one number, normalized by N·min(r−1, c−1)
+    // — "is the dependence material", not just "is it nonzero"
+    "ext_cramers_v" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cells = o.groupBy(col("o_orderpriority").as("p"),
+          col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("obs"))
+      val rowm = cells.groupBy(col("p")).agg(sum(col("obs")).as("rm"))
+      val colm = cells.groupBy(col("st")).agg(sum(col("obs")).as("cm"))
+      val tot = cells.agg(sum(col("obs")).as("n"),
+        countDistinct(col("p")).as("nr"), countDistinct(col("st")).as("nc"))
+      cells.join(broadcast(rowm), Seq("p")).join(broadcast(colm), Seq("st"))
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib",
+          ((col("obs") * col("n") - col("rm") * col("cm")).cast("double") *
+            (col("obs") * col("n") - col("rm") * col("cm")).cast("double")) /
+          (col("n") * col("rm") * col("cm")).cast("double"))
+        .groupBy(col("n"), col("nr"), col("nc"))
+        .agg(sort_array(collect_list(
+          struct(col("p"), col("st"), col("contrib")))).as("xs"))
+        .selectExpr("n",
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib) AS chi2",
+          "least(nr - 1, nc - 1) AS m")
+        .selectExpr("n", "chi2",
+          "sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE))) AS cramers_v")
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -8620,6 +8699,80 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS churned
         |FROM j JOIN wk ON wk.w = j.w JOIN f ON f.user_id = j.user_id
         |GROUP BY 1 ORDER BY week""".stripMargin,
+
+    // same total order, same frame boundaries
+    "w7_frame_values" ->
+      """SELECT user_id, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(first_value(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) OVER running AS BIGINT) AS first_cents,
+        |  CAST(nth_value(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |    AS BIGINT), 3) OVER running AS BIGINT) AS third_cents,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    OVER centered AS BIGINT) AS window_sum_3
+        |FROM events
+        |WINDOW running AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  centered AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    // same per-group exact moments, same weekday-ordered float fold
+    // (dayofweek + 1 aligns DuckDB's 0=Sunday to Spark's 1=Sunday)
+    "ext_anova_weekday" ->
+      """WITH g AS (SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT)
+        |      AS dow,
+        |    CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS sg,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS ssg
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+        |    CAST(sum(ssg) AS BIGINT) AS ss,
+        |    list_reduce(list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+        |      CAST(ng AS DOUBLE) ORDER BY dow), (a, b) -> a + b)
+        |      AS sq_over_n
+        |  FROM g),
+        |d AS (SELECT k, n,
+        |    sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |      CAST(n AS DOUBLE) AS ssb,
+        |    CAST(ss AS DOUBLE) - sq_over_n AS ssw
+        |  FROM t)
+        |SELECT k, n, ssb, ssw,
+        |  (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
+        |    AS f_stat
+        |FROM d""".stripMargin,
+
+    // same marginals and fixed fold, one extra mirrored sqrt
+    "ext_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority AS p, o_orderstatus AS st,
+        |    CAST(count(*) AS BIGINT) AS obs FROM orders GROUP BY 1, 2),
+        |rm AS (SELECT p, CAST(sum(obs) AS BIGINT) AS rm FROM cells
+        |  GROUP BY 1),
+        |cm AS (SELECT st, CAST(sum(obs) AS BIGINT) AS cm FROM cells
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT p) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT st) AS BIGINT) AS nc FROM cells),
+        |con AS (SELECT cells.p, cells.st,
+        |    CAST(obs * n - rm * cm AS DOUBLE) *
+        |    CAST(obs * n - rm * cm AS DOUBLE) /
+        |    CAST(n * rm * cm AS DOUBLE) AS contrib, n, nr, nc
+        |  FROM cells JOIN rm ON rm.p = cells.p JOIN cm ON cm.st = cells.st
+        |  CROSS JOIN tot),
+        |s AS (SELECT n,
+        |    list_reduce(list(contrib ORDER BY p, st), (a, b) -> a + b)
+        |      AS chi2,
+        |    least(nr - 1, nc - 1) AS m
+        |  FROM con GROUP BY n, nr, nc)
+        |SELECT n, chi2,
+        |  sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE))) AS cramers_v
+        |FROM s""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
