@@ -2854,6 +2854,82 @@ object SparkEntry {
           "sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE))) AS cramers_v")
     }),
 
+    // rolling 7-day volatility per event type: windowed exact (n, sum,
+    // sum-of-squares) longs over a row frame on the daily table, sample
+    // variance assembled per row as one mirrored double expression — the
+    // trailing-risk band x32's mean bands lack
+    "ext_rolling_var" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(-6, 0)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("ws", sum(col("cents")).over(w))
+        .withColumn("wss", sum(col("cents") * col("cents")).over(w))
+        .filter(col("wn") >= 2)
+        .select(col("event_type"), col("d").cast("string").as("d"),
+          col("cents"), col("wn"), col("ws"), col("wss"),
+          ((col("wn") * col("wss") - col("ws") * col("ws")).cast("double") /
+            (col("wn") * (col("wn") - 1)).cast("double")).as("rolling_var"))
+        .orderBy(col("event_type"), col("d"))
+    }),
+
+    // token-count histogram in power-of-two buckets: the bucket is the
+    // BINARY LENGTH of the token count (floor(log2)+1 computed exactly in
+    // integer land — a float log2 at a power boundary could floor
+    // differently across engines), counts and share bp per bucket
+    "ext_token_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(length(bin(size(graft.operators.TextAnalysis
+          .tokens(lower(col("text")))).cast("long"))).cast("long")
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+        .select(col("bucket"), col("n_docs"),
+          expr("n_docs * 10000 div total").as("share_bp"))
+        .orderBy(col("bucket"))
+    }),
+
+    // revenue bridge: week-over-week revenue change decomposed into the
+    // four driver terms (new, churned, expanding, contracting users) in
+    // exact cents — growth accounting's revenue counterpart; the identity
+    // new + churn + expansion + contraction = Δrevenue holds exactly
+    // because every term is integer arithmetic on the same user-week table
+    "ext_revenue_bridge" -> ((s, dir) => {
+      val uw = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("w"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      val shifted = uw.select(col("user_id"),
+        date_add(col("w"), 7).as("w"), col("cents").as("prev_cents"))
+      val weeks = uw.select(col("w")).distinct()
+      uw.join(shifted, Seq("user_id", "w"), "full_outer")
+        .join(weeks, Seq("w"), "left_semi")
+        .groupBy(col("w"))
+        .agg(
+          sum(when(col("prev_cents").isNull, col("cents")).otherwise(0L))
+            .as("new_cents"),
+          sum(when(col("cents").isNull, -col("prev_cents")).otherwise(0L))
+            .as("churned_cents"),
+          sum(when(col("cents").isNotNull && col("prev_cents").isNotNull &&
+            col("cents") > col("prev_cents"),
+            col("cents") - col("prev_cents")).otherwise(0L))
+            .as("expansion_cents"),
+          sum(when(col("cents").isNotNull && col("prev_cents").isNotNull &&
+            col("cents") < col("prev_cents"),
+            col("cents") - col("prev_cents")).otherwise(0L))
+            .as("contraction_cents"))
+        .select(col("w").cast("string").as("week"), col("new_cents"),
+          col("churned_cents"), col("expansion_cents"),
+          col("contraction_cents"),
+          (col("new_cents") + col("churned_cents") + col("expansion_cents") +
+            col("contraction_cents")).as("net_change_cents"))
+        .orderBy(col("week"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -8773,6 +8849,68 @@ object SparkEntry {
         |SELECT n, chi2,
         |  sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE))) AS cramers_v
         |FROM s""".stripMargin,
+
+    // same row frame, same exact windowed moments, same mirrored division
+    "ext_rolling_var" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, d, cents,
+        |    CAST(count(*) OVER w AS BIGINT) AS wn,
+        |    CAST(sum(cents) OVER w AS BIGINT) AS ws,
+        |    CAST(sum(cents * cents) OVER w AS BIGINT) AS wss
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(d AS VARCHAR) AS d, cents, wn, ws, wss,
+        |  CAST(wn * wss - ws * ws AS DOUBLE) /
+        |    CAST(wn * (wn - 1) AS DOUBLE) AS rolling_var
+        |FROM r WHERE wn >= 2 ORDER BY event_type, d""".stripMargin,
+
+    // same integer binary-length bucket, same share bp
+    "ext_token_histogram" ->
+      """WITH t AS (SELECT length(bin(CAST(len(string_split(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |      AS BIGINT))) AS bucket
+        |  FROM documents),
+        |h AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs FROM t GROUP BY 1),
+        |s AS (SELECT bucket, n_docs,
+        |    CAST(sum(n_docs) OVER () AS BIGINT) AS total FROM h)
+        |SELECT bucket, n_docs, n_docs * 10000 // total AS share_bp
+        |FROM s ORDER BY bucket""".stripMargin,
+
+    // same user-week shift join, same four exact driver terms
+    "ext_revenue_bridge" ->
+      """WITH uw AS (SELECT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |sh AS (SELECT user_id, w + 7 AS w, cents AS prev_cents FROM uw),
+        |wk AS (SELECT DISTINCT w FROM uw),
+        |j AS (SELECT coalesce(uw.w, sh.w) AS w, uw.cents, sh.prev_cents
+        |  FROM uw FULL OUTER JOIN sh
+        |    ON sh.user_id = uw.user_id AND sh.w = uw.w)
+        |SELECT CAST(j.w AS VARCHAR) AS week,
+        |  CAST(sum(CASE WHEN prev_cents IS NULL THEN cents ELSE 0 END)
+        |    AS BIGINT) AS new_cents,
+        |  CAST(sum(CASE WHEN cents IS NULL THEN -prev_cents ELSE 0 END)
+        |    AS BIGINT) AS churned_cents,
+        |  CAST(sum(CASE WHEN cents IS NOT NULL AND prev_cents IS NOT NULL
+        |      AND cents > prev_cents THEN cents - prev_cents ELSE 0 END)
+        |    AS BIGINT) AS expansion_cents,
+        |  CAST(sum(CASE WHEN cents IS NOT NULL AND prev_cents IS NOT NULL
+        |      AND cents < prev_cents THEN cents - prev_cents ELSE 0 END)
+        |    AS BIGINT) AS contraction_cents,
+        |  CAST(sum(CASE WHEN prev_cents IS NULL THEN cents ELSE 0 END) +
+        |    sum(CASE WHEN cents IS NULL THEN -prev_cents ELSE 0 END) +
+        |    sum(CASE WHEN cents IS NOT NULL AND prev_cents IS NOT NULL
+        |      AND cents > prev_cents THEN cents - prev_cents ELSE 0 END) +
+        |    sum(CASE WHEN cents IS NOT NULL AND prev_cents IS NOT NULL
+        |      AND cents < prev_cents THEN cents - prev_cents ELSE 0 END)
+        |    AS BIGINT) AS net_change_cents
+        |FROM j JOIN wk ON wk.w = j.w
+        |GROUP BY 1 ORDER BY week""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
