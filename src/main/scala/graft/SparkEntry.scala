@@ -2930,6 +2930,38 @@ object SparkEntry {
         .orderBy(col("week"))
     }),
 
+    // ORC source/sink roundtrip: the second columnar format Spark ships
+    // besides parquet — events projected, written as ORC, read back and
+    // aggregated; the oracle aggregates the same rows from the parquet
+    // original, so any roundtrip corruption (type mapping, nulls,
+    // timestamps) breaks the hash
+    "s9_orc_roundtrip" -> ((s, dir) => {
+      val orcDir = sys.props("java.io.tmpdir") + "/graft-orc-" +
+        math.abs(dir.hashCode)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          (money(col("value")) * 100).cast("long").as("cents"))
+        .write.mode("overwrite").orc(orcDir)
+      s.read.orc(orcDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
+    // contingency table via the DataFrame stat surface: crosstab pivots
+    // priority x status to exact counts (the chi-square row's input, as
+    // the API users actually call)
+    "ext_crosstab" -> ((s, dir) => {
+      val ct = Tables.orders(s, dir).stat
+        .crosstab("o_orderpriority", "o_orderstatus")
+      ct.select(col("o_orderpriority_o_orderstatus").as("priority"),
+          col("F").cast("long").as("f_cnt"),
+          col("O").cast("long").as("o_cnt"),
+          col("P").cast("long").as("p_cnt"))
+        .orderBy(col("priority"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -8911,6 +8943,26 @@ object SparkEntry {
         |    AS BIGINT) AS net_change_cents
         |FROM j JOIN wk ON wk.w = j.w
         |GROUP BY 1 ORDER BY week""".stripMargin,
+
+    // the parquet original must agree with the ORC roundtrip
+    "s9_orc_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(min(event_id) AS BIGINT) AS min_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // same exact contingency counts
+    "ext_crosstab" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS f_cnt,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS o_cnt,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS p_cnt
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
