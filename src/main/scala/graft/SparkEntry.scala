@@ -2962,6 +2962,38 @@ object SparkEntry {
         .orderBy(col("priority"))
     }),
 
+    // JSON path extraction WITHOUT a schema: get_json_object pulls $.k
+    // straight from the raw props string (the ad-hoc complement to p2's
+    // schema'd from_json), summarized per type with exact sums so a single
+    // mis-extracted row breaks the hash
+    "p8_json_path" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_extracted"), sum(col("k")).as("sum_k"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_over_50"))
+        .orderBy(col("event_type"))
+    }),
+
+    // higher-order-function surface over a per-user type array: size /
+    // array_contains / element_at / forall / array_join in one row —
+    // every output a SCALAR (arrays never cross the oracle boundary;
+    // engines stringify them differently)
+    "p9_array_hof" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("event_type"))).as("types"))
+        .select(col("user_id"),
+          size(col("types")).cast("long").as("n_types"),
+          array_contains(col("types"), "error").as("has_error"),
+          element_at(col("types"), 1).as("first_type"),
+          expr("forall(types, t -> length(t) >= 4)").as("all_len_ge_4"),
+          array_join(col("types"), ",").as("types_csv"))
+        .orderBy(col("user_id"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -8963,6 +8995,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS p_cnt
         |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
+
+    // same path extraction via DuckDB's JSON functions
+    "p8_json_path" ->
+      """SELECT event_type,
+        |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS n_extracted,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+        |      AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // same sorted type list, scalar projections via DuckDB list functions
+    "p9_array_hof" ->
+      """WITH t AS (SELECT user_id,
+        |    list_sort(list(DISTINCT event_type)) AS types
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(len(types) AS BIGINT) AS n_types,
+        |  list_contains(types, 'error') AS has_error,
+        |  types[1] AS first_type,
+        |  coalesce(list_reduce(list_transform(types,
+        |    t -> length(t) >= 4), (a, b) -> a AND b), true) AS all_len_ge_4,
+        |  array_to_string(types, ',') AS types_csv
+        |FROM t ORDER BY user_id""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
