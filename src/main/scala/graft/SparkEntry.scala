@@ -97,6 +97,31 @@ object SparkEntry {
       |  list_reduce(cs, (acc, x) -> (acc + x) // 2) AS ewma_cents
       |FROM a""".stripMargin
 
+  /** Shared oracle for `ext_growth_accounting` and its week-per-batch
+    * streaming twin: the one-week shift full-outer join with flags, weeks
+    * cropped to the corpus range. */
+  private val growthAccountingSql =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+      |f AS (SELECT user_id, min(w) AS w0 FROM uw GROUP BY 1),
+      |sh AS (SELECT user_id, w + 7 AS w, 1 AS prev FROM uw),
+      |wk AS (SELECT DISTINCT w FROM uw),
+      |j AS (SELECT coalesce(a.user_id, sh.user_id) AS user_id,
+      |    coalesce(a.w, sh.w) AS w, a.act, sh.prev
+      |  FROM (SELECT user_id, w, 1 AS act FROM uw) a
+      |  FULL OUTER JOIN sh ON sh.user_id = a.user_id AND sh.w = a.w)
+      |SELECT CAST(j.w AS VARCHAR) AS week,
+      |  CAST(sum(CASE WHEN act IS NOT NULL AND j.w = w0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+      |  CAST(sum(CASE WHEN act IS NOT NULL AND prev IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+      |  CAST(sum(CASE WHEN act IS NOT NULL AND prev IS NULL AND j.w <> w0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+      |  CAST(sum(CASE WHEN act IS NULL AND prev IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS churned
+      |FROM j JOIN wk ON wk.w = j.w JOIN f ON f.user_id = j.user_id
+      |GROUP BY 1 ORDER BY week""".stripMargin
+
   /** Shared oracle for `ext_skyline` and the incremental `stream_skyline`:
     * the textbook quadratic NOT-EXISTS dominance scan — independent of the
     * engine's sort-based rewrite AND of its monotone state maintenance. */
@@ -5183,6 +5208,14 @@ object SparkEntry {
     // skyline (same oracle)
     "stream_skyline" -> ((s, dir) => streamSkyline(s, dir)),
 
+    // streaming growth accounting: one week of user activity per
+    // micro-batch; state is exactly (previous week's active set, the
+    // ever-seen set) — each batch classifies its actives as
+    // new/retained/resurrected against that state, counts churn from the
+    // previous set, appends the week's row, then becomes the new state.
+    // Union of appended rows must equal the batch shift-join (same oracle).
+    "stream_growth_accounting" -> ((s, dir) => streamGrowthAccounting(s, dir)),
+
     // streaming CUSUM drift monitor: the production calibrate-then-monitor
     // shape — the reference level is the per-type mean fixed by the batch
     // calibration pass, then daily micro-batches fold the greatest(0, ...)
@@ -5750,6 +5783,83 @@ object SparkEntry {
     s.read.parquet(stateDir)
       .select(col("p_partkey"), col("price_cents"), col("p_size"))
       .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
+  /** The run behind `stream_growth_accounting`: distinct (user, week) rows
+    * fed one week per micro-batch; the persisted state is two user sets —
+    * last week's actives and everyone ever seen. Each batch derives its
+    * four counts from (batch, state), appends the week row to the results
+    * table, and writes the new state. Gap weeks would need a tick per
+    * empty week; the corpus has none (30 contiguous days). */
+  private def streamGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val base = sys.props("java.io.tmpdir") + "/graft-growth-stream-" +
+      math.abs(dir.hashCode)
+    val stateDir = base + "/state"
+    val outDir = base + "/rows"
+    deleteRecursively(base)
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").cast("string").as("w"))
+      .distinct()
+      .as[(Long, String)].collect()
+    val weeks = uw.map(_._2).distinct.sorted
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("user_id", "w").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cur = batch.select(col("user_id"), col("w"))
+        val first = !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(stateDir))
+        val stats =
+          if (first) cur.groupBy(col("w")).agg(
+            count(lit(1)).as("new_users"), lit(0L).as("retained"),
+            lit(0L).as("resurrected"), lit(0L).as("churned"))
+          else {
+            val st = s.read.parquet(stateDir) // (user_id, was_prev, seen)
+            val j = st.join(cur.withColumn("act", lit(1L)),
+              Seq("user_id"), "full_outer")
+            j.agg(
+              max(col("w")).as("w"),
+              sum(when(col("act").isNotNull && col("seen").isNull, 1L)
+                .otherwise(0L)).as("new_users"),
+              sum(when(col("act").isNotNull &&
+                coalesce(col("was_prev"), lit(0L)) === 1L, 1L)
+                .otherwise(0L)).as("retained"),
+              sum(when(col("act").isNotNull && col("seen").isNotNull &&
+                coalesce(col("was_prev"), lit(0L)) === 0L, 1L)
+                .otherwise(0L)).as("resurrected"),
+              sum(when(col("act").isNull &&
+                coalesce(col("was_prev"), lit(0L)) === 1L, 1L)
+                .otherwise(0L)).as("churned"))
+              .select(col("w"), col("new_users"), col("retained"),
+                col("resurrected"), col("churned"))
+          }
+        stats.write.mode("append").parquet(outDir)
+        // next state: current actives flagged prev, everyone-seen kept
+        val prevState =
+          if (first) s.emptyDataFrame.select(lit(0L).as("user_id"),
+            lit(0L).as("was_prev"), lit(1L).as("seen")).limit(0)
+          else s.read.parquet(stateDir)
+        val nextState = prevState.select(col("user_id"), lit(1L).as("seen"))
+          .unionByName(cur.select(col("user_id"), lit(1L).as("seen")))
+          .groupBy(col("user_id")).agg(max(col("seen")).as("seen"))
+          .join(cur.select(col("user_id"), lit(1L).as("was_prev")),
+            Seq("user_id"), "left_outer")
+          .select(col("user_id"), coalesce(col("was_prev"), lit(0L))
+            .as("was_prev"), col("seen"))
+        graft.util.Checkpoints.cut(nextState)
+          .write.mode("overwrite").parquet(stateDir)
+      }.start()
+    try weeks.foreach { wk =>
+      ms.addData(uw.filter(_._2 == wk).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(outDir)
+      .select(col("w").as("week"), col("new_users"), col("retained"),
+        col("resurrected"), col("churned"))
+      .orderBy(col("week"))
   }
 
   /** The run behind `stream_cusum`: per-type daily cents fed one day per
@@ -8818,27 +8928,10 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
 
     // same user-week shift join, same flag resolution, same week crop
-    "ext_growth_accounting" ->
-      """WITH uw AS (SELECT DISTINCT user_id,
-        |    CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
-        |f AS (SELECT user_id, min(w) AS w0 FROM uw GROUP BY 1),
-        |sh AS (SELECT user_id, w + 7 AS w, 1 AS prev FROM uw),
-        |wk AS (SELECT DISTINCT w FROM uw),
-        |j AS (SELECT coalesce(a.user_id, sh.user_id) AS user_id,
-        |    coalesce(a.w, sh.w) AS w, a.act, sh.prev
-        |  FROM (SELECT user_id, w, 1 AS act FROM uw) a
-        |  FULL OUTER JOIN sh ON sh.user_id = a.user_id AND sh.w = a.w)
-        |SELECT CAST(j.w AS VARCHAR) AS week,
-        |  CAST(sum(CASE WHEN act IS NOT NULL AND j.w = w0
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
-        |  CAST(sum(CASE WHEN act IS NOT NULL AND prev IS NOT NULL
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS retained,
-        |  CAST(sum(CASE WHEN act IS NOT NULL AND prev IS NULL AND j.w <> w0
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
-        |  CAST(sum(CASE WHEN act IS NULL AND prev IS NOT NULL
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS churned
-        |FROM j JOIN wk ON wk.w = j.w JOIN f ON f.user_id = j.user_id
-        |GROUP BY 1 ORDER BY week""".stripMargin,
+    "ext_growth_accounting" -> growthAccountingSql,
+
+    // the week-per-batch state machine must append the identical rows
+    "stream_growth_accounting" -> growthAccountingSql,
 
     // same total order, same frame boundaries
     "w7_frame_values" ->

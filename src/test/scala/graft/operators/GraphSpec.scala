@@ -236,6 +236,25 @@ class GraphSpec extends SparkSpec {
     assert(again == d, "distances depend on partitioning")
   }
 
+  test("hitsFixedPoint: directed star concentrates authority at the center") {
+    // all edges point leaf -> center: the center is the sole authority,
+    // leaves are the (equal) hubs; the center originates nothing -> hub 0
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L)).toDF("src", "dst")
+    val r = Graph.hitsFixedPoint(star, iters = 3, scale = 1000000L)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(9L)._2 == 1000000L, s"center must hold ALL authority: $r")
+    assert(r(9L)._1 == 0L, s"center originates nothing -> hub 0: $r")
+    val leafHubs = Seq(1L, 2L, 3L, 4L).map(r(_)._1)
+    assert(leafHubs.distinct.size == 1 && leafHubs.head == 250000L,
+      s"leaves split hub mass equally: $r")
+    assert(Seq(1L, 2L, 3L, 4L).forall(r(_)._2 == 0L),
+      s"leaves have no in-edges -> authority 0: $r")
+    // partition invariance
+    val again = Graph.hitsFixedPoint(star.repartition(5), iters = 3)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(again == r, "HITS depends on partitioning")
+  }
+
   test("degreeAssortativity: star is perfectly disassortative, clique NaN") {
     // star: every edge pairs the hub (deg 4) with a leaf (deg 1) -> r = -1
     val star = Seq((1, 2), (1, 3), (1, 4), (1, 5)).toDF("src", "dst")
