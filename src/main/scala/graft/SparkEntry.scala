@@ -3019,6 +3019,35 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // TPC-H-style refresh functions against the versioned table: v0 is 90%
+    // of orders, RF1 upserts the held-out tenth (O(delta): untouched month
+    // partitions share files), RF2 deletes every seventh order key, and the
+    // graded read aggregates the FINAL snapshot — the oracle computes the
+    // same survivors directly, so a leaky manifest, a lost insert, or an
+    // under-deleted partition all break the hash
+    "x73_tpch_refresh" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft-rf-" +
+        math.abs(dir.hashCode)
+      deleteRecursively(base)
+      val orders = Tables.orders(s, dir).withColumn("m",
+        date_trunc("month", col("o_orderdate")).cast("date").cast("string"))
+      graft.operators.Versioned.commitFull(s, base,
+        orders.filter(col("o_orderkey") % 10 =!= 0), "m")
+      graft.operators.Versioned.commitUpsert(s, base,
+        orders.filter(col("o_orderkey") % 10 === 0),
+        keyCols = Seq("o_orderkey"), partCol = "m")
+      graft.operators.Versioned.commitDelete(s, base,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("m")),
+        keyCols = Seq("o_orderkey"), partCol = "m")
+      graft.operators.Versioned.read(s, base)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(money(col("o_totalprice"))) * 100).cast("long")
+            .as("sum_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -9112,6 +9141,14 @@ object SparkEntry {
         |    t -> length(t) >= 4), (a, b) -> a AND b), true) AS all_len_ge_4,
         |  array_to_string(types, ',') AS types_csv
         |FROM t ORDER BY user_id""".stripMargin,
+
+    // the survivors computed directly: everything except the RF2 keys
+    "x73_tpch_refresh" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_cents
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
