@@ -3048,6 +3048,28 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // top-3 revenue users per event type through the bounded-heap
+    // aggregate (the ANN paths' TopKByScore on a business domain): the
+    // shuffle carries <= 3 entries per type per task instead of every
+    // per-user row — the form that replaced the spilling window sort;
+    // ranks explode back to scalars, ties break (score DESC, id ASC)
+    "ext_topk_users" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val pu = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      val agg = ColumnBridge.column(graft.functions.TopKByScore(
+        ColumnBridge.expression(col("cents").cast("double")),
+        ColumnBridge.expression(col("user_id")), 3).toAggregateExpression())
+      pu.groupBy(col("event_type")).agg(agg.as("__top"))
+        .select(col("event_type"),
+          posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("event_type"), (col("__pos") + 1).as("rank"),
+          col("__e.id").as("user_id"),
+          col("__e.score").cast("long").as("cents"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -9149,6 +9171,18 @@ object SparkEntry {
         |    AS sum_cents
         |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // the window idiom the heap aggregate is value-identical to
+    "ext_topk_users" ->
+      """WITH pu AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents DESC, user_id ASC) AS BIGINT) AS rank
+        |  FROM pu)
+        |SELECT event_type, rank, user_id, cents FROM r WHERE rank <= 3
+        |ORDER BY event_type, rank""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
