@@ -3070,6 +3070,52 @@ object SparkEntry {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // the Damerau scalar inside a BLOCKED fuzzy join: candidates must
+    // share (lang, first two chars) — an equi-join — before any distance
+    // evaluates, so the quadratic scorer only ever sees same-block pairs;
+    // matches at dl <= 4 over 12-char prefixes
+    "ext_fuzzy_dl_join" -> ((s, dir) => {
+      val sample = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 12).as("p"))
+        .withColumn("blk", substring(col("p"), 1, 2))
+      sample.select(col("lang"), col("blk"), col("doc_id").as("id_a"),
+          col("p").as("pa"))
+        .join(sample.select(col("lang"), col("blk"),
+          col("doc_id").as("id_b"), col("p").as("pb")), Seq("lang", "blk"))
+        .filter(col("id_a") < col("id_b"))
+        .selectExpr("lang", "id_a", "id_b",
+          "CAST(graft_damerau(pa, pb) AS BIGINT) AS dl")
+        .filter(col("dl") <= 4)
+        .orderBy(col("lang"), col("id_a"), col("id_b"))
+    }),
+
+    // order-to-ship latency by priority: does URGENT actually ship
+    // faster? Exact day gaps per lineitem, mean via truncating division
+    // and median via the rank formula over the (gap, line) total order
+    "ext_ship_latency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("gap"),
+          col("l_orderkey"), col("l_linenumber"))
+      val med = g
+        .withColumn("r", row_number().over(Window.partitionBy(col("prio"))
+          .orderBy(col("gap"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("prio"))))
+        .filter(col("r") === expr("(n + 1) div 2"))
+        .select(col("prio"), col("gap").as("median_gap_days"))
+      g.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_lines"), min(col("gap")).as("min_gap_days"),
+          max(col("gap")).as("max_gap_days"),
+          expr("sum(gap) div count(1)").as("mean_gap_days"))
+        .join(med, Seq("prio"))
+        .orderBy(col("prio"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -9183,6 +9229,37 @@ object SparkEntry {
         |  FROM pu)
         |SELECT event_type, rank, user_id, cents FROM r WHERE rank <= 3
         |ORDER BY event_type, rank""".stripMargin,
+
+    // same (lang, 2-char) blocking, same builtin distance, same threshold
+    "ext_fuzzy_dl_join" ->
+      """WITH s AS (SELECT doc_id, lang, substr(text, 1, 12) AS p,
+        |    substr(text, 1, 2) AS blk FROM documents)
+        |SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(damerau_levenshtein(a.p, b.p) AS BIGINT) AS dl
+        |FROM s a JOIN s b ON b.lang = a.lang AND b.blk = a.blk
+        |  AND a.doc_id < b.doc_id
+        |WHERE damerau_levenshtein(a.p, b.p) <= 4
+        |ORDER BY a.lang, id_a, id_b""".stripMargin,
+
+    // same day gaps, same rank-formula median and truncating mean
+    "ext_ship_latency" ->
+      """WITH g AS (SELECT o_orderpriority AS prio,
+        |    date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS gap,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |med AS (SELECT prio, gap AS median_gap_days FROM (
+        |    SELECT prio, gap, row_number() OVER (PARTITION BY prio
+        |      ORDER BY gap, l_orderkey, l_linenumber) AS r,
+        |      count(*) OVER (PARTITION BY prio) AS n FROM g) t
+        |  WHERE r = (n + 1) // 2)
+        |SELECT g.prio AS prio, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_days,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_days,
+        |  CAST(sum(gap) AS BIGINT) // count(*) AS mean_gap_days,
+        |  CAST(median_gap_days AS BIGINT) AS median_gap_days
+        |FROM g JOIN med ON med.prio = g.prio
+        |GROUP BY 1, median_gap_days ORDER BY prio""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
