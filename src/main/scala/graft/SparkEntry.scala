@@ -3116,6 +3116,45 @@ object SparkEntry {
         .orderBy(col("prio"))
     }),
 
+    // basket-size distribution: lines-per-order histogram plus exact
+    // moments — the fan-out bound every pair-generating operator (basket
+    // rules, co-occurrence graphs) depends on, measured rather than assumed
+    "ext_basket_size_dist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sizes = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
+      sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_orders"))
+        .withColumn("total", sum(col("n_orders")).over(Window.partitionBy()))
+        .select(col("sz").as("basket_size"), col("n_orders"),
+          expr("n_orders * 10000 div total").as("share_bp"))
+        .orderBy(col("basket_size"))
+    }),
+
+    // QQ table: purchase vs view value distributions compared decile by
+    // decile (ceiling-rank picks on each side, joined on the decile) —
+    // "are purchases just scaled-up views?" read directly off the ratio
+    "ext_qq_table" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def deciles(tpe: String, out: String) = Tables.events(s, dir)
+        .filter(col("event_type") === tpe)
+        .select((money(col("value")) * 100).cast("long").as("cents"),
+          col("event_id"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("cents"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .select(col("cents"), col("r"), col("n"),
+          explode(expr("sequence(1, 9)")).as("q"))
+        .filter(col("r") === expr("(q * n + 9) div 10"))
+        .select(col("q"), col("cents").as(out))
+      deciles("purchase", "purchase_cents")
+        .join(deciles("view", "view_cents"), Seq("q"))
+        .select(col("q").cast("long").as("decile"), col("purchase_cents"),
+          col("view_cents"),
+          (col("purchase_cents").cast("double") /
+            col("view_cents").cast("double")).as("ratio"))
+        .orderBy(col("decile"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -5313,6 +5352,12 @@ object SparkEntry {
     // Union of appended rows must equal the batch shift-join (same oracle).
     "stream_growth_accounting" -> ((s, dir) => streamGrowthAccounting(s, dir)),
 
+    // the bounded-heap top-k aggregate INSIDE a streaming aggregation:
+    // complete-mode groupBy over micro-batches, state = one k-entry heap
+    // per type (the state store serializes the typed buffer) — must
+    // finalize to the batch heap row (same oracle)
+    "stream_topk_users" -> ((s, dir) => streamTopkUsers(s, dir)),
+
     // streaming CUSUM drift monitor: the production calibrate-then-monitor
     // shape — the reference level is the per-type mean fixed by the batch
     // calibration pass, then daily micro-batches fold the greatest(0, ...)
@@ -5957,6 +6002,41 @@ object SparkEntry {
       .select(col("w").as("week"), col("new_users"), col("retained"),
         col("resurrected"), col("churned"))
       .orderBy(col("week"))
+  }
+
+  /** The run behind `stream_topk_users`: per-user totals fed in four
+    * micro-batches through a complete-mode groupBy running the
+    * TopKByScore heap aggregate — streaming state is the k-entry heap
+    * itself (serialize/merge exercised across batches), finalized once at
+    * the end. */
+  private def streamTopkUsers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.graft.ColumnBridge
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val pu = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)].collect()
+    val ms = MemoryStream[(String, Long, Long)]
+    val agg = ColumnBridge.column(graft.functions.TopKByScore(
+      ColumnBridge.expression(col("cents").cast("double")),
+      ColumnBridge.expression(col("user_id")), 3).toAggregateExpression())
+    val q = ms.toDF().toDF("event_type", "user_id", "cents")
+      .groupBy(col("event_type")).agg(agg.as("__top"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_topk_users_t")
+      .option("checkpointLocation", tempCkpt()).start()
+    try pu.grouped(math.max(1, pu.length / 4))
+      .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    finally q.stop()
+    s.table("stream_topk_users_t")
+      .select(col("event_type"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("event_type"), (col("__pos") + 1).as("rank"),
+        col("__e.id").as("user_id"),
+        col("__e.score").cast("long").as("cents"))
+      .orderBy(col("event_type"), col("rank"))
   }
 
   /** The run behind `stream_cusum`: per-type daily cents fed one day per
@@ -9218,6 +9298,18 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
+    // the streaming heap must finalize to the batch heap
+    "stream_topk_users" ->
+      """WITH pu AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents DESC, user_id ASC) AS BIGINT) AS rank
+        |  FROM pu)
+        |SELECT event_type, rank, user_id, cents FROM r WHERE rank <= 3
+        |ORDER BY event_type, rank""".stripMargin,
+
     // the window idiom the heap aggregate is value-identical to
     "ext_topk_users" ->
       """WITH pu AS (SELECT event_type, user_id,
@@ -9260,6 +9352,41 @@ object SparkEntry {
         |  CAST(median_gap_days AS BIGINT) AS median_gap_days
         |FROM g JOIN med ON med.prio = g.prio
         |GROUP BY 1, median_gap_days ORDER BY prio""".stripMargin,
+
+    // same per-order sizes, same share bp
+    "ext_basket_size_dist" ->
+      """WITH s AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_orders FROM s
+        |  GROUP BY 1),
+        |t AS (SELECT sz, n_orders,
+        |    CAST(sum(n_orders) OVER () AS BIGINT) AS total FROM h)
+        |SELECT sz AS basket_size, n_orders,
+        |  n_orders * 10000 // total AS share_bp
+        |FROM t ORDER BY basket_size""".stripMargin,
+
+    // same ceiling-rank deciles on both sides, same mirrored ratio
+    "ext_qq_table" ->
+      """WITH p AS (SELECT cents, row_number() OVER (ORDER BY cents,
+        |      event_id) AS r, count(*) OVER () AS n FROM (
+        |    SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents, event_id FROM events
+        |    WHERE event_type = 'purchase') t),
+        |v AS (SELECT cents, row_number() OVER (ORDER BY cents,
+        |      event_id) AS r, count(*) OVER () AS n FROM (
+        |    SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents, event_id FROM events
+        |    WHERE event_type = 'view') t),
+        |pq AS (SELECT q, cents AS purchase_cents FROM p,
+        |    (SELECT unnest(generate_series(1, 9)) AS q) qs
+        |  WHERE r = (q * n + 9) // 10),
+        |vq AS (SELECT q, cents AS view_cents FROM v,
+        |    (SELECT unnest(generate_series(1, 9)) AS q) qs
+        |  WHERE r = (q * n + 9) // 10)
+        |SELECT CAST(pq.q AS BIGINT) AS decile, purchase_cents, view_cents,
+        |  CAST(purchase_cents AS DOUBLE) / CAST(view_cents AS DOUBLE)
+        |    AS ratio
+        |FROM pq JOIN vq ON vq.q = pq.q ORDER BY decile""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
