@@ -3155,6 +3155,42 @@ object SparkEntry {
         .orderBy(col("decile"))
     }),
 
+    // reciprocity of the DIRECTED co-order graph: how much of the top-k
+    // preference relation is mutual — one self-join on the reversed key,
+    // exact counts, bp ratio (1.0 would mean the direction bound adds
+    // nothing; low values justify keeping the graph directed)
+    "ext_reciprocity" -> ((s, dir) => {
+      val edges = graft.util.Checkpoints.cut(
+        graft.operators.Graph.coOccurrenceEdges(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          "l_orderkey", "l_suppkey", k = 15))
+      val rev = edges.select(col("src").as("dst"), col("dst").as("src"),
+        lit(1L).as("has_rev"))
+      edges.join(rev, Seq("src", "dst"), "left_outer")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(coalesce(col("has_rev"), lit(0L))).as("n_mutual"))
+        .select(col("n_edges"), col("n_mutual"),
+          expr("n_mutual * 10000 div n_edges").as("reciprocity_bp"))
+    }),
+
+    // calendar coverage per event type: active days against the full
+    // first-to-last span (span = datediff, an O(1) integer — no calendar
+    // explode needed for the scalar report), missing days by subtraction
+    "ext_calendar_coverage" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days_active"),
+          (datediff(max(col("d")), min(col("d"))) + 1).cast("long")
+            .as("n_days_span"),
+          min(col("d")).cast("string").as("first_d"),
+          max(col("d")).cast("string").as("last_d"))
+        .withColumn("n_days_missing",
+          col("n_days_span") - col("n_days_active"))
+        .orderBy(col("event_type"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -9387,6 +9423,31 @@ object SparkEntry {
         |  CAST(purchase_cents AS DOUBLE) / CAST(view_cents AS DOUBLE)
         |    AS ratio
         |FROM pq JOIN vq ON vq.q = pq.q ORDER BY decile""".stripMargin,
+
+    // same directed edges, same reversed-key self-join
+    "ext_reciprocity" ->
+      s"""WITH $coOrderEdgesCte,
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |    CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM edges r
+         |      WHERE r.src = e.dst AND r.dst = e.src)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual
+         |  FROM edges e)
+         |SELECT n_edges, n_mutual,
+         |  n_mutual * 10000 // n_edges AS reciprocity_bp
+         |FROM m""".stripMargin,
+
+    // same active-day rollup, same span arithmetic
+    "ext_calendar_coverage" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_active,
+        |  CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT)
+        |    AS n_days_span,
+        |  CAST(min(d) AS VARCHAR) AS first_d,
+        |  CAST(max(d) AS VARCHAR) AS last_d,
+        |  CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) -
+        |    CAST(count(*) AS BIGINT) AS n_days_missing
+        |FROM daily GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
