@@ -3191,6 +3191,51 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ARPU decomposition per week: revenue = actives x conversion x
+    // average order value, each factor reported exactly (counts, bp,
+    // truncated cents) so the multiplicative story is auditable — the
+    // decomposition growth reviews start from
+    "ext_arpu_decomposition" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("w", date_trunc("week", col("ts")).cast("date"))
+      val actives = ev.groupBy(col("w"))
+        .agg(countDistinct(col("user_id")).as("actives"))
+      val buyers = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("w"))
+        .agg(countDistinct(col("user_id")).as("buyers"),
+          count(lit(1)).as("n_purchases"),
+          (sum(money(col("value"))) * 100).cast("long").as("rev_cents"))
+      actives.join(buyers, Seq("w"), "left_outer")
+        .select(col("w").cast("string").as("week"), col("actives"),
+          coalesce(col("buyers"), lit(0L)).as("buyers"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("rev_cents"), lit(0L)).as("rev_cents"),
+          expr("coalesce(buyers, 0L) * 10000 div actives")
+            .as("conversion_bp"),
+          expr("CASE WHEN coalesce(n_purchases, 0L) = 0 THEN 0L " +
+            "ELSE rev_cents div n_purchases END").as("aov_cents"),
+          expr("coalesce(rev_cents, 0L) div actives").as("arpu_cents"))
+        .orderBy(col("week"))
+    }),
+
+    // supplier-concentration HHI per part: sum of squared quantity shares
+    // in exact basis points ((Σq_i²)·10000 div (Σq_i)² — integers end to
+    // end), top 20 most concentrated parts with deterministic tie-break;
+    // the single-source-risk screen over the supply table
+    "ext_hhi_parts" -> ((s, dir) => {
+      val q = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg((sum(money(col("l_quantity"))) * 100).cast("long").as("qc"))
+      q.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("qc")).as("total_qc"),
+          sum(col("qc") * col("qc")).as("sq"))
+        .select(col("l_partkey"), col("n_suppliers"),
+          expr("sq * 10000 div (total_qc * total_qc)").as("hhi_bp"))
+        .orderBy(col("hhi_bp").desc, col("n_suppliers").asc,
+          col("l_partkey").asc)
+        .limit(20)
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -9448,6 +9493,43 @@ object SparkEntry {
         |  CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) -
         |    CAST(count(*) AS BIGINT) AS n_days_missing
         |FROM daily GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // same weekly factors, same truncating divisions
+    "ext_arpu_decomposition" ->
+      """WITH a AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS w,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS actives
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS w,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS buyers,
+        |    CAST(count(*) AS BIGINT) AS n_purchases,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS rev_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(a.w AS VARCHAR) AS week, actives,
+        |  coalesce(buyers, 0) AS buyers,
+        |  coalesce(n_purchases, 0) AS n_purchases,
+        |  coalesce(rev_cents, 0) AS rev_cents,
+        |  coalesce(buyers, 0) * 10000 // actives AS conversion_bp,
+        |  CASE WHEN coalesce(n_purchases, 0) = 0 THEN 0
+        |    ELSE rev_cents // n_purchases END AS aov_cents,
+        |  coalesce(rev_cents, 0) // actives AS arpu_cents
+        |FROM a LEFT JOIN b ON b.w = a.w ORDER BY week""".stripMargin,
+
+    // same squared-share arithmetic, same tie-broken top 20
+    "ext_hhi_parts" ->
+      """WITH q AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS qc
+        |  FROM lineitem GROUP BY 1, 2),
+        |h AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    CAST(sum(qc) AS BIGINT) AS total_qc,
+        |    CAST(sum(qc * qc) AS BIGINT) AS sq
+        |  FROM q GROUP BY 1)
+        |SELECT l_partkey, n_suppliers,
+        |  sq * 10000 // (total_qc * total_qc) AS hhi_bp
+        |FROM h
+        |ORDER BY hhi_bp DESC, n_suppliers ASC, l_partkey ASC
+        |LIMIT 20""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
