@@ -3236,6 +3236,34 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // longest activity streak per user — the gaps-and-islands device:
+    // consecutive days share (d minus row_number) as an island key, so
+    // streaks fall out of one groupBy with no self-join; the longest
+    // streak picked rank-1 by (length DESC, start ASC)
+    "ext_streaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val islands = ud
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("d"))))
+        .withColumn("grp", expr("date_sub(d, rn)"))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"))
+      islands
+        .withColumn("r", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("len").desc, col("start_d").asc)))
+        .withColumn("n_streaks", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .withColumn("n_active", sum(col("len")).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("r") === 1)
+        .select(col("user_id"), col("n_active").as("n_active_days"),
+          col("n_streaks"), col("len").as("longest_streak"),
+          col("start_d").cast("string").as("streak_start"))
+        .orderBy(col("user_id"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -9530,6 +9558,29 @@ object SparkEntry {
         |FROM h
         |ORDER BY hhi_bp DESC, n_suppliers ASC, l_partkey ASC
         |LIMIT 20""".stripMargin,
+
+    // same island key, same rank-1 longest-streak pick
+    "ext_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |i AS (SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS INTEGER) AS grp
+        |  FROM ud),
+        |s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |    min(d) AS start_d
+        |  FROM i GROUP BY 1, 2),
+        |r AS (SELECT user_id, len, start_d,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start_d ASC) AS r,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_streaks,
+        |    CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_active
+        |  FROM s)
+        |SELECT user_id, n_active AS n_active_days, n_streaks,
+        |  len AS longest_streak, CAST(start_d AS VARCHAR) AS streak_start
+        |FROM r WHERE r = 1 ORDER BY user_id""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
