@@ -4756,6 +4756,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy(col("doc_id"))),
 
+    "ext_dup_cluster_sizes" -> ((s, dir) =>
+      // duplicate-cluster size histogram: how MUCH of the corpus collapses
+      // and into how many groups — the number that decides whether dedup
+      // is worth a full pass; sizes from the same components labels
+      graft.operators.Dedup.connectedComponents(
+          graft.operators.Dedup.minhashCandidates(Tables.documents(s, dir)))
+        .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))),
+
     // survivorship over the near-dup clusters: one FUSED record per
     // cluster, each field independently resolved (longest text ties to
     // min id, min source/lang, max n_chars) — where keepCanonical drops
@@ -11644,6 +11654,16 @@ object SparkEntry {
       s"""WITH RECURSIVE $nearDupComponentsCtes
         |SELECT a AS doc_id, least(a, min(b)) AS component
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // same components, rolled to a size histogram
+    "ext_dup_cluster_sizes" ->
+      s"""WITH RECURSIVE $nearDupComponentsCtes,
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM comp GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
     // the same components, field rules replayed: longest text via the
     // rank-1 window (ties min id), min/max per remaining field
