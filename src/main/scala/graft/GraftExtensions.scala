@@ -77,6 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.TopKByScore(args(0), args(1), intArg(args(2), "k"))))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProductHof)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     // whole-operator tier: the native as-of join's planner strategy
     // (AsOfJoinPlan logical -> AsOfJoinExec sort-merge physical)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -167,6 +168,11 @@ object GraftExtensions {
         .contains(graft.plans.MvRewrite)) {
       spark.sessionState.experimentalMethods.extraOptimizations ++=
         Seq(graft.plans.MvRewrite)
+    }
+    if (!spark.sessionState.experimentalMethods.extraOptimizations
+        .contains(graft.plans.TopKRewrite)) {
+      spark.sessionState.experimentalMethods.extraOptimizations ++=
+        Seq(graft.plans.TopKRewrite)
     }
     if (!spark.sessionState.experimentalMethods.extraStrategies
         .contains(graft.plans.AsOfJoinStrategy)) {

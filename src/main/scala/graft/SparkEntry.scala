@@ -97,6 +97,22 @@ object SparkEntry {
       |  list_reduce(cs, (acc, x) -> (acc + x) // 2) AS ewma_cents
       |FROM a""".stripMargin
 
+  /** Shared oracle for `ext_topk_users` (explicit heap aggregate),
+    * `stream_topk_users` (the heap as streaming state), and
+    * `ext_topk_rewrite` (the window idiom, heap supplied by the
+    * [[graft.plans.TopKRewrite]] optimizer rule): the window form all
+    * three are value-identical to. */
+  private val topkUsersSql =
+    """WITH pu AS (SELECT event_type, user_id,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, user_id, cents,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cents DESC, user_id ASC) AS BIGINT) AS rank
+      |  FROM pu)
+      |SELECT event_type, rank, user_id, cents FROM r WHERE rank <= 3
+      |ORDER BY event_type, rank""".stripMargin
+
   /** Shared oracle for `ext_growth_accounting` and its week-per-batch
     * streaming twin: the one-week shift full-outer join with flags, weeks
     * cropped to the corpus range. */
@@ -3262,6 +3278,26 @@ object SparkEntry {
           col("n_streaks"), col("len").as("longest_streak"),
           col("start_d").cast("string").as("streak_start"))
         .orderBy(col("user_id"))
+    }),
+
+    // the SAME top-3 written in the PORTABLE window idiom — the
+    // TopKRewrite optimizer rule supplies the bounded heap (plan-pinned:
+    // no Window operator survives); score/id made non-nullable because
+    // the rule only fires where null ranking provably can't diverge
+    "ext_topk_rewrite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pu = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("c"))
+        .select(col("event_type"),
+          coalesce(col("user_id"), lit(-1L)).as("id"),
+          coalesce(col("c"), lit(0L)).cast("double").as("score"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("score").desc, col("id").asc)
+      pu.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn").cast("long").as("rank"),
+          col("id").as("user_id"), col("score").cast("long").as("cents"))
+        .orderBy(col("event_type"), col("rank"))
     }),
 
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
@@ -9418,28 +9454,14 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // the streaming heap must finalize to the batch heap
-    "stream_topk_users" ->
-      """WITH pu AS (SELECT event_type, user_id,
-        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-        |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT event_type, user_id, cents,
-        |    CAST(row_number() OVER (PARTITION BY event_type
-        |      ORDER BY cents DESC, user_id ASC) AS BIGINT) AS rank
-        |  FROM pu)
-        |SELECT event_type, rank, user_id, cents FROM r WHERE rank <= 3
-        |ORDER BY event_type, rank""".stripMargin,
+    "stream_topk_users" -> topkUsersSql,
 
     // the window idiom the heap aggregate is value-identical to
-    "ext_topk_users" ->
-      """WITH pu AS (SELECT event_type, user_id,
-        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-        |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT event_type, user_id, cents,
-        |    CAST(row_number() OVER (PARTITION BY event_type
-        |      ORDER BY cents DESC, user_id ASC) AS BIGINT) AS rank
-        |  FROM pu)
-        |SELECT event_type, rank, user_id, cents FROM r WHERE rank <= 3
-        |ORDER BY event_type, rank""".stripMargin,
+    "ext_topk_users" -> topkUsersSql,
+
+    // same values again — this row is WRITTEN in the window idiom and the
+    // optimizer rule supplies the heap
+    "ext_topk_rewrite" -> topkUsersSql,
 
     // same (lang, 2-char) blocking, same builtin distance, same threshold
     "ext_fuzzy_dl_join" ->

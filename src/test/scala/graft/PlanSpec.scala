@@ -665,6 +665,15 @@ class PlanSpec extends SparkSpec {
       s"audience totals must broadcast onto the pair table:\n$p")
   }
 
+  test("topk rewrite row: the optimizer supplies the heap, no Window exec") {
+    GraftExtensions.register(spark)
+    val p = plan("ext_topk_rewrite")
+    assert("""\(\d+\) Window\b""".r.findFirstIn(p).isEmpty,
+      s"the Window operator must be rewritten away:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the TopKByScore heap aggregate:\n$p")
+  }
+
   test("SQL registry: graft_zvalue matches Layout.zValue output exactly") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
