@@ -936,6 +936,33 @@ object Bench {
           .count()
       }
 
+      // HITS at 1M nodes / 8M edges: six half-steps (two joins + two
+      // aggregations + two one-row rescales per round) over the same
+      // synthetic 8-regular graph as the pagerank soak — per-round cost
+      // must stay flat (edges materialized once, lineage cut per round)
+      val sHits = stage("hits_1m") {
+        import org.apache.spark.sql.functions.{explode, pmod, sequence, xxhash64}
+        val edges1m = spark.range(1000000L).select(col("id").as("src"),
+            explode(sequence(lit(0), lit(7))).as("j"))
+          .select(col("src"), pmod(xxhash64(col("src"), col("j")), lit(1000000L))
+            .as("dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.operators.Graph.hitsFixedPoint(edges1m, iters = 3).count()
+      }
+
+      // basket rules at 10M lines / 1M baskets (10 items of 1,000 each):
+      // the basket-keyed pair join's fan-out is (10 choose 2) per basket —
+      // the pair stream is 4.5x the input, never |items|^2, and the item
+      // totals broadcast
+      val sBask = stage("basket_10m") {
+        import org.apache.spark.sql.functions.{pmod, xxhash64}
+        val lines = spark.range(10000000L).select(
+          (col("id") % 1000000L).as("b"),
+          pmod(xxhash64(col("id")), lit(1000L)).as("i"))
+        graft.operators.Basket.pairRules(lines, "b", "i", minPairs = 50L)
+          .count()
+      }
+
       // skyline at 10M points: the partition-local prune must leave the
       // global (single-partition) pass only the per-partition survivors —
       // O(log n) expected frontier points per partition on random data —
@@ -963,7 +990,7 @@ object Bench {
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
           s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
-          sI2, sG1, sG2, sSky, s9, s10, s11)
+          sI2, sG1, sG2, sHits, sBask, sSky, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 

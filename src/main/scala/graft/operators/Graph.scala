@@ -293,8 +293,9 @@ object Graph {
     * range while max-degree · scale² / scale < 2^63, i.e. scale 10^6
     * leaves 6 orders of headroom over any bounded-degree graph. */
   def hitsFixedPoint(edges: DataFrame, iters: Int = 3,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L, cutEvery: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
     val e = graft.util.Checkpoints.cut(edges.select(col("src"), col("dst")))
     val nodes = graft.util.Checkpoints.cut(
       e.select(col("src").as("node"))
@@ -302,6 +303,13 @@ object Graph {
     var hub = nodes.select(col("node"), lit(scale).as("h"))
     var auth: DataFrame = null
     for (i <- 1 to iters) {
+      // rounds stay LAZY — the final action runs all of them as one query
+      // so the materialized edge exchange is reused across every half-step
+      // join (a per-half-step materialization forces e to re-shuffle each
+      // time: the 1M soak measured 44 s eager vs 22 s lazy). The rescale
+      // total rides a one-row broadcast subplan; lineage is cut
+      // PERIODICALLY only to stop later totals re-executing an
+      // ever-deeper prefix when callers raise iters.
       val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("v"))
       val aTot = aRaw.agg(sum(col("v")).as("sv"))
@@ -312,12 +320,17 @@ object Graph {
       val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("v"))
       val hTot = hRaw.agg(sum(col("v")).as("sv"))
-      val next = nodes.join(hRaw, Seq("node"), "left_outer")
+      hub = nodes.join(hRaw, Seq("node"), "left_outer")
         .crossJoin(broadcast(hTot))
         .select(col("node"),
           expr(s"coalesce(v, 0L) * ${scale}L div sv").as("h"))
-      hub = if (i < iters) graft.util.Checkpoints.cut(next) else next
-      if (i == iters) auth = graft.util.Checkpoints.cut(auth)
+      // at the DEFAULT depth (3) no cut fires — the whole computation is
+      // one query; the cut exists for callers raising iters, where later
+      // totals would otherwise re-execute an ever-deeper prefix
+      if (i % cutEvery == 0 && i < iters) {
+        auth = graft.util.Checkpoints.cut(auth)
+        hub = graft.util.Checkpoints.cut(hub)
+      }
     }
     hub.join(auth, Seq("node"))
       .select(col("node"), col("h").as("hub"), col("a").as("auth"))
