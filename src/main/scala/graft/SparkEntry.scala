@@ -3300,6 +3300,29 @@ object SparkEntry {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // sample-ratio-mismatch guard for the A/B row: chi-square of the
+    // observed arm split against the designed 50/50 (e = N div 2 per arm;
+    // (o−e)² div e summed over BOTH arms exactly after scaling — SRM is
+    // the first thing to check before believing any lift readout)
+    "ext_ab_srm" -> ((s, dir) => {
+      val arms = Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+        .groupBy(col("arm")).agg(count(lit(1)).as("n"))
+      val a = arms.filter(col("arm") === 0).select(col("n").as("n_a"))
+      val b = arms.filter(col("arm") === 1).select(col("n").as("n_b"))
+      a.crossJoin(b)
+        .select(col("n_a"), col("n_b"),
+          (col("n_a") + col("n_b")).as("n"),
+          // chi2 = (o_a-e)^2/e + (o_b-e)^2/e with e = n/2; since
+          // o_a-e = -(o_b-e) = d/2 where d = n_a-n_b, chi2 = d^2/n —
+          // one mirrored division from exact longs
+          ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double")
+            ./((col("n_a") + col("n_b")).cast("double")).as("srm_chi2"))
+        .withColumn("srm_flag", col("srm_chi2") > 3.841) // chi2(1), p=.05
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -9613,6 +9636,22 @@ object SparkEntry {
         |SELECT user_id, n_active AS n_active_days, n_streaks,
         |  len AS longest_streak, CAST(start_d AS VARCHAR) AS streak_start
         |FROM r WHERE r = 1 ORDER BY user_id""".stripMargin,
+
+    // same parity arms, same collapsed d^2/n statistic
+    "ext_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM u)
+        |SELECT n_a, n_b, n_a + n_b AS n,
+        |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) /
+        |    CAST(n_a + n_b AS DOUBLE) AS srm_chi2,
+        |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) /
+        |    CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
+        |FROM c""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
