@@ -4815,6 +4815,23 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy(col("doc_id"))),
 
+    "ext_dup_source_matrix" -> ((s, dir) => {
+      // which sources copy from each other: near-dup candidate pairs
+      // labeled by their endpoints' sources (order-normalized), counted —
+      // the provenance matrix that decides which feeds get dedup priority
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+      graft.operators.Dedup.minhashCandidates(Tables.documents(s, dir))
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          Seq("id_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_x"),
+          greatest(col("sa"), col("sb")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_x"), col("source_y"))
+    }),
+
     "ext_dup_cluster_sizes" -> ((s, dir) =>
       // duplicate-cluster size histogram: how MUCH of the corpus collapses
       // and into how many groups — the number that decides whether dedup
@@ -7703,7 +7720,9 @@ object SparkEntry {
   /** The minhash-band candidate + reachability CTEs shared by
     * `ext_dedup_components` and `x51_leakage_safe_split` (identical band
     * construction to [[graft.operators.Dedup.minhashCandidates]]). */
-  private lazy val nearDupComponentsCtes: String =
+  /** The shared band-join candidate CTEs (through `cand`) — the pair level
+    * the source matrix reads; components extend them with reachability. */
+  private lazy val nearDupPairsCtes: String =
     """toks AS (SELECT doc_id,
       |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
       |  FROM documents),
@@ -7718,7 +7737,10 @@ object SparkEntry {
       |  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b),
       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       |  FROM bands x JOIN bands y
-      |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
+
+  private lazy val nearDupComponentsCtes: String =
+    nearDupPairsCtes + """,
       |und AS (SELECT id_a AS a, id_b AS b FROM cand
       |  UNION SELECT id_b, id_a FROM cand),
       |reach(a, b) AS (
@@ -11715,6 +11737,16 @@ object SparkEntry {
       s"""WITH RECURSIVE $nearDupComponentsCtes
         |SELECT a AS doc_id, least(a, min(b)) AS component
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // same band-join candidates, endpoints labeled and order-normalized
+    "ext_dup_source_matrix" ->
+      s"""WITH $nearDupPairsCtes
+        |SELECT least(da.source, db.source) AS source_x,
+        |  greatest(da.source, db.source) AS source_y,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM cand JOIN documents da ON da.doc_id = cand.id_a
+        |JOIN documents db ON db.doc_id = cand.id_b
+        |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
 
     // same components, rolled to a size histogram
     "ext_dup_cluster_sizes" ->
