@@ -3323,6 +3323,45 @@ object SparkEntry {
         .withColumn("srm_flag", col("srm_chi2") > 3.841) // chi2(1), p=.05
     }),
 
+    // forward-looking label generation: for every user-day, activity and
+    // spend over the NEXT 7 days via a FOLLOWING range frame on epoch days
+    // — the churn/value labels a training pipeline derives, leakage-free
+    // because the frame excludes the current day
+    "ext_future_labels" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+        .withColumn("ep", datediff(col("d"), lit("1970-01-01")).cast("long"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+        .rangeBetween(1, 7)
+      daily
+        .withColumn("fwd_days", count(lit(1)).over(w))
+        .withColumn("fwd_cents",
+          coalesce(sum(col("cents")).over(w), lit(0L)))
+        .select(col("user_id"), col("d").cast("string").as("d"),
+          col("cents"), col("fwd_days").as("active_next_7d"),
+          col("fwd_cents").as("spend_next_7d_cents"),
+          (col("fwd_days") === 0).as("churn_7d_label"))
+        .orderBy(col("user_id"), col("d"))
+    }),
+
+    // leave-one-out target encoding of event type on the conversion label
+    // (value >= 150): each row's encoding excludes ITSELF — (S_g − y_i)
+    // scaled to exact basis points over (n_g − 1) — the standard
+    // leakage-safe categorical feature, integer end to end
+    "ext_target_encoding" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          when(col("value") >= 150.0, 1L).otherwise(0L).as("y"))
+      val g = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ng"), sum(col("y")).as("sg"))
+      ev.join(broadcast(g), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("y"),
+          expr("(sg - y) * 10000 div (ng - 1)").as("loo_encoding_bp"))
+        .orderBy(col("event_id"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -9674,6 +9713,36 @@ object SparkEntry {
         |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) /
         |    CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
         |FROM c""".stripMargin,
+
+    // same epoch-day range frame, strictly following
+    "ext_future_labels" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |e AS (SELECT user_id, d, cents,
+        |    date_diff('day', DATE '1970-01-01', d) AS ep FROM daily),
+        |r AS (SELECT user_id, d, cents,
+        |    CAST(count(*) OVER w AS BIGINT) AS fwd_days,
+        |    CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS fwd_cents
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ep
+        |    RANGE BETWEEN 1 FOLLOWING AND 7 FOLLOWING))
+        |SELECT user_id, CAST(d AS VARCHAR) AS d, cents,
+        |  fwd_days AS active_next_7d, fwd_cents AS spend_next_7d_cents,
+        |  fwd_days = 0 AS churn_7d_label
+        |FROM r ORDER BY user_id, d""".stripMargin,
+
+    // same exclude-self arithmetic, same bp scaling
+    "ext_target_encoding" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CASE WHEN value >= 150.0 THEN 1 ELSE 0 END AS y FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(y) AS BIGINT) AS sg FROM ev GROUP BY 1)
+        |SELECT event_id, ev.event_type AS event_type,
+        |  CAST(y AS BIGINT) AS y,
+        |  (sg - y) * 10000 // (ng - 1) AS loo_encoding_bp
+        |FROM ev JOIN g ON g.event_type = ev.event_type
+        |ORDER BY event_id""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
