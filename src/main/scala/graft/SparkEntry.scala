@@ -3362,6 +3362,32 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // run-length structure of each user's event sequence: consecutive
+    // same-type runs via the two-row_number island key (the type-change
+    // variant of ext_streaks' device), reported as n_runs / longest run /
+    // RLE compression ratio in exact bp — how repetitive a behavior
+    // stream is before sequence modeling
+    "ext_run_lengths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val runs = ev
+        .withColumn("grp",
+          row_number().over(wAll) - row_number().over(wType))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      runs.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_events"), count(lit(1)).as("n_runs"),
+          max(col("len")).as("longest_run"))
+        .withColumn("rle_ratio_bp", expr("n_runs * 10000 div n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -9743,6 +9769,26 @@ object SparkEntry {
         |  (sg - y) * 10000 // (ng - 1) AS loo_encoding_bp
         |FROM ev JOIN g ON g.event_type = ev.event_type
         |ORDER BY event_id""".stripMargin,
+
+    // same two-row_number island key over the same total order
+    "ext_run_lengths" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id FROM events),
+        |i AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) -
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_us, event_id) AS grp
+        |  FROM ev),
+        |runs AS (SELECT user_id, event_type, grp,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM i GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(len) AS BIGINT) AS longest_run,
+        |  CAST(count(*) AS BIGINT) * 10000 // CAST(sum(len) AS BIGINT)
+        |    AS rle_ratio_bp
+        |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
