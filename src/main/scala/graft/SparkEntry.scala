@@ -3045,8 +3045,13 @@ object SparkEntry {
       val base = sys.props("java.io.tmpdir") + "/graft-rf-" +
         math.abs(dir.hashCode)
       deleteRecursively(base)
+      // YEAR partitions: the RF deltas are key-sampled, so they touch
+      // every partition — commitUpsert/commitDelete cost one job per
+      // touched partition, and month granularity made that 84 jobs per
+      // refresh (the bench's slowest row at 44 s); ~7 year partitions
+      // keep the same multi-partition semantics at a tenth the job count
       val orders = Tables.orders(s, dir).withColumn("m",
-        date_trunc("month", col("o_orderdate")).cast("date").cast("string"))
+        date_trunc("year", col("o_orderdate")).cast("date").cast("string"))
       graft.operators.Versioned.commitFull(s, base,
         orders.filter(col("o_orderkey") % 10 =!= 0), "m")
       graft.operators.Versioned.commitUpsert(s, base,
@@ -3386,6 +3391,64 @@ object SparkEntry {
           max(col("len")).as("longest_run"))
         .withColumn("rle_ratio_bp", expr("n_runs * 10000 div n_events"))
         .orderBy(col("user_id"))
+    }),
+
+    // quantity-weighted median price per brand: the first value whose
+    // running weight reaches half the total — one cumulative window over
+    // the (value, id) total order; the unweighted rank formula is the
+    // all-weights-one special case
+    "ext_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          (money(col("l_extendedprice")) * 100).cast("long").as("price_cents"),
+          (money(col("l_quantity")) * 100).cast("long").as("wq"),
+          col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = li
+        .withColumn("cw", sum(col("wq")).over(w))
+        .withColumn("tw", sum(col("wq")).over(
+          Window.partitionBy(col("p_brand"))))
+      cum.filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("p_brand"))
+        .agg(min(struct(col("cw"), col("price_cents"))).as("m"),
+          max(col("tw")).as("total_weight"))
+        .select(col("p_brand"), col("m.price_cents").as("wmedian_cents"),
+          col("total_weight"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Kendall tau-a between daily click and purchase volumes: every day
+    // pair classified concordant/discordant/tied by exact integer
+    // comparison over the 30-row daily table (the quadratic pair join is
+    // days², never events²) — the rank correlation that doesn't care
+    // about outliers, reported with its exact pair census
+    "ext_kendall_tau" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      val a = daily.select(col("d").as("da"), col("x").as("xa"),
+        col("y").as("ya"))
+      val b = daily.select(col("d").as("db"), col("x").as("xb"),
+        col("y").as("yb"))
+      a.join(b, col("da") < col("db"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+            (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+            .otherwise(0L)).as("concordant"),
+          sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+            (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+            .otherwise(0L)).as("discordant"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          ((col("concordant") - col("discordant")).cast("double") /
+            col("n_pairs").cast("double")).as("tau_a"))
     }),
 
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
@@ -9789,6 +9852,54 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) * 10000 // CAST(sum(len) AS BIGINT)
         |    AS rle_ratio_bp
         |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // same cumulative-weight threshold over the same total order
+    "ext_weighted_median" ->
+      """WITH li AS (SELECT p_brand,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS wq,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |c AS (SELECT p_brand, price_cents,
+        |    CAST(sum(wq) OVER (PARTITION BY p_brand
+        |      ORDER BY price_cents, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cw,
+        |    CAST(sum(wq) OVER (PARTITION BY p_brand) AS BIGINT) AS tw
+        |  FROM li),
+        |f AS (SELECT p_brand, price_cents, cw, tw FROM c
+        |  WHERE cw * 2 >= tw),
+        |m AS (SELECT p_brand, min(cw) AS mcw, max(tw) AS total_weight
+        |  FROM f GROUP BY 1)
+        |SELECT m.p_brand AS p_brand,
+        |  CAST(min(f.price_cents) AS BIGINT) AS wmedian_cents,
+        |  total_weight
+        |FROM m JOIN f ON f.p_brand = m.p_brand AND f.cw = m.mcw
+        |GROUP BY 1, total_weight ORDER BY p_brand""".stripMargin,
+
+    // same exact pair census over the same daily table
+    "ext_kendall_tau" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+        |  FROM daily a JOIN daily b ON a.d < b.d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(sum(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  CAST(sum(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+        |      THEN 1 ELSE 0 END) -
+        |    sum(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS tau_a
+        |FROM p""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
