@@ -3451,6 +3451,37 @@ object SparkEntry {
             col("n_pairs").cast("double")).as("tau_a"))
     }),
 
+    // Spearman rho between the same daily series: Pearson over
+    // (rank x, rank y) where both rankings break ties by date — the
+    // identical total order in both engines makes the rank vectors (and
+    // so the five integer co-moments) exact; one mirrored division.
+    // Kendall (pair census) and Spearman (rank moments) bracket the
+    // monotone-association question from both classic angles.
+    "ext_spearman" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      val ranked = daily
+        .withColumn("rx", row_number().over(
+          Window.orderBy(col("x"), col("d"))).cast("long"))
+        .withColumn("ry", row_number().over(
+          Window.orderBy(col("y"), col("d"))).cast("long"))
+      ranked.agg(count(lit(1)).as("n"), sum(col("rx")).as("sx"),
+          sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx") * col("rx")).as("sxx"))
+        .select(col("n"), col("sx"), col("sxy"), col("sxx"),
+          // rank sets are identical permutations: sy = sx, syy = sxx,
+          // so rho collapses sqrt-free like the assortativity row
+          ((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("spearman_rho"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -9900,6 +9931,29 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS tau_a
         |FROM p""".stripMargin,
+
+    // same tie-broken ranks, same sqrt-free collapse
+    "ext_spearman" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |r AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY x, d) AS BIGINT) AS rx,
+        |    CAST(row_number() OVER (ORDER BY y, d) AS BIGINT) AS ry
+        |  FROM daily),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(rx) AS BIGINT) AS sx,
+        |    CAST(sum(rx * ry) AS BIGINT) AS sxy,
+        |    CAST(sum(rx * rx) AS BIGINT) AS sxx
+        |  FROM r)
+        |SELECT n, sx, sxy, sxx,
+        |  CAST(n * sxy - sx * sx AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS spearman_rho
+        |FROM m""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
