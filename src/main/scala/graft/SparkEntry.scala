@@ -3482,6 +3482,63 @@ object SparkEntry {
             .as("spearman_rho"))
     }),
 
+    // the full autocorrelation function, lags 1-7 per event type:
+    // ext_autocorr's exact co-moment device fanned over an explode of
+    // lags — one date-offset join against the 30-row daily table yields
+    // the whole weekly ACF in one pass (the seasonality fingerprint
+    // Holt-Winters' period choice should be read from)
+    "ext_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      val lags = daily.select(col("event_type"), col("d"),
+        col("cents").as("x"), explode(expr("sequence(1, 7)")).as("lag"))
+      val future = daily.select(col("event_type").as("t2"),
+        col("d").as("d2"), col("cents").as("y"))
+      lags.join(future, col("t2") === col("event_type") &&
+          expr("d2 = date_add(d, lag)"))
+        .groupBy(col("event_type"), col("lag").cast("long").as("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("acf",
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
+    // bounce rate per day: 30-minute gap sessions (the a7 method), a
+    // bounce being a single-event session; sessions date to their start.
+    // Exact counts and bp — the engagement-quality headline.
+    "ext_bounce_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val sessions = ev
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("ts_us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"))
+      sessions
+        .groupBy(expr("CAST(to_date(timestamp_micros(start_us)) AS STRING)")
+          .as("d"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .withColumn("bounce_bp", expr("n_bounces * 10000 div n_sessions"))
+        .orderBy(col("d"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -9954,6 +10011,59 @@ object SparkEntry {
         |  CAST(n * sxy - sx * sx AS DOUBLE) /
         |    CAST(n * sxx - sx * sx AS DOUBLE) AS spearman_rho
         |FROM m""".stripMargin,
+
+    // same offset join per lag, same co-moment assembly
+    "ext_acf" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, d, cents AS x,
+        |    unnest(generate_series(1, 7)) AS lag FROM daily),
+        |j AS (SELECT l.event_type, CAST(lag AS BIGINT) AS lag, x,
+        |    f.cents AS y
+        |  FROM l JOIN daily f ON f.event_type = l.event_type
+        |    AND f.d = l.d + CAST(lag AS INTEGER)),
+        |m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM j GROUP BY 1, 2)
+        |SELECT event_type, lag, n, sx, sy, sxy, sxx, syy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+        |FROM m ORDER BY event_type, lag""".stripMargin,
+
+    // same 30-minute gap rule, same start-dated sessions
+    "ext_bounce_rate" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |g AS (SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |sid AS (SELECT user_id, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+        |    min(ts_us) AS start_us
+        |  FROM sid GROUP BY 1, 2),
+        |d AS (SELECT CAST(CAST(make_timestamp(start_us) AS DATE)
+        |      AS VARCHAR) AS d,
+        |    n_events FROM sess)
+        |SELECT d, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 10000 // CAST(count(*) AS BIGINT) AS bounce_bp
+        |FROM d GROUP BY 1 ORDER BY d""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
