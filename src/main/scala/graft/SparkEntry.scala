@@ -3539,6 +3539,70 @@ object SparkEntry {
         .orderBy(col("d"))
     }),
 
+    // two-sample Kolmogorov-Smirnov, EXACT: scale the ECDF gap by n1·n2
+    // and |c1·n2 − c2·n1| is an integer at every distinct value — the max
+    // and its earliest location are exact comparisons, with the classical
+    // D restored by one mirrored division (no float ECDFs anywhere)
+    "ext_ks_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((money(col("value")) * 100).cast("long").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"))
+      val byVal = v.groupBy(col("cents"))
+        .agg(sum(col("g1")).as("d1"),
+          sum(lit(1L) - col("g1")).as("d2"))
+      val w = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      val curve = byVal
+        .withColumn("c1", sum(col("d1")).over(w))
+        .withColumn("c2", sum(col("d2")).over(w))
+        .withColumn("n1", sum(col("d1")).over(tot))
+        .withColumn("n2", sum(col("d2")).over(tot))
+        .withColumn("gap", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      val peak = curve.agg(max(col("gap")).as("d_scaled"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      peak.join(curve.select(col("gap"), col("cents")),
+          col("d_scaled") === col("gap"))
+        .groupBy(col("n1"), col("n2"), col("d_scaled"))
+        .agg(min(col("cents")).as("at_cents"))
+        .select(col("n1"), col("n2"), col("d_scaled"), col("at_cents"),
+          (col("d_scaled").cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("ks_d"))
+    }),
+
+    // change-point locator over daily revenue: the split k maximizing the
+    // cross-multiplied mean gap |S1·(n−k) − (S−S1)·k| — integer-exact at
+    // every candidate (the fractional between-segment variance ranks
+    // splits in the same order), earliest argmax, truncating segment means
+    "ext_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      val curve = daily
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("cents")).over(w))
+        .withColumn("n", count(lit(1)).over(tot))
+        .withColumn("s", sum(col("cents")).over(tot))
+        .filter(col("k") < col("n"))
+        .withColumn("gap", abs(col("s1") * (col("n") - col("k")) -
+          (col("s") - col("s1")) * col("k")))
+      val peak = curve.agg(max(col("gap")).as("d_max"))
+      peak.join(curve.select(col("gap"), col("d"), col("k"), col("s1"),
+          col("n"), col("s")), col("d_max") === col("gap"))
+        .orderBy(col("d"))
+        .limit(1)
+        .select(col("d").cast("string").as("split_after"), col("k"),
+          col("n"), col("d_max"),
+          expr("s1 div k").as("mean_before_cents"),
+          expr("(s - s1) div (n - k)").as("mean_after_cents"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -10064,6 +10128,49 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    * 10000 // CAST(count(*) AS BIGINT) AS bounce_bp
         |FROM d GROUP BY 1 ORDER BY d""".stripMargin,
+
+    // same scaled integer ECDF gap, same earliest-peak pick
+    "ext_ks_test" ->
+      """WITH v AS (SELECT
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |bv AS (SELECT cents, CAST(sum(g1) AS BIGINT) AS d1,
+        |    CAST(sum(1 - g1) AS BIGINT) AS d2 FROM v GROUP BY 1),
+        |c AS (SELECT cents,
+        |    CAST(sum(d1) OVER w AS BIGINT) AS c1,
+        |    CAST(sum(d2) OVER w AS BIGINT) AS c2,
+        |    CAST(sum(d1) OVER () AS BIGINT) AS n1,
+        |    CAST(sum(d2) OVER () AS BIGINT) AS n2
+        |  FROM bv WINDOW w AS (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT cents, n1, n2, abs(c1 * n2 - c2 * n1) AS gap FROM c),
+        |p AS (SELECT CAST(max(gap) AS BIGINT) AS d_scaled FROM g)
+        |SELECT n1, n2, d_scaled, CAST(min(cents) AS BIGINT) AS at_cents,
+        |  CAST(d_scaled AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_d
+        |FROM g JOIN p ON g.gap = p.d_scaled
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // same cross-multiplied gap, same earliest argmax and truncating means
+    "ext_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT d,
+        |    CAST(count(*) OVER w AS BIGINT) AS k,
+        |    CAST(sum(cents) OVER w AS BIGINT) AS s1,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS s
+        |  FROM daily WINDOW w AS (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT d, k, s1, n, s,
+        |    abs(s1 * (n - k) - (s - s1) * k) AS gap FROM c WHERE k < n),
+        |p AS (SELECT CAST(max(gap) AS BIGINT) AS d_max FROM g)
+        |SELECT CAST(d AS VARCHAR) AS split_after, k, n, d_max,
+        |  s1 // k AS mean_before_cents,
+        |  (s - s1) // (n - k) AS mean_after_cents
+        |FROM g JOIN p ON g.gap = p.d_max
+        |ORDER BY d LIMIT 1""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
