@@ -3603,6 +3603,35 @@ object SparkEntry {
           expr("(s - s1) div (n - k)").as("mean_after_cents"))
     }),
 
+    // Mann-Whitney U, EXACT: midranks doubled (2·before + d + 1 is always
+    // an integer) make the tied rank-sum exact, so U arrives as an integer
+    // with no float ranks; U/(n1·n2) — the probability a purchase value
+    // exceeds a view value — restored by one mirrored division. With
+    // ext_ks_test (distribution gap) and Kendall/Spearman (association),
+    // this closes the classic nonparametric kit.
+    "ext_mann_whitney" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((money(col("value")) * 100).cast("long").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"))
+      val byVal = v.groupBy(col("cents"))
+        .agg(sum(col("g1")).as("d1"), sum(lit(1L) - col("g1")).as("d2"))
+      val w = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal
+        .withColumn("cum", sum(col("d1") + col("d2")).over(w))
+        .withColumn("before", col("cum") - col("d1") - col("d2"))
+        .agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"),
+          sum(col("d1") *
+            (col("before") * 2 + col("d1") + col("d2") + 1)).as("r1_2x"))
+        .select(col("n1"), col("n2"),
+          (col("r1_2x") - col("n1") * (col("n1") + 1)).as("u1_2x"),
+          ((col("r1_2x") - col("n1") * (col("n1") + 1)).cast("double") /
+            (col("n1") * col("n2") * 2).cast("double"))
+            .as("p_purchase_gt_view"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -10171,6 +10200,28 @@ object SparkEntry {
         |  (s - s1) // (n - k) AS mean_after_cents
         |FROM g JOIN p ON g.gap = p.d_max
         |ORDER BY d LIMIT 1""".stripMargin,
+
+    // same doubled midranks, same integer U
+    "ext_mann_whitney" ->
+      """WITH v AS (SELECT
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |bv AS (SELECT cents, CAST(sum(g1) AS BIGINT) AS d1,
+        |    CAST(sum(1 - g1) AS BIGINT) AS d2 FROM v GROUP BY 1),
+        |c AS (SELECT d1, d2,
+        |    CAST(sum(d1 + d2) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - d1 - d2 AS before
+        |  FROM bv),
+        |m AS (SELECT CAST(sum(d1) AS BIGINT) AS n1,
+        |    CAST(sum(d2) AS BIGINT) AS n2,
+        |    CAST(sum(d1 * (before * 2 + d1 + d2 + 1)) AS BIGINT) AS r1_2x
+        |  FROM c)
+        |SELECT n1, n2, r1_2x - n1 * (n1 + 1) AS u1_2x,
+        |  CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) /
+        |    CAST(n1 * n2 * 2 AS DOUBLE) AS p_purchase_gt_view
+        |FROM m""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
