@@ -99,6 +99,34 @@ object GraftProperties extends Properties("graft") {
         a.forall(_.forall(d => !d.isNaN && !d.isInfinite)) :| "finite"
     }
 
+  // ---- Damerau-Levenshtein metric properties -------------------------
+
+  private val shortStr: Gen[String] =
+    Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  private def dl(a: String, b: String): Int =
+    graft.functions.DamerauLevenshtein.distance(
+      a.codePoints().toArray, b.codePoints().toArray)
+
+  property("damerau: metric axioms over a small alphabet") =
+    forAll(shortStr, shortStr, shortStr) { (a, b, c) =>
+      (dl(a, a) == 0) :| "identity" &&
+        (dl(a, b) == dl(b, a)) :| "symmetry" &&
+        ((a == b) == (dl(a, b) == 0)) :| "separation" &&
+        (dl(a, c) <= dl(a, b) + dl(b, c)) :| "triangle inequality" &&
+        (dl(a, b) >= math.abs(a.length - b.length)) :| "length lower bound" &&
+        (dl(a, b) <= math.max(a.length, b.length)) :| "length upper bound"
+    }
+
+  property("damerau: adjacent transposition costs exactly one") =
+    forAll(shortStr.suchThat(_.length >= 2), Gen.choose(0, 6)) { (s, off) =>
+      val i = off % (s.length - 1)
+      val t = s.substring(0, i) + s.charAt(i + 1) + s.charAt(i) +
+        s.substring(i + 2)
+      (dl(s, t) <= 1) :| s"one swap must cost <= 1: '$s' vs '$t'"
+    }
+
   // ---- content-hash sampling thresholds ------------------------------
 
   property("hexThreshold: 8 lowercase hex chars, monotone, pinned endpoints") =
