@@ -113,6 +113,27 @@ object SparkEntry {
       |SELECT event_type, rank, user_id, cents FROM r WHERE rank <= 3
       |ORDER BY event_type, rank""".stripMargin
 
+  /** Shared oracle for `ext_basket_rules` and its basket-whole incremental
+    * streaming twin `stream_basket_rules`: the same dedup'd self-join,
+    * integer bp, and one mirrored lift division. */
+  private val basketRulesSql =
+    """WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
+      |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM bi GROUP BY 1),
+      |p AS (SELECT x.i AS item_a, y.i AS item_b,
+      |    CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT item_a, item_b, n_ab, a.ni AS n_a, b.ni AS n_b, n_baskets,
+      |  n_ab * 10000 // n_baskets AS support_bp,
+      |  n_ab * 10000 // a.ni AS conf_a_to_b_bp,
+      |  n_ab * 10000 // b.ni AS conf_b_to_a_bp,
+      |  CAST(n_ab * n_baskets AS DOUBLE) / CAST(a.ni * b.ni AS DOUBLE)
+      |    AS lift
+      |FROM p JOIN ic a ON a.i = item_a JOIN ic b ON b.i = item_b
+      |CROSS JOIN nb ORDER BY item_a, item_b""".stripMargin
+
   /** Shared oracle for `ext_growth_accounting` and its week-per-batch
     * streaming twin: the one-week shift full-outer join with flags, weeks
     * cropped to the corpus range. */
@@ -5862,6 +5883,13 @@ object SparkEntry {
     // finalize to the batch heap row (same oracle)
     "stream_topk_users" -> ((s, dir) => streamTopkUsers(s, dir)),
 
+    // incremental market basket: batches partition the ORDER key space so
+    // every basket arrives whole, making pair/item/basket counts purely
+    // ADDITIVE state — each micro-batch merges its counts in, and the
+    // rules compute once from the final counters (same oracle as the
+    // one-shot rules)
+    "stream_basket_rules" -> ((s, dir) => streamBasketRules(s, dir)),
+
     // streaming CUSUM drift monitor: the production calibrate-then-monitor
     // shape — the reference level is the per-type mean fixed by the batch
     // calibration pass, then daily micro-batches fold the greatest(0, ...)
@@ -6541,6 +6569,74 @@ object SparkEntry {
         col("__e.id").as("user_id"),
         col("__e.score").cast("long").as("cents"))
       .orderBy(col("event_type"), col("rank"))
+  }
+
+  /** The run behind `stream_basket_rules`: distinct (order, brand) rows
+    * fed in four micro-batches split BY ORDER KEY (baskets never straddle
+    * batches), so the three counter families — pair counts, item counts,
+    * basket count — are additive across batches; each batch computes its
+    * own counts and merges them into the persisted state, and the rules
+    * project once from the final counters. */
+  private def streamBasketRules(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val base = sys.props("java.io.tmpdir") + "/graft-basket-stream-" +
+      math.abs(dir.hashCode)
+    deleteRecursively(base)
+    val bi = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("b"), col("p_brand").as("i")).distinct()
+      .as[(Long, String)].collect()
+    val chunkOf = (b: Long) => (b % 4).toInt
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("b", "i").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pairs = batch.select(col("b"), col("i").as("item_a"))
+          .join(batch.select(col("b"), col("i").as("item_b")), Seq("b"))
+          .filter(col("item_a") < col("item_b"))
+          .groupBy(col("item_a"), col("item_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        val items = batch.groupBy(col("i")).agg(count(lit(1)).as("ni"))
+        val nb = batch.select(countDistinct(col("b")).as("nb"))
+        def merge(dirName: String, delta: DataFrame, keys: Seq[String],
+            cnt: String): Unit = {
+          val path = s"$base/$dirName"
+          val merged =
+            if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+              delta
+            else s.read.parquet(path).unionByName(delta)
+              .groupBy(keys.map(col): _*)
+              .agg(sum(col(cnt)).as(cnt))
+          graft.util.Checkpoints.cut(merged)
+            .write.mode("overwrite").parquet(path)
+        }
+        merge("pairs", pairs, Seq("item_a", "item_b"), "n_ab")
+        merge("items", items, Seq("i"), "ni")
+        merge("baskets", nb.select(lit(0L).as("k"), col("nb")), Seq("k"), "nb")
+      }.start()
+    try (0 until 4).foreach { c =>
+      ms.addData(bi.filter(t => chunkOf(t._1) == c).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = s.read.parquet(s"$base/pairs").filter(col("n_ab") >= 5L)
+    val items = s.read.parquet(s"$base/items")
+    val nb = s.read.parquet(s"$base/baskets")
+      .select(col("nb").as("n_baskets"))
+    pairs
+      .join(broadcast(items.select(col("i").as("item_a"),
+        col("ni").as("n_a"))), Seq("item_a"))
+      .join(broadcast(items.select(col("i").as("item_b"),
+        col("ni").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nb))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        expr("n_ab * 10000 div n_baskets").as("support_bp"),
+        expr("n_ab * 10000 div n_a").as("conf_a_to_b_bp"),
+        expr("n_ab * 10000 div n_b").as("conf_b_to_a_bp"),
+        ((col("n_ab") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("item_a"), col("item_b"))
   }
 
   /** The run behind `stream_cusum`: per-type daily cents fed one day per
@@ -9195,23 +9291,10 @@ object SparkEntry {
 
     // same dedup'd basket-item self-join, same integer bp, same one
     // mirrored lift division
-    "ext_basket_rules" ->
-      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
-        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM bi GROUP BY 1),
-        |p AS (SELECT x.i AS item_a, y.i AS item_b,
-        |    CAST(count(*) AS BIGINT) AS n_ab
-        |  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
-        |  GROUP BY 1, 2 HAVING count(*) >= 5)
-        |SELECT item_a, item_b, n_ab, a.ni AS n_a, b.ni AS n_b, n_baskets,
-        |  n_ab * 10000 // n_baskets AS support_bp,
-        |  n_ab * 10000 // a.ni AS conf_a_to_b_bp,
-        |  n_ab * 10000 // b.ni AS conf_b_to_a_bp,
-        |  CAST(n_ab * n_baskets AS DOUBLE) / CAST(a.ni * b.ni AS DOUBLE)
-        |    AS lift
-        |FROM p JOIN ic a ON a.i = item_a JOIN ic b ON b.i = item_b
-        |CROSS JOIN nb ORDER BY item_a, item_b""".stripMargin,
+    "ext_basket_rules" -> basketRulesSql,
+
+    // additive counters over whole baskets must finalize identically
+    "stream_basket_rules" -> basketRulesSql,
 
     // same symmetrized edges, same degree moments, same oriented-triple
     // triangle count scaled by 3
