@@ -3653,6 +3653,52 @@ object SparkEntry {
             .as("p_purchase_gt_view"))
     }),
 
+    // the Lorenz curve ext_gini summarizes, as a 10-row table: users
+    // ranked ascending by exact revenue, cut into population deciles by
+    // the rank formula, cumulative revenue share per decile in exact bp —
+    // "the bottom 50% of customers hold X% of revenue", read directly
+    "ext_lorenz_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      val w = Window.orderBy(col("cents").asc, col("user_id").asc)
+      perUser
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("cum", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+        .withColumn("decile", expr("(r * 10 + n - 1) div n")) // ceil(10r/n)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), max(col("r")).as("r_top"),
+          max(col("cum")).as("cum_cents"), max(col("total")).as("total"))
+        .select(col("decile"), col("n_users"),
+          expr("cum_cents * 10000 div total").as("cum_share_bp"))
+        .orderBy(col("decile"))
+    }),
+
+    // exact mode of per-event cents per type: argmax of the value
+    // histogram with the (count DESC, value ASC) rank-1 tie rule — the
+    // missing basic descriptive statistic (mean/median live elsewhere);
+    // the window runs over the per-type histogram, never the events
+    "ext_mode_value" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          (money(col("value")) * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("freq"))
+        .withColumn("r", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("freq").desc, col("cents").asc)))
+        .filter(col("r") === 1)
+        .select(col("event_type"), col("cents").as("mode_cents"),
+          col("freq").as("mode_freq"))
+        .orderBy(col("event_type"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -10305,6 +10351,39 @@ object SparkEntry {
         |  CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) /
         |    CAST(n1 * n2 * 2 AS DOUBLE) AS p_purchase_gt_view
         |FROM m""".stripMargin,
+
+    // same ranked deciles, same cumulative bp at each decile top
+    "ext_lorenz_curve" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents ASC, user_id ASC)
+        |      AS BIGINT) AS r,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(cents) OVER (ORDER BY cents ASC, user_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total
+        |  FROM pu),
+        |d AS (SELECT (r * 10 + n - 1) // n AS decile, r, cum, total FROM r)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(max(cum) AS BIGINT) * 10000 // CAST(max(total) AS BIGINT)
+        |    AS cum_share_bp
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    // same histogram argmax, same tie rule
+    "ext_mode_value" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS freq
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, cents, freq,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY freq DESC, cents ASC) AS r
+        |  FROM h)
+        |SELECT event_type, cents AS mode_cents, freq AS mode_freq
+        |FROM r WHERE r = 1 ORDER BY event_type""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
