@@ -3699,6 +3699,33 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // binary media-format sniffing: deterministic magic bytes (PNG / JPEG
+    // / RIFF) prepended per doc, then detected back from the raw binary
+    // column by hex-prefix compare — the opaque-bytes plumbing (concat,
+    // hex, byte length on binary) a media-ingest census needs, exact
+    // counts and share bp per detected format
+    "ext_media_sniff" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val magic = when(col("doc_id") % 4 === 0, unhex(lit("89504E47")))
+        .when(col("doc_id") % 4 === 1, unhex(lit("FFD8FFE0")))
+        .when(col("doc_id") % 4 === 2, unhex(lit("52494646")))
+        .otherwise(lit("").cast("binary"))
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        concat(magic, col("text").cast("binary")).as("bytes"))
+      media
+        .select(
+          when(substring(hex(col("bytes")), 1, 8) === "89504E47", "png")
+            .when(substring(hex(col("bytes")), 1, 8) === "FFD8FFE0", "jpeg")
+            .when(substring(hex(col("bytes")), 1, 8) === "52494646", "riff")
+            .otherwise("raw").as("format"),
+          length(col("bytes")).cast("long").as("len"))
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_files"), sum(col("len")).as("total_bytes"))
+        .withColumn("share_bp", expr("n_files * 10000 div " +
+          "sum(n_files) OVER ()"))
+        .orderBy(col("format"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -10384,6 +10411,28 @@ object SparkEntry {
         |  FROM h)
         |SELECT event_type, cents AS mode_cents, freq AS mode_freq
         |FROM r WHERE r = 1 ORDER BY event_type""".stripMargin,
+
+    // same synthesized magic bytes, same hex-prefix detection
+    "ext_media_sniff" ->
+      """WITH m AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN unhex('89504E47')
+        |      WHEN doc_id % 4 = 1 THEN unhex('FFD8FFE0')
+        |      WHEN doc_id % 4 = 2 THEN unhex('52494646')
+        |      ELSE encode('') END) || encode(text) AS bytes
+        |  FROM documents),
+        |f AS (SELECT
+        |    CASE WHEN left(hex(bytes), 8) = '89504E47' THEN 'png'
+        |      WHEN left(hex(bytes), 8) = 'FFD8FFE0' THEN 'jpeg'
+        |      WHEN left(hex(bytes), 8) = '52494646' THEN 'riff'
+        |      ELSE 'raw' END AS format,
+        |    CAST(octet_length(bytes) AS BIGINT) AS len
+        |  FROM m),
+        |g AS (SELECT format, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(len) AS BIGINT) AS total_bytes FROM f GROUP BY 1)
+        |SELECT format, n_files, total_bytes,
+        |  n_files * 10000 // CAST(sum(n_files) OVER () AS BIGINT)
+        |    AS share_bp
+        |FROM g ORDER BY format""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
