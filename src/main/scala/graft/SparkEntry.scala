@@ -3726,6 +3726,60 @@ object SparkEntry {
         .orderBy(col("format"))
     }),
 
+    // ABC inventory classification: parts ranked by exact revenue, class A
+    // until the strictly-before cumulative share reaches 80%, B until 95%,
+    // C beyond (the pareto head rule at two thresholds); reported as the
+    // per-class census every inventory policy starts from
+    "ext_abc_classification" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg((sum(money(col("l_extendedprice"))) * 100).cast("long")
+          .as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perPart
+        .withColumn("cum", sum(col("cents")).over(w))
+        .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+        .withColumn("before_bp",
+          expr("(cum - cents) * 10000 div total"))
+        .withColumn("abc", when(col("before_bp") < 8000, "A")
+          .when(col("before_bp") < 9500, "B").otherwise("C"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("class_cents"))
+        .withColumn("revenue_share_bp",
+          expr("class_cents * 10000 div sum(class_cents) OVER ()"))
+        .orderBy(col("abc"))
+    }),
+
+    // split parity audit: the engine's own stratified split graded for
+    // distribution drift — per (split, lang) share in exact bp against
+    // the corpus share, max absolute deviation per split (a split whose
+    // language mix drifts from the corpus leaks evaluation signal)
+    "ext_split_parity" -> ((s, dir) => {
+      val split = graft.operators.Sampling.stratifiedSplit(
+          Tables.documents(s, dir), "source", "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split"))
+      val corpus = split.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_corpus"))
+        .withColumn("corpus_total", sum(col("n_corpus")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("lang"), expr("n_corpus * 10000 div corpus_total")
+          .as("corpus_bp"))
+      val per = split.groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("split_total", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("split"))))
+        .select(col("split"), col("lang"),
+          expr("n * 10000 div split_total").as("split_bp"))
+      per.join(broadcast(corpus), Seq("lang"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_langs"),
+          max(abs(col("split_bp") - col("corpus_bp"))).as("max_dev_bp"))
+        .orderBy(col("split"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -10433,6 +10487,57 @@ object SparkEntry {
         |  n_files * 10000 // CAST(sum(n_files) OVER () AS BIGINT)
         |    AS share_bp
         |FROM g ORDER BY format""".stripMargin,
+
+    // same strictly-before thresholds at 80/95
+    "ext_abc_classification" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT l_partkey, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total
+        |  FROM pp),
+        |c AS (SELECT CASE WHEN (cum - cents) * 10000 // total < 8000
+        |      THEN 'A'
+        |    WHEN (cum - cents) * 10000 // total < 9500 THEN 'B'
+        |    ELSE 'C' END AS abc, cents
+        |  FROM r),
+        |g AS (SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |    CAST(sum(cents) AS BIGINT) AS class_cents FROM c GROUP BY 1)
+        |SELECT abc, n_parts, class_cents,
+        |  class_cents * 10000 // CAST(sum(class_cents) OVER () AS BIGINT)
+        |    AS revenue_share_bp
+        |FROM g ORDER BY abc""".stripMargin,
+
+    // the x24 split replayed, then the same bp-parity comparison
+    "ext_split_parity" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(doc_id::VARCHAR || '#split'), 1, 8),
+        |        doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |    CASE WHEN rnk <= floor(CAST(0.8 AS DOUBLE) * n) THEN 'train'
+        |      WHEN rnk <= floor(CAST(0.9 AS DOUBLE) * n) THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM r),
+        |corpus AS (SELECT lang,
+        |    CAST(count(*) AS BIGINT) * 10000 //
+        |      CAST(sum(count(*)) OVER () AS BIGINT) AS corpus_bp
+        |  FROM s GROUP BY 1),
+        |per AS (SELECT split, lang,
+        |    CAST(count(*) AS BIGINT) * 10000 //
+        |      CAST(sum(count(*)) OVER (PARTITION BY split) AS BIGINT)
+        |      AS split_bp
+        |  FROM s GROUP BY 1, 2)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_langs,
+        |  CAST(max(abs(split_bp - corpus_bp)) AS BIGINT) AS max_dev_bp
+        |FROM per JOIN corpus ON corpus.lang = per.lang
+        |GROUP BY 1 ORDER BY split""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
