@@ -3780,6 +3780,76 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // behavioral segmentation by dominant event type: each user's rank-1
+    // type (count DESC, name ASC tie rule), rolled to a segment census
+    // with the dominant type's average share of the user's activity in bp
+    "ext_dominant_type" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(
+          Window.partitionBy(col("user_id"))))
+      cnt.withColumn("r", row_number().over(Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("event_type").asc)))
+        .filter(col("r") === 1)
+        .withColumn("share_bp", expr("n * 10000 div total"))
+        .groupBy(col("event_type").as("dominant_type"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("sum(share_bp) div count(1)").as("avg_share_bp"))
+        .orderBy(col("dominant_type"))
+    }),
+
+    // hour-of-day activity profile: counts per (type, hour) with each
+    // type's peak hour picked rank-1 — the intra-day complement to the
+    // weekday seasonality rows
+    "ext_peak_hour" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byHour = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      byHour
+        .withColumn("r", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("hr").asc)))
+        .withColumn("total", sum(col("n")).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("r") === 1)
+        .select(col("event_type"), col("hr").as("peak_hour"),
+          col("n").as("peak_n"),
+          expr("n * 10000 div total").as("peak_share_bp"))
+        .orderBy(col("event_type"))
+    }),
+
+    // repeat-purchase rate: one-time vs repeat buyers, repeat share bp,
+    // and the repeat buyers' mean first-to-second gap in exact days (the
+    // second purchase picked by the rank formula over the (ts, id) order)
+    "ext_repeat_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .withColumn("r", row_number().over(Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))))
+      val firsts = p.filter(col("r") === 1)
+        .select(col("user_id"), col("ts_us").as("t1"))
+      val seconds = p.filter(col("r") === 2)
+        .select(col("user_id"), col("ts_us").as("t2"))
+      val perUser = firsts.join(seconds, Seq("user_id"), "left_outer")
+      perUser.agg(count(lit(1)).as("n_buyers"),
+          sum(when(col("t2").isNotNull, 1L).otherwise(0L))
+            .as("n_repeat"),
+          expr("sum(CASE WHEN t2 IS NOT NULL THEN " +
+            "(t2 - t1) div 86400000000 ELSE 0 END)").as("gap_days_sum"))
+        .select(col("n_buyers"), col("n_repeat"),
+          expr("n_repeat * 10000 div n_buyers").as("repeat_bp"),
+          expr("CASE WHEN n_repeat = 0 THEN 0L " +
+            "ELSE gap_days_sum div n_repeat END").as("mean_gap_days"))
+    }),
+
     // cohort LTV curves: users cohorted by FIRST purchase date, revenue
     // rolled up per (cohort, age-in-days) in exact cents, then the
     // cumulative lifetime value per cohort via one window over the
@@ -10538,6 +10608,60 @@ object SparkEntry {
         |  CAST(max(abs(split_bp - corpus_bp)) AS BIGINT) AS max_dev_bp
         |FROM per JOIN corpus ON corpus.lang = per.lang
         |GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // same rank-1 dominants, same truncating average of bp shares
+    "ext_dominant_type" ->
+      """WITH c AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, event_type, n,
+        |    CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS total,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type ASC) AS r
+        |  FROM c),
+        |d AS (SELECT event_type, n * 10000 // total AS share_bp FROM t
+        |  WHERE r = 1)
+        |SELECT event_type AS dominant_type,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(share_bp) AS BIGINT) // count(*) AS avg_share_bp
+        |FROM d GROUP BY 1 ORDER BY dominant_type""".stripMargin,
+
+    // same (type, hour) histogram, same rank-1 peak
+    "ext_peak_hour" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, hr, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, hr ASC) AS r
+        |  FROM h)
+        |SELECT event_type, hr AS peak_hour, n AS peak_n,
+        |  n * 10000 // total AS peak_share_bp
+        |FROM r WHERE r = 1 ORDER BY event_type""".stripMargin,
+
+    // same rank-picked first/second purchases, same truncating gaps
+    "ext_repeat_rate" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS r
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, ts_us AS t1 FROM p WHERE r = 1),
+        |s AS (SELECT user_id, ts_us AS t2 FROM p WHERE r = 2),
+        |j AS (SELECT f.user_id, t1, t2 FROM f
+        |  LEFT JOIN s ON s.user_id = f.user_id),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_buyers,
+        |    CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_repeat,
+        |    CAST(sum(CASE WHEN t2 IS NOT NULL
+        |      THEN (t2 - t1) // 86400000000 ELSE 0 END) AS BIGINT)
+        |      AS gap_days_sum
+        |  FROM j)
+        |SELECT n_buyers, n_repeat,
+        |  n_repeat * 10000 // n_buyers AS repeat_bp,
+        |  CASE WHEN n_repeat = 0 THEN 0
+        |    ELSE gap_days_sum // n_repeat END AS mean_gap_days
+        |FROM m""".stripMargin,
 
     // same first-purchase cohorts, same exact-cent cumulative window
     "ext_cohort_ltv" ->
