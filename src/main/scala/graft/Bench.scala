@@ -305,10 +305,14 @@ object Bench {
         new java.io.File(smallDir, "lineitem.parquet").exists()
       if (!ladderOn) "{}"
       else {
+        // beyond the relational core (VERDICT r9 #6): one graph row, one
+        // warehouse row, one heavy set-similarity row — the tiers where
+        // "survives 100x" matters most get a measured ratio too
         val core = Seq("q1_lineitem_agg", "q3_join_revenue", "q5_region_revenue",
           "q9_nation_profit", "q18_large_orders", "a2_windowed_spend",
           "w2_running_total", "ext_dedup_minhash", "ext_knn_brute",
-          "ext_text_profile").flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+          "ext_text_profile", "x33_pagerank", "x44_upsert",
+          "ext_setsim_prefix").flatMap(n => SparkEntry.queries.get(n).map(n -> _))
         def pass(dir: String) = core.map { case (n, fn) => n -> runOnceIn(fn, dir) }
         val small = pass(smallDir) ++ pass(smallDir)
         val big = pass(sfDir) ++ pass(sfDir)
@@ -780,11 +784,21 @@ object Bench {
       // only that; rank error at fraction 1/1000 is ~sqrt(.25/20k) = 0.35%.
       // The value column decorrelates from the sample hash (xxhash64 vs
       // md5) so the sample is honest.
-      def quantileRelation = spark.range(20000000L).select(
+      def quantileRelationN(n: Long) = spark.range(n).select(
         col("id"), (pmod(xxhash64(col("id")), lit(1000000L)).cast("double") +
           col("id").cast("double") / 2e7).as("v"))
-      val sQ1 = stage("quantile_exact_20m") {
-        quantileRelation
+      def quantileRelation = quantileRelationN(20000000L)
+      // the single-reducer CONTROL (Spark's sort-into-one-digest
+      // `percentile`) runs at 2M, not 20M (VERDICT r9 #4): the r9 run
+      // measured 174 s at 20M — 6.5% of the whole bench wall re-proving a
+      // known anti-pattern every round. At 2M it still profiles as one
+      // ~17 s single task vs the distributed refinement's scan-parallel
+      // stages; the ENGINE path (quantile_exact_dist_20m) keeps its 20M
+      // stage, so the "shuffles carry counts, never values" claim is still
+      // executed at full scale. Historical 20M control: 174 s vs 11.3 s
+      // engine (r9).
+      val sQ1 = stage("quantile_exact_sort_2m") {
+        quantileRelationN(2000000L)
           .agg(org.apache.spark.sql.functions.percentile(col("v"),
             org.apache.spark.sql.functions.typedLit(
               Seq(0.01, 0.25, 0.5, 0.75, 0.99))).as("p"))
@@ -994,7 +1008,28 @@ object Bench {
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"samples":$sampleJson,"errors":$errors,"flaky_errors":$flakyErrors,"stream_events_per_sec":${eps.toLong},"stream_eps_core":$epsCoreJson,"stream_eps_samples":$epsSampleJson,"scaling_ladder":$ladderJson,"soak":$soakJson,"sf":"$sfDir"}"""
+    // graph-tier drift adjudicator (VERDICT r9 #5): x33/x35/x36 drifted
+    // +10-21% on unchanged code in r9 and the judge had to argue load from
+    // wall-clock context. Each watched row already carries >= 2 samples
+    // separated by an entire pass; report their spread, and name a spread
+    // > 1.25x "load" explicitly — two samples minutes apart agreeing means
+    // regression, disagreeing means a contention window.
+    val driftJson = {
+      val watched = Seq("x33_pagerank", "x35_triangles", "x36_kcore",
+        "x71_hits", "ext_join_estimate")
+      watched.flatMap { n =>
+        samples.get(n).map { ss =>
+          val clean = ss.collect { case Sample(t, _, None) => t }.sorted
+          val spread = if (clean.size >= 2 && clean.head > 0)
+            clean.last / clean.head else -1.0
+          val verdict =
+            if (clean.size < 2) "insufficient"
+            else if (spread > 1.25) "load" else "stable"
+          f""""$n":{"min":${if (clean.isEmpty) -1.0 else clean.head}%.3f,"max":${if (clean.isEmpty) -1.0 else clean.last}%.3f,"spread":$spread%.2f,"verdict":"$verdict"}"""
+        }
+      }.mkString("{", ",", "}")
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"samples":$sampleJson,"errors":$errors,"flaky_errors":$flakyErrors,"stream_events_per_sec":${eps.toLong},"stream_eps_core":$epsCoreJson,"stream_eps_samples":$epsSampleJson,"scaling_ladder":$ladderJson,"drift":$driftJson,"soak":$soakJson,"sf":"$sfDir"}"""
     println(line)
     // durability: the driver records only a truncated tail of stdout (r4 and
     // r5 both lost the per-query map past ~2,000 chars) — the full line also
@@ -1017,7 +1052,7 @@ object Bench {
     val slowest = results.collect { case (k, v, _, None, _) => (k, v) }
       .sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val tail = s"""{"metric":"total_tail","value":$total,"unit":"sec","queries_n":${results.size},"errors_n":${results.count(_._4.isDefined)},"stream_events_per_sec":${eps.toLong},"stream_eps_core":$epsCoreJson,"scaling_ladder":$ladderJson,"queries":$slowest,"queries_note":"slowest 12 of ${results.size}; full map in $outPath","sf":"$sfDir"}"""
+    val tail = s"""{"metric":"total_tail","value":$total,"unit":"sec","queries_n":${results.size},"errors_n":${results.count(_._4.isDefined)},"stream_events_per_sec":${eps.toLong},"stream_eps_core":$epsCoreJson,"scaling_ladder":$ladderJson,"drift":$driftJson,"queries":$slowest,"queries_note":"slowest 12 of ${results.size}; full map in $outPath","sf":"$sfDir"}"""
     // A SOAK_ONLY / stage-filtered iteration run has no query results; writing
     // its empty trailer over the durable file would hand the driver a
     // "queries_n":0 snapshot from the last full run (this exact thing got
@@ -1028,9 +1063,26 @@ object Bench {
       catch { case t: Throwable =>
         System.err.println(s"could not write bench_tail.json: $t") }
     }
+    // The trailer must be the LAST stdout act (VERDICT r9 #1: in r9 a
+    // StateStore maintenance thread logged "SparkEnv not active" AFTER the
+    // trailer and the driver's stdout parse broke). Three layers:
+    //  1. stop the streaming state maintenance task explicitly — the r9
+    //     offender is StateStore$MaintenanceTask firing after spark.stop;
+    //  2. silence log4j entirely before teardown — nothing Spark logs
+    //     during or after stop() can reach any console stream;
+    //  3. after printing, swap System.out for a sink so any direct
+    //     stdout write from a late daemon thread lands nowhere.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    catch { case _: Throwable => () }
     spark.stop() // before the final print: Spark's shutdown logs otherwise land after it
     println(tail)
     System.out.flush()
+    System.setOut(new java.io.PrintStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = ()
+    }))
   }
 
   /** Streaming-state soak: 2M events through the canonical pipeline in 10

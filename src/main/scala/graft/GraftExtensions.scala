@@ -78,6 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProductHof)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.AutoSalt)
     // whole-operator tier: the native as-of join's planner strategy
     // (AsOfJoinPlan logical -> AsOfJoinExec sort-merge physical)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -173,6 +174,11 @@ object GraftExtensions {
         .contains(graft.plans.TopKRewrite)) {
       spark.sessionState.experimentalMethods.extraOptimizations ++=
         Seq(graft.plans.TopKRewrite)
+    }
+    if (!spark.sessionState.experimentalMethods.extraOptimizations
+        .contains(graft.plans.AutoSalt)) {
+      spark.sessionState.experimentalMethods.extraOptimizations ++=
+        Seq(graft.plans.AutoSalt)
     }
     if (!spark.sessionState.experimentalMethods.extraStrategies
         .contains(graft.plans.AsOfJoinStrategy)) {

@@ -237,18 +237,18 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN event_type <> 'purchase' AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS tn
       |  FROM events)
       |SELECT tp, fp, fn, tn,
-      |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
-      |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
-      |  CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1,
-      |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
+      |  CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0) AS precision,
+      |  CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fn AS DOUBLE), 0) AS recall,
+      |  CAST(tp * 2 AS DOUBLE) / NULLIF(CAST(tp * 2 + fp + fn AS DOUBLE), 0) AS f1,
+      |  CAST(tp + tn AS DOUBLE) / NULLIF(CAST(tp + fp + fn + tn AS DOUBLE), 0) AS accuracy,
       |  CAST((CAST(tp AS DECIMAL(18,0)) * CAST(tn AS DECIMAL(18,0)) -
       |        CAST(fp AS DECIMAL(18,0)) * CAST(fn AS DECIMAL(18,0)))
       |       * 2::DECIMAL(1,0) AS DOUBLE) /
-      |  CAST((CAST(tp AS DECIMAL(18,0)) + CAST(fp AS DECIMAL(18,0))) *
+      |  NULLIF(CAST((CAST(tp AS DECIMAL(18,0)) + CAST(fp AS DECIMAL(18,0))) *
       |       (CAST(fp AS DECIMAL(18,0)) + CAST(tn AS DECIMAL(18,0))) +
       |       (CAST(tp AS DECIMAL(18,0)) + CAST(fn AS DECIMAL(18,0))) *
       |       (CAST(fn AS DECIMAL(18,0)) + CAST(tn AS DECIMAL(18,0)))
-      |       AS DOUBLE) AS kappa
+      |       AS DOUBLE), 0) AS kappa
       |FROM c""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1167,6 +1167,48 @@ object SparkEntry {
       graft.operators.Skew.saltedDistinct(Tables.events(s, dir),
           Seq("user_id"), "event_type", "distinct_types", saltBuckets = 8)
         .orderBy(col("user_id"))),
+
+    // the AUTOMATIC twin of x21: the query text is a PLAIN
+    // COUNT(DISTINCT) — no salted verb anywhere — over a stats-bearing
+    // catalog table; [[graft.plans.AutoSalt]] CHOOSES the two-phase
+    // salted plan from ANALYZE statistics (few groups x enough rows x one
+    // distinct). Runs eagerly under scoped confs (cbo on, row floor sized
+    // to the gate SF) so session state is restored, and ASSERTS the
+    // rewrite fired — this row grades the optimizer path, never the plain
+    // plan. The oracle is the plain SQL: the rewrite must be invisible in
+    // the answer.
+    "ext_autosalt_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val t = "graft_autosalt_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      // a fresh metastore can survive alongside an old warehouse dir
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_type"), col("user_id"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS event_type")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoSalt.minRows" -> "1000")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          s"""SELECT event_type, count(DISTINCT user_id) AS users,
+             |  count(*) AS n FROM $t GROUP BY event_type""".stripMargin)
+        val plan = df.queryExecution.optimizedPlan
+        val nAggs = plan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.size
+        require(nAggs == 2 && plan.toString.contains("pmod"),
+          s"AutoSalt did not fire — this row must grade the salted plan:\n$plan")
+        df.orderBy(col("event_type")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+          .toDF("event_type", "users", "n")
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
 
     // salted join vs its plain equivalent (dim derived deterministically
     // from the fact table, so no extra input is needed)
@@ -2571,7 +2613,14 @@ object SparkEntry {
       val colm = cells.groupBy(col("st")).agg(sum(col("obs")).as("cm"))
       val tot = cells.agg(sum(col("obs")).as("n"),
         countDistinct(col("p")).as("nr"), countDistinct(col("st")).as("nc"))
-      cells.join(broadcast(rowm), Seq("p")).join(broadcast(colm), Seq("st"))
+      // DENSE cell grid (ADVICE r9): an absent (p, st) combination still
+      // has expected count rm*cm/n and must contribute to the statistic —
+      // cross the (tiny) marginals and fill obs = 0, so a sparse
+      // contingency table is no longer understated. The crossed marginals
+      // are nr x nc rows, both sides broadcast.
+      broadcast(rowm).crossJoin(broadcast(colm))
+        .join(cells, Seq("p", "st"), "left_outer")
+        .withColumn("obs", coalesce(col("obs"), lit(0L)))
         .crossJoin(broadcast(tot))
         .withColumn("contrib",
           ((col("obs") * col("n") - col("rm") * col("cm")).cast("double") *
@@ -6213,8 +6262,9 @@ object SparkEntry {
     val root = Paths.get(path)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => Files.deleteIfExists(p))
+      val s = Files.walk(root)
+      val files = try s.iterator().asScala.toSeq finally s.close()
+      files.reverseIterator.foreach(p => Files.deleteIfExists(p))
     }
   }
 
@@ -9249,6 +9299,13 @@ object SparkEntry {
       """SELECT user_id, count(DISTINCT event_type) AS distinct_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // the AutoSalt optimizer rewrite must be invisible in the answer —
+    // the oracle IS the plain count(DISTINCT)
+    "ext_autosalt_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // plain (inner) ASOF drops unmatched left rows
     "x6_asof_inner" ->
       """SELECT p.event_id, p.user_id, p.value, c.event_id AS click_event_id,
@@ -9714,7 +9771,9 @@ object SparkEntry {
         |ORDER BY d""".stripMargin,
 
     // same exact marginals, same mirrored per-cell division, same fixed
-    // (priority, status) fold order for the float sum
+    // (priority, status) fold order for the float sum; the grid is
+    // DENSIFIED by crossing the marginals (an absent cell contributes its
+    // full expected count), mirroring the Spark side exactly
     "ext_chi_square" ->
       """WITH cells AS (SELECT o_orderpriority AS p, o_orderstatus AS st,
         |    CAST(count(*) AS BIGINT) AS obs FROM orders GROUP BY 1, 2),
@@ -9725,12 +9784,15 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
         |    CAST(count(DISTINCT p) AS BIGINT) AS nr,
         |    CAST(count(DISTINCT st) AS BIGINT) AS nc FROM cells),
-        |con AS (SELECT cells.p, cells.st,
+        |dense AS (SELECT rm.p, cm.st, COALESCE(obs, CAST(0 AS BIGINT)) AS obs,
+        |    rm, cm
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ON cells.p = rm.p AND cells.st = cm.st),
+        |con AS (SELECT dense.p, dense.st,
         |    CAST(obs * n - rm * cm AS DOUBLE) *
         |    CAST(obs * n - rm * cm AS DOUBLE) /
         |    CAST(n * rm * cm AS DOUBLE) AS contrib, n, nr, nc
-        |  FROM cells JOIN rm ON rm.p = cells.p JOIN cm ON cm.st = cells.st
-        |  CROSS JOIN tot)
+        |  FROM dense CROSS JOIN tot)
         |SELECT n, (nr - 1) * (nc - 1) AS df,
         |  list_reduce(list(contrib ORDER BY p, st), (a, b) -> a + b) AS chi2
         |FROM con GROUP BY 1, 2""".stripMargin,
@@ -11713,18 +11775,18 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN lang <> 'en' AND lang_pred <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |  FROM j)
          |SELECT tp, fp, fn, tn,
-         |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
-         |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
-         |  CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1,
-         |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
+         |  CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0) AS precision,
+         |  CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fn AS DOUBLE), 0) AS recall,
+         |  CAST(tp * 2 AS DOUBLE) / NULLIF(CAST(tp * 2 + fp + fn AS DOUBLE), 0) AS f1,
+         |  CAST(tp + tn AS DOUBLE) / NULLIF(CAST(tp + fp + fn + tn AS DOUBLE), 0) AS accuracy,
          |  CAST((CAST(tp AS DECIMAL(18,0)) * CAST(tn AS DECIMAL(18,0)) -
          |        CAST(fp AS DECIMAL(18,0)) * CAST(fn AS DECIMAL(18,0)))
          |       * 2::DECIMAL(1,0) AS DOUBLE) /
-         |  CAST((CAST(tp AS DECIMAL(18,0)) + CAST(fp AS DECIMAL(18,0))) *
+         |  NULLIF(CAST((CAST(tp AS DECIMAL(18,0)) + CAST(fp AS DECIMAL(18,0))) *
          |       (CAST(fp AS DECIMAL(18,0)) + CAST(tn AS DECIMAL(18,0))) +
          |       (CAST(tp AS DECIMAL(18,0)) + CAST(fn AS DECIMAL(18,0))) *
          |       (CAST(fn AS DECIMAL(18,0)) + CAST(tn AS DECIMAL(18,0)))
-         |       AS DOUBLE) AS kappa
+         |       AS DOUBLE), 0) AS kappa
          |FROM cc""".stripMargin,
 
     // each check's metric replayed as the same single exact division; the
@@ -12433,7 +12495,7 @@ object SparkEntry {
         |  CAST(sum(neg) AS BIGINT) AS n_neg,
         |  CAST(sum(pos * (neg_below * 2 + neg)) AS BIGINT) AS auc_num2,
         |  CAST(sum(pos * (neg_below * 2 + neg)) AS DOUBLE) /
-        |    CAST(sum(pos) * sum(neg) * 2 AS DOUBLE) AS auc
+        |    NULLIF(CAST(sum(pos) * sum(neg) * 2 AS DOUBLE), 0) AS auc
         |FROM c GROUP BY segment ORDER BY segment""".stripMargin,
 
     "ext_eval_confusion" -> evalConfusionSql,

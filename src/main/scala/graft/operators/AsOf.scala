@@ -147,6 +147,20 @@ object AsOf {
     val lTs = lPlan.output.find(_.name == leftTs).getOrElse(
       sys.error(s"left ts '$leftTs' not found"))
     val rTs = rOut.find(_.name == rightPrefix + rightTs).get
+    // the merge operator compares timestamps as raw longs — accept only
+    // long-backed types at PLAN time so a DateType/IntegerType ts fails
+    // here with a named column instead of a ClassCastException at execute
+    // (ADVICE r9); the composed joinAsOf stays the any-orderable-type form
+    locally {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      Seq(("left", leftTs, lTs.dataType), ("right", rightTs, rTs.dataType))
+        .foreach { case (side, name, dt) => dt match {
+          case TimestampType | TimestampNTZType | LongType => ()
+          case other => sys.error(
+            s"joinAsOfNative requires a timestamp/long $side ts column; " +
+              s"'$name' is $other — cast it or use joinAsOf")
+        }}
+    }
     val node = graft.plans.AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTs, rTs)
     ColumnBridge.ofRows(left.sparkSession, node)
       .drop(keys.indices.map(i => s"__rk$i"): _*)

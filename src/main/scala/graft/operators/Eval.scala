@@ -46,8 +46,10 @@ object Eval {
       .groupBy(col("segment"))
       .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
         sum(col("pos") * (col("neg_below") * 2 + col("neg"))).as("auc_num2"))
-      .withColumn("auc", col("auc_num2").cast("double") /
-        (col("n_pos") * col("n_neg") * 2).cast("double"))
+      // a single-class group (n_pos or n_neg = 0) has no defined AUC —
+      // explicit NULL, never NaN (oracle mirrors with NULLIF)
+      .withColumn("auc", safeDiv(col("auc_num2").cast("double"),
+        (col("n_pos") * col("n_neg") * 2).cast("double")))
   }
 
   /** Confusion-matrix suite for a boolean classifier: tp/fp/fn/tn plus
@@ -75,14 +77,27 @@ object Eval {
     val kNum = (dec(tp) * dec(tn) - dec(fp) * dec(fn)) * 2
     val kDen = (dec(tp) + dec(fp)) * (dec(fp) + dec(tn)) +
       (dec(tp) + dec(fn)) * (dec(fn) + dec(tn))
+    // degenerate inputs (a zero denominator: no predicted positives, no
+    // labeled positives, an empty relation) surface as explicit NULL, not
+    // a silent NaN the downstream hash/grade layer can't distinguish —
+    // the same guard degreeAssortativity applies to its undefined case.
+    // The oracle mirrors with NULLIF on the identical cast denominators.
     counted.select(tp, fp, fn, tn,
-      (tp.cast("double") / (tp + fp).cast("double")).as("precision"),
-      (tp.cast("double") / (tp + fn).cast("double")).as("recall"),
-      ((tp * 2).cast("double") / (tp * 2 + fp + fn).cast("double")).as("f1"),
-      ((tp + tn).cast("double") / (tp + fp + fn + tn).cast("double"))
-        .as("accuracy"),
-      (kNum.cast("double") / kDen.cast("double")).as("kappa"))
+      safeDiv(tp.cast("double"), (tp + fp).cast("double")).as("precision"),
+      safeDiv(tp.cast("double"), (tp + fn).cast("double")).as("recall"),
+      safeDiv((tp * 2).cast("double"), (tp * 2 + fp + fn).cast("double"))
+        .as("f1"),
+      safeDiv((tp + tn).cast("double"),
+        (tp + fp + fn + tn).cast("double")).as("accuracy"),
+      safeDiv(kNum.cast("double"), kDen.cast("double")).as("kappa"))
   }
+
+  /** `num / den` with a zero denominator yielding NULL instead of
+    * NaN/Infinity — the non-zero branch divides the exact same cast
+    * operands, so defined values are bit-identical to the unguarded
+    * division (cross-engine mirror: `num / NULLIF(den, 0)`). */
+  private def safeDiv(num: Column, den: Column): Column =
+    when(den === 0.0, lit(null).cast("double")).otherwise(num / den)
 
   /** Term-frequency retrieval over an inverted-index shape: ONE pass
     * tokenizes the corpus, keeps only the query terms, counts tf per

@@ -310,20 +310,23 @@ object Graph {
       // total rides a one-row broadcast subplan; lineage is cut
       // PERIODICALLY only to stop later totals re-executing an
       // ever-deeper prefix when callers raise iters.
+      //
+      // Half-steps stay SPARSE (VERDICT r9 #3): a node absent from the
+      // aggregate holds score 0, and a 0 score contributes nothing to the
+      // next half-step's sums — and the rescale total sums the raw
+      // aggregate — so zero-filling every half-step (a node-scale
+      // left-outer join, twice per round) buys nothing. Absent nodes are
+      // zero-filled ONCE at the final emit.
       val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("v"))
       val aTot = aRaw.agg(sum(col("v")).as("sv"))
-      auth = nodes.join(aRaw, Seq("node"), "left_outer")
-        .crossJoin(broadcast(aTot))
-        .select(col("node"),
-          expr(s"coalesce(v, 0L) * ${scale}L div sv").as("a"))
+      auth = aRaw.crossJoin(broadcast(aTot))
+        .select(col("node"), expr(s"v * ${scale}L div sv").as("a"))
       val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("v"))
       val hTot = hRaw.agg(sum(col("v")).as("sv"))
-      hub = nodes.join(hRaw, Seq("node"), "left_outer")
-        .crossJoin(broadcast(hTot))
-        .select(col("node"),
-          expr(s"coalesce(v, 0L) * ${scale}L div sv").as("h"))
+      hub = hRaw.crossJoin(broadcast(hTot))
+        .select(col("node"), expr(s"v * ${scale}L div sv").as("h"))
       // at the DEFAULT depth (3) no cut fires — the whole computation is
       // one query; the cut exists for callers raising iters, where later
       // totals would otherwise re-execute an ever-deeper prefix
@@ -332,8 +335,12 @@ object Graph {
         hub = graft.util.Checkpoints.cut(hub)
       }
     }
-    hub.join(auth, Seq("node"))
-      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+    // the one place sparsity must become dense: every edge endpoint
+    // appears in the output, absent scores as exact 0
+    nodes.join(hub, Seq("node"), "left_outer")
+      .join(auth, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
   }
 
   /** Degree assortativity of the UNDIRECTED support of `edges`: the Pearson

@@ -299,8 +299,14 @@ object Versioned {
   private def parquetFileCount(path: String): Int = {
     val root = Paths.get(path)
     if (!Files.exists(root)) 0
-    else Files.walk(root).iterator().asScala
-      .count(_.getFileName.toString.endsWith(".parquet"))
+    else {
+      // Files.walk holds directory handles until closed — a compactWhere
+      // sweep over many partitions would otherwise exhaust fds
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
   }
 
   /** Policy-driven compaction: every partition whose dirs hold at least
@@ -364,8 +370,9 @@ object Versioned {
     dead.foreach { p =>
       val root = Paths.get(p)
       if (Files.exists(root)) {
-        Files.walk(root).iterator().asScala.toSeq.reverseIterator
-          .foreach(f => Files.deleteIfExists(f))
+        val s = Files.walk(root)
+        val files = try s.iterator().asScala.toSeq finally s.close()
+        files.reverseIterator.foreach(f => Files.deleteIfExists(f))
       }
     }
     (0 until keepFrom).foreach { v =>

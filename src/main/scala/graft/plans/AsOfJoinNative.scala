@@ -29,8 +29,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * on the right; right-side exact-ts ties resolve to the LAST row in the
   * partition's sort order, which is only deterministic if ties cannot
   * happen — the graded inputs guarantee uniqueness. Null join keys group
-  * like values (both sides sort nulls first); null timestamps are the
-  * caller's to filter.
+  * like values (both sides sort nulls first). Null timestamps have DEFINED
+  * semantics (ADVICE r9): a null left ts matches nothing (null-padded), a
+  * null right ts is never a candidate — neither silently unboxes to
+  * epoch 0.
   *
   * 100 TB shape: identical to a sort-merge join's — both sides hash-
   * partition on the key columns ([[ClusteredDistribution]], co-partitioned
@@ -137,20 +139,32 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
-          val lTsV = lTsBound.eval(l).asInstanceOf[Long]
+          // a NULL left ts is eligible for nothing (no `rightTs <= NULL`)
+          // — null-pad without consuming the right side, instead of the
+          // silent epoch-0 unboxing a bare asInstanceOf[Long] would do
+          // (ADVICE r9). Null-ts lefts sort FIRST within their key group,
+          // so skipping the consume loop cannot starve later left rows.
+          val lTsRaw = lTsBound.eval(l)
+          if (lTsRaw == null)
+            return resultProj(joined(l, nullRight))
+          val lTsV = lTsRaw.asInstanceOf[Long]
           // consume right rows that are behind (smaller key) or eligible
           // (same key, ts <= left ts); eligible rows overwrite the
           // candidate — sorted ascending, so the last one kept is the
-          // greatest eligible ts
+          // greatest eligible ts. A NULL right ts is never a candidate:
+          // consumed and discarded.
           var continue = rHead != null
           while (continue) {
             val c = keyOrd.compare(rHeadKey, lKey)
             if (c < 0) rHead = advanceRight()
-            else if (c == 0 &&
-                rTsBound.eval(rHead).asInstanceOf[Long] <= lTsV) {
-              cand = rHead.copy()
-              candKey = rHeadKey
-              rHead = advanceRight()
+            else if (c == 0) {
+              val rTsRaw = rTsBound.eval(rHead)
+              if (rTsRaw == null) rHead = advanceRight()
+              else if (rTsRaw.asInstanceOf[Long] <= lTsV) {
+                cand = rHead.copy()
+                candKey = rHeadKey
+                rHead = advanceRight()
+              } else continue = false
             } else continue = false
             if (rHead == null) continue = false
           }

@@ -62,4 +62,28 @@ class AsOfNativeSpec extends SparkSpec {
       "native and composed as-of disagree")
     assert(native.count() == l.count(), "LEFT semantics lost rows")
   }
+
+  test("null timestamps: null left null-pads, null right is never a candidate") {
+    // long-backed ts so nulls survive the projection (timestamp_micros(null))
+    val l = Seq((1L, Some(100L), "ok"), (1L, None, "null_ts"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((1L, Some(90L), "real"), (1L, None, "null_rts"))
+      .toDF("k", "ts", "c")
+    val out = AsOf.joinAsOfNative(l, r, Seq("k"), "ts", "ts")
+      .select($"tag", $"right_c")
+      .as[(String, Option[String])].collect().toMap
+    // a null left ts matches NOTHING (it must not unbox to epoch 0 and
+    // match); a null right ts is NEVER the candidate for a real left ts
+    assert(out == Map("ok" -> Some("real"), "null_ts" -> None), s"got $out")
+  }
+
+  test("non-long-backed ts columns are rejected at plan time, by name") {
+    val l = Seq((1L, 5, "a")).toDF("k", "ts", "tag") // IntegerType ts
+    val r = Seq((1L, 4, "b")).toDF("k", "ts", "c")
+    val e = intercept[RuntimeException] {
+      AsOf.joinAsOfNative(l, r, Seq("k"), "ts", "ts")
+    }
+    assert(e.getMessage.contains("ts") && e.getMessage.contains("IntegerType"),
+      s"expected a named plan-time type error, got: ${e.getMessage}")
+  }
 }
