@@ -737,15 +737,17 @@ object Bench {
             saltBuckets = 32, exact = false)
           .agg(org.apache.spark.sql.functions.count(col("t"))).collect()(0).getLong(0)
       }
-      // distinct contrast: count_distinct is the aggregate shape partial
-      // aggregation can NOT flatten — the map side dedups (key, value)
-      // pairs but the shuffle is partitioned by KEY alone, so the 60% hot
-      // key's ~5M distinct values all land on one reduce task. saltedDistinct
-      // partitions the value space itself (salt = hash(value) % 32), exact by
-      // construction. Per-stage task profiles carry the straggler evidence:
-      // plain's reduce max_task ~= its wall time, salted's near-flat.
-      // (Graduated from the round-7 ScratchSkew experiment, where salting
-      // cut wall time ~3x at this exact shape.)
+      // distinct contrast, RE-ADJUDICATED round 10: the classic claim
+      // (distinct values ride a key-partitioned shuffle, hot key -> one
+      // reducer) does NOT hold in Spark 4 — planAggregateWithOneDistinct
+      // exchanges on (key, value) first and ships partial counts after, so
+      // the plain plan's task profile is flat (idle re-run: plain 4.5 s /
+      // 226 MB, max~p50; manually salted 6.5 s / 380 MB — the extra
+      // exchange is pure overhead now). The pair stays measured every
+      // round as the evidence behind AutoSalt's off-default and to catch
+      // any planner change that re-opens the gap; saltedDistinct remains
+      // the portable verb for engines without the (key, value) exchange.
+      // (The round-7 ScratchSkew 3x reading predates this planner shape.)
       def bigSkewedHiCard = spark.range(20000000L).select(
         when(pmod(col("id"), lit(10)) < 6, lit(0L))
           .otherwise(pmod(xxhash64(col("id")), lit(999999L)) + 1L).as("key"),
@@ -759,6 +761,56 @@ object Bench {
         graft.operators.Skew.saltedDistinct(
             bigSkewedHiCard, Seq("key"), "v", "d", saltBuckets = 32)
           .agg(fsum(col("d"))).collect()(0).getLong(0)
+      }
+
+      // ---- AutoSalt at soak scale: the OPTIMIZER choosing the salted
+      // distinct on few-groups-x-many-rows (8 keys, 20M rows, ~5M distinct
+      // values), vs the IDENTICAL SQL with the rule off. Round-10 verdict
+      // this pair exists to keep honest: Spark 4's one-distinct planning
+      // already exchanges on (keys, value) and ships counts, so the salted
+      // form measured NEUTRAL-TO-WORSE (3.9 s/237 MB vs 3.1 s/165 MB idle)
+      // — which is why the rule defaults OFF (see AutoSalt scaladoc). The
+      // stage re-runs the comparison every round so a planner change that
+      // re-opens the gap is caught by measurement, not folklore.
+      // Setup (write + analyze) is outside the timed stages.
+      val (sAs1, sAs2) = if (stageFilter.exists(f =>
+          !f("autosalt_distinct_20m") && !f("autosalt_off_20m"))) ("", "")
+      else {
+        val t = "graft_autosalt_soak"
+        val confs = Seq("spark.sql.cbo.enabled" -> "true",
+          "spark.graft.autoSalt.enabled" -> "true")
+        val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        try {
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new java.io.File(
+            spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          if (loc.exists()) rm(loc)
+          spark.range(20000000L).select(
+              pmod(col("id"), lit(8L)).as("k"),
+              pmod(xxhash64(col("id"), lit(11)), lit(5000000L)).as("v"))
+            .write.saveAsTable(t)
+          spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k")
+          confs.foreach { case (k, v) => spark.conf.set(k, v) }
+          val q = s"SELECT k, count(DISTINCT v) AS d FROM $t GROUP BY k"
+          val on = stage("autosalt_distinct_20m", perStage = true) {
+            val df = spark.sql(q)
+            require(df.queryExecution.optimizedPlan.toString.contains("pmod"),
+              "AutoSalt must fire in this stage — it measures the rule")
+            df.agg(fsum(col("d"))).collect()(0).getLong(0)
+          }
+          spark.conf.set("spark.graft.autoSalt.enabled", "false")
+          val off = try stage("autosalt_off_20m", perStage = true) {
+            spark.sql(q).agg(fsum(col("d"))).collect()(0).getLong(0)
+          } finally spark.conf.unset("spark.graft.autoSalt.enabled")
+          (on, off)
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
       }
 
       // ---- BM25 soak: retrieval over 500k docs / 20M tokens -------------
@@ -1003,7 +1055,7 @@ object Bench {
         else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
+          s6, s7, s8, sD1, sD2, sAs1, sAs2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
           sI2, sG1, sG2, sHits, sBask, sSky, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }

@@ -1170,13 +1170,14 @@ object SparkEntry {
 
     // the AUTOMATIC twin of x21: the query text is a PLAIN
     // COUNT(DISTINCT) — no salted verb anywhere — over a stats-bearing
-    // catalog table; [[graft.plans.AutoSalt]] CHOOSES the two-phase
-    // salted plan from ANALYZE statistics (few groups x enough rows x one
-    // distinct). Runs eagerly under scoped confs (cbo on, row floor sized
-    // to the gate SF) so session state is restored, and ASSERTS the
-    // rewrite fired — this row grades the optimizer path, never the plain
-    // plan. The oracle is the plain SQL: the rewrite must be invisible in
-    // the answer.
+    // catalog table; [[graft.plans.AutoSalt]] (explicitly enabled here —
+    // the rule defaults OFF after the round-10 measurement in its
+    // scaladoc) CHOOSES the two-phase salted plan from ANALYZE statistics
+    // (few groups x enough rows x one distinct). Runs eagerly under
+    // scoped confs so session state is restored, and ASSERTS the rewrite
+    // fired — this row grades the optimizer path, never the plain plan.
+    // The oracle is the plain SQL: the rewrite must be invisible in the
+    // answer.
     "ext_autosalt_distinct" -> ((s, dir) => {
       import s.implicits._
       val t = "graft_autosalt_events"
@@ -1187,7 +1188,8 @@ object SparkEntry {
       Tables.events(s, dir).select(col("event_type"), col("user_id"))
         .write.saveAsTable(t)
       s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS event_type")
-      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+      val scoped = Seq("spark.graft.autoSalt.enabled" -> "true",
+        "spark.sql.cbo.enabled" -> "true",
         "spark.graft.autoSalt.minRows" -> "1000")
       val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
       scoped.foreach { case (k, v) => s.conf.set(k, v) }

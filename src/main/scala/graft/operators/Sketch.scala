@@ -561,25 +561,27 @@ object Sketch {
       .groupBy(col("q"), col("rank"), col("key")).agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q")).orderBy(col("key").asc_nulls_first)
-    val out = keyed
+    val picks = keyed
       .withColumn("cum", sum(col("c")).over(w))
       .filter(col("key").isNotNull && col("cum") >= col("rank") + 1L &&
         col("cum") - col("c") < col("rank") + 1L)
-      .select(col("q"), lit(n).as("n"), col("rank"), col("key").as("value"))
-      .orderBy(col("q"))
-      .collect()
+      .select(col("q"), col("key").as("value"))
     // LOUD failure contract (ADVICE r9): the isNotNull filter above would
     // silently DROP a quantile whose target rank drifted into the
-    // below-slice NULL group — materialize the (qs-sized) result and
-    // assert exactly one row per requested quantile before returning
-    require(out.length == targets.size,
-      s"exactQuantiles refinement lost targets: expected ${targets.size} " +
-        s"rows (${targets.map(_._1).mkString(",")}), got ${out.length} " +
-        s"(${out.map(_.getDouble(0)).mkString(",")}) — a rank fell " +
-        "outside its refined slice")
-    out.toSeq
-      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .toDF("q", "n", "rank", "value")
+    // below-slice NULL group. Drive the output from the TARGET list (one
+    // row per requested quantile, broadcast-tiny) and raise in-plan if a
+    // target found no pick — the result stays distributed (PlanSpec pins
+    // the count-only shuffle shape), and a lost rank fails the action
+    // instead of shrinking the answer.
+    cfgDf.select(col("q"), col("rank"))
+      .join(picks, Seq("q"), "left_outer")
+      .select(col("q"), lit(n).as("n"), col("rank"),
+        when(col("value").isNotNull, col("value"))
+          .otherwise(raise_error(concat(
+            lit("exactQuantiles refinement lost target q="), col("q"),
+            lit(" — its rank fell outside the refined slice"))))
+          .as("value"))
+      .orderBy(col("q"))
   }
 
   /** Per-key [[exactQuantiles]] — exact p50/p99 per group, same

@@ -8,17 +8,27 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-/** Optimizer rule: SKEW-AWARE automatic salting of `count(DISTINCT v)`.
+/** Optimizer rule: stats-driven automatic salting of `count(DISTINCT v)`.
   *
-  * A distinct aggregate over FEW groups is the one aggregation shape
-  * Spark's partial aggregation cannot save: the distinct values themselves
-  * ride the shuffle keyed by the grouping columns, so at most `ndv(keys)`
-  * reducers share the entire value stream — one reducer per group holds
-  * every distinct value of the hottest key (the skew_distinct soaks
-  * measure the plain plan ~3x slower than the salted form at 20M rows,
-  * and the gap widens with scale). The engine's manual verb is
-  * [[graft.operators.Skew.saltedDistinct]]; this rule applies the SAME
-  * rewrite automatically, CHOSEN from table statistics instead of by hand:
+  * **Default OFF — measurement, round 10.** The rule was built on the
+  * classic claim that a distinct aggregate over few groups funnels every
+  * value through one reducer per group. Spark 4's
+  * `planAggregateWithOneDistinct` already defuses that shape structurally:
+  * the first exchange partitions on `(keys, value)` (the dedupe
+  * parallelizes over the value space) and the final exchange carries
+  * partial COUNTS, never values. Measured at 20M rows / 8 groups / ~5M
+  * distinct values, idle, local[32]: plain 3.1 s / 165 MB shuffled vs
+  * salted 3.9 s / 237 MB (the `autosalt_*_20m` soak pair keeps the
+  * comparison executed every round); the high-cardinality hot-key shape
+  * (`skew_distinct_*_20m`) reads the same way (plain 4.5 s vs manually
+  * salted 6.5 s). The salted inner aggregate is itself planned through
+  * the same one-distinct machinery, so the rewrite can only ADD an
+  * exchange in this engine. It stays in the tree as the stats-driven
+  * plan-choice machinery (and as protection for engines/forks whose
+  * distinct planning lacks the `(keys, value)` exchange), enabled
+  * explicitly with `spark.graft.autoSalt.enabled=true`; the manual verb
+  * remains [[graft.operators.Skew.saltedDistinct]]. The rewrite, when
+  * enabled and proven by statistics:
   *
   * {{{
   *   Aggregate(keys, count(DISTINCT v), child)
@@ -35,8 +45,8 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * stream fans out across the cluster and the outer pass reduces B
   * bounded longs per group.
   *
-  * The rule fires only when the statistics PROVE the shape (stats come
-  * from ANALYZE TABLE; Filter/Project propagate them when
+  * When enabled, the rule fires only when the statistics PROVE the shape
+  * (stats come from ANALYZE TABLE; Filter/Project propagate them when
   * `spark.sql.cbo.enabled` is on):
   *  - `child` row count is known and >= `spark.graft.autoSalt.minRows`
   *    (default 10M — below that the single-reducer stage is cheap);
@@ -56,14 +66,14 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * The outer aggregate reuses the original output ExprIds, so parents
   * resolve unchanged; the inner grouping contains a non-attribute salt
   * expression, which makes the rewritten node ineligible — the natural
-  * fixed-point guard. Disable with `spark.graft.autoSalt.enabled=false`.
+  * fixed-point guard.
   */
 object AutoSalt extends Rule[LogicalPlan] {
 
   private val SALT_NAME = "__graft_salt_pd"
 
   def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString("spark.graft.autoSalt.enabled", "true").toBoolean)
+    if (!conf.getConfString("spark.graft.autoSalt.enabled", "false").toBoolean)
       return plan
     val minRows =
       conf.getConfString("spark.graft.autoSalt.minRows", "10000000").toLong

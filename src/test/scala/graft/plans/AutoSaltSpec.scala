@@ -45,6 +45,7 @@ class AutoSaltSpec extends SparkSpec {
 
   test("fires on proven shape: salted two-phase plan, identical results") {
     withConfs(
+      "spark.graft.autoSalt.enabled" -> "true", // default OFF (see rule doc)
       "spark.sql.cbo.enabled" -> "true",
       "spark.graft.autoSalt.minRows" -> "1000",
       "spark.graft.autoSalt.buckets" -> "8") {
@@ -70,6 +71,7 @@ class AutoSaltSpec extends SparkSpec {
 
   test("global count(DISTINCT) salts too (the no-keys single-reducer case)") {
     withConfs(
+      "spark.graft.autoSalt.enabled" -> "true",
       "spark.sql.cbo.enabled" -> "true",
       "spark.graft.autoSalt.minRows" -> "1000") {
       val q = s"SELECT count(DISTINCT v) AS d FROM $table"
@@ -81,6 +83,7 @@ class AutoSaltSpec extends SparkSpec {
 
   test("does NOT fire: stats missing, too few rows, two distincts, decimal sum") {
     withConfs(
+      "spark.graft.autoSalt.enabled" -> "true",
       "spark.sql.cbo.enabled" -> "true",
       "spark.graft.autoSalt.minRows" -> "1000") {
       // no ANALYZE on this view -> no ndv for the key -> no rewrite
