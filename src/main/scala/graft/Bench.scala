@@ -813,6 +813,33 @@ object Bench {
         }
       }
 
+      // ---- window skew: the pathology AQE can't touch. A running sum
+      // PARTITION BY key puts a 60%-hot key's 12M rows on ONE task (sort +
+      // serial scan — max_task ~= wall time is the expected plain
+      // profile). runningSumChunked decomposes the prefix exactly over
+      // (key, chunk), spreading the hot key across 32 tasks. Both stages
+      // return max(running) — equal values double as a correctness check
+      // in the recorded JSON.
+      def hotWindowed = spark.range(20000000L).select(
+        when(pmod(col("id"), lit(10)) < 6, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(999999L)) + 1L).as("k"),
+        col("id").as("o"),
+        pmod(xxhash64(col("id"), lit(5)), lit(100L)).as("v"))
+      val sW1 = stage("window_skew_plain_20m", perStage = true) {
+        import org.apache.spark.sql.expressions.Window
+        hotWindowed.withColumn("run", fsum(col("v")).over(
+            Window.partitionBy(col("k")).orderBy(col("o"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .agg(org.apache.spark.sql.functions.max(col("run")))
+          .collect()(0).getLong(0)
+      }
+      val sW2 = stage("window_skew_chunked_20m", perStage = true) {
+        graft.operators.Skew.runningSumChunked(
+            hotWindowed, "k", "o", "v", "run", chunks = 32)
+          .agg(org.apache.spark.sql.functions.max(col("run")))
+          .collect()(0).getLong(0)
+      }
+
       // ---- BM25 soak: retrieval over 500k docs / 20M tokens -------------
       // 40 tokens per doc from a 1,000-word vocabulary; each query term
       // lands in ~4% of docs (df ~ 20k). The whole pipeline is count
@@ -1055,7 +1082,7 @@ object Bench {
         else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sAs1, sAs2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
+          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
           sI2, sG1, sG2, sHits, sBask, sSky, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }

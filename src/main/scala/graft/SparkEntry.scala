@@ -1161,6 +1161,22 @@ object SparkEntry {
           Seq("user_id"), "value", "total_spent")
         .orderBy(col("user_id"))),
 
+    // chunk-decomposed exact running sum ([[graft.operators.Skew
+    // .runningSumChunked]]): the WINDOW-shape skew fix — a hot partition
+    // key serializes `sum() OVER (PARTITION BY key ORDER BY ord)` on one
+    // task, the one skew pathology neither AQE nor partial aggregation
+    // touches; the decomposition (per-(key, chunk) totals -> exclusive
+    // chunk prefix -> local window + offset) must be indistinguishable
+    // from the plain window — the oracle IS the plain window
+    "ext_window_chunked_sum" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.Skew.runningSumChunked(
+          ev, "user_id", "event_id", "cents", "run_cents", chunks = 8)
+        .select(col("event_id"), col("user_id"), col("run_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // salted exact distinct: the two-phase (key, hash(value) % salt) form
     // must equal the direct COUNT(DISTINCT) — the oracle IS the plain form
     "x21_salted_distinct" -> ((s, dir) =>
@@ -9300,6 +9316,15 @@ object SparkEntry {
     "x21_salted_distinct" ->
       """SELECT user_id, count(DISTINCT event_type) AS distinct_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the chunk decomposition must be invisible in the answer — the
+    // oracle IS the plain running window (unique event_id per key makes
+    // ROWS == RANGE, so DuckDB's default ORDER BY frame matches)
+    "ext_window_chunked_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_cents
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // the AutoSalt optimizer rewrite must be invisible in the answer —
     // the oracle IS the plain count(DISTINCT)

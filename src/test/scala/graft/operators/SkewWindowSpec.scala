@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Chunk-decomposed exact running sum: value parity with the plain
+  * window on random and hot-key data, range-boundary rows, and the plan
+  * pin that the node-scale window is partitioned by (key, chunk). */
+class SkewWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plain(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("run", sum(col("v")).over(
+      Window.partitionBy(col("k")).orderBy(col("o"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  test("parity with the plain running window, random keys and orders") {
+    val df = spark.range(5000L).select(
+      pmod(xxhash64(col("id")), lit(7L)).as("k"),
+      col("id").as("o"), // unique ord
+      pmod(xxhash64(col("id"), lit(3)), lit(1000L)).as("v"))
+    val got = Skew.runningSumChunked(df, "k", "o", "v", "run", chunks = 8)
+      .select(col("k"), col("o"), col("run"))
+    val want = plain(df).select(col("k"), col("o"), col("run"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "chunked running sum diverges from the window form")
+    assert(got.count() == 5000L, "row count must be preserved")
+  }
+
+  test("hot key (90% of rows) and exact range-boundary ords") {
+    // ords include the exact lo (0) and hi (9999); key 0 owns 90%
+    val df = spark.range(10000L).select(
+      when(pmod(col("id"), lit(10L)) < 9, lit(0L)).otherwise(col("id") % 5 + 1)
+        .as("k"),
+      col("id").as("o"),
+      lit(1L).as("v"))
+    val got = Skew.runningSumChunked(df, "k", "o", "v", "run", chunks = 16)
+    val want = plain(df)
+    assert(got.select(col("k"), col("o"), col("run"))
+      .exceptAll(want.select(col("k"), col("o"), col("run"))).isEmpty,
+      "hot-key decomposition diverges")
+    // the hot key's final running value = its row count (v = 1 throughout)
+    val hotMax = got.filter(col("k") === 0).agg(max(col("run")))
+      .collect()(0).getLong(0)
+    assert(hotMax == 9000L, s"hot key prefix must end at 9000, got $hotMax")
+  }
+
+  test("plan: the row-scale window is partitioned by (key, chunk)") {
+    // non-constant key: a literal k would be constant-folded OUT of the
+    // window partition spec and the pin would misread the plan
+    val df = spark.range(1000L).select(
+      pmod(col("id"), lit(3L)).as("k"), col("id").as("o"), lit(1L).as("v"))
+    val p = Skew.runningSumChunked(df, "k", "o", "v", "run")
+      .queryExecution.optimizedPlan.toString
+    // the local window must carry the chunk in its partition spec — that
+    // IS the skew fix (a key-only partition spec would serialize hot keys)
+    assert(p.contains("windowspecdefinition(k"), s"window missing:\n$p")
+    assert(p.contains("__chunk"), s"chunk column missing from the plan:\n$p")
+    val bigWindowByKeyOnly =
+      raw"windowspecdefinition\(k#\d+L, o#\d+L".r.findFirstIn(p)
+    assert(bigWindowByKeyOnly.isEmpty,
+      s"row-scale window still partitioned by key alone:\n$p")
+  }
+
+  test("empty input and degenerate (single-ord) range") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("k", "o", "v")
+    assert(Skew.runningSumChunked(empty, "k", "o", "v", "run").count() == 0)
+    val one = Seq((1L, 5L, 7L), (2L, 5L, 9L)).toDF("k", "o", "v")
+    val r = Skew.runningSumChunked(one, "k", "o", "v", "run")
+      .select(col("k"), col("run")).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 7L, 2L -> 9L), s"got $r")
+  }
+}
