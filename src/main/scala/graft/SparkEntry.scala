@@ -1177,6 +1177,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // the min/max face of the same decomposition ([[graft.operators.Skew
+    // .runningAggChunked]]): running peak spend per user — prior-chunk
+    // offsets combine with greatest() and the FIRST chunk of each key has
+    // no offset at all (null-combining keeps it exact, no sentinel)
+    "ext_window_chunked_max" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.Skew.runningAggChunked(
+          ev, "user_id", "event_id", "cents", "peak_cents", "max", chunks = 8)
+        .select(col("event_id"), col("user_id"), col("peak_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // salted exact distinct: the two-phase (key, hash(value) % salt) form
     // must equal the direct COUNT(DISTINCT) — the oracle IS the plain form
     "x21_salted_distinct" -> ((s, dir) =>
@@ -9324,6 +9337,14 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // same invisibility contract for the max face (max of BIGINT is
+    // BIGINT in both engines — no cast dance needed)
+    "ext_window_chunked_max" ->
+      """SELECT event_id, user_id,
+        |  max(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY event_id) AS peak_cents
         |FROM events ORDER BY event_id""".stripMargin,
 
     // the AutoSalt optimizer rewrite must be invisible in the answer —

@@ -156,13 +156,41 @@ object Skew {
       ordCol: String,
       valueCol: String,
       resultCol: String,
+      chunks: Int = 32): DataFrame =
+    runningAggChunked(df, keyCol, ordCol, valueCol, resultCol, "sum", chunks)
+
+  /** The general form of [[runningSumChunked]] for any ASSOCIATIVE running
+    * aggregate — `agg` one of `sum`, `min`, `max` (the decomposable
+    * UNBOUNDED-PRECEDING frames; min/max offsets combine with
+    * least/greatest instead of `+`, and the first chunk of each key has no
+    * offset at all — a null-combining least/greatest keeps it exact). */
+  def runningAggChunked(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      valueCol: String,
+      resultCol: String,
+      agg: String = "sum",
       chunks: Int = 32): DataFrame = {
     require(chunks >= 2 && chunks <= 4096, s"chunks out of range: $chunks")
+    require(Set("sum", "min", "max")(agg),
+      s"runningAggChunked supports sum/min/max, got '$agg'")
     import org.apache.spark.sql.expressions.Window
+    val aggFn: Column => Column = agg match {
+      case "sum" => sum(_)
+      case "min" => min(_)
+      case _ => max(_)
+    }
+    // combine a local prefix with the (possibly absent) prior-chunk offset
+    def combine(loc: Column, off: Column): Column = agg match {
+      case "sum" => loc + coalesce(off, lit(0L))
+      case "min" => when(off.isNull, loc).otherwise(least(loc, off))
+      case "max" => when(off.isNull, loc).otherwise(greatest(loc, off))
+    }
     val stats = df.agg(min(col(ordCol).cast("double")).as("lo"),
       max(col(ordCol).cast("double")).as("hi")).collect()(0)
     if (stats.isNullAt(0)) // empty input: plain (empty) window, no chunking
-      return df.withColumn(resultCol, sum(col(valueCol)).over(
+      return df.withColumn(resultCol, aggFn(col(valueCol)).over(
         Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
@@ -176,11 +204,11 @@ object Skew {
     val base = df.withColumn("__chunk", chunk)
     val offsets = base
       .groupBy(col(keyCol).as("__k"), col("__chunk"))
-      .agg(sum(col(valueCol)).as("__ct"))
-      .withColumn("__off", coalesce(
-        sum(col("__ct")).over(Window.partitionBy(col("__k"))
+      .agg(aggFn(col(valueCol)).as("__ct"))
+      .withColumn("__off",
+        aggFn(col("__ct")).over(Window.partitionBy(col("__k"))
           .orderBy(col("__chunk"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .rowsBetween(Window.unboundedPreceding, -1)))
       // fresh names: offsets derives FROM base, so reusing base's __chunk
       // attribute in the join condition would be a same-lineage ambiguity
       .select(col("__k"), col("__chunk").as("__c"), col("__off"))
@@ -188,10 +216,10 @@ object Skew {
       .orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
-      .withColumn("__loc", sum(col(valueCol)).over(localW))
+      .withColumn("__loc", aggFn(col(valueCol)).over(localW))
       .join(offsets,
         col(keyCol) === col("__k") && col("__chunk") === col("__c"))
-      .withColumn(resultCol, col("__loc") + col("__off"))
+      .withColumn(resultCol, combine(col("__loc"), col("__off")))
       .drop("__k", "__c", "__chunk", "__loc", "__off")
   }
 

@@ -64,6 +64,50 @@ class SkewWindowSpec extends SparkSpec {
       s"row-scale window still partitioned by key alone:\n$p")
   }
 
+  test("min/max variants match their plain windows (offset-less first chunk)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(4000L).select(
+      pmod(xxhash64(col("id")), lit(5L)).as("k"),
+      col("id").as("o"),
+      (pmod(xxhash64(col("id"), lit(9)), lit(2001L)) - 1000L).as("v")) // +/- values
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fns: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] =
+      Seq("min" -> (min(_)), "max" -> (max(_)))
+    for ((a, fn) <- fns) {
+      val got = Skew.runningAggChunked(df, "k", "o", "v", "run", a, chunks = 8)
+        .select(col("k"), col("o"), col("run"))
+      val want = df.withColumn("run", fn(col("v")).over(w))
+        .select(col("k"), col("o"), col("run"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"running $a diverges from the window form")
+    }
+  }
+
+  test("property: chunked == plain for random data and chunk counts") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260815)
+    for (trial <- 1 to 5) {
+      val n = 200 + rnd.nextInt(800)
+      val keys = 1 + rnd.nextInt(6)
+      val rows = (0 until n).map(i =>
+        (rnd.nextInt(keys).toLong, i.toLong, (rnd.nextInt(2001) - 1000).toLong))
+      val df = rows.toDF("k", "o", "v")
+      val chunks = 2 + rnd.nextInt(60)
+      val agg = Seq("sum", "min", "max")(rnd.nextInt(3))
+      val got = Skew.runningAggChunked(df, "k", "o", "v", "run", agg, chunks)
+        .select(col("k"), col("o"), col("run"))
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        agg match { case "sum" => sum(_); case "min" => min(_); case _ => max(_) }
+      val want = df.withColumn("run", fn(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("k"), col("o"), col("run"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"trial $trial (n=$n keys=$keys chunks=$chunks agg=$agg) diverged")
+    }
+  }
+
   test("empty input and degenerate (single-ord) range") {
     val empty = Seq.empty[(Long, Long, Long)].toDF("k", "o", "v")
     assert(Skew.runningSumChunked(empty, "k", "o", "v", "run").count() == 0)
