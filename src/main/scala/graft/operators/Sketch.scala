@@ -661,11 +661,11 @@ object Sketch {
         val (_, lo, hi) = stats(k)
         (k, q, n, r, lo, hi, b1, b2)
       }.toDF("k", "q", "n", "rank", "lo", "hi", "b1", "b2"))
-      vals.join(cfgF, "k")
+      val picks = vals.join(cfgF, "k")
         .filter(i1 < col("b1") || (i1 === col("b1") && i2 <= col("b2")))
-        .select(col("k"), col("q"), col("n"), col("rank"),
+        .select(col("k"), col("q"), col("rank"),
           when(i1 === col("b1") && i2 === col("b2"), col("v")).as("key"))
-        .groupBy(col("k"), col("q"), col("n"), col("rank"), col("key"))
+        .groupBy(col("k"), col("q"), col("rank"), col("key"))
         .agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(
           org.apache.spark.sql.expressions.Window
@@ -673,8 +673,21 @@ object Sketch {
             .orderBy(col("key").asc_nulls_first)))
         .filter(col("key").isNotNull && col("cum") >= col("rank") + 1L &&
           col("cum") - col("c") < col("rank") + 1L)
+        .select(col("k"), col("q"), col("key").as("value"))
+      // LOUD failure contract, same as the global form: the output is
+      // driven from the TARGET list (fresh DF, so no shared-lineage
+      // ambiguity with picks) and a target whose rank drifted out of its
+      // refined slice raises in-plan instead of vanishing from the answer
+      val targetDf = broadcast(r1.map { case (k, q, n, r, _) =>
+        (k, q, n, r) }.toDF("k", "q", "n", "rank"))
+      targetDf.join(picks, Seq("k", "q"), "left_outer")
         .select(col("k"), col("q"), col("n"), col("rank"),
-          col("key").as("value"))
+          when(col("value").isNotNull, col("value"))
+            .otherwise(raise_error(concat(
+              lit("exactQuantilesByKey lost target (key="), col("k"),
+              lit(", q="), col("q"),
+              lit(") — its rank fell outside the refined slice"))))
+            .as("value"))
     }
     refined.unionByName(constRows.toDF("k", "q", "n", "rank", "value"))
       .withColumnRenamed("k", keyCol)
