@@ -175,17 +175,30 @@ object Skew {
     require(chunks >= 2 && chunks <= 4096, s"chunks out of range: $chunks")
     require(Set("sum", "min", "max")(agg),
       s"runningAggChunked supports sum/min/max, got '$agg'")
+    Seq(keyCol, ordCol, valueCol).foreach(c => require(df.columns.contains(c),
+      s"column '$c' not found in ${df.columns.mkString("[", ",", "]")}"))
+    Seq("__chunk", "__k", "__c", "__ct", "__off", "__loc").foreach(h =>
+      require(!df.columns.contains(h),
+        s"input already carries the internal column '$h'"))
     import org.apache.spark.sql.expressions.Window
     val aggFn: Column => Column = agg match {
       case "sum" => sum(_)
       case "min" => min(_)
       case _ => max(_)
     }
-    // combine a local prefix with the (possibly absent) prior-chunk offset
+    // combine a local prefix with the (possibly absent) prior-chunk
+    // offset. NULL discipline mirrors the window aggregate's: a running
+    // frame whose values so far are ALL null yields null, any non-null
+    // value makes it concrete. For sum that means null propagates only
+    // when BOTH sides are null (a bare `loc + off` would null out a row
+    // whose chunk-local prefix is all-null even though earlier chunks
+    // carried real values); least/greatest are natively null-skipping,
+    // so they compose correctly as-is.
     def combine(loc: Column, off: Column): Column = agg match {
-      case "sum" => loc + coalesce(off, lit(0L))
-      case "min" => when(off.isNull, loc).otherwise(least(loc, off))
-      case "max" => when(off.isNull, loc).otherwise(greatest(loc, off))
+      case "sum" => when(loc.isNull && off.isNull, lit(null))
+        .otherwise(coalesce(loc, lit(0L)) + coalesce(off, lit(0L)))
+      case "min" => least(loc, off)
+      case _ => greatest(loc, off)
     }
     val stats = df.agg(min(col(ordCol).cast("double")).as("lo"),
       max(col(ordCol).cast("double")).as("hi")).collect()(0)

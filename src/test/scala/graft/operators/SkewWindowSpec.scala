@@ -108,6 +108,30 @@ class SkewWindowSpec extends SparkSpec {
     }
   }
 
+  test("null values follow the window aggregate's null discipline") {
+    import org.apache.spark.sql.expressions.Window
+    // key 1: leading nulls (running stays null until the first value),
+    // a mid-stream null (running carries), and an all-null key 2 — with
+    // chunks sized so null runs cross chunk boundaries
+    val rows: Seq[(Long, Long, Option[Long])] = Seq(
+      (1L, 0L, None), (1L, 1L, None), (1L, 2L, Some(5L)), (1L, 3L, None),
+      (1L, 4L, Some(2L)), (2L, 5L, None), (2L, 6L, None))
+    val df = rows.toDF("k", "o", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (a <- Seq("sum", "min", "max")) {
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        a match { case "sum" => sum(_); case "min" => min(_); case _ => max(_) }
+      val got = Skew.runningAggChunked(df, "k", "o", "v", "run", a, chunks = 3)
+        .select(col("k"), col("o"), col("run"))
+      val want = df.withColumn("run", fn(col("v")).over(w))
+        .select(col("k"), col("o"), col("run"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"null discipline diverges for $a: got ${got.collect().toSeq} " +
+          s"want ${want.collect().toSeq}")
+    }
+  }
+
   test("empty input and degenerate (single-ord) range") {
     val empty = Seq.empty[(Long, Long, Long)].toDF("k", "o", "v")
     assert(Skew.runningSumChunked(empty, "k", "o", "v", "run").count() == 0)

@@ -112,6 +112,19 @@ class AutoSaltSpec extends SparkSpec {
     }
   }
 
+  test("OFF BY DEFAULT: stats alone never change a plan (round-10 measurement)") {
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoSalt.minRows" -> "1000") {
+      // identical stats-proven shape as the firing test — but no explicit
+      // enabled=true, so the plan must stay Spark's native one-distinct form
+      assert(!spark.sql(
+        s"SELECT k, count(DISTINCT v) AS d FROM $table GROUP BY k")
+        .queryExecution.optimizedPlan.toString.contains("pmod"),
+        "AutoSalt must be inert unless spark.graft.autoSalt.enabled=true")
+    }
+  }
+
   private def withDisabled(build: => DataFrame) = {
     var out: Set[org.apache.spark.sql.Row] = null
     withConfs("spark.graft.autoSalt.enabled" -> "false") {
