@@ -79,6 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AutoSalt)
+    ext.injectOptimizerRule(_ => graft.plans.AutoChunkWindow)
     // whole-operator tier: the native as-of join's planner strategy
     // (AsOfJoinPlan logical -> AsOfJoinExec sort-merge physical)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -179,6 +180,11 @@ object GraftExtensions {
         .contains(graft.plans.AutoSalt)) {
       spark.sessionState.experimentalMethods.extraOptimizations ++=
         Seq(graft.plans.AutoSalt)
+    }
+    if (!spark.sessionState.experimentalMethods.extraOptimizations
+        .contains(graft.plans.AutoChunkWindow)) {
+      spark.sessionState.experimentalMethods.extraOptimizations ++=
+        Seq(graft.plans.AutoChunkWindow)
     }
     if (!spark.sessionState.experimentalMethods.extraStrategies
         .contains(graft.plans.AsOfJoinStrategy)) {

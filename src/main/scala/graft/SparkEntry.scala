@@ -1190,6 +1190,46 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // the AUTOMATIC twin of ext_window_chunked_sum: a PLAIN running
+    // window over a stats-bearing catalog table, re-planned into the
+    // chunk decomposition by [[graft.plans.AutoChunkWindow]] (the rule
+    // fires only when ANALYZE statistics prove hot keys; enabled + sized
+    // to the gate SF here, eager + conf-restoring like the AutoSalt row).
+    // Asserts the rewrite FIRED; the oracle is the plain window — the
+    // re-plan must be invisible in the answer.
+    "ext_autochunk_window" -> ((s, dir) => {
+      import s.implicits._
+      val t = "graft_autochunk_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, event_id")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val df = s.table(t).withColumn("run_cents", sum(col("cents")).over(
+          Window.partitionBy(col("k")).orderBy(col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow did not fire — this row must grade the re-plan")
+        df.select(col("event_id"), col("k").as("user_id"), col("run_cents"))
+          .orderBy(col("event_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          .toDF("event_id", "user_id", "run_cents")
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // salted exact distinct: the two-phase (key, hash(value) % salt) form
     // must equal the direct COUNT(DISTINCT) — the oracle IS the plain form
     "x21_salted_distinct" -> ((s, dir) =>
@@ -9334,6 +9374,14 @@ object SparkEntry {
     // oracle IS the plain running window (unique event_id per key makes
     // ROWS == RANGE, so DuckDB's default ORDER BY frame matches)
     "ext_window_chunked_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // the optimizer re-plan (AutoChunkWindow) must be invisible — the
+    // oracle IS the plain running window, same cents idiom
+    "ext_autochunk_window" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_cents
