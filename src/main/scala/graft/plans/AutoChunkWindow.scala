@@ -76,17 +76,34 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       conf.getConfString("spark.graft.autoChunk.chunks", "32").toInt
     plan.transformUp {
       case w @ Window(Seq(alias @ Alias(WindowExpression(
-            ae @ AggregateExpression(Sum(v, _), _, false, None, _),
-            WindowSpecDefinition(partSpec, Seq(SortOrder(
+            ae: AggregateExpression,
+            WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
               ord: AttributeReference, Ascending, _, _)),
-              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+              frame @ SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))),
             _)), _, _, child, _)
-          if eligible(w, v, ord, partSpec, child,
-            minRows, perKeyRows, hotShare) =>
-        rewrite(child, alias, ae, v, ord,
+          if aggArg(ae).exists { case (kind, v) => typeOk(kind, v) && eligible(
+            w, v, ord, partSpec, child, minRows, perKeyRows, hotShare) } =>
+        rewrite(child, alias, ae, aggArg(ae).get._1, aggArg(ae).get._2,
+          so, frame, ord,
           partSpec.map(_.asInstanceOf[AttributeReference]), chunks)
     }
   }
+
+  /** The decomposable running aggregates: (kind, argument), or None.
+    * A RANGE frame decomposes just as exactly as ROWS here — the chunk is
+    * monotone in the ORDER column, so tied rows (peers) can never straddle
+    * a chunk boundary, and the chunk-local window replays the original
+    * frame verbatim. */
+  private def aggArg(ae: AggregateExpression): Option[(String, Expression)] =
+    if (ae.isDistinct || ae.filter.isDefined) None
+    else ae.aggregateFunction match {
+      case Sum(v, _) => Some(("sum", v))
+      case org.apache.spark.sql.catalyst.expressions.aggregate.Min(v) =>
+        Some(("min", v))
+      case org.apache.spark.sql.catalyst.expressions.aggregate.Max(v) =>
+        Some(("max", v))
+      case _ => None
+    }
 
   private def numeric(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
@@ -105,11 +122,18 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Sum re-adds across chunks — plain numerics only (a decimal re-sum
+    * would widen the result type, an interval needs its own zero); min and
+    * max never re-combine values into new ones, so any analyzed (hence
+    * orderable) type is safe. */
+  private def typeOk(kind: String, v: Expression): Boolean =
+    kind != "sum" || numeric(v.dataType)
+
   private def eligible(
       w: Window, v: Expression, ord: AttributeReference,
       partSpec: Seq[Expression], child: LogicalPlan,
       minRows: Long, perKeyRows: Long, hotShare: Double): Boolean = {
-    if (!v.deterministic || v.dataType.isInstanceOf[DecimalType]) return false
+    if (!v.deterministic) return false
     if (!numeric(ord.dataType)) return false
     val pk = partSpec.map {
       case a: AttributeReference => a
@@ -146,8 +170,15 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
 
   private def rewrite(
       child: LogicalPlan, alias: Alias, ae: AggregateExpression,
-      v: Expression, ord: AttributeReference,
+      kind: String, v: Expression, so: SortOrder,
+      frame: SpecifiedWindowFrame, ord: AttributeReference,
       pk: Seq[AttributeReference], chunks: Int): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+    def aggFn(e: Expression) = (kind match {
+      case "sum" => Sum(e)
+      case "min" => Min(e)
+      case _ => Max(e)
+    }).toAggregateExpression()
     val st = child.stats
     val cs = st.attributeStats(ord)
     val lo = statDouble(cs.min.get).get
@@ -165,15 +196,15 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val chunkAlias = Alias(chunkExpr, C_NAME)()
     val proj1 = Project(child.output :+ chunkAlias, child)
     val chunkAttr = chunkAlias.toAttribute
-    // per-(key, chunk) totals
-    val ctAlias = Alias(Sum(v).toAggregateExpression(), s"${C_NAME}_ct")()
+    // per-(key, chunk) totals under the SAME aggregate
+    val ctAlias = Alias(aggFn(v), s"${C_NAME}_ct")()
     val totals = Aggregate(
       (pk: Seq[Expression]) :+ chunkAttr,
       (pk: Seq[NamedExpression]) :+ chunkAttr.asInstanceOf[NamedExpression]
         :+ ctAlias, proj1)
     // exclusive running offset over the <= chunks rows per key
     val offWe = WindowExpression(
-      Sum(ctAlias.toAttribute).toAggregateExpression(),
+      aggFn(ctAlias.toAttribute),
       WindowSpecDefinition(pk, Seq(SortOrder(chunkAttr, Ascending)),
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1))))
     val offAlias = Alias(offWe, s"${C_NAME}_off")()
@@ -185,26 +216,34 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val rChunk = Alias(chunkAttr, C_NAME + "_r")()
     val rOff = Alias(offAlias.toAttribute, C_NAME + "_off_r")()
     val offSide = Project(rKeys ++ Seq(rChunk, rOff), offWin)
-    // chunk-local running sum over the full-width rows
+    // chunk-local running aggregate over the full-width rows — the
+    // ORIGINAL frame (ROWS or RANGE) and sort order replay within the
+    // (key, chunk) partition; RANGE peers can't straddle chunks because
+    // the chunk is a function of the ORDER value
     val locWe = WindowExpression(ae,
       WindowSpecDefinition((pk: Seq[Expression]) :+ chunkAttr,
-        Seq(SortOrder(ord, Ascending)),
-        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)))
+        Seq(so), frame))
     val locAlias = Alias(locWe, s"${C_NAME}_loc")()
     val locWin = Window(Seq(locAlias), (pk: Seq[Expression]) :+ chunkAttr,
-      Seq(SortOrder(ord, Ascending)), proj1, None)
+      Seq(so), proj1, None)
     val cond = (pk.zip(rKeys).map { case (l, r) =>
       EqualTo(l, r.toAttribute): Expression } :+
       (EqualTo(chunkAttr, rChunk.toAttribute): Expression))
       .reduce(And(_, _))
     val joined = Join(locWin, offSide, Inner, Some(cond), JoinHint.NONE)
-    // sum's window-null discipline: null only when BOTH sides are null
+    // the window aggregate's null discipline: sum is null only when BOTH
+    // sides are null (explicit guard); least/greatest skip nulls natively
     val loc = locAlias.toAttribute
     val off = rOff.toAttribute
-    val zero = Literal.default(loc.dataType)
-    val combined = If(And(IsNull(loc), IsNull(off)),
-      Literal.create(null, loc.dataType),
-      Add(Coalesce(Seq(loc, zero)), Coalesce(Seq(off, zero))))
+    val combined = kind match {
+      case "sum" =>
+        val zero = Literal.default(loc.dataType)
+        If(And(IsNull(loc), IsNull(off)),
+          Literal.create(null, loc.dataType),
+          Add(Coalesce(Seq(loc, zero)), Coalesce(Seq(off, zero))))
+      case "min" => Least(Seq(loc, off))
+      case _ => Greatest(Seq(loc, off))
+    }
     Project(child.output :+
       Alias(combined, alias.name)(exprId = alias.exprId), joined)
   }

@@ -105,6 +105,41 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
+  test("RANGE default frame and min/max variants fire and stay identical") {
+    import org.apache.spark.sql.expressions.Window
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      // the bare SQL spelling (no ROWS clause) defaults to RANGE
+      // UNBOUNDED..CURRENT — peers can't straddle chunks, so it decomposes
+      val rangeQ =
+        s"""SELECT k, o, sum(v) OVER (PARTITION BY k ORDER BY o) AS run
+           |FROM $avgHotTable""".stripMargin
+      val rdf = spark.sql(rangeQ)
+      assert(chunked(rdf), s"RANGE frame must fire:\n${rdf.queryExecution.optimizedPlan}")
+      var rWant: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        rWant = spark.sql(rangeQ).collect().toSet
+      }
+      assert(rdf.collect().toSet == rWant, "RANGE rewrite changed the answer")
+      // min and max (nulls included in the fixture)
+      for ((a, fn) <- Seq[(String, org.apache.spark.sql.Column =>
+          org.apache.spark.sql.Column)]("min" -> (min(_)), "max" -> (max(_)))) {
+        def q = spark.table(avgHotTable).withColumn("run", fn(col("v")).over(
+          Window.partitionBy(col("k")).orderBy(col("o"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        assert(chunked(q), s"$a must fire")
+        var want: Set[org.apache.spark.sql.Row] = null
+        withConfs("spark.graft.autoChunk.enabled" -> "false") {
+          want = q.collect().toSet
+        }
+        assert(q.collect().toSet == want, s"$a rewrite changed the answer")
+      }
+    }
+  }
+
   test("does NOT fire: no stats, sliding frame, desc order, decimal sum") {
     import org.apache.spark.sql.expressions.Window
     withConfs(
