@@ -840,6 +840,68 @@ object Bench {
           .collect()(0).getLong(0)
       }
 
+      // ---- AutoChunkWindow at soak scale: the OPTIMIZER choosing the
+      // chunk decomposition from a REAL 20M-row equi-height histogram (the
+      // avg-rows/key signal is useless here — ~1M keys — so this exercises
+      // the heavy-hitter histogram path end to end). Same 60%-hot shape as
+      // window_skew_*; the off stage runs the IDENTICAL SQL with the rule
+      // disabled. Setup (write + histogram ANALYZE) outside the timed
+      // stages. Honest reading of the r10 numbers: on parquet-backed data
+      // the decomposition pays a SECOND scan (totals + local window), so
+      // at local[32] — where 32 threads already overlap the straggler —
+      // wall is 7.4 s off vs 10.5 s on while max_task drops 6.6 -> 5.1 s
+      // (now scan-bound); the scan-free window_skew_* pair isolates the
+      // window-stage effect itself (5.3 -> 1.5 s max task). The rule's
+      // value case is the cluster regime where one key's serialized
+      // sort+scan IS the stage wall and a second parallel scan is cheap —
+      // which is why its thresholds demand a ~1M-row key before firing.
+      val (sAc1, sAc2) = if (stageFilter.exists(f =>
+          !f("autochunk_on_20m") && !f("autochunk_off_20m"))) ("", "")
+      else {
+        val t = "graft_autochunk_soak"
+        val confs = Seq("spark.sql.cbo.enabled" -> "true")
+        val saved = (confs.map(_._1) :+ "spark.sql.statistics.histogram.enabled")
+          .map(k => k -> spark.conf.getOption(k))
+        try {
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new java.io.File(
+            spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          if (loc.exists()) rm(loc)
+          spark.range(20000000L).select(
+              when(pmod(col("id"), lit(10)) < 6, lit(0L))
+                .otherwise(pmod(xxhash64(col("id")), lit(999999L)) + 1L).as("k"),
+              col("id").as("o"),
+              pmod(xxhash64(col("id"), lit(5)), lit(100L)).as("v"))
+            .write.saveAsTable(t)
+          spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+          spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o")
+          confs.foreach { case (k, v) => spark.conf.set(k, v) }
+          val q = s"""SELECT k, o, sum(v) OVER (PARTITION BY k ORDER BY o
+                     |ROWS UNBOUNDED PRECEDING) AS run FROM $t""".stripMargin
+          val on = stage("autochunk_on_20m", perStage = true) {
+            val df = spark.sql(q)
+            require(df.queryExecution.optimizedPlan.toString
+              .contains("__graft_chunk"),
+              "AutoChunkWindow must fire from the 20M histogram")
+            df.agg(org.apache.spark.sql.functions.max(col("run")))
+              .collect()(0).getLong(0)
+          }
+          spark.conf.set("spark.graft.autoChunk.enabled", "false")
+          val off = try stage("autochunk_off_20m", perStage = true) {
+            spark.sql(q).agg(org.apache.spark.sql.functions.max(col("run")))
+              .collect()(0).getLong(0)
+          } finally spark.conf.unset("spark.graft.autoChunk.enabled")
+          (on, off)
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+
       // ---- BM25 soak: retrieval over 500k docs / 20M tokens -------------
       // 40 tokens per doc from a 1,000-word vocabulary; each query term
       // lands in ~4% of docs (df ~ 20k). The whole pipeline is count
@@ -1082,7 +1144,7 @@ object Bench {
         else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
+          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sAc1, sAc2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
           sI2, sG1, sG2, sHits, sBask, sSky, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
