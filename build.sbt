@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: a single local[32] JVM is driver AND all executors — at
+  // 8g the unified-memory broadcast pool shrank enough that a 1M-row
+  // score-table broadcast (hits_1m) failed intermittently late in the
+  // 47-stage soak sequence (observed r10; box has 125g)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
