@@ -298,12 +298,12 @@ object Bench {
     // stage whose cost curve is super-linear (quadratic candidate set,
     // unbounded sort) before any cluster sees it. Best-of-2 per scale,
     // passes interleaved like the main timing loop.
-    val ladderJson = {
+    val (ladderJson, ladderMedian) = {
       val smallDir = new java.io.File(new java.io.File(sfDir).getParentFile,
         "sf0.01").toString
       val ladderOn = !soakOnly && smallDir != sfDir &&
         new java.io.File(smallDir, "lineitem.parquet").exists()
-      if (!ladderOn) "{}"
+      if (!ladderOn) ("{}", -1.0)
       else {
         // beyond the relational core (VERDICT r9 #6): one graph row, one
         // warehouse row, one heavy set-similarity row — the tiers where
@@ -332,7 +332,8 @@ object Bench {
         val qj = perQ.map { case (n, ts, tb, r) =>
           f"""\"$n\":{\"t_small\":$ts%.3f,\"t_big\":$tb%.3f,\"ratio\":$r%.2f}"""
         }.mkString("{", ",", "}")
-        f"""{\"small_sf\":\"$smallDir\",\"big_sf\":\"$sfDir\",\"median_ratio\":$median%.2f,\"queries\":$qj}"""
+        (f"""{\"small_sf\":\"$smallDir\",\"big_sf\":\"$sfDir\",\"median_ratio\":$median%.2f,\"queries\":$qj}""",
+          median)
       }
     }
 
@@ -1149,28 +1150,41 @@ object Bench {
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
 
-    // graph-tier drift adjudicator (VERDICT r9 #5): x33/x35/x36 drifted
-    // +10-21% on unchanged code in r9 and the judge had to argue load from
-    // wall-clock context. Each watched row already carries >= 2 samples
-    // separated by an entire pass; report their spread, and name a spread
-    // > 1.25x "load" explicitly — two samples minutes apart agreeing means
-    // regression, disagreeing means a contention window.
-    val driftJson = {
-      val watched = Seq("x33_pagerank", "x35_triangles", "x36_kcore",
-        "x71_hits", "ext_join_estimate")
-      watched.flatMap { n =>
-        samples.get(n).map { ss =>
-          val clean = ss.collect { case Sample(t, _, None) => t }.sorted
-          val spread = if (clean.size >= 2 && clean.head > 0)
-            clean.last / clean.head else -1.0
-          val verdict =
-            if (clean.size < 2) "insufficient"
-            else if (spread > 1.25) "load" else "stable"
-          f""""$n":{"min":${if (clean.isEmpty) -1.0 else clean.head}%.3f,"max":${if (clean.isEmpty) -1.0 else clean.last}%.3f,"spread":$spread%.2f,"verdict":"$verdict"}"""
-        }
-      }.mkString("{", ",", "}")
+    // drift adjudicator, generalized to EVERY multi-sample query (VERDICT
+    // r10 #4: ext_fuzzy_dl_join showed a 26x sample spread and only the
+    // min-of-samples convention saved the headline — 5 watched rows were
+    // not enough). Every query carries >= 2 samples separated by an entire
+    // pass; a spread > 2x between two samples minutes apart is a
+    // contention window ("load" — unchanged code cannot get 2x faster),
+    // 1.25-2x is the historical graph-tier jitter band ("jitter"), under
+    // 1.25x is "stable". The full line names every load-flagged query;
+    // the trailer carries only the counts (its 1,800-byte budget).
+    val driftAll = samples.toSeq.sortBy(_._1).map { case (n, ss) =>
+      val clean = ss.collect { case Sample(t, _, None) => t }.sorted
+      val spread = if (clean.size >= 2 && clean.head > 0)
+        clean.last / clean.head else -1.0
+      val verdict =
+        if (clean.size < 2) "insufficient"
+        else if (spread > 2.0) "load"
+        else if (spread > 1.25) "jitter" else "stable"
+      (n, spread, verdict)
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_last":$qsLast,"samples":$sampleJson,"errors":$errors,"flaky_errors":$flakyErrors,"stream_events_per_sec":${eps.toLong},"stream_eps_core":$epsCoreJson,"stream_eps_samples":$epsSampleJson,"scaling_ladder":$ladderJson,"drift":$driftJson,"soak":$soakJson,"sf":"$sfDir"}"""
+    val driftCounts = driftAll.groupBy(_._3).view.mapValues(_.size).toMap
+      .withDefaultValue(0)
+    val driftJson = {
+      val loads = driftAll.filter(_._3 == "load").map { case (n, sp, _) =>
+        f""""$n":$sp%.2f""" }.mkString("{", ",", "}")
+      val jitters = driftAll.filter(_._3 == "jitter").map { case (n, sp, _) =>
+        f""""$n":$sp%.2f""" }.mkString("{", ",", "}")
+      s"""{"n":${driftAll.size},"load_n":${driftCounts("load")},""" +
+        s""""jitter_n":${driftCounts("jitter")},"stable_n":${driftCounts("stable")},""" +
+        s""""load":$loads,"jitter":$jitters}"""
+    }
+    // "agg":"min_samples" labels the headline honestly (VERDICT r10 #5):
+    // `value` is the SUM OF PER-QUERY MINIMA across in-run samples, not a
+    // single-pass sum — r1-r8 totals were single-pass, so cross-round
+    // comparisons need the label.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_samples","queries":$qs,"queries_last":$qsLast,"samples":$sampleJson,"errors":$errors,"flaky_errors":$flakyErrors,"stream_events_per_sec":${eps.toLong},"stream_eps_core":$epsCoreJson,"stream_eps_samples":$epsSampleJson,"scaling_ladder":$ladderJson,"drift":$driftJson,"soak":$soakJson,"sf":"$sfDir"}"""
     println(line)
     // durability: the driver records only a truncated tail of stdout (r4 and
     // r5 both lost the per-query map past ~2,000 chars) — the full line also
@@ -1190,10 +1204,30 @@ object Bench {
     // read when the stdout tail is mangled, and printed as the LAST stdout
     // line (build.sbt forces raw StdoutOutput for forked runs, so no sbt
     // "[info]" prefix breaks line-wise JSON parsing).
+    // HARD byte budget (VERDICT r10 #1, third parse failure in four rounds):
+    // the driver snapshots only the LAST 2,000 bytes of stdout and sbt's
+    // trailing "[success]" line eats ~74 of them, so the trailer must fit
+    // 1,800 bytes WHOLE or its head gets sliced off and the JSON dies.
+    // Scalars + ladder median + drift COUNTS + slowest-5 only; every fat
+    // object (full ladder, per-query drift, full query map, samples) lives
+    // in $outPath and bench_tail.json. If a future edit overgrows it, the
+    // guarded fallback below ships a minimal-but-parseable trailer rather
+    // than a truncated one.
     val slowest = results.collect { case (k, v, _, None, _) => (k, v) }
-      .sortBy(-_._2).take(12)
+      .sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val tail = s"""{"metric":"total_tail","value":$total,"unit":"sec","queries_n":${results.size},"errors_n":${results.count(_._4.isDefined)},"stream_events_per_sec":${eps.toLong},"stream_eps_core":$epsCoreJson,"scaling_ladder":$ladderJson,"drift":$driftJson,"queries":$slowest,"queries_note":"slowest 12 of ${results.size}; full map in $outPath","sf":"$sfDir"}"""
+    val driftTail = s"""{"n":${driftAll.size},"load_n":${driftCounts("load")},""" +
+      s""""jitter_n":${driftCounts("jitter")},"stable_n":${driftCounts("stable")}}"""
+    val tailFull = f"""{"metric":"total_tail","value":$total,"unit":"sec","agg":"min_samples","queries_n":${results.size},"errors_n":${results.count(_._4.isDefined)},"stream_events_per_sec":${eps.toLong},"stream_eps_core":$epsCoreJson,"ladder_median_ratio":$ladderMedian%.2f,"drift":$driftTail,"queries":$slowest,"queries_note":"slowest 5 of ${results.size}; full map in $outPath","sf":"$sfDir"}"""
+    val tail =
+      if (tailFull.length <= 1800) tailFull
+      else {
+        System.err.println(s"trailer overgrew its 1,800-byte budget " +
+          s"(${tailFull.length} bytes) — shipping the minimal fallback")
+        s"""{"metric":"total_tail","value":$total,"unit":"sec","agg":"min_samples","queries_n":${results.size},"errors_n":${results.count(_._4.isDefined)},"note":"full trailer overgrew 1800B; see $outPath","sf":"$sfDir"}"""
+      }
+    require(tail.length <= 1800,
+      s"even the fallback trailer exceeds the stdout window: ${tail.length}B")
     // A SOAK_ONLY / stage-filtered iteration run has no query results; writing
     // its empty trailer over the durable file would hand the driver a
     // "queries_n":0 snapshot from the last full run (this exact thing got

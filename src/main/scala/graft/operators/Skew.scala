@@ -160,10 +160,12 @@ object Skew {
     runningAggChunked(df, keyCol, ordCol, valueCol, resultCol, "sum", chunks)
 
   /** The general form of [[runningSumChunked]] for any ASSOCIATIVE running
-    * aggregate — `agg` one of `sum`, `min`, `max` (the decomposable
-    * UNBOUNDED-PRECEDING frames; min/max offsets combine with
+    * aggregate — `agg` one of `sum`, `min`, `max`, `count` (the
+    * decomposable UNBOUNDED-PRECEDING frames; min/max offsets combine with
     * least/greatest instead of `+`, and the first chunk of each key has no
-    * offset at all — a null-combining least/greatest keeps it exact). */
+    * offset at all — a null-combining least/greatest keeps it exact;
+    * count's chunk totals re-combine by SUM, and a running count is never
+    * null, so only the absent first-chunk offset needs a coalesce). */
   def runningAggChunked(
       df: DataFrame,
       keyCol: String,
@@ -173,8 +175,8 @@ object Skew {
       agg: String = "sum",
       chunks: Int = 32): DataFrame = {
     require(chunks >= 2 && chunks <= 4096, s"chunks out of range: $chunks")
-    require(Set("sum", "min", "max")(agg),
-      s"runningAggChunked supports sum/min/max, got '$agg'")
+    require(Set("sum", "min", "max", "count")(agg),
+      s"runningAggChunked supports sum/min/max/count, got '$agg'")
     Seq(keyCol, ordCol, valueCol).foreach(c => require(df.columns.contains(c),
       s"column '$c' not found in ${df.columns.mkString("[", ",", "]")}"))
     Seq("__chunk", "__k", "__c", "__ct", "__off", "__loc").foreach(h =>
@@ -184,8 +186,12 @@ object Skew {
     val aggFn: Column => Column = agg match {
       case "sum" => sum(_)
       case "min" => min(_)
-      case _ => max(_)
+      case "max" => max(_)
+      case _ => count(_)
     }
+    // the offset side re-combines CHUNK TOTALS, which for count means
+    // adding counts — SUM of the per-chunk counts, not a count of them
+    val offFn: Column => Column = if (agg == "count") sum(_) else aggFn
     // combine a local prefix with the (possibly absent) prior-chunk
     // offset. NULL discipline mirrors the window aggregate's: a running
     // frame whose values so far are ALL null yields null, any non-null
@@ -193,12 +199,14 @@ object Skew {
     // when BOTH sides are null (a bare `loc + off` would null out a row
     // whose chunk-local prefix is all-null even though earlier chunks
     // carried real values); least/greatest are natively null-skipping,
-    // so they compose correctly as-is.
+    // so they compose correctly as-is; a running count is never null, so
+    // only the first chunk's absent offset needs a zero.
     def combine(loc: Column, off: Column): Column = agg match {
       case "sum" => when(loc.isNull && off.isNull, lit(null))
         .otherwise(coalesce(loc, lit(0L)) + coalesce(off, lit(0L)))
       case "min" => least(loc, off)
-      case _ => greatest(loc, off)
+      case "max" => greatest(loc, off)
+      case _ => loc + coalesce(off, lit(0L))
     }
     val stats = df.agg(min(col(ordCol).cast("double")).as("lo"),
       max(col(ordCol).cast("double")).as("hi")).collect()(0)
@@ -219,7 +227,7 @@ object Skew {
       .groupBy(col(keyCol).as("__k"), col("__chunk"))
       .agg(aggFn(col(valueCol)).as("__ct"))
       .withColumn("__off",
-        aggFn(col("__ct")).over(Window.partitionBy(col("__k"))
+        offFn(col("__ct")).over(Window.partitionBy(col("__k"))
           .orderBy(col("__chunk"))
           .rowsBetween(Window.unboundedPreceding, -1)))
       // fresh names: offsets derives FROM base, so reusing base's __chunk
@@ -230,8 +238,13 @@ object Skew {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
       .withColumn("__loc", aggFn(col(valueCol)).over(localW))
+      // null-safe key equality: a NULL partition key is a normal window
+      // partition (the plain form keeps it), so the chunk join must match
+      // it too — EqualTo would silently drop every NULL-key row. The chunk
+      // column is non-null by construction (greatest() skips the NULL that
+      // a NULL ord feeds it and clamps to chunk 0), so === is exact there.
       .join(offsets,
-        col(keyCol) === col("__k") && col("__chunk") === col("__c"))
+        col(keyCol) <=> col("__k") && col("__chunk") === col("__c"))
       .withColumn(resultCol, combine(col("__loc"), col("__off")))
       .drop("__k", "__c", "__chunk", "__loc", "__off")
   }

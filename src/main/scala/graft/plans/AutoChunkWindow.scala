@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Ascending,
-  AttributeReference, Cast, Coalesce, CurrentRow, Divide, EqualTo, Expression,
-  Floor, Greatest, If, IsNull, Least, Literal, NamedExpression, RowFrame,
-  SortOrder, SpecifiedWindowFrame, Subtract, UnboundedPreceding,
-  WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+  AttributeReference, Cast, Coalesce, CurrentRow, Divide, EqualNullSafe,
+  EqualTo, Expression, Floor, Greatest, If, IsNull, Least, Literal,
+  NamedExpression, NullsFirst, RowFrame, SortOrder, SpecifiedWindowFrame,
+  Subtract, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  AggregateFunction, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint,
   LogicalPlan, Project, Window}
@@ -45,23 +46,54 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType,
   *  - `spark.graft.autoChunk.enabled` (default true — it can only fire
   *    on ANALYZE'd, cbo-on inputs with a proven hot key);
   *  - child rowCount >= `minRows` (default 10M);
-  *  - ORDER BY: single ascending bare attribute of a plain numeric type
-  *    (timestamps: project an epoch column first — stats for internal
-  *    timestamp micros don't match a double cast), with min/max stats;
+  *  - ORDER BY: single ascending NULLS FIRST bare attribute of a plain
+  *    numeric type (timestamps: project an epoch column first — stats for
+  *    internal timestamp micros don't match a double cast), with min/max
+  *    stats. NULLS LAST is excluded by pattern: the chunk function sends a
+  *    NULL ord to chunk 0 (nulls-FIRST placement), so a NULLS LAST window
+  *    would mis-order null-ord rows AND leak their values into every later
+  *    chunk's offset;
   *  - hotness: rowCount / ndv(keys) >= `perKeyRows` (default 1M — the
   *    average key alone overwhelms one task; covers the no-keys global
   *    window with ndv = 1), OR a single-key equi-height histogram shows
   *    one value holding >= `hotShare` (default 0.2) of the rows;
-  *  - exactly one window expression: non-distinct unfiltered SUM over a
-  *    non-decimal deterministic argument, ROWS UNBOUNDED..CURRENT frame.
+  *  - EVERY window expression in the node decomposes: non-distinct
+  *    unfiltered SUM / MIN / MAX / COUNT / AVG over a deterministic
+  *    argument, ROWS or RANGE UNBOUNDED..CURRENT frame, all over the same
+  *    partition keys and ORDER column (one non-decomposable expression
+  *    leaves the whole node plain — a half-rewritten node would window
+  *    twice for nothing).
+  *    SUM arguments must be INTEGRAL (byte/short/int/long): the chunk
+  *    decomposition re-associates addition, so a Float/Double sum could
+  *    differ from the serial window in the last ulps — the manual verb's
+  *    exactness contract is integer-typed values, and a default-ON rule
+  *    must never alter an answer. FP sums opt in via
+  *    `spark.graft.autoChunk.allowFloat` (default false) with that
+  *    documented last-ulps tolerance. Min/max never re-combine values
+  *    into new ones, so any analyzed numeric type is safe there; count
+  *    re-combines exact longs. AVG decomposes into an exact running
+  *    SUM + COUNT and replays Average's own `sum/count` division — fired
+  *    only when column stats PROVE `rowCount * max|v| < 2^53` (see
+  *    [[avgExact]]), the range where the serial window's double
+  *    accumulation is itself exact, so the rewrite stays bit-identical.
   *
-  * The emitted alias reuses the original ExprId, so parents resolve
+  * Key equality in the assembled join is NULL-SAFE (<=>): a NULL
+  * partition key is a normal window partition and must survive the
+  * rewrite — EqualTo would silently drop every NULL-key row.
+  *
+  * The emitted aliases reuse the original ExprIds, so parents resolve
   * unchanged; the local window's partition spec contains the chunk
   * column, which no longer matches the pattern — the fixed-point guard.
   */
 object AutoChunkWindow extends Rule[LogicalPlan] {
 
   private val C_NAME = "__graft_chunk"
+
+  /** One decomposable window expression, destructured. */
+  private case class Decomposed(
+      alias: Alias, ae: AggregateExpression, kind: String, v: Expression,
+      so: SortOrder, frame: SpecifiedWindowFrame, ord: AttributeReference,
+      partSpec: Seq[Expression])
 
   def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.autoChunk.enabled", "true").toBoolean)
@@ -74,35 +106,79 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       conf.getConfString("spark.graft.autoChunk.hotShare", "0.2").toDouble
     val chunks =
       conf.getConfString("spark.graft.autoChunk.chunks", "32").toInt
+    val allowFloat =
+      conf.getConfString("spark.graft.autoChunk.allowFloat", "false").toBoolean
     plan.transformUp {
-      case w @ Window(Seq(alias @ Alias(WindowExpression(
+      case w @ Window(exprs, _, _, child, _) if exprs.nonEmpty &&
+          decomposeAll(exprs, allowFloat).exists { ds =>
+            val d = ds.head
+            eligible(d.v, d.ord, d.partSpec, child, minRows, perKeyRows,
+              hotShare) &&
+              ds.tail.forall(_.v.deterministic) &&
+              ds.forall(avgExact(_, child, allowFloat))
+          } =>
+        val ds = decomposeAll(exprs, allowFloat).get
+        rewrite(child, ds, ds.head.ord,
+          ds.head.partSpec.map(_.asInstanceOf[AttributeReference]), chunks)
+    }
+  }
+
+  /** Destructure EVERY window expression of the node, or None if any one
+    * fails to match the decomposable shape or the specs disagree (they
+    * must share the partition keys and the ORDER attribute — Spark groups
+    * expressions into one Window node by (partitionSpec, orderSpec), so
+    * this holds for planner-built nodes; hand-built ones get checked). */
+  private def decomposeAll(
+      exprs: Seq[NamedExpression], allowFloat: Boolean): Option[Seq[Decomposed]] = {
+    val ds = exprs.map {
+      case alias @ Alias(WindowExpression(
             ae: AggregateExpression,
             WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
-              ord: AttributeReference, Ascending, _, _)),
+              ord: AttributeReference, Ascending, NullsFirst, _)),
               frame @ SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))),
-            _)), _, _, child, _)
-          if aggArg(ae).exists { case (kind, v) => typeOk(kind, v) && eligible(
-            w, v, ord, partSpec, child, minRows, perKeyRows, hotShare) } =>
-        rewrite(child, alias, ae, aggArg(ae).get._1, aggArg(ae).get._2,
-          so, frame, ord,
-          partSpec.map(_.asInstanceOf[AttributeReference]), chunks)
+            _)
+          if aggArg(ae).exists { case (kind, v) =>
+            typeOk(kind, v, allowFloat) } &&
+            partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+        val (kind, v) = aggArg(ae).get
+        Some(Decomposed(alias, ae, kind, v, so, frame, ord, partSpec))
+      case _ => None
     }
+    if (ds.exists(_.isEmpty)) return None
+    val all = ds.map(_.get)
+    val h = all.head
+    val consistent = all.tail.forall { d =>
+      d.ord.semanticEquals(h.ord) &&
+        d.partSpec.length == h.partSpec.length &&
+        d.partSpec.zip(h.partSpec).forall { case (a, b) => a.semanticEquals(b) }
+    }
+    if (consistent) Some(all) else None
   }
 
   /** The decomposable running aggregates: (kind, argument), or None.
     * A RANGE frame decomposes just as exactly as ROWS here — the chunk is
     * monotone in the ORDER column, so tied rows (peers) can never straddle
     * a chunk boundary, and the chunk-local window replays the original
-    * frame verbatim. */
+    * frame verbatim. Count decomposes with a SUM on the offset side (chunk
+    * totals are counts; re-combining counts is addition of exact longs),
+    * covering both count(v) and the count(*)/count(1) literal form. */
   private def aggArg(ae: AggregateExpression): Option[(String, Expression)] =
     if (ae.isDistinct || ae.filter.isDefined) None
     else ae.aggregateFunction match {
       case Sum(v, _) => Some(("sum", v))
+      case Count(Seq(v)) => Some(("count", v))
+      case Average(v, _) => Some(("avg", v))
       case org.apache.spark.sql.catalyst.expressions.aggregate.Min(v) =>
         Some(("min", v))
       case org.apache.spark.sql.catalyst.expressions.aggregate.Max(v) =>
         Some(("max", v))
       case _ => None
+    }
+
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
     }
 
   private def numeric(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -122,15 +198,45 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Sum re-adds across chunks — plain numerics only (a decimal re-sum
-    * would widen the result type, an interval needs its own zero); min and
+  /** Sum (and avg, which re-adds internally) re-add across chunks —
+    * INTEGRAL types only by default (FP addition is non-associative, so a
+    * rewritten double sum could change ulps; decimals would widen the
+    * result type; intervals need their own zero). `allowFloat` opts
+    * Float/Double sums in with a documented last-ulps tolerance. Min and
     * max never re-combine values into new ones, so any analyzed (hence
     * orderable) type is safe. */
-  private def typeOk(kind: String, v: Expression): Boolean =
-    kind != "sum" || numeric(v.dataType)
+  private def typeOk(kind: String, v: Expression, allowFloat: Boolean): Boolean =
+    (kind != "sum" && kind != "avg") || integral(v.dataType) ||
+      (allowFloat && numeric(v.dataType))
+
+  /** Integral AVG needs one proof sum/count don't: the serial window's
+    * Average accumulates its sum in a DOUBLE buffer (`sum + cast(v as
+    * double)` per row), so the serial sum is exact ONLY while every
+    * partial sum stays under 2^53 — inside that range integer-valued
+    * double addition is exact, and the decomposed exact-long sum cast to
+    * double is bit-identical to it (the final `sum/count` division then
+    * matches bit for bit). Every partial sum is bounded by
+    * `rowCount * max(|min|, |max|)`, so column stats can PROVE the bound;
+    * no proof (missing stats, non-attribute argument, or a bound >= 2^53)
+    * means no rewrite — unless `allowFloat` already accepted a
+    * last-ulps tolerance. */
+  private def avgExact(
+      d: Decomposed, child: LogicalPlan, allowFloat: Boolean): Boolean =
+    d.kind != "avg" || allowFloat || (d.v match {
+      case a: AttributeReference =>
+        val st = child.stats
+        (for {
+          rc <- st.rowCount
+          cs <- st.attributeStats.get(a)
+          mn <- cs.min.flatMap(statDouble)
+          mx <- cs.max.flatMap(statDouble)
+        } yield BigDecimal(rc) * BigDecimal(math.max(math.abs(mn), math.abs(mx))) <
+          BigDecimal(2).pow(53)).getOrElse(false)
+      case _ => false
+    })
 
   private def eligible(
-      w: Window, v: Expression, ord: AttributeReference,
+      v: Expression, ord: AttributeReference,
       partSpec: Seq[Expression], child: LogicalPlan,
       minRows: Long, perKeyRows: Long, hotShare: Double): Boolean = {
     if (!v.deterministic) return false
@@ -168,17 +274,41 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     avgHot || histHot
   }
 
+  /** One physical aggregate column of the decomposition. An expression
+    * contributes one leg (sum/min/max/count run themselves through the
+    * chunk machinery) or two (avg decomposes into an exact running SUM
+    * and COUNT whose final division replays Average's own
+    * `sum/count` evaluation). */
+  private case class Leg(kind: String, v: Expression)
+
+  private def legsOf(d: Decomposed): Seq[Leg] = d.kind match {
+    case "avg" => Seq(Leg("sum", d.v), Leg("count", d.v))
+    case k => Seq(Leg(k, d.v))
+  }
+
   private def rewrite(
-      child: LogicalPlan, alias: Alias, ae: AggregateExpression,
-      kind: String, v: Expression, so: SortOrder,
-      frame: SpecifiedWindowFrame, ord: AttributeReference,
+      child: LogicalPlan, ds: Seq[Decomposed], ord: AttributeReference,
       pk: Seq[AttributeReference], chunks: Int): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
-    def aggFn(e: Expression) = (kind match {
+    def aggFn(kind: String, e: Expression) = (kind match {
       case "sum" => Sum(e)
+      case "count" => Count(Seq(e))
       case "min" => Min(e)
       case _ => Max(e)
     }).toAggregateExpression()
+    // the offset side re-combines CHUNK TOTALS — for count that is a SUM
+    // of the per-chunk counts, not a count of them
+    def offKind(kind: String) = if (kind == "count") "sum" else kind
+    // every leg of every expression, flat with its parent; expression j's
+    // legs sit at flat positions [legOffsets(j), legOffsets(j+1)) in the
+    // ct/off/loc alias sequences. Non-avg legs replay the ORIGINAL
+    // AggregateExpression in the local window (exact evalMode and all);
+    // avg legs get fresh Sum/Count — the division happens once at the end.
+    val flat: Seq[(Decomposed, Leg)] =
+      ds.flatMap(d => legsOf(d).map(l => (d, l)))
+    val legOffsets = ds.map(legsOf(_).length).scanLeft(0)(_ + _)
+    def localAgg(d: Decomposed, l: Leg): AggregateExpression =
+      if (d.kind == "avg") aggFn(l.kind, l.v) else d.ae
     val st = child.stats
     val cs = st.attributeStats(ord)
     val lo = statDouble(cs.min.get).get
@@ -196,55 +326,91 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val chunkAlias = Alias(chunkExpr, C_NAME)()
     val proj1 = Project(child.output :+ chunkAlias, child)
     val chunkAttr = chunkAlias.toAttribute
-    // per-(key, chunk) totals under the SAME aggregate
-    val ctAlias = Alias(aggFn(v), s"${C_NAME}_ct")()
+    // per-(key, chunk) totals under the SAME aggregates, one per leg
+    val ctAliases = flat.zipWithIndex.map { case ((_, l), i) =>
+      Alias(aggFn(l.kind, l.v), s"${C_NAME}_ct_$i")()
+    }
     val totals = Aggregate(
       (pk: Seq[Expression]) :+ chunkAttr,
       (pk: Seq[NamedExpression]) :+ chunkAttr.asInstanceOf[NamedExpression]
-        :+ ctAlias, proj1)
-    // exclusive running offset over the <= chunks rows per key
-    val offWe = WindowExpression(
-      aggFn(ctAlias.toAttribute),
-      WindowSpecDefinition(pk, Seq(SortOrder(chunkAttr, Ascending)),
-        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1))))
-    val offAlias = Alias(offWe, s"${C_NAME}_off")()
-    val offWin = Window(Seq(offAlias), pk, Seq(SortOrder(chunkAttr, Ascending)),
+        :++ ctAliases, proj1)
+    // exclusive running offsets over the <= chunks rows per key — all the
+    // legs share one Window node (same spec, same sort)
+    val offAliases = flat.zip(ctAliases).zipWithIndex.map { case (((_, l), ct), i) =>
+      Alias(WindowExpression(
+        aggFn(offKind(l.kind), ct.toAttribute),
+        WindowSpecDefinition(pk, Seq(SortOrder(chunkAttr, Ascending)),
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
+        s"${C_NAME}_off_$i")()
+    }
+    val offWin = Window(offAliases, pk, Seq(SortOrder(chunkAttr, Ascending)),
       totals, None)
     // fresh-id projection of the offsets side: it derives from the same
     // child, so the join condition must not reuse the left side's attrs
     val rKeys = pk.map(a => Alias(a, a.name + "_r")())
     val rChunk = Alias(chunkAttr, C_NAME + "_r")()
-    val rOff = Alias(offAlias.toAttribute, C_NAME + "_off_r")()
-    val offSide = Project(rKeys ++ Seq(rChunk, rOff), offWin)
-    // chunk-local running aggregate over the full-width rows — the
-    // ORIGINAL frame (ROWS or RANGE) and sort order replay within the
-    // (key, chunk) partition; RANGE peers can't straddle chunks because
-    // the chunk is a function of the ORDER value
-    val locWe = WindowExpression(ae,
-      WindowSpecDefinition((pk: Seq[Expression]) :+ chunkAttr,
-        Seq(so), frame))
-    val locAlias = Alias(locWe, s"${C_NAME}_loc")()
-    val locWin = Window(Seq(locAlias), (pk: Seq[Expression]) :+ chunkAttr,
-      Seq(so), proj1, None)
+    val rOffs = offAliases.zipWithIndex.map { case (o, i) =>
+      Alias(o.toAttribute, s"${C_NAME}_off_r_$i")()
+    }
+    val offSide = Project(rKeys ++ Seq(rChunk) ++ rOffs, offWin)
+    // chunk-local running aggregates over the full-width rows — each leg
+    // replays its expression's ORIGINAL frame (ROWS or RANGE) and sort
+    // order within the (key, chunk) partition; RANGE peers can't straddle
+    // chunks because the chunk is a function of the ORDER value
+    val locAliases = flat.zipWithIndex.map { case ((d, l), i) =>
+      Alias(WindowExpression(localAgg(d, l),
+        WindowSpecDefinition((pk: Seq[Expression]) :+ chunkAttr,
+          Seq(d.so), d.frame)), s"${C_NAME}_loc_$i")()
+    }
+    val locWin = Window(locAliases, (pk: Seq[Expression]) :+ chunkAttr,
+      Seq(ds.head.so), proj1, None)
+    // NULL-SAFE key equality: a NULL partition key is a normal window
+    // partition — EqualTo would drop its rows. The chunk attribute is
+    // non-null by construction (Greatest skips the NULL a null ord feeds
+    // it and clamps to 0), so plain EqualTo is exact there.
     val cond = (pk.zip(rKeys).map { case (l, r) =>
-      EqualTo(l, r.toAttribute): Expression } :+
+      EqualNullSafe(l, r.toAttribute): Expression } :+
       (EqualTo(chunkAttr, rChunk.toAttribute): Expression))
       .reduce(And(_, _))
     val joined = Join(locWin, offSide, Inner, Some(cond), JoinHint.NONE)
     // the window aggregate's null discipline: sum is null only when BOTH
     // sides are null (explicit guard); least/greatest skip nulls natively
-    val loc = locAlias.toAttribute
-    val off = rOff.toAttribute
-    val combined = kind match {
-      case "sum" =>
-        val zero = Literal.default(loc.dataType)
-        If(And(IsNull(loc), IsNull(off)),
-          Literal.create(null, loc.dataType),
-          Add(Coalesce(Seq(loc, zero)), Coalesce(Seq(off, zero))))
-      case "min" => Least(Seq(loc, off))
-      case _ => Greatest(Seq(loc, off))
+    def combineLeg(kind: String, loc: Expression, off: Expression): Expression =
+      kind match {
+        case "sum" =>
+          val zero = Literal.default(loc.dataType)
+          If(And(IsNull(loc), IsNull(off)),
+            Literal.create(null, loc.dataType),
+            Add(Coalesce(Seq(loc, zero)), Coalesce(Seq(off, zero))))
+        // a running count is never null; only the absent first-chunk
+        // offset needs a zero — counts ADD across chunks (greatest would
+        // take the larger side and undercount every chunk past the first)
+        case "count" => Add(loc, Coalesce(Seq(off, Literal(0L))))
+        case "min" => Least(Seq(loc, off))
+        case _ => Greatest(Seq(loc, off))
+      }
+    val combined = ds.zipWithIndex.map { case (d, j) =>
+      val base = legOffsets(j)
+      def loc(i: Int) = locAliases(base + i).toAttribute
+      def off(i: Int) = rOffs(base + i).toAttribute
+      val c = d.kind match {
+        case "avg" =>
+          // replay Average's own evaluation on the exact running sum and
+          // count: Divide(sum cast double, count cast double) — null on a
+          // zero count (all-null prefix), bit-identical under the 2^53
+          // proof because the serial double accumulation is exact there.
+          // LEGACY eval mode exactly as Average.evaluateExpression uses:
+          // a zero count must yield null, not an ANSI divide-by-zero
+          val s = combineLeg("sum", loc(0), off(0))
+          val n = combineLeg("count", loc(1), off(1))
+          Divide(Cast(Coalesce(Seq(s, Literal.default(s.dataType))), DoubleType),
+            Cast(n, DoubleType),
+            org.apache.spark.sql.catalyst.expressions.NumericEvalContext(
+              org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+        case k => combineLeg(k, loc(0), off(0))
+      }
+      Alias(c, d.alias.name)(exprId = d.alias.exprId)
     }
-    Project(child.output :+
-      Alias(combined, alias.name)(exprId = alias.exprId), joined)
+    Project(child.output ++ combined, joined)
   }
 }

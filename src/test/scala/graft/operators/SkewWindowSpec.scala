@@ -132,6 +132,50 @@ class SkewWindowSpec extends SparkSpec {
     }
   }
 
+  test("running count: adds chunk offsets, skips NULL values, never null") {
+    import org.apache.spark.sql.expressions.Window
+    // NULL values thin the count (count(v) skips them) and the chunk size
+    // forces multi-chunk keys, so the offset ADD is load-bearing: a
+    // min/max-style combine would undercount everything past chunk 0
+    val rows: Seq[(Long, Long, Option[Long])] = (0L until 300L).map { i =>
+      (i % 3, i, if (i % 5 == 0) None else Some(i))
+    }
+    val df = rows.toDF("k", "o", "v")
+    val got = Skew.runningAggChunked(df, "k", "o", "v", "run", "count", chunks = 6)
+      .select(col("k"), col("o"), col("run"))
+    val want = df.withColumn("run", count(col("v")).over(
+      Window.partitionBy(col("k")).orderBy(col("o"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("k"), col("o"), col("run"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "chunked running count diverges from the window form")
+    assert(got.filter(col("run").isNull).isEmpty, "a running count is never null")
+  }
+
+  test("NULL partition keys are a normal partition, not dropped rows") {
+    import org.apache.spark.sql.expressions.Window
+    // a NULL key is a real window partition in the plain form — the chunk
+    // join must keep it (ADVICE r10: === on the key silently dropped them)
+    val rows: Seq[(Option[Long], Long, Long)] = (0L until 200L).map { i =>
+      (if (i % 4 == 0) None else Some(i % 3), i, i % 17)
+    }
+    val df = rows.toDF("k", "o", "v")
+    for (a <- Seq("sum", "min", "max")) {
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        a match { case "sum" => sum(_); case "min" => min(_); case _ => max(_) }
+      val got = Skew.runningAggChunked(df, "k", "o", "v", "run", a, chunks = 8)
+      assert(got.count() == 200L, s"$a: NULL-key rows were dropped")
+      val want = df.withColumn("run", fn(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(got.select(col("k"), col("o"), col("run"))
+        .exceptAll(want.select(col("k"), col("o"), col("run"))).isEmpty &&
+        want.select(col("k"), col("o"), col("run"))
+          .exceptAll(got.select(col("k"), col("o"), col("run"))).isEmpty,
+        s"$a diverges on NULL keys")
+    }
+  }
+
   test("empty input and degenerate (single-ord) range") {
     val empty = Seq.empty[(Long, Long, Long)].toDF("k", "o", "v")
     assert(Skew.runningSumChunked(empty, "k", "o", "v", "run").count() == 0)

@@ -140,7 +140,196 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
-  test("does NOT fire: no stats, sliding frame, desc order, decimal sum") {
+  test("NULL partition keys survive the rewrite (null-safe key join)") {
+    val t = "graft_autochunk_nullkey"
+    freshTable(t) {
+      // every 5th key NULL — a NULL key is a normal window partition and
+      // the chunk join must keep all of its rows (ADVICE r10: EqualTo on
+      // the key silently dropped them)
+      spark.range(10000L).select(
+          when(col("id") % 5 === 0, lit(null).cast("long"))
+            .otherwise(pmod(col("id"), lit(2L))).as("k"),
+          col("id").as("o"),
+          pmod(xxhash64(col("id")), lit(100L)).as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val df = runSum(t)
+      assert(chunked(df), s"must fire:\n${df.queryExecution.optimizedPlan}")
+      assert(df.count() == 10000L, "NULL-key rows were dropped by the rewrite")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = runSum(t).collect().toSet
+      }
+      assert(df.collect().toSet == want, "NULL-key rewrite changed the answer")
+    }
+  }
+
+  test("multi-expression Window: all-decomposable fires once, mixed stays plain") {
+    import org.apache.spark.sql.expressions.Window
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val w = Window.partitionBy(col("k")).orderBy(col("o"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // sum + min + max over one spec land in ONE Window node — all three
+      // decompose, so the node rewrites as a whole and stays identical
+      def all3 = spark.table(avgHotTable)
+        .withColumn("rs", sum(col("v")).over(w))
+        .withColumn("rm", min(col("v")).over(w))
+        .withColumn("rx", max(col("v")).over(w))
+      assert(chunked(all3),
+        s"3-expression node must fire:\n${all3.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = all3.collect().toSet
+      }
+      assert(all3.collect().toSet == want, "multi-expression rewrite changed the answer")
+      // one non-decomposable expression in the node leaves ALL of it
+      // plain — a half-rewritten node would pay both windows. avg here is
+      // non-decomposable BECAUSE avgHotTable is ANALYZEd for k/o only: no
+      // v stats -> no 2^53 proof. (stddev can't serve as the foil: its
+      // cast-extracted argument puts it in its OWN Window node, and the
+      // sum node then fires correctly on its own.)
+      val mixed = spark.table(avgHotTable)
+        .withColumn("rs", sum(col("v")).over(w))
+        .withColumn("ra", avg(col("v")).over(w))
+      assert(!chunked(mixed),
+        s"mixed sum+unprovable-avg node must stay plain:\n${mixed.queryExecution.optimizedPlan}")
+    }
+  }
+
+  test("running count fires and ADDS across chunks (count(v) and count(*))") {
+    import org.apache.spark.sql.expressions.Window
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val w = Window.partitionBy(col("k")).orderBy(col("o"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // count(v) skips the fixture's NULL values; count(*) counts rows —
+      // both must ADD chunk offsets (a greatest-style combine would
+      // undercount every chunk past the first, ~7/8 of the rows here)
+      for ((label, c) <- Seq("count_v" -> count(col("v")),
+          "count_star" -> count(lit(1)))) {
+        def q = spark.table(avgHotTable).withColumn("run", c.over(w))
+        assert(chunked(q), s"$label must fire:\n${q.queryExecution.optimizedPlan}")
+        var want: Set[org.apache.spark.sql.Row] = null
+        withConfs("spark.graft.autoChunk.enabled" -> "false") {
+          want = q.collect().toSet
+        }
+        assert(q.collect().toSet == want, s"$label rewrite changed the answer")
+      }
+    }
+  }
+
+  test("running avg: fires only under the 2^53 stats proof, bit-identical") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // proof-friendly fixture: |v| <= 100, 10k rows -> bound 1e6 << 2^53,
+    // and v ANALYZED (the proof needs v's min/max stats, not just k/o's)
+    val t = "graft_autochunk_avg_proof"
+    freshTable(t) {
+      spark.range(10000L).select(
+          pmod(col("id"), lit(2L)).as("k"), col("id").as("o"),
+          when(col("id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(pmod(xxhash64(col("id")), lit(201L)) - 100L).as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o, v")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      def q = spark.table(t).withColumn("run", avg(col("v")).over(w))
+      assert(chunked(q), s"proven avg must fire:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      // Set[Row] equality compares doubles bitwise — that IS the claim:
+      // under the proof the rewrite is exact, not approximately equal
+      assert(q.collect().toSet == want, "avg rewrite changed the answer")
+      // avg on the k/o-only-analyzed fixture: no v stats -> no proof -> plain
+      val noStats = spark.table(avgHotTable).withColumn("run", avg(col("v")).over(w))
+      assert(!chunked(noStats), "avg without the v-stats proof must stay plain")
+    }
+    // full-range v: bound = 10k * ~9.2e18 >> 2^53 -> proof fails -> plain
+    val big = "graft_autochunk_avg_big"
+    freshTable(big) {
+      spark.range(10000L).select(
+          pmod(col("id"), lit(2L)).as("k"), col("id").as("o"),
+          xxhash64(col("id")).as("v"))
+        .write.saveAsTable(big)
+      spark.sql(s"ANALYZE TABLE $big COMPUTE STATISTICS FOR COLUMNS k, o, v")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val q = spark.table(big).withColumn("run", avg(col("v")).over(w))
+      assert(!chunked(q),
+        "avg whose serial double accumulation can exceed 2^53 must stay plain")
+    }
+  }
+
+  test("FP sums are gated: double sum stays plain unless allowFloat opts in") {
+    val t = "graft_autochunk_fp"
+    freshTable(t) {
+      spark.range(10000L).select(
+          pmod(col("id"), lit(2L)).as("k"), col("id").as("o"),
+          (pmod(xxhash64(col("id")), lit(100L)).cast("double") / 7.0).as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      // default config: the rewrite re-associates addition, so a Float/
+      // Double sum must NOT be touched — an optimizer rule can never
+      // change an answer, even in ulps
+      assert(!chunked(runSum(t)), "double sum must stay plain by default")
+      // min/max never re-combine values — they fire on doubles regardless
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("k")).orderBy(col("o"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mx = spark.table(t).withColumn("run", max(col("v")).over(w))
+      assert(chunked(mx), "double max must still fire")
+      withConfs("spark.graft.autoChunk.allowFloat" -> "true") {
+        val df = runSum(t)
+        assert(chunked(df), "allowFloat=true must let the double sum fire")
+        // documented tolerance: last-ulps reassociation only
+        var want: Map[Long, Double] = null
+        withConfs("spark.graft.autoChunk.enabled" -> "false") {
+          want = runSum(t).select(col("o"), col("run"))
+            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        }
+        val got = df.select(col("o"), col("run"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got.keySet == want.keySet)
+        val maxRel = got.map { case (o, g) =>
+          val w0 = want(o)
+          if (w0 == 0.0) math.abs(g) else math.abs(g - w0) / math.abs(w0)
+        }.max
+        assert(maxRel < 1e-9, s"FP drift beyond reassociation ulps: $maxRel")
+      }
+    }
+  }
+
+  test("does NOT fire: no stats, sliding frame, desc order, nulls-last, decimal sum") {
     import org.apache.spark.sql.expressions.Window
     withConfs(
       "spark.sql.cbo.enabled" -> "true",
@@ -162,6 +351,13 @@ class AutoChunkWindowSpec extends SparkSpec {
         Window.partitionBy(col("k")).orderBy(col("o").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       assert(!chunked(desc), "descending order must not fire")
+      // ASC NULLS LAST: the chunk function places NULL ords FIRST (chunk
+      // 0), so a nulls-last window would both mis-order them and leak
+      // their values into later chunks' offsets — pattern excludes it
+      val nl = t.withColumn("run", sum(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o").asc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(!chunked(nl), "ASC NULLS LAST must not fire")
       val dec = t.withColumn("run",
         sum(col("v").cast("decimal(18,2)")).over(
           Window.partitionBy(col("k")).orderBy(col("o"))
