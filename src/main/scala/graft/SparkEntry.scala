@@ -1230,6 +1230,52 @@ object SparkEntry {
       }
     }),
 
+    // the multi-expression face of the same rule (r11): sum + count +
+    // max + avg over ONE window spec land in ONE Window node — ALL four
+    // decompose, so the node re-plans as a single chunk join; avg fires
+    // only because ANALYZE'd v-stats PROVE rowCount * max|cents| < 2^53
+    // (the range where the rewrite is bit-identical to the serial window).
+    // The oracle is the plain SQL window — the re-plan must be invisible.
+    "ext_autochunk_multi" -> ((s, dir) => {
+      import s.implicits._
+      val t = "graft_autochunk_multi_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, event_id, cents")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("k")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val df = s.table(t)
+          .withColumn("run_cents", sum(col("cents")).over(w))
+          .withColumn("n_run", count(col("cents")).over(w))
+          .withColumn("peak_cents", max(col("cents")).over(w))
+          .withColumn("avg_cents", avg(col("cents")).over(w))
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow did not fire on the multi-expression node")
+        df.select(col("event_id"), col("k").as("user_id"), col("run_cents"),
+            col("n_run"), col("peak_cents"), col("avg_cents"))
+          .orderBy(col("event_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getDouble(5))).toSeq
+          .toDF("event_id", "user_id", "run_cents", "n_run", "peak_cents",
+            "avg_cents")
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // salted exact distinct: the two-phase (key, hash(value) % salt) form
     // must equal the direct COUNT(DISTINCT) — the oracle IS the plain form
     "x21_salted_distinct" -> ((s, dir) =>
@@ -5934,6 +5980,16 @@ object SparkEntry {
       }, lateTail = late)
     }),
 
+    // streaming chunked running aggregate (the hot-key window skew fix,
+    // streamed): per-event running spend per customer across micro-batches
+    // — foreachBatch computes the batch-local running sum with the chunk
+    // decomposition (the hot key spreads over `chunks` tasks instead of
+    // serializing one) and carries ONE offset row per key across batches
+    // (O(keys) state, snapshotted per batch for restart). Exact long cents
+    // end to end; the oracle is the plain SQL running window over the same
+    // deterministic feed.
+    "stream_running_chunked" -> ((s, dir) => runningChunkedStream(s)),
+
     // streaming HLL: the distinct-shingle register table maintained as a
     // plain update-in-place max aggregation — state is bounded at 2^p rows
     // BY CONSTRUCTION (no watermark needed; the sketch cannot grow), and
@@ -6372,6 +6428,48 @@ object SparkEntry {
     // window never finalizing instead
     val t = s.table(name)
     if (t.columns.contains("customer_id")) t.filter(col("customer_id") =!= "-1") else t
+  }
+
+  /** The run behind `stream_running_chunked`: the transaction feed in 4
+    * micro-batches through [[graft.streaming.ChunkedRunning.foreachBatch]]
+    * — per-customer running spend per event, batch-locally chunk-
+    * decomposed, offsets carried across batches. Each batch's output goes
+    * to its own overwrite-mode parquet directory (idempotent per batchId,
+    * the foreachBatch exactly-once contract); the graded result is the
+    * union read back. Amounts as exact long cents: the chunk verb's
+    * exactness contract, and hash-stable against DuckDB's decimal window
+    * sum. No watermark/sentinel — the pipeline is stateless inside the
+    * stream engine (the cross-batch state lives in the verb). */
+  private def runningChunkedStream(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val payloads = graft.sources.DataGen
+      .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
+      .select(to_json(struct(col("*"))).as("value"))
+      .collect().map(_.getString(0))
+    val ms = MemoryStream[String]
+    val outDir = tempCkpt()
+    val batchDirs = scala.collection.mutable.Buffer.empty[String]
+    val fn = graft.streaming.ChunkedRunning.foreachBatch(
+        "customer_id", "te", "cents", "running_cents",
+        agg = "sum", chunks = 8, stateDir = Some(tempCkpt())) { (out, id) =>
+      val dir = s"$outDir/b_$id"
+      out.select(col("customer_id"), col("te"), col("running_cents"))
+        .write.mode("overwrite").parquet(dir)
+      batchDirs.synchronized { batchDirs += dir }
+    }
+    val prepared = Ingest.parseTransactions(ms.toDF())
+      .select(col("customer_id"),
+        col("timestamp").cast("long").as("te"),
+        round(col("amount") * lit(100)).cast("long").as("cents"))
+    val q = prepared.writeStream.foreachBatch(fn)
+      .option("checkpointLocation", tempCkpt()).start()
+    try {
+      payloads.grouped(math.max(1, payloads.length / 4))
+        .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.read.parquet(batchDirs.distinct.toSeq: _*)
   }
 
   /** The restart-recovery run behind `stream_daily_spend_restart`: the
@@ -9386,6 +9484,23 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the multi-expression re-plan must be invisible: plain SQL window,
+    // avg spelled as exact-sum / exact-count division (both engines then
+    // perform the identical IEEE double division — DuckDB's own avg()
+    // accumulator is not part of the contract)
+    "ext_autochunk_multi" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS run_cents,
+        |  CAST(count(cents) OVER w AS BIGINT) AS n_run,
+        |  CAST(max(cents) OVER w AS BIGINT) AS peak_cents,
+        |  CAST(sum(cents) OVER w AS DOUBLE) / CAST(count(cents) OVER w AS DOUBLE)
+        |    AS avg_cents
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
 
     // same invisibility contract for the max face (max of BIGINT is
     // BIGINT in both engines — no cast dance needed)
@@ -13415,6 +13530,18 @@ object SparkEntry {
          |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
          |  count(*) AS n_events
          |FROM s2 GROUP BY customer_id, sid""".stripMargin,
+
+    // the streaming chunked running aggregate vs the plain SQL running
+    // window over the same deterministic feed — exact long cents (the
+    // decimal *100 cast reproduces Spark's round(amount*100) on 2-dp
+    // money), te globally unique so the running order is total
+    "stream_running_chunked" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)}
+         |SELECT customer_id, te,
+         |  CAST(sum(CAST(CAST(amount AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    OVER (PARTITION BY customer_id ORDER BY te
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+         |FROM t""".stripMargin,
 
     // regenerate the feed with ids and merchant parity, split into the same
     // two streams, and replay the interval join as plain SQL
