@@ -903,6 +903,41 @@ object Bench {
         }
       }
 
+      // ---- streaming chunked running window at soak scale (r11): the
+      // foreachBatch verb driven directly on 4 successive 2.5M-row hot-key
+      // micro-batches (60%-hot, the window_skew_* shape sliced into
+      // arrival order). The plain arm is the SAME verb with chunks = 1 —
+      // identical cross-batch offset mechanics, plain per-key window
+      // inside each batch — so the pair isolates exactly the intra-batch
+      // decomposition. Both arms return the final global max(run); equal
+      // values double as a correctness check in the recorded JSON. The
+      // per-stage task profile is the evidence: plain's window stage max
+      // task IS the hot key's serial scan, chunked spreads it 32 ways.
+      def streamRunningSoak(chunks: Int): Long = {
+        var last = 0L
+        val fn = graft.streaming.ChunkedRunning.foreachBatch(
+            "k", "o", "v", "run", agg = "sum", chunks = chunks) { (out, _) =>
+          last = math.max(last,
+            out.agg(org.apache.spark.sql.functions.max(col("run")))
+              .collect()(0).getLong(0))
+        }
+        val per = 2500000L
+        (0 until 4).foreach { i =>
+          fn(spark.range(i * per, (i + 1) * per).select(
+            when(pmod(col("id"), lit(10)) < 6, lit(0L))
+              .otherwise(pmod(xxhash64(col("id")), lit(999999L)) + 1L).as("k"),
+            col("id").as("o"),
+            pmod(xxhash64(col("id"), lit(5)), lit(100L)).as("v")), i.toLong)
+        }
+        last
+      }
+      val sSr1 = stage("stream_running_plain_10m", perStage = true) {
+        streamRunningSoak(chunks = 1)
+      }
+      val sSr2 = stage("stream_running_chunked_10m", perStage = true) {
+        streamRunningSoak(chunks = 32)
+      }
+
       // ---- BM25 soak: retrieval over 500k docs / 20M tokens -------------
       // 40 tokens per doc from a 1,000-word vocabulary; each query term
       // lands in ~4% of docs (df ~ 20k). The whole pipeline is count
@@ -1145,7 +1180,7 @@ object Bench {
         else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sAc1, sAc2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
+          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sAc1, sAc2, sSr1, sSr2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
           sI2, sG1, sG2, sHits, sBask, sSky, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }

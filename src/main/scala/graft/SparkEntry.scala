@@ -1276,6 +1276,25 @@ object SparkEntry {
       }
     }),
 
+    // chunk-parallel LAG/LEAD (r11): navigation functions pay the same
+    // single-task hot-key SORT as running aggregates; laggedChunked gets
+    // the per-key sequence number from the chunk-parallel running count,
+    // then lag(v, n) is one skew-free self equi-join on (key, seq - n) —
+    // join keys unique per row, so no task ever holds a hot key's whole
+    // history. Oracle is the plain SQL lag/lead window.
+    "ext_window_chunked_lag" -> ((s, dir) => {
+      val base = Tables.events(s, dir).select(col("event_id"),
+        col("user_id").as("k"), round(col("value") * 100).cast("long").as("cents"))
+      val lagged = graft.operators.Skew.laggedChunked(
+        base, "k", "event_id", "cents", "prev_cents", n = 2, chunks = 8)
+      graft.operators.Skew.laggedChunked(
+          lagged, "k", "event_id", "cents", "next_cents", n = 1, lead = true,
+          chunks = 8)
+        .select(col("event_id"), col("k").as("user_id"),
+          col("prev_cents"), col("next_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // salted exact distinct: the two-phase (key, hash(value) % salt) form
     // must equal the direct COUNT(DISTINCT) — the oracle IS the plain form
     "x21_salted_distinct" -> ((s, dir) =>
@@ -9498,6 +9517,17 @@ object SparkEntry {
         |  CAST(max(cents) OVER w AS BIGINT) AS peak_cents,
         |  CAST(sum(cents) OVER w AS DOUBLE) / CAST(count(cents) OVER w AS DOUBLE)
         |    AS avg_cents
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // the chunk-parallel lag/lead must equal the plain navigation window
+    "ext_window_chunked_lag" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  lag(cents, 2) OVER w AS prev_cents,
+        |  lead(cents, 1) OVER w AS next_cents
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,

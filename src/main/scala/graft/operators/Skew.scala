@@ -249,6 +249,50 @@ object Skew {
       .drop("__k", "__c", "__chunk", "__loc", "__off")
   }
 
+  /** Exact skew-free LAG/LEAD — the NAVIGATION-function face of the same
+    * hot-key pathology: `lag(v, n) OVER (PARTITION BY key ORDER BY ord)`
+    * doesn't scan history like a running sum, but it still pays the
+    * single-task SORT of the hot key's whole partition. Decomposition:
+    *
+    *  1. per-key sequence number via the chunk-parallel running COUNT
+    *     ([[runningAggChunked]] — the hot key's sort spreads over
+    *     `chunks` tasks);
+    *  2. `lag(v, n)` for the row with sequence r IS the row with sequence
+    *     r - n: one self equi-join on (key, sequence) — join keys are
+    *     UNIQUE per row, so the join has no skew at all, regardless of
+    *     how hot the key is. Rows with r <= n get the SQL null. `lead` is
+    *     the same join with the shift negated.
+    *
+    * Exact under the standing contract (`ord` unique within key — without
+    * it lag itself is nondeterministic). `n` must be >= 1. Output: input
+    * columns plus `resultCol` carrying the lagged/led `valueCol`. */
+  def laggedChunked(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      valueCol: String,
+      resultCol: String,
+      n: Int = 1,
+      lead: Boolean = false,
+      chunks: Int = 32): DataFrame = {
+    require(n >= 1, s"lag/lead offset must be >= 1, got $n")
+    Seq("__ridx", "__lk", "__lridx", "__one").foreach(h =>
+      require(!df.columns.contains(h),
+        s"input already carries the internal column '$h'"))
+    // count a CONSTANT, not ordCol: count skips nulls, and a null ord row
+    // (legal — it sorts first) must still occupy a sequence slot
+    val seqd = runningAggChunked(df.withColumn("__one", lit(1L)),
+      keyCol, ordCol, "__one", "__ridx", "count", chunks).drop("__one")
+    val shift = if (lead) -n.toLong else n.toLong
+    val donors = seqd.select(col(keyCol).as("__lk"),
+      (col("__ridx") + lit(shift)).as("__lridx"),
+      col(valueCol).as(resultCol))
+    seqd.join(donors,
+        col(keyCol) <=> col("__lk") && col("__ridx") === col("__lridx"),
+        "left")
+      .drop("__ridx", "__lk", "__lridx")
+  }
+
   /** Key-distribution profile — the DIAGNOSTIC that tells you whether the
     * salted forms above are needed before a shuffle melts down: the top
     * `topN` keys by row count, each with its corpus share in ppm and its

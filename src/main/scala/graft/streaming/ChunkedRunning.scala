@@ -57,7 +57,11 @@ object ChunkedRunning {
     * of `valueCol` per `keyCol` in `ordCol` order, across ALL batches so
     * far) on every row of each micro-batch and hands the widened batch to
     * `sink`. `agg` one of sum/min/max/count; integral value columns keep
-    * the batch verb's exactness contract. */
+    * the batch verb's exactness contract. `chunks = 1` disables the
+    * intra-batch decomposition (plain per-key window inside each batch,
+    * same cross-batch offsets) — the honest A/B baseline the
+    * `stream_running_{plain,chunked}` soak pair measures, and the right
+    * setting when no key is hot. */
   def foreachBatch(
       keyCol: String,
       ordCol: String,
@@ -69,6 +73,7 @@ object ChunkedRunning {
       sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     require(Set("sum", "min", "max", "count")(agg),
       s"ChunkedRunning supports sum/min/max/count, got '$agg'")
+    require(chunks >= 1 && chunks <= 4096, s"chunks out of range: $chunks")
     val aggFn: Column => Column = agg match {
       case "sum" => sum(_)
       case "min" => min(_)
@@ -120,9 +125,16 @@ object ChunkedRunning {
       }
 
       // 1. batch-local chunked running aggregate — the hot key spreads
-      //    over `chunks` tasks inside the micro-batch
-      val local = graft.operators.Skew.runningAggChunked(
-        batch, keyCol, ordCol, valueCol, "__run_loc", agg, chunks)
+      //    over `chunks` tasks inside the micro-batch (chunks = 1: plain
+      //    per-key window, the baseline/no-hot-key form)
+      val local =
+        if (chunks == 1) {
+          import org.apache.spark.sql.expressions.Window
+          batch.withColumn("__run_loc", aggFn(col(valueCol)).over(
+            Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        } else graft.operators.Skew.runningAggChunked(
+          batch, keyCol, ordCol, valueCol, "__run_loc", agg, chunks)
       // 2. + the per-key offset from every prior batch (null-safe key
       //    equality: a NULL key is a normal running partition). A LEFT
       //    join: new keys have no offset yet. The offsets side is one row

@@ -176,6 +176,31 @@ class SkewWindowSpec extends SparkSpec {
     }
   }
 
+  test("laggedChunked: lag/lead parity with the plain window — hot key, " +
+      "NULL keys, NULL values, offsets 1 and 3") {
+    import org.apache.spark.sql.expressions.Window
+    // 70% hot key plus a NULL key partition; every 6th value NULL (lag
+    // must CARRY a null donor value, distinct from the no-donor null)
+    val rows: Seq[(Option[Long], Long, Option[Long])] = (0L until 500L).map { i =>
+      (if (i % 9 == 0) None else if (i % 10 < 7) Some(0L) else Some(i % 4 + 1),
+        i,
+        if (i % 6 == 0) None else Some(i % 23))
+    }
+    val df = rows.toDF("k", "o", "v")
+    for (lead <- Seq(false, true); n <- Seq(1, 3)) {
+      val got = Skew.laggedChunked(df, "k", "o", "v", "x", n, lead, chunks = 8)
+        .select(col("k"), col("o"), col("x"))
+      val fn = if (lead) org.apache.spark.sql.functions.lead(col("v"), n)
+        else org.apache.spark.sql.functions.lag(col("v"), n)
+      val want = df.withColumn("x",
+          fn.over(Window.partitionBy(col("k")).orderBy(col("o"))))
+        .select(col("k"), col("o"), col("x"))
+      assert(got.count() == 500L, s"lead=$lead n=$n: rows dropped")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"lead=$lead n=$n diverges from the plain window")
+    }
+  }
+
   test("empty input and degenerate (single-ord) range") {
     val empty = Seq.empty[(Long, Long, Long)].toDF("k", "o", "v")
     assert(Skew.runningSumChunked(empty, "k", "o", "v", "run").count() == 0)

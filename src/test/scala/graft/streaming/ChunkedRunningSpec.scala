@@ -50,16 +50,19 @@ class ChunkedRunningSpec extends SparkSpec {
     val all = fixture.toDF("k", "o", "v")
     val batches = Seq(
       fixture.slice(0, 150), fixture.slice(150, 400), fixture.slice(400, 600))
-    for (agg <- Seq("sum", "min", "max", "count")) {
+    // chunks = 1 is the plain-window baseline mode (same cross-batch
+    // offset mechanics, no intra-batch decomposition) — the soak pair's
+    // A arm must be just as correct as the B arm
+    for (agg <- Seq("sum", "min", "max", "count"); chunks <- Seq(1, 4)) {
       val captured = ArrayBuffer.empty[DataFrame]
-      val fn = ChunkedRunning.foreachBatch("k", "o", "v", "run", agg, chunks = 4) {
+      val fn = ChunkedRunning.foreachBatch("k", "o", "v", "run", agg, chunks) {
         (out, _) => captured += out.persist(); out.count(); ()
       }
       batches.zipWithIndex.foreach { case (b, i) =>
         fn(b.toDF("k", "o", "v"), i.toLong)
       }
       val got = captured.reduce(_ unionAll _)
-      assertParity(got, plain(all, agg), agg)
+      assertParity(got, plain(all, agg), s"$agg/chunks=$chunks")
       captured.foreach(_.unpersist())
     }
   }
