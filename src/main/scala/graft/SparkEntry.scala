@@ -1256,20 +1256,25 @@ object SparkEntry {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("k")).orderBy(col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // row_number takes the bare spec (it refuses an explicit frame);
+        // its resolved frame is the same ROWS UNBOUNDED..CURRENT, so
+        // CollapseWindow merges all five into ONE node
+        val wBare = Window.partitionBy(col("k")).orderBy(col("event_id"))
         val df = s.table(t)
           .withColumn("run_cents", sum(col("cents")).over(w))
           .withColumn("n_run", count(col("cents")).over(w))
           .withColumn("peak_cents", max(col("cents")).over(w))
           .withColumn("avg_cents", avg(col("cents")).over(w))
+          .withColumn("rn", row_number().over(wBare))
         require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
           "AutoChunkWindow did not fire on the multi-expression node")
         df.select(col("event_id"), col("k").as("user_id"), col("run_cents"),
-            col("n_run"), col("peak_cents"), col("avg_cents"))
+            col("n_run"), col("peak_cents"), col("avg_cents"), col("rn"))
           .orderBy(col("event_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-            r.getLong(4), r.getDouble(5))).toSeq
+            r.getLong(4), r.getDouble(5), r.getInt(6))).toSeq
           .toDF("event_id", "user_id", "run_cents", "n_run", "peak_cents",
-            "avg_cents")
+            "avg_cents", "rn")
       } finally old.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
@@ -9516,7 +9521,9 @@ object SparkEntry {
         |  CAST(count(cents) OVER w AS BIGINT) AS n_run,
         |  CAST(max(cents) OVER w AS BIGINT) AS peak_cents,
         |  CAST(sum(cents) OVER w AS DOUBLE) / CAST(count(cents) OVER w AS DOUBLE)
-        |    AS avg_cents
+        |    AS avg_cents,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS INTEGER) AS rn
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,

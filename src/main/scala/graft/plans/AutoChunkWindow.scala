@@ -59,10 +59,12 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType,
   *    one value holding >= `hotShare` (default 0.2) of the rows;
   *  - EVERY window expression in the node decomposes: non-distinct
   *    unfiltered SUM / MIN / MAX / COUNT / AVG over a deterministic
-  *    argument, ROWS or RANGE UNBOUNDED..CURRENT frame, all over the same
-  *    partition keys and ORDER column (one non-decomposable expression
-  *    leaves the whole node plain — a half-rewritten node would window
-  *    twice for nothing).
+  *    argument (ROWS or RANGE UNBOUNDED..CURRENT frame), or ROW_NUMBER
+  *    (= the running count of a constant, cast back to int — the "latest
+  *    record per key" dedup idiom, whose hot key is THE classic straggler
+  *    at ingest scale), all over the same partition keys and ORDER column
+  *    (one non-decomposable expression leaves the whole node plain — a
+  *    half-rewritten node would window twice for nothing).
   *    SUM arguments must be INTEGRAL (byte/short/int/long): the chunk
   *    decomposition re-associates addition, so a Float/Double sum could
   *    differ from the serial window in the last ulps — the manual verb's
@@ -89,9 +91,12 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
 
   private val C_NAME = "__graft_chunk"
 
-  /** One decomposable window expression, destructured. */
+  /** One decomposable window expression, destructured. `ae` is the
+    * original AggregateExpression where one exists (replayed verbatim in
+    * the local window); row_number has none — its local leg is a fresh
+    * count, like avg's legs. */
   private case class Decomposed(
-      alias: Alias, ae: AggregateExpression, kind: String, v: Expression,
+      alias: Alias, ae: Option[AggregateExpression], kind: String, v: Expression,
       so: SortOrder, frame: SpecifiedWindowFrame, ord: AttributeReference,
       partSpec: Seq[Expression])
 
@@ -141,7 +146,21 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
             typeOk(kind, v, allowFloat) } &&
             partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         val (kind, v) = aggArg(ae).get
-        Some(Decomposed(alias, ae, kind, v, so, frame, ord, partSpec))
+        Some(Decomposed(alias, Some(ae), kind, v, so, frame, ord, partSpec))
+      // row_number() = the running count of a constant, cast back to int
+      // at the end. Under tied ords it is nondeterministic-within-peers
+      // exactly as the serial window is (ties share a chunk — the chunk is
+      // a monotone function of the ORDER value — so the arbitrariness
+      // class is unchanged).
+      case alias @ Alias(WindowExpression(
+            org.apache.spark.sql.catalyst.expressions.RowNumber(),
+            WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
+              ord: AttributeReference, Ascending, NullsFirst, _)),
+              frame @ SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+                CurrentRow))), _)
+          if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+        Some(Decomposed(alias, None, "rownum", Literal(1), so, frame, ord,
+          partSpec))
       case _ => None
     }
     if (ds.exists(_.isEmpty)) return None
@@ -283,6 +302,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
 
   private def legsOf(d: Decomposed): Seq[Leg] = d.kind match {
     case "avg" => Seq(Leg("sum", d.v), Leg("count", d.v))
+    case "rownum" => Seq(Leg("count", d.v)) // d.v = Literal(1)
     case k => Seq(Leg(k, d.v))
   }
 
@@ -308,7 +328,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       ds.flatMap(d => legsOf(d).map(l => (d, l)))
     val legOffsets = ds.map(legsOf(_).length).scanLeft(0)(_ + _)
     def localAgg(d: Decomposed, l: Leg): AggregateExpression =
-      if (d.kind == "avg") aggFn(l.kind, l.v) else d.ae
+      d.ae.filter(_ => d.kind != "avg").getOrElse(aggFn(l.kind, l.v))
     val st = child.stats
     val cs = st.attributeStats(ord)
     val lo = statDouble(cs.min.get).get
@@ -407,6 +427,9 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
             Cast(n, DoubleType),
             org.apache.spark.sql.catalyst.expressions.NumericEvalContext(
               org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+        // row_number: the combined running count, back to RowNumber's int
+        case "rownum" =>
+          Cast(combineLeg("count", loc(0), off(0)), IntegerType)
         case k => combineLeg(k, loc(0), off(0))
       }
       Alias(c, d.alias.name)(exprId = d.alias.exprId)

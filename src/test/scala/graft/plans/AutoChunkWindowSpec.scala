@@ -231,6 +231,37 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
+  test("row_number fires as a chunked running count (latest-record dedup idiom)") {
+    import org.apache.spark.sql.expressions.Window
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val w = Window.partitionBy(col("k")).orderBy(col("o"))
+      def q = spark.table(avgHotTable).withColumn("rn", row_number().over(w))
+      assert(chunked(q), s"row_number must fire:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      // o is unique, so row_number is fully determined — exact equality
+      assert(q.collect().toSet == want, "row_number rewrite changed the answer")
+      // the idiom the arm exists for: keep the latest record per key
+      def latest = q.filter(col("rn") === 1)
+      var wantLatest: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        wantLatest = latest.collect().toSet
+      }
+      assert(latest.collect().toSet == wantLatest,
+        "latest-record-per-key dedup diverged under the rewrite")
+      // row_number DESC (no pattern match) must stay plain
+      val desc = spark.table(avgHotTable).withColumn("rn",
+        row_number().over(Window.partitionBy(col("k")).orderBy(col("o").desc)))
+      assert(!chunked(desc), "descending row_number must stay plain")
+    }
+  }
+
   test("running avg: fires only under the 2^53 stats proof, bit-identical") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("k")).orderBy(col("o"))
