@@ -1266,15 +1266,20 @@ object SparkEntry {
           .withColumn("peak_cents", max(col("cents")).over(w))
           .withColumn("avg_cents", avg(col("cents")).over(w))
           .withColumn("rn", row_number().over(wBare))
+          .withColumn("prev_cents", lag(col("cents"), 2).over(wBare))
+          .withColumn("next_cents", lead(col("cents"), 1).over(wBare))
         require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
           "AutoChunkWindow did not fire on the multi-expression node")
         df.select(col("event_id"), col("k").as("user_id"), col("run_cents"),
-            col("n_run"), col("peak_cents"), col("avg_cents"), col("rn"))
+            col("n_run"), col("peak_cents"), col("avg_cents"), col("rn"),
+            col("prev_cents"), col("next_cents"))
           .orderBy(col("event_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-            r.getLong(4), r.getDouble(5), r.getInt(6))).toSeq
+            r.getLong(4), r.getDouble(5), r.getInt(6),
+            if (r.isNullAt(7)) None else Some(r.getLong(7)),
+            if (r.isNullAt(8)) None else Some(r.getLong(8)))).toSeq
           .toDF("event_id", "user_id", "run_cents", "n_run", "peak_cents",
-            "avg_cents", "rn")
+            "avg_cents", "rn", "prev_cents", "next_cents")
       } finally old.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
@@ -9523,7 +9528,11 @@ object SparkEntry {
         |  CAST(sum(cents) OVER w AS DOUBLE) / CAST(count(cents) OVER w AS DOUBLE)
         |    AS avg_cents,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
-        |    AS INTEGER) AS rn
+        |    AS INTEGER) AS rn,
+        |  lag(cents, 2) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS prev_cents,
+        |  lead(cents, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS next_cents
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,

@@ -59,12 +59,17 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType,
   *    one value holding >= `hotShare` (default 0.2) of the rows;
   *  - EVERY window expression in the node decomposes: non-distinct
   *    unfiltered SUM / MIN / MAX / COUNT / AVG over a deterministic
-  *    argument (ROWS or RANGE UNBOUNDED..CURRENT frame), or ROW_NUMBER
+  *    argument (ROWS or RANGE UNBOUNDED..CURRENT frame), ROW_NUMBER
   *    (= the running count of a constant, cast back to int — the "latest
   *    record per key" dedup idiom, whose hot key is THE classic straggler
-  *    at ingest scale), all over the same partition keys and ORDER column
-  *    (one non-decomposable expression leaves the whole node plain — a
-  *    half-rewritten node would window twice for nothing).
+  *    at ingest scale), or LAG/LEAD in SQL-default form (null default,
+  *    respect-nulls, positive literal offset: the sequence number comes
+  *    from the chunked running count and the navigation is ONE skew-free
+  *    LEFT self-join on (key, sequence ± n) — join keys unique per row,
+  *    so no task ever holds a hot key's history), all over the same
+  *    partition keys and ORDER column (one non-decomposable expression
+  *    leaves the whole node plain — a half-rewritten node would window
+  *    twice for nothing).
   *    SUM arguments must be INTEGRAL (byte/short/int/long): the chunk
   *    decomposition re-associates addition, so a Float/Double sum could
   *    differ from the serial window in the last ulps — the manual verb's
@@ -93,12 +98,14 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
 
   /** One decomposable window expression, destructured. `ae` is the
     * original AggregateExpression where one exists (replayed verbatim in
-    * the local window); row_number has none — its local leg is a fresh
-    * count, like avg's legs. */
+    * the local window); row_number and lag/lead have none — their legs
+    * are fresh counts, like avg's legs. `shift` is lag/lead's donor
+    * displacement: a donor row at sequence p serves the row at sequence
+    * p + shift (lag(n): +n; lead(n): -n; 0 for every other kind). */
   private case class Decomposed(
       alias: Alias, ae: Option[AggregateExpression], kind: String, v: Expression,
       so: SortOrder, frame: SpecifiedWindowFrame, ord: AttributeReference,
-      partSpec: Seq[Expression])
+      partSpec: Seq[Expression], shift: Long = 0L)
 
   def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.autoChunk.enabled", "true").toBoolean)
@@ -161,6 +168,20 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         Some(Decomposed(alias, None, "rownum", Literal(1), so, frame, ord,
           partSpec))
+      // lag/lead: SQL-default form only (null default, respect-nulls,
+      // positive literal offset). The matched offset frame is NOT stored —
+      // the count leg runs the RUNNING frame to build sequence numbers,
+      // and the donor join does the navigation.
+      case alias @ Alias(WindowExpression(
+            f: org.apache.spark.sql.catalyst.expressions.FrameLessOffsetWindowFunction,
+            WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
+              ord: AttributeReference, Ascending, NullsFirst, _)), _)), _)
+          if partSpec.forall(_.isInstanceOf[AttributeReference]) &&
+            navShift(f).isDefined =>
+        val (in, shift) = navShift(f).get
+        Some(Decomposed(alias, None, "lag", in, so,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow),
+          ord, partSpec, shift))
       case _ => None
     }
     if (ds.exists(_.isEmpty)) return None
@@ -172,6 +193,23 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
         d.partSpec.zip(h.partSpec).forall { case (a, b) => a.semanticEquals(b) }
     }
     if (consistent) Some(all) else None
+  }
+
+  /** lag/lead in their SQL-default form: (input, donor shift), or None.
+    * A donor row at sequence p serves the row at sequence p + shift —
+    * lag(v, n) reads n rows back (+n), lead(v, n) reads n ahead (-n).
+    * Non-literal/non-positive offsets, explicit defaults and IGNORE NULLS
+    * keep the serial window (each changes the algebra). */
+  private def navShift(f: Expression): Option[(Expression, Long)] = f match {
+    case org.apache.spark.sql.catalyst.expressions.Lag(
+          in, Literal(n: Int, IntegerType), Literal(null, _), false)
+        if n > 0 && in.deterministic =>
+      Some((in, n.toLong))
+    case org.apache.spark.sql.catalyst.expressions.Lead(
+          in, Literal(n: Int, IntegerType), Literal(null, _), false)
+        if n > 0 && in.deterministic =>
+      Some((in, -n.toLong))
+    case _ => None
   }
 
   /** The decomposable running aggregates: (kind, argument), or None.
@@ -302,7 +340,10 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
 
   private def legsOf(d: Decomposed): Seq[Leg] = d.kind match {
     case "avg" => Seq(Leg("sum", d.v), Leg("count", d.v))
-    case "rownum" => Seq(Leg("count", d.v)) // d.v = Literal(1)
+    // both need the per-key SEQUENCE NUMBER = running count of a constant
+    // (lag's d.v is the navigated value — the donor join reads it; the
+    // leg only builds sequence numbers)
+    case "rownum" | "lag" => Seq(Leg("count", Literal(1)))
     case k => Seq(Leg(k, d.v))
   }
 
@@ -409,31 +450,81 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
         case "min" => Least(Seq(loc, off))
         case _ => Greatest(Seq(loc, off))
       }
-    val combined = ds.zipWithIndex.map { case (d, j) =>
-      val base = legOffsets(j)
-      def loc(i: Int) = locAliases(base + i).toAttribute
-      def off(i: Int) = rOffs(base + i).toAttribute
-      val c = d.kind match {
-        case "avg" =>
-          // replay Average's own evaluation on the exact running sum and
-          // count: Divide(sum cast double, count cast double) — null on a
-          // zero count (all-null prefix), bit-identical under the 2^53
-          // proof because the serial double accumulation is exact there.
-          // LEGACY eval mode exactly as Average.evaluateExpression uses:
-          // a zero count must yield null, not an ANSI divide-by-zero
-          val s = combineLeg("sum", loc(0), off(0))
-          val n = combineLeg("count", loc(1), off(1))
-          Divide(Cast(Coalesce(Seq(s, Literal.default(s.dataType))), DoubleType),
-            Cast(n, DoubleType),
-            org.apache.spark.sql.catalyst.expressions.NumericEvalContext(
-              org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
-        // row_number: the combined running count, back to RowNumber's int
-        case "rownum" =>
-          Cast(combineLeg("count", loc(0), off(0)), IntegerType)
-        case k => combineLeg(k, loc(0), off(0))
-      }
-      Alias(c, d.alias.name)(exprId = d.alias.exprId)
+    // Per expression: lag gets an INTERNAL sequence-number alias (the
+    // donor join below resolves its value); everything else combines to
+    // its final alias (original ExprId) right here.
+    val combined: Seq[(Decomposed, Alias, Boolean)] = ds.zipWithIndex.map {
+      case (d, j) =>
+        val base = legOffsets(j)
+        def loc(i: Int) = locAliases(base + i).toAttribute
+        def off(i: Int) = rOffs(base + i).toAttribute
+        val c = d.kind match {
+          case "avg" =>
+            // replay Average's own evaluation on the exact running sum and
+            // count: Divide(sum cast double, count cast double) — null on a
+            // zero count (all-null prefix), bit-identical under the 2^53
+            // proof because the serial double accumulation is exact there.
+            // LEGACY eval mode exactly as Average.evaluateExpression uses:
+            // a zero count must yield null, not an ANSI divide-by-zero
+            val s = combineLeg("sum", loc(0), off(0))
+            val n = combineLeg("count", loc(1), off(1))
+            Divide(Cast(Coalesce(Seq(s, Literal.default(s.dataType))), DoubleType),
+              Cast(n, DoubleType),
+              org.apache.spark.sql.catalyst.expressions.NumericEvalContext(
+                org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+          // row_number: the combined running count, back to RowNumber's int
+          case "rownum" =>
+            Cast(combineLeg("count", loc(0), off(0)), IntegerType)
+          // lag: the combined running count IS the sequence number the
+          // donor join navigates on (its leg is a count — combine as one)
+          case "lag" =>
+            combineLeg("count", loc(0), off(0))
+          case k => combineLeg(k, loc(0), off(0))
+        }
+        if (d.kind == "lag")
+          (d, Alias(c, s"${C_NAME}_ridx_$j")(), true)
+        else
+          (d, Alias(c, d.alias.name)(exprId = d.alias.exprId), false)
     }
-    Project(child.output ++ combined, joined)
+    val lags = combined.filter(_._3)
+    if (lags.isEmpty)
+      return Project(child.output ++ combined.map(_._2), joined)
+
+    // Navigation via skew-free self-join: `mid` carries every row with its
+    // per-key sequence number; a donor row at sequence p serves the row at
+    // sequence p + shift, so lag(v, n) at sequence r reads the donor with
+    // p + n = r. Join keys (key, sequence) are UNIQUE PER ROW — no task
+    // ever holds a hot key's history, no matter how hot. LEFT join: the
+    // first n rows per key have no donor = the SQL null default. One join
+    // per distinct shift serves every lag/lead expression with that shift.
+    // The donor side is a fresh-alias projection over the SAME `mid`
+    // subtree — the offSide pattern again.
+    val mid = Project(child.output ++ combined.map(_._2), joined)
+    val ridxOf: Map[Alias, AttributeReference] = lags.map { case (d, a, _) =>
+      a -> a.toAttribute.asInstanceOf[AttributeReference] }.toMap
+    var cur: LogicalPlan = mid
+    val lagValue = scala.collection.mutable.Map.empty[Long, Alias]
+    lags.groupBy(_._1.shift).foreach { case (shift, group) =>
+      val rK2 = pk.map(a => Alias(a, s"${a.name}_d$shift")())
+      val target = Alias(Add(ridxOf(group.head._2), Literal(shift)),
+        s"${C_NAME}_dtarget_$shift")()
+      val vals = group.map { case (d, _, _) =>
+        d -> Alias(d.v, s"${C_NAME}_lv_${d.alias.exprId.id}")() }
+      val donor = Project(rK2 ++ Seq(target) ++ vals.map(_._2), mid)
+      val cond2 = (pk.zip(rK2).map { case (l, r) =>
+        EqualNullSafe(l, r.toAttribute): Expression } :+
+        (EqualTo(ridxOf(group.head._2), target.toAttribute): Expression))
+        .reduce(And(_, _))
+      cur = Join(cur, donor,
+        org.apache.spark.sql.catalyst.plans.LeftOuter, Some(cond2),
+        JoinHint.NONE)
+      vals.foreach { case (d, va) =>
+        lagValue(d.alias.exprId.id) =
+          Alias(va.toAttribute, d.alias.name)(exprId = d.alias.exprId) }
+    }
+    val finalCols = combined.map { case (d, a, isLag) =>
+      if (isLag) lagValue(d.alias.exprId.id) else (a.toAttribute: NamedExpression)
+    }
+    Project(child.output ++ finalCols, cur)
   }
 }

@@ -262,6 +262,40 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
+  test("lag/lead fire as sequence-number self-joins, SQL-default form only") {
+    import org.apache.spark.sql.expressions.Window
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val w = Window.partitionBy(col("k")).orderBy(col("o"))
+      // lag 2 + lead 1 + a running sum in ONE node: two donor joins (one
+      // per distinct shift) + the chunk join, all from one rewrite. The
+      // fixture's NULL values must carry through donors (a null donor
+      // value is distinct from the no-donor null — both are null in SQL,
+      // and parity covers the first-2/last-1 rows per key either way).
+      def q = spark.table(avgHotTable)
+        .withColumn("prev2", lag(col("v"), 2).over(w))
+        .withColumn("next1", lead(col("v"), 1).over(w))
+        .withColumn("rs", sum(col("v")).over(w
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(chunked(q), s"lag/lead must fire:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      assert(q.collect().toSet == want, "lag/lead rewrite changed the answer")
+      // non-default forms stay plain: explicit default, IGNORE NULLS
+      val withDefault = spark.table(avgHotTable)
+        .withColumn("x", lag(col("v"), 1, -1).over(w))
+      assert(!chunked(withDefault), "lag with an explicit default must stay plain")
+      val ignoreNulls = spark.table(avgHotTable)
+        .withColumn("x", lag(col("v"), 1, null, true).over(w))
+      assert(!chunked(ignoreNulls), "lag IGNORE NULLS must stay plain")
+    }
+  }
+
   test("running avg: fires only under the 2^53 stats proof, bit-identical") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("k")).orderBy(col("o"))
