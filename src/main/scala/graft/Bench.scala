@@ -312,7 +312,10 @@ object Bench {
           "q9_nation_profit", "q18_large_orders", "a2_windowed_spend",
           "w2_running_total", "ext_dedup_minhash", "ext_knn_brute",
           "ext_text_profile", "x33_pagerank", "x44_upsert",
-          "ext_setsim_prefix").flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+          "ext_setsim_prefix",
+          // r11: the 7-expression AutoChunkWindow node (chunk join + two
+          // donor joins) — the new machinery's own scaling evidence
+          "ext_autochunk_multi").flatMap(n => SparkEntry.queries.get(n).map(n -> _))
         def pass(dir: String) = core.map { case (n, fn) => n -> runOnceIn(fn, dir) }
         val small = pass(smallDir) ++ pass(smallDir)
         val big = pass(sfDir) ++ pass(sfDir)
