@@ -6019,6 +6019,12 @@ object SparkEntry {
     // deterministic feed.
     "stream_running_chunked" -> ((s, dir) => runningChunkedStream(s)),
 
+    // the restart-recovery twin: a NEW foreachBatch closure (empty
+    // in-memory offsets) must recover per-key offsets from the stateDir
+    // snapshot after a mid-feed stop; same oracle as the uninterrupted run
+    "stream_running_chunked_restart" -> ((s, dir) =>
+      runningChunkedRestartStream(s)),
+
     // streaming HLL: the distinct-shingle register table maintained as a
     // plain update-in-place max aggregation — state is bounded at 2^p rows
     // BY CONSTRUCTION (no watermark needed; the sketch cannot grow), and
@@ -6498,6 +6504,59 @@ object SparkEntry {
       payloads.grouped(math.max(1, payloads.length / 4))
         .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
     } finally q.stop()
+    s.read.parquet(batchDirs.distinct.toSeq: _*)
+  }
+
+  /** The restart-recovery twin of [[runningChunkedStream]]
+    * (`stream_running_chunked_restart`): two micro-batches in, the query
+    * STOPS; a NEW query — meaning a brand-new foreachBatch closure with
+    * EMPTY in-memory offsets — starts from the same checkpoint, stateDir
+    * and sink directory, and is fed the remaining chunks. The fresh
+    * closure must recover the per-key offsets from the stateDir snapshot
+    * (`off_<batchId>`), and the engine may replay the last batch (the
+    * per-batch overwrite parquet sink is idempotent by batchId). A
+    * recovery bug — lost offsets, double-applied replay — shifts every
+    * later running value and fails the oracle hash. */
+  private def runningChunkedRestartStream(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val payloads = graft.sources.DataGen
+      .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
+      .select(to_json(struct(col("*"))).as("value"))
+      .collect().map(_.getString(0))
+    val ms = MemoryStream[String]
+    val outDir = tempCkpt()
+    val stateDir = tempCkpt()
+    val ckpt = tempCkpt()
+    val batchDirs = scala.collection.mutable.Buffer.empty[String]
+    def start() = {
+      // a NEW closure per start: in-memory offsets begin empty and the
+      // stateDir reload path is what the row grades
+      val fn = graft.streaming.ChunkedRunning.foreachBatch(
+          "customer_id", "te", "cents", "running_cents",
+          agg = "sum", chunks = 8, stateDir = Some(stateDir)) { (out, id) =>
+        val dir = s"$outDir/b_$id"
+        out.select(col("customer_id"), col("te"), col("running_cents"))
+          .write.mode("overwrite").parquet(dir)
+        batchDirs.synchronized { batchDirs += dir }
+      }
+      Ingest.parseTransactions(ms.toDF())
+        .select(col("customer_id"),
+          col("timestamp").cast("long").as("te"),
+          round(col("amount") * lit(100)).cast("long").as("cents"))
+        .writeStream.foreachBatch(fn)
+        .option("checkpointLocation", ckpt).start()
+    }
+    val chunks = payloads.grouped(math.max(1, payloads.length / 4)).toSeq
+    val q1 = start()
+    try {
+      chunks.take(2).foreach { c => ms.addData(c.toIndexedSeq); q1.processAllAvailable() }
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      chunks.drop(2).foreach { c => ms.addData(c.toIndexedSeq); q2.processAllAvailable() }
+    } finally q2.stop()
     s.read.parquet(batchDirs.distinct.toSeq: _*)
   }
 
@@ -13582,6 +13641,15 @@ object SparkEntry {
     // decimal *100 cast reproduces Spark's round(amount*100) on 2-dp
     // money), te globally unique so the running order is total
     "stream_running_chunked" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)}
+         |SELECT customer_id, te,
+         |  CAST(sum(CAST(CAST(amount AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    OVER (PARTITION BY customer_id ORDER BY te
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+         |FROM t""".stripMargin,
+
+    // restart recovery must be INVISIBLE in the answer — identical oracle
+    "stream_running_chunked_restart" ->
       s"""WITH ${streamTxCte(streamN, streamEpoch)}
          |SELECT customer_id, te,
          |  CAST(sum(CAST(CAST(amount AS DECIMAL(18,2)) * 100 AS BIGINT))
