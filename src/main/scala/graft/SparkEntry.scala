@@ -1305,6 +1305,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // chunk-parallel RANK FAMILY (r11): under the unique-ord contract
+    // (event_id), row_number/percent_rank/cume_dist/ntile collapse to
+    // chunk-parallel sequence numbers + one per-key total — no task ever
+    // sorts a whole hot partition. Stays a MANUAL verb (no automatic
+    // rule arm): ANALYZE's ndv is a HyperLogLog estimate, so stats can't
+    // PROVE tie-freeness, and with ties the serial answers differ.
+    "ext_window_chunked_rank" -> ((s, dir) =>
+      graft.operators.Skew.rankFamilyChunked(
+          Tables.events(s, dir).select(col("event_id"),
+            col("user_id").as("k")),
+          "k", "event_id", ntile = 5, chunks = 8)
+        .select(col("event_id"), col("k").as("user_id"), col("row_number"),
+          col("percent_rank"), col("cume_dist"), col("ntile"))
+        .orderBy(col("event_id"))),
+
     // salted exact distinct: the two-phase (key, hash(value) % salt) form
     // must equal the direct COUNT(DISTINCT) — the oracle IS the plain form
     "x21_salted_distinct" -> ((s, dir) =>
@@ -9593,6 +9608,18 @@ object SparkEntry {
         |  lead(cents, 1) OVER (PARTITION BY user_id ORDER BY event_id)
         |    AS next_cents
         |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // the chunk-parallel rank family must equal the plain windows; the
+    // double columns divide the SAME exact integers in both engines
+    "ext_window_chunked_rank" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER w AS INTEGER) AS row_number,
+        |  percent_rank() OVER w AS percent_rank,
+        |  cume_dist() OVER w AS cume_dist,
+        |  CAST(ntile(5) OVER w AS INTEGER) AS ntile
+        |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,
 

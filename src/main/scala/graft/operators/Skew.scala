@@ -293,6 +293,79 @@ object Skew {
       .drop("__ridx", "__lk", "__lridx")
   }
 
+  /** Exact skew-free RANK FAMILY — row_number / rank / dense_rank /
+    * percent_rank / cume_dist / ntile over a hot partition key, all of
+    * which pay the same single-task partition sort. Under this engine's
+    * standing uniqueness contract (`ord` unique within each key — the
+    * same contract as [[laggedChunked]], the as-of joins and top-k), the
+    * whole family collapses to two parallel primitives:
+    *
+    *  1. the per-key sequence number via the chunk-parallel running count
+    *     (ties impossible, so row_number = rank = dense_rank = seq);
+    *  2. one per-key TOTAL `n` (a combinable count aggregate, broadcast-
+    *     friendly one row per key) joined back null-safely:
+    *     percent_rank = (seq-1)/(n-1) (0.0 for n = 1, Spark's own rule),
+    *     cume_dist = seq/n, ntile(k) = the standard first-(n%k)-buckets-
+    *     get-one-extra assignment in exact integer arithmetic.
+    *
+    * Both divisions divide the same exact integers the serial window
+    * divides, so doubles match bit for bit.
+    *
+    * WHY THERE IS NO AUTOMATIC [[graft.plans.AutoChunkWindow]] ARM for
+    * rank/percent_rank/cume_dist/ntile: with tied ords the serial answers
+    * differ from the sequence-number forms, so an automatic rewrite would
+    * need to PROVE tie-freeness — and ANALYZE's distinctCount is a
+    * HyperLogLog estimate (spark.sql.statistics.ndv.maxError), so
+    * `ndv(ord) == rowCount` proves nothing. A default-ON optimizer rule
+    * must never change an answer, so the family stays manual, behind this
+    * verb's documented contract. (row_number IS in the rule: with ties it
+    * is nondeterministic-within-peers in the serial window too, so no
+    * answer an engine promises can change.)
+    *
+    * Output: the input columns plus `<prefix>row_number` (int),
+    * `<prefix>percent_rank`, `<prefix>cume_dist` (double), and — when
+    * `ntile >= 2` — `<prefix>ntile` (int). */
+  def rankFamilyChunked(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      prefix: String = "",
+      ntile: Int = 0,
+      chunks: Int = 32): DataFrame = {
+    require(ntile == 0 || ntile >= 2, s"ntile must be 0 (off) or >= 2, got $ntile")
+    val outCols = Seq("row_number", "percent_rank", "cume_dist") ++
+      (if (ntile >= 2) Seq("ntile") else Nil)
+    (outCols.map(prefix + _) ++ Seq("__ridx", "__one", "__nk", "__n")).foreach(h =>
+      require(!df.columns.contains(h),
+        s"input already carries the column '$h'"))
+    val seqd = runningAggChunked(df.withColumn("__one", lit(1L)),
+      keyCol, ordCol, "__one", "__ridx", "count", chunks).drop("__one")
+    val totals = df.groupBy(col(keyCol).as("__nk")).agg(count(lit(1)).as("__n"))
+    val base = seqd.join(totals, col(keyCol) <=> col("__nk"), "left")
+      .withColumn(prefix + "row_number", col("__ridx").cast("int"))
+      // Spark's PercentRank: (rank - 1) / (n - 1), and 0.0 when n = 1
+      .withColumn(prefix + "percent_rank",
+        when(col("__n") > 1, (col("__ridx") - 1).cast("double") /
+          (col("__n") - 1).cast("double")).otherwise(lit(0.0)))
+      .withColumn(prefix + "cume_dist",
+        col("__ridx").cast("double") / col("__n").cast("double"))
+    val ranked =
+      if (ntile < 2) base
+      else base.withColumn(prefix + "ntile", expr(
+        // standard NTILE: q = n div k, r = n mod k; the first r buckets
+        // hold q+1 rows. The ELSE's `DIV (q)` is unreachable when q = 0
+        // (the threshold is then n, so every row takes the THEN branch)
+        // and CASE evaluates lazily, so no division by zero can occur.
+        s"""CAST(CASE
+           |  WHEN __ridx <= (__n % $ntile) * ((__n DIV $ntile) + 1)
+           |  THEN (__ridx - 1) DIV ((__n DIV $ntile) + 1) + 1
+           |  ELSE (__n % $ntile) +
+           |    (__ridx - 1 - (__n % $ntile) * ((__n DIV $ntile) + 1))
+           |      DIV (__n DIV $ntile) + 1
+           |END AS INT)""".stripMargin))
+    ranked.drop("__ridx", "__nk", "__n")
+  }
+
   /** Key-distribution profile — the DIAGNOSTIC that tells you whether the
     * salted forms above are needed before a shuffle melts down: the top
     * `topN` keys by row count, each with its corpus share in ppm and its

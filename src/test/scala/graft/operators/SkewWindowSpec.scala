@@ -201,6 +201,37 @@ class SkewWindowSpec extends SparkSpec {
     }
   }
 
+  test("rankFamilyChunked: parity with the plain rank family — hot key, " +
+      "NULL keys, single-row keys, ntile with q=0 and q>0 buckets") {
+    import org.apache.spark.sql.expressions.Window
+    // hot key 0 (70%), a NULL-key partition, and key 99 with ONE row
+    // (percent_rank's n=1 -> 0.0 rule; ntile's q=0 branch)
+    val rows: Seq[(Option[Long], Long, Long)] = ((0L until 400L).map { i =>
+      (if (i % 9 == 0) None else if (i % 10 < 7) Some(0L) else Some(i % 4 + 1),
+        i, i % 13)
+    } :+ ((Some(99L), 400L, 7L)))
+    val df = rows.toDF("k", "o", "v")
+    val got = Skew.rankFamilyChunked(df, "k", "o", ntile = 5, chunks = 8)
+      .select(col("k"), col("o"), col("row_number"), col("percent_rank"),
+        col("cume_dist"), col("ntile"))
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val want = df
+      .withColumn("row_number", row_number().over(w))
+      .withColumn("percent_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+      .withColumn("ntile", org.apache.spark.sql.functions.ntile(5).over(w))
+      .select(col("k"), col("o"), col("row_number"), col("percent_rank"),
+        col("cume_dist"), col("ntile"))
+    assert(got.count() == 401L, "rows dropped")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "rank family diverges from the plain windows")
+    // rank == dense_rank == row_number under the unique-ord contract
+    val rk = df.withColumn("rank", rank().over(w))
+      .withColumn("row_number", row_number().over(w))
+    assert(rk.filter(col("rank") =!= col("row_number")).isEmpty,
+      "fixture violates the unique-ord contract")
+  }
+
   test("empty input and degenerate (single-ord) range") {
     val empty = Seq.empty[(Long, Long, Long)].toDF("k", "o", "v")
     assert(Skew.runningSumChunked(empty, "k", "o", "v", "run").count() == 0)
