@@ -941,6 +941,25 @@ object Bench {
         streamRunningSoak(chunks = 32)
       }
 
+      // ---- lag over the same 20M hot key (r11): the navigation-function
+      // face. Plain pays the one-task sort of the 60%-hot partition;
+      // laggedChunked trades it for a chunk-parallel running count + a
+      // skew-free self equi-join on (key, seq-1) — 2x the shuffle, zero
+      // serialization. Both arms return sum(lagged v): equal values are
+      // the in-run correctness check.
+      val sL1 = stage("lag_skew_plain_20m", perStage = true) {
+        import org.apache.spark.sql.expressions.Window
+        hotWindowed.withColumn("p", org.apache.spark.sql.functions
+            .lag(col("v"), 1).over(
+              Window.partitionBy(col("k")).orderBy(col("o"))))
+          .agg(fsum(col("p"))).collect()(0).getLong(0)
+      }
+      val sL2 = stage("lag_skew_chunked_20m", perStage = true) {
+        graft.operators.Skew.laggedChunked(
+            hotWindowed, "k", "o", "v", "p", n = 1, chunks = 32)
+          .agg(fsum(col("p"))).collect()(0).getLong(0)
+      }
+
       // ---- BM25 soak: retrieval over 500k docs / 20M tokens -------------
       // 40 tokens per doc from a 1,000-word vocabulary; each query term
       // lands in ~4% of docs (df ~ 20k). The whole pipeline is count
@@ -1183,7 +1202,7 @@ object Bench {
         else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sAc1, sAc2, sSr1, sSr2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
+          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sAc1, sAc2, sSr1, sSr2, sL1, sL2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
           sI2, sG1, sG2, sHits, sBask, sSky, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
