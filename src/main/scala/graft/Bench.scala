@@ -1245,11 +1245,17 @@ object Bench {
     println(line)
     // durability: the driver records only a truncated tail of stdout (r4 and
     // r5 both lost the per-query map past ~2,000 chars) — the full line also
-    // lands in a file so the recorded artifact is self-contained
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case t: Throwable =>
-      System.err.println(s"could not write $outPath: $t") }
+    // lands in a file so the recorded artifact is self-contained. Same
+    // guard as bench_tail.json below: a SOAK_ONLY / stage-filtered run has
+    // no query results and must not replace the last full run's file with
+    // a "queries":{} snapshot (this exact thing happened to bench_last in
+    // round 11 — the tail guard existed, this one didn't).
+    if (results.nonEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case t: Throwable =>
+        System.err.println(s"could not write $outPath: $t") }
+    }
     // (VERDICT r6 #3) the full line above is >3 KB — the driver's 2,000-char
     // stdout tail slices off its head, so the snapshot alone never parses.
     // Emit a compact trailer LAST that fits the tail whole: summary totals
