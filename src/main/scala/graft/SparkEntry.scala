@@ -1320,6 +1320,19 @@ object SparkEntry {
           col("percent_rank"), col("cume_dist"), col("ntile"))
         .orderBy(col("event_id"))),
 
+    // chunk-parallel FIRST/LAST VALUE (r11): the anchor-value face —
+    // values at sequence 1 and sequence n, two one-row-per-key donor
+    // joins instead of the hot key's one-task sort
+    "ext_window_chunked_anchor" -> ((s, dir) =>
+      graft.operators.Skew.anchorValuesChunked(
+          Tables.events(s, dir).select(col("event_id"),
+            col("user_id").as("k"),
+            round(col("value") * 100).cast("long").as("cents")),
+          "k", "event_id", "cents", "first_cents", "last_cents", chunks = 8)
+        .select(col("event_id"), col("k").as("user_id"),
+          col("first_cents"), col("last_cents"))
+        .orderBy(col("event_id"))),
+
     // salted exact distinct: the two-phase (key, hash(value) % salt) form
     // must equal the direct COUNT(DISTINCT) — the oracle IS the plain form
     "x21_salted_distinct" -> ((s, dir) =>
@@ -9620,6 +9633,19 @@ object SparkEntry {
         |  cume_dist() OVER w AS cume_dist,
         |  CAST(ntile(5) OVER w AS INTEGER) AS ntile
         |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // the chunk-parallel anchor values must equal the plain windows
+    "ext_window_chunked_anchor" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  first_value(cents) OVER w AS first_cents,
+        |  last_value(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_cents
+        |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,
 

@@ -366,6 +366,42 @@ object Skew {
     ranked.drop("__ridx", "__nk", "__n")
   }
 
+  /** Exact skew-free FIRST/LAST VALUE per key — the anchor-value face of
+    * the family: `first_value(v) OVER (PARTITION BY key ORDER BY ord)`
+    * and `last_value(v) OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND
+    * UNBOUNDED FOLLOWING)` both pay the hot key's one-task sort in the
+    * serial plan. Under the unique-ord contract they are just the values
+    * at sequence 1 and sequence n: the chunk-parallel running count
+    * builds the sequence, the per-key total names the last slot, and two
+    * one-row-per-key donor relations (broadcast-friendly) join back
+    * null-safely. Respect-nulls semantics: the anchor row's value carries
+    * even when it is null.
+    *
+    * Output: the input columns plus `firstCol` and `lastCol`. */
+  def anchorValuesChunked(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      valueCol: String,
+      firstCol: String,
+      lastCol: String,
+      chunks: Int = 32): DataFrame = {
+    (Seq(firstCol, lastCol) ++ Seq("__ridx", "__one", "__nk", "__n", "__fk", "__lk"))
+      .foreach(h => require(!df.columns.contains(h),
+        s"input already carries the column '$h'"))
+    val seqd = runningAggChunked(df.withColumn("__one", lit(1L)),
+      keyCol, ordCol, "__one", "__ridx", "count", chunks).drop("__one")
+    val firsts = seqd.filter(col("__ridx") === 1)
+      .select(col(keyCol).as("__fk"), col(valueCol).as(firstCol))
+    val totals = df.groupBy(col(keyCol).as("__nk")).agg(count(lit(1)).as("__n"))
+    val lasts = seqd.join(totals, col(keyCol) <=> col("__nk"))
+      .filter(col("__ridx") === col("__n"))
+      .select(col(keyCol).as("__lk"), col(valueCol).as(lastCol))
+    seqd.join(firsts, col(keyCol) <=> col("__fk"), "left")
+      .join(lasts, col(keyCol) <=> col("__lk"), "left")
+      .drop("__ridx", "__fk", "__lk")
+  }
+
   /** Key-distribution profile — the DIAGNOSTIC that tells you whether the
     * salted forms above are needed before a shuffle melts down: the top
     * `topN` keys by row count, each with its corpus share in ppm and its

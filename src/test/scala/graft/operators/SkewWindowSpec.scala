@@ -232,6 +232,35 @@ class SkewWindowSpec extends SparkSpec {
       "fixture violates the unique-ord contract")
   }
 
+  test("anchorValuesChunked: first/last value parity — NULL anchors carry, " +
+      "hot key, NULL keys, single-row keys") {
+    import org.apache.spark.sql.expressions.Window
+    // key 0 hot (70%); NULL-key partition; key 99 single-row; the first
+    // row of key 1 and the LAST row of key 2 carry NULL values (respect-
+    // nulls: the anchor's null must carry, distinct from a missing join)
+    val rows: Seq[(Option[Long], Long, Option[Long])] = ((0L until 300L).map { i =>
+      val k = if (i % 9 == 0) None
+        else if (i % 10 < 7) Some(0L) else Some(i % 3 + 1)
+      val v = if (k == Some(1L) && i < 30) None        // early rows of key 1
+        else if (k == Some(2L) && i > 270) None        // late rows of key 2
+        else Some(i % 17)
+      (k, i, v)
+    } :+ ((Some(99L), 300L, Some(5L))))
+    val df = rows.toDF("k", "o", "v")
+    val got = Skew.anchorValuesChunked(df, "k", "o", "v", "fv", "lv", chunks = 8)
+      .select(col("k"), col("o"), col("fv"), col("lv"))
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val want = df
+      .withColumn("fv", first(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lv", last(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("k"), col("o"), col("fv"), col("lv"))
+    assert(got.count() == 301L, "rows dropped")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "anchor values diverge from the plain windows")
+  }
+
   test("empty input and degenerate (single-ord) range") {
     val empty = Seq.empty[(Long, Long, Long)].toDF("k", "o", "v")
     assert(Skew.runningSumChunked(empty, "k", "o", "v", "run").count() == 0)
