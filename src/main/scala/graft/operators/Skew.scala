@@ -179,7 +179,7 @@ object Skew {
       s"runningAggChunked supports sum/min/max/count, got '$agg'")
     Seq(keyCol, ordCol, valueCol).foreach(c => require(df.columns.contains(c),
       s"column '$c' not found in ${df.columns.mkString("[", ",", "]")}"))
-    Seq("__chunk", "__k", "__c", "__ct", "__off", "__loc").foreach(h =>
+    Seq("__chunk", "__sk", "__ok", "__oc", "__ct", "__off", "__loc").foreach(h =>
       require(!df.columns.contains(h),
         s"input already carries the internal column '$h'"))
     import org.apache.spark.sql.expressions.Window
@@ -222,49 +222,75 @@ object Skew {
     val chunk = least(greatest(
       floor((col(ordCol).cast("double") - lit(lo)) / lit(span)).cast("int"),
       lit(0)), lit(chunks - 1)).as("__chunk")
-    val base = df.withColumn("__chunk", chunk)
+    // __sk wraps the key in a 1-field struct: struct equality is null-safe
+    // field-wise (a NULL key is a normal window partition and must survive
+    // the chunk join), and UNLIKE `<=>` on the bare key it keeps the join
+    // an ordinary equi-join — so the big side's (sk, chunk) hash
+    // partitioning and (sk, chunk, ord) sort from the local window satisfy
+    // the sort-merge join's requirements AS-IS. The r11 form joined with
+    // `key <=> __k`, whose wrapped join keys forced a full re-exchange +
+    // re-sort of the 20M-row windowed side (a measured 205 MB extra
+    // shuffle at the 20M soak); only the tiny offsets side moves now.
+    val base = df.withColumn("__sk", struct(col(keyCol)))
+      .withColumn("__chunk", chunk)
     val offsets = base
-      .groupBy(col(keyCol).as("__k"), col("__chunk"))
+      .groupBy(col("__sk").as("__ok"), col("__chunk").as("__oc"))
       .agg(aggFn(col(valueCol)).as("__ct"))
       .withColumn("__off",
-        offFn(col("__ct")).over(Window.partitionBy(col("__k"))
-          .orderBy(col("__chunk"))
+        offFn(col("__ct")).over(Window.partitionBy(col("__ok"))
+          .orderBy(col("__oc"))
           .rowsBetween(Window.unboundedPreceding, -1)))
-      // fresh names: offsets derives FROM base, so reusing base's __chunk
-      // attribute in the join condition would be a same-lineage ambiguity
-      .select(col("__k"), col("__chunk").as("__c"), col("__off"))
-    val localW = Window.partitionBy(col(keyCol), col("__chunk"))
+      // fresh names: offsets derives FROM base, so reusing base's attrs
+      // in the join condition would be a same-lineage ambiguity
+      .select(col("__ok"), col("__oc"), col("__off"))
+    val localW = Window.partitionBy(col("__sk"), col("__chunk"))
       .orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
       .withColumn("__loc", aggFn(col(valueCol)).over(localW))
-      // null-safe key equality: a NULL partition key is a normal window
-      // partition (the plain form keeps it), so the chunk join must match
-      // it too — EqualTo would silently drop every NULL-key row. The chunk
-      // column is non-null by construction (greatest() skips the NULL that
-      // a NULL ord feeds it and clamps to chunk 0), so === is exact there.
-      .join(offsets,
-        col(keyCol) <=> col("__k") && col("__chunk") === col("__c"))
+      .join(offsets, col("__sk") === col("__ok") && col("__chunk") === col("__oc"))
       .withColumn(resultCol, combine(col("__loc"), col("__off")))
-      .drop("__k", "__c", "__chunk", "__loc", "__off")
+      .drop("__sk", "__ok", "__oc", "__chunk", "__loc", "__off")
   }
 
   /** Exact skew-free LAG/LEAD — the NAVIGATION-function face of the same
     * hot-key pathology: `lag(v, n) OVER (PARTITION BY key ORDER BY ord)`
     * doesn't scan history like a running sum, but it still pays the
-    * single-task SORT of the hot key's whole partition. Decomposition:
+    * single-task SORT of the hot key's whole partition. Decomposition
+    * (SINGLE-EVALUATION block form, r12 — replaces the r11 donor
+    * self-join, which evaluated the sequence-numbered subtree twice:
+    * 2x the scan + 5.5x the shuffle measured at 20M, and under tied ords
+    * the two evaluations could disagree):
     *
     *  1. per-key sequence number via the chunk-parallel running COUNT
     *     ([[runningAggChunked]] — the hot key's sort spreads over
     *     `chunks` tasks);
-    *  2. `lag(v, n)` for the row with sequence r IS the row with sequence
-    *     r - n: one self equi-join on (key, sequence) — join keys are
-    *     UNIQUE per row, so the join has no skew at all, regardless of
-    *     how hot the key is. Rows with r <= n get the SQL null. `lead` is
-    *     the same join with the shift negated.
+    *  2. block = (seq - 1) div B for a fixed block size B >= n: blocks
+    *     partition each key's sequence space contiguously, every
+    *     non-last block of a key holds EXACTLY B rows;
+    *  3. boundary DONOR COPIES via one generator (no self-join): for lag,
+    *     the last n rows of each block are emitted a second time into
+    *     block + 1 (for lead, the first n into block - 1). Both copies of
+    *     a row are produced from ONE evaluated row in one pass, so the
+    *     sequence numbers they carry agree by construction;
+    *  4. `lag(v, n)` is now a plain positional window over
+    *     (key, block) ORDER BY seq — donors fill the first n positions
+    *     of the extended block, so every native row's n-back neighbor is
+    *     present, and no task ever holds more than B + n rows of a key,
+    *     no matter how hot. Donor copies are filtered out afterwards.
+    *
+    * Positional exactness: natives of block b carry seqs (bB, (b+1)B];
+    * lag donors carry (bB-n, bB] — exactly the n rows preceding the
+    * block (the previous block is full whenever a next block exists), so
+    * position p - n in the extended block IS sequence s - n. Rows with
+    * s <= n sit in block 0 (no donors) and get the SQL null.
     *
     * Exact under the standing contract (`ord` unique within key — without
-    * it lag itself is nondeterministic). `n` must be >= 1. Output: input
+    * it lag itself is nondeterministic; with ties this form stays inside
+    * the serial window's arbitrariness class, because the one sequence
+    * evaluation feeds both copies). `n` must be >= 1. B is sized
+    * max(n, ceil(rows / chunks)) from one count job — the same bounded
+    * driver-scalar class as the chunk range's (min, max). Output: input
     * columns plus `resultCol` carrying the lagged/led `valueCol`. */
   def laggedChunked(
       df: DataFrame,
@@ -276,21 +302,98 @@ object Skew {
       lead: Boolean = false,
       chunks: Int = 32): DataFrame = {
     require(n >= 1, s"lag/lead offset must be >= 1, got $n")
-    Seq("__ridx", "__lk", "__lridx", "__one").foreach(h =>
+    Seq("__ridx", "__one", "__blk", "__tblk").foreach(h =>
       require(!df.columns.contains(h),
         s"input already carries the internal column '$h'"))
+    import org.apache.spark.sql.expressions.Window
     // count a CONSTANT, not ordCol: count skips nulls, and a null ord row
     // (legal — it sorts first) must still occupy a sequence slot
     val seqd = runningAggChunked(df.withColumn("__one", lit(1L)),
       keyCol, ordCol, "__one", "__ridx", "count", chunks).drop("__one")
-    val shift = if (lead) -n.toLong else n.toLong
-    val donors = seqd.select(col(keyCol).as("__lk"),
-      (col("__ridx") + lit(shift)).as("__lridx"),
-      col(valueCol).as(resultCol))
-    seqd.join(donors,
-        col(keyCol) <=> col("__lk") && col("__ridx") === col("__lridx"),
-        "left")
-      .drop("__ridx", "__lk", "__lridx")
+    val total = df.count()
+    val bSize = math.max(n.toLong, (total + chunks - 1) / chunks.toLong) max 1L
+    val base = seqd.withColumn("__blk", expr(s"(__ridx - 1L) div ${bSize}L"))
+    // donor membership is pure per-row arithmetic on the one evaluated
+    // sequence number — boundary rows explode into (self, donor) copies,
+    // everything else into (self) alone
+    val copies =
+      if (lead)
+        when(pmod(col("__ridx") - 1L, lit(bSize)) < n && col("__blk") > 0,
+          array(col("__blk"), col("__blk") - 1L))
+          .otherwise(array(col("__blk")))
+      else
+        when(pmod(col("__ridx") - 1L, lit(bSize)) >= bSize - n,
+          array(col("__blk"), col("__blk") + 1L))
+          .otherwise(array(col("__blk")))
+    val extended = base.withColumn("__tblk", explode(copies))
+    val w = Window.partitionBy(col(keyCol), col("__tblk")).orderBy(col("__ridx"))
+    val nav = if (lead) org.apache.spark.sql.functions.lead(col(valueCol), n)
+      else org.apache.spark.sql.functions.lag(col(valueCol), n)
+    extended.withColumn(resultCol, nav.over(w))
+      .filter(col("__tblk") === col("__blk"))
+      .drop("__ridx", "__blk", "__tblk")
+  }
+
+  /** Exact skew-free SLIDING-FRAME aggregate — `agg(v) OVER (PARTITION BY
+    * key ORDER BY ord ROWS BETWEEN k PRECEDING AND CURRENT ROW)`, the
+    * rolling-feature window (rolling 24h spend per customer) that pays
+    * the same hot-key one-task sort as the running forms. The chunk
+    * machinery of [[runningAggChunked]] can't decompose it (a sliding
+    * frame isn't a prefix), but the BLOCK form of [[laggedChunked]] can:
+    * the frame of any row spans at most k rows back, so with blocks of
+    * B >= k rows plus the previous block's last k rows copied in as
+    * donors, every row's whole frame is PRESENT inside its extended
+    * block — the sliding window re-runs verbatim over (key, block),
+    * bounded at B + k rows per task, and donor copies are filtered out
+    * afterwards.
+    *
+    * Unlike the running decomposition, NOTHING re-associates here: the
+    * chunk-local window evaluates the same aggregate over the same frame
+    * rows in the same order as the serial plan (Spark rebuilds a sliding
+    * frame's buffer per row), so the result is bit-identical for EVERY
+    * input type — doubles and decimals included, and avg needs no 2^53
+    * proof. `agg` one of sum/min/max/count/avg. First-block rows with
+    * seq <= k clip at the partition start exactly as the serial frame
+    * does. Same contracts as the family: `ord` unique within key, one
+    * count job sizes B = max(k, ceil(rows / chunks)). Output: the input
+    * columns plus `resultCol`. */
+  def slidingAggChunked(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      valueCol: String,
+      resultCol: String,
+      agg: String = "sum",
+      k: Int = 1,
+      chunks: Int = 32): DataFrame = {
+    require(k >= 1, s"sliding frame size must be >= 1 preceding, got $k")
+    require(Set("sum", "min", "max", "count", "avg")(agg),
+      s"slidingAggChunked supports sum/min/max/count/avg, got '$agg'")
+    Seq("__ridx", "__one", "__blk", "__tblk").foreach(h =>
+      require(!df.columns.contains(h),
+        s"input already carries the internal column '$h'"))
+    import org.apache.spark.sql.expressions.Window
+    val aggFn: Column => Column = agg match {
+      case "sum" => sum(_)
+      case "min" => min(_)
+      case "max" => max(_)
+      case "avg" => avg(_)
+      case _ => count(_)
+    }
+    val seqd = runningAggChunked(df.withColumn("__one", lit(1L)),
+      keyCol, ordCol, "__one", "__ridx", "count", chunks).drop("__one")
+    val total = df.count()
+    val bSize = math.max(k.toLong, (total + chunks - 1) / chunks.toLong) max 1L
+    val base = seqd.withColumn("__blk", expr(s"(__ridx - 1L) div ${bSize}L"))
+    val copies = when(pmod(col("__ridx") - 1L, lit(bSize)) >= bSize - k,
+        array(col("__blk"), col("__blk") + 1L))
+      .otherwise(array(col("__blk")))
+    val extended = base.withColumn("__tblk", explode(copies))
+    val w = Window.partitionBy(col(keyCol), col("__tblk")).orderBy(col("__ridx"))
+      .rowsBetween(-k.toLong, Window.currentRow)
+    extended.withColumn(resultCol, aggFn(col(valueCol)).over(w))
+      .filter(col("__tblk") === col("__blk"))
+      .drop("__ridx", "__blk", "__tblk")
   }
 
   /** Exact skew-free RANK FAMILY — row_number / rank / dense_rank /

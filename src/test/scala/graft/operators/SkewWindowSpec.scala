@@ -55,11 +55,13 @@ class SkewWindowSpec extends SparkSpec {
     val p = Skew.runningSumChunked(df, "k", "o", "v", "run")
       .queryExecution.optimizedPlan.toString
     // the local window must carry the chunk in its partition spec — that
-    // IS the skew fix (a key-only partition spec would serialize hot keys)
-    assert(p.contains("windowspecdefinition(k"), s"window missing:\n$p")
-    assert(p.contains("__chunk"), s"chunk column missing from the plan:\n$p")
+    // IS the skew fix (a key-only partition spec would serialize hot
+    // keys). The key rides inside the __sk struct (null-safe equi-join
+    // surrogate, r12), so the spec reads (__sk, __chunk).
+    assert(raw"windowspecdefinition\(__sk#\d+, __chunk#\d+".r.findFirstIn(p)
+      .isDefined, s"(sk, chunk)-partitioned window missing:\n$p")
     val bigWindowByKeyOnly =
-      raw"windowspecdefinition\(k#\d+L, o#\d+L".r.findFirstIn(p)
+      raw"windowspecdefinition\((__sk|k)#\d+L?, o#\d+L".r.findFirstIn(p)
     assert(bigWindowByKeyOnly.isEmpty,
       s"row-scale window still partitioned by key alone:\n$p")
   }
@@ -198,6 +200,121 @@ class SkewWindowSpec extends SparkSpec {
       assert(got.count() == 500L, s"lead=$lead n=$n: rows dropped")
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         s"lead=$lead n=$n diverges from the plain window")
+    }
+  }
+
+  test("laggedChunked: single evaluation — one scan, no self-join (r12)") {
+    // the r11 donor self-join evaluated the whole sequence-numbered
+    // subtree twice (verdict #1: 2x scan, 5.5x shuffle) and its two
+    // evaluations could disagree under tied ords (ADVICE). The block form
+    // duplicates boundary rows with a GENERATOR from one evaluated pass:
+    // the plan must carry exactly one scan of the source and one Generate
+    val df = spark.range(2000L).select(
+      pmod(col("id"), lit(3L)).as("k"), col("id").as("o"),
+      pmod(col("id"), lit(17L)).as("v"))
+    val p = Skew.laggedChunked(df, "k", "o", "v", "x", n = 2, chunks = 8)
+      .queryExecution.optimizedPlan.toString
+    // two scans is the chunk machinery's own audited shape (base rows +
+    // the tiny per-(key, chunk) totals aggregate); the r11 self-join
+    // doubled THAT to four. The block form must stay at two.
+    val scans = "Range \\(0, 2000".r.findAllIn(p).size
+    assert(scans == 2,
+      s"sequence subtree must be evaluated once (2 scans), found $scans:\n$p")
+    assert(p.contains("Generate") || p.contains("explode"),
+      s"boundary duplication must be a generator, not a self-join:\n$p")
+    assert(!p.contains("LeftOuter"), s"donor self-join must be gone:\n$p")
+  }
+
+  test("laggedChunked: tied ords stay inside the serial arbitrariness class") {
+    import org.apache.spark.sql.expressions.Window
+    // ords tie in groups of 4, but tied rows carry the SAME value, so
+    // every serial ordering yields one answer — the block form must
+    // produce exactly it (the one sequence evaluation feeds both the row
+    // and its donor copy, so no cross-copy disagreement can appear)
+    val df = spark.range(800L).select(
+      pmod(col("id"), lit(2L)).as("k"),
+      (col("id") / 4).cast("long").as("o"),      // ties of 4
+      ((col("id") / 4).cast("long") % 13).as("v")) // value = f(ord)
+    for (lead <- Seq(false, true)) {
+      val got = Skew.laggedChunked(df, "k", "o", "v", "x", n = 1, lead,
+          chunks = 8).select(col("k"), col("o"), col("x"))
+      val fn = if (lead) org.apache.spark.sql.functions.lead(col("v"), 1)
+        else org.apache.spark.sql.functions.lag(col("v"), 1)
+      val want = df.withColumn("x",
+          fn.over(Window.partitionBy(col("k")).orderBy(col("o"))))
+        .select(col("k"), col("o"), col("x"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"lead=$lead: tied-ord answer left the serial class")
+    }
+  }
+
+  test("slidingAggChunked: parity with the plain sliding frame — all five " +
+      "aggs, hot key, NULL keys, NULL values, frame larger than block") {
+    import org.apache.spark.sql.expressions.Window
+    val rows: Seq[(Option[Long], Long, Option[Long])] = (0L until 600L).map { i =>
+      (if (i % 9 == 0) None else if (i % 10 < 7) Some(0L) else Some(i % 4 + 1),
+        i,
+        if (i % 6 == 0) None else Some(i % 23 - 11))
+    }
+    val df = rows.toDF("k", "o", "v")
+    for (a <- Seq("sum", "min", "max", "count", "avg"); k <- Seq(3, 40)) {
+      // chunks = 16 on 600 rows gives B = max(k, 38): k = 40 exercises
+      // the frame-wider-than-naive-block case (B must clamp up to k)
+      val got = Skew.slidingAggChunked(df, "k", "o", "v", "r", a, k, chunks = 16)
+        .select(col("k"), col("o"), col("r"))
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        a match { case "sum" => sum(_); case "min" => min(_)
+          case "max" => max(_); case "avg" => avg(_); case _ => count(_) }
+      val want = df.withColumn("r", fn(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o"))
+          .rowsBetween(-k.toLong, Window.currentRow)))
+        .select(col("k"), col("o"), col("r"))
+      assert(got.count() == 600L, s"$a k=$k: rows dropped")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"sliding $a k=$k diverges from the plain frame")
+    }
+  }
+
+  test("slidingAggChunked: bit-identical on DOUBLES (nothing re-associates)") {
+    import org.apache.spark.sql.expressions.Window
+    // the running decomposition must gate FP sums (re-association), the
+    // sliding one must NOT: it evaluates the same frame rows in the same
+    // order as the serial plan — exact equality on doubles IS the claim
+    val df = spark.range(500L).select(
+      pmod(col("id"), lit(3L)).as("k"), col("id").as("o"),
+      (xxhash64(col("id")).cast("double") / 1e7).as("v"))
+    val got = Skew.slidingAggChunked(df, "k", "o", "v", "r", "sum", 7, chunks = 8)
+      .select(col("k"), col("o"), col("r"))
+    val want = df.withColumn("r", sum(col("v")).over(
+      Window.partitionBy(col("k")).orderBy(col("o")).rowsBetween(-7, 0)))
+      .select(col("k"), col("o"), col("r"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "sliding double sum must match the serial frame bit for bit")
+  }
+
+  test("slidingAggChunked property: random aggs, frames and chunk counts") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260816)
+    for (trial <- 1 to 5) {
+      val n = 150 + rnd.nextInt(500)
+      val keys = 1 + rnd.nextInt(5)
+      val rows = (0 until n).map(i =>
+        (rnd.nextInt(keys).toLong, i.toLong, (rnd.nextInt(2001) - 1000).toLong))
+      val df = rows.toDF("k", "o", "v")
+      val k = 1 + rnd.nextInt(30)
+      val chunks = 2 + rnd.nextInt(40)
+      val agg = Seq("sum", "min", "max", "count", "avg")(rnd.nextInt(5))
+      val got = Skew.slidingAggChunked(df, "k", "o", "v", "r", agg, k, chunks)
+        .select(col("k"), col("o"), col("r"))
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        agg match { case "sum" => sum(_); case "min" => min(_)
+          case "max" => max(_); case "avg" => avg(_); case _ => count(_) }
+      val want = df.withColumn("r", fn(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o"))
+          .rowsBetween(-k.toLong, Window.currentRow)))
+        .select(col("k"), col("o"), col("r"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"trial $trial (n=$n keys=$keys k=$k chunks=$chunks agg=$agg) diverged")
     }
   }
 
