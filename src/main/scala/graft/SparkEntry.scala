@@ -1257,8 +1257,11 @@ object SparkEntry {
         val w = Window.partitionBy(col("k")).orderBy(col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // row_number takes the bare spec (it refuses an explicit frame);
-        // its resolved frame is the same ROWS UNBOUNDED..CURRENT, so
-        // CollapseWindow merges all five into ONE node
+        // its resolved frame is the same ROWS UNBOUNDED..CURRENT, and
+        // CollapseWindow merges same-(partition, order) specs regardless
+        // of frame — all EIGHT expressions (running sum/count/max/avg,
+        // row_number, lag, lead, and the r12 sliding sum) land in ONE
+        // node and one rewrite
         val wBare = Window.partitionBy(col("k")).orderBy(col("event_id"))
         val df = s.table(t)
           .withColumn("run_cents", sum(col("cents")).over(w))
@@ -1268,30 +1271,81 @@ object SparkEntry {
           .withColumn("rn", row_number().over(wBare))
           .withColumn("prev_cents", lag(col("cents"), 2).over(wBare))
           .withColumn("next_cents", lead(col("cents"), 1).over(wBare))
+          .withColumn("roll_cents", sum(col("cents")).over(
+            wBare.rowsBetween(-5, 0)))
         require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
           "AutoChunkWindow did not fire on the multi-expression node")
+        // distributed end to end (VERDICT r11 #5: the old driver-side
+        // collect-and-retype was the registry's largest materialization).
+        // EAGER localCheckpoint, not lazy return: the conf overrides are
+        // restored in the finally below, and a lazy DataFrame would
+        // re-optimize WITHOUT the rule at write time — the checkpoint
+        // executes the require()'d chunked plan here and pins its result
+        // as executor-local blocks, no driver round-trip
         df.select(col("event_id"), col("k").as("user_id"), col("run_cents"),
             col("n_run"), col("peak_cents"), col("avg_cents"), col("rn"),
-            col("prev_cents"), col("next_cents"))
-          .orderBy(col("event_id")).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-            r.getLong(4), r.getDouble(5), r.getInt(6),
-            if (r.isNullAt(7)) None else Some(r.getLong(7)),
-            if (r.isNullAt(8)) None else Some(r.getLong(8)))).toSeq
-          .toDF("event_id", "user_id", "run_cents", "n_run", "peak_cents",
-            "avg_cents", "rn", "prev_cents", "next_cents")
+            col("prev_cents"), col("next_cents"), col("roll_cents"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
       } finally old.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
       }
     }),
 
-    // chunk-parallel LAG/LEAD (r11): navigation functions pay the same
-    // single-task hot-key SORT as running aggregates; laggedChunked gets
-    // the per-key sequence number from the chunk-parallel running count,
-    // then lag(v, n) is one skew-free self equi-join on (key, seq - n) —
-    // join keys unique per row, so no task ever holds a hot key's whole
-    // history. Oracle is the plain SQL lag/lead window.
+    // the AUTOMATIC twin of ext_window_chunked_sliding (r12): a PLAIN
+    // sliding-frame SQL window over a stats-bearing catalog table,
+    // re-planned by AutoChunkWindow's block arm. Sliding frames carry NO
+    // type gate on the SPARK side (nothing re-associates — the block
+    // window replays the same aggregate over the same frame rows in the
+    // same order; the spec pins the double-sum fire + bit-parity). The
+    // ORACLE-facing columns stay exact regardless: summed cents (BIGINT)
+    // and a min over the raw double (no arithmetic) — DuckDB's windowed
+    // double SUM may associate differently, which is a DuckDB-vs-Spark
+    // artifact, not part of the invisibility contract. Asserts the
+    // re-plan FIRED; eager localCheckpoint pins the chunked execution
+    // before the conf scope closes. The oracle is the plain window.
+    "ext_autochunk_sliding" -> ((s, dir) => {
+      val t = "graft_autochunk_slide_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          round(col("value") * 100).cast("long").as("cents"), col("value"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, event_id")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          s"""SELECT event_id, k AS user_id,
+             |  sum(cents) OVER (PARTITION BY k ORDER BY event_id
+             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_cents,
+             |  min(value) OVER (PARTITION BY k ORDER BY event_id
+             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS low_value
+             |FROM $t""".stripMargin)
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow did not fire on the sliding-frame node")
+        df.orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+    // chunk-parallel LAG/LEAD (r11, single-evaluation block form r12):
+    // navigation functions pay the same single-task hot-key SORT as
+    // running aggregates; laggedChunked gets the per-key sequence number
+    // from the chunk-parallel running count, assigns fixed-size sequence
+    // blocks, and duplicates each block's boundary rows into the neighbor
+    // block as donor context (ONE generator pass — no self-join, no
+    // second evaluation), so lag/lead re-run verbatim over (key, block)
+    // with every task bounded at B + n rows however hot the key. Oracle
+    // is the plain SQL lag/lead window.
     "ext_window_chunked_lag" -> ((s, dir) => {
       val base = Tables.events(s, dir).select(col("event_id"),
         col("user_id").as("k"), round(col("value") * 100).cast("long").as("cents"))
@@ -1302,6 +1356,30 @@ object SparkEntry {
           chunks = 8)
         .select(col("event_id"), col("k").as("user_id"),
           col("prev_cents"), col("next_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // chunk-parallel SLIDING FRAME (r12): `agg OVER (... ROWS BETWEEN k
+    // PRECEDING AND CURRENT ROW)` — the rolling-feature window (rolling
+    // spend over the last k events per user) — is the one window shape
+    // the prefix decomposition can't touch (a sliding frame isn't a
+    // prefix, and min/max have no prefix-difference form at all). The
+    // block machinery covers it: every row's whole frame is present
+    // inside its extended block (previous block's last k rows copied in
+    // as donors), so the aggregate re-runs verbatim, bit-identical for
+    // every type — nothing re-associates. Oracle is the plain SQL
+    // sliding window. Two aggs chained: exact sum (k=5) and min (k=3).
+    "ext_window_chunked_sliding" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val rolled = graft.operators.Skew.slidingAggChunked(
+        ev, "user_id", "event_id", "cents", "roll_cents", "sum", k = 5,
+        chunks = 8)
+      graft.operators.Skew.slidingAggChunked(
+          rolled, "user_id", "event_id", "cents", "low_cents", "min", k = 3,
+          chunks = 8)
+        .select(col("event_id"), col("user_id"), col("roll_cents"),
+          col("low_cents"))
         .orderBy(col("event_id"))
     }),
 
@@ -9619,10 +9697,37 @@ object SparkEntry {
         |  lag(cents, 2) OVER (PARTITION BY user_id ORDER BY event_id)
         |    AS prev_cents,
         |  lead(cents, 1) OVER (PARTITION BY user_id ORDER BY event_id)
-        |    AS next_cents
+        |    AS next_cents,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,
+
+    // the manual sliding-frame decomposition must be invisible — the
+    // oracle IS the plain sliding window (exact integer cents end to end)
+    "ext_window_chunked_sliding" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents,
+        |  CAST(min(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS low_cents
+        |FROM c ORDER BY event_id""".stripMargin,
+
+    // the automatic sliding re-plan must be invisible — exact cents sum
+    // plus a min over the raw double (min involves no arithmetic, so
+    // doubles compare exactly across engines)
+    "ext_autochunk_sliding" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents, value FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents,
+        |  min(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS low_value
+        |FROM c ORDER BY event_id""".stripMargin,
 
     // the chunk-parallel rank family must equal the plain windows; the
     // double columns divide the SAME exact integers in both engines

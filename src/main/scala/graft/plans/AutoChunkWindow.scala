@@ -1,18 +1,19 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Ascending,
-  AttributeReference, Cast, Coalesce, CurrentRow, Divide, EqualNullSafe,
-  EqualTo, Expression, Floor, Greatest, If, IsNull, Least, Literal,
-  NamedExpression, NullsFirst, RowFrame, SortOrder, SpecifiedWindowFrame,
-  Subtract, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+  AttributeReference, Cast, Coalesce, CreateNamedStruct, CurrentRow, Divide,
+  EqualTo, Expression, Floor, Greatest, GreaterThanOrEqual, If, IsNull, Least,
+  LessThan, Literal, NamedExpression, NullsFirst, Or, Pmod, RowFrame,
+  SortOrder, SpecifiedWindowFrame, Subtract, UnboundedPreceding,
+  WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  AggregateFunction, Average, Count, Sum}
+  Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint,
-  LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter,
+  Join, JoinHint, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType,
-  FloatType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
+  IntegerType, LongType, ShortType}
 
 /** Optimizer rule: HOT-KEY running windows re-planned as the chunk
   * decomposition — the automatic form of
@@ -34,10 +35,18 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType,
   * the manual verb, same null discipline):
   *
   *   chunk    = clamp(floor((o - lo) / span), 0, C-1)    — monotone in o
-  *   totals   = sum(v) GROUP BY (k, chunk)
-  *   offset   = sum(totals) OVER (PARTITION k ORDER chunk ROWS ..-1)
-  *   local    = sum(v) OVER (PARTITION (k, chunk) ORDER o ROWS ..CURRENT)
+  *   totals   = sum(v) GROUP BY (sk, chunk)
+  *   offset   = sum(totals) OVER (PARTITION sk ORDER chunk ROWS ..-1)
+  *   local    = sum(v) OVER (PARTITION (sk, chunk) ORDER o ROWS ..CURRENT)
   *   result   = both-null ? null : coalesce(local,0) + coalesce(offset,0)
+  *
+  * where `sk` is the partition keys wrapped in ONE struct column: struct
+  * equality is null-safe field-wise (a NULL key is a normal window
+  * partition and must survive the chunk join), and unlike `<=>` on the
+  * bare keys it keeps the join an ordinary equi-join — the big side's
+  * (sk, chunk) partitioning and sort from the local window satisfy the
+  * sort-merge join as-is, so only the tiny offsets side shuffles (the
+  * r11 null-safe form re-exchanged the full input a second time).
   *
   * `lo`/`span` come from the ORDER column's ANALYZE statistics — stale
   * stats only unbalance the chunks (the clamp keeps monotonicity), never
@@ -57,40 +66,59 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType,
   *    average key alone overwhelms one task; covers the no-keys global
   *    window with ndv = 1), OR a single-key equi-height histogram shows
   *    one value holding >= `hotShare` (default 0.2) of the rows;
-  *  - EVERY window expression in the node decomposes: non-distinct
-  *    unfiltered SUM / MIN / MAX / COUNT / AVG over a deterministic
-  *    argument (ROWS or RANGE UNBOUNDED..CURRENT frame), ROW_NUMBER
-  *    (= the running count of a constant, cast back to int — the "latest
-  *    record per key" dedup idiom, whose hot key is THE classic straggler
-  *    at ingest scale), or LAG/LEAD in SQL-default form (null default,
-  *    respect-nulls, positive literal offset: the sequence number comes
-  *    from the chunked running count and the navigation is ONE skew-free
-  *    LEFT self-join on (key, sequence ± n) — join keys unique per row,
-  *    so no task ever holds a hot key's history), all over the same
-  *    partition keys and ORDER column (one non-decomposable expression
-  *    leaves the whole node plain — a half-rewritten node would window
-  *    twice for nothing).
-  *    SUM arguments must be INTEGRAL (byte/short/int/long): the chunk
-  *    decomposition re-associates addition, so a Float/Double sum could
-  *    differ from the serial window in the last ulps — the manual verb's
-  *    exactness contract is integer-typed values, and a default-ON rule
-  *    must never alter an answer. FP sums opt in via
-  *    `spark.graft.autoChunk.allowFloat` (default false) with that
-  *    documented last-ulps tolerance. Min/max never re-combine values
-  *    into new ones, so any analyzed numeric type is safe there; count
-  *    re-combines exact longs. AVG decomposes into an exact running
-  *    SUM + COUNT and replays Average's own `sum/count` division — fired
-  *    only when column stats PROVE `rowCount * max|v| < 2^53` (see
-  *    [[avgExact]]), the range where the serial window's double
-  *    accumulation is itself exact, so the rewrite stays bit-identical.
+  *  - EVERY window expression in the node decomposes (one
+  *    non-decomposable expression leaves the whole node plain — a
+  *    half-rewritten node would window twice for nothing):
+  *     * RUNNING non-distinct unfiltered SUM / MIN / MAX / COUNT / AVG
+  *       over a deterministic argument (ROWS or RANGE UNBOUNDED..CURRENT
+  *       frame) — the chunk algebra above. SUM arguments must be INTEGRAL
+  *       (byte/short/int/long): the decomposition re-associates addition,
+  *       so a Float/Double sum could differ from the serial window in the
+  *       last ulps — a default-ON rule must never alter an answer. FP
+  *       sums opt in via `spark.graft.autoChunk.allowFloat` (default
+  *       false) with that documented last-ulps tolerance. Min/max never
+  *       re-combine values into new ones, so any analyzed numeric type is
+  *       safe there; count re-combines exact longs. AVG decomposes into
+  *       an exact running SUM + COUNT and replays Average's own
+  *       `sum/count` division — fired only when column stats PROVE the
+  *       2^53 bound of [[avgExact]];
+  *     * ROW_NUMBER (= the chunked running count of a constant, cast back
+  *       to int — the "latest record per key" dedup idiom, whose hot key
+  *       is THE classic straggler at ingest scale);
+  *     * LAG/LEAD in SQL-default form (null default, respect-nulls,
+  *       positive literal offset) and SLIDING aggregates
+  *       (ROWS BETWEEN k PRECEDING AND CURRENT ROW) — the BLOCK stage
+  *       below.
   *
-  * Key equality in the assembled join is NULL-SAFE (<=>): a NULL
-  * partition key is a normal window partition and must survive the
-  * rewrite — EqualTo would silently drop every NULL-key row.
+  * LAG/LEAD AND SLIDING FRAMES — the single-evaluation block stage (r12;
+  * replaces the r11 donor self-join, which re-evaluated the whole chunk
+  * subtree per distinct shift — 2x the scan — and whose two evaluations
+  * could disagree under tied ORDER values): with the per-key sequence
+  * number seq (the chunked running count), rows are assigned blocks of a
+  * fixed size B = max(back, fwd, ceil(rows / chunks)); an [[Expand]]
+  * emits every row once for its own block and — this is the point, ONE
+  * evaluated row feeds all copies, so the copies agree by construction —
+  * boundary rows once more as DONOR context for the neighboring block
+  * (the last `back` seqs of a block into block+1 for lag and sliding
+  * frames; the first `fwd` into block-1 for lead). Every non-last block
+  * of a key holds EXACTLY B natives, so inside the extended block the
+  * row at position p - n IS the row at sequence s - n, and the original
+  * lag/lead/sliding-aggregate expressions re-run VERBATIM over
+  * (keys, block) ORDER BY seq — bounded at B + back + fwd rows per task
+  * no matter how hot the key — after which donor copies are filtered
+  * out. Sliding aggregates need NO type gate (doubles and decimals
+  * included, avg without the 2^53 proof): nothing re-associates — the
+  * chunk-local window evaluates the same aggregate over the same frame
+  * rows in the same order as the serial plan, which rebuilds a sliding
+  * frame's buffer per row. RANGE sliding frames stay plain (peers could
+  * straddle block boundaries).
   *
   * The emitted aliases reuse the original ExprIds, so parents resolve
-  * unchanged; the local window's partition spec contains the chunk
-  * column, which no longer matches the pattern — the fixed-point guard.
+  * unchanged. Fixed point: every plan this rule emits carries a
+  * `__graft_chunk*` attribute in its window partition specs, and
+  * [[apply]] skips any Window node whose partition spec mentions one —
+  * the explicit guard (the implicit one — derived chunk attributes never
+  * have statistics — also holds, but the guard doesn't rely on it).
   */
 object AutoChunkWindow extends Rule[LogicalPlan] {
 
@@ -98,14 +126,20 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
 
   /** One decomposable window expression, destructured. `ae` is the
     * original AggregateExpression where one exists (replayed verbatim in
-    * the local window); row_number and lag/lead have none — their legs
-    * are fresh counts, like avg's legs. `shift` is lag/lead's donor
-    * displacement: a donor row at sequence p serves the row at sequence
-    * p + shift (lag(n): +n; lead(n): -n; 0 for every other kind). */
+    * the local or block window); row_number has none. `kind` is the
+    * running-aggregate name, "rownum", "lag" (covers lead via `shift`) or
+    * "slide". `frame` is the frame the expression's evaluation window
+    * replays: the original running frame for running aggregates, the
+    * original offset frame for lag/lead, the original sliding frame for
+    * slide. `shift` is lag/lead's donor displacement: a donor row at
+    * sequence p serves the row at sequence p + shift (lag(n): +n;
+    * lead(n): -n). `fn` keeps the original navigation function for
+    * verbatim replay; `slideK` the sliding frame's preceding-row count. */
   private case class Decomposed(
       alias: Alias, ae: Option[AggregateExpression], kind: String, v: Expression,
       so: SortOrder, frame: SpecifiedWindowFrame, ord: AttributeReference,
-      partSpec: Seq[Expression], shift: Long = 0L)
+      partSpec: Seq[Expression], shift: Long = 0L,
+      fn: Option[Expression] = None, slideK: Int = 0)
 
   def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.autoChunk.enabled", "true").toBoolean)
@@ -121,17 +155,25 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val allowFloat =
       conf.getConfString("spark.graft.autoChunk.allowFloat", "false").toBoolean
     plan.transformUp {
-      case w @ Window(exprs, _, _, child, _) if exprs.nonEmpty &&
-          decomposeAll(exprs, allowFloat).exists { ds =>
-            val d = ds.head
-            eligible(d.v, d.ord, d.partSpec, child, minRows, perKeyRows,
-              hotShare) &&
-              ds.tail.forall(_.v.deterministic) &&
-              ds.forall(avgExact(_, child, allowFloat))
+      // the name guard is the explicit fixed point: every Window this rule
+      // emits partitions by a __graft_chunk* attribute
+      case w @ Window(exprs, partSpec, _, child, _) if exprs.nonEmpty &&
+          !partSpec.exists {
+            case a: AttributeReference => a.name.startsWith(C_NAME)
+            case _ => false
           } =>
-        val ds = decomposeAll(exprs, allowFloat).get
-        rewrite(child, ds, ds.head.ord,
-          ds.head.partSpec.map(_.asInstanceOf[AttributeReference]), chunks)
+        decomposeAll(exprs, allowFloat) match {
+          case Some(ds) if {
+              val d = ds.head
+              eligible(d.v, d.ord, d.partSpec, child, minRows, perKeyRows,
+                hotShare) &&
+                ds.tail.forall(_.v.deterministic) &&
+                ds.forall(avgExact(_, child, allowFloat))
+            } =>
+            rewrite(child, ds, ds.head.ord,
+              ds.head.partSpec.map(_.asInstanceOf[AttributeReference]), chunks)
+          case _ => w
+        }
     }
   }
 
@@ -154,6 +196,21 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
             partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         val (kind, v) = aggArg(ae).get
         Some(Decomposed(alias, Some(ae), kind, v, so, frame, ord, partSpec))
+      // sliding ROWS frame: k PRECEDING .. CURRENT ROW. No type gate and
+      // no 2^53 proof — the block window replays the ORIGINAL aggregate
+      // over the same frame rows in the same order, nothing re-associates
+      // (RANGE sliding frames fall through: peers could straddle blocks)
+      case alias @ Alias(WindowExpression(
+            ae: AggregateExpression,
+            WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
+              ord: AttributeReference, Ascending, NullsFirst, _)),
+              frame @ SpecifiedWindowFrame(RowFrame,
+                Literal(lo: Int, IntegerType), CurrentRow))), _)
+          if lo < 0 && aggArg(ae).isDefined &&
+            partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+        val (_, v) = aggArg(ae).get
+        Some(Decomposed(alias, Some(ae), "slide", v, so, frame, ord, partSpec,
+          slideK = -lo))
       // row_number() = the running count of a constant, cast back to int
       // at the end. Under tied ords it is nondeterministic-within-peers
       // exactly as the serial window is (ties share a chunk — the chunk is
@@ -169,19 +226,18 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
         Some(Decomposed(alias, None, "rownum", Literal(1), so, frame, ord,
           partSpec))
       // lag/lead: SQL-default form only (null default, respect-nulls,
-      // positive literal offset). The matched offset frame is NOT stored —
-      // the count leg runs the RUNNING frame to build sequence numbers,
-      // and the donor join does the navigation.
+      // positive literal offset). The ORIGINAL spec frame is kept — the
+      // block window must replay the function with its own offset frame.
       case alias @ Alias(WindowExpression(
             f: org.apache.spark.sql.catalyst.expressions.FrameLessOffsetWindowFunction,
             WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
-              ord: AttributeReference, Ascending, NullsFirst, _)), _)), _)
+              ord: AttributeReference, Ascending, NullsFirst, _)),
+              frame: SpecifiedWindowFrame)), _)
           if partSpec.forall(_.isInstanceOf[AttributeReference]) &&
             navShift(f).isDefined =>
         val (in, shift) = navShift(f).get
-        Some(Decomposed(alias, None, "lag", in, so,
-          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow),
-          ord, partSpec, shift))
+        Some(Decomposed(alias, None, "lag", in, so, frame, ord, partSpec,
+          shift, fn = Some(f)))
       case _ => None
     }
     if (ds.exists(_.isEmpty)) return None
@@ -255,28 +311,39 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Sum (and avg, which re-adds internally) re-add across chunks —
+  /** Running sum (and avg, which re-adds internally) re-add across chunks —
     * INTEGRAL types only by default (FP addition is non-associative, so a
     * rewritten double sum could change ulps; decimals would widen the
     * result type; intervals need their own zero). `allowFloat` opts
     * Float/Double sums in with a documented last-ulps tolerance. Min and
     * max never re-combine values into new ones, so any analyzed (hence
-    * orderable) type is safe. */
+    * orderable) type is safe. (Sliding frames bypass this gate entirely —
+    * they re-associate nothing.) */
   private def typeOk(kind: String, v: Expression, allowFloat: Boolean): Boolean =
     (kind != "sum" && kind != "avg") || integral(v.dataType) ||
       (allowFloat && numeric(v.dataType))
 
-  /** Integral AVG needs one proof sum/count don't: the serial window's
-    * Average accumulates its sum in a DOUBLE buffer (`sum + cast(v as
-    * double)` per row), so the serial sum is exact ONLY while every
-    * partial sum stays under 2^53 — inside that range integer-valued
-    * double addition is exact, and the decomposed exact-long sum cast to
-    * double is bit-identical to it (the final `sum/count` division then
-    * matches bit for bit). Every partial sum is bounded by
-    * `rowCount * max(|min|, |max|)`, so column stats can PROVE the bound;
-    * no proof (missing stats, non-attribute argument, or a bound >= 2^53)
-    * means no rewrite — unless `allowFloat` already accepted a
-    * last-ulps tolerance. */
+  /** Integral running AVG needs one proof sum/count don't: the serial
+    * window's Average accumulates its sum in a DOUBLE buffer (`sum +
+    * cast(v as double)` per row), so the serial sum is exact ONLY while
+    * every partial sum stays under 2^53 — inside that range
+    * integer-valued double addition is exact, and the decomposed
+    * exact-long sum cast to double is bit-identical to it (the final
+    * `sum/count` division then matches bit for bit). Every partial sum is
+    * bounded by `rowCount * max(|min|, |max|)`, so column stats can PROVE
+    * the bound; no proof (missing stats, non-attribute argument, or a
+    * bound over the threshold) means no rewrite — unless `allowFloat`
+    * already accepted a last-ulps tolerance.
+    *
+    * FRESHNESS (ADVICE r11): unlike the hotness/chunk-range uses of
+    * statistics — where staleness only unbalances — this gate is
+    * correctness-bearing, and rows appended AFTER the last ANALYZE are
+    * invisible to it. The required bound is therefore 2^52, a 2x headroom
+    * over the real 2^53 threshold: a table whose row count or value range
+    * has grown by less than 2x since ANALYZE still satisfies the real
+    * bound. The documented operating assumption for default-ON avg is
+    * "re-ANALYZE before the table doubles" — beyond that, disable the
+    * rule or accept allowFloat's ulps tolerance explicitly. */
   private def avgExact(
       d: Decomposed, child: LogicalPlan, allowFloat: Boolean): Boolean =
     d.kind != "avg" || allowFloat || (d.v match {
@@ -288,7 +355,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           mn <- cs.min.flatMap(statDouble)
           mx <- cs.max.flatMap(statDouble)
         } yield BigDecimal(rc) * BigDecimal(math.max(math.abs(mn), math.abs(mx))) <
-          BigDecimal(2).pow(53)).getOrElse(false)
+          BigDecimal(2).pow(52)).getOrElse(false)
       case _ => false
     })
 
@@ -331,19 +398,18 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     avgHot || histHot
   }
 
-  /** One physical aggregate column of the decomposition. An expression
-    * contributes one leg (sum/min/max/count run themselves through the
-    * chunk machinery) or two (avg decomposes into an exact running SUM
-    * and COUNT whose final division replays Average's own
-    * `sum/count` evaluation). */
+  /** One physical aggregate column of the decomposition. A running
+    * expression contributes one leg (sum/min/max/count run themselves
+    * through the chunk machinery) or two (avg decomposes into an exact
+    * running SUM and COUNT whose final division replays Average's own
+    * `sum/count` evaluation). row_number, lag/lead and sliding
+    * expressions contribute NO value legs — they all read the ONE shared
+    * SEQUENCE leg (the running count of a constant) appended last. */
   private case class Leg(kind: String, v: Expression)
 
   private def legsOf(d: Decomposed): Seq[Leg] = d.kind match {
     case "avg" => Seq(Leg("sum", d.v), Leg("count", d.v))
-    // both need the per-key SEQUENCE NUMBER = running count of a constant
-    // (lag's d.v is the navigated value — the donor join reads it; the
-    // leg only builds sequence numbers)
-    case "rownum" | "lag" => Seq(Leg("count", Literal(1)))
+    case "rownum" | "lag" | "slide" => Nil
     case k => Seq(Leg(k, d.v))
   }
 
@@ -360,17 +426,29 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // the offset side re-combines CHUNK TOTALS — for count that is a SUM
     // of the per-chunk counts, not a count of them
     def offKind(kind: String) = if (kind == "count") "sum" else kind
-    // every leg of every expression, flat with its parent; expression j's
-    // legs sit at flat positions [legOffsets(j), legOffsets(j+1)) in the
-    // ct/off/loc alias sequences. Non-avg legs replay the ORIGINAL
+    val needSeq = ds.exists(d =>
+      d.kind == "rownum" || d.kind == "lag" || d.kind == "slide")
+    // every leg of every running expression, flat with its parent;
+    // expression j's legs sit at flat positions [legOffsets(j),
+    // legOffsets(j+1)) in the ct/off/loc alias sequences. The shared
+    // sequence leg (if any) sits LAST. Non-avg legs replay the ORIGINAL
     // AggregateExpression in the local window (exact evalMode and all);
     // avg legs get fresh Sum/Count — the division happens once at the end.
-    val flat: Seq[(Decomposed, Leg)] =
-      ds.flatMap(d => legsOf(d).map(l => (d, l)))
+    val flat: Seq[(Option[Decomposed], Leg)] =
+      ds.flatMap(d => legsOf(d).map(l => (Option(d), l))) ++
+        (if (needSeq) Seq((Option.empty[Decomposed], Leg("count", Literal(1))))
+         else Nil)
     val legOffsets = ds.map(legsOf(_).length).scanLeft(0)(_ + _)
-    def localAgg(d: Decomposed, l: Leg): AggregateExpression =
-      d.ae.filter(_ => d.kind != "avg").getOrElse(aggFn(l.kind, l.v))
+    val seqLegIdx = flat.length - 1 // valid only when needSeq
+    def localAgg(od: Option[Decomposed], l: Leg): AggregateExpression =
+      od.flatMap(d => d.ae.filter(_ => d.kind != "avg"))
+        .getOrElse(aggFn(l.kind, l.v))
+    val runFrame =
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    def legFrame(od: Option[Decomposed]): SpecifiedWindowFrame =
+      od.map(_.frame).getOrElse(runFrame)
     val st = child.stats
+    val rows = st.rowCount.get // eligible() proved presence
     val cs = st.attributeStats(ord)
     val lo = statDouble(cs.min.get).get
     val hi = statDouble(cs.max.get).get
@@ -385,52 +463,62 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
         Literal(0))),
       Literal(chunks - 1)))
     val chunkAlias = Alias(chunkExpr, C_NAME)()
-    val proj1 = Project(child.output :+ chunkAlias, child)
+    // the struct surrogate for the partition keys: null-safe by struct
+    // semantics, so the chunk join stays a plain equi-join and reuses the
+    // local window's (sk, chunk) partitioning. Empty pk (global window,
+    // ndv = 1 hotness) needs no key at all — the chunk column alone joins.
+    val skAlias: Option[Alias] =
+      if (pk.isEmpty) None
+      else Some(Alias(CreateNamedStruct(
+        pk.zipWithIndex.flatMap { case (a, i) =>
+          Seq(Literal(s"k$i"), a) }), C_NAME + "_sk")())
+    val proj1 = Project(child.output ++ skAlias.toSeq :+ chunkAlias, child)
     val chunkAttr = chunkAlias.toAttribute
-    // per-(key, chunk) totals under the SAME aggregates, one per leg
+    val skAttr = skAlias.map(_.toAttribute)
+    val grpKeys: Seq[Expression] = skAttr.toSeq :+ chunkAttr
+    // per-(sk, chunk) totals under the SAME aggregates, one per leg
     val ctAliases = flat.zipWithIndex.map { case ((_, l), i) =>
       Alias(aggFn(l.kind, l.v), s"${C_NAME}_ct_$i")()
     }
-    val totals = Aggregate(
-      (pk: Seq[Expression]) :+ chunkAttr,
-      (pk: Seq[NamedExpression]) :+ chunkAttr.asInstanceOf[NamedExpression]
-        :++ ctAliases, proj1)
+    val totals = Aggregate(grpKeys,
+      (skAttr.toSeq.map(_.asInstanceOf[NamedExpression]) :+
+        chunkAttr.asInstanceOf[NamedExpression]) :++ ctAliases, proj1)
     // exclusive running offsets over the <= chunks rows per key — all the
     // legs share one Window node (same spec, same sort)
+    val offPart: Seq[Expression] = skAttr.toSeq
     val offAliases = flat.zip(ctAliases).zipWithIndex.map { case (((_, l), ct), i) =>
       Alias(WindowExpression(
         aggFn(offKind(l.kind), ct.toAttribute),
-        WindowSpecDefinition(pk, Seq(SortOrder(chunkAttr, Ascending)),
+        WindowSpecDefinition(offPart, Seq(SortOrder(chunkAttr, Ascending)),
           SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
         s"${C_NAME}_off_$i")()
     }
-    val offWin = Window(offAliases, pk, Seq(SortOrder(chunkAttr, Ascending)),
+    val offWin = Window(offAliases, offPart, Seq(SortOrder(chunkAttr, Ascending)),
       totals, None)
     // fresh-id projection of the offsets side: it derives from the same
     // child, so the join condition must not reuse the left side's attrs
-    val rKeys = pk.map(a => Alias(a, a.name + "_r")())
+    val rSk = skAttr.map(a => Alias(a, a.name + "_r")())
     val rChunk = Alias(chunkAttr, C_NAME + "_r")()
     val rOffs = offAliases.zipWithIndex.map { case (o, i) =>
       Alias(o.toAttribute, s"${C_NAME}_off_r_$i")()
     }
-    val offSide = Project(rKeys ++ Seq(rChunk) ++ rOffs, offWin)
+    val offSide = Project(rSk.toSeq ++ Seq(rChunk) ++ rOffs, offWin)
     // chunk-local running aggregates over the full-width rows — each leg
     // replays its expression's ORIGINAL frame (ROWS or RANGE) and sort
-    // order within the (key, chunk) partition; RANGE peers can't straddle
+    // order within the (sk, chunk) partition; RANGE peers can't straddle
     // chunks because the chunk is a function of the ORDER value
-    val locAliases = flat.zipWithIndex.map { case ((d, l), i) =>
-      Alias(WindowExpression(localAgg(d, l),
-        WindowSpecDefinition((pk: Seq[Expression]) :+ chunkAttr,
-          Seq(d.so), d.frame)), s"${C_NAME}_loc_$i")()
+    val locPart: Seq[Expression] = skAttr.toSeq :+ chunkAttr
+    val locAliases = flat.zipWithIndex.map { case ((od, l), i) =>
+      Alias(WindowExpression(localAgg(od, l),
+        WindowSpecDefinition(locPart,
+          Seq(od.map(_.so).getOrElse(ds.head.so)), legFrame(od))),
+        s"${C_NAME}_loc_$i")()
     }
-    val locWin = Window(locAliases, (pk: Seq[Expression]) :+ chunkAttr,
-      Seq(ds.head.so), proj1, None)
-    // NULL-SAFE key equality: a NULL partition key is a normal window
-    // partition — EqualTo would drop its rows. The chunk attribute is
-    // non-null by construction (Greatest skips the NULL a null ord feeds
-    // it and clamps to 0), so plain EqualTo is exact there.
-    val cond = (pk.zip(rKeys).map { case (l, r) =>
-      EqualNullSafe(l, r.toAttribute): Expression } :+
+    val locWin = Window(locAliases, locPart, Seq(ds.head.so), proj1, None)
+    // plain equi-join on the struct surrogate + chunk: null-safe via
+    // struct field semantics, partition-compatible with the local window
+    val cond = (skAttr.zip(rSk).map { case (l, r) =>
+      EqualTo(l, r.toAttribute): Expression }.toSeq :+
       (EqualTo(chunkAttr, rChunk.toAttribute): Expression))
       .reduce(And(_, _))
     val joined = Join(locWin, offSide, Inner, Some(cond), JoinHint.NONE)
@@ -450,81 +538,107 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
         case "min" => Least(Seq(loc, off))
         case _ => Greatest(Seq(loc, off))
       }
-    // Per expression: lag gets an INTERNAL sequence-number alias (the
-    // donor join below resolves its value); everything else combines to
-    // its final alias (original ExprId) right here.
-    val combined: Seq[(Decomposed, Alias, Boolean)] = ds.zipWithIndex.map {
+    def locAt(i: Int) = locAliases(i).toAttribute
+    def offAt(i: Int) = rOffs(i).toAttribute
+    // the shared per-key sequence number (chunked running count of 1)
+    val seqAlias: Option[Alias] =
+      if (needSeq)
+        Some(Alias(combineLeg("count", locAt(seqLegIdx), offAt(seqLegIdx)),
+          C_NAME + "_seq")())
+      else None
+    // Per expression: running aggregates and row_number combine to their
+    // final alias (original ExprId) right here; lag/lead and sliding
+    // expressions resolve in the block stage below.
+    val combined: Seq[(Decomposed, Option[Alias])] = ds.zipWithIndex.map {
       case (d, j) =>
         val base = legOffsets(j)
-        def loc(i: Int) = locAliases(base + i).toAttribute
-        def off(i: Int) = rOffs(base + i).toAttribute
-        val c = d.kind match {
+        def loc(i: Int) = locAt(base + i)
+        def off(i: Int) = offAt(base + i)
+        val c: Option[Expression] = d.kind match {
           case "avg" =>
             // replay Average's own evaluation on the exact running sum and
             // count: Divide(sum cast double, count cast double) — null on a
-            // zero count (all-null prefix), bit-identical under the 2^53
+            // zero count (all-null prefix), bit-identical under the 2^52
             // proof because the serial double accumulation is exact there.
             // LEGACY eval mode exactly as Average.evaluateExpression uses:
             // a zero count must yield null, not an ANSI divide-by-zero
             val s = combineLeg("sum", loc(0), off(0))
             val n = combineLeg("count", loc(1), off(1))
-            Divide(Cast(Coalesce(Seq(s, Literal.default(s.dataType))), DoubleType),
+            Some(Divide(
+              Cast(Coalesce(Seq(s, Literal.default(s.dataType))), DoubleType),
               Cast(n, DoubleType),
               org.apache.spark.sql.catalyst.expressions.NumericEvalContext(
-                org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
-          // row_number: the combined running count, back to RowNumber's int
+                org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)))
+          // row_number: the shared combined running count, back to int
+          // (inlined — the seq alias only exists on the nav path's mid)
           case "rownum" =>
-            Cast(combineLeg("count", loc(0), off(0)), IntegerType)
-          // lag: the combined running count IS the sequence number the
-          // donor join navigates on (its leg is a count — combine as one)
-          case "lag" =>
-            combineLeg("count", loc(0), off(0))
-          case k => combineLeg(k, loc(0), off(0))
+            Some(Cast(combineLeg("count", locAt(seqLegIdx), offAt(seqLegIdx)),
+              IntegerType))
+          case "lag" | "slide" => None
+          case k => Some(combineLeg(k, loc(0), off(0)))
         }
-        if (d.kind == "lag")
-          (d, Alias(c, s"${C_NAME}_ridx_$j")(), true)
-        else
-          (d, Alias(c, d.alias.name)(exprId = d.alias.exprId), false)
+        (d, c.map(e => Alias(e, d.alias.name)(exprId = d.alias.exprId)))
     }
-    val lags = combined.filter(_._3)
-    if (lags.isEmpty)
-      return Project(child.output ++ combined.map(_._2), joined)
+    val navDs = ds.filter(d => d.kind == "lag" || d.kind == "slide")
+    val doneAliases = combined.collect { case (_, Some(a)) => a }
+    if (navDs.isEmpty)
+      return Project(child.output ++ doneAliases, joined)
 
-    // Navigation via skew-free self-join: `mid` carries every row with its
-    // per-key sequence number; a donor row at sequence p serves the row at
-    // sequence p + shift, so lag(v, n) at sequence r reads the donor with
-    // p + n = r. Join keys (key, sequence) are UNIQUE PER ROW — no task
-    // ever holds a hot key's history, no matter how hot. LEFT join: the
-    // first n rows per key have no donor = the SQL null default. One join
-    // per distinct shift serves every lag/lead expression with that shift.
-    // The donor side is a fresh-alias projection over the SAME `mid`
-    // subtree — the offSide pattern again.
-    val mid = Project(child.output ++ combined.map(_._2), joined)
-    val ridxOf: Map[Alias, AttributeReference] = lags.map { case (d, a, _) =>
-      a -> a.toAttribute.asInstanceOf[AttributeReference] }.toMap
-    var cur: LogicalPlan = mid
-    val lagValue = scala.collection.mutable.Map.empty[Long, Alias]
-    lags.groupBy(_._1.shift).foreach { case (shift, group) =>
-      val rK2 = pk.map(a => Alias(a, s"${a.name}_d$shift")())
-      val target = Alias(Add(ridxOf(group.head._2), Literal(shift)),
-        s"${C_NAME}_dtarget_$shift")()
-      val vals = group.map { case (d, _, _) =>
-        d -> Alias(d.v, s"${C_NAME}_lv_${d.alias.exprId.id}")() }
-      val donor = Project(rK2 ++ Seq(target) ++ vals.map(_._2), mid)
-      val cond2 = (pk.zip(rK2).map { case (l, r) =>
-        EqualNullSafe(l, r.toAttribute): Expression } :+
-        (EqualTo(ridxOf(group.head._2), target.toAttribute): Expression))
-        .reduce(And(_, _))
-      cur = Join(cur, donor,
-        org.apache.spark.sql.catalyst.plans.LeftOuter, Some(cond2),
-        JoinHint.NONE)
-      vals.foreach { case (d, va) =>
-        lagValue(d.alias.exprId.id) =
-          Alias(va.toAttribute, d.alias.name)(exprId = d.alias.exprId) }
+    // ---- the block stage: lag/lead + sliding frames, single evaluation.
+    // Blocks of B >= max(back, fwd) rows partition each key's sequence
+    // space contiguously; Expand emits each row for its own block plus —
+    // from the SAME evaluated row — a donor copy into the neighbor block
+    // when the row sits in the boundary band. Inside the extended block,
+    // position p - n IS sequence s - n (non-last blocks are exactly full),
+    // so the original navigation/sliding expressions re-run verbatim over
+    // (keys, block) ORDER BY seq, and donor copies are filtered out after.
+    val mid = Project(child.output ++ doneAliases ++ seqAlias.toSeq, joined)
+    val seqAttr = seqAlias.get.toAttribute
+    val back = (navDs.collect { case d if d.kind == "slide" => d.slideK.toLong
+      case d if d.kind == "lag" && d.shift > 0 => d.shift } :+ 0L).max
+    val fwd = (navDs.collect {
+      case d if d.kind == "lag" && d.shift < 0 => -d.shift } :+ 0L).max
+    val bSize = Seq(1L, back, fwd,
+      (BigInt(rows.toLong) / chunks).toLong).max
+    def selfBlk = org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      Subtract(seqAttr, Literal(1L)), Literal(bSize))
+    val tblkAttr = AttributeReference(C_NAME + "_blk", LongType,
+      nullable = false)()
+    val projections: Seq[Seq[Expression]] =
+      Seq(mid.output :+ selfBlk) ++
+        (if (back > 0) Seq(mid.output :+ Add(selfBlk, Literal(1L))) else Nil) ++
+        (if (fwd > 0) Seq(mid.output :+ Subtract(selfBlk, Literal(1L))) else Nil)
+    val expand = Expand(projections, mid.output :+ tblkAttr, mid)
+    val pos = Pmod(Subtract(seqAttr, Literal(1L)), Literal(bSize))
+    val keep: Expression = (
+      Seq(EqualTo(tblkAttr, selfBlk): Expression) ++
+        (if (back > 0) Seq(And(EqualTo(tblkAttr, Add(selfBlk, Literal(1L))),
+          GreaterThanOrEqual(pos, Literal(bSize - back)))) else Nil) ++
+        (if (fwd > 0) Seq(And(EqualTo(tblkAttr, Subtract(selfBlk, Literal(1L))),
+          And(LessThan(pos, Literal(fwd)),
+            GreaterThanOrEqual(tblkAttr, Literal(0L))))) else Nil)
+      ).reduce(Or(_, _))
+    val boundary = Filter(keep, expand)
+    val navPart: Seq[Expression] = (pk: Seq[Expression]) :+ tblkAttr
+    val navSort = Seq(SortOrder(seqAttr, Ascending))
+    val navAliases = navDs.map { d =>
+      val f = d.kind match {
+        case "lag" => d.fn.get
+        case _ => d.ae.get
+      }
+      Alias(WindowExpression(f,
+        WindowSpecDefinition(navPart, navSort, d.frame)),
+        d.alias.name)(exprId = d.alias.exprId)
     }
-    val finalCols = combined.map { case (d, a, isLag) =>
-      if (isLag) lagValue(d.alias.exprId.id) else (a.toAttribute: NamedExpression)
+    val navWin = Window(navAliases, navPart, navSort, boundary, None)
+    val natives = Filter(EqualTo(tblkAttr, selfBlk), navWin)
+    // original output order: child columns, then every window alias
+    val finals: Seq[NamedExpression] = ds.map { d =>
+      combined.collectFirst { case (c, Some(a)) if c eq d => a.toAttribute }
+        .orElse(navAliases.collectFirst {
+          case a if a.exprId == d.alias.exprId => a.toAttribute })
+        .get
     }
-    Project(child.output ++ finalCols, cur)
+    Project(child.output ++ finals, natives)
   }
 }

@@ -262,7 +262,8 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
-  test("lag/lead fire as sequence-number self-joins, SQL-default form only") {
+  test("lag/lead fire via the single-evaluation block stage, SQL-default " +
+      "form only") {
     import org.apache.spark.sql.expressions.Window
     withConfs(
       "spark.sql.cbo.enabled" -> "true",
@@ -270,11 +271,12 @@ class AutoChunkWindowSpec extends SparkSpec {
       "spark.graft.autoChunk.perKeyRows" -> "1000",
       "spark.graft.autoChunk.chunks" -> "8") {
       val w = Window.partitionBy(col("k")).orderBy(col("o"))
-      // lag 2 + lead 1 + a running sum in ONE node: two donor joins (one
-      // per distinct shift) + the chunk join, all from one rewrite. The
-      // fixture's NULL values must carry through donors (a null donor
-      // value is distinct from the no-donor null — both are null in SQL,
-      // and parity covers the first-2/last-1 rows per key either way).
+      // lag 2 + lead 1 + a running sum in ONE node: chunk join + ONE
+      // Expand block stage (donor copies both directions), all from one
+      // rewrite. The fixture's NULL values must carry through donors (a
+      // null donor value is distinct from the no-donor null — both are
+      // null in SQL, and parity covers the first-2/last-1 rows per key
+      // either way).
       def q = spark.table(avgHotTable)
         .withColumn("prev2", lag(col("v"), 2).over(w))
         .withColumn("next1", lead(col("v"), 1).over(w))
@@ -286,6 +288,18 @@ class AutoChunkWindowSpec extends SparkSpec {
         want = q.collect().toSet
       }
       assert(q.collect().toSet == want, "lag/lead rewrite changed the answer")
+      // single evaluation (r12, replaces the r11 donor self-joins that
+      // re-evaluated the whole chunk subtree per shift and could read
+      // DIFFERENT sequence numbers under tied ords): the plan must carry
+      // exactly one Expand, no outer join, and the chunk machinery's own
+      // two scans of the source — not four
+      val p = q.queryExecution.optimizedPlan.toString
+      assert("Expand".r.findAllIn(p).size == 1,
+        s"block stage must be ONE Expand:\n$p")
+      assert(!p.contains("LeftOuter"), s"donor self-join must be gone:\n$p")
+      val scans = s"Relation spark_catalog.default.$avgHotTable".r
+        .findAllIn(p).size
+      assert(scans == 2, s"expected the chunk machinery's 2 scans, got $scans:\n$p")
       // non-default forms stay plain: explicit default, IGNORE NULLS
       val withDefault = spark.table(avgHotTable)
         .withColumn("x", lag(col("v"), 1, -1).over(w))
@@ -293,6 +307,99 @@ class AutoChunkWindowSpec extends SparkSpec {
       val ignoreNulls = spark.table(avgHotTable)
         .withColumn("x", lag(col("v"), 1, null, true).over(w))
       assert(!chunked(ignoreNulls), "lag IGNORE NULLS must stay plain")
+    }
+  }
+
+  test("sliding ROWS frames fire — exact for every type, no FP/decimal gate") {
+    import org.apache.spark.sql.expressions.Window
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val w = Window.partitionBy(col("k")).orderBy(col("o")).rowsBetween(-5, 0)
+      // sum + avg + min over one sliding spec; avg needs NO 2^53 proof
+      // here (avgHotTable has no v stats) and NULL values must clip the
+      // frame exactly as the serial plan does
+      def q = spark.table(avgHotTable)
+        .withColumn("s5", sum(col("v")).over(w))
+        .withColumn("a5", avg(col("v")).over(w))
+        .withColumn("m5", min(col("v")).over(w))
+      assert(chunked(q), s"sliding node must fire:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      // Set[Row] equality is bitwise on doubles — nothing re-associates in
+      // a sliding frame, so exact equality IS the claim
+      assert(q.collect().toSet == want, "sliding rewrite changed the answer")
+      // DOUBLE sliding sum fires too — same reasoning, no allowFloat needed
+      val fp = "graft_autochunk_fp_slide"
+      freshTable(fp) {
+        spark.range(10000L).select(
+            pmod(col("id"), lit(2L)).as("k"), col("id").as("o"),
+            (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / 7.0).as("v"))
+          .write.saveAsTable(fp)
+        spark.sql(s"ANALYZE TABLE $fp COMPUTE STATISTICS FOR COLUMNS k, o")
+      }
+      def fq = spark.table(fp).withColumn("s", sum(col("v")).over(w))
+      assert(chunked(fq), "double sliding sum must fire (nothing re-associates)")
+      var fwant: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        fwant = fq.collect().toSet
+      }
+      assert(fq.collect().toSet == fwant,
+        "double sliding sum must stay bit-identical")
+      // mixed node: sliding + lag + running sum + row_number — one rewrite
+      val wb = Window.partitionBy(col("k")).orderBy(col("o"))
+      def mixed = spark.table(avgHotTable)
+        .withColumn("s5", sum(col("v")).over(w))
+        .withColumn("p1", lag(col("v"), 1).over(wb))
+        .withColumn("rs", sum(col("v")).over(wb.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(wb))
+      assert(chunked(mixed), "mixed sliding+lag+running+rownum node must fire")
+      var mwant: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        mwant = mixed.collect().toSet
+      }
+      assert(mixed.collect().toSet == mwant, "mixed rewrite changed the answer")
+    }
+  }
+
+  test("no statistics -> never fires, on ANY shape (cbo off or un-ANALYZEd)") {
+    import org.apache.spark.sql.expressions.Window
+    // the REGRESSION side of the stats gates (VERDICT r11 #6): a
+    // default-ON rule must never make an un-ANALYZE'd production table
+    // pay the rewrite. Sweep every arm over a stats-less view, then over
+    // the ANALYZE'd table with cbo OFF.
+    withConfs(
+      "spark.graft.autoChunk.minRows" -> "1",
+      "spark.graft.autoChunk.perKeyRows" -> "1") {
+      spark.range(10000L).select(pmod(col("id"), lit(2L)).as("k"),
+          col("id").as("o"), col("id").as("v"))
+        .createOrReplaceTempView("autochunk_nostats_sweep")
+      def shapes(t: org.apache.spark.sql.DataFrame) = {
+        val wb = Window.partitionBy(col("k")).orderBy(col("o"))
+        val wr = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Seq(
+          "running sum" -> t.withColumn("x", sum(col("v")).over(wr)),
+          "running count" -> t.withColumn("x", count(col("v")).over(wr)),
+          "running min" -> t.withColumn("x", min(col("v")).over(wr)),
+          "running avg" -> t.withColumn("x", avg(col("v")).over(wr)),
+          "row_number" -> t.withColumn("x", row_number().over(wb)),
+          "lag" -> t.withColumn("x", lag(col("v"), 1).over(wb)),
+          "sliding sum" -> t.withColumn("x",
+            sum(col("v")).over(wb.rowsBetween(-5, 0))))
+      }
+      withConfs("spark.sql.cbo.enabled" -> "true") {
+        for ((label, q) <- shapes(spark.table("autochunk_nostats_sweep")))
+          assert(!chunked(q), s"$label fired without statistics")
+      }
+      withConfs("spark.sql.cbo.enabled" -> "false") {
+        for ((label, q) <- shapes(spark.table(avgHotTable)))
+          assert(!chunked(q), s"$label fired with cbo disabled")
+      }
     }
   }
 
@@ -394,7 +501,7 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
-  test("does NOT fire: no stats, sliding frame, desc order, nulls-last, decimal sum") {
+  test("does NOT fire: no stats, RANGE sliding, desc order, nulls-last, decimal running sum") {
     import org.apache.spark.sql.expressions.Window
     withConfs(
       "spark.sql.cbo.enabled" -> "true",
@@ -409,9 +516,11 @@ class AutoChunkWindowSpec extends SparkSpec {
           |ROWS UNBOUNDED PRECEDING) AS run FROM autochunk_nostats""".stripMargin)))
       // stats present, but non-matching shapes must stay plain
       val t = spark.table(avgHotTable)
-      val sliding = t.withColumn("run", sum(col("v")).over(
-        Window.partitionBy(col("k")).orderBy(col("o")).rowsBetween(-5, 0)))
-      assert(!chunked(sliding), "sliding frame must not fire")
+      // RANGE sliding: peers could straddle block boundaries — only ROWS
+      // sliding frames decompose (those fire; see the sliding-fire test)
+      val rangeSliding = t.withColumn("run", sum(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o")).rangeBetween(-5, 0)))
+      assert(!chunked(rangeSliding), "RANGE sliding frame must not fire")
       val desc = t.withColumn("run", sum(col("v")).over(
         Window.partitionBy(col("k")).orderBy(col("o").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -99,6 +99,39 @@ class ChunkedRunningSpec extends SparkSpec {
       "restart continuation diverged from the batch window")
   }
 
+  test("chunks = 0 selects per batch: hot batches chunk, uniform batches " +
+      "stay plain, answers identical either way") {
+    // the r11 soak showed chunks = 32 costs ~34% wall on a small batch
+    // even when 60%-hot — auto mode must pick the plain window there and
+    // the decomposition only when one key's slice is big enough. The
+    // sink observes the decision through the result plan (the chunked
+    // path carries __chunk; the plain path is a bare window).
+    val plans = ArrayBuffer.empty[Boolean]
+    val outs = ArrayBuffer.empty[DataFrame]
+    val fn = ChunkedRunning.foreachBatch("k", "o", "v", "run", "sum",
+        chunks = 0, autoHotRows = 200L, autoChunks = 4) { (out, _) =>
+      plans += out.queryExecution.optimizedPlan.toString.contains("__chunk")
+      outs += out.persist(); out.count(); ()
+    }
+    // batch 0: 400 rows, key 0 holds 300 (>= 200) -> must chunk
+    val hot = (0L until 400L).map(i =>
+      (if (i % 4 < 3) 0L else i % 5 + 1, i, i % 17))
+    // batch 1: 400 rows over 12 uniform keys (~34 each < 200) -> plain
+    val uniform = (400L until 800L).map(i => (i % 12, i, i % 17))
+    fn(hot.toDF("k", "o", "v"), 0L)
+    fn(uniform.toDF("k", "o", "v"), 1L)
+    assert(plans.toSeq == Seq(true, false),
+      s"auto census decided ${plans.toSeq}, want chunked then plain")
+    val got = outs.reduce(_ unionAll _)
+    val want = plain((hot ++ uniform).toDF("k", "o", "v"), "sum")
+    assert(got.select(col("k"), col("o"), col("run"))
+      .exceptAll(want.select(col("k"), col("o"), col("run"))).isEmpty &&
+      want.select(col("k"), col("o"), col("run"))
+        .exceptAll(got.select(col("k"), col("o"), col("run"))).isEmpty,
+      "auto-chunk run diverged from the batch window")
+    outs.foreach(_.unpersist())
+  }
+
   test("end-to-end: MemoryStream -> foreachBatch writer, parity with batch") {
     implicit val sqlCtx = spark.sqlContext
     val results = ArrayBuffer.empty[org.apache.spark.sql.Row]
