@@ -352,10 +352,17 @@ object Skew {
     * rows in the same order as the serial plan (Spark rebuilds a sliding
     * frame's buffer per row), so the result is bit-identical for EVERY
     * input type — doubles and decimals included, and avg needs no 2^53
-    * proof. `agg` one of sum/min/max/count/avg. First-block rows with
-    * seq <= k clip at the partition start exactly as the serial frame
-    * does. Same contracts as the family: `ord` unique within key, one
-    * count job sizes B = max(k, ceil(rows / chunks)). Output: the input
+    * proof. `agg` one of sum/min/max/count/avg.
+    *
+    * `following` (default 0 = ..CURRENT ROW) extends the frame to
+    * `BETWEEN k PRECEDING AND following FOLLOWING` — the centered /
+    * lookahead rolling window (feature smoothing, next-j-events context):
+    * donor copies flow BOTH ways (the last k rows of a block into the
+    * next, the first `following` rows into the previous). Frames clip at
+    * the partition edges exactly as the serial frame does (block 0 has no
+    * back donors; a key's last block no forward donors). Same contracts
+    * as the family: `ord` unique within key, one count job sizes
+    * B = max(k, following, ceil(rows / chunks)). Output: the input
     * columns plus `resultCol`. */
   def slidingAggChunked(
       df: DataFrame,
@@ -365,8 +372,10 @@ object Skew {
       resultCol: String,
       agg: String = "sum",
       k: Int = 1,
-      chunks: Int = 32): DataFrame = {
-    require(k >= 1, s"sliding frame size must be >= 1 preceding, got $k")
+      chunks: Int = 32,
+      following: Int = 0): DataFrame = {
+    require(k >= 0 && following >= 0 && k + following >= 1,
+      s"frame must reach at least one neighbor: k=$k following=$following")
     require(Set("sum", "min", "max", "count", "avg")(agg),
       s"slidingAggChunked supports sum/min/max/count/avg, got '$agg'")
     Seq("__ridx", "__one", "__blk", "__tblk").foreach(h =>
@@ -383,14 +392,20 @@ object Skew {
     val seqd = runningAggChunked(df.withColumn("__one", lit(1L)),
       keyCol, ordCol, "__one", "__ridx", "count", chunks).drop("__one")
     val total = df.count()
-    val bSize = math.max(k.toLong, (total + chunks - 1) / chunks.toLong) max 1L
+    val bSize = Seq(k.toLong, following.toLong,
+      (total + chunks - 1) / chunks.toLong, 1L).max
     val base = seqd.withColumn("__blk", expr(s"(__ridx - 1L) div ${bSize}L"))
-    val copies = when(pmod(col("__ridx") - 1L, lit(bSize)) >= bSize - k,
-        array(col("__blk"), col("__blk") + 1L))
-      .otherwise(array(col("__blk")))
-    val extended = base.withColumn("__tblk", explode(copies))
+    val pos = pmod(col("__ridx") - 1L, lit(bSize))
+    val none = lit(Array.empty[Long])
+    val toNext = if (k == 0) none
+      else when(pos >= bSize - k, array(col("__blk") + 1L)).otherwise(none)
+    val toPrev = if (following == 0) none
+      else when(pos < following && col("__blk") > 0, array(col("__blk") - 1L))
+        .otherwise(none)
+    val extended = base.withColumn("__tblk",
+      explode(concat(array(col("__blk")), toNext, toPrev)))
     val w = Window.partitionBy(col(keyCol), col("__tblk")).orderBy(col("__ridx"))
-      .rowsBetween(-k.toLong, Window.currentRow)
+      .rowsBetween(-k.toLong, following.toLong)
     extended.withColumn(resultCol, aggFn(col(valueCol)).over(w))
       .filter(col("__tblk") === col("__blk"))
       .drop("__ridx", "__blk", "__tblk")

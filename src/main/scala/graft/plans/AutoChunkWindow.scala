@@ -86,8 +86,9 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
   *       to int — the "latest record per key" dedup idiom, whose hot key
   *       is THE classic straggler at ingest scale);
   *     * LAG/LEAD in SQL-default form (null default, respect-nulls,
-  *       positive literal offset) and SLIDING aggregates
-  *       (ROWS BETWEEN k PRECEDING AND CURRENT ROW) — the BLOCK stage
+  *       positive literal offset) and SLIDING aggregates over any
+  *       BOUNDED ROWS frame (k PRECEDING .. CURRENT ROW, k PRECEDING ..
+  *       j FOLLOWING, CURRENT ROW .. j FOLLOWING) — the BLOCK stage
   *       below.
   *
   * LAG/LEAD AND SLIDING FRAMES — the single-evaluation block stage (r12;
@@ -139,7 +140,16 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       alias: Alias, ae: Option[AggregateExpression], kind: String, v: Expression,
       so: SortOrder, frame: SpecifiedWindowFrame, ord: AttributeReference,
       partSpec: Seq[Expression], shift: Long = 0L,
-      fn: Option[Expression] = None, slideK: Int = 0)
+      fn: Option[Expression] = None)
+
+  /** A bounded ROWS frame bound as a row offset: CURRENT ROW = 0,
+    * integer literals as themselves, anything else (UNBOUNDED, RANGE
+    * values, non-literal expressions) = not bounded. */
+  private def boundedRow(e: Expression): Option[Long] = e match {
+    case CurrentRow => Some(0L)
+    case Literal(i: Int, IntegerType) => Some(i.toLong)
+    case _ => None
+  }
 
   def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.autoChunk.enabled", "true").toBoolean)
@@ -196,21 +206,24 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
             partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         val (kind, v) = aggArg(ae).get
         Some(Decomposed(alias, Some(ae), kind, v, so, frame, ord, partSpec))
-      // sliding ROWS frame: k PRECEDING .. CURRENT ROW. No type gate and
-      // no 2^53 proof — the block window replays the ORIGINAL aggregate
-      // over the same frame rows in the same order, nothing re-associates
-      // (RANGE sliding frames fall through: peers could straddle blocks)
+      // sliding ROWS frame: any BOUNDED pair — k PRECEDING .. CURRENT ROW,
+      // k PRECEDING .. j FOLLOWING (centered rolling window), CURRENT ROW
+      // .. j FOLLOWING (lookahead). No type gate and no 2^53 proof — the
+      // block window replays the ORIGINAL aggregate over the same frame
+      // rows in the same order, nothing re-associates (RANGE sliding
+      // frames fall through: peers could straddle blocks; UNBOUNDED
+      // bounds fall through to the running arm above or stay plain)
       case alias @ Alias(WindowExpression(
             ae: AggregateExpression,
             WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
               ord: AttributeReference, Ascending, NullsFirst, _)),
-              frame @ SpecifiedWindowFrame(RowFrame,
-                Literal(lo: Int, IntegerType), CurrentRow))), _)
-          if lo < 0 && aggArg(ae).isDefined &&
+              frame @ SpecifiedWindowFrame(RowFrame, loB, hiB))), _)
+          if boundedRow(loB).isDefined && boundedRow(hiB).isDefined &&
+            boundedRow(loB).get <= boundedRow(hiB).get &&
+            aggArg(ae).isDefined &&
             partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         val (_, v) = aggArg(ae).get
-        Some(Decomposed(alias, Some(ae), "slide", v, so, frame, ord, partSpec,
-          slideK = -lo))
+        Some(Decomposed(alias, Some(ae), "slide", v, so, frame, ord, partSpec))
       // row_number() = the running count of a constant, cast back to int
       // at the end. Under tied ords it is nondeterministic-within-peers
       // exactly as the serial window is (ties share a chunk — the chunk is
@@ -594,10 +607,19 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // (keys, block) ORDER BY seq, and donor copies are filtered out after.
     val mid = Project(child.output ++ doneAliases ++ seqAlias.toSeq, joined)
     val seqAttr = seqAlias.get.toAttribute
-    val back = (navDs.collect { case d if d.kind == "slide" => d.slideK.toLong
-      case d if d.kind == "lag" && d.shift > 0 => d.shift } :+ 0L).max
-    val fwd = (navDs.collect {
-      case d if d.kind == "lag" && d.shift < 0 => -d.shift } :+ 0L).max
+    // how far each expression reads (back rows, forward rows): lag reads
+    // back n, lead forward n, a sliding frame both its bounds' reaches
+    def navReach(d: Decomposed): (Long, Long) = d.kind match {
+      case "lag" if d.shift > 0 => (d.shift, 0L)
+      case "lag" => (0L, -d.shift)
+      case _ =>
+        val lo = boundedRow(d.frame.lower).get
+        val hi = boundedRow(d.frame.upper).get
+        (math.max(0L, -lo), math.max(0L, hi))
+    }
+    val reaches = navDs.map(navReach)
+    val back = (reaches.map(_._1) :+ 0L).max
+    val fwd = (reaches.map(_._2) :+ 0L).max
     val bSize = Seq(1L, back, fwd,
       (BigInt(rows.toLong) / chunks).toLong).max
     def selfBlk = org.apache.spark.sql.catalyst.expressions.IntegralDivide(

@@ -292,29 +292,34 @@ class SkewWindowSpec extends SparkSpec {
       "sliding double sum must match the serial frame bit for bit")
   }
 
-  test("slidingAggChunked property: random aggs, frames and chunk counts") {
+  test("slidingAggChunked property: random aggs, frames (incl. FOLLOWING) " +
+      "and chunk counts") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(20260816)
-    for (trial <- 1 to 5) {
+    for (trial <- 1 to 8) {
       val n = 150 + rnd.nextInt(500)
       val keys = 1 + rnd.nextInt(5)
       val rows = (0 until n).map(i =>
         (rnd.nextInt(keys).toLong, i.toLong, (rnd.nextInt(2001) - 1000).toLong))
       val df = rows.toDF("k", "o", "v")
-      val k = 1 + rnd.nextInt(30)
+      // both-direction frames: k PRECEDING .. j FOLLOWING with either
+      // side allowed to be 0 (but not both) — donors flow both ways
+      val k = rnd.nextInt(31)
+      val j = if (k == 0) 1 + rnd.nextInt(20) else rnd.nextInt(20)
       val chunks = 2 + rnd.nextInt(40)
       val agg = Seq("sum", "min", "max", "count", "avg")(rnd.nextInt(5))
-      val got = Skew.slidingAggChunked(df, "k", "o", "v", "r", agg, k, chunks)
+      val got = Skew.slidingAggChunked(df, "k", "o", "v", "r", agg, k, chunks,
+          following = j)
         .select(col("k"), col("o"), col("r"))
       val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         agg match { case "sum" => sum(_); case "min" => min(_)
           case "max" => max(_); case "avg" => avg(_); case _ => count(_) }
       val want = df.withColumn("r", fn(col("v")).over(
         Window.partitionBy(col("k")).orderBy(col("o"))
-          .rowsBetween(-k.toLong, Window.currentRow)))
+          .rowsBetween(-k.toLong, j.toLong)))
         .select(col("k"), col("o"), col("r"))
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
-        s"trial $trial (n=$n keys=$keys k=$k chunks=$chunks agg=$agg) diverged")
+        s"trial $trial (n=$n keys=$keys k=$k j=$j chunks=$chunks agg=$agg) diverged")
     }
   }
 

@@ -350,6 +350,22 @@ class AutoChunkWindowSpec extends SparkSpec {
       }
       assert(fq.collect().toSet == fwant,
         "double sliding sum must stay bit-identical")
+      // centered and lookahead frames (k PRECEDING .. j FOLLOWING): the
+      // block stage feeds donors BOTH directions
+      val wCentered = Window.partitionBy(col("k")).orderBy(col("o"))
+        .rowsBetween(-3, 2)
+      val wAhead = Window.partitionBy(col("k")).orderBy(col("o"))
+        .rowsBetween(0, 4)
+      def cq = spark.table(avgHotTable)
+        .withColumn("c", sum(col("v")).over(wCentered))
+        .withColumn("f", min(col("v")).over(wAhead))
+      assert(chunked(cq), "centered/lookahead frames must fire")
+      var cwant: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        cwant = cq.collect().toSet
+      }
+      assert(cq.collect().toSet == cwant,
+        "centered/lookahead rewrite changed the answer")
       // mixed node: sliding + lag + running sum + row_number — one rewrite
       val wb = Window.partitionBy(col("k")).orderBy(col("o"))
       def mixed = spark.table(avgHotTable)
