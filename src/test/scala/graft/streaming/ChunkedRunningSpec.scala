@@ -87,6 +87,11 @@ class ChunkedRunningSpec extends SparkSpec {
     fn(batches(1).toDF("k", "o", "v"), 1L)
     assert(captured(1L).toSet == firstB1.toSet,
       "replayed batch diverged from its first run")
+    // a stray off_* marker entry must be IGNORED by the regex-guarded
+    // name parse, not crash the restart (ADVICE r11: the old
+    // `drop(4).toLong` threw NumberFormatException on any such entry)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "off_tmp"))
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "off_9x"))
     // a FRESH closure (query restart) continues from the durable snapshot
     val fn2 = mkFn()
     fn2(batches(2).toDF("k", "o", "v"), 2L)
