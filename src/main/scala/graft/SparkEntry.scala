@@ -1383,6 +1383,69 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // chunk-parallel RANGE FRAME (r12): the TIME-BASED rolling window —
+    // `sum OVER (... RANGE BETWEEN k PRECEDING AND CURRENT ROW)` over a
+    // numeric ord (rolling last-500-event-ids spend per user here;
+    // rolling 24h spend over epoch seconds in production). Value-based
+    // frames block by ord RANGES directly (no sequence numbers), donors
+    // are the adjacent bands, extra donors are harmless, and ord ties
+    // are safe by construction (peers share a block). Oracle is the
+    // plain SQL RANGE window.
+    "ext_window_chunked_range" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val rolled = graft.operators.Skew.slidingRangeAggChunked(
+        ev, "user_id", "event_id", "cents", "roll_cents", "sum",
+        preceding = 500L, chunks = 8)
+      graft.operators.Skew.slidingRangeAggChunked(
+          rolled, "user_id", "event_id", "cents", "n_win", "count",
+          preceding = 300L, following = 200L, chunks = 8)
+        .select(col("event_id"), col("user_id"), col("roll_cents"),
+          col("n_win"))
+        .orderBy(col("event_id"))
+    }),
+
+    // the AUTOMATIC twin (r12): a PLAIN RANGE-frame SQL window over a
+    // stats-bearing catalog table, re-planned by AutoChunkWindow's
+    // ord-block arm. (The any-deterministic-aggregate latitude — stddev,
+    // percentile — is spec-pinned bitwise Spark-vs-Spark; the ORACLE row
+    // sticks to exactly-portable integer outputs, because cross-engine
+    // double ACCUMULATORS differ in ulps by algorithm, which is a
+    // DuckDB-vs-Spark artifact outside the invisibility contract.)
+    // Asserts the re-plan FIRED; eager localCheckpoint pins the chunked
+    // execution.
+    "ext_autochunk_range" -> ((s, dir) => {
+      val t = "graft_autochunk_range_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, event_id")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          s"""SELECT event_id, k AS user_id,
+             |  sum(cents) OVER (PARTITION BY k ORDER BY event_id
+             |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS roll_cents,
+             |  min(cents) OVER (PARTITION BY k ORDER BY event_id
+             |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS low_cents
+             |FROM $t""".stripMargin)
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow did not fire on the RANGE-frame node")
+        df.orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // chunk-parallel RANK FAMILY (r11): under the unique-ord contract
     // (event_id), row_number/percent_rank/cume_dist/ntile collapse to
     // chunk-parallel sequence numbers + one per-key total — no task ever
@@ -9757,6 +9820,33 @@ object SparkEntry {
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents,
         |  min(value) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS low_value
+        |FROM c ORDER BY event_id""".stripMargin,
+
+    // the manual RANGE-frame decomposition must be invisible — the
+    // oracle IS the plain RANGE window (exact integer cents end to end)
+    "ext_window_chunked_range" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS roll_cents,
+        |  CAST(count(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |    RANGE BETWEEN 300 PRECEDING AND 200 FOLLOWING) AS BIGINT)
+        |    AS n_win
+        |FROM c ORDER BY event_id""".stripMargin,
+
+    // the automatic RANGE re-plan must be invisible — same exact idiom
+    "ext_autochunk_range" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS roll_cents,
+        |  CAST(min(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS low_cents
         |FROM c ORDER BY event_id""".stripMargin,
 
     // the chunk-parallel rank family must equal the plain windows; the

@@ -520,6 +520,101 @@ object Skew {
       .drop("__ridx", "__fk", "__lk")
   }
 
+  /** Exact skew-free RANGE-FRAME aggregate — `agg(v) OVER (PARTITION BY
+    * key ORDER BY ord RANGE BETWEEN preceding PRECEDING AND following
+    * FOLLOWING)`: the TIME-BASED rolling window (rolling 24h spend per
+    * customer over epoch seconds), the most common feature-engineering
+    * shape of all, and one more face of the hot-key one-task sort.
+    *
+    * RANGE frames are VALUE-based, which makes the block decomposition
+    * SIMPLER than the ROWS form: blocks come straight from fixed ord
+    * ranges of width span >= max(preceding, following) (no sequence
+    * numbers at all), and any frame member of a row in block b lies
+    * within span of it — so in block b-1's trailing band of width
+    * `preceding` or block b+1's leading band of width `following`, both
+    * of which one generator pass copies in as donors. Extra donors are
+    * HARMLESS (a row outside [o - preceding, o + following] simply never
+    * enters the frame), so only completeness matters, and the frame
+    * re-evaluates verbatim over (key, block) — identical rows in
+    * identical order, bit-identical for every input type and EVERY
+    * deterministic aggregate, ties in ord included (peers are
+    * value-grouped, and a block is an ord range, so peers never split).
+    *
+    * `ord` must be integral (epoch seconds/millis, ids — Spark's
+    * rangeBetween takes long offsets); `preceding`/`following` >= 0 in
+    * ord units, at least one positive. NULL-ord rows form the usual
+    * nulls-first peer group confined to block 0. `agg` one of
+    * sum/min/max/count/avg. Block count adapts to
+    * min(chunks, ordRange / max(preceding, following)) so neighbor
+    * blocks always suffice; a frame wider than the whole range
+    * degenerates to the plain window (1 block = per-key partition).
+    * Output: the input columns plus `resultCol`. */
+  def slidingRangeAggChunked(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      valueCol: String,
+      resultCol: String,
+      agg: String = "sum",
+      preceding: Long = 1L,
+      following: Long = 0L,
+      chunks: Int = 32): DataFrame = {
+    require(preceding >= 0 && following >= 0 && preceding + following >= 1,
+      s"frame must have positive reach: preceding=$preceding following=$following")
+    require(Set("sum", "min", "max", "count", "avg")(agg),
+      s"slidingRangeAggChunked supports sum/min/max/count/avg, got '$agg'")
+    Seq("__rblk", "__rtblk").foreach(h =>
+      require(!df.columns.contains(h),
+        s"input already carries the internal column '$h'"))
+    import org.apache.spark.sql.expressions.Window
+    val aggFn: Column => Column = agg match {
+      case "sum" => sum(_)
+      case "min" => min(_)
+      case "max" => max(_)
+      case "avg" => avg(_)
+      case _ => count(_)
+    }
+    def theWindow(partExtra: Seq[Column]) =
+      Window.partitionBy((col(keyCol) +: partExtra): _*).orderBy(col(ordCol))
+        .rangeBetween(-preceding, following)
+    val stats = df.agg(min(col(ordCol).cast("double")).as("lo"),
+      max(col(ordCol).cast("double")).as("hi")).collect()(0)
+    if (stats.isNullAt(0))
+      return df.withColumn(resultCol, aggFn(col(valueCol)).over(theWindow(Nil)))
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    val reach = math.max(preceding, following).toDouble
+    val nBlocks = math.min(chunks.toLong,
+      (((hi - lo) / math.max(reach, 1e-9))).toLong) max 1L
+    if (nBlocks < 2) // frame reach spans the data: the plain window IS the plan
+      return df.withColumn(resultCol, aggFn(col(valueCol)).over(theWindow(Nil)))
+    val span = (hi - lo) / nBlocks
+    // same monotone clamp as the chunk machinery: NULL ords land in
+    // block 0 (their peer group is self-contained there), stale-stats
+    // out-of-range values clamp to the edge blocks (width >= span still)
+    def blockOf(ord: Column) = least(greatest(
+      floor((ord.cast("double") - lit(lo)) / lit(span)).cast("long"),
+      lit(0L)), lit(nBlocks - 1))
+    val base = df.withColumn("__rblk", blockOf(col(ordCol)))
+    // donor membership derives from the SAME block function (no edge
+    // arithmetic that could disagree with the floor by an ulp): a row is
+    // needed by block b+1 iff some ord within `preceding` ahead of it
+    // lands there, i.e. blockOf(ord + preceding) > blockOf(ord) — exact
+    // by monotonicity. Extra donors are harmless for a RANGE frame.
+    val none = lit(Array.empty[Long])
+    val toNext = if (preceding == 0) none
+      else when(blockOf(col(ordCol) + preceding) > col("__rblk"),
+        array(col("__rblk") + 1L)).otherwise(none)
+    val toPrev = if (following == 0) none
+      else when(blockOf(col(ordCol) - following) < col("__rblk"),
+        array(col("__rblk") - 1L)).otherwise(none)
+    val extended = base.withColumn("__rtblk",
+      explode(concat(array(col("__rblk")), toNext, toPrev)))
+    extended.withColumn(resultCol,
+        aggFn(col(valueCol)).over(theWindow(Seq(col("__rtblk")))))
+      .filter(col("__rtblk") === col("__rblk"))
+      .drop("__rblk", "__rtblk")
+  }
+
   /** Key-distribution profile — the DIAGNOSTIC that tells you whether the
     * salted forms above are needed before a shuffle melts down: the top
     * `topN` keys by row count, each with its corpus share in ppm and its

@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Ascending,
   AttributeReference, Cast, Coalesce, CreateNamedStruct, CurrentRow, Divide,
-  EqualTo, Expression, Floor, Greatest, GreaterThanOrEqual, If, IsNull, Least,
-  LessThan, Literal, NamedExpression, NullsFirst, Or, Pmod, RowFrame,
-  SortOrder, SpecifiedWindowFrame, Subtract, UnboundedPreceding,
+  EqualTo, Expression, Floor, Greatest, GreaterThan, GreaterThanOrEqual, If,
+  IsNull, Least, LessThan, Literal, NamedExpression, NullsFirst, Or, Pmod,
+  RowFrame, SortOrder, SpecifiedWindowFrame, Subtract, UnboundedPreceding,
   WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Average, Count, Sum}
@@ -151,6 +151,21 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** A bounded RANGE frame bound as a numeric ord-unit offset. */
+  private def boundedRange(e: Expression): Option[Double] = e match {
+    case CurrentRow => Some(0.0)
+    case Literal(v, dt) if numeric(dt) => statDouble(v)
+    case _ => None
+  }
+
+  /** Sliding frames re-evaluate the identical aggregate over identical
+    * frame rows in identical order — exact for ANY deterministic,
+    * non-distinct, unfiltered aggregate (Spark rejects distinct window
+    * aggregates anyway; a FILTER clause would be replayed correctly but
+    * is excluded for symmetry with the running arm). */
+  private def slideOk(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && ae.deterministic
+
   def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.autoChunk.enabled", "true").toBoolean)
       return plan
@@ -178,7 +193,8 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
               eligible(d.v, d.ord, d.partSpec, child, minRows, perKeyRows,
                 hotShare) &&
                 ds.tail.forall(_.v.deterministic) &&
-                ds.forall(avgExact(_, child, allowFloat))
+                ds.forall(avgExact(_, child, allowFloat)) &&
+                rangeCompatible(ds, child)
             } =>
             rewrite(child, ds, ds.head.ord,
               ds.head.partSpec.map(_.asInstanceOf[AttributeReference]), chunks)
@@ -208,11 +224,12 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
         Some(Decomposed(alias, Some(ae), kind, v, so, frame, ord, partSpec))
       // sliding ROWS frame: any BOUNDED pair — k PRECEDING .. CURRENT ROW,
       // k PRECEDING .. j FOLLOWING (centered rolling window), CURRENT ROW
-      // .. j FOLLOWING (lookahead). No type gate and no 2^53 proof — the
-      // block window replays the ORIGINAL aggregate over the same frame
-      // rows in the same order, nothing re-associates (RANGE sliding
-      // frames fall through: peers could straddle blocks; UNBOUNDED
-      // bounds fall through to the running arm above or stay plain)
+      // .. j FOLLOWING (lookahead) — and ANY deterministic non-distinct
+      // unfiltered aggregate (stddev, percentile, collect_list included):
+      // no type gate and no 2^53 proof, because the block window replays
+      // the ORIGINAL aggregate over the same frame rows in the same
+      // order — nothing re-associates and nothing re-orders. (UNBOUNDED
+      // bounds fall through to the running arm above or stay plain.)
       case alias @ Alias(WindowExpression(
             ae: AggregateExpression,
             WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
@@ -220,10 +237,31 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
               frame @ SpecifiedWindowFrame(RowFrame, loB, hiB))), _)
           if boundedRow(loB).isDefined && boundedRow(hiB).isDefined &&
             boundedRow(loB).get <= boundedRow(hiB).get &&
-            aggArg(ae).isDefined &&
+            slideOk(ae) &&
             partSpec.forall(_.isInstanceOf[AttributeReference]) =>
-        val (_, v) = aggArg(ae).get
-        Some(Decomposed(alias, Some(ae), "slide", v, so, frame, ord, partSpec))
+        Some(Decomposed(alias, Some(ae), "slide", ae, so, frame, ord, partSpec))
+      // sliding RANGE frame (bounded numeric offsets): the TIME-BASED
+      // rolling window — rolling 24h spend per customer over an epoch
+      // column. Value-based frames make the block form simpler AND
+      // tie-safe (peers are value-grouped and blocks are ord ranges, so
+      // peers never split): blocks come straight from fixed ord ranges
+      // sized >= the frame reach, donors are the adjacent bands, and
+      // EXTRA donors are harmless — a row outside the value window never
+      // enters the frame. Same any-deterministic-aggregate latitude as
+      // the ROWS arm. CalendarInterval offsets (timestamp ords) stay
+      // plain — the rule's ord gate is numeric anyway.
+      case alias @ Alias(WindowExpression(
+            ae: AggregateExpression,
+            WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
+              ord: AttributeReference, Ascending, NullsFirst, _)),
+              frame @ SpecifiedWindowFrame(
+                org.apache.spark.sql.catalyst.expressions.RangeFrame,
+                loB, hiB))), _)
+          if boundedRange(loB).isDefined && boundedRange(hiB).isDefined &&
+            boundedRange(loB).get <= boundedRange(hiB).get &&
+            slideOk(ae) &&
+            partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+        Some(Decomposed(alias, Some(ae), "rslide", ae, so, frame, ord, partSpec))
       // row_number() = the running count of a constant, cast back to int
       // at the end. Under tied ords it is nondeterministic-within-peers
       // exactly as the serial window is (ties share a chunk — the chunk is
@@ -411,6 +449,29 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     avgHot || histHot
   }
 
+  /** RANGE-sliding fire guard: (a) the seq-block kinds (lag/lead, ROWS
+    * sliding) and the ord-block RANGE kind need DIFFERENT blockings — a
+    * node mixing them stays plain (all-or-nothing, one Expand stage per
+    * node); (b) at least two blocks of width >= the frame reach must fit
+    * the ANALYZE'd ord range, else the frame spans the data and the
+    * serial window is already the right plan. */
+  private def rangeCompatible(ds: Seq[Decomposed], child: LogicalPlan): Boolean = {
+    val rng = ds.filter(_.kind == "rslide")
+    if (rng.isEmpty) return true
+    if (ds.exists(d => d.kind == "lag" || d.kind == "slide")) return false
+    val reach = rng.map { d =>
+      val l = boundedRange(d.frame.lower).get
+      val h = boundedRange(d.frame.upper).get
+      math.max(math.max(0.0, -l), math.max(0.0, h))
+    }.max
+    val st = child.stats
+    (for {
+      cs <- st.attributeStats.get(ds.head.ord)
+      mn <- cs.min.flatMap(statDouble)
+      mx <- cs.max.flatMap(statDouble)
+    } yield reach == 0.0 || (mx - mn) / reach >= 2.0).getOrElse(false)
+  }
+
   /** One physical aggregate column of the decomposition. A running
     * expression contributes one leg (sum/min/max/count run themselves
     * through the chunk machinery) or two (avg decomposes into an exact
@@ -465,6 +526,11 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val cs = st.attributeStats(ord)
     val lo = statDouble(cs.min.get).get
     val hi = statDouble(cs.max.get).get
+    // a pure RANGE-sliding node needs none of the chunk-offset machinery
+    // (no running legs, no sequence numbers) — straight to the ord-block
+    // stage over the bare child
+    if (ds.forall(_.kind == "rslide"))
+      return rewriteRange(child, ds, ds, Nil, child, ord, pk, chunks, lo, hi)
     // stale stats only unbalance: values beyond [lo, hi] clamp to the
     // edge chunks and monotonicity holds
     val span = if (hi > lo) (hi - lo) / chunks else 1.0
@@ -593,9 +659,13 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
         (d, c.map(e => Alias(e, d.alias.name)(exprId = d.alias.exprId)))
     }
     val navDs = ds.filter(d => d.kind == "lag" || d.kind == "slide")
+    val rngDs = ds.filter(_.kind == "rslide")
     val doneAliases = combined.collect { case (_, Some(a)) => a }
-    if (navDs.isEmpty)
+    if (navDs.isEmpty && rngDs.isEmpty)
       return Project(child.output ++ doneAliases, joined)
+    if (rngDs.nonEmpty) // fire guard excluded mixing with seq-block kinds
+      return rewriteRange(child, ds, rngDs, doneAliases, joined, ord, pk,
+        chunks, lo, hi)
 
     // ---- the block stage: lag/lead + sliding frames, single evaluation.
     // Blocks of B >= max(back, fwd) rows partition each key's sequence
@@ -658,6 +728,76 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val finals: Seq[NamedExpression] = ds.map { d =>
       combined.collectFirst { case (c, Some(a)) if c eq d => a.toAttribute }
         .orElse(navAliases.collectFirst {
+          case a if a.exprId == d.alias.exprId => a.toAttribute })
+        .get
+    }
+    Project(child.output ++ finals, natives)
+  }
+
+  /** The ord-block stage for RANGE sliding frames — simpler than the
+    * seq-block stage because the frame is VALUE-based: blocks are fixed
+    * ord ranges of width >= the frame reach (no sequence numbers), any
+    * frame member of a row lies in the same or an adjacent block, donor
+    * membership derives from the SAME clamped floor the block assignment
+    * uses (exact by monotonicity — no edge arithmetic that could
+    * disagree by an ulp), and EXTRA donors are harmless since rows
+    * outside the value window never enter a frame. Ties in ord are safe:
+    * peers share a block by construction. The original aggregates re-run
+    * verbatim over (keys, block) with their original RANGE frames. */
+  private def rewriteRange(
+      child: LogicalPlan, ds: Seq[Decomposed], rngDs: Seq[Decomposed],
+      doneAliases: Seq[Alias], joined: LogicalPlan, ord: AttributeReference,
+      pk: Seq[AttributeReference], chunks: Int, lo: Double,
+      hi: Double): LogicalPlan = {
+    val mid = Project(child.output ++ doneAliases, joined)
+    val reach = rngDs.map { d =>
+      val l = boundedRange(d.frame.lower).get
+      val h = boundedRange(d.frame.upper).get
+      (math.max(0.0, -l), math.max(0.0, h))
+    }
+    val back = (reach.map(_._1) :+ 0.0).max
+    val fwd = (reach.map(_._2) :+ 0.0).max
+    val nBlocks = math.max(1L, math.min(chunks.toLong,
+      ((hi - lo) / math.max(math.max(back, fwd), 1e-9)).toLong))
+    val rspan = if (hi > lo) (hi - lo) / nBlocks else 1.0
+    def blockOf(e: Expression): Expression = Least(Seq(
+      Greatest(Seq(
+        Floor(Divide(Subtract(Cast(e, DoubleType), Literal(lo, DoubleType)),
+          Literal(rspan, DoubleType))),
+        Literal(0L))),
+      Literal(nBlocks - 1)))
+    val ordD = Cast(ord, DoubleType)
+    def selfB = blockOf(ordD)
+    val tblkAttr = AttributeReference(C_NAME + "_rblk", LongType,
+      nullable = false)()
+    val projections: Seq[Seq[Expression]] =
+      Seq(mid.output :+ selfB) ++
+        (if (back > 0) Seq(mid.output :+ Add(selfB, Literal(1L))) else Nil) ++
+        (if (fwd > 0) Seq(mid.output :+ Subtract(selfB, Literal(1L))) else Nil)
+    val expand = Expand(projections, mid.output :+ tblkAttr, mid)
+    val keep: Expression = (
+      Seq(EqualTo(tblkAttr, selfB): Expression) ++
+        (if (back > 0) Seq(And(EqualTo(tblkAttr, Add(selfB, Literal(1L))),
+          GreaterThan(blockOf(Add(ordD, Literal(back, DoubleType))), selfB)))
+         else Nil) ++
+        (if (fwd > 0) Seq(And(EqualTo(tblkAttr, Subtract(selfB, Literal(1L))),
+          LessThan(blockOf(Subtract(ordD, Literal(fwd, DoubleType))), selfB)))
+         else Nil)
+      ).reduce(Or(_, _))
+    val boundary = Filter(keep, expand)
+    val navPart: Seq[Expression] = (pk: Seq[Expression]) :+ tblkAttr
+    val navSort = Seq(rngDs.head.so)
+    val rngAliases = rngDs.map { d =>
+      Alias(WindowExpression(d.ae.get,
+        WindowSpecDefinition(navPart, navSort, d.frame)),
+        d.alias.name)(exprId = d.alias.exprId)
+    }
+    val navWin = Window(rngAliases, navPart, navSort, boundary, None)
+    val natives = Filter(EqualTo(tblkAttr, selfB), navWin)
+    val finals: Seq[NamedExpression] = ds.map { d =>
+      doneAliases.collectFirst {
+          case a if a.exprId == d.alias.exprId => a.toAttribute }
+        .orElse(rngAliases.collectFirst {
           case a if a.exprId == d.alias.exprId => a.toAttribute })
         .get
     }

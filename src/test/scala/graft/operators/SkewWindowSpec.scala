@@ -323,6 +323,74 @@ class SkewWindowSpec extends SparkSpec {
     }
   }
 
+  test("slidingRangeAggChunked: parity with the plain RANGE frame — all " +
+      "five aggs, hot key, TIED ords, NULL keys/values, both directions") {
+    import org.apache.spark.sql.expressions.Window
+    // ord ties in groups of 3 (RANGE frames are value-based — peers must
+    // be exact, which the ord-range blocks guarantee by construction)
+    val rows: Seq[(Option[Long], Long, Option[Long])] = (0L until 600L).map { i =>
+      (if (i % 9 == 0) None else if (i % 10 < 7) Some(0L) else Some(i % 4 + 1),
+        (i / 3) * 7, // tied, non-contiguous ord values
+        if (i % 6 == 0) None else Some(i % 23 - 11))
+    }
+    val df = rows.toDF("k", "o", "v")
+    for (a <- Seq("sum", "min", "max", "count", "avg");
+         (p, f) <- Seq((50L, 0L), (30L, 20L), (0L, 40L))) {
+      val got = Skew.slidingRangeAggChunked(df, "k", "o", "v", "r", a,
+          preceding = p, following = f, chunks = 16)
+        .select(col("k"), col("o"), col("r"))
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        a match { case "sum" => sum(_); case "min" => min(_)
+          case "max" => max(_); case "avg" => avg(_); case _ => count(_) }
+      val want = df.withColumn("r", fn(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o")).rangeBetween(-p, f)))
+        .select(col("k"), col("o"), col("r"))
+      assert(got.count() == 600L, s"$a ($p,$f): rows dropped")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"range $a ($p preceding, $f following) diverges from the plain frame")
+    }
+    // frame wider than the data's ord span: degenerates to the plain
+    // window (nBlocks < 2), still correct
+    val wide = Skew.slidingRangeAggChunked(df, "k", "o", "v", "r", "sum",
+        preceding = 100000L, chunks = 8)
+      .select(col("k"), col("o"), col("r"))
+    val wantWide = df.withColumn("r", sum(col("v")).over(
+      Window.partitionBy(col("k")).orderBy(col("o")).rangeBetween(-100000L, 0)))
+      .select(col("k"), col("o"), col("r"))
+    assert(wide.exceptAll(wantWide).isEmpty && wantWide.exceptAll(wide).isEmpty,
+      "degenerate wide frame diverges")
+  }
+
+  test("slidingRangeAggChunked property: random reaches, ties and chunks") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260817)
+    for (trial <- 1 to 6) {
+      val n = 150 + rnd.nextInt(400)
+      val keys = 1 + rnd.nextInt(5)
+      val tie = 1 + rnd.nextInt(4)
+      val rows = (0 until n).map(i =>
+        (rnd.nextInt(keys).toLong, (i / tie).toLong * (1 + rnd.nextInt(3)),
+          (rnd.nextInt(2001) - 1000).toLong))
+      val df = rows.toDF("k", "o", "v")
+      val p = rnd.nextInt(40).toLong
+      val f = if (p == 0) 1L + rnd.nextInt(30) else rnd.nextInt(30).toLong
+      val chunks = 2 + rnd.nextInt(40)
+      val agg = Seq("sum", "min", "max", "count", "avg")(rnd.nextInt(5))
+      val got = Skew.slidingRangeAggChunked(df, "k", "o", "v", "r", agg,
+          p, f, chunks)
+        .select(col("k"), col("o"), col("r"))
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        agg match { case "sum" => sum(_); case "min" => min(_)
+          case "max" => max(_); case "avg" => avg(_); case _ => count(_) }
+      val want = df.withColumn("r", fn(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o")).rangeBetween(-p, f)))
+        .select(col("k"), col("o"), col("r"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"trial $trial (n=$n keys=$keys tie=$tie p=$p f=$f chunks=$chunks " +
+          s"agg=$agg) diverged")
+    }
+  }
+
   test("rankFamilyChunked: parity with the plain rank family — hot key, " +
       "NULL keys, single-row keys, ntile with q=0 and q>0 buckets") {
     import org.apache.spark.sql.expressions.Window

@@ -383,6 +383,69 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
+  test("RANGE sliding frames fire via ord blocks — ties, any deterministic " +
+      "aggregate, no-fire on mixing and on frame-spans-the-data") {
+    import org.apache.spark.sql.expressions.Window
+    // tied ords (RANGE peers) — the value-based frame must stay exact
+    val t = "graft_autochunk_range"
+    freshTable(t) {
+      spark.range(10000L).select(
+          pmod(col("id"), lit(2L)).as("k"),
+          ((col("id") / 3).cast("long") * 5).as("o"), // ties of 3, stride 5
+          when(col("id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(pmod(xxhash64(col("id")), lit(100L))).as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val w = Window.partitionBy(col("k")).orderBy(col("o"))
+        .rangeBetween(-100, 0)
+      val wc = Window.partitionBy(col("k")).orderBy(col("o"))
+        .rangeBetween(-60, 40)
+      // sum + stddev + collect-size: the relaxed any-deterministic-agg
+      // latitude (stddev/collect are NOT in the running arm's aggArg)
+      def q = spark.table(t)
+        .withColumn("s", sum(col("v")).over(w))
+        .withColumn("sd", stddev_samp(col("v")).over(w))
+        .withColumn("c", count(col("v")).over(wc))
+      assert(chunked(q),
+        s"RANGE sliding must fire:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      // bitwise Set[Row] equality — identical frame rows in identical
+      // order, doubles included
+      assert(q.collect().toSet == want, "RANGE rewrite changed the answer")
+      // mixing ord-block and seq-block kinds in one node: stays plain
+      val mixed = spark.table(t)
+        .withColumn("s", sum(col("v")).over(w))
+        .withColumn("p", lag(col("v"), 1).over(
+          Window.partitionBy(col("k")).orderBy(col("o"))))
+      assert(!chunked(mixed),
+        "a node mixing RANGE sliding with lag must stay plain")
+      // frame reach ~ the whole ord span: serial is already the plan
+      val wide = spark.table(t).withColumn("s", sum(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o"))
+          .rangeBetween(-20000, 0)))
+      assert(!chunked(wide), "a frame spanning the data must stay plain")
+      // ROWS sliding with a relaxed aggregate (stddev) also fires now
+      def rq = spark.table(avgHotTable).withColumn("sd",
+        stddev_samp(col("v")).over(Window.partitionBy(col("k"))
+          .orderBy(col("o")).rowsBetween(-7, 0)))
+      assert(chunked(rq), "ROWS sliding stddev must fire (relaxed agg set)")
+      var rwant: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        rwant = rq.collect().toSet
+      }
+      assert(rq.collect().toSet == rwant, "ROWS stddev rewrite changed the answer")
+    }
+  }
+
   test("no statistics -> never fires, on ANY shape (cbo off or un-ANALYZEd)") {
     import org.apache.spark.sql.expressions.Window
     // the REGRESSION side of the stats gates (VERDICT r11 #6): a
@@ -517,7 +580,7 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
-  test("does NOT fire: no stats, RANGE sliding, desc order, nulls-last, decimal running sum") {
+  test("does NOT fire: no stats, desc order, nulls-last, decimal running sum") {
     import org.apache.spark.sql.expressions.Window
     withConfs(
       "spark.sql.cbo.enabled" -> "true",
@@ -531,12 +594,10 @@ class AutoChunkWindowSpec extends SparkSpec {
         """SELECT k, o, sum(v) OVER (PARTITION BY k ORDER BY o
           |ROWS UNBOUNDED PRECEDING) AS run FROM autochunk_nostats""".stripMargin)))
       // stats present, but non-matching shapes must stay plain
+      // (RANGE sliding frames now FIRE via the ord-block arm — their
+      // no-fire edges, mixing and frame-spans-the-data, live in the
+      // RANGE-sliding test)
       val t = spark.table(avgHotTable)
-      // RANGE sliding: peers could straddle block boundaries — only ROWS
-      // sliding frames decompose (those fire; see the sliding-fire test)
-      val rangeSliding = t.withColumn("run", sum(col("v")).over(
-        Window.partitionBy(col("k")).orderBy(col("o")).rangeBetween(-5, 0)))
-      assert(!chunked(rangeSliding), "RANGE sliding frame must not fire")
       val desc = t.withColumn("run", sum(col("v")).over(
         Window.partitionBy(col("k")).orderBy(col("o").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
