@@ -972,6 +972,29 @@ object Bench {
           .agg(fsum(col("p"))).collect()(0).getLong(0)
       }
 
+      // ---- RANGE rolling window over the same 20M hot key (r12): the
+      // TIME-WINDOW face. A bounded frame makes the plain form O(n * k)
+      // ON ONE TASK for the hot key — Spark rebuilds the sliding buffer
+      // per row — so the 60%-hot key pays ~12M rows x ~30-row frames
+      // serially; the ord-block decomposition splits the same work over
+      // 32 blocks. reach 50 ord units ~ 30 hot-key rows per frame. Both
+      // arms return max(roll): equal values are the correctness check.
+      val sR1 = stage("range_skew_plain_20m", perStage = true) {
+        import org.apache.spark.sql.expressions.Window
+        hotWindowed.withColumn("roll", fsum(col("v")).over(
+            Window.partitionBy(col("k")).orderBy(col("o"))
+              .rangeBetween(-50L, 0L)))
+          .agg(org.apache.spark.sql.functions.max(col("roll")))
+          .collect()(0).getLong(0)
+      }
+      val sR2 = stage("range_skew_chunked_20m", perStage = true) {
+        graft.operators.Skew.slidingRangeAggChunked(
+            hotWindowed, "k", "o", "v", "roll", "sum", preceding = 50L,
+            chunks = 32)
+          .agg(org.apache.spark.sql.functions.max(col("roll")))
+          .collect()(0).getLong(0)
+      }
+
       // ---- BM25 soak: retrieval over 500k docs / 20M tokens -------------
       // 40 tokens per doc from a 1,000-word vocabulary; each query term
       // lands in ~4% of docs (df ~ 20k). The whole pipeline is count
@@ -1215,7 +1238,7 @@ object Bench {
         else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sAc1, sAc2, sSr1, sSr2, sSr3, sL1, sL2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
+          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sAc1, sAc2, sSr1, sSr2, sSr3, sL1, sL2, sR1, sR2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
           sI2, sG1, sG2, sHits, sBask, sSky, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
