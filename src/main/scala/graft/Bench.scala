@@ -313,9 +313,12 @@ object Bench {
           "w2_running_total", "ext_dedup_minhash", "ext_knn_brute",
           "ext_text_profile", "x33_pagerank", "x44_upsert",
           "ext_setsim_prefix",
-          // r11: the 7-expression AutoChunkWindow node (chunk join + two
-          // donor joins) — the new machinery's own scaling evidence
-          "ext_autochunk_multi").flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+          // r11: the multi-expression AutoChunkWindow node (chunk join +
+          // Expand block stage) — the machinery's own scaling evidence
+          "ext_autochunk_multi",
+          // r12: the RANGE rolling window (ord-block stage, no sequence
+          // machinery) — the time-window face's scaling evidence
+          "ext_window_chunked_range").flatMap(n => SparkEntry.queries.get(n).map(n -> _))
         def pass(dir: String) = core.map { case (n, fn) => n -> runOnceIn(fn, dir) }
         val small = pass(smallDir) ++ pass(smallDir)
         val big = pass(sfDir) ++ pass(sfDir)
