@@ -6218,6 +6218,12 @@ object SparkEntry {
     // deterministic feed.
     "stream_running_chunked" -> ((s, dir) => runningChunkedStream(s)),
 
+    // streaming TIME-BASED rolling window (r12): rolling trailing-hour
+    // spend per customer, per event — the streaming twin of the RANGE
+    // verb with O(horizon) tail state; oracle is the plain RANGE window
+    // over the generator reconstruction
+    "stream_rolling_range" -> ((s, dir) => rollingRangeStream(s)),
+
     // the restart-recovery twin: a NEW foreachBatch closure (empty
     // in-memory offsets) must recover per-key offsets from the stateDir
     // snapshot after a mid-feed stop; same oracle as the uninterrupted run
@@ -6690,6 +6696,47 @@ object SparkEntry {
         agg = "sum", chunks = 8, stateDir = Some(tempCkpt())) { (out, id) =>
       val dir = s"$outDir/b_$id"
       out.select(col("customer_id"), col("te"), col("running_cents"))
+        .write.mode("overwrite").parquet(dir)
+      batchDirs.synchronized { batchDirs += dir }
+    }
+    val prepared = Ingest.parseTransactions(ms.toDF())
+      .select(col("customer_id"),
+        col("timestamp").cast("long").as("te"),
+        round(col("amount") * lit(100)).cast("long").as("cents"))
+    val q = prepared.writeStream.foreachBatch(fn)
+      .option("checkpointLocation", tempCkpt()).start()
+    try {
+      payloads.grouped(math.max(1, payloads.length / 4))
+        .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.read.parquet(batchDirs.distinct.toSeq: _*)
+  }
+
+  /** The run behind `stream_rolling_range` (r12): the transaction feed in
+    * 4 micro-batches through [[graft.streaming.RollingRange.foreachBatch]]
+    * — per-customer rolling spend over the TRAILING HOUR (RANGE 3600
+    * seconds preceding on epoch-second event time), emitted per event.
+    * Cross-batch state is the per-key horizon tail (O(window), not
+    * O(history)) snapshotted per batchId; intra-batch the chunk-parallel
+    * RANGE verb runs. Per-batch overwrite parquet sinks (idempotent by
+    * batchId), graded as the union read back. Exact long cents. */
+  private def rollingRangeStream(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val payloads = graft.sources.DataGen
+      .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
+      .select(to_json(struct(col("*"))).as("value"))
+      .collect().map(_.getString(0))
+    val ms = MemoryStream[String]
+    val outDir = tempCkpt()
+    val batchDirs = scala.collection.mutable.Buffer.empty[String]
+    val fn = graft.streaming.RollingRange.foreachBatch(
+        "customer_id", "te", "cents", "roll_cents",
+        agg = "sum", preceding = 3600L, chunks = 8,
+        stateDir = Some(tempCkpt())) { (out, id) =>
+      val dir = s"$outDir/b_$id"
+      out.select(col("customer_id"), col("te"), col("roll_cents"))
         .write.mode("overwrite").parquet(dir)
       batchDirs.synchronized { batchDirs += dir }
     }
@@ -13747,6 +13794,18 @@ object SparkEntry {
          |  strftime(make_timestamp(te * 1000000), '%Y-%m-%d') AS transaction_date,
          |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
          |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // rolling trailing-hour cents per customer per event: the plain RANGE
+    // window over the generator reconstruction (te = exact epoch seconds,
+    // cents exact from the 2-dp amount)
+    "stream_rolling_range" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)}
+         |SELECT customer_id, te,
+         |  CAST(sum(CAST(round(amount * 100) AS BIGINT)) OVER (
+         |    PARTITION BY customer_id ORDER BY te
+         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS roll_cents
+         |FROM t""".stripMargin,
 
     // the dedup'd re-fed chunk is absent by construction, so the truth is
     // the plain generator relation; latest per customer = max te (te is

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming time-based rolling aggregate: per-batch emissions concatenate
+  * to the batch RANGE window's answer, the tail state stays bounded by the
+  * horizon, and replay/restart recover from stateDir snapshots. */
+class RollingRangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 600 rows, 3 keys + every 7th key NULL, every 5th value NULL; ord is
+    * unique and increasing with a stride so RANGE frames span multiple
+    * rows, and batch slices preserve the arrival-order contract. */
+  private def fixture: Seq[(Option[Long], Long, Option[Long])] =
+    (0L until 600L).map { i =>
+      (if (i % 7 == 0) None else Some(i % 3),
+        i * 3, // stride 3: a 30-unit frame holds ~10 rows
+        if (i % 5 == 0) None else Some(i % 97 - 48))
+    }
+
+  private def plain(df: DataFrame, agg: String, p: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      agg match {
+        case "sum" => sum(_); case "min" => min(_)
+        case "max" => max(_); case "avg" => avg(_); case _ => count(_)
+      }
+    df.withColumn("roll", fn(col("v")).over(
+      Window.partitionBy(col("k")).orderBy(col("o")).rangeBetween(-p, 0)))
+  }
+
+  test("3-batch parity with the batch RANGE window for all five aggs, " +
+      "NULL keys and values, chunked and plain arms") {
+    val all = fixture.toDF("k", "o", "v")
+    val batches = Seq(
+      fixture.slice(0, 150), fixture.slice(150, 400), fixture.slice(400, 600))
+    for (agg <- Seq("sum", "min", "max", "count", "avg");
+         chunks <- Seq(1, 4)) {
+      val captured = ArrayBuffer.empty[DataFrame]
+      val fn = RollingRange.foreachBatch("k", "o", "v", "roll", agg,
+          preceding = 30L, chunks = chunks) { (out, _) =>
+        captured += out.persist(); out.count(); ()
+      }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        fn(b.toDF("k", "o", "v"), i.toLong)
+      }
+      val got = captured.reduce(_ unionAll _)
+        .select(col("k"), col("o"), col("roll"))
+      val want = plain(all, agg, 30L).select(col("k"), col("o"), col("roll"))
+      assert(got.count() == 600L, s"$agg/chunks=$chunks: rows dropped")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$agg/chunks=$chunks: streaming rolling diverges from the batch window")
+      captured.foreach(_.unpersist())
+    }
+  }
+
+  test("tail state stays bounded by the horizon, not history") {
+    // 3 batches x 500 rows of ONE key, ord stride 1, horizon 40: after
+    // 1,500 rows of history, the durable snapshot (which IS the retained
+    // tail) must hold exactly the horizon — rows with ord >= 1499 - 40 —
+    // never the full history. This is the O(horizon)-state claim.
+    val dir = java.nio.file.Files.createTempDirectory("graft-roll-b").toString
+    val fn = RollingRange.foreachBatch("k", "o", "v", "roll", "sum",
+        preceding = 40L, chunks = 2, stateDir = Some(dir)) { (out, _) =>
+      out.count(); ()
+    }
+    (0 until 3).foreach { b =>
+      fn((b * 500 until (b + 1) * 500).map(i => (1L, i.toLong, 1L))
+        .toDF("k", "o", "v"), b.toLong)
+    }
+    val snap = spark.read.parquet(s"$dir/tail_2")
+    assert(snap.count() == 41L,
+      s"tail must hold the horizon (41 rows), got ${snap.count()}")
+  }
+
+  test("stateDir: replay recomputes against the pre-batch tail, fresh " +
+      "closure restarts from the snapshot, stray tail_* entries ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-roll").toString
+    val all = fixture.toDF("k", "o", "v")
+    val batches = Seq(
+      fixture.slice(0, 200), fixture.slice(200, 450), fixture.slice(450, 600))
+    val captured = scala.collection.mutable.Map.empty[Long, Seq[org.apache.spark.sql.Row]]
+    def mkFn() = RollingRange.foreachBatch(
+        "k", "o", "v", "roll", "sum", preceding = 30L, chunks = 4,
+        stateDir = Some(dir)) { (out, id) =>
+      captured(id) = out.select(col("k"), col("o"), col("roll")).collect().toSeq
+    }
+    val fn = mkFn()
+    fn(batches(0).toDF("k", "o", "v"), 0L)
+    fn(batches(1).toDF("k", "o", "v"), 1L)
+    val firstB1 = captured(1L)
+    fn(batches(1).toDF("k", "o", "v"), 1L) // replay: same answer
+    assert(captured(1L).toSet == firstB1.toSet,
+      "replayed batch diverged from its first run")
+    // stray entries must be ignored by the regex-guarded name parse
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "tail_tmp"))
+    val fn2 = mkFn() // fresh closure = query restart
+    fn2(batches(2).toDF("k", "o", "v"), 2L)
+    val got = captured.values.flatten.toSeq
+    val want = plain(all, "sum", 30L)
+      .select(col("k"), col("o"), col("roll")).collect().toSeq
+    assert(got.size == want.size, s"got ${got.size} rows, want ${want.size}")
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap ==
+      want.groupBy(identity).view.mapValues(_.size).toMap,
+      "restart continuation diverged from the batch RANGE window")
+  }
+}
