@@ -34,12 +34,15 @@ import org.apache.spark.sql.functions._
   *     snapshot <= batchId - 1, and the re-run recomputes against exactly
   *     the pre-batch tail (idempotent for an idempotent per-batchId sink).
   *
-  * NULL-ord rows are retained in the tail indefinitely (they are their own
-  * RANGE peer group, and a later null-ord row's frame is exactly the
-  * earlier null-ord rows): correct, but unbounded if the stream carries
-  * many — scrub null ords upstream if they are junk. NULL keys are a
-  * normal partition. The sink receives exactly (keyCol, ordCol, valueCol,
-  * resultCol) for the batch's rows.
+  * NULL ords are REJECTED loudly (per batch): a null-ord row's RANGE
+  * frame is its whole null PEER GROUP — including peers that arrive in
+  * FUTURE batches — so a per-event emission can never be final for it
+  * (the batch verb, where every row is present at once, handles nulls
+  * fine; a time-window stream needs real event times). Silently emitting
+  * the peers-so-far value would deviate from the batch window's answer,
+  * and this engine's streaming twins promise batch parity. NULL keys are
+  * a normal partition. The sink receives exactly (keyCol, ordCol,
+  * valueCol, resultCol) for the batch's rows.
   */
 object RollingRange {
 
@@ -99,6 +102,11 @@ object RollingRange {
       }
 
       val slim = batch.select(col(keyCol), col(ordCol), col(valueCol))
+      // fail loudly on null event times — their RANGE peer group spans
+      // FUTURE batches, so no per-event emission can be final (class doc)
+      require(slim.filter(col(ordCol).isNull).isEmpty,
+        s"RollingRange requires non-null '$ordCol' event times: a null-ord " +
+          "row's RANGE peer frame includes future arrivals")
       val tagged = slim.withColumn("__new", lit(true))
       val combined = tail match {
         case Some(t) => t.withColumn("__new", lit(false)).unionByName(tagged)
@@ -112,14 +120,13 @@ object RollingRange {
         preceding = preceding, following = 0L, chunks = chunks)
       sink(rolled.filter(col("__new")).drop("__new"), batchId)
 
-      // next tail: rows within `preceding` of the per-key max ord (plus
-      // null-ord peer groups, see the class doc). Null-safe key join: a
-      // NULL key is a normal partition.
+      // next tail: rows within `preceding` of the per-key max ord.
+      // Null-safe key join: a NULL key is a normal partition.
       val maxes = combined.groupBy(col(keyCol).as("__mk"))
         .agg(max(col(ordCol)).as("__mo"))
       val nextTail = combined.drop("__new")
         .join(maxes, col(keyCol) <=> col("__mk"))
-        .filter(col(ordCol).isNull || col(ordCol) >= col("__mo") - preceding)
+        .filter(col(ordCol) >= col("__mo") - preceding)
         .select(col(keyCol), col(ordCol), col(valueCol))
       val next = nextTail.localCheckpoint(true)
       stateDir.foreach { dir =>

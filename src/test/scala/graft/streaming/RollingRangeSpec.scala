@@ -58,6 +58,25 @@ class RollingRangeSpec extends SparkSpec {
     }
   }
 
+  test("NULL event times are rejected loudly — per-event emission can " +
+      "never be final for a null RANGE peer group") {
+    // writing this test the permissive way EXPOSED the semantics hole: a
+    // null-ord row's RANGE frame is its whole null peer group INCLUDING
+    // peers from future batches, so the batch-1 emission (peers-so-far)
+    // can never equal the batch window's answer once batch 2 adds a null
+    // peer. The verb therefore refuses null ords instead of silently
+    // deviating from the batch-parity promise.
+    val fn = RollingRange.foreachBatch("k", "o", "v", "roll", "sum",
+        preceding = 30L, chunks = 2) { (out, _) => out.count(); () }
+    val bad: Seq[(Long, Option[Long], Long)] =
+      Seq((1L, Some(5L), 1L), (1L, None, 10L))
+    val e = intercept[IllegalArgumentException] {
+      fn(bad.toDF("k", "o", "v"), 0L)
+    }
+    assert(e.getMessage.contains("non-null"),
+      s"rejection must name the contract, got: ${e.getMessage}")
+  }
+
   test("tail state stays bounded by the horizon, not history") {
     // 3 batches x 500 rows of ONE key, ord stride 1, horizon 40: after
     // 1,500 rows of history, the durable snapshot (which IS the retained
