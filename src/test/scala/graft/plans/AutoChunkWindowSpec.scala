@@ -300,10 +300,26 @@ class AutoChunkWindowSpec extends SparkSpec {
       val scans = s"Relation spark_catalog.default.$avgHotTable".r
         .findAllIn(p).size
       assert(scans == 2, s"expected the chunk machinery's 2 scans, got $scans:\n$p")
-      // non-default forms stay plain: explicit default, IGNORE NULLS
+      // explicit LITERAL defaults fire too (r13): the block window
+      // replays the function verbatim, so the default surfaces exactly
+      // where the serial window's does — a key's first n rows for lag,
+      // last n for lead
       val withDefault = spark.table(avgHotTable)
         .withColumn("x", lag(col("v"), 1, -1).over(w))
-      assert(!chunked(withDefault), "lag with an explicit default must stay plain")
+        .withColumn("y", lead(col("v"), 2, -7).over(w))
+      assert(chunked(withDefault),
+        s"lag/lead with literal defaults must fire:\n${withDefault.queryExecution.optimizedPlan}")
+      var dWant: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        dWant = spark.table(avgHotTable)
+          .withColumn("x", lag(col("v"), 1, -1).over(w))
+          .withColumn("y", lead(col("v"), 2, -7).over(w))
+          .collect().toSet
+      }
+      assert(withDefault.collect().toSet == dWant,
+        "explicit-default lag/lead rewrite changed the answer")
+      // IGNORE NULLS stays plain: the nearest non-null can sit
+      // arbitrarily far back, beyond any bounded donor band
       val ignoreNulls = spark.table(avgHotTable)
         .withColumn("x", lag(col("v"), 1, null, true).over(w))
       assert(!chunked(ignoreNulls), "lag IGNORE NULLS must stay plain")
@@ -609,11 +625,205 @@ class AutoChunkWindowSpec extends SparkSpec {
         Window.partitionBy(col("k")).orderBy(col("o").asc_nulls_last)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       assert(!chunked(nl), "ASC NULLS LAST must not fire")
+      // decimal over a CAST argument: no column stats on the expression,
+      // so the decimalExact overflow proof can't hold -> plain (the
+      // proven-attribute decimal arm has its own test below)
       val dec = t.withColumn("run",
         sum(col("v").cast("decimal(18,2)")).over(
           Window.partitionBy(col("k")).orderBy(col("o"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      assert(!chunked(dec), "decimal sum must not fire")
+      assert(!chunked(dec), "unproven decimal sum must not fire")
+    }
+  }
+
+  test("mixed running + RANGE sliding in ONE node fires and stays exact " +
+      "(ADVICE r12 high: rslide legs must not reach the chunk aggregate)") {
+    import org.apache.spark.sql.expressions.Window
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val wb = Window.partitionBy(col("k")).orderBy(col("o"))
+      // Spark collapses same-(partition, order) windows with different
+      // frames into ONE node — exactly the shape sum() running + sum()
+      // RANGE-sliding produces. Before the r13 fix this built
+      // Max(<AggregateExpression>) inside the totals Aggregate and
+      // emitted a bogus Greatest alias that shadowed the ord-block one.
+      def q = spark.table(avgHotTable)
+        .withColumn("rs", sum(col("v")).over(
+          wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("roll", sum(col("v")).over(wb.rangeBetween(-100, 0)))
+        .withColumn("rn", row_number().over(wb))
+      assert(chunked(q),
+        s"mixed running+RANGE node must fire:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      assert(q.collect().toSet == want,
+        "mixed running+RANGE rewrite changed the answer")
+      // count/min running variants mixed with a centered RANGE frame
+      def q2 = spark.table(avgHotTable)
+        .withColumn("rc", count(col("v")).over(
+          wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rm", min(col("v")).over(
+          wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("roll", max(col("v")).over(wb.rangeBetween(-60, 40)))
+      assert(chunked(q2), "running count/min + centered RANGE must fire")
+      var want2: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want2 = q2.collect().toSet
+      }
+      assert(q2.collect().toSet == want2,
+        "running+centered-RANGE rewrite changed the answer")
+    }
+  }
+
+  test("ORDER BY timestamp fires — UnixMicros maps the ord to the stats' " +
+      "unit (VERDICT r12 #3)") {
+    import org.apache.spark.sql.expressions.Window
+    val t = "graft_autochunk_ts"
+    freshTable(t) {
+      // event times with sub-second spread; every 7th value NULL keeps
+      // the null discipline in play. NOTE: no null ord here — a NULL
+      // timestamp is legal (chunk 0) but kept for the dedicated check.
+      spark.range(10000L).select(
+          pmod(col("id"), lit(2L)).as("k"),
+          timestamp_millis(lit(1704060000000L) + col("id") * 137L).as("o"),
+          when(col("id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(pmod(xxhash64(col("id")), lit(100L))).as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val wb = Window.partitionBy(col("k")).orderBy(col("o"))
+      val wr = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the query people actually write: running spend ORDER BY ts —
+      // plus the navigation/sequence arms over the same timestamp ord
+      def q = spark.table(t)
+        .withColumn("run", sum(col("v")).over(wr))
+        .withColumn("rn", row_number().over(wb))
+        .withColumn("prev", lag(col("v"), 1).over(wb))
+      assert(chunked(q),
+        s"timestamp ord must fire:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      assert(q.collect().toSet == want, "timestamp-ord rewrite changed the answer")
+      // NULL timestamps sort first and land in chunk 0 — parity holds
+      val tn = "graft_autochunk_ts_null"
+      freshTable(tn) {
+        spark.range(10000L).select(
+            pmod(col("id"), lit(2L)).as("k"),
+            when(col("id") % 11 === 0, lit(null).cast("timestamp"))
+              .otherwise(timestamp_millis(lit(1704060000000L) + col("id") * 137L))
+              .as("o"),
+            pmod(xxhash64(col("id")), lit(100L)).as("v"))
+          .write.saveAsTable(tn)
+        spark.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS FOR COLUMNS k, o")
+      }
+      def qn = spark.table(tn).withColumn("run", sum(col("v")).over(wr))
+      assert(chunked(qn), "null-bearing timestamp ord must still fire")
+      var wantN: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        wantN = qn.collect().toSet
+      }
+      assert(qn.collect().toSet == wantN,
+        "null-timestamp rewrite changed the answer")
+      // a timestamp-ord RANGE frame takes CalendarInterval bounds — the
+      // node must stay plain (the interval literal fails boundedRange)
+      val ri = spark.sql(
+        s"""SELECT k, o, sum(v) OVER (PARTITION BY k ORDER BY o
+           |RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS r
+           |FROM $t""".stripMargin)
+      assert(!chunked(ri), "interval RANGE over timestamp ord must stay plain")
+    }
+  }
+
+  test("DECIMAL running sum fires under the overflow proof, exact; " +
+      "unproven/oversized decimals stay plain (VERDICT r12 #6)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // money fixture: DECIMAL(12,2) in [-500.00, 499.99], 10k rows ->
+    // every partial sum bounded by 1e4 * 500 = 5e6 << 10^(22-2)/2 —
+    // the proof holds with orders of magnitude to spare
+    val t = "graft_autochunk_dec"
+    freshTable(t) {
+      spark.range(10000L).select(
+          pmod(col("id"), lit(2L)).as("k"), col("id").as("o"),
+          when(col("id") % 7 === 0, lit(null).cast("decimal(12,2)"))
+            .otherwise(((pmod(xxhash64(col("id")), lit(100000L)) - 50000L)
+              .cast("decimal(12,2)") / 100).cast("decimal(12,2)")).as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o, v")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      def q = spark.table(t).withColumn("run", sum(col("v")).over(w))
+      assert(chunked(q),
+        s"proven decimal sum must fire:\n${q.queryExecution.optimizedPlan}")
+      // the alias must keep the serial window's result type exactly
+      assert(q.schema("run").dataType.simpleString == "decimal(22,2)",
+        s"result type drifted: ${q.schema("run").dataType}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      assert(q.collect().toSet == want, "decimal rewrite changed the answer")
+      // decimal sum mixed with min/count in one node — all decompose
+      def q2 = spark.table(t)
+        .withColumn("rs", sum(col("v")).over(w))
+        .withColumn("rm", min(col("v")).over(w))
+        .withColumn("rc", count(col("v")).over(w))
+      assert(chunked(q2), "decimal multi-expression node must fire")
+      var want2: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want2 = q2.collect().toSet
+      }
+      assert(q2.collect().toSet == want2,
+        "decimal multi-expression rewrite changed the answer")
+      // no v stats -> no overflow proof -> plain
+      val noStats = "graft_autochunk_dec_nostats"
+      freshTable(noStats) {
+        spark.range(10000L).select(
+            pmod(col("id"), lit(2L)).as("k"), col("id").as("o"),
+            (col("id") % 100).cast("decimal(12,2)").as("v"))
+          .write.saveAsTable(noStats)
+        spark.sql(s"ANALYZE TABLE $noStats COMPUTE STATISTICS FOR COLUMNS k, o")
+      }
+      assert(!chunked(spark.table(noStats)
+          .withColumn("run", sum(col("v")).over(w))),
+        "decimal sum without value stats must stay plain")
+      // stats present but the bound fails: DECIMAL(38,0) clamps the
+      // result precision at 38, so values ~1e35 x 10k rows overflow the
+      // 10^38 capacity with no headroom left
+      val big = "graft_autochunk_dec_big"
+      freshTable(big) {
+        spark.range(10000L).select(
+            pmod(col("id"), lit(2L)).as("k"), col("id").as("o"),
+            (lit(new java.math.BigDecimal("1" + "0" * 35)) +
+              pmod(col("id"), lit(7L)).cast("decimal(38,0)")).cast("decimal(38,0)").as("v"))
+          .write.saveAsTable(big)
+        spark.sql(s"ANALYZE TABLE $big COMPUTE STATISTICS FOR COLUMNS k, o, v")
+      }
+      assert(!chunked(spark.table(big)
+          .withColumn("run", sum(col("v")).over(w))),
+        "a decimal sum that can overflow the headroom must stay plain")
+      // decimal AVG stays plain (Average's decimal division is not
+      // replayed by the integral sum/count decomposition)
+      assert(!chunked(spark.table(t)
+          .withColumn("run", avg(col("v")).over(w))),
+        "decimal avg must stay plain")
     }
   }
 }
