@@ -155,21 +155,26 @@ object ChunkedRunning {
         lastId = batchId - 1
       }
 
-      // per-key totals, computed FIRST and pinned: they feed the census
-      // below AND the next batch's offsets — one map-side-combined
-      // aggregate serves both (the count column is the census)
-      val totals = batch.groupBy(col(keyCol).as("__t_k"))
+      // per-key totals: they feed the census (auto mode only) and the
+      // next batch's offsets — one map-side-combined aggregate serves
+      // both (the count column is the census). ONLY the auto path
+      // (chunks = 0) pins them eagerly, because only it runs a separate
+      // census action; with forced chunks the totals stay LAZY and
+      // materialize once inside merged's localCheckpoint below — an
+      // eager checkpoint there is a whole extra job per micro-batch for
+      // a census nobody reads (ADVICE r12).
+      val totalsBase = batch.groupBy(col(keyCol).as("__t_k"))
         .agg(aggFn(col(valueCol)).as("__t_v"), count(lit(1)).as("__t_n"))
-        .localCheckpoint(true)
       // chunks = 0: decide from THIS batch's hottest key — chunk only
       // when one key's slice alone justifies the decomposition's extra
       // shuffle (the batch-scale analogue of the rule's perKeyRows gate)
-      val effChunks =
-        if (chunks > 0) chunks
+      val (totals, effChunks) =
+        if (chunks > 0) (totalsBase, chunks)
         else {
-          val top = totals.agg(max(col("__t_n"))).collect()(0)
-          if (!top.isNullAt(0) && top.getLong(0) >= autoHotRows) autoChunks
-          else 1
+          val t = totalsBase.localCheckpoint(true)
+          val top = t.agg(max(col("__t_n"))).collect()(0)
+          (t, if (!top.isNullAt(0) && top.getLong(0) >= autoHotRows) autoChunks
+              else 1)
         }
 
       // 1. batch-local chunked running aggregate — the hot key spreads

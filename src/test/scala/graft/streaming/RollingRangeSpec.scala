@@ -77,6 +77,68 @@ class RollingRangeSpec extends SparkSpec {
       s"rejection must name the contract, got: ${e.getMessage}")
   }
 
+  test("ordering contract enforced loudly: a deeper-than-slack late event " +
+      "fails the batch instead of silently emitting a wrong value") {
+    // r13 (VERDICT r12 #1): an arrival below highWater - slack lands in
+    // an already-finalized frame — the same silent-wrong class the
+    // null-ord fix eliminated. The census must name the key and fail.
+    val fn = RollingRange.foreachBatch("k", "o", "v", "roll", "sum",
+        preceding = 30L, chunks = 2) { (out, _) => out.count(); () }
+    fn(Seq((1L, 100L, 1L), (1L, 110L, 2L), (2L, 50L, 3L))
+      .toDF("k", "o", "v"), 0L)
+    val e = intercept[IllegalArgumentException] {
+      // key 1's high-water is 110; slack = 0, so ord 50 violates —
+      // key 2's own 50 is fine (its high-water is 50)
+      fn(Seq((1L, 50L, 9L), (2L, 60L, 4L)).toDF("k", "o", "v"), 1L)
+    }
+    assert(e.getMessage.contains("ordering contract"),
+      s"rejection must name the contract, got: ${e.getMessage}")
+    // same depth of disorder under slack >= the gap: accepted
+    val fn2 = RollingRange.foreachBatch("k", "o", "v", "roll", "sum",
+        preceding = 30L, chunks = 2, slack = 60L) { (out, _) => out.count(); () }
+    fn2(Seq((1L, 100L, 1L), (1L, 110L, 2L)).toDF("k", "o", "v"), 0L)
+    fn2(Seq((1L, 50L, 9L)).toDF("k", "o", "v"), 1L) // 50 >= 110 - 60
+  }
+
+  test("bounded disorder: slack-buffered emission matches the batch RANGE " +
+      "window exactly, each event emitted once, on a shuffled feed") {
+    // arrival order = groups of 20 fixture rows each deterministically
+    // scrambled — displacement <= 19 rows x stride 3 = 57 ord units, so
+    // slack = 60 bounds the disorder; batch cuts at 150/400 make lows of
+    // a straddling group arrive a BATCH LATE (the cross-batch case).
+    val scrambled = fixture.grouped(20).flatMap(
+      _.sortBy(r => r._2 * 0x9E3779B97F4A7C15L)).toSeq
+    val all = fixture.toDF("k", "o", "v")
+    val batches = Seq(
+      scrambled.slice(0, 150), scrambled.slice(150, 400),
+      scrambled.slice(400, 600))
+    for (agg <- Seq("sum", "count"); chunks <- Seq(1, 4)) {
+      val captured = ArrayBuffer.empty[DataFrame]
+      val fn = RollingRange.foreachBatch("k", "o", "v", "roll", agg,
+          preceding = 30L, chunks = chunks, slack = 60L) { (out, _) =>
+        captured += out.persist(); out.count(); ()
+      }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        fn(b.toDF("k", "o", "v"), i.toLong)
+      }
+      // the last ~slack ord units stay pending until something closes
+      // them: a flush sentinel per key, above every real frame (ord
+      // 1861 > real max 1797 + slack 60 closes everything; the
+      // sentinels themselves stay pending and never emit)
+      val sentinels: Seq[(Option[Long], Long, Option[Long])] =
+        Seq(None, Some(0L), Some(1L), Some(2L)).map(k => (k, 1861L, Some(0L)))
+      fn(sentinels.toDF("k", "o", "v"), 3L)
+      val got = captured.reduce(_ unionAll _)
+        .select(col("k"), col("o"), col("roll"))
+      val want = plain(all, agg, 30L).select(col("k"), col("o"), col("roll"))
+      assert(got.count() == 600L,
+        s"$agg/chunks=$chunks: expected all 600 real events emitted exactly once")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$agg/chunks=$chunks: slack-buffered rolling diverges from the batch window")
+      captured.foreach(_.unpersist())
+    }
+  }
+
   test("tail state stays bounded by the horizon, not history") {
     // 3 batches x 500 rows of ONE key, ord stride 1, horizon 40: after
     // 1,500 rows of history, the durable snapshot (which IS the retained
