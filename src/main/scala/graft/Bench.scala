@@ -1235,7 +1235,7 @@ object Bench {
       // while state rows stay flat.
       val s9 = if (stageFilter.exists(!_("stream_state_1m"))) ""
         else streamStateSoak(spark)
-      val s10 = if (stageFilter.exists(!_("session_tws_2m"))) ""
+      val s10 = if (stageFilter.exists(!_("session_tws_1m"))) ""
         else sessionTwsSoak(spark)
       val s11 = if (stageFilter.exists(!_("stream_join_1m"))) ""
         else streamJoinSoak(spark)
@@ -1521,7 +1521,7 @@ object Bench {
   private def sessionTwsSoak(spark: SparkSession): String = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, round => fround}
-    val batches = 10
+    val batches = 5
     val perBatch = 200000L
     val t0 = System.nanoTime()
     try {
@@ -1562,14 +1562,14 @@ object Bench {
           }
         } finally q.stop()
         val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
-        s""""session_tws_2m":{"sec":$sec,"events":${batches * perBatch},"batches":$batches,""" +
+        s""""session_tws_1m":{"sec":$sec,"events":${batches * perBatch},"batches":$batches,""" +
           s""""state_rows":${stateRows.result().mkString("[", ",", "]")},""" +
           s""""timers_registered":${timersReg.result().mkString("[", ",", "]")},""" +
           s""""timers_expired":${timersExp.result().mkString("[", ",", "]")},""" +
           s""""sessions_emitted":${emitted.result().mkString("[", ",", "]")}}"""
       } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     } catch { case t: Throwable =>
-      s""""session_tws_2m":{"err":"${graft.util.Json.escape(t.toString, maxLen = 300)}"}"""
+      s""""session_tws_1m":{"err":"${graft.util.Json.escape(t.toString, maxLen = 300)}"}"""
     }
   }
 }

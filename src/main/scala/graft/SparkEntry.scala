@@ -1446,6 +1446,143 @@ object SparkEntry {
       }
     }),
 
+    // the rule on the query people ACTUALLY write (r13, VERDICT r12 #3):
+    // a running window ORDER BY a bare TIMESTAMP column. ANALYZE stores
+    // timestamp min/max as epoch MICROS, so the rule reads the ord
+    // through UnixMicros — no manual epoch projection. The event time
+    // here is a monotone injective function of event_id, so the oracle
+    // never ships a raw timestamp across the engine boundary (the
+    // TESTDATA ns-vs-us hazard): it orders by event_id, which induces
+    // the identical per-key order and peer groups.
+    "ext_autochunk_ts" -> ((s, dir) => {
+      val t = "graft_autochunk_ts_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          timestamp_seconds(lit(1704060000L) + col("event_id")).as("etime"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, etime")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val wb = Window.partitionBy(col("k")).orderBy(col("etime"))
+        val df = s.table(t)
+          .withColumn("run_cents", sum(col("cents")).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rn", row_number().over(wb))
+          .withColumn("prev_cents", lag(col("cents"), 2).over(wb))
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow did not fire on the timestamp-ord node")
+        df.select(col("event_id"), col("k").as("user_id"), col("run_cents"),
+            col("rn"), col("prev_cents"))
+          .orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+    // the DECIMAL money arm (r13, VERDICT r12 #6 — SURVEY §1.3's named
+    // "principled upgrade"): a DECIMAL(12,2) running sum re-planned by
+    // the rule under the decimalExact overflow proof (10k rows x
+    // max|amount| ~490 is 8 orders under the 10^(22-2)/2 headroom).
+    // Decimal addition is exact and order-free, so the oracle-facing
+    // output is the running sum converted losslessly to integer cents.
+    "ext_autochunk_decimal" -> ((s, dir) => {
+      val t = "graft_autochunk_dec_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          (round(col("value") * 100).cast("long").cast("decimal(12,2)") / 100)
+            .cast("decimal(12,2)").as("amount"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, event_id, amount")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val df = s.table(t).withColumn("run_amt", sum(col("amount")).over(
+          Window.partitionBy(col("k")).orderBy(col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow did not fire on the decimal-sum node")
+        df.select(col("event_id"), col("k").as("user_id"),
+            (col("run_amt") * 100).cast("long").as("run_cents"))
+          .orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+    // chunk-parallel LAG ... IGNORE NULLS (r13): the forward-fill /
+    // last-observation idiom. The nearest non-null can sit arbitrarily
+    // far back — beyond any bounded donor band — so the BLOCK form can't
+    // express it; the NON-NULL SEQUENCE decomposition can: the chunked
+    // running count of the value column (count skips nulls) is each
+    // non-null row's index, and one (key, index) equi-join fetches the
+    // n-th previous/next non-null — a hot key's rows spread across tasks
+    // by (key, index) hash. Oracle is the plain IGNORE NULLS window.
+    "ext_window_chunked_lag_ignore" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id").as("k"),
+        when(col("event_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(round(col("value") * 100).cast("long")).as("cents"))
+      val lagged = graft.operators.Skew.laggedIgnoreNullsChunked(
+        ev, "k", "event_id", "cents", "prev_nn", n = 2, chunks = 8)
+      graft.operators.Skew.laggedIgnoreNullsChunked(
+          lagged, "k", "event_id", "cents", "next_nn", n = 1, lead = true,
+          chunks = 8, default = -1L)
+        .select(col("event_id"), col("k").as("user_id"),
+          col("prev_nn"), col("next_nn"))
+        .orderBy(col("event_id"))
+    }),
+
+    // FORWARD FILL (r13): `last_value(v) IGNORE NULLS OVER (... ROWS
+    // UNBOUNDED PRECEDING AND CURRENT ROW)` — THE imputation idiom for
+    // sparse feature columns — composes from the same machinery:
+    // coalesce(v, lag(v, 1) IGNORE NULLS) is value-identical (a non-null
+    // row fills with itself; a null row with the last non-null strictly
+    // before it), so the hot key never pays a one-task sort here either.
+    "ext_window_forward_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id").as("k"),
+        when(col("event_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(round(col("value") * 100).cast("long")).as("cents"))
+      graft.operators.Skew.laggedIgnoreNullsChunked(
+          ev, "k", "event_id", "cents", "__last_nn", n = 1, chunks = 8)
+        .select(col("event_id"), col("k").as("user_id"),
+          coalesce(col("cents"), col("__last_nn")).as("filled_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // the MANUAL decimal leg of the same family (r13): runningAggChunked
+    // over a DECIMAL(12,2) money column — the verb casts the combined
+    // result back to the serial window's DECIMAL(22,2), and the chunk
+    // decomposition is exact because decimal addition is order-free
+    "ext_window_chunked_decimal" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        (round(col("value") * 100).cast("long").cast("decimal(12,2)") / 100)
+          .cast("decimal(12,2)").as("amount"))
+      graft.operators.Skew.runningAggChunked(
+          ev, "user_id", "event_id", "amount", "run_amt", "sum", chunks = 8)
+        .select(col("event_id"), col("user_id"),
+          (col("run_amt") * 100).cast("long").as("run_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // chunk-parallel RANK FAMILY (r11): under the unique-ord contract
     // (event_id), row_number/percent_rank/cume_dist/ntile collapse to
     // chunk-parallel sequence numbers + one per-key total — no task ever
@@ -6224,6 +6361,8 @@ object SparkEntry {
     // over the generator reconstruction
     "stream_rolling_range" -> ((s, dir) => rollingRangeStream(s)),
 
+    "stream_rolling_range_slack" -> ((s, dir) => rollingRangeSlackStream(s)),
+
     // the restart-recovery twin: a NEW foreachBatch closure (empty
     // in-memory offsets) must recover per-key offsets from the stateDir
     // snapshot after a mid-feed stop; same oracle as the uninterrupted run
@@ -6748,6 +6887,60 @@ object SparkEntry {
       .option("checkpointLocation", tempCkpt()).start()
     try {
       payloads.grouped(math.max(1, payloads.length / 4))
+        .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.read.parquet(batchDirs.distinct.toSeq: _*)
+  }
+
+  /** The bounded-disorder twin of [[rollingRangeStream]] (r13, VERDICT
+    * r12 #2): the same trailing-hour rolling spend, but the feed arrives
+    * OUT OF ORDER within a 60-second disorder bound — consecutive
+    * 30-event groups deterministically scrambled (displacement <= 29 s,
+    * crossing micro-batch boundaries at the batch cuts) — and
+    * [[graft.streaming.RollingRange]] runs with `slack = 60`: an event
+    * finalizes only once its key's high-water passes event time + slack,
+    * from a tail of horizon preceding + slack; a deeper-late event would
+    * fail the batch loudly. A final sentinel event per customer (te one
+    * past every real te + slack) flushes the last pending rows; the
+    * sentinels themselves never finalize and never reach the sink. The
+    * graded result is the union of per-batch emissions — it must equal
+    * the batch RANGE window over the ordered relation exactly. */
+  private def rollingRangeSlackStream(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = graft.sources.DataGen
+      .transactions(s, streamN, 42L, streamEpoch, eventsPerSecond = 1.0)
+      .select(col("customer_id"),
+        col("timestamp").cast("long").as("te"),
+        round(col("amount") * lit(100)).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // scramble: groups of 30 sorted by a bijective hash of te (te is
+    // globally unique at 1 event/s) — disorder bounded at 29 s, inside
+    // the verb's slack = 60 contract
+    val scrambled = rows.grouped(30)
+      .flatMap(_.sortBy(t => t._2 * 0x9E3779B97F4A7C15L)).toSeq
+    val sentinelTe = rows.map(_._2).max + 61L
+    val sentinels = rows.map(_._1).distinct.sorted
+      .map(c => (c, sentinelTe, 0L))
+    val ms = MemoryStream[(String, Long, Long)]
+    val outDir = tempCkpt()
+    val batchDirs = scala.collection.mutable.Buffer.empty[String]
+    val fn = graft.streaming.RollingRange.foreachBatch(
+        "customer_id", "te", "cents", "roll_cents",
+        agg = "sum", preceding = 3600L, chunks = 8,
+        stateDir = Some(tempCkpt()), slack = 60L) { (out, id) =>
+      val dir = s"$outDir/b_$id"
+      out.select(col("customer_id"), col("te"), col("roll_cents"))
+        .write.mode("overwrite").parquet(dir)
+      batchDirs.synchronized { batchDirs += dir }
+    }
+    val prepared = ms.toDF().toDF("customer_id", "te", "cents")
+    val q = prepared.writeStream.foreachBatch(fn)
+      .option("checkpointLocation", tempCkpt()).start()
+    try {
+      (scrambled.grouped(math.max(1, scrambled.length / 4)).toSeq :+ sentinels)
         .foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
     } finally q.stop()
     s.read.parquet(batchDirs.distinct.toSeq: _*)
@@ -9894,6 +10087,71 @@ object SparkEntry {
         |  CAST(min(cents) OVER (PARTITION BY user_id ORDER BY event_id
         |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS low_cents
+        |FROM c ORDER BY event_id""".stripMargin,
+
+    // the timestamp-ord re-plan must be invisible. The Spark side orders
+    // by an event time that is a monotone injective function of
+    // event_id, so ordering by event_id HERE induces the identical
+    // per-key order and (unique) peer groups — no raw timestamp crosses
+    // the engine boundary (TESTDATA ns-vs-us hazard)
+    "ext_autochunk_ts" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS run_cents,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  lag(cents, 2) OVER w AS prev_cents
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // the decimal re-plan must be invisible: both engines sum the SAME
+    // exact 2-dp decimals, read back as exact integer cents (the x100
+    // conversion is lossless for scale-2 decimals)
+    "ext_autochunk_decimal" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(12,2)) / 100
+        |    AS amount FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(amount) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    * 100 AS BIGINT) AS run_cents
+        |FROM c ORDER BY event_id""".stripMargin,
+
+    // the non-null-sequence decomposition must be invisible — the oracle
+    // IS the plain IGNORE NULLS window (DuckDB's in-call modifier syntax)
+    "ext_window_chunked_lag_ignore" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL
+        |       ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  lag(cents, 2 IGNORE NULLS) OVER w AS prev_nn,
+        |  coalesce(lead(cents, 1 IGNORE NULLS) OVER w, -1) AS next_nn
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // forward fill must equal the canonical last_value IGNORE NULLS
+    // spelling over the running frame
+    "ext_window_forward_fill" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL
+        |       ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  last_value(cents IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |FROM c ORDER BY event_id""".stripMargin,
+
+    // the manual decimal verb must be invisible — same exact-cents idiom
+    "ext_window_chunked_decimal" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(12,2)) / 100
+        |    AS amount FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(amount) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    * 100 AS BIGINT) AS run_cents
         |FROM c ORDER BY event_id""".stripMargin,
 
     // the chunk-parallel rank family must equal the plain windows; the
@@ -13799,6 +14057,19 @@ object SparkEntry {
     // window over the generator reconstruction (te = exact epoch seconds,
     // cents exact from the 2-dp amount)
     "stream_rolling_range" ->
+      s"""WITH ${streamTxCte(streamN, streamEpoch)}
+         |SELECT customer_id, te,
+         |  CAST(sum(CAST(round(amount * 100) AS BIGINT)) OVER (
+         |    PARTITION BY customer_id ORDER BY te
+         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS roll_cents
+         |FROM t""".stripMargin,
+
+    // the bounded-disorder twin: the 60s-scrambled feed, buffered by
+    // slack and flushed by per-key sentinels, must land on the SAME
+    // plain RANGE window over the ordered relation — sentinels never
+    // finalize, so the truth is exactly the real events
+    "stream_rolling_range_slack" ->
       s"""WITH ${streamTxCte(streamN, streamEpoch)}
          |SELECT customer_id, te,
          |  CAST(sum(CAST(round(amount * 100) AS BIGINT)) OVER (
