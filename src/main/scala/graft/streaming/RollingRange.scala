@@ -61,6 +61,12 @@ import org.apache.spark.sql.functions._
   */
 object RollingRange {
 
+  /** `chunks = 0` selects PER BATCH (r13 — the same census-driven gate
+    * as [[ChunkedRunning]]): the per-key row count of the working set
+    * (tail ∪ batch, what the verb actually windows over) rides the
+    * census aggregate the contract check already computes, and the batch
+    * chunks only when the hottest key holds at least `autoHotRows` rows;
+    * otherwise the plain per-key RANGE window runs (`chunks = 1`). */
   def foreachBatch(
       keyCol: String,
       ordCol: String,
@@ -70,13 +76,17 @@ object RollingRange {
       preceding: Long = 1L,
       chunks: Int = 32,
       stateDir: Option[String] = None,
-      slack: Long = 0L)(
+      slack: Long = 0L,
+      autoHotRows: Long = 4000000L,
+      autoChunks: Int = 32)(
       sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     require(preceding >= 1, s"preceding must be >= 1 ord unit, got $preceding")
     require(slack >= 0, s"slack must be >= 0 ord units, got $slack")
     require(Set("sum", "min", "max", "count", "avg")(agg),
       s"RollingRange supports sum/min/max/count/avg, got '$agg'")
-    require(chunks >= 1 && chunks <= 4096, s"chunks out of range: $chunks")
+    require(chunks >= 0 && chunks <= 4096, s"chunks out of range: $chunks")
+    require(autoChunks >= 2 && autoChunks <= 4096 && autoHotRows >= 1,
+      s"bad auto-chunk thresholds: autoChunks=$autoChunks autoHotRows=$autoHotRows")
     val horizon = preceding + slack
 
     // closure state: the tail after the last processed batch (serial per
@@ -106,7 +116,7 @@ object RollingRange {
         require(batch.columns.contains(c),
           s"column '$c' not found in ${batch.columns.mkString("[", ",", "]")}"))
       Seq(resultCol, "__new", "__emitted", "__mk", "__mo", "__pm", "__nmin",
-          "__nnull").foreach(h =>
+          "__nnull", "__cnt").foreach(h =>
         require(!batch.columns.contains(h),
           s"batch already carries the internal/result column '$h'"))
       val spark = batch.sparkSession
@@ -137,7 +147,8 @@ object RollingRange {
         max(col(ordCol)).as("__mo"),
         max(when(!col("__new"), col(ordCol))).as("__pm"),
         min(when(col("__new"), col(ordCol))).as("__nmin"),
-        count(when(col("__new") && col(ordCol).isNull, lit(1))).as("__nnull"))
+        count(when(col("__new") && col(ordCol).isNull, lit(1))).as("__nnull"),
+        count(lit(1)).as("__cnt"))
         .localCheckpoint(true)
       // fail loudly on contract violations: null event times (their RANGE
       // peer group spans future batches) and deeper-than-slack disorder
@@ -158,12 +169,22 @@ object RollingRange {
             s"${r.get(r.fieldIndex("__pm"))} — the event falls inside an " +
             "already-finalized frame (raise slack, or repair the feed)"
       })
+      // chunks = 0: decide from THIS batch's hottest working-set key —
+      // the per-key count already rides the pinned census, so the auto
+      // gate costs one cheap scan of the one-row-per-key relation
+      val effChunks =
+        if (chunks > 0) chunks
+        else {
+          val top = census.agg(max(col("__cnt"))).collect()(0)
+          if (!top.isNullAt(0) && top.getLong(0) >= autoHotRows) autoChunks
+          else 1
+        }
       // rolling values over tail ∪ batch — every finalizable row's frame
       // is fully present (arrival contract); pending/context rows compute
       // values too but only finalized rows ship
       val rolled = graft.operators.Skew.slidingRangeAggChunked(
         combined, keyCol, ordCol, valueCol, resultCol, agg,
-        preceding = preceding, following = 0L, chunks = chunks)
+        preceding = preceding, following = 0L, chunks = effChunks)
       val hw = census.select(col("__mk"), col("__mo"))
       // finality: the key's high-water passed ord + slack. slack = 0
       // degenerates to "every batch row, immediately" (the kappa-ordered

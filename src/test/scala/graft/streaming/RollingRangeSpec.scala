@@ -139,6 +139,33 @@ class RollingRangeSpec extends SparkSpec {
     }
   }
 
+  test("chunks = 0 auto-selects per batch from the census — plain when no " +
+      "key is hot, chunked when forced, answers identical (r13)") {
+    val all = fixture.toDF("k", "o", "v")
+    val batches = Seq(
+      fixture.slice(0, 200), fixture.slice(200, 450), fixture.slice(450, 600))
+    // two auto arms: default threshold (no key is hot -> plain windows)
+    // and autoHotRows = 1 (every batch chunks) — both must match the
+    // batch RANGE window; the knob may only move the plan, never values
+    for (hot <- Seq(4000000L, 1L)) {
+      val captured = ArrayBuffer.empty[DataFrame]
+      val fn = RollingRange.foreachBatch("k", "o", "v", "roll", "sum",
+          preceding = 30L, chunks = 0, autoHotRows = hot, autoChunks = 4) {
+        (out, _) => captured += out.persist(); out.count(); ()
+      }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        fn(b.toDF("k", "o", "v"), i.toLong)
+      }
+      val got = captured.reduce(_ unionAll _)
+        .select(col("k"), col("o"), col("roll"))
+      val want = plain(all, "sum", 30L).select(col("k"), col("o"), col("roll"))
+      assert(got.count() == 600L, s"autoHotRows=$hot: rows dropped")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"autoHotRows=$hot: auto-chunk arm diverges from the batch window")
+      captured.foreach(_.unpersist())
+    }
+  }
+
   test("tail state stays bounded by the horizon, not history") {
     // 3 batches x 500 rows of ONE key, ord stride 1, horizon 40: after
     // 1,500 rows of history, the durable snapshot (which IS the retained
