@@ -975,6 +975,30 @@ object Bench {
           .agg(fsum(col("p"))).collect()(0).getLong(0)
       }
 
+      // ---- lag IGNORE NULLS over the same 20M hot key (r13): the
+      // forward-fill face. Plain pays the one-task hot-partition sort
+      // like every window shape; the non-null-sequence form pays the
+      // chunk machinery plus ONE (key, index) equi-join whose key
+      // includes the index — the hot key's rows spread by (key, index)
+      // hash, so no task ever holds the whole partition. Every 3rd value
+      // NULL makes the skipped-null path real. Both arms return
+      // sum(prev non-null): equal values are the correctness check.
+      def hotNulled = hotWindowed.withColumn("v",
+        when(pmod(col("o"), lit(3)) === 0, lit(null).cast("long"))
+          .otherwise(col("v")))
+      val sLi1 = stage("lag_ignore_skew_plain_20m", perStage = true) {
+        import org.apache.spark.sql.expressions.Window
+        hotNulled.withColumn("p", org.apache.spark.sql.functions
+            .lag(col("v"), 1, null, true).over(
+              Window.partitionBy(col("k")).orderBy(col("o"))))
+          .agg(fsum(col("p"))).collect()(0).getLong(0)
+      }
+      val sLi2 = stage("lag_ignore_skew_chunked_20m", perStage = true) {
+        graft.operators.Skew.laggedIgnoreNullsChunked(
+            hotNulled, "k", "o", "v", "p", n = 1, chunks = 32)
+          .agg(fsum(col("p"))).collect()(0).getLong(0)
+      }
+
       // ---- RANGE rolling window over the same 20M hot key (r12): the
       // TIME-WINDOW face. A bounded frame makes the plain form O(n * k)
       // ON ONE TASK for the hot key — Spark rebuilds the sliding buffer
@@ -1241,7 +1265,7 @@ object Bench {
         else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sAc1, sAc2, sSr1, sSr2, sSr3, sL1, sL2, sR1, sR2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
+          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sAc1, sAc2, sSr1, sSr2, sSr3, sL1, sL2, sLi1, sLi2, sR1, sR2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
           sI2, sG1, sG2, sHits, sBask, sSky, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }

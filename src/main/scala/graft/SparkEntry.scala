@@ -1489,6 +1489,45 @@ object SparkEntry {
       }
     }),
 
+    // the DESC mirror (r13): `row_number() OVER (PARTITION BY k ORDER BY
+    // o DESC) = 1` is THE latest-record dedup query users actually
+    // write, and DESC NULLS LAST is its direction's SQL default. The
+    // mirrored chunk function (negated ord, nulls to the LAST chunk)
+    // re-plans the whole node; running sum + lag ride the same rewrite.
+    "ext_autochunk_desc" -> ((s, dir) => {
+      val t = "graft_autochunk_desc_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, event_id")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val wb = Window.partitionBy(col("k")).orderBy(col("event_id").desc)
+        val df = s.table(t)
+          .withColumn("rn", row_number().over(wb))
+          .withColumn("run_back", sum(col("cents")).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("newer", lag(col("cents"), 1).over(wb))
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow did not fire on the DESC node")
+        df.select(col("event_id"), col("k").as("user_id"), col("rn"),
+            col("run_back"), col("newer"))
+          .orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // the DECIMAL money arm (r13, VERDICT r12 #6 — SURVEY §1.3's named
     // "principled upgrade"): a DECIMAL(12,2) running sum re-planned by
     // the rule under the decimalExact overflow proof (10k rows x
@@ -10103,6 +10142,21 @@ object SparkEntry {
         |  lag(cents, 2) OVER w AS prev_cents
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // the DESC re-plan must be invisible — the oracle IS the plain
+    // descending window (event_id unique per key makes it deterministic)
+    "ext_autochunk_desc" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY event_id DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS run_back,
+        |  lag(cents, 1) OVER w AS newer
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id DESC)
         |ORDER BY event_id""".stripMargin,
 
     // the decimal re-plan must be invisible: both engines sum the SAME

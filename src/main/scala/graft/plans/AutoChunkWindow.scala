@@ -2,8 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Ascending,
   AttributeReference, Cast, Coalesce, CreateNamedStruct, CurrentRow, Divide,
-  EqualTo, Expression, Floor, Greatest, GreaterThan, GreaterThanOrEqual, If,
-  IsNull, Least, LessThan, Literal, NamedExpression, NullsFirst, Or, Pmod,
+  Descending, EqualTo, Expression, Floor, Greatest, GreaterThan,
+  GreaterThanOrEqual, If,
+  IsNull, Least, LessThan, Literal, NamedExpression, NullsFirst, NullsLast,
+  Or, Pmod,
   RowFrame, SortOrder, SpecifiedWindowFrame, Subtract, UnboundedPreceding,
   UnixMicros, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
@@ -55,14 +57,18 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   *  - `spark.graft.autoChunk.enabled` (default true — it can only fire
   *    on ANALYZE'd, cbo-on inputs with a proven hot key);
   *  - child rowCount >= `minRows` (default 10M);
-  *  - ORDER BY: single ascending NULLS FIRST bare attribute of a plain
-  *    numeric type OR a TIMESTAMP (r13 — the chunk function reads a
-  *    timestamp ord through UnixMicros, the unit ANALYZE stores its
-  *    min/max in), with min/max stats. NULLS LAST is excluded by
-  *    pattern: the chunk function sends a
-  *    NULL ord to chunk 0 (nulls-FIRST placement), so a NULLS LAST window
-  *    would mis-order null-ord rows AND leak their values into every later
-  *    chunk's offset;
+  *  - ORDER BY: a single bare attribute of a plain numeric type OR a
+  *    TIMESTAMP (r13 — the chunk function reads a timestamp ord through
+  *    UnixMicros, the unit ANALYZE stores its min/max in), with min/max
+  *    stats, in either direction's SQL DEFAULT null placement:
+  *    ascending NULLS FIRST, or DESCENDING NULLS LAST (r13 — the
+  *    `row_number() OVER (ORDER BY ts DESC) = 1` latest-record idiom;
+  *    the chunk function negates the ord and sends null ords to the
+  *    LAST chunk; DESC RANGE frames stay plain). The off-default
+  *    pairings (ASC NULLS LAST, DESC NULLS FIRST) are excluded by
+  *    pattern: their null placement contradicts the chunk a monotone
+  *    clamp assigns, which would mis-order null-ord rows AND leak their
+  *    values into other chunks' offsets;
   *  - hotness: rowCount / ndv(keys) >= `perKeyRows` (default 1M — the
   *    average key alone overwhelms one task; covers the no-keys global
   *    window with ndv = 1), OR a single-key equi-height histogram shows
@@ -147,6 +153,29 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       partSpec: Seq[Expression], shift: Long = 0L,
       fn: Option[Expression] = None)
 
+  /** The two decomposable sort shapes — ascending NULLS FIRST and
+    * DESCENDING NULLS LAST (r13: both are their direction's SQL default,
+    * and `row_number() OVER (ORDER BY ts DESC) = 1` is THE latest-record
+    * query users actually write). The decomposition mirrors exactly: the
+    * chunk function negates the ord (monotone in the DESC order), null
+    * ords go to the LAST chunk (nulls-last placement), and every window
+    * leg replays the ORIGINAL SortOrder, so chunk-local evaluation order
+    * equals the serial order restricted to the chunk in both directions.
+    * The off-default pairings (ASC NULLS LAST / DESC NULLS FIRST) stay
+    * plain: their null placement contradicts the chunk that monotone
+    * clamping assigns, leaking null-row values into other chunks'
+    * offsets. */
+  private object DecompSort {
+    def unapply(so: SortOrder): Option[(AttributeReference, Boolean)] =
+      so match {
+        case SortOrder(a: AttributeReference, Ascending, NullsFirst, _) =>
+          Some((a, false))
+        case SortOrder(a: AttributeReference, Descending, NullsLast, _) =>
+          Some((a, true))
+        case _ => None
+      }
+  }
+
   /** A bounded ROWS frame bound as a row offset: CURRENT ROW = 0,
     * integer literals as themselves, anything else (UNBOUNDED, RANGE
     * values, non-literal expressions) = not bounded. */
@@ -219,8 +248,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val ds = exprs.map {
       case alias @ Alias(WindowExpression(
             ae: AggregateExpression,
-            WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
-              ord: AttributeReference, Ascending, NullsFirst, _)),
+            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
               frame @ SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))),
             _)
           if aggArg(ae).exists { case (kind, v) =>
@@ -238,8 +266,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       // bounds fall through to the running arm above or stay plain.)
       case alias @ Alias(WindowExpression(
             ae: AggregateExpression,
-            WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
-              ord: AttributeReference, Ascending, NullsFirst, _)),
+            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
               frame @ SpecifiedWindowFrame(RowFrame, loB, hiB))), _)
           if boundedRow(loB).isDefined && boundedRow(hiB).isDefined &&
             boundedRow(loB).get <= boundedRow(hiB).get &&
@@ -258,8 +285,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       // plain — the rule's ord gate is numeric anyway.
       case alias @ Alias(WindowExpression(
             ae: AggregateExpression,
-            WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
-              ord: AttributeReference, Ascending, NullsFirst, _)),
+            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
               frame @ SpecifiedWindowFrame(
                 org.apache.spark.sql.catalyst.expressions.RangeFrame,
                 loB, hiB))), _)
@@ -275,8 +301,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       // class is unchanged).
       case alias @ Alias(WindowExpression(
             org.apache.spark.sql.catalyst.expressions.RowNumber(),
-            WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
-              ord: AttributeReference, Ascending, NullsFirst, _)),
+            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
               frame @ SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
                 CurrentRow))), _)
           if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
@@ -287,8 +312,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       // block window must replay the function with its own offset frame.
       case alias @ Alias(WindowExpression(
             f: org.apache.spark.sql.catalyst.expressions.FrameLessOffsetWindowFunction,
-            WindowSpecDefinition(partSpec, Seq(so @ SortOrder(
-              ord: AttributeReference, Ascending, NullsFirst, _)),
+            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
               frame: SpecifiedWindowFrame)), _)
           if partSpec.forall(_.isInstanceOf[AttributeReference]) &&
             navShift(f).isDefined =>
@@ -302,6 +326,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val h = all.head
     val consistent = all.tail.forall { d =>
       d.ord.semanticEquals(h.ord) &&
+        d.so.direction == h.so.direction &&
         d.partSpec.length == h.partSpec.length &&
         d.partSpec.zip(h.partSpec).forall { case (a, b) => a.semanticEquals(b) }
     }
@@ -537,6 +562,9 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // resolve over a numeric ord, but rewriteRange's ord arithmetic
     // assumes it — keep timestamp ords (interval bounds) out explicitly
     if (!numeric(ds.head.ord.dataType)) return false
+    // the ord-block stage's donor arithmetic (ord +- reach) is written
+    // for the ascending orientation; DESC RANGE frames stay plain
+    if (ds.head.so.direction == Descending) return false
     val reach = rng.map { d =>
       val l = boundedRange(d.frame.lower).get
       val h = boundedRange(d.frame.upper).get
@@ -614,15 +642,28 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     if (ds.forall(_.kind == "rslide"))
       return rewriteRange(child, ds, ds, Nil, child, ord, pk, chunks, lo, hi)
     // stale stats only unbalance: values beyond [lo, hi] clamp to the
-    // edge chunks and monotonicity holds
-    val span = if (hi > lo) (hi - lo) / chunks else 1.0
-    val chunkExpr = Least(Seq(
-      Greatest(Seq(
-        Cast(Floor(Divide(
-          Subtract(Cast(ordNumeric(ord), DoubleType), Literal(lo, DoubleType)),
-          Literal(span, DoubleType))), IntegerType),
-        Literal(0))),
-      Literal(chunks - 1)))
+    // edge chunks and monotonicity holds. DESC NULLS LAST mirrors (r13):
+    // the chunk function runs on the NEGATED ord over the negated range
+    // (monotone in the descending order — chunk 0 holds the HIGHEST
+    // ords), and null ords go to the LAST chunk explicitly (nulls-last
+    // placement; the ascending arm's nulls ride Greatest's null-skip to
+    // chunk 0, made explicit here for symmetry).
+    val desc = ds.head.so.direction == Descending
+    val (cLo, cHi) = if (desc) (-hi, -lo) else (lo, hi)
+    val span = if (cHi > cLo) (cHi - cLo) / chunks else 1.0
+    val ordD: Expression =
+      if (desc) Subtract(Literal(0.0, DoubleType),
+        Cast(ordNumeric(ord), DoubleType))
+      else Cast(ordNumeric(ord), DoubleType)
+    val chunkExpr = If(IsNull(ord),
+      Literal(if (desc) chunks - 1 else 0),
+      Least(Seq(
+        Greatest(Seq(
+          Cast(Floor(Divide(
+            Subtract(ordD, Literal(cLo, DoubleType)),
+            Literal(span, DoubleType))), IntegerType),
+          Literal(0))),
+        Literal(chunks - 1))))
     val chunkAlias = Alias(chunkExpr, C_NAME)()
     // the struct surrogate for the partition keys: null-safe by struct
     // semantics, so the chunk join stays a plain equi-join and reuses the

@@ -255,10 +255,66 @@ class AutoChunkWindowSpec extends SparkSpec {
       }
       assert(latest.collect().toSet == wantLatest,
         "latest-record-per-key dedup diverged under the rewrite")
-      // row_number DESC (no pattern match) must stay plain
-      val desc = spark.table(avgHotTable).withColumn("rn",
+      // row_number DESC — the spelling users actually write for "latest
+      // record first" — fires too (r13, DESC NULLS LAST mirror)
+      def desc = spark.table(avgHotTable).withColumn("rn",
         row_number().over(Window.partitionBy(col("k")).orderBy(col("o").desc)))
-      assert(!chunked(desc), "descending row_number must stay plain")
+      assert(chunked(desc), "descending row_number must fire (r13)")
+      var wantDesc: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        wantDesc = desc.collect().toSet
+      }
+      assert(desc.collect().toSet == wantDesc,
+        "descending row_number rewrite changed the answer")
+    }
+  }
+
+  test("DESC NULLS LAST mirror: running aggregates, row_number and lag " +
+      "fire on the descending default; off-default pairings stay plain (r13)") {
+    import org.apache.spark.sql.expressions.Window
+    // null ords included: DESC NULLS LAST puts them AFTER every value,
+    // and the mirrored chunk function must send them to the LAST chunk
+    val t = "graft_autochunk_desc"
+    freshTable(t) {
+      spark.range(10000L).select(
+          pmod(col("id"), lit(2L)).as("k"),
+          when(col("id") % 13 === 0, lit(null).cast("long"))
+            .otherwise(col("id")).as("o"),
+          when(col("id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(pmod(xxhash64(col("id")), lit(100L))).as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val wb = Window.partitionBy(col("k")).orderBy(col("o").desc)
+      def q = spark.table(t)
+        .withColumn("run", sum(col("v")).over(
+          wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(wb))
+        .withColumn("prev", lag(col("v"), 2).over(wb))
+        .withColumn("roll", min(col("v")).over(wb.rowsBetween(-4, 0)))
+      assert(chunked(q),
+        s"DESC default node must fire:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      assert(q.collect().toSet == want, "DESC rewrite changed the answer")
+      // DESC RANGE frames stay plain (ord-block donor arithmetic is
+      // ascending-oriented)
+      val rdesc = spark.table(avgHotTable).withColumn("s",
+        sum(col("v")).over(Window.partitionBy(col("k"))
+          .orderBy(col("o").desc).rangeBetween(-100, 0)))
+      assert(!chunked(rdesc), "DESC RANGE sliding must stay plain")
+      // off-default null placements contradict the chunk clamp: plain
+      val nlDesc = spark.table(t).withColumn("run", sum(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o").desc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(!chunked(nlDesc), "DESC NULLS FIRST must stay plain")
     }
   }
 
@@ -612,12 +668,9 @@ class AutoChunkWindowSpec extends SparkSpec {
       // stats present, but non-matching shapes must stay plain
       // (RANGE sliding frames now FIRE via the ord-block arm — their
       // no-fire edges, mixing and frame-spans-the-data, live in the
-      // RANGE-sliding test)
+      // RANGE-sliding test; DESC NULLS LAST fires since r13 — its
+      // parity lives in the DESC-mirror test)
       val t = spark.table(avgHotTable)
-      val desc = t.withColumn("run", sum(col("v")).over(
-        Window.partitionBy(col("k")).orderBy(col("o").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      assert(!chunked(desc), "descending order must not fire")
       // ASC NULLS LAST: the chunk function places NULL ords FIRST (chunk
       // 0), so a nulls-last window would both mis-order them and leak
       // their values into later chunks' offsets — pattern excludes it
