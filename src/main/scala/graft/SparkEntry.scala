@@ -1528,6 +1528,43 @@ object SparkEntry {
       }
     }),
 
+    // first_value via the struct(ord, v) leg (r13): with the DESC mirror
+    // this is "the latest value per key" on every row — the feature-store
+    // idiom — without a row_number filter. Both directions in one query;
+    // event_id unique makes the serial pick deterministic.
+    "ext_autochunk_first" -> ((s, dir) => {
+      val t = "graft_autochunk_first_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, event_id")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val asc = Window.partitionBy(col("k")).orderBy(col("event_id"))
+        val desc = Window.partitionBy(col("k")).orderBy(col("event_id").desc)
+        val df = s.table(t)
+          .withColumn("earliest_cents", first_value(col("cents")).over(asc))
+          .withColumn("latest_cents", first_value(col("cents")).over(desc))
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow did not fire on the first_value nodes")
+        df.select(col("event_id"), col("k").as("user_id"),
+            col("earliest_cents"), col("latest_cents"))
+          .orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // the DECIMAL money arm (r13, VERDICT r12 #6 — SURVEY §1.3's named
     // "principled upgrade"): a DECIMAL(12,2) running sum re-planned by
     // the rule under the decimalExact overflow proof (10k rows x
@@ -10158,6 +10195,18 @@ object SparkEntry {
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id DESC)
         |ORDER BY event_id""".stripMargin,
+
+    // the first_value re-plans must be invisible — the oracle IS the
+    // plain pair of anchor windows (unique event_id -> deterministic)
+    "ext_autochunk_first" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  first_value(cents) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS earliest_cents,
+        |  first_value(cents) OVER (PARTITION BY user_id ORDER BY event_id DESC)
+        |    AS latest_cents
+        |FROM c ORDER BY event_id""".stripMargin,
 
     // the decimal re-plan must be invisible: both engines sum the SAME
     // exact 2-dp decimals, read back as exact integer cents (the x100

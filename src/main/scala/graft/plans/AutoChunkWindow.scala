@@ -94,6 +94,13 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   *     * ROW_NUMBER (= the chunked running count of a constant, cast back
   *       to int — the "latest record per key" dedup idiom, whose hot key
   *       is THE classic straggler at ingest scale);
+  *     * FIRST_VALUE respect-nulls over the running frame (r13 — with
+  *       the DESC mirror this is "the latest value per key" without a
+  *       row_number filter): one MIN/MAX leg over struct(ord, v), whose
+  *       combine is the serial-first row's pair; with tied first ords
+  *       the struct tiebreaks by value where the serial pick is
+  *       nondeterministic-within-peers — row_number's arbitrariness
+  *       class. IGNORE NULLS and unorderable value types stay plain;
   *     * LAG/LEAD with a literal default (null or explicit — the block
   *       window replays the function verbatim, so the default fires
   *       exactly where the serial one does), respect-nulls, positive
@@ -374,6 +381,21 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
         Some(("min", v))
       case org.apache.spark.sql.catalyst.expressions.aggregate.Max(v) =>
         Some(("max", v))
+      // first_value(v) respect-nulls over the running frame = the value
+      // at the partition's serial-first row (r13). Decomposes as a
+      // MIN/MAX of struct(ord, v) — Min for ASC (null ord fields compare
+      // smallest, matching NULLS FIRST), Max for DESC (null fields lose,
+      // matching NULLS LAST) — so the leg re-combines like min/max and
+      // the value field pops out at the end. With tied first ords the
+      // struct tiebreaks by VALUE where the serial window picks an
+      // arbitrary peer — inside the same arbitrariness class as
+      // row_number's. v must be orderable (a struct field must sort);
+      // IGNORE NULLS keeps the serial window (different algebra — the
+      // first NON-NULL can sit in any chunk regardless of ord order).
+      case org.apache.spark.sql.catalyst.expressions.aggregate.First(v, false)
+          if org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(v.dataType) =>
+        Some(("first", v))
       case _ => None
     }
 
@@ -594,6 +616,10 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // would nest its AggregateExpression inside the totals Aggregate and
     // break any node mixing a running aggregate with a RANGE frame.
     case "rownum" | "lag" | "slide" | "rslide" => Nil
+    // first_value rides ONE struct(ord, v) leg: min/max of the struct is
+    // the serial-first row's pair, and the value field pops out at the end
+    case "first" => Seq(Leg("first", CreateNamedStruct(
+      Seq(Literal("o"), d.ord, Literal("x"), d.v))))
     case k => Seq(Leg(k, d.v))
   }
 
@@ -601,10 +627,15 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       child: LogicalPlan, ds: Seq[Decomposed], ord: AttributeReference,
       pk: Seq[AttributeReference], chunks: Int): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+    val desc = ds.head.so.direction == Descending
     def aggFn(kind: String, e: Expression) = (kind match {
       case "sum" => Sum(e)
       case "count" => Count(Seq(e))
       case "min" => Min(e)
+      // serial-first = minimal (ord, v) under ASC, maximal under DESC —
+      // null ord fields compare smallest either way, which matches each
+      // direction's default null placement exactly
+      case "first" => if (desc) Max(e) else Min(e)
       case _ => Max(e)
     }).toAggregateExpression()
     // the offset side re-combines CHUNK TOTALS — for count that is a SUM
@@ -625,7 +656,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val legOffsets = ds.map(legsOf(_).length).scanLeft(0)(_ + _)
     val seqLegIdx = flat.length - 1 // valid only when needSeq
     def localAgg(od: Option[Decomposed], l: Leg): AggregateExpression =
-      od.flatMap(d => d.ae.filter(_ => d.kind != "avg"))
+      od.flatMap(d => d.ae.filter(_ => d.kind != "avg" && d.kind != "first"))
         .getOrElse(aggFn(l.kind, l.v))
     val runFrame =
       SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
@@ -648,7 +679,6 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // ords), and null ords go to the LAST chunk explicitly (nulls-last
     // placement; the ascending arm's nulls ride Greatest's null-skip to
     // chunk 0, made explicit here for symmetry).
-    val desc = ds.head.so.direction == Descending
     val (cLo, cHi) = if (desc) (-hi, -lo) else (lo, hi)
     val span = if (cHi > cLo) (cHi - cLo) / chunks else 1.0
     val ordD: Expression =
@@ -792,6 +822,14 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           // rslide resolves in rewriteRange — emitting a combine alias
           // here would shadow the ord-block alias in finals (ADVICE r12)
           case "lag" | "slide" | "rslide" => None
+          // first: min/max-combine the struct leg, then read the value
+          // field — Least/Greatest skip the first chunk's absent offset
+          case "first" =>
+            val m: Expression =
+              if (desc) Greatest(Seq(loc(0), off(0)))
+              else Least(Seq(loc(0), off(0)))
+            Some(org.apache.spark.sql.catalyst.expressions
+              .GetStructField(m, 1, Some("x")))
           case k => Some(combineLeg(k, loc(0), off(0)))
         }
         (d, c.map(e => Alias(e, d.alias.name)(exprId = d.alias.exprId)))

@@ -799,6 +799,62 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
+  test("first_value fires via the struct(ord, v) leg — both directions, " +
+      "null ords/values; IGNORE NULLS and unorderable values stay plain (r13)") {
+    import org.apache.spark.sql.expressions.Window
+    // EXACTLY one null ord per key (ids 0 and 1): the serial first row
+    // under ASC NULLS FIRST is then DETERMINISTIC — with several tied
+    // first ords the serial pick is nondeterministic-within-peers (the
+    // row_number situation) and no exact-set assertion is possible.
+    // Null values elsewhere: respect-nulls must CARRY them (k=0's first
+    // row has v null: id 0 is divisible by 7).
+    val t = "graft_autochunk_first"
+    freshTable(t) {
+      spark.range(10000L).select(
+          pmod(col("id"), lit(2L)).as("k"),
+          when(col("id") < 2, lit(null).cast("long"))
+            .otherwise(col("id")).as("o"),
+          when(col("id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(pmod(xxhash64(col("id")), lit(100L))).as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      for (descDir <- Seq(false, true)) {
+        val wb = Window.partitionBy(col("k"))
+          .orderBy(if (descDir) col("o").desc else col("o"))
+        // first_value + a running sum in ONE node — the struct leg rides
+        // the same chunk join as the sum leg
+        def q = spark.table(t)
+          .withColumn("fv", first_value(col("v")).over(wb))
+          .withColumn("rs", sum(col("v")).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        assert(chunked(q),
+          s"first_value (desc=$descDir) must fire:\n${q.queryExecution.optimizedPlan}")
+        var want: Set[org.apache.spark.sql.Row] = null
+        withConfs("spark.graft.autoChunk.enabled" -> "false") {
+          want = q.collect().toSet
+        }
+        assert(q.collect().toSet == want,
+          s"first_value (desc=$descDir) rewrite changed the answer")
+      }
+      // IGNORE NULLS: the first NON-NULL can sit in any chunk — plain
+      val ign = spark.table(t).withColumn("fv",
+        first_value(col("v"), lit(true)).over(
+          Window.partitionBy(col("k")).orderBy(col("o"))))
+      assert(!chunked(ign), "first_value IGNORE NULLS must stay plain")
+      // unorderable value type (map): a struct field must sort — plain
+      val m = spark.table(t).withColumn("fv",
+        first_value(map(col("k"), col("v"))).over(
+          Window.partitionBy(col("k")).orderBy(col("o"))))
+      assert(!chunked(m), "first_value of an unorderable type must stay plain")
+    }
+  }
+
   test("DECIMAL running sum fires under the overflow proof, exact; " +
       "unproven/oversized decimals stay plain (VERDICT r12 #6)") {
     import org.apache.spark.sql.expressions.Window
