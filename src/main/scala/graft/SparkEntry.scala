@@ -1528,6 +1528,47 @@ object SparkEntry {
       }
     }),
 
+    // the three r13 arms COMPOSED: per-event "latest value so far
+    // context" over a bare TIMESTAMP event time DESCENDING —
+    // first_value(cents) + row_number in ONE desc-ts node (the DESC
+    // mirror negates UnixMicros(ord)). NOTE the division of labor this
+    // row pins: the FILTERED spelling (rn = 1) is Spark's own
+    // InferWindowGroupLimit's job — its exec prunes per key MAP-SIDE, so
+    // the rule stays out there by explicit guard; the UNFILTERED
+    // per-event form here is the shape only the chunk rewrite can spread.
+    "ext_autochunk_latest" -> ((s, dir) => {
+      val t = "graft_autochunk_latest_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          timestamp_seconds(lit(1704060000L) + col("event_id")).as("etime"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, etime")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val wd = Window.partitionBy(col("k")).orderBy(col("etime").desc)
+        val df = s.table(t)
+          .withColumn("latest_cents", first_value(col("cents")).over(wd))
+          .withColumn("rn_desc", row_number().over(wd))
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow did not fire on the DESC-timestamp node")
+        df.select(col("event_id"), col("k").as("user_id"),
+            col("latest_cents"), col("rn_desc"))
+          .orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // first_value via the struct(ord, v) leg (r13): with the DESC mirror
     // this is "the latest value per key" on every row — the feature-store
     // idiom — without a row_number filter. Both directions in one query;
@@ -10192,6 +10233,19 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS run_back,
         |  lag(cents, 1) OVER w AS newer
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id DESC)
+        |ORDER BY event_id""".stripMargin,
+
+    // the composed-arms re-plan must be invisible: per-event latest-value
+    // context, ordered by event_id (the event time is a monotone
+    // injective function of it — no raw timestamp crosses the boundary)
+    "ext_autochunk_latest" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  first_value(cents) OVER w AS latest_cents,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn_desc
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id DESC)
         |ORDER BY event_id""".stripMargin,

@@ -222,8 +222,16 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       conf.getConfString("spark.graft.autoChunk.allowFloat", "false").toBoolean
     plan.transformUp {
       // the name guard is the explicit fixed point: every Window this rule
-      // emits partitions by a __graft_chunk* attribute
+      // emits partitions by a __graft_chunk* attribute. A Window sitting
+      // on a WindowGroupLimit stays plain by design (r13): Spark's
+      // InferWindowGroupLimit has already rewritten the rank-filter
+      // pattern (rn = 1 latest-record) into a per-key group limit whose
+      // EXEC runs a map-side partial prune — the hot key never reaches
+      // one task in the first place, so chunking on top would only add
+      // shuffles to at-most-k rows per key.
       case w @ Window(exprs, partSpec, _, child, _) if exprs.nonEmpty &&
+          !child.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit] &&
           !partSpec.exists {
             case a: AttributeReference => a.name.startsWith(C_NAME)
             case _ => false

@@ -789,6 +789,27 @@ class AutoChunkWindowSpec extends SparkSpec {
       }
       assert(qn.collect().toSet == wantN,
         "null-timestamp rewrite changed the answer")
+      // the arms COMPOSE: row_number over the timestamp DESC — the
+      // verbatim latest-record labeling — fires and stays identical
+      def qd = spark.table(t).withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("o").desc)))
+      assert(chunked(qd), "DESC timestamp row_number must fire")
+      var wantD: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        wantD = qd.collect().toSet
+      }
+      assert(qd.collect().toSet == wantD,
+        "DESC-timestamp rewrite changed the answer")
+      // ...but the FILTERED spelling (rn = 1) belongs to Spark's own
+      // InferWindowGroupLimit, whose exec prunes per key MAP-SIDE before
+      // any exchange — the rule must stay out (explicit child guard) and
+      // leave the group-limit plan intact
+      val filtered = qd.filter(col("rn") === 1)
+      val fp = filtered.queryExecution.optimizedPlan.toString
+      assert(!fp.contains("__graft_chunk"),
+        s"rule must not fire on a WindowGroupLimit child:\n$fp")
+      assert(fp.contains("WindowGroupLimit"),
+        s"Spark's group-limit rewrite should own the rank filter:\n$fp")
       // a timestamp-ord RANGE frame takes CalendarInterval bounds — the
       // node must stay plain (the interval literal fails boundedRange)
       val ri = spark.sql(
