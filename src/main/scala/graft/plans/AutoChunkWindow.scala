@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Ascending,
   AttributeReference, Cast, Coalesce, CreateNamedStruct, CurrentRow, Divide,
   Descending, EqualTo, Expression, Floor, Greatest, GreaterThan,
   GreaterThanOrEqual, If,
-  IsNull, Least, LessThan, Literal, NamedExpression, NullsFirst, NullsLast,
+  IsNull, Least, LessThan, LessThanOrEqual, Literal, NamedExpression,
+  NullsFirst, NullsLast,
   Or, Pmod,
   RowFrame, SortOrder, SpecifiedWindowFrame, Subtract, UnboundedPreceding,
   UnixMicros, WindowExpression, WindowSpecDefinition}
@@ -55,7 +56,7 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   * the answer. The rule fires only when statistics PROVE a hot key:
   *
   *  - `spark.graft.autoChunk.enabled` (default true — it can only fire
-  *    on ANALYZE'd, cbo-on inputs with a proven hot key);
+  *    on inputs with a proven hot key);
   *  - child rowCount >= `minRows` (default 10M);
   *  - ORDER BY: a single bare attribute of a plain numeric type OR a
   *    TIMESTAMP (r13 — the chunk function reads a timestamp ord through
@@ -100,7 +101,19 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   *       combine is the serial-first row's pair; with tied first ords
   *       the struct tiebreaks by value where the serial pick is
   *       nondeterministic-within-peers — row_number's arbitrariness
-  *       class. IGNORE NULLS and unorderable value types stay plain;
+  *       class. Unorderable value types stay plain;
+  *     * FIRST_VALUE / LAST_VALUE **IGNORE NULLS** over the running frame
+  *       (r14, VERDICT r13 #5 — `last_value(v, true)` is THE forward-fill
+  *       / gap-fill imputation idiom): the same struct(ord, v) trick with
+  *       the null-v rows MASKED OUT of the leg (`if(v is null, null,
+  *       struct(ord, v))` — min/max skip nulls), so the combine is the
+  *       serial-first (respectively serial-LAST, via the opposite
+  *       min/max) NON-NULL row's pair. Direction table: first+ASC and
+  *       last+DESC take MIN of the struct, first+DESC and last+ASC take
+  *       MAX — in each case null ORD fields land exactly where the
+  *       direction's default null placement puts those rows in the
+  *       traversal. Tied ords tiebreak by value — the serial pick's
+  *       arbitrariness class, as above;
   *     * LAG/LEAD with a literal default (null or explicit — the block
   *       window replays the function verbatim, so the default fires
   *       exactly where the serial one does), respect-nulls, positive
@@ -132,12 +145,47 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   * frame's buffer per row. RANGE sliding frames stay plain (peers could
   * straddle block boundaries).
   *
+  * THE NO-CATALOG-STATS GLOBAL ARM (r14, VERDICT r13 #4): a GLOBAL
+  * window (empty PARTITION BY) needs no NDV statistic — ndv is 1 by
+  * construction, and the relation's size alone proves one-task hotness.
+  * When the Window has no partition keys, catalog stats are absent (bare
+  * parquet, derived aggregates — the default state of every real
+  * pipeline that never ran ANALYZE), `child.stats.sizeInBytes >=
+  * censusMinBytes` (default 1 GiB — below that the serial window is the
+  * right plan and the census would cost more than it saves), and
+  * `spark.graft.autoChunk.census` is on (default true), the rule runs
+  * ONE scan-parallel census over the child — count(1), min/max of the
+  * ORDER column, and min/max of any value column the avg/decimal proofs
+  * need — and fires off those exact numbers. The census is an extra
+  * pass of the input, which at 100 TB is still categorically cheaper
+  * than the one-task sort it replaces; results are cached per
+  * canonicalized child plan for the JVM's lifetime (same freshness
+  * stance as ANALYZE: the correctness-bearing proofs keep their 2x
+  * headroom, and a table that doubles under a cached census needs the
+  * cache dropped exactly as a stale catalog needs re-ANALYZE). KEYED
+  * windows never census — per-key NDV/hotness would need a groupBy, not
+  * a scan — and streaming children never census (no batch to scan).
+  *
   * The emitted aliases reuse the original ExprIds, so parents resolve
   * unchanged. Fixed point: every plan this rule emits carries a
   * `__graft_chunk*` attribute in its window partition specs, and
   * [[apply]] skips any Window node whose partition spec mentions one —
   * the explicit guard (the implicit one — derived chunk attributes never
   * have statistics — also holds, but the guard doesn't rely on it).
+  *
+  * RANK-LIMIT SHAPE GUARD (r14, ADVICE r13): the r13 guard skipped a
+  * Window sitting ON a [[org.apache.spark.sql.catalyst.plans.logical
+  * .WindowGroupLimit]] — the post-InferWindowGroupLimit form, which only
+  * exists when this rule runs AFTER that batch (the register()/
+  * extraOptimizations path). On the injectOptimizerRule path the rule
+  * runs BEFORE InferWindowGroupLimit, so [[apply]] also recognizes the
+  * PRE-rewrite shape — `Filter(rank_attr cmp literal, Window(single
+  * rank-like expression))`, the `row_number() = 1` latest-record idiom —
+  * and leaves it plain whenever the limit is inside Spark's
+  * windowGroupLimitThreshold: Spark's map-side group-limit prune (at
+  * most k rows per key reach the final sort) beats chunking there, and
+  * chunk-rewriting first would hide the shape from Spark. Both
+  * registration paths now preserve the same division of labor.
   */
 object AutoChunkWindow extends Rule[LogicalPlan] {
 
@@ -220,6 +268,15 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       conf.getConfString("spark.graft.autoChunk.chunks", "32").toInt
     val allowFloat =
       conf.getConfString("spark.graft.autoChunk.allowFloat", "false").toBoolean
+    // PRE-InferWindowGroupLimit rank-limit shapes (r14, ADVICE r13): on
+    // the injectOptimizerRule path this rule runs before Spark's group-
+    // limit inference, so the `Filter(rn <= k, Window(row_number))`
+    // latest-record idiom must be recognized raw — chunking it first
+    // would hide the shape from Spark's map-side prune. Collected once
+    // per invocation; matched structurally in the transform below.
+    val rankLimited: Set[LogicalPlan] = plan.collect {
+      case Filter(cond, w: Window) if rankLimitShape(cond, w) => w
+    }.toSet
     plan.transformUp {
       // the name guard is the explicit fixed point: every Window this rule
       // emits partitions by a __graft_chunk* attribute. A Window sitting
@@ -228,28 +285,80 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       // pattern (rn = 1 latest-record) into a per-key group limit whose
       // EXEC runs a map-side partial prune — the hot key never reaches
       // one task in the first place, so chunking on top would only add
-      // shuffles to at-most-k rows per key.
+      // shuffles to at-most-k rows per key. The rankLimited guard is the
+      // same skip for the PRE-rewrite shape (ADVICE r13 — the
+      // injectOptimizerRule path runs before InferWindowGroupLimit).
       case w @ Window(exprs, partSpec, _, child, _) if exprs.nonEmpty &&
           !child.isInstanceOf[
             org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit] &&
+          !rankLimited.contains(w) &&
           !partSpec.exists {
             case a: AttributeReference => a.name.startsWith(C_NAME)
             case _ => false
           } =>
         decomposeAll(exprs, allowFloat) match {
-          case Some(ds) if {
-              val d = ds.head
-              eligible(d.v, d.ord, d.partSpec, child, minRows, perKeyRows,
-                hotShare) &&
-                ds.tail.forall(_.v.deterministic) &&
-                ds.forall(avgExact(_, child, allowFloat)) &&
-                ds.forall(decimalExact(_, child)) &&
-                rangeCompatible(ds, child)
-            } =>
-            rewrite(child, ds, ds.head.ord,
-              ds.head.partSpec.map(_.asInstanceOf[AttributeReference]), chunks)
+          case Some(ds) if ds.forall(_.v.deterministic) &&
+              ordTypeOk(ds.head.ord.dataType) &&
+              ds.head.partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+            val pk = ds.head.partSpec.map(_.asInstanceOf[AttributeReference])
+            gateFor(ds, ds.head.ord, pk, child, perKeyRows, hotShare) match {
+              case Some(g) if g.rows >= BigInt(minRows) &&
+                  ds.forall(avgExact(_, g, allowFloat)) &&
+                  ds.forall(decimalExact(_, g)) &&
+                  rangeCompatible(ds, g) =>
+                rewrite(child, ds, ds.head.ord, pk, chunks, g)
+              case _ => w
+            }
           case _ => w
         }
+    }
+  }
+
+  /** The pre-rewrite rank-limit shape [[org.apache.spark.sql.catalyst
+    * .optimizer]]'s InferWindowGroupLimit targets: a Filter DIRECTLY on a
+    * Window whose expressions are all rank-like (row_number / rank /
+    * dense_rank), with some conjunct comparing a rank attribute to an
+    * integer literal whose implied group limit is positive and inside
+    * `spark.sql.optimizer.windowGroupLimitThreshold` (beyond the
+    * threshold Spark will NOT infer a group limit, so chunking stays the
+    * better plan and the guard does not fire). */
+  private def rankLimitShape(cond: Expression, w: Window): Boolean = {
+    if (w.orderSpec.isEmpty || w.windowExpressions.isEmpty) return false
+    val rankAttrs = w.windowExpressions.collect {
+      case a @ Alias(WindowExpression(fn, _), _)
+          if fn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.RowNumber] ||
+            fn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Rank] ||
+            fn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DenseRank] =>
+        a.exprId
+    }
+    if (rankAttrs.length != w.windowExpressions.length) return false
+    val threshold = conf.getConfString(
+      "spark.sql.optimizer.windowGroupLimitThreshold", "1000").toLong
+    if (threshold < 0) return false
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def intLim(e: Expression): Option[Long] = e match {
+      case Literal(i: Int, IntegerType) => Some(i.toLong)
+      case _ => None
+    }
+    def isRank(e: Expression): Boolean = e match {
+      case a: AttributeReference => rankAttrs.contains(a.exprId)
+      case _ => false
+    }
+    conjuncts(cond).exists {
+      case EqualTo(a, l) if isRank(a) => intLim(l).exists(k => k > 0 && k <= threshold)
+      case EqualTo(l, a) if isRank(a) => intLim(l).exists(k => k > 0 && k <= threshold)
+      case LessThan(a, l) if isRank(a) =>
+        intLim(l).exists(k => k > 1 && k - 1 <= threshold)
+      case LessThanOrEqual(a, l) if isRank(a) =>
+        intLim(l).exists(k => k > 0 && k <= threshold)
+      case GreaterThan(l, a) if isRank(a) =>
+        intLim(l).exists(k => k > 1 && k - 1 <= threshold)
+      case GreaterThanOrEqual(l, a) if isRank(a) =>
+        intLim(l).exists(k => k > 0 && k <= threshold)
+      case _ => false
     }
   }
 
@@ -404,6 +513,20 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           if org.apache.spark.sql.catalyst.expressions.RowOrdering
             .isOrderable(v.dataType) =>
         Some(("first", v))
+      // first_value / last_value IGNORE NULLS over the running frame
+      // (r14, VERDICT r13 #5 — last_value(v, true) is forward fill, the
+      // gap-fill imputation idiom): same struct(ord, v) leg with null-v
+      // rows masked out, so the min/max combine lands on the serial-
+      // first (resp. serial-last) NON-NULL row's pair. Orderable v only
+      // (the struct field must sort).
+      case org.apache.spark.sql.catalyst.expressions.aggregate.First(v, true)
+          if org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(v.dataType) =>
+        Some(("firstig", v))
+      case org.apache.spark.sql.catalyst.expressions.aggregate.Last(v, true)
+          if org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(v.dataType) =>
+        Some(("lastig", v))
       case _ => None
     }
 
@@ -496,17 +619,12 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     * "re-ANALYZE before the table doubles" — beyond that, disable the
     * rule or accept allowFloat's ulps tolerance explicitly. */
   private def avgExact(
-      d: Decomposed, child: LogicalPlan, allowFloat: Boolean): Boolean =
+      d: Decomposed, gate: Gate, allowFloat: Boolean): Boolean =
     d.kind != "avg" || allowFloat || (d.v match {
       case a: AttributeReference =>
-        val st = child.stats
-        (for {
-          rc <- st.rowCount
-          cs <- st.attributeStats.get(a)
-          mn <- cs.min.flatMap(statDouble)
-          mx <- cs.max.flatMap(statDouble)
-        } yield BigDecimal(rc) * BigDecimal(math.max(math.abs(mn), math.abs(mx))) <
-          BigDecimal(2).pow(52)).getOrElse(false)
+        gate.colRange(a).exists { case (mn, mx) =>
+          BigDecimal(gate.rows) * mn.abs.max(mx.abs) < BigDecimal(2).pow(52)
+        }
       case _ => false
     })
 
@@ -523,41 +641,50 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     * anywhere overflows, making both forms exact and equal. No stats,
     * non-attribute argument, or a bound over the threshold -> the node
     * stays plain. */
-  private def decimalExact(d: Decomposed, child: LogicalPlan): Boolean =
+  private def decimalExact(d: Decomposed, gate: Gate): Boolean =
     d.kind != "sum" || !d.v.dataType.isInstanceOf[DecimalType] || (d.v match {
       case a: AttributeReference =>
         val dt = d.v.dataType.asInstanceOf[DecimalType]
         val resP = math.min(DecimalType.MAX_PRECISION, dt.precision + 10)
-        val st = child.stats
-        (for {
-          rc <- st.rowCount
-          cs <- st.attributeStats.get(a)
-          mn <- cs.min.flatMap(statBigDecimal)
-          mx <- cs.max.flatMap(statBigDecimal)
-        } yield BigDecimal(rc) * mn.abs.max(mx.abs) * 2 <
-          BigDecimal(10).pow(resP - dt.scale)).getOrElse(false)
+        gate.colRange(a).exists { case (mn, mx) =>
+          BigDecimal(gate.rows) * mn.abs.max(mx.abs) * 2 <
+            BigDecimal(10).pow(resP - dt.scale)
+        }
       case _ => false
     })
 
-  private def eligible(
-      v: Expression, ord: AttributeReference,
-      partSpec: Seq[Expression], child: LogicalPlan,
-      minRows: Long, perKeyRows: Long, hotShare: Double): Boolean = {
-    if (!v.deterministic) return false
-    if (!ordTypeOk(ord.dataType)) return false
-    val pk = partSpec.map {
-      case a: AttributeReference => a
-      case _ => return false
-    }
+  /** The numbers the rewrite consumes, path-independent: exact-or-ANALYZE
+    * row count, the ORDER column's range in its stats unit, and per-column
+    * min/max for the avg/decimal overflow proofs. Built from catalog
+    * statistics when they exist ([[catalogGate]]) or from the one-scan
+    * census on the no-stats global arm ([[censusGate]]). */
+  private case class Gate(
+      rows: BigInt, ordLo: Double, ordHi: Double,
+      colRange: AttributeReference => Option[(BigDecimal, BigDecimal)])
+
+  /** Hotness + range gate. Catalog stats decide whenever they can (both
+    * keyed and global windows); the census path is the GLOBAL-window
+    * fallback only — ndv = 1 needs no statistic, so relation size alone
+    * justifies one scan-parallel counting pass (VERDICT r13 #4). */
+  private def gateFor(
+      ds: Seq[Decomposed], ord: AttributeReference,
+      pk: Seq[AttributeReference], child: LogicalPlan,
+      perKeyRows: Long, hotShare: Double): Option[Gate] =
+    catalogGate(ord, pk, child, perKeyRows, hotShare)
+      .orElse(censusGate(ds, ord, pk, child, perKeyRows))
+
+  private def catalogGate(
+      ord: AttributeReference, pk: Seq[AttributeReference],
+      child: LogicalPlan, perKeyRows: Long, hotShare: Double): Option[Gate] = {
     val st = child.stats
-    val rows = st.rowCount.getOrElse(return false)
-    if (rows < minRows) return false
+    val rows = st.rowCount.getOrElse(return None)
     // the chunk function needs the ORDER column's real range
-    val ordOk = st.attributeStats.get(ord).exists(cs =>
-      cs.min.flatMap(statDouble).isDefined &&
-        cs.max.flatMap(statDouble).isDefined)
-    if (!ordOk) return false
+    val lo = st.attributeStats.get(ord).flatMap(_.min).flatMap(statDouble)
+      .getOrElse(return None)
+    val hi = st.attributeStats.get(ord).flatMap(_.max).flatMap(statDouble)
+      .getOrElse(return None)
     // hotness, signal 1: the AVERAGE key already overwhelms one task
+    // (covers the no-keys global window with ndv = 1)
     val ndv = pk.foldLeft(Option(BigInt(1))) { (acc, a) =>
       for (p <- acc; cs <- st.attributeStats.get(a); dc <- cs.distinctCount)
         yield p * dc
@@ -575,7 +702,96 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       }
       case _ => false
     }
-    avgHot || histHot
+    if (!(avgHot || histHot)) return None
+    Some(Gate(rows, lo, hi, a => for {
+      cs <- st.attributeStats.get(a)
+      mn <- cs.min.flatMap(statBigDecimal)
+      mx <- cs.max.flatMap(statBigDecimal)
+    } yield (mn, mx)))
+  }
+
+  /** One census result: exact row count plus min/max per censused child-
+    * output position, keyed by the CANONICALIZED child plan (exprIds are
+    * normalized away, so the same scan censuses once per JVM). Bounded:
+    * the cache clears wholesale past 128 plans — a re-census costs one
+    * scan, a leak would cost the driver heap. */
+  private case class Census(
+      rows: BigInt, byPos: Map[Int, Option[(BigDecimal, BigDecimal)]])
+  private val censusCache =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Census]()
+
+  private def censusGate(
+      ds: Seq[Decomposed], ord: AttributeReference,
+      pk: Seq[AttributeReference], child: LogicalPlan,
+      perKeyRows: Long): Option[Gate] = {
+    // GLOBAL windows only: a keyed window's hotness needs per-key NDV,
+    // which no scan-shaped census can prove cheaply — keyed arms stay
+    // ANALYZE-gated by design
+    if (pk.nonEmpty) return None
+    if (child.isStreaming) return None
+    if (!conf.getConfString("spark.graft.autoChunk.census", "true").toBoolean)
+      return None
+    val minBytes = BigInt(conf.getConfString(
+      "spark.graft.autoChunk.censusMinBytes", "1073741824"))
+    if (child.stats.sizeInBytes < minBytes) return None
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .getOrElse(return None)
+    // censused positions: the ord, plus every value column the avg /
+    // decimal-sum overflow proofs will ask for
+    val ordPos = child.output.indexWhere(_.exprId == ord.exprId)
+    if (ordPos < 0) return None
+    val proofAttrs = ds.collect {
+      case d if d.kind == "avg" ||
+          (d.kind == "sum" && d.v.dataType.isInstanceOf[DecimalType]) =>
+        d.v match {
+          case a: AttributeReference => child.output.indexWhere(_.exprId == a.exprId)
+          case _ => -1
+        }
+    }
+    if (proofAttrs.contains(-1)) return None // non-attribute arg: no proof
+    val need = (ordPos +: proofAttrs).distinct.sorted
+    val key = child.canonicalized
+    val cached = Option(censusCache.get(key)).filter(c =>
+      need.forall(c.byPos.contains))
+    val census = cached.getOrElse {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+      // ONE scan: count(1) + min/max per needed column. The ord is read
+      // through ordNumeric (epoch micros for timestamps — the unit the
+      // chunk function divides in); value columns keep their native type
+      // so decimal proofs stay exact.
+      def rangeExpr(pos: Int): Expression = {
+        val a = child.output(pos)
+        if (a.exprId == ord.exprId) Cast(ordNumeric(ord), DoubleType) else a
+      }
+      val aggs: Seq[NamedExpression] =
+        Alias(Count(Seq(Literal(1))).toAggregateExpression(), "__graft_cnt")() +:
+          need.flatMap { p =>
+            Seq(Alias(Min(rangeExpr(p)).toAggregateExpression(), s"__graft_lo_$p")(),
+              Alias(Max(rangeExpr(p)).toAggregateExpression(), s"__graft_hi_$p")())
+          }
+      val row = org.apache.spark.sql.graft.ColumnBridge
+        .ofRows(spark, Aggregate(Nil, aggs, child)).collect()(0)
+      val byPos = need.zipWithIndex.map { case (p, i) =>
+        val (loI, hiI) = (1 + 2 * i, 2 + 2 * i)
+        p -> (if (row.isNullAt(loI) || row.isNullAt(hiI)) None
+              else for {
+                mn <- statBigDecimal(row.get(loI))
+                mx <- statBigDecimal(row.get(hiI))
+              } yield (mn, mx))
+      }.toMap
+      val c = Census(BigInt(row.getLong(0)), byPos)
+      if (censusCache.size() > 128) censusCache.clear()
+      censusCache.put(key, c)
+      c
+    }
+    // the one key (the whole relation) must overwhelm one task, and the
+    // ord range must be real (all-null ords: the plain window is correct)
+    if (census.rows < BigInt(perKeyRows)) return None
+    val (lo, hi) = census.byPos(ordPos).getOrElse(return None)
+    Some(Gate(census.rows, lo.toDouble, hi.toDouble, a => {
+      val p = child.output.indexWhere(_.exprId == a.exprId)
+      if (p < 0) None else census.byPos.get(p).flatten
+    }))
   }
 
   /** RANGE-sliding fire guard: (a) the seq-block kinds (lag/lead, ROWS
@@ -584,7 +800,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     * node); (b) at least two blocks of width >= the frame reach must fit
     * the ANALYZE'd ord range, else the frame spans the data and the
     * serial window is already the right plan. */
-  private def rangeCompatible(ds: Seq[Decomposed], child: LogicalPlan): Boolean = {
+  private def rangeCompatible(ds: Seq[Decomposed], gate: Gate): Boolean = {
     val rng = ds.filter(_.kind == "rslide")
     if (rng.isEmpty) return true
     if (ds.exists(d => d.kind == "lag" || d.kind == "slide")) return false
@@ -600,12 +816,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       val h = boundedRange(d.frame.upper).get
       math.max(math.max(0.0, -l), math.max(0.0, h))
     }.max
-    val st = child.stats
-    (for {
-      cs <- st.attributeStats.get(ds.head.ord)
-      mn <- cs.min.flatMap(statDouble)
-      mx <- cs.max.flatMap(statDouble)
-    } yield reach == 0.0 || (mx - mn) / reach >= 2.0).getOrElse(false)
+    reach == 0.0 || (gate.ordHi - gate.ordLo) / reach >= 2.0
   }
 
   /** One physical aggregate column of the decomposition. A running
@@ -628,12 +839,17 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // the serial-first row's pair, and the value field pops out at the end
     case "first" => Seq(Leg("first", CreateNamedStruct(
       Seq(Literal("o"), d.ord, Literal("x"), d.v))))
+    // the IGNORE-NULLS twins mask null-v rows OUT of the leg — min/max
+    // skip nulls, so only non-null-v rows compete for the combine
+    case k @ ("firstig" | "lastig") =>
+      val st = CreateNamedStruct(Seq(Literal("o"), d.ord, Literal("x"), d.v))
+      Seq(Leg(k, If(IsNull(d.v), Literal.create(null, st.dataType), st)))
     case k => Seq(Leg(k, d.v))
   }
 
   private def rewrite(
       child: LogicalPlan, ds: Seq[Decomposed], ord: AttributeReference,
-      pk: Seq[AttributeReference], chunks: Int): LogicalPlan = {
+      pk: Seq[AttributeReference], chunks: Int, gate: Gate): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
     val desc = ds.head.so.direction == Descending
     def aggFn(kind: String, e: Expression) = (kind match {
@@ -642,8 +858,12 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       case "min" => Min(e)
       // serial-first = minimal (ord, v) under ASC, maximal under DESC —
       // null ord fields compare smallest either way, which matches each
-      // direction's default null placement exactly
-      case "first" => if (desc) Max(e) else Min(e)
+      // direction's default null placement exactly. The IGNORE-NULLS
+      // twins (r14) run the same struct min/max over the NULL-MASKED leg:
+      // firstig mirrors first; lastig flips the direction table (serial-
+      // LAST non-null = maximal pair under ASC, minimal under DESC).
+      case "first" | "firstig" => if (desc) Max(e) else Min(e)
+      case "lastig" => if (desc) Min(e) else Max(e)
       case _ => Max(e)
     }).toAggregateExpression()
     // the offset side re-combines CHUNK TOTALS — for count that is a SUM
@@ -663,18 +883,20 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
          else Nil)
     val legOffsets = ds.map(legsOf(_).length).scanLeft(0)(_ + _)
     val seqLegIdx = flat.length - 1 // valid only when needSeq
+    // legs that DON'T replay the original AggregateExpression: avg's
+    // fresh sum/count pair, and the struct-leg kinds (first/firstig/
+    // lastig aggregate the struct surrogate, not the original function)
+    val freshLegKinds = Set("avg", "first", "firstig", "lastig")
     def localAgg(od: Option[Decomposed], l: Leg): AggregateExpression =
-      od.flatMap(d => d.ae.filter(_ => d.kind != "avg" && d.kind != "first"))
+      od.flatMap(d => d.ae.filter(_ => !freshLegKinds(d.kind)))
         .getOrElse(aggFn(l.kind, l.v))
     val runFrame =
       SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
     def legFrame(od: Option[Decomposed]): SpecifiedWindowFrame =
       od.map(_.frame).getOrElse(runFrame)
-    val st = child.stats
-    val rows = st.rowCount.get // eligible() proved presence
-    val cs = st.attributeStats(ord)
-    val lo = statDouble(cs.min.get).get
-    val hi = statDouble(cs.max.get).get
+    val rows = gate.rows
+    val lo = gate.ordLo
+    val hi = gate.ordHi
     // a pure RANGE-sliding node needs none of the chunk-offset machinery
     // (no running legs, no sequence numbers) — straight to the ord-block
     // stage over the bare child
@@ -830,12 +1052,19 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           // rslide resolves in rewriteRange — emitting a combine alias
           // here would shadow the ord-block alias in finals (ADVICE r12)
           case "lag" | "slide" | "rslide" => None
-          // first: min/max-combine the struct leg, then read the value
-          // field — Least/Greatest skip the first chunk's absent offset
-          case "first" =>
+          // first / IGNORE-NULLS twins: min/max-combine the struct leg,
+          // then read the value field — Least/Greatest skip both the
+          // first chunk's absent offset and all-null-masked chunks
+          case "first" | "firstig" =>
             val m: Expression =
               if (desc) Greatest(Seq(loc(0), off(0)))
               else Least(Seq(loc(0), off(0)))
+            Some(org.apache.spark.sql.catalyst.expressions
+              .GetStructField(m, 1, Some("x")))
+          case "lastig" =>
+            val m: Expression =
+              if (desc) Least(Seq(loc(0), off(0)))
+              else Greatest(Seq(loc(0), off(0)))
             Some(org.apache.spark.sql.catalyst.expressions
               .GetStructField(m, 1, Some("x")))
           case k => Some(combineLeg(k, loc(0), off(0)))
@@ -874,8 +1103,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val reaches = navDs.map(navReach)
     val back = (reaches.map(_._1) :+ 0L).max
     val fwd = (reaches.map(_._2) :+ 0L).max
-    val bSize = Seq(1L, back, fwd,
-      (BigInt(rows.toLong) / chunks).toLong).max
+    val bSize = Seq(1L, back, fwd, (rows / chunks).toLong).max
     def selfBlk = org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       Subtract(seqAttr, Literal(1L)), Literal(bSize))
     val tblkAttr = AttributeReference(C_NAME + "_blk", LongType,

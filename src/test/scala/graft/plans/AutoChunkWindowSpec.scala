@@ -821,7 +821,8 @@ class AutoChunkWindowSpec extends SparkSpec {
   }
 
   test("first_value fires via the struct(ord, v) leg — both directions, " +
-      "null ords/values; IGNORE NULLS and unorderable values stay plain (r13)") {
+      "null ords/values; IGNORE NULLS fires via the masked leg (r14); " +
+      "unorderable values stay plain") {
     import org.apache.spark.sql.expressions.Window
     // EXACTLY one null ord per key (ids 0 and 1): the serial first row
     // under ASC NULLS FIRST is then DETERMINISTIC — with several tied
@@ -863,11 +864,26 @@ class AutoChunkWindowSpec extends SparkSpec {
         assert(q.collect().toSet == want,
           s"first_value (desc=$descDir) rewrite changed the answer")
       }
-      // IGNORE NULLS: the first NON-NULL can sit in any chunk — plain
-      val ign = spark.table(t).withColumn("fv",
-        first_value(col("v"), lit(true)).over(
-          Window.partitionBy(col("k")).orderBy(col("o"))))
-      assert(!chunked(ign), "first_value IGNORE NULLS must stay plain")
+      // IGNORE NULLS (r14, VERDICT r13 #5): first_value/last_value with
+      // null-v rows masked out of the struct leg — fires in both
+      // directions and stays value-identical. last_value(v, true) over
+      // the running frame IS forward fill — the imputation idiom.
+      for (descDir <- Seq(false, true)) {
+        val wb = Window.partitionBy(col("k"))
+          .orderBy(if (descDir) col("o").desc else col("o"))
+        def ign = spark.table(t)
+          .withColumn("fnn", first_value(col("v"), lit(true)).over(wb))
+          .withColumn("ffill", last(col("v"), ignoreNulls = true).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        assert(chunked(ign),
+          s"IGNORE NULLS (desc=$descDir) must fire:\n${ign.queryExecution.optimizedPlan}")
+        var wantIg: Set[org.apache.spark.sql.Row] = null
+        withConfs("spark.graft.autoChunk.enabled" -> "false") {
+          wantIg = ign.collect().toSet
+        }
+        assert(ign.collect().toSet == wantIg,
+          s"IGNORE NULLS (desc=$descDir) rewrite changed the answer")
+      }
       // unorderable value type (map): a struct field must sort — plain
       val m = spark.table(t).withColumn("fv",
         first_value(map(col("k"), col("v"))).over(
@@ -954,6 +970,115 @@ class AutoChunkWindowSpec extends SparkSpec {
       assert(!chunked(spark.table(t)
           .withColumn("run", avg(col("v")).over(w))),
         "decimal avg must stay plain")
+    }
+  }
+
+  test("no-catalog-stats GLOBAL arm: bare parquet fires via the one-scan " +
+      "census — keyed windows and sub-threshold relations stay plain " +
+      "(VERDICT r13 #4)") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_census").toString
+    // bare parquet, NEVER analyzed: rowCount/colStats absent by
+    // construction — the exact state of every pipeline that skips ANALYZE
+    spark.range(20000L).select(
+        pmod(col("id"), lit(4L)).as("k"), col("id").as("o"),
+        when(col("id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(pmod(xxhash64(col("id")), lit(100L))).as("v"))
+      .write.mode("overwrite").parquet(dir)
+    def t = spark.read.parquet(dir)
+    val wg = Window.orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withConfs(
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.censusMinBytes" -> "1",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      // global running sum + row_number + avg in one node: the census
+      // provides the row count, the ord range AND the avg 2^53 proof
+      def q = t.withColumn("run", sum(col("v")).over(wg))
+        .withColumn("rn", row_number().over(Window.orderBy(col("o"))))
+        .withColumn("av", avg(col("v")).over(wg))
+      assert(chunked(q),
+        s"census global arm must fire on bare parquet:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      assert(q.collect().toSet == want, "census rewrite changed the answer")
+      // KEYED window on the same bare parquet: no census (per-key NDV
+      // needs a groupBy, not a scan) — stays plain without ANALYZE
+      val keyed = t.withColumn("run", sum(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(!chunked(keyed), "keyed windows must stay ANALYZE-gated")
+      // census switched off -> plain
+      withConfs("spark.graft.autoChunk.census" -> "false") {
+        assert(!chunked(t.withColumn("run", sum(col("v")).over(wg))),
+          "census=false must keep the global window plain")
+      }
+      // size threshold not met -> plain (no census job either)
+      withConfs("spark.graft.autoChunk.censusMinBytes" -> "1099511627776") {
+        assert(!chunked(t.withColumn("run", sum(col("v")).over(wg))),
+          "sub-threshold relations must stay plain")
+      }
+    }
+  }
+
+  test("injectOptimizerRule path: the PRE-InferWindowGroupLimit rank-limit " +
+      "shape stays plain while running windows still chunk (ADVICE r13)") {
+    import org.apache.spark.sql.expressions.Window
+    // bare parquet + the census arm: self-contained in the fresh session
+    // (a second session over the same context does NOT share the
+    // in-memory catalog), and the sharpest guard probe — absent the
+    // guard, the census arm WOULD fire on the global rn=1 shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_inject").toString
+    spark.range(20000L).select(
+        pmod(col("id"), lit(4L)).as("k"), col("id").as("o"),
+        pmod(xxhash64(col("id")), lit(100L)).as("v"))
+      .write.mode("overwrite").parquet(dir)
+    val oldDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    val oldActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    // a FRESH session over the same context, extensions injected the
+    // production way — the rule now runs in the operator-optimization
+    // batches, BEFORE Spark's InferWindowGroupLimit
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions).getOrCreate()
+    try {
+      Seq("spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "1000",
+        "spark.graft.autoChunk.censusMinBytes" -> "1",
+        "spark.graft.autoChunk.chunks" -> "8")
+        .foreach { case (k, v) => s2.conf.set(k, v) }
+      def t = s2.read.parquet(dir)
+      // sanity: the rule IS live on this path — a global running sum
+      // chunks via the census arm
+      val run = t.withColumn("run", sum(col("v")).over(
+        Window.orderBy(col("o"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(run.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+        s"rule must fire via injectOptimizerRule:\n${run.queryExecution.optimizedPlan}")
+      // the latest-record idiom: row_number() = 1 must be LEFT for
+      // Spark's map-side group-limit prune, exactly as on the
+      // extraOptimizations path (the r13 child guard alone was dead code
+      // here — the rule used to chunk first and hide the shape)
+      val latest = t
+        .withColumn("rn", row_number().over(Window.orderBy(col("o").desc)))
+        .filter(col("rn") === 1)
+      val fp = latest.queryExecution.optimizedPlan.toString
+      assert(!fp.contains("__graft_chunk"),
+        s"rank-limit shape must stay plain on the inject path:\n$fp")
+      // Spark's own prune owns the shape: WindowGroupLimit for keyed
+      // rank filters; for the GLOBAL rn=1 form LimitPushDownThroughWindow
+      // does even better — a map-side LocalLimit top-1 before the sort
+      assert(fp.contains("WindowGroupLimit") || fp.contains("LocalLimit"),
+        s"Spark's group-limit/limit-pushdown rewrite should own the rank filter:\n$fp")
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      oldDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      oldActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
     }
   }
 }
