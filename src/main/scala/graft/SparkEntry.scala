@@ -3058,11 +3058,31 @@ object SparkEntry {
     "ext_vocab_growth" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      // bucket = corpus-prefix decile by doc_id rank (dim-table window)
-      val ranked = docs
-        .withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("bucket", expr("(rk - 1) * 10 div n"))
+      // bucket = corpus-prefix decile by doc_id rank. r14 (VERDICT r13
+      // #2): the old row_number() OVER (ORDER BY doc_id) sorted the WHOLE
+      // corpus — text column and all — on one task. doc_id is unique, so
+      // rank(doc) >= ceil(b*n/10) <=> doc_id >= T_b where T_b is the
+      // doc_id AT that rank: nine boundary values from the counts-only
+      // rank refinement (a slim doc_id projection; exact — doc_ids sit
+      // far below the 2^53 double envelope), then the bucket is nine
+      // scan-parallel comparisons. Fallback for n < 10 (boundary ranks
+      // collide past n): the serial window IS the right plan there.
+      val ranked = {
+        val nDocs = docs.count()
+        if (nDocs < 10)
+          docs.withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))))
+            .withColumn("bucket", expr(s"(rk - 1) * 10 div $nDocs"))
+        else {
+          val th = graft.operators.Sketch.exactRanks(
+              docs.select(col("doc_id")), "doc_id",
+              n => (1L to 9L).map(b => (b * n + 9) / 10 + 1))
+            .collect().map(r => r.getDouble(r.fieldIndex("value")).toLong)
+            .sorted
+          docs.withColumn("bucket",
+            th.map(t => when(col("doc_id") >= t, 1L).otherwise(0L))
+              .reduce(_ + _))
+        }
+      }
       val perBucket = ranked
         .select(col("bucket"),
           size(graft.operators.TextAnalysis.tokens(lower(col("text"))))
@@ -3792,23 +3812,32 @@ object SparkEntry {
 
     // QQ table: purchase vs view value distributions compared decile by
     // decile (ceiling-rank picks on each side, joined on the decile) —
-    // "are purchases just scaled-up views?" read directly off the ratio
+    // "are purchases just scaled-up views?" read directly off the ratio.
+    // Rank selection rides Sketch.exactRanks (r14, VERDICT r13 #1): the
+    // old row_number() over ONE unpartitioned window held every event of
+    // a side on one task; the refinement's shuffles carry counts, never
+    // values, and the decile picks are identical — the r-th smallest
+    // cents WITH multiplicity is tie-order invariant, so dropping the
+    // event_id tiebreak changes which ROW is picked, never which VALUE.
     "ext_qq_table" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      def deciles(tpe: String, out: String) = Tables.events(s, dir)
-        .filter(col("event_type") === tpe)
-        .select((money(col("value")) * 100).cast("long").as("cents"),
-          col("event_id"))
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("cents"), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .select(col("cents"), col("r"), col("n"),
-          explode(expr("sequence(1, 9)")).as("q"))
-        .filter(col("r") === expr("(q * n + 9) div 10"))
-        .select(col("q"), col("cents").as(out))
+      def deciles(tpe: String, out: String) = {
+        val vals = Tables.events(s, dir)
+          .filter(col("event_type") === tpe)
+          .select((money(col("value")) * 100).cast("long").as("cents"))
+        // ceiling-rank picks: r_q = (q*n + 9) div 10, 1-indexed — the
+        // rank-to-decile map is reproduced from the SAME pure formula
+        // inside the broadcast-joined driver relation (two deciles may
+        // share a rank below n = 10; the join then fans the value out)
+        graft.operators.Sketch.exactRanks(vals, "cents",
+            n => (1L to 9L).map(q => (q * n + 9) / 10))
+          .withColumn("q", explode(expr("sequence(1, 9)")))
+          .filter(col("rank") === expr("(q * n + 9) div 10"))
+          .select(col("q").cast("long").as("q"),
+            col("value").cast("long").as(out))
+      }
       deciles("purchase", "purchase_cents")
         .join(deciles("view", "view_cents"), Seq("q"))
-        .select(col("q").cast("long").as("decile"), col("purchase_cents"),
+        .select(col("q").as("decile"), col("purchase_cents"),
           col("view_cents"),
           (col("purchase_cents").cast("double") /
             col("view_cents").cast("double")).as("ratio"))

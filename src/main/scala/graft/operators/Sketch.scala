@@ -524,6 +524,62 @@ object Sketch {
     val targets = qs.distinct.sorted.map(q => q -> math.floor(q * (n - 1)).toLong)
     if (lo == hi) // constant column: every rank selects the one value
       return targets.map { case (q, r) => (q, n, r, lo) }.toDF("q", "n", "rank", "value")
+    refineRanks(vals, n, lo, hi, targets, buckets)
+  }
+
+  /** Exact values at EXPLICIT 1-indexed ranks of the ascending value
+    * order (with multiplicity) — the rank-SELECTION face of
+    * [[exactQuantiles]], same counts-only bucket refinement: shuffles
+    * carry counts, never values, and no task ever holds the relation
+    * (VERDICT r13 #1 — the scale-safe replacement for `row_number()
+    * OVER (ORDER BY v)` + `WHERE r = target`, whose unpartitioned
+    * WindowExec holds the whole relation on one task). `ranksOf`
+    * receives the non-null row count and returns the 1-indexed ranks to
+    * select, so rank-from-count formulas (decile cuts, ntile boundaries)
+    * compose without a separate count job. Values travel through a
+    * DOUBLE image of the column — exact for integer payloads below 2^53
+    * (cents, ids: the engine's standing exactness envelope). Output one
+    * row per distinct requested rank: (rank, n, value), rank 1-indexed.
+    * Ranks outside [1, n] fail loudly rather than shrinking the answer. */
+  def exactRanks(
+      df: DataFrame,
+      valueCol: String,
+      ranksOf: Long => Seq[Long],
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = graft.util.Checkpoints.cut(
+      graft.sources.Tables.ensureParallelism(
+        df.select(col(valueCol).cast("double").as("v"))
+          .filter(col("v").isNotNull)))
+    val Array(st) = vals.agg(count(lit(1)).as("n"),
+      min(col("v")).as("lo"), max(col("v")).as("hi")).collect()
+    val n = st.getLong(0)
+    val ranks = ranksOf(n).distinct.sorted
+    if (ranks.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("rank", "n", "value")
+    require(ranks.head >= 1 && ranks.last <= n,
+      s"ranks out of [1, $n]: ${ranks.filter(r => r < 1 || r > n)}")
+    val (lo, hi) = (st.getDouble(1), st.getDouble(2))
+    // rank labels double as the refinement's q labels (same sort order)
+    val targets = ranks.map(r => r.toDouble -> (r - 1))
+    val out =
+      if (lo == hi) // constant column: every rank selects the one value
+        targets.map { case (q, r) => (q, n, r, lo) }
+          .toDF("q", "n", "rank", "value")
+      else refineRanks(vals, n, lo, hi, targets, buckets)
+    out.select((col("rank") + 1L).as("rank"), col("n"), col("value"))
+  }
+
+  /** The shared refinement core: exact values at the given (label,
+    * 0-indexed rank) targets over the pinned single-column projection.
+    * Returns (q, n, rank, value) ordered by label. */
+  private def refineRanks(
+      vals: DataFrame, n: Long, lo: Double, hi: Double,
+      targets: Seq[(Double, Long)], buckets: Int): DataFrame = {
+    val spark = vals.sparkSession
+    import spark.implicits._
     val B = buckets
     // scaled position in [0, B); i1/i2 are the SAME pure function of v in
     // every round — membership is integer comparison, never a float bound
