@@ -571,4 +571,49 @@ class SkewWindowSpec extends SparkSpec {
       .select(col("k"), col("run")).as[(Long, Long)].collect().toMap
     assert(r == Map(1L -> 7L, 2L -> 9L), s"got $r")
   }
+
+  test("globalRankByValue: rank + cum parity with the serial global " +
+      "window, both directions, heavy ties; no row-level global sort") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties: only 13 distinct values over 5k rows; unique tie ids
+    val df = spark.range(5000L).select(
+      col("id").as("u"),
+      pmod(xxhash64(col("id")), lit(13L)).as("v"))
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) col("v").desc else col("v").asc
+      val w = Window.orderBy(ord, col("u").asc)
+      val want = df
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val got = Skew.globalRankByValue(df, "v", "u", "r", desc = desc,
+        cumCol = Some("cum"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"globalRankByValue (desc=$desc) diverges from the serial window")
+      // plan pin: the only unpartitioned window runs over the 13-row
+      // HISTOGRAM, never the 5k-row relation — every partition-less
+      // Window node's child carries the histogram columns
+      val globalWins = got.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWins.nonEmpty, "expected the histogram prefix window")
+      globalWins.foreach { w =>
+        assert(w.child.output.exists(_.name == "__gc"),
+          s"global window must ride the histogram, not the rows:\n$w")
+      }
+    }
+    // NULL values rank at their direction's default placement
+    val withNulls = spark.range(100L).select(col("id").as("u"),
+      when(col("id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(pmod(col("id"), lit(5L))).as("v"))
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) col("v").desc else col("v").asc
+      val want = withNulls.withColumn("r",
+        row_number().over(Window.orderBy(ord, col("u").asc)).cast("long"))
+      val got = Skew.globalRankByValue(withNulls, "v", "u", "r", desc = desc)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"null values (desc=$desc) must rank at the default placement")
+    }
+  }
 }

@@ -1024,6 +1024,36 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
+  test("census arm fires on a DERIVED AGGREGATE child — the entity-ranked " +
+      "histogram shape decomposes end to end (VERDICT r13 #3)") {
+    // the exact shape the Lorenz/Gini/Pareto/RFM rows produce after the
+    // r14 sweep: a per-entity aggregate, then globalRankByValue whose
+    // only global window rides the value histogram. Derived aggregates
+    // never carry catalog stats — the census is the ONLY gate that can
+    // prove hotness here, and it must execute the aggregate child
+    // mid-optimization without recursing.
+    withConfs(
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.censusMinBytes" -> "1",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val perUser = spark.range(40000L)
+        .select(pmod(xxhash64(col("id")), lit(8000L)).as("u"),
+          pmod(xxhash64(col("id"), lit(5)), lit(1000L)).as("c"))
+        .groupBy(col("u")).agg(sum(col("c")).as("cents"))
+      def q = graft.operators.Skew.globalRankByValue(
+        perUser, "cents", "u", "r", cumCol = Some("cum"))
+      assert(chunked(q),
+        s"the histogram prefix window must chunk via census:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      assert(q.collect().toSet == want,
+        "census rewrite over the aggregate child changed the answer")
+    }
+  }
+
   test("injectOptimizerRule path: the PRE-InferWindowGroupLimit rank-limit " +
       "shape stays plain while running windows still chunk (ADVICE r13)") {
     import org.apache.spark.sql.expressions.Window
