@@ -1644,6 +1644,91 @@ object SparkEntry {
       }
     }),
 
+    // the NO-CATALOG-STATS global arm graded end to end (r14, VERDICT
+    // r13 #4): BARE parquet — never saved to the catalog, never
+    // ANALYZE'd, the default state of real pipelines — with a GLOBAL
+    // running sum + row_number + running avg in one node. ndv = 1 needs
+    // no statistic; one scan-parallel census (count, ord range, and the
+    // avg proof's value range) proves hotness and the 2^53 bound, and
+    // the node decomposes. The require() asserts the fire; the oracle is
+    // the plain serial window — the re-plan must be invisible.
+    "ext_autochunk_global" -> ((s, dir) => {
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "graft_autochunk_global_parquet").toString
+      deleteRecursively(loc)
+      Tables.events(s, dir).select(col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").parquet(loc)
+      val scoped = Seq(
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "1000",
+        "spark.graft.autoChunk.censusMinBytes" -> "1",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val df = s.read.parquet(loc)
+          .withColumn("run_cents", sum(col("cents")).over(w))
+          .withColumn("rn", row_number().over(Window.orderBy(col("event_id"))))
+          .withColumn("avg_cents", avg(col("cents")).over(w))
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow's census global arm did not fire on bare parquet")
+        df.select(col("event_id"), col("run_cents"), col("rn"),
+            col("avg_cents"))
+          .orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+    // the IGNORE-NULLS first/last rule arms graded end to end (r14,
+    // VERDICT r13 #5): forward fill — `last_value(cents, true)` over the
+    // running frame — plus first-non-null, as PLAIN SQL windows over a
+    // stats-bearing hot table, re-planned through the null-masked
+    // struct(ord, v) legs. The manual-verb twin is
+    // ext_window_forward_fill; this row grades the AUTOMATIC path. The
+    // oracle is DuckDB's native IGNORE NULLS window.
+    "ext_autochunk_ffill" -> ((s, dir) => {
+      val t = "graft_autochunk_ffill_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          when(col("event_id") % 3 === 0, lit(null).cast("long"))
+            .otherwise(round(col("value") * 100).cast("long")).as("cents"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, event_id")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("k")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val df = s.table(t)
+          .withColumn("filled_cents",
+            last(col("cents"), ignoreNulls = true).over(w))
+          .withColumn("first_nn_cents",
+            first(col("cents"), ignoreNulls = true).over(w))
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow did not fire on the IGNORE-NULLS node")
+        df.select(col("event_id"), col("k").as("user_id"),
+            col("filled_cents"), col("first_nn_cents"))
+          .orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // chunk-parallel LAG ... IGNORE NULLS (r13): the forward-fill /
     // last-observation idiom. The nearest non-null can sit arbitrarily
     // far back — beyond any bounded donor band — so the BLOCK form can't
@@ -10329,6 +10414,35 @@ object SparkEntry {
         |  CAST(sum(amount) OVER (PARTITION BY user_id ORDER BY event_id)
         |    * 100 AS BIGINT) AS run_cents
         |FROM c ORDER BY event_id""".stripMargin,
+
+    // the census global arm must be invisible — plain serial windows;
+    // avg replays Spark's exact-integer double division
+    "ext_autochunk_global" ->
+      """WITH c AS (SELECT event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS run_cents,
+        |  CAST(row_number() OVER (ORDER BY event_id) AS INTEGER) AS rn,
+        |  CAST(sum(cents) OVER w AS DOUBLE) /
+        |    CAST(count(cents) OVER w AS DOUBLE) AS avg_cents
+        |FROM c
+        |WINDOW w AS (ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // the automatic IGNORE-NULLS twins must equal DuckDB's native form
+    "ext_autochunk_ffill" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL
+        |       ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  last_value(cents IGNORE NULLS) OVER w AS filled_cents,
+        |  first_value(cents IGNORE NULLS) OVER w AS first_nn_cents
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // the non-null-sequence decomposition must be invisible — the oracle
     // IS the plain IGNORE NULLS window (DuckDB's in-call modifier syntax)

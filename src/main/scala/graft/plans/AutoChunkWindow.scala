@@ -431,6 +431,25 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         Some(Decomposed(alias, None, "rownum", Literal(1), so, frame, ord,
           partSpec))
+      // nth_value(v, 1) over the running frame — the form Spark's own
+      // OptimizeWindowFunctions rewrites first_value into whenever the
+      // frame is ROWS UNBOUNDED PRECEDING..x (r14: on the register()
+      // path that rule runs BEFORE this one, so a user's first_value
+      // with an explicit ROWS frame always arrives as NthValue; RANGE
+      // frames keep First and take the arm above). Identical semantics
+      // to first/firstig: the struct(ord, v) leg, masked when IGNORE
+      // NULLS.
+      case alias @ Alias(WindowExpression(
+            org.apache.spark.sql.catalyst.expressions.NthValue(
+              in, Literal(1, IntegerType), ign),
+            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+              frame @ SpecifiedWindowFrame(_, UnboundedPreceding,
+                CurrentRow))), _)
+          if org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(in.dataType) && in.deterministic &&
+            partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+        Some(Decomposed(alias, None, if (ign) "firstig" else "first", in,
+          so, frame, ord, partSpec))
       // lag/lead: SQL-default form only (null default, respect-nulls,
       // positive literal offset). The ORIGINAL spec frame is kept — the
       // block window must replay the function with its own offset frame.
