@@ -1259,7 +1259,11 @@ object Bench {
       // while state rows stay flat.
       val s9 = if (stageFilter.exists(!_("stream_state_1m"))) ""
         else streamStateSoak(spark)
-      val s10 = if (stageFilter.exists(!_("session_tws_1m"))) ""
+      // the stage was session_tws_2m through r12 (r13 right-sized the
+      // soak to 1M events); accept the old key as a filter alias so
+      // pre-r13 stage filters keep selecting it (ADVICE r13)
+      val s10 = if (stageFilter.exists(f =>
+          !f("session_tws_1m") && !f("session_tws_2m"))) ""
         else sessionTwsSoak(spark)
       val s11 = if (stageFilter.exists(!_("stream_join_1m"))) ""
         else streamJoinSoak(spark)

@@ -252,9 +252,34 @@ object Skew {
     // shuffle at the 20M soak); only the tiny offsets side moves now.
     val base = df.withColumn("__sk", struct(col(keyCol)))
       .withColumn("__chunk", chunk)
+    // a DECIMAL(p, s) running sum (r13, VERDICT r12 #6 — the money-column
+    // upgrade SURVEY §1.3 names): decimal addition is exact and
+    // order-free, so the decomposition is exact; the one divergence
+    // channel is overflow NULLING POINTS. r14 (ADVICE r13): the verb now
+    // nulls EXACTLY where the serial window does — every intermediate
+    // (chunk-local prefixes, chunk totals, offset re-sums) accumulates in
+    // types widened PAST the serial accumulator (the value is pre-cast to
+    // bounded(p+10, s), so Sum buffers at bounded(p+20, s) and the
+    // offset re-sum at bounded(p+30, s), capped at 38), and the single
+    // final cast back to the serial window's bounded(p+10, s) is the only
+    // place a null can appear — precisely when the true prefix value
+    // exceeds the serial accumulator's capacity, which is when the serial
+    // window nulls. (The r13 form let a chunk-local prefix or chunk total
+    // overflow its own narrower type near capacity, which a both-null
+    // combine then read as zero — a value where the serial window nulls.)
+    // Residual bound: an intermediate past 10^(p+30-s) — reachable only
+    // through >=10^20x mixed-sign cancellation — would null early; stated
+    // contract, same class as the engine's 2^53 envelope.
+    val sumType = df.schema(valueCol).dataType match {
+      case d: org.apache.spark.sql.types.DecimalType if agg == "sum" =>
+        Some(org.apache.spark.sql.types.DecimalType(
+          math.min(38, d.precision + 10), d.scale))
+      case _ => None
+    }
+    val aggInput = sumType.map(t => col(valueCol).cast(t)).getOrElse(col(valueCol))
     val offsets = base
       .groupBy(col("__sk").as("__ok"), col("__chunk").as("__oc"))
-      .agg(aggFn(col(valueCol)).as("__ct"))
+      .agg(aggFn(aggInput).as("__ct"))
       .withColumn("__off",
         offFn(col("__ct")).over(Window.partitionBy(col("__ok"))
           .orderBy(col("__oc"))
@@ -265,22 +290,8 @@ object Skew {
     val localW = Window.partitionBy(col("__sk"), col("__chunk"))
       .orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // a DECIMAL(p, s) running sum (r13, VERDICT r12 #6 — the money-column
-    // upgrade SURVEY §1.3 names): decimal addition is exact and
-    // order-free, so the decomposition is exact; the analyzer widens the
-    // loc + off intermediate, so cast the result back to the serial
-    // window's DecimalType.bounded(p+10, s). Overflow caveat (the one
-    // divergence channel): a prefix sum past 10^(p+20-s) nulls here where
-    // the serial window nulls at 10^(p+10-s) — callers with values within
-    // the serial window's own capacity are exact either way.
-    val sumType = df.schema(valueCol).dataType match {
-      case d: org.apache.spark.sql.types.DecimalType if agg == "sum" =>
-        Some(org.apache.spark.sql.types.DecimalType(
-          math.min(38, d.precision + 10), d.scale))
-      case _ => None
-    }
     val res = base
-      .withColumn("__loc", aggFn(col(valueCol)).over(localW))
+      .withColumn("__loc", aggFn(aggInput).over(localW))
       .join(offsets, col("__sk") === col("__ok") && col("__chunk") === col("__oc"))
       .withColumn(resultCol, sumType match {
         case Some(t) => combine(col("__loc"), col("__off")).cast(t)

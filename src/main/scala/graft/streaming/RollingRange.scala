@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * `slack` is the disorder bound; 0 = the kappa-ordered r12 form):
   *
   *  1. ARRIVAL CONTRACT, enforced loudly per batch: every arriving event
-  *     of key k satisfies `ord >= highWater_k - slack` (and ord is
-  *     non-null, and unique within its key). A deeper-late event would
+  *     of key k satisfies `ord >= highWater_k - slack`, ord is non-null,
+  *     and ord is unique within its key (r14: uniqueness is PROBED, not
+  *     assumed — count vs count-distinct per key over the working set
+  *     rides the same census; a duplicate deeper than the tail is
+  *     excluded by the disorder check itself). A deeper-late event would
   *     land inside an already-FINALIZED frame, so its rolling value — and
   *     the earlier emission it retro-invalidates — could never be final;
   *     the verb fails the batch rather than silently deviating from the
@@ -148,20 +151,40 @@ object RollingRange {
         max(when(!col("__new"), col(ordCol))).as("__pm"),
         min(when(col("__new"), col(ordCol))).as("__nmin"),
         count(when(col("__new") && col(ordCol).isNull, lit(1))).as("__nnull"),
-        count(lit(1)).as("__cnt"))
+        count(lit(1)).as("__cnt"),
+        // uniqueness probe (r14, ADVICE r13): the slack-finality proof
+        // excludes a late arrival landing ON a finalized row's ord only
+        // via ord uniqueness — a duplicate inside the working set would
+        // silently change an already-emitted frame's membership, so the
+        // promised loud failure must actually check it. count vs
+        // count(distinct) over the working set covers every duplicate the
+        // proof cares about: deeper-than-tail duplicates are already
+        // excluded by the disorder check itself.
+        count(col(ordCol)).as("__cnn"),
+        countDistinct(col(ordCol)).as("__dord"))
         .localCheckpoint(true)
       // fail loudly on contract violations: null event times (their RANGE
-      // peer group spans future batches) and deeper-than-slack disorder
-      // (the event lands inside an already-finalized frame) — both the
-      // silent-wrong class this family refuses to emit
+      // peer group spans future batches), deeper-than-slack disorder
+      // (the event lands inside an already-finalized frame), and
+      // duplicate ords within a key — all the silent-wrong class this
+      // family refuses to emit
       val bad = census.filter(col("__nnull") > 0 ||
-        (col("__pm").isNotNull && col("__nmin") < col("__pm") - slack)).take(1)
+        (col("__pm").isNotNull && col("__nmin") < col("__pm") - slack) ||
+        col("__dord") < col("__cnn")).take(1)
       require(bad.isEmpty, {
         val r = bad(0)
         if (r.getLong(r.fieldIndex("__nnull")) > 0)
           s"RollingRange requires non-null '$ordCol' event times: a " +
             "null-ord row's RANGE peer frame includes future arrivals " +
             s"(key=${r.get(0)})"
+        else if (r.getLong(r.fieldIndex("__dord")) <
+            r.getLong(r.fieldIndex("__cnn")))
+          s"RollingRange requires '$ordCol' unique within key=${r.get(0)}: " +
+            s"the working set holds ${r.getLong(r.fieldIndex("__cnn"))} " +
+            s"non-null ords but only ${r.getLong(r.fieldIndex("__dord"))} " +
+            "distinct values — a duplicate ord changes an already-emitted " +
+            "frame's membership (dedup the feed, or compose a tiebreak " +
+            "into the event time)"
         else
           s"RollingRange ordering contract violated for key=${r.get(0)}: " +
             s"batch min $ordCol=${r.get(r.fieldIndex("__nmin"))} is more " +

@@ -100,6 +100,35 @@ class RollingRangeSpec extends SparkSpec {
     fn2(Seq((1L, 50L, 9L)).toDF("k", "o", "v"), 1L) // 50 >= 110 - 60
   }
 
+  test("duplicate ords within a key fail loudly — the uniqueness leg of " +
+      "the arrival contract is probed, not assumed (ADVICE r13)") {
+    // a duplicate landing within slack of an emitted row silently
+    // changes that frame's membership — the census's count vs
+    // count(distinct) probe must catch it, both inside one batch and
+    // across batches (tail ∪ batch)
+    val fn = RollingRange.foreachBatch("k", "o", "v", "roll", "sum",
+        preceding = 30L, chunks = 2, slack = 20L) { (out, _) => out.count(); () }
+    val e1 = intercept[IllegalArgumentException] {
+      fn(Seq((1L, 5L, 1L), (1L, 5L, 2L)).toDF("k", "o", "v"), 0L)
+    }
+    assert(e1.getMessage.contains("unique"),
+      s"in-batch duplicate must name the contract, got: ${e1.getMessage}")
+    val fn2 = RollingRange.foreachBatch("k", "o", "v", "roll", "sum",
+        preceding = 30L, chunks = 2, slack = 20L) { (out, _) => out.count(); () }
+    fn2(Seq((1L, 100L, 1L), (1L, 110L, 2L)).toDF("k", "o", "v"), 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      // 100 is within slack of high-water 110 (still in the tail) — a
+      // second row at ord 100 duplicates an already-computed frame row
+      fn2(Seq((1L, 100L, 9L)).toDF("k", "o", "v"), 1L)
+    }
+    assert(e2.getMessage.contains("unique"),
+      s"cross-batch duplicate must name the contract, got: ${e2.getMessage}")
+    // distinct ords across keys are NOT duplicates — normal partitioning
+    val fn3 = RollingRange.foreachBatch("k", "o", "v", "roll", "sum",
+        preceding = 30L, chunks = 2) { (out, _) => out.count(); () }
+    fn3(Seq((1L, 5L, 1L), (2L, 5L, 2L)).toDF("k", "o", "v"), 0L)
+  }
+
   test("bounded disorder: slack-buffered emission matches the batch RANGE " +
       "window exactly, each event emitted once, on a shuffled feed") {
     // arrival order = groups of 20 fixture rows each deterministically
