@@ -1788,9 +1788,11 @@ object SparkEntry {
     // chunk-parallel RANK FAMILY (r11): under the unique-ord contract
     // (event_id), row_number/percent_rank/cume_dist/ntile collapse to
     // chunk-parallel sequence numbers + one per-key total — no task ever
-    // sorts a whole hot partition. Stays a MANUAL verb (no automatic
-    // rule arm): ANALYZE's ndv is a HyperLogLog estimate, so stats can't
-    // PROVE tie-freeness, and with ties the serial answers differ.
+    // sorts a whole hot partition. r14: the AUTOMATIC twin exists too —
+    // AutoChunkWindow's rank-family arms are tie-EXACT (chunk-local
+    // replay of the original functions; peers never straddle chunks), so
+    // the old "stats can't prove tie-freeness" blocker is gone. The
+    // manual verb stays for stats-less pipelines that know their ords.
     "ext_window_chunked_rank" -> ((s, dir) =>
       graft.operators.Skew.rankFamilyChunked(
           Tables.events(s, dir).select(col("event_id"),

@@ -95,6 +95,19 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   *     * ROW_NUMBER (= the chunked running count of a constant, cast back
   *       to int — the "latest record per key" dedup idiom, whose hot key
   *       is THE classic straggler at ingest scale);
+  *     * the RANK FAMILY (r14): RANK, DENSE_RANK, PERCENT_RANK,
+  *       CUME_DIST, NTILE(k). Peers never straddle chunks (the chunk is
+  *       monotone in the ORDER value), so every member is a pure
+  *       function of chunk-additive counts plus a chunk-LOCAL replay of
+  *       the original function: rank = prior-chunk rows + local rank;
+  *       dense_rank = prior-chunk distinct LEVELS (a struct-distinct leg
+  *       that counts the null-ord peer group as one level) + local
+  *       dense_rank; percent_rank = (rank-1)/(n-1) with the per-key
+  *       total carried on the offset window's UNBOUNDED frame;
+  *       cume_dist = (prior rows + local RANGE-to-peer count)/n;
+  *       ntile(k) = the standard closed form from (position, n, k). All
+  *       tie behavior is the original functions' own — exact, not
+  *       merely same-arbitrariness-class;
   *     * FIRST_VALUE respect-nulls over the running frame (r13 — with
   *       the DESC mirror this is "the latest value per key" without a
   *       row_number filter): one MIN/MAX leg over struct(ord, v), whose
@@ -431,6 +444,56 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         Some(Decomposed(alias, None, "rownum", Literal(1), so, frame, ord,
           partSpec))
+      // THE RANK FAMILY (r14): every member is a pure function of
+      // chunk-additive counts, because PEERS NEVER STRADDLE CHUNKS (the
+      // chunk is a monotone function of the ORDER value, so tied ords
+      // share a chunk — the same invariant the RANGE running arm rests
+      // on). rank = prior-chunk row count + the chunk-local RANK replayed
+      // verbatim; dense_rank = prior-chunk DISTINCT-LEVEL count (one
+      // struct-distinct leg that counts the null-ord group as a level,
+      // exactly as dense_rank does) + local dense_rank; percent_rank =
+      // (rank - 1)/(n - 1) replayed from the decomposed rank and the
+      // per-key total; cume_dist = (prior count + local RANGE-to-peer
+      // count)/n; ntile(k) = the standard closed form from (position,
+      // n, k). All EXACT — ties resolve identically because every
+      // tie-sensitive piece (local rank/dense/peer count) is evaluated
+      // by the original functions within the chunk.
+      case alias @ Alias(WindowExpression(
+            fn @ org.apache.spark.sql.catalyst.expressions.Rank(_),
+            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+              frame: SpecifiedWindowFrame)), _)
+          if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+        Some(Decomposed(alias, None, "rank", Literal(1), so, frame, ord,
+          partSpec, fn = Some(fn)))
+      case alias @ Alias(WindowExpression(
+            fn @ org.apache.spark.sql.catalyst.expressions.DenseRank(_),
+            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+              frame: SpecifiedWindowFrame)), _)
+          if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+        Some(Decomposed(alias, None, "dense", Literal(1), so, frame, ord,
+          partSpec, fn = Some(fn)))
+      case alias @ Alias(WindowExpression(
+            org.apache.spark.sql.catalyst.expressions.PercentRank(_),
+            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+              frame: SpecifiedWindowFrame)), _)
+          if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+        Some(Decomposed(alias, None, "prank", Literal(1), so, frame, ord,
+          partSpec))
+      case alias @ Alias(WindowExpression(
+            org.apache.spark.sql.catalyst.expressions.CumeDist(),
+            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+              frame: SpecifiedWindowFrame)), _)
+          if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+        Some(Decomposed(alias, None, "cume", Literal(1), so, frame, ord,
+          partSpec))
+      case alias @ Alias(WindowExpression(
+            org.apache.spark.sql.catalyst.expressions.NTile(
+              Literal(k: Int, IntegerType)),
+            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+              frame: SpecifiedWindowFrame)), _)
+          if k >= 1 && partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+        Some(Decomposed(alias, None, "ntile", Literal(1), so, frame, ord,
+          partSpec, shift = k.toLong))
       // nth_value(v, 1) over the running frame — the form Spark's own
       // OptimizeWindowFunctions rewrites first_value into whenever the
       // frame is ROWS UNBOUNDED PRECEDING..x (r14: on the register()
@@ -852,8 +915,10 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // rslide MUST be here (ADVICE r12, high): it carries no value legs —
     // it resolves in the ord-block stage. Falling to the default arm
     // would nest its AggregateExpression inside the totals Aggregate and
-    // break any node mixing a running aggregate with a RANGE frame.
-    case "rownum" | "lag" | "slide" | "rslide" => Nil
+    // break any node mixing a running aggregate with a RANGE frame. The
+    // rank family rides the shared seq leg / its own offset-only ndv leg.
+    case "rownum" | "lag" | "slide" | "rslide"
+       | "rank" | "dense" | "prank" | "cume" | "ntile" => Nil
     // first_value rides ONE struct(ord, v) leg: min/max of the struct is
     // the serial-first row's pair, and the value field pops out at the end
     case "first" => Seq(Leg("first", CreateNamedStruct(
@@ -871,25 +936,37 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       pk: Seq[AttributeReference], chunks: Int, gate: Gate): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
     val desc = ds.head.so.direction == Descending
-    def aggFn(kind: String, e: Expression) = (kind match {
-      case "sum" => Sum(e)
-      case "count" => Count(Seq(e))
-      case "min" => Min(e)
-      // serial-first = minimal (ord, v) under ASC, maximal under DESC —
-      // null ord fields compare smallest either way, which matches each
-      // direction's default null placement exactly. The IGNORE-NULLS
-      // twins (r14) run the same struct min/max over the NULL-MASKED leg:
-      // firstig mirrors first; lastig flips the direction table (serial-
-      // LAST non-null = maximal pair under ASC, minimal under DESC).
-      case "first" | "firstig" => if (desc) Max(e) else Min(e)
-      case "lastig" => if (desc) Min(e) else Max(e)
-      case _ => Max(e)
-    }).toAggregateExpression()
+    def aggFn(kind: String, e: Expression) = kind match {
+      // per-chunk DISTINCT LEVELS for dense_rank (r14): distinct over
+      // struct(isnull(ord), ord) — the struct is never null, so the
+      // null-ord peer group counts as exactly one level, as dense_rank
+      // counts it. Chunk totals re-combine by SUM (levels never straddle
+      // chunks: equal ords share a chunk, and all null ords share one).
+      case "ndv" => Count(Seq(e)).toAggregateExpression(isDistinct = true)
+      case _ => (kind match {
+        case "sum" => Sum(e)
+        case "count" => Count(Seq(e))
+        case "min" => Min(e)
+        // serial-first = minimal (ord, v) under ASC, maximal under DESC —
+        // null ord fields compare smallest either way, which matches each
+        // direction's default null placement exactly. The IGNORE-NULLS
+        // twins (r14) run the same struct min/max over the NULL-MASKED
+        // leg: firstig mirrors first; lastig flips the direction table
+        // (serial-LAST non-null = maximal pair under ASC, minimal under
+        // DESC).
+        case "first" | "firstig" => if (desc) Max(e) else Min(e)
+        case "lastig" => if (desc) Min(e) else Max(e)
+        case _ => Max(e)
+      }).toAggregateExpression()
+    }
     // the offset side re-combines CHUNK TOTALS — for count that is a SUM
-    // of the per-chunk counts, not a count of them
-    def offKind(kind: String) = if (kind == "count") "sum" else kind
+    // of the per-chunk counts, not a count of them; per-chunk distinct
+    // LEVELS (dense_rank) also add across chunks
+    def offKind(kind: String) = if (kind == "count" || kind == "ndv") "sum" else kind
+    val rankSeqKinds = Set("rank", "prank", "cume", "ntile")
     val needSeq = ds.exists(d =>
-      d.kind == "rownum" || d.kind == "lag" || d.kind == "slide")
+      d.kind == "rownum" || d.kind == "lag" || d.kind == "slide" ||
+        rankSeqKinds(d.kind))
     // every leg of every running expression, flat with its parent;
     // expression j's legs sit at flat positions [legOffsets(j),
     // legOffsets(j+1)) in the ct/off/loc alias sequences. The shared
@@ -902,6 +979,22 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
          else Nil)
     val legOffsets = ds.map(legsOf(_).length).scanLeft(0)(_ + _)
     val seqLegIdx = flat.length - 1 // valid only when needSeq
+    // OFFSET-ONLY legs (r14, the rank family): evaluated in the totals
+    // aggregate and the offset window but NEVER in the local window — a
+    // distinct aggregate is illegal inside a window frame. They sit
+    // AFTER flat in the ct/off alias sequences; loc positions stay
+    // aligned with flat.
+    val offOnly: Seq[(Decomposed, Leg)] = ds.collect {
+      case d if d.kind == "dense" =>
+        (d, Leg("ndv", CreateNamedStruct(Seq(
+          Literal("n"), IsNull(d.ord), Literal("o"), d.ord))))
+    }
+    val denseIdx: Map[Decomposed, Int] = offOnly.zipWithIndex.map {
+      case ((d, _), j) => d -> (flat.length + j)
+    }.toMap
+    val flatAll: Seq[(Option[Decomposed], Leg)] =
+      flat ++ offOnly.map { case (d, l) => (Option(d), l) }
+    val needTotal = ds.exists(d => Set("prank", "cume", "ntile")(d.kind))
     // legs that DON'T replay the original AggregateExpression: avg's
     // fresh sum/count pair, and the struct-leg kinds (first/firstig/
     // lastig aggregate the struct surrogate, not the original function)
@@ -958,24 +1051,37 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val skAttr = skAlias.map(_.toAttribute)
     val grpKeys: Seq[Expression] = skAttr.toSeq :+ chunkAttr
     // per-(sk, chunk) totals under the SAME aggregates, one per leg
-    val ctAliases = flat.zipWithIndex.map { case ((_, l), i) =>
+    // (flat legs first, offset-only legs after — same positions in the
+    // ct/off sequences)
+    val ctAliases = flatAll.zipWithIndex.map { case ((_, l), i) =>
       Alias(aggFn(l.kind, l.v), s"${C_NAME}_ct_$i")()
     }
     val totals = Aggregate(grpKeys,
       (skAttr.toSeq.map(_.asInstanceOf[NamedExpression]) :+
         chunkAttr.asInstanceOf[NamedExpression]) :++ ctAliases, proj1)
     // exclusive running offsets over the <= chunks rows per key — all the
-    // legs share one Window node (same spec, same sort)
+    // legs share one Window node (same spec, same sort). The rank
+    // family's per-key TOTAL rides the same node as one more alias with
+    // an UNBOUNDED..UNBOUNDED frame over the seq leg's chunk counts.
     val offPart: Seq[Expression] = skAttr.toSeq
-    val offAliases = flat.zip(ctAliases).zipWithIndex.map { case (((_, l), ct), i) =>
-      Alias(WindowExpression(
-        aggFn(offKind(l.kind), ct.toAttribute),
-        WindowSpecDefinition(offPart, Seq(SortOrder(chunkAttr, Ascending)),
-          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
-        s"${C_NAME}_off_$i")()
+    val offAliases = flatAll.zip(ctAliases).zipWithIndex.map {
+      case (((_, l), ct), i) =>
+        Alias(WindowExpression(
+          aggFn(offKind(l.kind), ct.toAttribute),
+          WindowSpecDefinition(offPart, Seq(SortOrder(chunkAttr, Ascending)),
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
+          s"${C_NAME}_off_$i")()
     }
-    val offWin = Window(offAliases, offPart, Seq(SortOrder(chunkAttr, Ascending)),
-      totals, None)
+    val totAlias: Option[Alias] =
+      if (!needTotal) None
+      else Some(Alias(WindowExpression(
+        aggFn("sum", ctAliases(seqLegIdx).toAttribute),
+        WindowSpecDefinition(offPart, Seq(SortOrder(chunkAttr, Ascending)),
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+            org.apache.spark.sql.catalyst.expressions.UnboundedFollowing))),
+        C_NAME + "_tot")())
+    val offWin = Window(offAliases ++ totAlias, offPart,
+      Seq(SortOrder(chunkAttr, Ascending)), totals, None)
     // fresh-id projection of the offsets side: it derives from the same
     // child, so the join condition must not reuse the left side's attrs
     val rSk = skAttr.map(a => Alias(a, a.name + "_r")())
@@ -983,11 +1089,16 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val rOffs = offAliases.zipWithIndex.map { case (o, i) =>
       Alias(o.toAttribute, s"${C_NAME}_off_r_$i")()
     }
-    val offSide = Project(rSk.toSeq ++ Seq(rChunk) ++ rOffs, offWin)
+    val rTot = totAlias.map(t => Alias(t.toAttribute, C_NAME + "_tot_r")())
+    val offSide = Project(rSk.toSeq ++ Seq(rChunk) ++ rOffs ++ rTot, offWin)
     // chunk-local running aggregates over the full-width rows — each leg
     // replays its expression's ORIGINAL frame (ROWS or RANGE) and sort
     // order within the (sk, chunk) partition; RANGE peers can't straddle
-    // chunks because the chunk is a function of the ORDER value
+    // chunks because the chunk is a function of the ORDER value. The
+    // rank family adds REPLAY aliases: the original rank/dense_rank (or
+    // a fresh Rank for percent_rank, a fresh RANGE-to-peer count for
+    // cume_dist) evaluated within the chunk — tie behavior is therefore
+    // the original function's own.
     val locPart: Seq[Expression] = skAttr.toSeq :+ chunkAttr
     val locAliases = flat.zipWithIndex.map { case ((od, l), i) =>
       Alias(WindowExpression(localAgg(od, l),
@@ -995,7 +1106,26 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           Seq(od.map(_.so).getOrElse(ds.head.so)), legFrame(od))),
         s"${C_NAME}_loc_$i")()
     }
-    val locWin = Window(locAliases, locPart, Seq(ds.head.so), proj1, None)
+    val locExtra: Seq[(Decomposed, Alias)] = ds.zipWithIndex.collect {
+      case (d, j) if d.kind == "rank" || d.kind == "dense" =>
+        (d, Alias(WindowExpression(d.fn.get,
+          WindowSpecDefinition(locPart, Seq(d.so), d.frame)),
+          s"${C_NAME}_lx_$j")())
+      case (d, j) if d.kind == "prank" =>
+        (d, Alias(WindowExpression(
+          org.apache.spark.sql.catalyst.expressions.Rank(Seq(d.ord)),
+          WindowSpecDefinition(locPart, Seq(d.so), runFrame)),
+          s"${C_NAME}_lx_$j")())
+      case (d, j) if d.kind == "cume" =>
+        (d, Alias(WindowExpression(
+          Count(Seq(Literal(1))).toAggregateExpression(),
+          WindowSpecDefinition(locPart, Seq(d.so), SpecifiedWindowFrame(
+            org.apache.spark.sql.catalyst.expressions.RangeFrame,
+            UnboundedPreceding, CurrentRow))),
+          s"${C_NAME}_lx_$j")())
+    }
+    val locWin = Window(locAliases ++ locExtra.map(_._2), locPart,
+      Seq(ds.head.so), proj1, None)
     // plain equi-join on the struct surrogate + chunk: null-safe via
     // struct field semantics, partition-compatible with the local window
     val cond = (skAttr.zip(rSk).map { case (l, r) =>
@@ -1034,6 +1164,13 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       }
     def locAt(i: Int) = locAliases(i).toAttribute
     def offAt(i: Int) = rOffs(i).toAttribute
+    def lxOf(d: Decomposed) = locExtra.collectFirst {
+      case (dd, a) if dd eq d => a.toAttribute }.get
+    val totAttr = rTot.map(_.toAttribute)
+    val legacyDiv = org.apache.spark.sql.catalyst.expressions.NumericEvalContext(
+      org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+    def idiv(a: Expression, b: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(a, b)
     // the shared per-key sequence number (chunked running count of 1)
     val seqAlias: Option[Alias] =
       if (needSeq)
@@ -1071,6 +1208,48 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           // rslide resolves in rewriteRange — emitting a combine alias
           // here would shadow the ord-block alias in finals (ADVICE r12)
           case "lag" | "slide" | "rslide" => None
+          // rank = prior-chunk rows + the chunk-local RANK (replayed
+          // verbatim — its own tie behavior); dense_rank = prior-chunk
+          // distinct LEVELS + local dense_rank. Both back to int.
+          case "rank" | "dense" =>
+            val off = if (d.kind == "rank") offAt(seqLegIdx)
+                      else offAt(denseIdx(d))
+            Some(Cast(Add(Coalesce(Seq(off, Literal(0L))),
+              Cast(lxOf(d), LongType)), IntegerType))
+          // percent_rank = (rank - 1) / (n - 1), 0.0 at n = 1 — exactly
+          // PercentRank.evaluateExpression over the decomposed rank
+          case "prank" =>
+            val rank = Add(Coalesce(Seq(offAt(seqLegIdx), Literal(0L))),
+              Cast(lxOf(d), LongType))
+            Some(If(GreaterThan(totAttr.get, Literal(1L)),
+              Divide(Cast(Subtract(rank, Literal(1L)), DoubleType),
+                Cast(Subtract(totAttr.get, Literal(1L)), DoubleType),
+                legacyDiv),
+              Literal(0.0)))
+          // cume_dist = (prior-chunk rows + rows-to-last-peer within the
+          // chunk, via the RANGE-to-current count) / n
+          case "cume" =>
+            val le = Add(Coalesce(Seq(offAt(seqLegIdx), Literal(0L))),
+              lxOf(d))
+            Some(Divide(Cast(le, DoubleType),
+              Cast(totAttr.get, DoubleType), legacyDiv))
+          // ntile(k): standard closed form from (position, n, k) — the
+          // first n mod k buckets hold one extra row; the ELSE divisor is
+          // unreachable at q = 0 (the threshold is then n) and If
+          // evaluates lazily, so no division by zero can occur
+          case "ntile" =>
+            val r = combineLeg("count", locAt(seqLegIdx), offAt(seqLegIdx))
+            val n = totAttr.get
+            val k = Literal(d.shift)
+            val q = idiv(n, k)
+            val m = Pmod(n, k)
+            val thr = org.apache.spark.sql.catalyst.expressions.Multiply(
+              m, Add(q, Literal(1L)))
+            Some(Cast(If(LessThanOrEqual(r, thr),
+              Add(idiv(Subtract(r, Literal(1L)), Add(q, Literal(1L))),
+                Literal(1L)),
+              Add(Add(m, idiv(Subtract(Subtract(r, Literal(1L)), thr), q)),
+                Literal(1L))), IntegerType))
           // first / IGNORE-NULLS twins: min/max-combine the struct leg,
           // then read the value field — Least/Greatest skip both the
           // first chunk's absent offset and all-null-masked chunks

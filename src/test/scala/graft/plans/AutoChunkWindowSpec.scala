@@ -1024,6 +1024,61 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
+  test("rank family fires: rank/dense_rank/percent_rank/cume_dist exact " +
+      "under heavy ties and null ords, both directions; ntile exact on " +
+      "unique ords (r14)") {
+    import org.apache.spark.sql.expressions.Window
+    val t = "graft_autochunk_rankfam"
+    freshTable(t) {
+      // 300 distinct ord values over 10k rows = heavy ties, plus a null
+      // peer group (every 11th row): rank/dense/percent/cume are
+      // tie-DETERMINISTIC, so exact set equality must hold
+      spark.range(10000L).select(
+          pmod(col("id"), lit(2L)).as("k"),
+          when(col("id") % 11 === 0, lit(null).cast("long"))
+            .otherwise(pmod(xxhash64(col("id")), lit(300L))).as("o"),
+          col("id").as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o, v")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      for (descDir <- Seq(false, true)) {
+        val wb = Window.partitionBy(col("k"))
+          .orderBy(if (descDir) col("o").desc else col("o"))
+        def q = spark.table(t)
+          .withColumn("rk", rank().over(wb))
+          .withColumn("dr", dense_rank().over(wb))
+          .withColumn("pr", percent_rank().over(wb))
+          .withColumn("cd", cume_dist().over(wb))
+        assert(chunked(q),
+          s"rank family (desc=$descDir) must fire:\n${q.queryExecution.optimizedPlan}")
+        var want: Set[org.apache.spark.sql.Row] = null
+        withConfs("spark.graft.autoChunk.enabled" -> "false") {
+          want = q.collect().toSet
+        }
+        assert(q.collect().toSet == want,
+          s"rank family (desc=$descDir) rewrite changed the answer")
+      }
+      // ntile is POSITION-based (nondeterministic within peers, like
+      // row_number) — assert exactness on the unique ord, where the
+      // serial answer is well-defined
+      val wv = Window.partitionBy(col("k")).orderBy(col("v"))
+      def qn = spark.table(t).withColumn("nt", ntile(7).over(wv))
+        .withColumn("rn", row_number().over(wv))
+      assert(chunked(qn),
+        s"ntile must fire:\n${qn.queryExecution.optimizedPlan}")
+      var wantN: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        wantN = qn.collect().toSet
+      }
+      assert(qn.collect().toSet == wantN, "ntile rewrite changed the answer")
+    }
+  }
+
   test("census arm fires on a DERIVED AGGREGATE child — the entity-ranked " +
       "histogram shape decomposes end to end (VERDICT r13 #3)") {
     // the exact shape the Lorenz/Gini/Pareto/RFM rows produce after the
