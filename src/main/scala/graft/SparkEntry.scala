@@ -3488,19 +3488,31 @@ object SparkEntry {
     // costs one pass regardless of how many quantiles it reports
     "ext_quantile_ladder" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      Tables.events(s, dir)
+      // r14 (the VERDICT r13 #3 pattern one step away): event_type has
+      // ~4 values, so the old per-type row_number put ~25% of ALL events
+      // on one task. The ceiling-rank pick only needs the VALUE at the
+      // rank (tie-order invariant — multiplicity decides), which reads
+      // straight off the per-type cents HISTOGRAM: the rank lands in the
+      // value group whose cumulative count first covers it. The window
+      // rides the histogram (counts, value-level), never the events.
+      val hist = Tables.events(s, dir)
         .select(col("event_type"),
-          (money(col("value")) * 100).cast("long").as("cents"),
-          col("event_id"))
-        .withColumn("r", row_number().over(Window
-          .partitionBy(col("event_type"))
-          .orderBy(col("cents"), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("event_type"))))
-        .select(col("event_type"), col("cents"), col("r"), col("n"),
+          (money(col("value")) * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nPer = hist.groupBy(col("event_type").as("__t"))
+        .agg(sum(col("c")).as("n"))
+      hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .join(nPer, col("event_type") === col("__t"))
+        .select(col("event_type"), col("cents"), col("c"), col("cum"),
+          col("n"),
           explode(array(lit(10L), lit(25L), lit(50L), lit(75L), lit(90L)))
             .as("q_pct"))
-        .filter(col("r") === expr("(q_pct * n + 99) div 100"))
+        .filter(expr("(q_pct * n + 99) div 100") > col("cum") - col("c") &&
+          expr("(q_pct * n + 99) div 100") <= col("cum"))
         .select(col("event_type"), col("q_pct"),
           col("cents").as("value_cents"))
         .orderBy(col("event_type"), col("q_pct"))
