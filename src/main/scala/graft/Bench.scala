@@ -1079,6 +1079,28 @@ object Bench {
             quantileRelation, "v", Seq(0.01, 0.25, 0.5, 0.75, 0.99))
           .collect().length
       }
+      // RANK SELECTION at 20M (r14, VERDICT r13 #1's pin): the decile-
+      // pick idiom ext_qq_table/ext_vocab_growth used to run as ONE
+      // unpartitioned row_number window over the relation — the plain
+      // stage profiles as a single sorting task (run at 2M for the same
+      // reason as the percentile control: re-proving the anti-pattern at
+      // 20M wasted minutes per round); exactRanks reads nine ceiling-rank
+      // values at the full 20M through the counts-only refinement.
+      val sQ4 = stage("rank_select_plain_2m", perStage = true) {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{explode, expr}
+        quantileRelationN(2000000L)
+          .withColumn("r", org.apache.spark.sql.functions.row_number()
+            .over(Window.orderBy(col("v"))))
+          .withColumn("q", explode(expr("sequence(1, 9)")))
+          .filter(col("r") === expr("(q * 2000000 + 9) div 10"))
+          .agg(fsum(col("v"))).collect()(0).getDouble(0).toLong
+      }
+      val sQ5 = stage("rank_select_dist_20m", perStage = true) {
+        graft.operators.Sketch.exactRanks(quantileRelation, "v",
+            n => (1L to 9L).map(q => (q * n + 9) / 10))
+          .agg(fsum(col("value"))).collect()(0).getDouble(0).toLong
+      }
 
       // exact histogram AUC at 20M scored rows across 8 segments: the
       // graded claim (ext_auc) is that the shuffle carries one row per
@@ -1269,7 +1291,7 @@ object Bench {
         else streamJoinSoak(spark)
 
       Seq(s1, s2, s3, sC1, sC2, sC3, sA1, sA2, sA3, sKm, sB1, sK1, sK2, sK3, sK4, s4, s5,
-          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sAc1, sAc2, sSr1, sSr2, sSr3, sL1, sL2, sLi1, sLi2, sR1, sR2, sB2, sQ1, sQ2, sQ3, sAuc, sAttr, sX1, sX2, sX3, sI1,
+          s6, s7, s8, sD1, sD2, sAs1, sAs2, sW1, sW2, sAc1, sAc2, sSr1, sSr2, sSr3, sL1, sL2, sLi1, sLi2, sR1, sR2, sB2, sQ1, sQ2, sQ3, sQ4, sQ5, sAuc, sAttr, sX1, sX2, sX3, sI1,
           sI2, sG1, sG2, sHits, sBask, sSky, s9, s10, s11)
         .filter(_.nonEmpty).mkString("{", ",", "}")
     }
