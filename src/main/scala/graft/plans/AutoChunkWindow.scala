@@ -61,15 +61,15 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   *  - ORDER BY: a single bare attribute of a plain numeric type OR a
   *    TIMESTAMP (r13 — the chunk function reads a timestamp ord through
   *    UnixMicros, the unit ANALYZE stores its min/max in), with min/max
-  *    stats, in either direction's SQL DEFAULT null placement:
-  *    ascending NULLS FIRST, or DESCENDING NULLS LAST (r13 — the
-  *    `row_number() OVER (ORDER BY ts DESC) = 1` latest-record idiom;
-  *    the chunk function negates the ord and sends null ords to the
-  *    LAST chunk; DESC RANGE frames stay plain). The off-default
-  *    pairings (ASC NULLS LAST, DESC NULLS FIRST) are excluded by
-  *    pattern: their null placement contradicts the chunk a monotone
-  *    clamp assigns, which would mis-order null-ord rows AND leak their
-  *    values into other chunks' offsets;
+  *    stats, in ANY direction x null-placement pairing (r14; r13 had the
+  *    two SQL defaults): the chunk function negates the ord under DESC
+  *    (monotone in the traversal order) and sends null ords explicitly
+  *    to the chunk the PLACEMENT names — first chunk for NULLS FIRST,
+  *    last for NULLS LAST. DESC RANGE frames fire too (r14 — the
+  *    ord-block stage runs on the negated axis). Only the struct(ord, v)
+  *    kinds (first_value/last_value) stay default-placement-gated: their
+  *    min/max combine relies on null ord fields comparing smallest,
+  *    which encodes each direction's default placement;
   *  - hotness: rowCount / ndv(keys) >= `perKeyRows` (default 1M — the
   *    average key alone overwhelms one task; covers the no-keys global
   *    window with ndv = 1), OR a single-key equi-height histogram shows
@@ -221,27 +221,39 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       partSpec: Seq[Expression], shift: Long = 0L,
       fn: Option[Expression] = None)
 
-  /** The two decomposable sort shapes — ascending NULLS FIRST and
-    * DESCENDING NULLS LAST (r13: both are their direction's SQL default,
-    * and `row_number() OVER (ORDER BY ts DESC) = 1` is THE latest-record
-    * query users actually write). The decomposition mirrors exactly: the
-    * chunk function negates the ord (monotone in the DESC order), null
-    * ords go to the LAST chunk (nulls-last placement), and every window
-    * leg replays the ORIGINAL SortOrder, so chunk-local evaluation order
-    * equals the serial order restricted to the chunk in both directions.
-    * The off-default pairings (ASC NULLS LAST / DESC NULLS FIRST) stay
-    * plain: their null placement contradicts the chunk that monotone
-    * clamping assigns, leaking null-row values into other chunks'
-    * offsets. */
+  /** The decomposable sort shapes — ALL FOUR direction x null-placement
+    * pairings (r14; r13 had only the two SQL defaults). The chunk
+    * function negates the ord under DESC (monotone in the traversal
+    * order), null ords go explicitly to the chunk their PLACEMENT names
+    * (first chunk for NULLS FIRST, last for NULLS LAST — independent of
+    * direction), and every window leg replays the ORIGINAL SortOrder, so
+    * chunk-local evaluation order equals the serial order restricted to
+    * the chunk in every pairing. The only placement-sensitive arms are
+    * the struct(ord, v) kinds (first/firstig/lastig): their min/max
+    * combine relies on null ord FIELDS comparing smallest, which encodes
+    * each direction's DEFAULT placement — off-default pairings keep
+    * those kinds plain ([[defaultPlacement]]); every count/position/
+    * value-leg arm is placement-agnostic (frames compose additively
+    * across chunk boundaries for any traversal-prefix frame, and peers —
+    * null or valued — never straddle chunks). */
   private object DecompSort {
     def unapply(so: SortOrder): Option[(AttributeReference, Boolean)] =
       so match {
-        case SortOrder(a: AttributeReference, Ascending, NullsFirst, _) =>
+        case SortOrder(a: AttributeReference, Ascending, _, _) =>
           Some((a, false))
-        case SortOrder(a: AttributeReference, Descending, NullsLast, _) =>
+        case SortOrder(a: AttributeReference, Descending, _, _) =>
           Some((a, true))
         case _ => None
       }
+  }
+
+  /** True when the SortOrder carries its direction's SQL-default null
+    * placement (ASC NULLS FIRST / DESC NULLS LAST) — the precondition of
+    * the struct(ord, v) arms. */
+  private def defaultPlacement(so: SortOrder): Boolean = so match {
+    case SortOrder(_, Ascending, NullsFirst, _) => true
+    case SortOrder(_, Descending, NullsLast, _) => true
+    case _ => false
   }
 
   /** A bounded ROWS frame bound as a row offset: CURRENT ROW = 0,
@@ -389,7 +401,9 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
               frame @ SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))),
             _)
           if aggArg(ae).exists { case (kind, v) =>
-            typeOk(kind, v, allowFloat) } &&
+            typeOk(kind, v, allowFloat) &&
+              (!Set("first", "firstig", "lastig")(kind) ||
+                defaultPlacement(so)) } &&
             partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         val (kind, v) = aggArg(ae).get
         Some(Decomposed(alias, Some(ae), kind, v, so, frame, ord, partSpec))
@@ -510,6 +524,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
                 CurrentRow))), _)
           if org.apache.spark.sql.catalyst.expressions.RowOrdering
             .isOrderable(in.dataType) && in.deterministic &&
+            defaultPlacement(so) &&
             partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         Some(Decomposed(alias, None, if (ign) "firstig" else "first", in,
           so, frame, ord, partSpec))
@@ -533,6 +548,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val consistent = all.tail.forall { d =>
       d.ord.semanticEquals(h.ord) &&
         d.so.direction == h.so.direction &&
+        d.so.nullOrdering == h.so.nullOrdering &&
         d.partSpec.length == h.partSpec.length &&
         d.partSpec.zip(h.partSpec).forall { case (a, b) => a.semanticEquals(b) }
     }
@@ -890,9 +906,6 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // resolve over a numeric ord, but rewriteRange's ord arithmetic
     // assumes it — keep timestamp ords (interval bounds) out explicitly
     if (!numeric(ds.head.ord.dataType)) return false
-    // the ord-block stage's donor arithmetic (ord +- reach) is written
-    // for the ascending orientation; DESC RANGE frames stay plain
-    if (ds.head.so.direction == Descending) return false
     val reach = rng.map { d =>
       val l = boundedRange(d.frame.lower).get
       val h = boundedRange(d.frame.upper).get
@@ -1015,12 +1028,14 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     if (ds.forall(_.kind == "rslide"))
       return rewriteRange(child, ds, ds, Nil, child, ord, pk, chunks, lo, hi)
     // stale stats only unbalance: values beyond [lo, hi] clamp to the
-    // edge chunks and monotonicity holds. DESC NULLS LAST mirrors (r13):
-    // the chunk function runs on the NEGATED ord over the negated range
-    // (monotone in the descending order — chunk 0 holds the HIGHEST
-    // ords), and null ords go to the LAST chunk explicitly (nulls-last
-    // placement; the ascending arm's nulls ride Greatest's null-skip to
-    // chunk 0, made explicit here for symmetry).
+    // edge chunks and monotonicity holds. DESC mirrors (r13): the chunk
+    // function runs on the NEGATED ord over the negated range (monotone
+    // in the descending order — chunk 0 holds the HIGHEST ords). Null
+    // ords go explicitly to the chunk their PLACEMENT names (r14: first
+    // chunk for NULLS FIRST, last for NULLS LAST, independent of
+    // direction — the off-default pairings differ from the defaults only
+    // here, every leg replaying the original SortOrder within its chunk).
+    val nullsLast = ds.head.so.nullOrdering == NullsLast
     val (cLo, cHi) = if (desc) (-hi, -lo) else (lo, hi)
     val span = if (cHi > cLo) (cHi - cLo) / chunks else 1.0
     val ordD: Expression =
@@ -1028,7 +1043,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
         Cast(ordNumeric(ord), DoubleType))
       else Cast(ordNumeric(ord), DoubleType)
     val chunkExpr = If(IsNull(ord),
-      Literal(if (desc) chunks - 1 else 0),
+      Literal(if (nullsLast) chunks - 1 else 0),
       Least(Seq(
         Greatest(Seq(
           Cast(Floor(Divide(
@@ -1360,6 +1375,16 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       pk: Seq[AttributeReference], chunks: Int, lo: Double,
       hi: Double): LogicalPlan = {
     val mid = Project(child.output ++ doneAliases, joined)
+    // DESC RANGE frames (r14): the ord-block machinery runs on the
+    // NEGATED axis — "preceding" in traversal units is then the same
+    // +back arithmetic in both orientations, and the block range mirrors
+    // to [-hi, -lo]. Null-ord rows ride Greatest's null-skip into block
+    // 0 in either orientation, which is harmless for VALUE frames: a
+    // null row's RANGE frame is exactly its null peer group (co-located
+    // in block 0 by the same null-skip), and no valued row's frame ever
+    // admits a null ord.
+    val rdesc = rngDs.head.so.direction == Descending
+    val (bLo, bHi) = if (rdesc) (-hi, -lo) else (lo, hi)
     val reach = rngDs.map { d =>
       val l = boundedRange(d.frame.lower).get
       val h = boundedRange(d.frame.upper).get
@@ -1368,15 +1393,17 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val back = (reach.map(_._1) :+ 0.0).max
     val fwd = (reach.map(_._2) :+ 0.0).max
     val nBlocks = math.max(1L, math.min(chunks.toLong,
-      ((hi - lo) / math.max(math.max(back, fwd), 1e-9)).toLong))
-    val rspan = if (hi > lo) (hi - lo) / nBlocks else 1.0
+      ((bHi - bLo) / math.max(math.max(back, fwd), 1e-9)).toLong))
+    val rspan = if (bHi > bLo) (bHi - bLo) / nBlocks else 1.0
     def blockOf(e: Expression): Expression = Least(Seq(
       Greatest(Seq(
-        Floor(Divide(Subtract(Cast(e, DoubleType), Literal(lo, DoubleType)),
+        Floor(Divide(Subtract(Cast(e, DoubleType), Literal(bLo, DoubleType)),
           Literal(rspan, DoubleType))),
         Literal(0L))),
       Literal(nBlocks - 1)))
-    val ordD = Cast(ord, DoubleType)
+    val ordD: Expression =
+      if (rdesc) Subtract(Literal(0.0, DoubleType), Cast(ord, DoubleType))
+      else Cast(ord, DoubleType)
     def selfB = blockOf(ordD)
     val tblkAttr = AttributeReference(C_NAME + "_rblk", LongType,
       nullable = false)()

@@ -304,17 +304,50 @@ class AutoChunkWindowSpec extends SparkSpec {
         want = q.collect().toSet
       }
       assert(q.collect().toSet == want, "DESC rewrite changed the answer")
-      // DESC RANGE frames stay plain (ord-block donor arithmetic is
-      // ascending-oriented)
-      val rdesc = spark.table(avgHotTable).withColumn("s",
+      // DESC RANGE frames fire too (r14): the ord-block stage runs on
+      // the negated axis, so "preceding" maps to the same +back
+      // arithmetic in both orientations
+      def rdesc = spark.table(avgHotTable).withColumn("s",
         sum(col("v")).over(Window.partitionBy(col("k"))
           .orderBy(col("o").desc).rangeBetween(-100, 0)))
-      assert(!chunked(rdesc), "DESC RANGE sliding must stay plain")
-      // off-default null placements contradict the chunk clamp: plain
-      val nlDesc = spark.table(t).withColumn("run", sum(col("v")).over(
-        Window.partitionBy(col("k")).orderBy(col("o").desc_nulls_first)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      assert(!chunked(nlDesc), "DESC NULLS FIRST must stay plain")
+      assert(chunked(rdesc),
+        s"DESC RANGE sliding must fire:\n${rdesc.queryExecution.optimizedPlan}")
+      var wantR: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        wantR = rdesc.collect().toSet
+      }
+      assert(rdesc.collect().toSet == wantR,
+        "DESC RANGE rewrite changed the answer")
+      // OFF-DEFAULT null placements fire for the count/position/value-leg
+      // arms (r14): null ords go to the chunk the PLACEMENT names; only
+      // the struct(ord, v) kinds stay default-placement-gated
+      for ((mk, name) <- Seq(
+          ((c: org.apache.spark.sql.Column) => c.desc_nulls_first,
+            "DESC NULLS FIRST"),
+          ((c: org.apache.spark.sql.Column) => c.asc_nulls_last,
+            "ASC NULLS LAST"))) {
+        val wOff = Window.partitionBy(col("k")).orderBy(mk(col("o")))
+        def qOff = spark.table(t)
+          .withColumn("run", sum(col("v")).over(
+            wOff.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rn", row_number().over(wOff))
+          .withColumn("rk", rank().over(wOff))
+        assert(chunked(qOff),
+          s"$name must fire:\n${qOff.queryExecution.optimizedPlan}")
+        var wantOff: Set[org.apache.spark.sql.Row] = null
+        withConfs("spark.graft.autoChunk.enabled" -> "false") {
+          wantOff = qOff.collect().toSet
+        }
+        assert(qOff.collect().toSet == wantOff,
+          s"$name rewrite changed the answer")
+        // the struct kinds keep the serial plan off-default: null ord
+        // FIELDS always compare smallest, which encodes only the
+        // direction's default placement
+        val fOff = spark.table(t).withColumn("fv",
+          first_value(col("v")).over(wOff))
+        assert(!chunked(fOff),
+          s"first_value under $name must stay plain")
+      }
     }
   }
 
@@ -671,13 +704,8 @@ class AutoChunkWindowSpec extends SparkSpec {
       // RANGE-sliding test; DESC NULLS LAST fires since r13 — its
       // parity lives in the DESC-mirror test)
       val t = spark.table(avgHotTable)
-      // ASC NULLS LAST: the chunk function places NULL ords FIRST (chunk
-      // 0), so a nulls-last window would both mis-order them and leak
-      // their values into later chunks' offsets — pattern excludes it
-      val nl = t.withColumn("run", sum(col("v")).over(
-        Window.partitionBy(col("k")).orderBy(col("o").asc_nulls_last)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      assert(!chunked(nl), "ASC NULLS LAST must not fire")
+      // (ASC NULLS LAST / DESC NULLS FIRST fire since r14 — their parity
+      // and the struct-kind no-fire live in the DESC-mirror test)
       // decimal over a CAST argument: no column stats on the expression,
       // so the decimalExact overflow proof can't hold -> plain (the
       // proven-attribute decimal arm has its own test below)
