@@ -135,6 +135,21 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   *       j FOLLOWING, CURRENT ROW .. j FOLLOWING) — the BLOCK stage
   *       below.
   *
+  * THE FULL-FRAME ARM (r14): a node whose EVERY expression aggregates
+  * the partition's whole extent — `F(v) OVER (PARTITION BY k)` /
+  * `F(v) OVER ()`, the per-group-total and grand-total idiom — rewrites
+  * to `Aggregate(keys)` + one broadcast-sized join back (struct key:
+  * null-safe, equi-join; the grand total joins its one row by explicit
+  * Cross). WindowExec runs these one task per key even though no frame
+  * scan is needed; the aggregate form is partial-aggregated and
+  * scan-parallel. The aggregates replay VERBATIM inside the groupBy, so
+  * the gates mirror the running arm's re-association stance: integral
+  * sums wrap identically, decimal sums are exact order-free with the
+  * serial window's own final overflow check (single total — no proof
+  * needed), min/max/count are order-free, FP sums need `allowFloat`,
+  * avg needs the 2^53 proof. Hotness gates and the census are shared
+  * with the running arms (no ord required — the census counts only).
+  *
   * LAG/LEAD AND SLIDING FRAMES — the single-evaluation block stage (r12;
   * replaces the r11 donor self-join, which re-evaluated the whole chunk
   * subtree per distinct shift — 2x the scan — and whose two evaluations
@@ -328,15 +343,114 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
             val pk = ds.head.partSpec.map(_.asInstanceOf[AttributeReference])
             gateFor(ds, ds.head.ord, pk, child, perKeyRows, hotShare) match {
               case Some(g) if g.rows >= BigInt(minRows) &&
-                  ds.forall(avgExact(_, g, allowFloat)) &&
+                  ds.forall(d => avgExact(d.kind, d.v, g, allowFloat)) &&
                   ds.forall(decimalExact(_, g)) &&
                   rangeCompatible(ds, g) =>
                 rewrite(child, ds, ds.head.ord, pk, chunks, g)
               case _ => w
             }
-          case _ => w
+          case _ =>
+            // FULL-FRAME arm (r14): every expression aggregates the WHOLE
+            // partition — the per-group-total / grand-total idiom, which
+            // WindowExec still runs one task per key. Same hotness gates;
+            // the rewrite is Aggregate + broadcast-sized join back.
+            decomposeFull(exprs, allowFloat) match {
+              case Some(fs) if fs.forall(_.v.deterministic) &&
+                  fs.head.partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+                val pk = fs.head.partSpec.map(_.asInstanceOf[AttributeReference])
+                val proofs = fs.collect { case d if d.kind == "avg" => d.v }
+                catalogGate(None, pk, child, perKeyRows, hotShare)
+                  .orElse(censusGate(proofs, None, pk, child, perKeyRows)) match {
+                  case Some(g) if g.rows >= BigInt(minRows) &&
+                      fs.forall(d => avgExact(d.kind, d.v, g, allowFloat)) =>
+                    rewriteFull(child, fs, pk)
+                  case _ => w
+                }
+              case _ => w
+            }
         }
     }
+  }
+
+  /** One full-frame expression: an aggregate over the partition's whole
+    * extent. `F(v) OVER (PARTITION BY k)` and the explicitly-unbounded
+    * ordered spelling are the same value for every order-free aggregate
+    * here. The aggregates REPLAY VERBATIM inside a groupBy — partial
+    * aggregation re-associates, so the gates mirror the running arm's:
+    * integral sums wrap identically, DECIMAL sums are exact order-free
+    * with the same final overflow check as the serial window (no proof
+    * needed — a single total never re-widens), min/max/count are
+    * order-free, FP sums need allowFloat, avg needs the 2^53 proof for
+    * its double accumulation. */
+  private case class FullD(alias: Alias, ae: AggregateExpression,
+      kind: String, v: Expression, partSpec: Seq[Expression])
+
+  private def fullKind(ae: AggregateExpression): Option[(String, Expression)] =
+    if (ae.isDistinct || ae.filter.isDefined) None
+    else ae.aggregateFunction match {
+      case Sum(v, _) => Some(("sum", v))
+      case Count(Seq(v)) => Some(("count", v))
+      case Average(v, _) => Some(("avg", v))
+      case org.apache.spark.sql.catalyst.expressions.aggregate.Min(v) =>
+        Some(("min", v))
+      case org.apache.spark.sql.catalyst.expressions.aggregate.Max(v) =>
+        Some(("max", v))
+      case _ => None
+    }
+
+  private def decomposeFull(
+      exprs: Seq[NamedExpression], allowFloat: Boolean): Option[Seq[FullD]] = {
+    val ds = exprs.map {
+      case alias @ Alias(WindowExpression(ae: AggregateExpression,
+            WindowSpecDefinition(partSpec, _,
+              SpecifiedWindowFrame(_, UnboundedPreceding,
+                org.apache.spark.sql.catalyst.expressions
+                  .UnboundedFollowing))), _)
+          if fullKind(ae).exists { case (k, v) => typeOk(k, v, allowFloat) } &&
+            partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+        val (k, v) = fullKind(ae).get
+        Some(FullD(alias, ae, k, v, partSpec))
+      case _ => None
+    }
+    if (ds.exists(_.isEmpty)) return None
+    val all = ds.map(_.get)
+    val h = all.head
+    val ok = all.tail.forall(d => d.partSpec.length == h.partSpec.length &&
+      d.partSpec.zip(h.partSpec).forall { case (a, b) => a.semanticEquals(b) })
+    if (ok) Some(all) else None
+  }
+
+  /** Aggregate(keys) + join back — the struct key keeps NULL partition
+    * keys as ordinary groups and the join an equi-join; the empty-pk
+    * (grand total) form joins its ONE aggregate row by explicit Cross. */
+  private def rewriteFull(child: LogicalPlan, fs: Seq[FullD],
+      pk: Seq[AttributeReference]): LogicalPlan = {
+    val skAlias: Option[Alias] =
+      if (pk.isEmpty) None
+      else Some(Alias(CreateNamedStruct(pk.zipWithIndex.flatMap {
+        case (a, i) => Seq(Literal(s"k$i"), a) }), C_NAME + "_fsk")())
+    val proj1 = Project(child.output ++ skAlias.toSeq, child)
+    val skAttr = skAlias.map(_.toAttribute)
+    val aggAliases = fs.zipWithIndex.map { case (d, i) =>
+      Alias(d.ae, s"${C_NAME}_full_$i")()
+    }
+    val totals = Aggregate(skAttr.toSeq,
+      skAttr.toSeq.map(_.asInstanceOf[NamedExpression]) ++ aggAliases, proj1)
+    val rSk = skAttr.map(a => Alias(a, a.name + "_r")())
+    val rAggs = aggAliases.zipWithIndex.map { case (a, i) =>
+      Alias(a.toAttribute, s"${C_NAME}_full_r_$i")()
+    }
+    val rSide = Project(rSk.toSeq ++ rAggs, totals)
+    val joined = skAttr match {
+      case Some(sk) => Join(proj1, rSide, Inner,
+        Some(EqualTo(sk, rSk.get.toAttribute)), JoinHint.NONE)
+      case None => Join(proj1, rSide,
+        org.apache.spark.sql.catalyst.plans.Cross, None, JoinHint.NONE)
+    }
+    val finals = fs.zip(rAggs).map { case (d, a) =>
+      Alias(a.toAttribute, d.alias.name)(exprId = d.alias.exprId)
+    }
+    Project(child.output ++ finals, joined)
   }
 
   /** The pre-rewrite rank-limit shape [[org.apache.spark.sql.catalyst
@@ -717,8 +831,8 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     * "re-ANALYZE before the table doubles" — beyond that, disable the
     * rule or accept allowFloat's ulps tolerance explicitly. */
   private def avgExact(
-      d: Decomposed, gate: Gate, allowFloat: Boolean): Boolean =
-    d.kind != "avg" || allowFloat || (d.v match {
+      kind: String, v: Expression, gate: Gate, allowFloat: Boolean): Boolean =
+    kind != "avg" || allowFloat || (v match {
       case a: AttributeReference =>
         gate.colRange(a).exists { case (mn, mx) =>
           BigDecimal(gate.rows) * mn.abs.max(mx.abs) < BigDecimal(2).pow(52)
@@ -768,19 +882,32 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       ds: Seq[Decomposed], ord: AttributeReference,
       pk: Seq[AttributeReference], child: LogicalPlan,
       perKeyRows: Long, hotShare: Double): Option[Gate] =
-    catalogGate(ord, pk, child, perKeyRows, hotShare)
-      .orElse(censusGate(ds, ord, pk, child, perKeyRows))
+    catalogGate(Some(ord), pk, child, perKeyRows, hotShare)
+      .orElse(censusGate(proofAttrsOf(ds), Some(ord), pk, child, perKeyRows))
+
+  /** The value attributes whose ranges the avg/decimal-sum proofs will
+    * ask for — censused alongside the ord in one scan. */
+  private def proofAttrsOf(ds: Seq[Decomposed]): Seq[Expression] =
+    ds.collect {
+      case d if d.kind == "avg" ||
+          (d.kind == "sum" && d.v.dataType.isInstanceOf[DecimalType]) => d.v
+    }
 
   private def catalogGate(
-      ord: AttributeReference, pk: Seq[AttributeReference],
+      ordOpt: Option[AttributeReference], pk: Seq[AttributeReference],
       child: LogicalPlan, perKeyRows: Long, hotShare: Double): Option[Gate] = {
     val st = child.stats
     val rows = st.rowCount.getOrElse(return None)
-    // the chunk function needs the ORDER column's real range
-    val lo = st.attributeStats.get(ord).flatMap(_.min).flatMap(statDouble)
-      .getOrElse(return None)
-    val hi = st.attributeStats.get(ord).flatMap(_.max).flatMap(statDouble)
-      .getOrElse(return None)
+    // the chunk function needs the ORDER column's real range (the
+    // full-frame arm has no ord — its Gate carries a degenerate range)
+    val (lo, hi) = ordOpt match {
+      case Some(ord) =>
+        (st.attributeStats.get(ord).flatMap(_.min).flatMap(statDouble)
+          .getOrElse(return None),
+         st.attributeStats.get(ord).flatMap(_.max).flatMap(statDouble)
+          .getOrElse(return None))
+      case None => (0.0, 0.0)
+    }
     // hotness, signal 1: the AVERAGE key already overwhelms one task
     // (covers the no-keys global window with ndv = 1)
     val ndv = pk.foldLeft(Option(BigInt(1))) { (acc, a) =>
@@ -819,7 +946,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Census]()
 
   private def censusGate(
-      ds: Seq[Decomposed], ord: AttributeReference,
+      proofExprs: Seq[Expression], ordOpt: Option[AttributeReference],
       pk: Seq[AttributeReference], child: LogicalPlan,
       perKeyRows: Long): Option[Gate] = {
     // GLOBAL windows only: a keyed window's hotness needs per-key NDV,
@@ -834,20 +961,16 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     if (child.stats.sizeInBytes < minBytes) return None
     val spark = org.apache.spark.sql.SparkSession.getActiveSession
       .getOrElse(return None)
-    // censused positions: the ord, plus every value column the avg /
-    // decimal-sum overflow proofs will ask for
-    val ordPos = child.output.indexWhere(_.exprId == ord.exprId)
-    if (ordPos < 0) return None
-    val proofAttrs = ds.collect {
-      case d if d.kind == "avg" ||
-          (d.kind == "sum" && d.v.dataType.isInstanceOf[DecimalType]) =>
-        d.v match {
-          case a: AttributeReference => child.output.indexWhere(_.exprId == a.exprId)
-          case _ => -1
-        }
+    // censused positions: the ord (when the arm has one), plus every
+    // value column the avg / decimal-sum overflow proofs will ask for
+    val ordPos = ordOpt.map(o => child.output.indexWhere(_.exprId == o.exprId))
+    if (ordPos.contains(-1)) return None
+    val proofAttrs = proofExprs.map {
+      case a: AttributeReference => child.output.indexWhere(_.exprId == a.exprId)
+      case _ => -1
     }
     if (proofAttrs.contains(-1)) return None // non-attribute arg: no proof
-    val need = (ordPos +: proofAttrs).distinct.sorted
+    val need = (ordPos.toSeq ++ proofAttrs).distinct.sorted
     val key = child.canonicalized
     val cached = Option(censusCache.get(key)).filter(c =>
       need.forall(c.byPos.contains))
@@ -859,7 +982,11 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       // so decimal proofs stay exact.
       def rangeExpr(pos: Int): Expression = {
         val a = child.output(pos)
-        if (a.exprId == ord.exprId) Cast(ordNumeric(ord), DoubleType) else a
+        ordOpt match {
+          case Some(o) if a.exprId == o.exprId =>
+            Cast(ordNumeric(o), DoubleType)
+          case _ => a
+        }
       }
       val aggs: Seq[NamedExpression] =
         Alias(Count(Seq(Literal(1))).toAggregateExpression(), "__graft_cnt")() +:
@@ -885,8 +1012,14 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // the one key (the whole relation) must overwhelm one task, and the
     // ord range must be real (all-null ords: the plain window is correct)
     if (census.rows < BigInt(perKeyRows)) return None
-    val (lo, hi) = census.byPos(ordPos).getOrElse(return None)
-    Some(Gate(census.rows, lo.toDouble, hi.toDouble, a => {
+    val (lo, hi) = ordPos match {
+      case Some(p) => census.byPos(p) match {
+        case Some((a, b)) => (a.toDouble, b.toDouble)
+        case None => return None
+      }
+      case None => (0.0, 0.0)
+    }
+    Some(Gate(census.rows, lo, hi, a => {
       val p = child.output.indexWhere(_.exprId == a.exprId)
       if (p < 0) None else census.byPos.get(p).flatten
     }))

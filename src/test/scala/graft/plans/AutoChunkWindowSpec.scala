@@ -1107,6 +1107,79 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
+  test("FULL-FRAME arm: agg OVER (PARTITION BY k) / OVER () rewrites to " +
+      "Aggregate + join-back — keyed via stats, grand total via census; " +
+      "gated kinds stay plain (r14)") {
+    import org.apache.spark.sql.expressions.Window
+    val t = "graft_autochunk_full"
+    freshTable(t) {
+      // NULL partition keys included: they must survive as an ordinary
+      // group through the struct join
+      spark.range(10000L).select(
+          when(col("id") % 17 === 0, lit(null).cast("long"))
+            .otherwise(pmod(col("id"), lit(2L))).as("k"),
+          col("id").as("o"),
+          when(col("id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(pmod(xxhash64(col("id")), lit(100L))).as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o, v")
+    }
+    def windowless(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000") {
+      val wk = Window.partitionBy(col("k"))
+      def q = spark.table(t)
+        .withColumn("tot", sum(col("v")).over(wk))
+        .withColumn("n", count(col("v")).over(wk))
+        .withColumn("hi", max(col("v")).over(wk))
+        .withColumn("av", avg(col("v")).over(wk))
+      assert(chunked(q) || q.queryExecution.optimizedPlan.toString
+          .contains("__graft_full"),
+        s"full-frame node must fire:\n${q.queryExecution.optimizedPlan}")
+      assert(windowless(q), "the rewrite must eliminate the Window node")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      assert(q.collect().toSet == want, "full-frame rewrite changed the answer")
+      // the ordered-but-unbounded spelling is the same value and fires
+      val qo = spark.table(t).withColumn("tot", sum(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("o"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      assert(windowless(qo), "explicit UNBOUNDED..UNBOUNDED must fire")
+      // grand total on BARE PARQUET via the census (the `X OVER ()`
+      // idiom this round swept out of the registry by hand)
+      val dir = java.nio.file.Files.createTempDirectory("graft_full").toString
+      spark.table(t).write.mode("overwrite").parquet(dir)
+      withConfs("spark.graft.autoChunk.censusMinBytes" -> "1") {
+        def g = spark.read.parquet(dir)
+          .withColumn("tot", sum(col("v")).over(Window.partitionBy()))
+        assert(windowless(g),
+          s"grand total must fire via census:\n${g.queryExecution.optimizedPlan}")
+        var wantG: Set[org.apache.spark.sql.Row] = null
+        withConfs("spark.graft.autoChunk.enabled" -> "false") {
+          wantG = g.collect().toSet
+        }
+        assert(g.collect().toSet == wantG, "grand-total rewrite changed the answer")
+      }
+      // gated kinds: a double sum without allowFloat, and first_value
+      // (order-sensitive over the full frame) stay plain
+      val fp = spark.table(t).withColumn("tot",
+        sum(col("v").cast("double")).over(wk))
+      assert(!windowless(fp), "FP full-frame sum must stay plain")
+      val fv = spark.table(t).withColumn("fv",
+        first_value(col("v")).over(Window.partitionBy(col("k"))
+          .orderBy(col("o"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      assert(!windowless(fv), "first_value over the full frame must stay plain")
+    }
+  }
+
   test("census arm fires on a DERIVED AGGREGATE child — the entity-ranked " +
       "histogram shape decomposes end to end (VERDICT r13 #3)") {
     // the exact shape the Lorenz/Gini/Pareto/RFM rows produce after the
