@@ -1686,6 +1686,48 @@ object SparkEntry {
       }
     }),
 
+    // the FULL-FRAME arm graded end to end (r14): per-group totals —
+    // `agg(v) OVER (PARTITION BY k)`, the group-total idiom every
+    // share-of-total query writes — re-planned as Aggregate + one
+    // broadcast-sized join back; no Window node survives in the
+    // optimized plan (the require pins that). avg fires under the
+    // ANALYZE'd 2^53 proof. The oracle is the plain serial window.
+    "ext_autochunk_full" -> ((s, dir) => {
+      val t = "graft_autochunk_full_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          when(col("event_id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(round(col("value") * 100).cast("long")).as("cents"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, event_id, cents")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val wk = Window.partitionBy(col("k"))
+        val df = s.table(t)
+          .withColumn("tot_cents", sum(col("cents")).over(wk))
+          .withColumn("n_vals", count(col("cents")).over(wk))
+          .withColumn("hi_cents", max(col("cents")).over(wk))
+          .withColumn("avg_cents", avg(col("cents")).over(wk))
+        require(df.queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+          }.isEmpty,
+          "AutoChunkWindow's full-frame arm did not fire")
+        df.select(col("event_id"), col("k").as("user_id"), col("tot_cents"),
+            col("n_vals"), col("hi_cents"), col("avg_cents"))
+          .orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // the IGNORE-NULLS first/last rule arms graded end to end (r14,
     // VERDICT r13 #5): forward fill — `last_value(cents, true)` over the
     // running frame — plus first-non-null, as PLAIN SQL windows over a
@@ -10442,6 +10484,23 @@ object SparkEntry {
         |FROM c
         |WINDOW w AS (ORDER BY event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // the full-frame rewrite must be invisible — plain serial windows;
+    // avg replays the exact-integer double division
+    "ext_autochunk_full" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL
+        |       ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS tot_cents,
+        |  CAST(count(cents) OVER w AS BIGINT) AS n_vals,
+        |  CAST(max(cents) OVER w AS BIGINT) AS hi_cents,
+        |  CAST(sum(cents) OVER w AS DOUBLE) /
+        |    CAST(count(cents) OVER w AS DOUBLE) AS avg_cents
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id)
         |ORDER BY event_id""".stripMargin,
 
     // the automatic IGNORE-NULLS twins must equal DuckDB's native form
