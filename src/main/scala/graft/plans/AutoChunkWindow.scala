@@ -383,7 +383,8 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     * order-free, FP sums need allowFloat, avg needs the 2^53 proof for
     * its double accumulation. */
   private case class FullD(alias: Alias, ae: AggregateExpression,
-      kind: String, v: Expression, partSpec: Seq[Expression])
+      kind: String, v: Expression, partSpec: Seq[Expression],
+      ord: Option[AttributeReference] = None, desc: Boolean = false)
 
   private def fullKind(ae: AggregateExpression): Option[(String, Expression)] =
     if (ae.isDistinct || ae.filter.isDefined) None
@@ -398,18 +399,64 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The ANCHOR-VALUE kinds over the full frame (r14): first_value /
+    * last_value (and their IGNORE NULLS forms, plus the NthValue(1)
+    * spelling Spark rewrites first_value into) with an ORDER — "the
+    * first/final value per key, on every row". They ride the same
+    * struct(ord, v) min/max device as the running arm, evaluated as a
+    * plain AGGREGATE (order-free combine), so the groupBy is exact:
+    * traversal-first = MIN struct under ASC / MAX under DESC, last the
+    * opposite; IGNORE NULLS masks null-v rows out. Default null
+    * placement only (the struct encodes it); tied anchor ords tiebreak
+    * by value — the serial pick's arbitrariness class. */
+  private def structFullKind(fn: Expression): Option[(String, Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{First, Last}
+    val kv = fn match {
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case First(v, ign) => Some((if (ign) "firstig" else "first", v))
+          case Last(v, ign) => Some((if (ign) "lastig" else "last", v))
+          case _ => None
+        }
+      case org.apache.spark.sql.catalyst.expressions.NthValue(
+            v, Literal(1, IntegerType), ign) =>
+        Some((if (ign) "firstig" else "first", v))
+      case _ => None
+    }
+    kv.filter { case (_, v) =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(v.dataType) && v.deterministic
+    }
+  }
+
+  private val fullStructKinds = Set("first", "firstig", "last", "lastig")
+
   private def decomposeFull(
       exprs: Seq[NamedExpression], allowFloat: Boolean): Option[Seq[FullD]] = {
     val ds = exprs.map {
-      case alias @ Alias(WindowExpression(ae: AggregateExpression,
-            WindowSpecDefinition(partSpec, _,
+      case alias @ Alias(WindowExpression(fn,
+            WindowSpecDefinition(partSpec, orderSpec,
               SpecifiedWindowFrame(_, UnboundedPreceding,
                 org.apache.spark.sql.catalyst.expressions
                   .UnboundedFollowing))), _)
-          if fullKind(ae).exists { case (k, v) => typeOk(k, v, allowFloat) } &&
-            partSpec.forall(_.isInstanceOf[AttributeReference]) =>
-        val (k, v) = fullKind(ae).get
-        Some(FullD(alias, ae, k, v, partSpec))
+          if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
+        fn match {
+          case ae: AggregateExpression
+              if fullKind(ae).exists { case (k, v) =>
+                typeOk(k, v, allowFloat) } =>
+            val (k, v) = fullKind(ae).get
+            Some(FullD(alias, ae, k, v, partSpec))
+          case _ => (structFullKind(fn), orderSpec) match {
+            case (Some((k, v)), Seq(so @ DecompSort(ord, desc)))
+                if defaultPlacement(so) =>
+              val ae = fn match {
+                case a: AggregateExpression => a
+                case _ => null // NthValue: replayed via the struct leg only
+              }
+              Some(FullD(alias, ae, k, v, partSpec, Some(ord), desc))
+            case _ => None
+          }
+        }
       case _ => None
     }
     if (ds.exists(_.isEmpty)) return None
@@ -431,8 +478,28 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
         case (a, i) => Seq(Literal(s"k$i"), a) }), C_NAME + "_fsk")())
     val proj1 = Project(child.output ++ skAlias.toSeq, child)
     val skAttr = skAlias.map(_.toAttribute)
+    // plain kinds replay the ORIGINAL AggregateExpression verbatim; the
+    // anchor kinds aggregate the struct(ord, v) surrogate (masked for
+    // IGNORE NULLS) whose min/max is the traversal-first/last row's pair
+    def fullAggExpr(d: FullD): Expression =
+      if (!fullStructKinds(d.kind)) d.ae
+      else {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+        val st = CreateNamedStruct(Seq(
+          Literal("o"), d.ord.get, Literal("x"), d.v))
+        val leg: Expression = d.kind match {
+          case "firstig" | "lastig" =>
+            If(IsNull(d.v), Literal.create(null, st.dataType), st)
+          case _ => st
+        }
+        val takeMin = d.kind match {
+          case "first" | "firstig" => !d.desc
+          case _ => d.desc // last/lastig: traversal-last = MAX asc, MIN desc
+        }
+        (if (takeMin) Min(leg) else Max(leg)).toAggregateExpression()
+      }
     val aggAliases = fs.zipWithIndex.map { case (d, i) =>
-      Alias(d.ae, s"${C_NAME}_full_$i")()
+      Alias(fullAggExpr(d), s"${C_NAME}_full_$i")()
     }
     val totals = Aggregate(skAttr.toSeq,
       skAttr.toSeq.map(_.asInstanceOf[NamedExpression]) ++ aggAliases, proj1)
@@ -448,7 +515,12 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
         org.apache.spark.sql.catalyst.plans.Cross, None, JoinHint.NONE)
     }
     val finals = fs.zip(rAggs).map { case (d, a) =>
-      Alias(a.toAttribute, d.alias.name)(exprId = d.alias.exprId)
+      val out: Expression =
+        if (fullStructKinds(d.kind))
+          org.apache.spark.sql.catalyst.expressions.GetStructField(
+            a.toAttribute, 1, Some("x"))
+        else a.toAttribute
+      Alias(out, d.alias.name)(exprId = d.alias.exprId)
     }
     Project(child.output ++ finals, joined)
   }

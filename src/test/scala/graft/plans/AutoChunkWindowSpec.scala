@@ -1167,16 +1167,38 @@ class AutoChunkWindowSpec extends SparkSpec {
         }
         assert(g.collect().toSet == wantG, "grand-total rewrite changed the answer")
       }
-      // gated kinds: a double sum without allowFloat, and first_value
-      // (order-sensitive over the full frame) stay plain
+      // gated kind: a double sum without allowFloat stays plain
       val fp = spark.table(t).withColumn("tot",
         sum(col("v").cast("double")).over(wk))
       assert(!windowless(fp), "FP full-frame sum must stay plain")
-      val fv = spark.table(t).withColumn("fv",
+      // ANCHOR kinds over the full frame (r14): first/last value — and
+      // the IGNORE NULLS forms — ride struct legs inside the aggregate;
+      // "the final value per key on every row" with no per-key task
+      for (descDir <- Seq(false, true)) {
+        val wo = Window.partitionBy(col("k"))
+          .orderBy(if (descDir) col("o").desc else col("o"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        def anchor = spark.table(t)
+          .withColumn("fv", first_value(col("v")).over(wo))
+          .withColumn("lv", last(col("v")).over(wo))
+          .withColumn("lnn", last(col("v"), ignoreNulls = true).over(wo))
+        assert(windowless(anchor),
+          s"anchor kinds (desc=$descDir) must fire:\n${anchor.queryExecution.optimizedPlan}")
+        var wantA: Set[org.apache.spark.sql.Row] = null
+        withConfs("spark.graft.autoChunk.enabled" -> "false") {
+          wantA = anchor.collect().toSet
+        }
+        assert(anchor.collect().toSet == wantA,
+          s"anchor rewrite (desc=$descDir) changed the answer")
+      }
+      // off-default placement keeps anchor kinds plain (the struct
+      // encodes only the default placement)
+      val fvOff = spark.table(t).withColumn("fv",
         first_value(col("v")).over(Window.partitionBy(col("k"))
-          .orderBy(col("o"))
+          .orderBy(col("o").asc_nulls_last)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      assert(!windowless(fv), "first_value over the full frame must stay plain")
+      assert(!windowless(fvOff),
+        "anchor kinds under off-default placement must stay plain")
     }
   }
 
