@@ -1686,6 +1686,49 @@ object SparkEntry {
       }
     }),
 
+    // the KEYED census probe graded end to end (r15, VERDICT r14 #1):
+    // BARE parquet — never saved to the catalog, never ANALYZE'd — with
+    // a 60%-hot key, i.e. the classic latest-record-per-hot-key ingest
+    // straggler. perKeyRows is pinned beyond any relation so the
+    // avg-key signal CANNOT fire: only the census scan's ApproxTopK
+    // heavy-hitter estimate can prove hotness, which is exactly the
+    // probe this row grades. The require() pins the fire; the oracle is
+    // the plain serial window — the re-plan must be invisible.
+    "ext_autochunk_keyed_census" -> ((s, dir) => {
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "graft_autochunk_keyed_parquet").toString
+      deleteRecursively(loc)
+      Tables.events(s, dir).select(col("event_id"),
+          when(col("event_id") % 10 < 6, lit(0L))
+            .otherwise(col("user_id")).as("k"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").parquet(loc)
+      val scoped = Seq(
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "1000000000",
+        "spark.graft.autoChunk.censusMinBytes" -> "1",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("k")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val df = s.read.parquet(loc)
+          .withColumn("run_cents", sum(col("cents")).over(w))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("k")).orderBy(col("event_id"))))
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow's keyed census probe did not fire on bare parquet")
+        df.select(col("event_id"), col("k"), col("run_cents"), col("rn"))
+          .orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // the FULL-FRAME arm graded end to end (r14): per-group totals —
     // `agg(v) OVER (PARTITION BY k)`, the group-total idiom every
     // share-of-total query writes — re-planned as Aggregate + one
@@ -4456,7 +4499,11 @@ object SparkEntry {
     // "the bottom 50% of customers hold X% of revenue", read directly
     "ext_lorenz_curve" -> ((s, dir) => {
       // rank + running cum via the two-level globalRankByValue (r14,
-      // VERDICT r13 #3); n/total are one-row broadcasts, not windows
+      // VERDICT r13 #3); n/total are one-row broadcasts, not windows.
+      // tieChunks (r15, VERDICT r14 #2) grades the chunk-decomposed
+      // within-group rank end to end: revenue cents carry genuine tie
+      // groups, user_id is the unique numeric tie column, and the
+      // decomposition must be invisible in the oracle hash.
       val perUser = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
@@ -4464,7 +4511,7 @@ object SparkEntry {
       val tot = perUser.agg(count(lit(1)).as("n"),
         sum(col("cents")).as("total"))
       graft.operators.Skew.globalRankByValue(perUser, "cents", "user_id",
-          "r", cumCol = Some("cum"))
+          "r", cumCol = Some("cum"), tieChunks = 8)
         .crossJoin(broadcast(tot))
         .withColumn("decile", expr("(r * 10 + n - 1) div n")) // ceil(10r/n)
         .groupBy(col("decile"))
@@ -10483,6 +10530,20 @@ object SparkEntry {
         |    CAST(count(cents) OVER w AS DOUBLE) AS avg_cents
         |FROM c
         |WINDOW w AS (ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // the keyed census probe must be invisible — plain serial windows
+    "ext_autochunk_keyed_census" ->
+      """WITH c AS (SELECT event_id,
+        |  CASE WHEN event_id % 10 < 6 THEN 0 ELSE user_id END AS k,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, k,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS run_cents,
+        |  CAST(row_number() OVER (PARTITION BY k ORDER BY event_id)
+        |    AS INTEGER) AS rn
+        |FROM c
+        |WINDOW w AS (PARTITION BY k ORDER BY event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 

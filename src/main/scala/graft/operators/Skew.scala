@@ -769,18 +769,37 @@ object Skew {
     * `cumCol` is set — the running sum of `valueCol` at each row's rank
     * (`cumCol` assumes non-null values: a null value's own cum is null,
     * where the serial running sum would carry the prefix — ranks are
-    * exact for null values either way). */
+    * exact for null values either way).
+    *
+    * DOMINANT TIE GROUPS (r15, VERDICT r14 #2): the within-group rank is
+    * a window PARTITIONED BY THE VALUE, so its per-task bound is the
+    * largest tie group — fine for high-cardinality payloads (revenue
+    * cents), degenerate when one value dominates (ranking a constant-
+    * heavy or low-cardinality column: a 90%-tied corpus puts 90% of the
+    * rows in one task, exactly as the serial plan would). `tieChunks >= 2`
+    * routes that rank through the chunk decomposition
+    * ([[runningAggChunked]] over a constant-1 count keyed by the value,
+    * ordered by `tieCol`): the dominant group's sort spreads over
+    * `tieChunks` tasks, bounded by rows-per-(value, tie-chunk) instead of
+    * the group. Exact under the same `tieCol`-uniqueness contract (the
+    * running count of 1 IS row_number there); needs a numerically
+    * orderable `tieCol` (the chunk function divides a double cast —
+    * non-numeric ties fall back to the verb's own plain-window arm
+    * inside [[runningAggChunked]], i.e. today's plan). Default 0 keeps
+    * the r14 single-window form. */
   def globalRankByValue(
       df: DataFrame,
       valueCol: String,
       tieCol: String,
       outCol: String,
       desc: Boolean = false,
-      cumCol: Option[String] = None): DataFrame = {
+      cumCol: Option[String] = None,
+      tieChunks: Int = 0): DataFrame = {
     Seq(valueCol, tieCol).foreach(c => require(df.columns.contains(c),
       s"column '$c' not found in ${df.columns.mkString("[", ",", "]")}"))
     (Seq(outCol) ++ cumCol ++
-        Seq("__gvs", "__ghk", "__ghv", "__gbc", "__gbs", "__gwr")).foreach(h =>
+        Seq("__gvs", "__ghk", "__ghv", "__gbc", "__gbs", "__gwr",
+          "__gone")).foreach(h =>
       require(!df.columns.contains(h),
         s"input already carries the column '$h'"))
     import org.apache.spark.sql.expressions.Window
@@ -804,8 +823,17 @@ object Skew {
         coalesce(col("__gs"), lit(0L)))
       .select(col("__ghk"), col("__gbc"), col("__gbs"))
     val within = Window.partitionBy(col("__gvs")).orderBy(col(tieCol))
-    val ranked = base
-      .withColumn("__gwr", row_number().over(within).cast("long"))
+    // the within-group rank: chunk-decomposed when a dominant tie group
+    // is possible (tieChunks >= 2), the plain value-partitioned window
+    // otherwise — both are row_number under the tieCol-uniqueness
+    // contract (a running count of a never-null constant is the position)
+    val seqd =
+      if (tieChunks >= 2)
+        runningAggChunked(base.withColumn("__gone", lit(1)),
+          "__gvs", tieCol, "__gone", "__gwr", "count", tieChunks)
+          .drop("__gone")
+      else base.withColumn("__gwr", row_number().over(within).cast("long"))
+    val ranked = seqd
       .join(below, col("__gvs") === col("__ghk"))
       .withColumn(outCol, col("__gbc") + col("__gwr"))
     val out = cumCol match {

@@ -95,28 +95,36 @@ class ExtensionSpec extends SparkSpec {
   test("near-dup lineage-cut blocks are released after the consuming action") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
     graft.util.Checkpoints.releaseAll() // clean slate (other specs may have run)
+    // the leak canary is OUR OWN cuts: other suites in the shared session
+    // may hold persistent RDDs of their own (or drop them asynchronously
+    // mid-test), so the assertion is "no NEW ids survive", not isEmpty —
+    // the full-suite ordering flake r14 adjudicated, now pinned out
+    val foreign = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.nearDuplicates(docs, threshold = 0.3).count()
     Dedup.simhashPairs(docs, maxHamming = 3).count()
     assert(graft.util.Checkpoints.trackedCount > 0) // cuts actually happened
     graft.util.Checkpoints.releaseAll()
     assert(graft.util.Checkpoints.trackedCount == 0)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      s"leaked persistent RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- foreign
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
   }
 
   test("scoped{} releases only its own cuts, leaving outer cuts alive") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
     graft.util.Checkpoints.releaseAll()
+    val foreign = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.simhashPairs(docs, maxHamming = 3).count() // outer (session-global) cut
-    val before = spark.sparkContext.getPersistentRDDs.size
-    assert(before > 0)
+    val outer = spark.sparkContext.getPersistentRDDs.keySet -- foreign
+    assert(outer.nonEmpty)
     graft.util.Checkpoints.scoped {
       Dedup.nearDuplicates(docs, threshold = 0.3).count()
     }
     // the scope's cuts are gone; the outer query's blocks are untouched
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    // (compared as OUR id set — foreign suites' RDDs may come and go)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- foreign) == outer)
     graft.util.Checkpoints.releaseAll()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- foreign
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
   }
 
   test("minhash handles sub-shingle-length documents (no crash, no pairs)") {

@@ -1001,9 +1001,9 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
-  test("no-catalog-stats GLOBAL arm: bare parquet fires via the one-scan " +
-      "census — keyed windows and sub-threshold relations stay plain " +
-      "(VERDICT r13 #4)") {
+  test("no-catalog-stats arms: bare parquet fires via the one-scan census " +
+      "— global (VERDICT r13 #4) and keyed via the sketch probe (r15, " +
+      "VERDICT r14 #1); sub-threshold relations stay plain") {
     import org.apache.spark.sql.expressions.Window
     val dir = java.nio.file.Files.createTempDirectory("graft_census").toString
     // bare parquet, NEVER analyzed: rowCount/colStats absent by
@@ -1033,12 +1033,25 @@ class AutoChunkWindowSpec extends SparkSpec {
         want = q.collect().toSet
       }
       assert(q.collect().toSet == want, "census rewrite changed the answer")
-      // KEYED window on the same bare parquet: no census (per-key NDV
-      // needs a groupBy, not a scan) — stays plain without ANALYZE
-      val keyed = t.withColumn("run", sum(col("v")).over(
+      // KEYED window on the same bare parquet (r15, VERDICT r14 #1):
+      // the sketch probe in the census scan proves avg-hotness (4 keys
+      // x 5000 rows vs perKeyRows=1000) — fires without ANALYZE; with
+      // the keyed probe switched off it stays ANALYZE-gated as in r14
+      def keyed = t.withColumn("run", sum(col("v")).over(
         Window.partitionBy(col("k")).orderBy(col("o"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      assert(!chunked(keyed), "keyed windows must stay ANALYZE-gated")
+      assert(chunked(keyed),
+        s"keyed census probe must fire on bare parquet:\n${keyed.queryExecution.optimizedPlan}")
+      var wantK: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        wantK = keyed.collect().toSet
+      }
+      assert(keyed.collect().toSet == wantK,
+        "keyed census rewrite changed the answer")
+      withConfs("spark.graft.autoChunk.keyedCensus" -> "false") {
+        assert(!chunked(keyed),
+          "keyedCensus=false must keep keyed windows ANALYZE-gated")
+      }
       // census switched off -> plain
       withConfs("spark.graft.autoChunk.census" -> "false") {
         assert(!chunked(t.withColumn("run", sum(col("v")).over(wg))),
@@ -1049,6 +1062,120 @@ class AutoChunkWindowSpec extends SparkSpec {
         assert(!chunked(t.withColumn("run", sum(col("v")).over(wg))),
           "sub-threshold relations must stay plain")
       }
+    }
+  }
+
+  test("keyed census heavy-hitter signal: one key holding >= hotShare " +
+      "fires even when the AVERAGE key is cold; a uniform key space with " +
+      "a cold average stays plain (r15, VERDICT r14 #1)") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotkey").toString
+    // 20k rows: 60% land on key 0, the rest spread over ~8000 distinct
+    // keys — rows/ndv ~ 2.5, so the avg-hot signal CANNOT fire under
+    // perKeyRows=1e6 and ONLY the ApproxTopK heavy-hitter estimate can
+    // (key 0's share 0.6 >= hotShare 0.2). This is THE latest-record-
+    // per-hot-key ingest shape on bare, never-ANALYZEd parquet.
+    spark.range(20000L).select(
+        when(col("id") % 10 < 6, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("o"),
+        pmod(xxhash64(col("id")), lit(100L)).as("v"))
+      .write.mode("overwrite").parquet(dir)
+    def t = spark.read.parquet(dir)
+    def w = Window.partitionBy(col("k")).orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withConfs(
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000000",
+      "spark.graft.autoChunk.censusMinBytes" -> "1",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      def q = t.withColumn("run", sum(col("v")).over(w))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("o"))))
+      assert(chunked(q),
+        s"heavy-hitter probe must fire:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      assert(q.collect().toSet == want,
+        "heavy-hitter keyed rewrite changed the answer")
+      // uniform keys, cold average: NEITHER signal may fire — the probe
+      // must not hallucinate hotness on an even distribution
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_unif").toString
+      spark.range(20000L).select(col("id").as("k"), col("id").as("o"),
+          lit(1L).as("v"))
+        .write.mode("overwrite").parquet(dir2)
+      val q2 = spark.read.parquet(dir2)
+        .withColumn("run", sum(col("v")).over(w))
+      assert(!chunked(q2),
+        "uniform keys with a cold average must stay plain")
+    }
+  }
+
+  test("census cache freshness: per-plan caching, invalidateCensus() and " +
+      "an expired censusTtlSec each force a re-census; defaults keep the " +
+      "JVM-lifetime cache (VERDICT r14 #3)") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    spark.range(15000L).select(col("id").as("o"),
+        pmod(col("id"), lit(97L)).as("v"))
+      .write.mode("overwrite").parquet(dir)
+    def t = spark.read.parquet(dir)
+    val wg = Window.orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withConfs(
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.censusMinBytes" -> "1",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      def q = t.withColumn("run", sum(col("v")).over(wg))
+      AutoChunkWindow.invalidateCensus()
+      val r0 = AutoChunkWindow.censusRuns.get
+      assert(chunked(q))
+      assert(AutoChunkWindow.censusRuns.get == r0 + 1,
+        "first planning must census once")
+      assert(chunked(q))
+      assert(AutoChunkWindow.censusRuns.get == r0 + 1,
+        "same plan, default TTL: the cache must answer without a scan")
+      AutoChunkWindow.invalidateCensus()
+      assert(chunked(q))
+      assert(AutoChunkWindow.censusRuns.get == r0 + 2,
+        "invalidateCensus() must force a re-census on next planning")
+      withConfs("spark.graft.autoChunk.censusTtlSec" -> "1") {
+        Thread.sleep(1200) // the r0+2 entry is now older than the TTL
+        assert(chunked(q))
+        assert(AutoChunkWindow.censusRuns.get == r0 + 3,
+          "an entry older than censusTtlSec must re-census")
+        assert(chunked(q))
+        assert(AutoChunkWindow.censusRuns.get == r0 + 3,
+          "a fresh entry inside the TTL must be served from cache")
+      }
+    }
+  }
+
+  test("census over a double ord containing NaN must not crash planning — " +
+      "the window stays plain and still answers (ADVICE r14, medium)") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_nan").toString
+    // Spark's max() over doubles treats NaN as greatest, so the census
+    // collects max(o) = NaN — the r14 statBigDecimal(BigDecimal(NaN))
+    // threw NumberFormatException INSIDE the optimizer; the r15 stance
+    // is None -> unprovable range -> plain window
+    spark.range(5000L).select(
+        when(col("id") === 0, lit(Double.NaN))
+          .otherwise(col("id").cast("double")).as("o"),
+        lit(1L).as("v"))
+      .write.mode("overwrite").parquet(dir)
+    withConfs(
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.censusMinBytes" -> "1") {
+      val q = spark.read.parquet(dir)
+        .withColumn("run", sum(col("v")).over(Window.orderBy(col("o"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(!chunked(q),
+        "a non-finite censused ord range must leave the window plain")
+      assert(q.collect().length == 5000, "the plain plan must still run")
     }
   }
 
