@@ -1686,6 +1686,59 @@ object SparkEntry {
       }
     }),
 
+    // OFF-DEFAULT placement for the anchor kinds graded end to end
+    // (r15): first_value / IGNORE-NULLS first/last under ASC NULLS LAST
+    // — a placement r14 spec-pinned as a no-fire — now decomposes via
+    // the isnull-prefixed struct leg (the DESC NULLS FIRST mirror has
+    // spec parity; stacking BOTH orderings here would pile the second
+    // Window on the first rewrite's join, where catalog stats cannot
+    // follow). Determinism by construction: null-ord rows carry NULL
+    // cents, so every within-peer-group pick the serial window could
+    // make yields the same value. The require pins that NO plain Window
+    // survives; the oracle is DuckDB's native NULLS LAST serial window.
+    "ext_autochunk_anchor_off" -> ((s, dir) => {
+      val t = "graft_autochunk_anchor_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          when(col("event_id") % 13 === 0, lit(null).cast("long"))
+            .otherwise(col("event_id")).as("o"),
+          when(col("event_id") % 13 === 0 || col("event_id") % 7 === 0,
+              lit(null).cast("long"))
+            .otherwise(round(col("value") * 100).cast("long")).as("cents"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val wa = Window.partitionBy(col("k")).orderBy(col("o").asc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val df = s.table(t)
+          .withColumn("fv_nl", first(col("cents")).over(wa))
+          .withColumn("fnn_nl", first(col("cents"), ignoreNulls = true).over(wa))
+          .withColumn("fill_nl", last(col("cents"), ignoreNulls = true).over(wa))
+        val plainWins = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if !w.partitionSpec.exists(_.references.exists(
+                _.name.startsWith("__graft_chunk"))) => w
+        }
+        require(plainWins.isEmpty,
+          "an off-default anchor window stayed plain — this row must grade both re-plans")
+        df.select(col("event_id"), col("k").as("user_id"), col("fv_nl"),
+            col("fnn_nl"), col("fill_nl"))
+          .orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // the KEYED census probe graded end to end (r15, VERDICT r14 #1):
     // BARE parquet — never saved to the catalog, never ANALYZE'd — with
     // a 60%-hot key, i.e. the classic latest-record-per-hot-key ingest
@@ -10530,6 +10583,23 @@ object SparkEntry {
         |    CAST(count(cents) OVER w AS DOUBLE) AS avg_cents
         |FROM c
         |WINDOW w AS (ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // the off-default anchor rewrite must be invisible — DuckDB's own
+    // NULLS LAST serial window is the oracle
+    "ext_autochunk_anchor_off" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_id END AS o,
+        |  CASE WHEN event_id % 13 = 0 OR event_id % 7 = 0 THEN NULL
+        |       ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  first_value(cents) OVER wa AS fv_nl,
+        |  first_value(cents IGNORE NULLS) OVER wa AS fnn_nl,
+        |  last_value(cents IGNORE NULLS) OVER wa AS fill_nl
+        |FROM c
+        |WINDOW wa AS (PARTITION BY user_id ORDER BY o ASC NULLS LAST
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 

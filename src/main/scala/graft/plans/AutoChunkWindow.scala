@@ -66,10 +66,15 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   *    (monotone in the traversal order) and sends null ords explicitly
   *    to the chunk the PLACEMENT names — first chunk for NULLS FIRST,
   *    last for NULLS LAST. DESC RANGE frames fire too (r14 — the
-  *    ord-block stage runs on the negated axis). Only the struct(ord, v)
-  *    kinds (first_value/last_value) stay default-placement-gated: their
-  *    min/max combine relies on null ord fields comparing smallest,
-  *    which encodes each direction's default placement;
+  *    ord-block stage runs on the negated axis). The struct(ord, v)
+  *    kinds (first_value/last_value) fire on all four pairings too
+  *    (r15; r14 gated them to the defaults): under the DEFAULT
+  *    placements their min/max combine rides null ord fields comparing
+  *    smallest, which encodes exactly those placements; the OFF-DEFAULT
+  *    pairings prepend an explicit `isnull(ord)` field to the struct —
+  *    false < true puts null-ord rows after every valued row under a
+  *    MIN combine and before them under MAX, which is precisely where
+  *    ASC NULLS LAST and DESC NULLS FIRST put them in the traversal;
   *  - hotness: rowCount / ndv(keys) >= `perKeyRows` (default 1M — the
   *    average key alone overwhelms one task; covers the no-keys global
   *    window with ndv = 1), OR a single-key equi-height histogram shows
@@ -127,10 +132,11 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   *       serial-first (respectively serial-LAST, via the opposite
   *       min/max) NON-NULL row's pair. Direction table: first+ASC and
   *       last+DESC take MIN of the struct, first+DESC and last+ASC take
-  *       MAX — in each case null ORD fields land exactly where the
-  *       direction's default null placement puts those rows in the
-  *       traversal. Tied ords tiebreak by value — the serial pick's
-  *       arbitrariness class, as above;
+  *       MAX — under the default placements null ORD fields land exactly
+  *       where the placement puts those rows in the traversal, and the
+  *       off-default placements ride the isnull-prefixed struct (r15)
+  *       with the SAME table. Tied ords tiebreak by value — the serial
+  *       pick's arbitrariness class, as above;
   *     * LAG/LEAD with a literal default (null or explicit — the block
   *       window replays the function verbatim, so the default fires
   *       exactly where the serial one does), respect-nulls, positive
@@ -289,14 +295,15 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     * (first chunk for NULLS FIRST, last for NULLS LAST — independent of
     * direction), and every window leg replays the ORIGINAL SortOrder, so
     * chunk-local evaluation order equals the serial order restricted to
-    * the chunk in every pairing. The only placement-sensitive arms are
-    * the struct(ord, v) kinds (first/firstig/lastig): their min/max
-    * combine relies on null ord FIELDS comparing smallest, which encodes
-    * each direction's DEFAULT placement — off-default pairings keep
-    * those kinds plain ([[defaultPlacement]]); every count/position/
-    * value-leg arm is placement-agnostic (frames compose additively
-    * across chunk boundaries for any traversal-prefix frame, and peers —
-    * null or valued — never straddle chunks). */
+    * the chunk in every pairing. The struct(ord, v) kinds (first/firstig/
+    * lastig) are placement-SENSITIVE but no longer placement-GATED
+    * (r15): [[defaultPlacement]] picks the struct shape — the default
+    * pairings ride null ord fields comparing smallest (which encodes
+    * exactly those placements), the off-default pairings prepend an
+    * explicit isnull(ord) field ([[anchorStruct]]); every count/
+    * position/value-leg arm is placement-agnostic (frames compose
+    * additively across chunk boundaries for any traversal-prefix frame,
+    * and peers — null or valued — never straddle chunks). */
   private object DecompSort {
     def unapply(so: SortOrder): Option[(AttributeReference, Boolean)] =
       so match {
@@ -309,13 +316,34 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
   }
 
   /** True when the SortOrder carries its direction's SQL-default null
-    * placement (ASC NULLS FIRST / DESC NULLS LAST) — the precondition of
-    * the struct(ord, v) arms. */
+    * placement (ASC NULLS FIRST / DESC NULLS LAST) — selects the struct
+    * shape of the anchor kinds ([[anchorStruct]]; gated them entirely
+    * before r15). */
   private def defaultPlacement(so: SortOrder): Boolean = so match {
     case SortOrder(_, Ascending, NullsFirst, _) => true
     case SortOrder(_, Descending, NullsLast, _) => true
     case _ => false
   }
+
+  /** The struct surrogate the anchor kinds (first/firstig/lastig)
+    * min/max-combine, with the index of its value field. DEFAULT
+    * placements use struct(ord, v): null struct FIELDS compare smallest,
+    * so null-ord rows win a MIN combine and lose a MAX one — exactly
+    * where ASC NULLS FIRST and DESC NULLS LAST put them in the
+    * traversal. OFF-DEFAULT placements (r15) prepend an explicit
+    * isnull(ord) field: false < true pushes null-ord rows AFTER every
+    * valued row under MIN and BEFORE them under MAX — exactly ASC NULLS
+    * LAST / DESC NULLS FIRST. Within the null-ord peer group the ord
+    * field ties and the value field tiebreaks — the serial pick's
+    * arbitrariness class, as for valued ties. */
+  private def anchorStruct(
+      so: SortOrder, ord: AttributeReference,
+      v: Expression): (CreateNamedStruct, Int) =
+    if (defaultPlacement(so))
+      (CreateNamedStruct(Seq(Literal("o"), ord, Literal("x"), v)), 1)
+    else
+      (CreateNamedStruct(Seq(Literal("n"), IsNull(ord),
+        Literal("o"), ord, Literal("x"), v)), 2)
 
   /** A bounded ROWS frame bound as a row offset: CURRENT ROW = 0,
     * integer literals as themselves, anything else (UNBOUNDED, RANGE
@@ -439,7 +467,8 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     * its double accumulation. */
   private case class FullD(alias: Alias, ae: Option[AggregateExpression],
       kind: String, v: Expression, partSpec: Seq[Expression],
-      ord: Option[AttributeReference] = None, desc: Boolean = false)
+      ord: Option[AttributeReference] = None, desc: Boolean = false,
+      defPlace: Boolean = true)
 
   private def fullKind(ae: AggregateExpression): Option[(String, Expression)] =
     if (ae.isDistinct || ae.filter.isDefined) None
@@ -461,9 +490,11 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     * struct(ord, v) min/max device as the running arm, evaluated as a
     * plain AGGREGATE (order-free combine), so the groupBy is exact:
     * traversal-first = MIN struct under ASC / MAX under DESC, last the
-    * opposite; IGNORE NULLS masks null-v rows out. Default null
-    * placement only (the struct encodes it); tied anchor ords tiebreak
-    * by value — the serial pick's arbitrariness class. */
+    * opposite; IGNORE NULLS masks null-v rows out. All four direction x
+    * placement pairings fire (r15): the struct shape is placement-aware
+    * exactly as [[anchorStruct]] — off-default pairings prepend an
+    * explicit isnull(ord) field. Tied anchor ords tiebreak by value —
+    * the serial pick's arbitrariness class. */
   private def structFullKind(fn: Expression): Option[(String, Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{First, Last}
     val kv = fn match {
@@ -502,8 +533,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
             val (k, v) = fullKind(ae).get
             Some(FullD(alias, Some(ae), k, v, partSpec))
           case _ => (structFullKind(fn), orderSpec) match {
-            case (Some((k, v)), Seq(so @ DecompSort(ord, desc)))
-                if defaultPlacement(so) =>
+            case (Some((k, v)), Seq(so @ DecompSort(ord, desc))) =>
               // NthValue is not an AggregateExpression — it is replayed
               // via the struct leg only, so ae is None there (ADVICE
               // r14: Option, not a null sentinel)
@@ -511,7 +541,8 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
                 case a: AggregateExpression => Some(a)
                 case _ => None
               }
-              Some(FullD(alias, ae, k, v, partSpec, Some(ord), desc))
+              Some(FullD(alias, ae, k, v, partSpec, Some(ord), desc,
+                defaultPlacement(so)))
             case _ => None
           }
         }
@@ -543,8 +574,14 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       if (!fullStructKinds(d.kind)) d.ae.get // plain kinds always carry one
       else {
         import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
-        val st = CreateNamedStruct(Seq(
-          Literal("o"), d.ord.get, Literal("x"), d.v))
+        // placement-aware struct (r15, mirrors [[anchorStruct]]): the
+        // off-default pairings prepend an explicit isnull(ord) field
+        val st =
+          if (d.defPlace) CreateNamedStruct(Seq(
+            Literal("o"), d.ord.get, Literal("x"), d.v))
+          else CreateNamedStruct(Seq(
+            Literal("n"), IsNull(d.ord.get),
+            Literal("o"), d.ord.get, Literal("x"), d.v))
         val leg: Expression = d.kind match {
           case "firstig" | "lastig" =>
             If(IsNull(d.v), Literal.create(null, st.dataType), st)
@@ -576,7 +613,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       val out: Expression =
         if (fullStructKinds(d.kind))
           org.apache.spark.sql.catalyst.expressions.GetStructField(
-            a.toAttribute, 1, Some("x"))
+            a.toAttribute, if (d.defPlace) 1 else 2, Some("x"))
         else a.toAttribute
       Alias(out, d.alias.name)(exprId = d.alias.exprId)
     }
@@ -645,9 +682,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
               frame @ SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))),
             _)
           if aggArg(ae).exists { case (kind, v) =>
-            typeOk(kind, v, allowFloat) &&
-              (!Set("first", "firstig", "lastig")(kind) ||
-                defaultPlacement(so)) } &&
+            typeOk(kind, v, allowFloat) } &&
             partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         val (kind, v) = aggArg(ae).get
         Some(Decomposed(alias, Some(ae), kind, v, so, frame, ord, partSpec))
@@ -768,7 +803,6 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
                 CurrentRow))), _)
           if org.apache.spark.sql.catalyst.expressions.RowOrdering
             .isOrderable(in.dataType) && in.deterministic &&
-            defaultPlacement(so) &&
             partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         Some(Decomposed(alias, None, if (ign) "firstig" else "first", in,
           so, frame, ord, partSpec))
@@ -1274,14 +1308,14 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // rank family rides the shared seq leg / its own offset-only ndv leg.
     case "rownum" | "lag" | "slide" | "rslide"
        | "rank" | "dense" | "prank" | "cume" | "ntile" => Nil
-    // first_value rides ONE struct(ord, v) leg: min/max of the struct is
-    // the serial-first row's pair, and the value field pops out at the end
-    case "first" => Seq(Leg("first", CreateNamedStruct(
-      Seq(Literal("o"), d.ord, Literal("x"), d.v))))
+    // first_value rides ONE placement-aware struct leg ([[anchorStruct]]):
+    // min/max of the struct is the serial-first row's pair, and the value
+    // field pops out at the end
+    case "first" => Seq(Leg("first", anchorStruct(d.so, d.ord, d.v)._1))
     // the IGNORE-NULLS twins mask null-v rows OUT of the leg — min/max
     // skip nulls, so only non-null-v rows compete for the combine
     case k @ ("firstig" | "lastig") =>
-      val st = CreateNamedStruct(Seq(Literal("o"), d.ord, Literal("x"), d.v))
+      val st = anchorStruct(d.so, d.ord, d.v)._1
       Seq(Leg(k, If(IsNull(d.v), Literal.create(null, st.dataType), st)))
     case k => Seq(Leg(k, d.v))
   }
@@ -1608,20 +1642,23 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
               Add(Add(m, idiv(Subtract(Subtract(r, Literal(1L)), thr), q)),
                 Literal(1L))), IntegerType))
           // first / IGNORE-NULLS twins: min/max-combine the struct leg,
-          // then read the value field — Least/Greatest skip both the
+          // then read the value field (its index depends on the
+          // placement-aware struct shape) — Least/Greatest skip both the
           // first chunk's absent offset and all-null-masked chunks
           case "first" | "firstig" =>
             val m: Expression =
               if (desc) Greatest(Seq(loc(0), off(0)))
               else Least(Seq(loc(0), off(0)))
             Some(org.apache.spark.sql.catalyst.expressions
-              .GetStructField(m, 1, Some("x")))
+              .GetStructField(m, anchorStruct(d.so, d.ord, d.v)._2,
+                Some("x")))
           case "lastig" =>
             val m: Expression =
               if (desc) Least(Seq(loc(0), off(0)))
               else Greatest(Seq(loc(0), off(0)))
             Some(org.apache.spark.sql.catalyst.expressions
-              .GetStructField(m, 1, Some("x")))
+              .GetStructField(m, anchorStruct(d.so, d.ord, d.v)._2,
+                Some("x")))
           case k => Some(combineLeg(k, loc(0), off(0)))
         }
         (d, c.map(e => Alias(e, d.alias.name)(exprId = d.alias.exprId)))

@@ -270,7 +270,8 @@ class AutoChunkWindowSpec extends SparkSpec {
   }
 
   test("DESC NULLS LAST mirror: running aggregates, row_number and lag " +
-      "fire on the descending default; off-default pairings stay plain (r13)") {
+      "fire on the descending default; off-default pairings fire for the " +
+      "count/position arms (r14; anchor kinds have their own r15 test)") {
     import org.apache.spark.sql.expressions.Window
     // null ords included: DESC NULLS LAST puts them AFTER every value,
     // and the mirrored chunk function must send them to the LAST chunk
@@ -340,13 +341,71 @@ class AutoChunkWindowSpec extends SparkSpec {
         }
         assert(qOff.collect().toSet == wantOff,
           s"$name rewrite changed the answer")
-        // the struct kinds keep the serial plan off-default: null ord
-        // FIELDS always compare smallest, which encodes only the
-        // direction's default placement
-        val fOff = spark.table(t).withColumn("fv",
-          first_value(col("v")).over(wOff))
-        assert(!chunked(fOff),
-          s"first_value under $name must stay plain")
+      }
+    }
+  }
+
+  test("anchor kinds fire on OFF-DEFAULT placements: first_value and the " +
+      "forward-fill IGNORE-NULLS twins under ASC NULLS LAST / DESC NULLS " +
+      "FIRST, running and full frames, exact parity (r15)") {
+    import org.apache.spark.sql.expressions.Window
+    // exactly ONE null-ord row per key: within-peer-group picks are the
+    // serial window's own arbitrariness class, so a parity SET compare
+    // is only deterministic when every null peer group is a singleton
+    // (the shared fixtures carry ~770-row null groups by design)
+    val t = "graft_autochunk_anchor_off"
+    freshTable(t) {
+      spark.range(10000L).select(
+          pmod(col("id"), lit(2L)).as("k"),
+          when(col("id") < 2, lit(null).cast("long"))
+            .otherwise(col("id")).as("o"),
+          when(col("id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(pmod(xxhash64(col("id")), lit(100L))).as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      for ((mk, name) <- Seq(
+          ((c: org.apache.spark.sql.Column) => c.desc_nulls_first,
+            "DESC NULLS FIRST"),
+          ((c: org.apache.spark.sql.Column) => c.asc_nulls_last,
+            "ASC NULLS LAST"))) {
+        val wOff = Window.partitionBy(col("k")).orderBy(mk(col("o")))
+        val running = wOff.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)
+        def fOff = spark.table(t)
+          .withColumn("fv", first_value(col("v")).over(running))
+          .withColumn("fnn", first(col("v"), ignoreNulls = true).over(running))
+          .withColumn("fill", last(col("v"), ignoreNulls = true).over(running))
+        assert(chunked(fOff),
+          s"running anchor kinds under $name must fire:\n${fOff.queryExecution.optimizedPlan}")
+        var wantF: Set[org.apache.spark.sql.Row] = null
+        withConfs("spark.graft.autoChunk.enabled" -> "false") {
+          wantF = fOff.collect().toSet
+        }
+        assert(fOff.collect().toSet == wantF,
+          s"running anchor rewrite under $name changed the answer")
+        // FULL-FRAME spelling: Aggregate + join-back, no Window survives
+        val full = wOff.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        def aOff = spark.table(t)
+          .withColumn("fv", first_value(col("v")).over(full))
+          .withColumn("lv", last(col("v")).over(full))
+          .withColumn("lnn", last(col("v"), ignoreNulls = true).over(full))
+        assert(aOff.queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+          }.isEmpty,
+          s"full-frame anchor kinds under $name must fire:\n${aOff.queryExecution.optimizedPlan}")
+        var wantA: Set[org.apache.spark.sql.Row] = null
+        withConfs("spark.graft.autoChunk.enabled" -> "false") {
+          wantA = aOff.collect().toSet
+        }
+        assert(aOff.collect().toSet == wantA,
+          s"full-frame anchor rewrite under $name changed the answer")
       }
     }
   }
@@ -685,7 +744,7 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
-  test("does NOT fire: no stats, desc order, nulls-last, decimal running sum") {
+  test("does NOT fire: no stats; unproven decimal running sum") {
     import org.apache.spark.sql.expressions.Window
     withConfs(
       "spark.sql.cbo.enabled" -> "true",
@@ -704,8 +763,9 @@ class AutoChunkWindowSpec extends SparkSpec {
       // RANGE-sliding test; DESC NULLS LAST fires since r13 — its
       // parity lives in the DESC-mirror test)
       val t = spark.table(avgHotTable)
-      // (ASC NULLS LAST / DESC NULLS FIRST fire since r14 — their parity
-      // and the struct-kind no-fire live in the DESC-mirror test)
+      // (ASC NULLS LAST / DESC NULLS FIRST fire since r14 — count/
+      // position parity lives in the DESC-mirror test; the anchor kinds
+      // fire off-default since r15 with their own parity test)
       // decimal over a CAST argument: no column stats on the expression,
       // so the decimalExact overflow proof can't hold -> plain (the
       // proven-attribute decimal arm has its own test below)
@@ -1318,14 +1378,9 @@ class AutoChunkWindowSpec extends SparkSpec {
         assert(anchor.collect().toSet == wantA,
           s"anchor rewrite (desc=$descDir) changed the answer")
       }
-      // off-default placement keeps anchor kinds plain (the struct
-      // encodes only the default placement)
-      val fvOff = spark.table(t).withColumn("fv",
-        first_value(col("v")).over(Window.partitionBy(col("k"))
-          .orderBy(col("o").asc_nulls_last)
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      assert(!windowless(fvOff),
-        "anchor kinds under off-default placement must stay plain")
+      // off-default placements fire since r15 — parity lives in the
+      // dedicated "anchor kinds fire on OFF-DEFAULT placements" test
+      // (singleton null peer groups make the set compare deterministic)
     }
   }
 
