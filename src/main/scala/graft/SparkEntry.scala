@@ -1686,6 +1686,49 @@ object SparkEntry {
       }
     }),
 
+    // MULTI-COLUMN ORDER BY graded end to end (r15): running sum +
+    // row_number + rank + dense_rank over ORDER BY (o1 ASC, o2 DESC) —
+    // o1 carries heavy ties so the trailing key decides the order, o2
+    // is unique so every function is tie-deterministic, and only the
+    // chunk-driving FIRST key is ANALYZE'd. The require pins the fire;
+    // the oracle is the plain serial multi-key window.
+    "ext_autochunk_multiord" -> ((s, dir) => {
+      val t = "graft_autochunk_multiord_events"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toString)
+      Tables.events(s, dir).select(col("event_id"), col("user_id").as("k"),
+          (col("event_id") % 97).as("o1"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.saveAsTable(t)
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o1")
+      val scoped = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.graft.autoChunk.minRows" -> "1000",
+        "spark.graft.autoChunk.perKeyRows" -> "10",
+        "spark.graft.autoChunk.chunks" -> "8")
+      val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("o1"), col("event_id").desc)
+        val df = s.table(t)
+          .withColumn("run_cents", sum(col("cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rk", rank().over(w))
+          .withColumn("dr", dense_rank().over(w))
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+          "AutoChunkWindow's multi-ord arm did not fire")
+        df.select(col("event_id"), col("k").as("user_id"), col("run_cents"),
+            col("rn"), col("rk"), col("dr"))
+          .orderBy(col("event_id")).localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // OFF-DEFAULT placement for the anchor kinds graded end to end
     // (r15): first_value / IGNORE-NULLS first/last under ASC NULLS LAST
     // — a placement r14 spec-pinned as a no-fire — now decomposes via
@@ -10583,6 +10626,23 @@ object SparkEntry {
         |    CAST(count(cents) OVER w AS DOUBLE) AS avg_cents
         |FROM c
         |WINDOW w AS (ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // the multi-key rewrite must be invisible — plain serial windows
+    // over the same two-key ordering
+    "ext_autochunk_multiord" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  event_id % 97 AS o1,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(cents) OVER wr AS BIGINT) AS run_cents,
+        |  CAST(row_number() OVER wo AS INTEGER) AS rn,
+        |  CAST(rank() OVER wo AS INTEGER) AS rk,
+        |  CAST(dense_rank() OVER wo AS INTEGER) AS dr
+        |FROM c
+        |WINDOW wo AS (PARTITION BY user_id ORDER BY o1 ASC, event_id DESC),
+        |wr AS (PARTITION BY user_id ORDER BY o1 ASC, event_id DESC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 

@@ -58,10 +58,16 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   *  - `spark.graft.autoChunk.enabled` (default true — it can only fire
   *    on inputs with a proven hot key);
   *  - child rowCount >= `minRows` (default 10M);
-  *  - ORDER BY: a single bare attribute of a plain numeric type OR a
-  *    TIMESTAMP (r13 — the chunk function reads a timestamp ord through
-  *    UnixMicros, the unit ANALYZE stores its min/max in), with min/max
-  *    stats, in ANY direction x null-placement pairing (r14; r13 had the
+  *  - ORDER BY: one or more bare attributes (r15 — trailing sort keys
+  *    ride along for every count/position/value-leg arm: the chunk is
+  *    monotone in the FIRST key alone and first-key ties share a chunk,
+  *    so the full lexicographic order replays exactly chunk-locally;
+  *    r14 required exactly one key. Struct anchor kinds and offset-RANGE
+  *    frames stay single-key). The FIRST key must be a plain numeric
+  *    type OR a TIMESTAMP (r13 — the chunk function reads a timestamp
+  *    ord through UnixMicros, the unit ANALYZE stores its min/max in),
+  *    with min/max stats, in ANY direction x null-placement pairing
+  *    (r14; r13 had the
   *    two SQL defaults): the chunk function negates the ord under DESC
   *    (monotone in the traversal order) and sends null ords explicitly
   *    to the chunk the PLACEMENT names — first chunk for NULLS FIRST,
@@ -286,7 +292,12 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       alias: Alias, ae: Option[AggregateExpression], kind: String, v: Expression,
       so: SortOrder, frame: SpecifiedWindowFrame, ord: AttributeReference,
       partSpec: Seq[Expression], shift: Long = 0L,
-      fn: Option[Expression] = None)
+      fn: Option[Expression] = None, rest: Seq[SortOrder] = Nil) {
+    /** The FULL original ordering — `so` (the chunk-driving first key)
+      * plus any trailing sort columns (r15) — replayed verbatim in every
+      * chunk-local window. */
+    def sorts: Seq[SortOrder] = so +: rest
+  }
 
   /** The decomposable sort shapes — ALL FOUR direction x null-placement
     * pairings (r14; r13 had only the two SQL defaults). The chunk
@@ -311,6 +322,28 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           Some((a, false))
         case SortOrder(a: AttributeReference, Descending, _, _) =>
           Some((a, true))
+        case _ => None
+      }
+  }
+
+  /** ORDER BY o1 [, o2, ...] — every key a bare attribute (r15; r14
+    * required exactly one ORDER column). The FIRST key drives the chunk
+    * function: the chunk is monotone in the full lexicographic order
+    * because it is monotone in the first key alone, and first-key ties
+    * (hence full-tuple peers) always share a chunk. The FULL list
+    * replays in every chunk-local window, so chunk-local evaluation
+    * order equals the serial order restricted to the chunk. Only the
+    * count/position/value-leg arms take trailing keys — the struct
+    * anchor kinds would need a per-column direction/placement encoding
+    * in their combine, and offset-RANGE frames are single-key by SQL. */
+  private object DecompSorts {
+    def unapply(sos: Seq[SortOrder])
+        : Option[(SortOrder, AttributeReference, Seq[SortOrder])] =
+      sos match {
+        case (so @ DecompSort(a, _)) +: rest
+            if rest.forall(r => r.child.isInstanceOf[AttributeReference] &&
+              r.child.deterministic) =>
+          Some((so, a, rest))
         case _ => None
       }
   }
@@ -678,14 +711,18 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val ds = exprs.map {
       case alias @ Alias(WindowExpression(
             ae: AggregateExpression,
-            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+            WindowSpecDefinition(partSpec, DecompSorts(so, ord, rest),
               frame @ SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))),
             _)
           if aggArg(ae).exists { case (kind, v) =>
-            typeOk(kind, v, allowFloat) } &&
+            typeOk(kind, v, allowFloat) &&
+              // the anchor kinds' struct combine encodes ONE key's
+              // direction/placement — trailing sort keys keep them plain
+              (rest.isEmpty || !Set("first", "firstig", "lastig")(kind)) } &&
             partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         val (kind, v) = aggArg(ae).get
-        Some(Decomposed(alias, Some(ae), kind, v, so, frame, ord, partSpec))
+        Some(Decomposed(alias, Some(ae), kind, v, so, frame, ord, partSpec,
+          rest = rest))
       // sliding ROWS frame: any BOUNDED pair — k PRECEDING .. CURRENT ROW,
       // k PRECEDING .. j FOLLOWING (centered rolling window), CURRENT ROW
       // .. j FOLLOWING (lookahead) — and ANY deterministic non-distinct
@@ -696,13 +733,14 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       // bounds fall through to the running arm above or stay plain.)
       case alias @ Alias(WindowExpression(
             ae: AggregateExpression,
-            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+            WindowSpecDefinition(partSpec, DecompSorts(so, ord, rest),
               frame @ SpecifiedWindowFrame(RowFrame, loB, hiB))), _)
           if boundedRow(loB).isDefined && boundedRow(hiB).isDefined &&
             boundedRow(loB).get <= boundedRow(hiB).get &&
             slideOk(ae) &&
             partSpec.forall(_.isInstanceOf[AttributeReference]) =>
-        Some(Decomposed(alias, Some(ae), "slide", ae, so, frame, ord, partSpec))
+        Some(Decomposed(alias, Some(ae), "slide", ae, so, frame, ord, partSpec,
+          rest = rest))
       // sliding RANGE frame (bounded numeric offsets): the TIME-BASED
       // rolling window — rolling 24h spend per customer over an epoch
       // column. Value-based frames make the block form simpler AND
@@ -731,12 +769,12 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       // class is unchanged).
       case alias @ Alias(WindowExpression(
             org.apache.spark.sql.catalyst.expressions.RowNumber(),
-            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+            WindowSpecDefinition(partSpec, DecompSorts(so, ord, rest),
               frame @ SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
                 CurrentRow))), _)
           if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         Some(Decomposed(alias, None, "rownum", Literal(1), so, frame, ord,
-          partSpec))
+          partSpec, rest = rest))
       // THE RANK FAMILY (r14): every member is a pure function of
       // chunk-additive counts, because PEERS NEVER STRADDLE CHUNKS (the
       // chunk is a monotone function of the ORDER value, so tied ords
@@ -753,40 +791,40 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       // by the original functions within the chunk.
       case alias @ Alias(WindowExpression(
             fn @ org.apache.spark.sql.catalyst.expressions.Rank(_),
-            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+            WindowSpecDefinition(partSpec, DecompSorts(so, ord, rest),
               frame: SpecifiedWindowFrame)), _)
           if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         Some(Decomposed(alias, None, "rank", Literal(1), so, frame, ord,
-          partSpec, fn = Some(fn)))
+          partSpec, fn = Some(fn), rest = rest))
       case alias @ Alias(WindowExpression(
             fn @ org.apache.spark.sql.catalyst.expressions.DenseRank(_),
-            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+            WindowSpecDefinition(partSpec, DecompSorts(so, ord, rest),
               frame: SpecifiedWindowFrame)), _)
           if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         Some(Decomposed(alias, None, "dense", Literal(1), so, frame, ord,
-          partSpec, fn = Some(fn)))
+          partSpec, fn = Some(fn), rest = rest))
       case alias @ Alias(WindowExpression(
             org.apache.spark.sql.catalyst.expressions.PercentRank(_),
-            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+            WindowSpecDefinition(partSpec, DecompSorts(so, ord, rest),
               frame: SpecifiedWindowFrame)), _)
           if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         Some(Decomposed(alias, None, "prank", Literal(1), so, frame, ord,
-          partSpec))
+          partSpec, rest = rest))
       case alias @ Alias(WindowExpression(
             org.apache.spark.sql.catalyst.expressions.CumeDist(),
-            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+            WindowSpecDefinition(partSpec, DecompSorts(so, ord, rest),
               frame: SpecifiedWindowFrame)), _)
           if partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         Some(Decomposed(alias, None, "cume", Literal(1), so, frame, ord,
-          partSpec))
+          partSpec, rest = rest))
       case alias @ Alias(WindowExpression(
             org.apache.spark.sql.catalyst.expressions.NTile(
               Literal(k: Int, IntegerType)),
-            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+            WindowSpecDefinition(partSpec, DecompSorts(so, ord, rest),
               frame: SpecifiedWindowFrame)), _)
           if k >= 1 && partSpec.forall(_.isInstanceOf[AttributeReference]) =>
         Some(Decomposed(alias, None, "ntile", Literal(1), so, frame, ord,
-          partSpec, shift = k.toLong))
+          partSpec, shift = k.toLong, rest = rest))
       // nth_value(v, 1) over the running frame — the form Spark's own
       // OptimizeWindowFunctions rewrites first_value into whenever the
       // frame is ROWS UNBOUNDED PRECEDING..x (r14: on the register()
@@ -811,13 +849,13 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       // block window must replay the function with its own offset frame.
       case alias @ Alias(WindowExpression(
             f: org.apache.spark.sql.catalyst.expressions.FrameLessOffsetWindowFunction,
-            WindowSpecDefinition(partSpec, Seq(so @ DecompSort(ord, _)),
+            WindowSpecDefinition(partSpec, DecompSorts(so, ord, rest),
               frame: SpecifiedWindowFrame)), _)
           if partSpec.forall(_.isInstanceOf[AttributeReference]) &&
             navShift(f).isDefined =>
         val (in, shift) = navShift(f).get
         Some(Decomposed(alias, None, "lag", in, so, frame, ord, partSpec,
-          shift, fn = Some(f)))
+          shift, fn = Some(f), rest = rest))
       case _ => None
     }
     if (ds.exists(_.isEmpty)) return None
@@ -827,6 +865,10 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       d.ord.semanticEquals(h.ord) &&
         d.so.direction == h.so.direction &&
         d.so.nullOrdering == h.so.nullOrdering &&
+        d.rest.length == h.rest.length &&
+        d.rest.zip(h.rest).forall { case (a, b) =>
+          a.child.semanticEquals(b.child) && a.direction == b.direction &&
+            a.nullOrdering == b.nullOrdering } &&
         d.partSpec.length == h.partSpec.length &&
         d.partSpec.zip(h.partSpec).forall { case (a, b) => a.semanticEquals(b) }
     }
@@ -1375,8 +1417,12 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // aligned with flat.
     val offOnly: Seq[(Decomposed, Leg)] = ds.collect {
       case d if d.kind == "dense" =>
-        (d, Leg("ndv", CreateNamedStruct(Seq(
-          Literal("n"), IsNull(d.ord), Literal("o"), d.ord))))
+        // levels are distinct FULL ord tuples (r15 multi-ord): one
+        // (isnull, value) field pair per sort key keeps the struct
+        // never-null and counts each null peer group as one level
+        (d, Leg("ndv", CreateNamedStruct(d.sorts.zipWithIndex.flatMap {
+          case (sk, i) => Seq(Literal(s"n$i"), IsNull(sk.child),
+            Literal(s"o$i"), sk.child) })))
     }
     val denseIdx: Map[Decomposed, Int] = offOnly.zipWithIndex.map {
       case ((d, _), j) => d -> (flat.length + j)
@@ -1494,29 +1540,30 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     val locAliases = flat.zipWithIndex.map { case ((od, l), i) =>
       Alias(WindowExpression(localAgg(od, l),
         WindowSpecDefinition(locPart,
-          Seq(od.map(_.so).getOrElse(ds.head.so)), legFrame(od))),
+          od.map(_.sorts).getOrElse(ds.head.sorts), legFrame(od))),
         s"${C_NAME}_loc_$i")()
     }
     val locExtra: Seq[(Decomposed, Alias)] = ds.zipWithIndex.collect {
       case (d, j) if d.kind == "rank" || d.kind == "dense" =>
         (d, Alias(WindowExpression(d.fn.get,
-          WindowSpecDefinition(locPart, Seq(d.so), d.frame)),
+          WindowSpecDefinition(locPart, d.sorts, d.frame)),
           s"${C_NAME}_lx_$j")())
       case (d, j) if d.kind == "prank" =>
         (d, Alias(WindowExpression(
-          org.apache.spark.sql.catalyst.expressions.Rank(Seq(d.ord)),
-          WindowSpecDefinition(locPart, Seq(d.so), runFrame)),
+          org.apache.spark.sql.catalyst.expressions.Rank(
+            d.sorts.map(_.child)),
+          WindowSpecDefinition(locPart, d.sorts, runFrame)),
           s"${C_NAME}_lx_$j")())
       case (d, j) if d.kind == "cume" =>
         (d, Alias(WindowExpression(
           Count(Seq(Literal(1))).toAggregateExpression(),
-          WindowSpecDefinition(locPart, Seq(d.so), SpecifiedWindowFrame(
+          WindowSpecDefinition(locPart, d.sorts, SpecifiedWindowFrame(
             org.apache.spark.sql.catalyst.expressions.RangeFrame,
             UnboundedPreceding, CurrentRow))),
           s"${C_NAME}_lx_$j")())
     }
     val locWin = Window(locAliases ++ locExtra.map(_._2), locPart,
-      Seq(ds.head.so), proj1, None)
+      ds.head.sorts, proj1, None)
     // plain equi-join on the struct surrogate + chunk: null-safe via
     // struct field semantics, partition-compatible with the local window
     val cond = (skAttr.zip(rSk).map { case (l, r) =>

@@ -410,6 +410,61 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
+  test("multi-column ORDER BY fires: trailing sort keys replay chunk-" +
+      "locally for the running/rank/nav/sliding arms — the first key " +
+      "drives the chunk and trailing keys need no stats; anchor kinds " +
+      "stay single-key (r15)") {
+    import org.apache.spark.sql.expressions.Window
+    // o1 carries heavy ties (50 values + nulls) so the trailing key o2
+    // genuinely decides the order; o2 is unique, making every function
+    // below tie-deterministic; o2 is DESC to pin mixed directions, and
+    // o2 is deliberately NOT ANALYZE'd — only the chunk-driving first
+    // key needs statistics
+    val t = "graft_autochunk_multiord"
+    freshTable(t) {
+      spark.range(10000L).select(
+          pmod(col("id"), lit(2L)).as("k"),
+          when(col("id") % 11 === 0, lit(null).cast("long"))
+            .otherwise(pmod(xxhash64(col("id")), lit(50L))).as("o1"),
+          col("id").as("o2"),
+          when(col("id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(pmod(xxhash64(col("id"), lit(3)), lit(100L))).as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o1")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("o1"), col("o2").desc)
+      def q = spark.table(t)
+        .withColumn("run", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("dr", dense_rank().over(w))
+        .withColumn("prev", lag(col("v"), 2).over(w))
+        .withColumn("roll", avg(col("v")).over(w.rowsBetween(-4, 0)))
+      assert(chunked(q),
+        s"multi-ord node must fire:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      assert(q.collect().toSet == want,
+        "multi-ord rewrite changed the answer")
+      // the anchor kinds' struct combine encodes exactly one key's
+      // direction/placement — a trailing sort key keeps them plain
+      val fv = spark.table(t).withColumn("f",
+        first_value(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(!chunked(fv),
+        "anchor kinds with trailing sort keys must stay plain")
+    }
+  }
+
   test("lag/lead fire via the single-evaluation block stage, SQL-default " +
       "form only") {
     import org.apache.spark.sql.expressions.Window
