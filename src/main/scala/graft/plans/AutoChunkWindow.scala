@@ -1275,7 +1275,15 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           }
           Map(keyPos -> ((ndv, top)))
         }
-      val c = Census(BigInt(row.getLong(0)), byPos, keyStats,
+      // merge a still-fresh prior entry's stats: a second window over the
+      // same child with a DIFFERENT key set (or extra proof columns)
+      // re-censuses once and keeps both, instead of ping-ponging the
+      // cache between key sets (same staleness contract as the cache)
+      val prev = Option(censusCache.get(key)).filter(p =>
+        ttlNanos <= 0 || System.nanoTime() - p.atNanos < ttlNanos)
+      val c = Census(BigInt(row.getLong(0)),
+        prev.map(_.byPos).getOrElse(Map.empty) ++ byPos,
+        prev.map(_.keyStats).getOrElse(Map.empty) ++ keyStats,
         System.nanoTime())
       if (censusCache.size() > 128) censusCache.clear()
       censusCache.put(key, c)

@@ -1214,6 +1214,21 @@ class AutoChunkWindowSpec extends SparkSpec {
       }
       assert(q.collect().toSet == want,
         "heavy-hitter keyed rewrite changed the answer")
+      // the FULL-FRAME arm rides the same keyed probe: the per-group
+      // total on bare parquet rewrites to Aggregate + join-back with no
+      // surviving Window node
+      def qf = t.withColumn("tot", sum(col("v")).over(
+        Window.partitionBy(col("k"))))
+      assert(qf.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }.isEmpty,
+        s"full-frame keyed census must fire:\n${qf.queryExecution.optimizedPlan}")
+      var wantT: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        wantT = qf.collect().toSet
+      }
+      assert(qf.collect().toSet == wantT,
+        "full-frame keyed census rewrite changed the answer")
       // uniform keys, cold average: NEITHER signal may fire — the probe
       // must not hallucinate hotness on an even distribution
       val dir2 = java.nio.file.Files.createTempDirectory("graft_unif").toString
