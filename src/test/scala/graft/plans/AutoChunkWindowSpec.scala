@@ -1242,6 +1242,44 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
+  test("derived-EXPRESSION windows fire via the census: PARTITION BY and " +
+      "ORDER BY expressions arrive as extracted _w0 projections, which " +
+      "catalog stats can never cover but the one-scan census can — " +
+      "timestamp ord included (r15 pin)") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_expr").toString
+    // bare parquet with a raw timestamp and a wide id: the query below
+    // partitions by an EXPRESSION of id and orders by a TIMESTAMP — the
+    // analyzer projects both as _w0-style attributes below the Window,
+    // so no ANALYZE could ever gate them; the census proves the range
+    // in the stats unit (epoch micros) and the sketch probe the hotness
+    spark.range(20000L).select(
+        col("id"),
+        org.apache.spark.sql.functions.timestamp_micros(
+          col("id") * 1000000L + 1600000000000000L).as("ts"),
+        pmod(xxhash64(col("id")), lit(100L)).as("v"))
+      .write.mode("overwrite").parquet(dir)
+    withConfs(
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.censusMinBytes" -> "1",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      def q = spark.read.parquet(dir)
+        .withColumn("run", sum(col("v")).over(
+          Window.partitionBy(pmod(col("id"), lit(4L)))
+            .orderBy(col("ts"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(chunked(q),
+        s"derived-expression window must fire via census:\n${q.queryExecution.optimizedPlan}")
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      assert(q.collect().toSet == want,
+        "derived-expression census rewrite changed the answer")
+    }
+  }
+
   test("census cache freshness: per-plan caching, invalidateCensus() and " +
       "an expired censusTtlSec each force a re-census; defaults keep the " +
       "JVM-lifetime cache (VERDICT r14 #3)") {
