@@ -1210,7 +1210,57 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       need.forall(c.byPos.contains) &&
         (!keyed || c.keyStats.contains(keyPos)) &&
         (ttlNanos <= 0 || System.nanoTime() - c.atNanos < ttlNanos))
-    val census = cached.getOrElse {
+    // the census is a best-effort GATE, never a correctness dependency:
+    // any failure of the scan job (an exotic key type the hash rejects,
+    // a file deleted between analysis and planning, an interrupted job)
+    // must degrade to the plain serial window, not crash PLANNING
+    val census = try censusOrScan(cached, keyed, need, keyPos, ordOpt,
+      pk, child, key, ttlNanos, spark)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"AutoChunkWindow: census scan failed — leaving the " +
+          s"window plain (${e.toString.take(200)})")
+        return None
+    }
+    if (keyed) {
+      // mirror catalogGate's two hotness signals, sketch-estimated: the
+      // AVERAGE key overwhelms one task, or one heavy hitter holds >=
+      // hotShare of the rows. Heuristics, not proofs — sketch error only
+      // shifts the fire threshold, never the answer.
+      val (ndv, top) = census.keyStats(keyPos)
+      val avgHot = ndv > 0 && census.rows / ndv >= BigInt(perKeyRows)
+      val topHot = census.rows > 0 &&
+        BigDecimal(top) >= BigDecimal(hotShare) * BigDecimal(census.rows)
+      if (!(avgHot || topHot)) return None
+    } else {
+      // the one key (the whole relation) must overwhelm one task
+      if (census.rows < BigInt(perKeyRows)) return None
+    }
+    // the ord range must be real (all-null or non-finite ords: the plain
+    // window is the only provable plan)
+    val (lo, hi) = ordPos match {
+      case Some(p) => census.byPos(p) match {
+        case Some((a, b)) => (a.toDouble, b.toDouble)
+        case None => return None
+      }
+      case None => (0.0, 0.0)
+    }
+    Some(Gate(census.rows, lo, hi, a => {
+      val p = child.output.indexWhere(_.exprId == a.exprId)
+      if (p < 0) None else census.byPos.get(p).flatten
+    }))
+  }
+
+
+  /** The census itself: answer from a fresh-enough cache entry or run
+    * the ONE scan job and cache the result. Pulled out of [[censusGate]]
+    * so the caller can wrap the scan in a non-fatal guard. */
+  private def censusOrScan(
+      cached: Option[Census], keyed: Boolean, need: Seq[Int],
+      keyPos: Seq[Int], ordOpt: Option[AttributeReference],
+      pk: Seq[AttributeReference], child: LogicalPlan, key: LogicalPlan,
+      ttlNanos: Long, spark: org.apache.spark.sql.SparkSession): Census =
+    cached.getOrElse {
       import org.apache.spark.sql.catalyst.expressions.XxHash64
       import org.apache.spark.sql.catalyst.expressions.aggregate.{
         ApproxTopK, HyperLogLogPlusPlus, Max, Min}
@@ -1289,34 +1339,6 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       censusCache.put(key, c)
       c
     }
-    if (keyed) {
-      // mirror catalogGate's two hotness signals, sketch-estimated: the
-      // AVERAGE key overwhelms one task, or one heavy hitter holds >=
-      // hotShare of the rows. Heuristics, not proofs — sketch error only
-      // shifts the fire threshold, never the answer.
-      val (ndv, top) = census.keyStats(keyPos)
-      val avgHot = ndv > 0 && census.rows / ndv >= BigInt(perKeyRows)
-      val topHot = census.rows > 0 &&
-        BigDecimal(top) >= BigDecimal(hotShare) * BigDecimal(census.rows)
-      if (!(avgHot || topHot)) return None
-    } else {
-      // the one key (the whole relation) must overwhelm one task
-      if (census.rows < BigInt(perKeyRows)) return None
-    }
-    // the ord range must be real (all-null or non-finite ords: the plain
-    // window is the only provable plan)
-    val (lo, hi) = ordPos match {
-      case Some(p) => census.byPos(p) match {
-        case Some((a, b)) => (a.toDouble, b.toDouble)
-        case None => return None
-      }
-      case None => (0.0, 0.0)
-    }
-    Some(Gate(census.rows, lo, hi, a => {
-      val p = child.output.indexWhere(_.exprId == a.exprId)
-      if (p < 0) None else census.byPos.get(p).flatten
-    }))
-  }
 
   /** RANGE-sliding fire guard: (a) the seq-block kinds (lag/lead, ROWS
     * sliding) and the ord-block RANGE kind need DIFFERENT blockings — a

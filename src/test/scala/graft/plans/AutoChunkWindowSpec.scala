@@ -1242,6 +1242,23 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
+  test("the ANALYZE path stays primary: a stats-bearing keyed table fires " +
+      "via catalogGate with ZERO census scans even when the keyed probe " +
+      "is enabled (r15, the VERDICT r14 #1 'keep ANALYZE primary' pin)") {
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.censusMinBytes" -> "1", // census WOULD be allowed
+      "spark.graft.autoChunk.chunks" -> "8") {
+      val r0 = AutoChunkWindow.censusRuns.get
+      val df = runSum(avgHotTable)
+      assert(chunked(df), "catalog stats must fire the rewrite")
+      assert(AutoChunkWindow.censusRuns.get == r0,
+        "catalog stats decided — the probe must not launch a census scan")
+    }
+  }
+
   test("derived-EXPRESSION windows fire via the census: PARTITION BY and " +
       "ORDER BY expressions arrive as extracted _w0 projections, which " +
       "catalog stats can never cover but the one-scan census can — " +
