@@ -7,6 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * first so JIT/codegen/page-cache costs don't land on the first query. */
 object Bench {
 
+  /** Recursive delete for soak-stage scratch dirs (hoisted — three soak
+    * blocks previously carried identical local copies). */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
   /** One timed execution: elapsed seconds, wall-clock start, error if any. */
   private final case class Sample(sec: Double, atMs: Long, err: Option[String])
 
@@ -791,11 +798,7 @@ object Bench {
           spark.sql(s"DROP TABLE IF EXISTS $t")
           val loc = new java.io.File(
             spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(); ()
-          }
-          if (loc.exists()) rm(loc)
+          if (loc.exists()) rmTree(loc)
           spark.range(20000000L).select(
               pmod(col("id"), lit(8L)).as("k"),
               pmod(xxhash64(col("id"), lit(11)), lit(5000000L)).as("v"))
@@ -873,11 +876,7 @@ object Bench {
           spark.sql(s"DROP TABLE IF EXISTS $t")
           val loc = new java.io.File(
             spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(); ()
-          }
-          if (loc.exists()) rm(loc)
+          if (loc.exists()) rmTree(loc)
           spark.range(20000000L).select(
               when(pmod(col("id"), lit(10)) < 6, lit(0L))
                 .otherwise(pmod(xxhash64(col("id")), lit(999999L)) + 1L).as("k"),
@@ -926,11 +925,7 @@ object Bench {
         val loc = new java.io.File(
           spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
           "graft_keyed_census_soak").toString
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(loc))
+        rmTree(new java.io.File(loc))
         spark.range(20000000L).select(
             when(pmod(col("id"), lit(10)) < 6, lit(0L))
               .otherwise(pmod(xxhash64(col("id")), lit(999999L)) + 1L).as("k"),

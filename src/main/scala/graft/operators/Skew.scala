@@ -782,11 +782,15 @@ object Skew {
     * ordered by `tieCol`): the dominant group's sort spreads over
     * `tieChunks` tasks, bounded by rows-per-(value, tie-chunk) instead of
     * the group. Exact under the same `tieCol`-uniqueness contract (the
-    * running count of 1 IS row_number there); needs a numerically
-    * orderable `tieCol` (the chunk function divides a double cast —
-    * non-numeric ties fall back to the verb's own plain-window arm
-    * inside [[runningAggChunked]], i.e. today's plan). Default 0 keeps
-    * the r14 single-window form. */
+    * running count of 1 IS row_number there). The chunked arm engages
+    * ONLY for NUMERIC or TIMESTAMP tie columns: the chunk function
+    * divides a double cast, which is monotone in the column's own
+    * ordering exactly for those types — for any other type (notably
+    * strings, whose lexicographic order disagrees with a numeric cast:
+    * "10" < "9" as strings but 9.0 < 10.0 as doubles) the verb keeps
+    * the plain value-partitioned window regardless of `tieChunks`, so
+    * the parameter can never change an answer. Default 0 keeps the r14
+    * single-window form. */
   def globalRankByValue(
       df: DataFrame,
       valueCol: String,
@@ -826,9 +830,24 @@ object Skew {
     // the within-group rank: chunk-decomposed when a dominant tie group
     // is possible (tieChunks >= 2), the plain value-partitioned window
     // otherwise — both are row_number under the tieCol-uniqueness
-    // contract (a running count of a never-null constant is the position)
+    // contract (a running count of a never-null constant is the
+    // position). The chunked arm requires a tie type whose double cast
+    // is order-monotone (numeric/timestamp) — see the header; anything
+    // else silently keeps the plain arm so tieChunks can never change
+    // an answer (CODE-REVIEW r15: a string tieCol of "9"/"10" would
+    // chunk by 9.0 < 10.0 against the lexicographic "10" < "9").
+    val tieChunkable = df.schema(tieCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
+    if (tieChunks >= 2 && tieChunkable)
+      Seq("__chunk", "__sk", "__ok", "__oc", "__ct", "__off", "__loc")
+        .foreach(h => require(!df.columns.contains(h),
+          s"tieChunks uses the chunk machinery; input already carries " +
+            s"its internal column '$h'"))
     val seqd =
-      if (tieChunks >= 2)
+      if (tieChunks >= 2 && tieChunkable)
         runningAggChunked(base.withColumn("__gone", lit(1)),
           "__gvs", tieCol, "__gone", "__gwr", "count", tieChunks)
           .drop("__gone")

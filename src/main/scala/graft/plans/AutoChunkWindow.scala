@@ -500,8 +500,8 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     * its double accumulation. */
   private case class FullD(alias: Alias, ae: Option[AggregateExpression],
       kind: String, v: Expression, partSpec: Seq[Expression],
-      ord: Option[AttributeReference] = None, desc: Boolean = false,
-      defPlace: Boolean = true)
+      ord: Option[AttributeReference] = None,
+      so: Option[SortOrder] = None)
 
   private def fullKind(ae: AggregateExpression): Option[(String, Expression)] =
     if (ae.isDistinct || ae.filter.isDefined) None
@@ -566,7 +566,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
             val (k, v) = fullKind(ae).get
             Some(FullD(alias, Some(ae), k, v, partSpec))
           case _ => (structFullKind(fn), orderSpec) match {
-            case (Some((k, v)), Seq(so @ DecompSort(ord, desc))) =>
+            case (Some((k, v)), Seq(so @ DecompSort(ord, _))) =>
               // NthValue is not an AggregateExpression — it is replayed
               // via the struct leg only, so ae is None there (ADVICE
               // r14: Option, not a null sentinel)
@@ -574,8 +574,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
                 case a: AggregateExpression => Some(a)
                 case _ => None
               }
-              Some(FullD(alias, ae, k, v, partSpec, Some(ord), desc,
-                defaultPlacement(so)))
+              Some(FullD(alias, ae, k, v, partSpec, Some(ord), Some(so)))
             case _ => None
           }
         }
@@ -607,22 +606,19 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       if (!fullStructKinds(d.kind)) d.ae.get // plain kinds always carry one
       else {
         import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
-        // placement-aware struct (r15, mirrors [[anchorStruct]]): the
-        // off-default pairings prepend an explicit isnull(ord) field
-        val st =
-          if (d.defPlace) CreateNamedStruct(Seq(
-            Literal("o"), d.ord.get, Literal("x"), d.v))
-          else CreateNamedStruct(Seq(
-            Literal("n"), IsNull(d.ord.get),
-            Literal("o"), d.ord.get, Literal("x"), d.v))
+        // ONE authoritative placement-aware encoding ([[anchorStruct]],
+        // shared with the running arm — CODE-REVIEW r15 deduplicated the
+        // hand-rolled copy that had to stay in lockstep with it)
+        val st = anchorStruct(d.so.get, d.ord.get, d.v)._1
         val leg: Expression = d.kind match {
           case "firstig" | "lastig" =>
             If(IsNull(d.v), Literal.create(null, st.dataType), st)
           case _ => st
         }
+        val desc = d.so.get.direction == Descending
         val takeMin = d.kind match {
-          case "first" | "firstig" => !d.desc
-          case _ => d.desc // last/lastig: traversal-last = MAX asc, MIN desc
+          case "first" | "firstig" => !desc
+          case _ => desc // last/lastig: traversal-last = MAX asc, MIN desc
         }
         (if (takeMin) Min(leg) else Max(leg)).toAggregateExpression()
       }
@@ -646,7 +642,8 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       val out: Expression =
         if (fullStructKinds(d.kind))
           org.apache.spark.sql.catalyst.expressions.GetStructField(
-            a.toAttribute, if (d.defPlace) 1 else 2, Some("x"))
+            a.toAttribute, anchorStruct(d.so.get, d.ord.get, d.v)._2,
+            Some("x"))
         else a.toAttribute
       Alias(out, d.alias.name)(exprId = d.alias.exprId)
     }
@@ -1167,11 +1164,22 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     * on it without racing the async listener bus. */
   private[plans] val censusRuns = new java.util.concurrent.atomic.AtomicLong
 
-  /** Drop every cached census (VERDICT r14 #3): the explicit freshness
-    * hook for long-lived JVMs over growing tables — the moral equivalent
-    * of re-ANALYZE for the no-catalog-stats arms. The next qualifying
-    * window re-censuses on first planning. */
-  def invalidateCensus(): Unit = censusCache.clear()
+  /** Negative cache for FAILED census scans (CODE-REVIEW r15): without
+    * it, every planning of any query over a doomed child (file deleted
+    * under the table, a key type the hash rejects at runtime) would
+    * re-launch the full-table scan that fails again — a dashboard
+    * issuing many keyed-window compiles would pay one doomed cluster job
+    * each. Failures are remembered for censusTtlSec when set, else a
+    * 10-minute cooldown, and cleared by [[invalidateCensus]]. */
+  private val censusFail =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Long]()
+
+  /** Drop every cached census — successes AND remembered failures
+    * (VERDICT r14 #3): the explicit freshness hook for long-lived JVMs
+    * over growing tables — the moral equivalent of re-ANALYZE for the
+    * no-catalog-stats arms. The next qualifying window re-censuses on
+    * first planning. */
+  def invalidateCensus(): Unit = { censusCache.clear(); censusFail.clear() }
 
   private def censusGate(
       proofExprs: Seq[Expression], ordOpt: Option[AttributeReference],
@@ -1213,13 +1221,22 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // the census is a best-effort GATE, never a correctness dependency:
     // any failure of the scan job (an exotic key type the hash rejects,
     // a file deleted between analysis and planning, an interrupted job)
-    // must degrade to the plain serial window, not crash PLANNING
+    // must degrade to the plain serial window, not crash PLANNING — and
+    // the failure is negatively cached so repeated compiles over the
+    // same doomed child don't re-launch the scan each time
+    val failCooldown = if (ttlNanos > 0) ttlNanos else 600L * 1000000000L
+    Option(censusFail.get(key)).foreach { t =>
+      if (System.nanoTime() - t < failCooldown) return None
+      censusFail.remove(key)
+    }
     val census = try censusOrScan(cached, keyed, need, keyPos, ordOpt,
       pk, child, key, ttlNanos, spark)
     catch {
       case scala.util.control.NonFatal(e) =>
         logWarning(s"AutoChunkWindow: census scan failed — leaving the " +
           s"window plain (${e.toString.take(200)})")
+        if (censusFail.size() > 128) censusFail.clear()
+        censusFail.put(key, System.nanoTime())
         return None
     }
     if (keyed) {

@@ -662,5 +662,19 @@ class SkewWindowSpec extends SparkSpec {
     val legacy = Skew.globalRankByValue(df, "v", "u", "r")
     assert(!legacy.queryExecution.optimizedPlan.toString.contains("__chunk"),
       "default tieChunks must keep the single-window form")
+    // STRING tie columns must IGNORE tieChunks (the chunk function's
+    // double cast is not monotone in lexicographic order — "10" < "9"
+    // as strings but 9.0 < 10.0 as doubles): the "9"/"10" fixture is
+    // exactly the divergence a chunked string arm would produce
+    val sdf = spark.range(40L).select(
+      concat(lit(""), (col("id") + 5)).as("u"), // "5".."44": lex != numeric
+      pmod(col("id"), lit(2L)).as("v"))
+    val sw = Window.orderBy(col("v").asc, col("u").asc)
+    val sWant = sdf.withColumn("r", row_number().over(sw).cast("long"))
+    val sGot = Skew.globalRankByValue(sdf, "v", "u", "r", tieChunks = 8)
+    assert(!sGot.queryExecution.optimizedPlan.toString.contains("__chunk"),
+      "string tieCol must keep the plain within-group window")
+    assert(sGot.exceptAll(sWant).isEmpty && sWant.exceptAll(sGot).isEmpty,
+      "string tieCol ranks must match the serial lexicographic window")
   }
 }
