@@ -920,21 +920,25 @@ object Bench {
       // replaces (rule disabled, identical query).
       val (sKc0, sKc1, sKc2) = if (stageFilter.exists(f =>
           !f("keyed_census_plan_20m") && !f("keyed_census_on_20m") &&
-            !f("keyed_census_off_20m"))) ("", "", "")
+            !f("keyed_census_off_20m") && !f("keyed_census_on_warm_20m") &&
+            !f("keyed_census_off_warm_20m"))) ("", "", "")
       else {
         val loc = new java.io.File(
           spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
           "graft_keyed_census_soak").toString
         rmTree(new java.io.File(loc))
-        spark.range(20000000L).select(
-            when(pmod(col("id"), lit(10)) < 6, lit(0L))
-              .otherwise(pmod(xxhash64(col("id")), lit(999999L)) + 1L).as("k"),
-            col("id").as("o"),
-            pmod(xxhash64(col("id"), lit(5)), lit(100L)).as("v"))
-          .write.mode("overwrite").parquet(loc)
+        // the rule conf is saved/restored like every other scoped conf
+        // (ADVICE r15: the old unset clobbered any pre-set value)
         val confs = Seq("spark.graft.autoChunk.censusMinBytes" -> "1")
-        val saved = confs.map { case (ck, _) => ck -> spark.conf.getOption(ck) }
+        val saved = (confs.map(_._1) :+ "spark.graft.autoChunk.enabled")
+          .map(ck => ck -> spark.conf.getOption(ck))
         try {
+          spark.range(20000000L).select(
+              when(pmod(col("id"), lit(10)) < 6, lit(0L))
+                .otherwise(pmod(xxhash64(col("id")), lit(999999L)) + 1L).as("k"),
+              col("id").as("o"),
+              pmod(xxhash64(col("id"), lit(5)), lit(100L)).as("v"))
+            .write.mode("overwrite").parquet(loc)
           confs.foreach { case (ck, cv) => spark.conf.set(ck, cv) }
           import org.apache.spark.sql.expressions.Window
           def q = spark.read.parquet(loc).withColumn("run",
@@ -948,19 +952,46 @@ object Bench {
               "keyed census probe must fire on bare 20M parquet")
             20000000L // planning (incl. the census scan job) is the cost
           }
+          // cold AND warm samples per arm (VERDICT r15 #3): the r15 wall
+          // claim held only warm — recording both in the artifact shows
+          // the JIT/page-cache crossover instead of leaving it to
+          // adjudication. The cold sample keeps the historical stage name.
           val on = stage("keyed_census_on_20m", perStage = true) {
             q.agg(org.apache.spark.sql.functions.max(col("run")))
               .collect()(0).getLong(0)
           }
-          spark.conf.set("spark.graft.autoChunk.enabled", "false")
-          val off = try stage("keyed_census_off_20m", perStage = true) {
+          val onWarm = stage("keyed_census_on_warm_20m", perStage = true) {
             q.agg(org.apache.spark.sql.functions.max(col("run")))
               .collect()(0).getLong(0)
-          } finally spark.conf.unset("spark.graft.autoChunk.enabled")
-          (plan, on, off)
-        } finally saved.foreach {
-          case (ck, Some(cv)) => spark.conf.set(ck, cv)
-          case (ck, None) => spark.conf.unset(ck)
+          }
+          spark.conf.set("spark.graft.autoChunk.enabled", "false")
+          val (off, offWarm) = try {
+            val c = stage("keyed_census_off_20m", perStage = true) {
+              q.agg(org.apache.spark.sql.functions.max(col("run")))
+                .collect()(0).getLong(0)
+            }
+            val wm = stage("keyed_census_off_warm_20m", perStage = true) {
+              q.agg(org.apache.spark.sql.functions.max(col("run")))
+                .collect()(0).getLong(0)
+            }
+            (c, wm)
+          } finally saved.collectFirst {
+            case ("spark.graft.autoChunk.enabled", prior) => prior
+          }.foreach {
+            case Some(cv) => spark.conf.set("spark.graft.autoChunk.enabled", cv)
+            case None => spark.conf.unset("spark.graft.autoChunk.enabled")
+          }
+          // fragments join comma-separated like the outer soak list
+          // (either half may be "" under a stage filter)
+          def j(a: String, b: String) =
+            Seq(a, b).filter(_.nonEmpty).mkString(",")
+          (plan, j(on, onWarm), j(off, offWarm))
+        } finally {
+          saved.foreach {
+            case (ck, Some(cv)) => spark.conf.set(ck, cv)
+            case (ck, None) => spark.conf.unset(ck)
+          }
+          rmTree(new java.io.File(loc)) // ADVICE r15: scratch dir cleanup
         }
       }
 

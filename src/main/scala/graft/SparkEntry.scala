@@ -1788,8 +1788,13 @@ object SparkEntry {
     // straggler. perKeyRows is pinned beyond any relation so the
     // avg-key signal CANNOT fire: only the census scan's ApproxTopK
     // heavy-hitter estimate can prove hotness, which is exactly the
-    // probe this row grades. The require() pins the fire; the oracle is
-    // the plain serial window — the re-plan must be invisible.
+    // probe this row grades. Since r16 the row ALSO grades the HOT-KEY
+    // SPLIT (VERDICT r15 #1): hotSplitMinRows = 200 sits between the
+    // hot key (600 rows at sf0.001, 60k at sf0.1) and the ~27-row
+    // lukewarm user keys at EVERY scale, so the plan is the Union of a
+    // chunked hot leg and the plain tail window — the require() pins
+    // both the fire and the split; the oracle is the plain serial
+    // window — the re-plan must stay invisible in the output.
     "ext_autochunk_keyed_census" -> ((s, dir) => {
       val loc = new java.io.File(
         s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
@@ -1803,6 +1808,7 @@ object SparkEntry {
       val scoped = Seq(
         "spark.graft.autoChunk.minRows" -> "1000",
         "spark.graft.autoChunk.perKeyRows" -> "1000000000",
+        "spark.graft.autoChunk.hotSplitMinRows" -> "200",
         "spark.graft.autoChunk.censusMinBytes" -> "1",
         "spark.graft.autoChunk.chunks" -> "8")
       val old = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
@@ -1815,8 +1821,13 @@ object SparkEntry {
           .withColumn("run_cents", sum(col("cents")).over(w))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("k")).orderBy(col("event_id"))))
-        require(df.queryExecution.optimizedPlan.toString.contains("__graft_chunk"),
+        val plan = df.queryExecution.optimizedPlan
+        require(plan.toString.contains("__graft_chunk"),
           "AutoChunkWindow's keyed census probe did not fire on bare parquet")
+        require(plan.collect {
+            case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+          }.nonEmpty,
+          "the hot-key split did not fire — the tail must ride the plain window")
         df.select(col("event_id"), col("k"), col("run_cents"), col("rn"))
           .orderBy(col("event_id")).localCheckpoint(true)
       } finally old.foreach {
@@ -3268,10 +3279,14 @@ object SparkEntry {
       val edges = graft.operators.Graph.coOccurrenceEdges(
         Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         "l_orderkey", "l_suppkey", k = 15)
-      val und = edges.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
+      // r16: `und` feeds BOTH union legs of the degree count — cut it so
+      // the co-order fact self-join executes once, not twice (the same
+      // loop-invariant device triangleCounts/globalClustering carry)
+      val und = graft.util.Checkpoints.cut(
+        edges.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct())
       val deg = und.select(col("a").as("n"))
         .union(und.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -3635,8 +3650,13 @@ object SparkEntry {
     // keys-sized, never the fact table)
     "ext_skew_metrics" -> ((s, dir) => {
       def profile(df: DataFrame, keyCol: String, rel: String): DataFrame = {
-        val freq = df.groupBy(col(keyCol).as("k"))
-          .agg(count(lit(1)).as("f"))
+        // r16 (guide §1.2): freq feeds BOTH exactRanks (which cuts its
+        // own single-column projection) and the n_rows/n_keys/top1 agg —
+        // cut the keys-sized table once so the fact scan+groupBy runs
+        // once per relation, not twice
+        val freq = graft.util.Checkpoints.cut(
+          df.groupBy(col(keyCol).as("k"))
+            .agg(count(lit(1)).as("f")))
         // rank picks via the counts-only refinement (r14, VERDICT r13
         // #3 — the frequency table is keys-sized and keys grow with SF;
         // picked VALUES are tie-order invariant, so the k tiebreak
@@ -6053,11 +6073,16 @@ object SparkEntry {
     // precision/recall. All set algebra, no floats until never.
     "ext_dedup_eval" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val truth = graft.operators.Dedup
+      // r16: BOTH pair sets are consumed twice (their own count + the
+      // intersect), and each is an expensive derivation (prefix-filter
+      // join / LSH band join) — cut once, pay the join once (guide §1.2
+      // "don't compute things twice"; same device as the graph loops)
+      val truth = graft.util.Checkpoints.cut(graft.operators.Dedup
         .prefixJaccardPairs(docs, thrNum = 3, thrDen = 10)
-        .select(col("id_a"), col("id_b"))
-      val cand = graft.operators.Dedup.minhashCandidates(docs)
-        .select(col("id_a"), col("id_b")).distinct()
+        .select(col("id_a"), col("id_b")))
+      val cand = graft.util.Checkpoints.cut(
+        graft.operators.Dedup.minhashCandidates(docs)
+          .select(col("id_a"), col("id_b")).distinct())
       val tp = cand.intersect(truth)
       truth.agg(count(lit(1)).as("truth_pairs"))
         .crossJoin(cand.agg(count(lit(1)).as("cand_pairs")))

@@ -363,10 +363,17 @@ object Graph {
     * single global co-moment aggregation — partial map-side, no shuffle
     * carries edges. */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val und = edges.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    // materialize the undirected support ONCE (r16, guide §1.2): it is
+    // referenced three times below (twice building the degree table, once
+    // as the join spine), and `edges` is typically an expensive derivation
+    // (the co-order graph is a fact self-join + top-k window) that a lazy
+    // plan would re-execute per reference — the same loop-invariant cut
+    // as [[pageRankFixedPoint]]/[[hitsFixedPoint]]
+    val und = graft.util.Checkpoints.cut(
+      edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())
     val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val ends = und

@@ -99,6 +99,40 @@ object Versioned {
     Entry(path, part)
   }
 
+  /** Per-partition commit rewrites, CONCURRENT (r16, optimization guide
+    * §2.6 "overlap independent jobs"): the touched partitions' rewrite
+    * jobs are independent by construction — each reads its own current
+    * files, anti-joins the shared (already-materialized) delta, and
+    * writes its own new immutable dir — and the r15 serial loop left
+    * most of the cluster idle through every small job's tail. A window
+    * of up to 3 in-flight partitions lets the next rewrite back-fill
+    * executors the current one's write tail frees; the manifest commit
+    * stays strictly AFTER every rewrite (the ordering that makes a
+    * mid-commit crash leave only unreferenced files, exactly as before).
+    * Result order follows `parts` (deterministic manifests). Worker
+    * threads inherit the caller's checkpoint scope and active session —
+    * without that, cuts made inside `f` would leak past the query's
+    * [[graft.util.Checkpoints.scoped]] release. */
+  private def mapPartsConcurrently[T](spark: SparkSession, parts: Seq[String])(
+      f: String => T): Seq[T] = {
+    if (parts.lengthCompare(2) < 0) return parts.map(f)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val scope = graft.util.Checkpoints.currentScope
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(3, parts.length))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = parts.map { p =>
+        Future {
+          SparkSession.setActiveSession(spark)
+          graft.util.Checkpoints.inScope(scope)(f(p))
+        }
+      }
+      Await.result(Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   /** Hex of a partition value's UTF-8 bytes — the filesystem-safe
     * directory key the single-pass bootstrap partitions by. Matches Spark's
     * `hex()` (uppercase), so the Scala-side manifest entries and the
@@ -164,7 +198,7 @@ object Versioned {
       .collect().map(_.getString(0)).toSet
     val (affected, carried) = m.entries.partition(e => touched(e.part))
     val affectedByPart = affected.groupBy(_.part)
-    val newEntries = touched.toSeq.sorted.map { p =>
+    val newEntries = mapPartsConcurrently(spark, touched.toSeq.sorted) { p =>
       val updP = u.filter(col(partCol) === p)
       val current = affectedByPart.get(p) match {
         case Some(es) => spark.read.parquet(es.map(_.path): _*)
@@ -202,7 +236,7 @@ object Versioned {
       .collect().map(_.getString(0)).toSet
     val (affected, carried) = m.entries.partition(e => touched(e.part))
     val affectedByPart = affected.groupBy(_.part)
-    val newEntries = touched.toSeq.sorted.flatMap { p =>
+    val newEntries = mapPartsConcurrently(spark, touched.toSeq.sorted) { p =>
       affectedByPart.get(p).map { es =>
         val current = spark.read.parquet(es.map(_.path): _*)
         val survivors = graft.util.Checkpoints.cut(
@@ -211,7 +245,7 @@ object Versioned {
         if (survivors.isEmpty) None // partition fully deleted: no entry
         else Some(writePart(dir, v1, p, survivors))
       }.getOrElse(None) // keys naming an absent partition delete nothing
-    }
+    }.flatten
     writeManifest(dir, Manifest(v1, carried ++ newEntries))
     v1
   }
@@ -329,7 +363,9 @@ object Versioned {
     if (targets.isEmpty) return (-1, Nil)
     val v1 = v0 + 1
     val carried = m.entries.filterNot(e => targets.contains(e.part))
-    val rewritten = targets.map { p =>
+    // same §2.6 overlap as the commit verbs: each partition's compaction
+    // is an independent read+rewrite of its own files
+    val rewritten = mapPartsConcurrently(spark, targets) { p =>
       val rows = graft.util.Checkpoints.cut(
         spark.read.parquet(byPart(p).map(_.path): _*).coalesce(1))
       writePart(dir, v1, p, rows)

@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter,
-  Join, JoinHint, LogicalPlan, Project, Window}
+  Join, JoinHint, LogicalPlan, Project, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   FloatType, IntegerType, LongType, ShortType, TimestampType}
@@ -250,7 +250,27 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   * bearing numbers (row count, ord range, avg/decimal proofs) stay exact
   * scan aggregates in the same job. The ANALYZE path stays primary:
   * [[catalogGate]] is consulted first and the probe never runs when
-  * catalog stats already decide.
+  * catalog stats already decide — in EITHER direction since r16 (ADVICE
+  * r15): complete catalog stats that conclusively say NOT-HOT suppress
+  * the census too, so an ANALYZE'd cold-key table never pays a
+  * planning-time scan for a question its catalog already answered.
+  *
+  * THE HOT-KEY SPLIT (r16, VERDICT r15 #1): when the keyed census fires
+  * on the HEAVY-HITTER signal alone (the average key is cold — the
+  * 60%-hot/1M-lukewarm-keys ingest shape), rewriting the WHOLE relation
+  * taxes every lukewarm key with the chunk machinery's group-by/offset/
+  * join — measured 2.4x shuffle amplification (529 vs 224 MB) at the 20M
+  * soak. The same ApproxTopK sketch that proved the hotness also NAMES
+  * the hot keys, so [[hotSplit]] routes only rows whose xxhash64(keys)
+  * lands in the proven-hot set (every sketch item estimated >=
+  * `spark.graft.autoChunk.hotSplitMinRows`, default perKeyRows) through
+  * the chunk decomposition and leaves the tail on the ORIGINAL plain
+  * window, unioning the legs. Answer-neutral by construction — the
+  * predicate is a pure function of the partition keys, each key lands
+  * whole on exactly one exact leg. `spark.graft.autoChunk.hotSplit`
+  * (default true) reverts to whole-relation chunking when off; avg-hot
+  * relations always chunk whole (there the typical key IS the problem
+  * and a split would only add a second scan).
   *
   * The emitted aliases reuse the original ExprIds, so parents resolve
   * unchanged. Fixed point: every plan this rule emits carries a
@@ -447,6 +467,12 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           !child.isInstanceOf[
             org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit] &&
           !exprs.exists(e => rankLimitedIds.contains(e.exprId)) &&
+          // the hot-split tail leg's fixed point (r16): its plain Window
+          // keeps the ORIGINAL partition keys, so it is recognized by its
+          // __graft_chunk*-prefixed ALIAS names instead — without this a
+          // later optimizer pass would re-gate the tail (and its census
+          // would scan the filtered child again)
+          !exprs.exists(_.name.startsWith(C_NAME)) &&
           !partSpec.exists {
             case a: AttributeReference => a.name.startsWith(C_NAME)
             case _ => false
@@ -461,7 +487,10 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
                   ds.forall(d => avgExact(d.kind, d.v, g, allowFloat)) &&
                   ds.forall(decimalExact(_, g)) &&
                   rangeCompatible(ds, g) =>
-                rewrite(child, ds, ds.head.ord, pk, chunks, g)
+                g.hotHashes.filter(_ => pk.nonEmpty) match {
+                  case Some(hs) => hotSplit(w, child, ds, pk, chunks, g, hs)
+                  case None => rewrite(child, ds, ds.head.ord, pk, chunks, g)
+                }
               case _ => w
             }
           case _ =>
@@ -474,9 +503,12 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
                   fs.head.partSpec.forall(_.isInstanceOf[AttributeReference]) =>
                 val pk = fs.head.partSpec.map(_.asInstanceOf[AttributeReference])
                 val proofs = fs.collect { case d if d.kind == "avg" => d.v }
-                catalogGate(None, pk, child, perKeyRows, hotShare)
-                  .orElse(censusGate(proofs, None, pk, child, perKeyRows,
-                    hotShare)) match {
+                (catalogGate(None, pk, child, perKeyRows, hotShare) match {
+                  case CatalogFire(g) => Some(g)
+                  case CatalogCold => None
+                  case CatalogSilent =>
+                    censusGate(proofs, None, pk, child, perKeyRows, hotShare)
+                }) match {
                   case Some(g) if g.rows >= BigInt(minRows) &&
                       fs.forall(d => avgExact(d.kind, d.v, g, allowFloat)) =>
                     rewriteFull(child, fs, pk)
@@ -1078,22 +1110,39 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     * row count, the ORDER column's range in its stats unit, and per-column
     * min/max for the avg/decimal overflow proofs. Built from catalog
     * statistics when they exist ([[catalogGate]]) or from the one-scan
-    * census on the no-stats global arm ([[censusGate]]). */
+    * census on the no-stats global arm ([[censusGate]]).
+    *
+    * `hotHashes` (r16, VERDICT r15 #1) is the census sketch's proven-hot
+    * key set — the xxhash64 values of every heavy hitter the ApproxTopK
+    * probe estimated at >= hotSplitMinRows — set ONLY when the fire was
+    * heavy-hitter-driven (the AVERAGE key is cold). It selects the
+    * hot-key-split hybrid: route only those keys through the chunk
+    * decomposition, leave the lukewarm tail on the plain window. None
+    * (catalog path, avg-hot, split disabled) = chunk the whole relation. */
   private case class Gate(
       rows: BigInt, ordLo: Double, ordHi: Double,
-      colRange: AttributeReference => Option[(BigDecimal, BigDecimal)])
+      colRange: AttributeReference => Option[(BigDecimal, BigDecimal)],
+      hotHashes: Option[Set[Long]] = None)
 
   /** Hotness + range gate. Catalog stats decide whenever they can (the
     * ANALYZE path stays primary); the census is the no-catalog-stats
     * fallback — global windows since r14 (ndv = 1 needs no statistic),
-    * keyed windows since r15 via the sketch probe (VERDICT r14 #1). */
+    * keyed windows since r15 via the sketch probe (VERDICT r14 #1).
+    * Tri-state since r16 (ADVICE r15, medium): catalog stats that
+    * conclusively decide NOT-HOT suppress the census — an ANALYZE'd
+    * cold-key table must never pay a planning-time full scan the
+    * catalog already answered. */
   private def gateFor(
       ds: Seq[Decomposed], ord: AttributeReference,
       pk: Seq[AttributeReference], child: LogicalPlan,
       perKeyRows: Long, hotShare: Double): Option[Gate] =
-    catalogGate(Some(ord), pk, child, perKeyRows, hotShare)
-      .orElse(censusGate(proofAttrsOf(ds), Some(ord), pk, child, perKeyRows,
-        hotShare))
+    catalogGate(Some(ord), pk, child, perKeyRows, hotShare) match {
+      case CatalogFire(g) => Some(g)
+      case CatalogCold => None
+      case CatalogSilent =>
+        censusGate(proofAttrsOf(ds), Some(ord), pk, child, perKeyRows,
+          hotShare)
+    }
 
   /** The value attributes whose ranges the avg/decimal-sum proofs will
     * ask for — censused alongside the ord in one scan. */
@@ -1103,21 +1152,27 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
           (d.kind == "sum" && d.v.dataType.isInstanceOf[DecimalType]) => d.v
     }
 
+  /** Catalog verdict, tri-state (r16, ADVICE r15 medium): FIRE with a
+    * stats-built gate; COLD when complete stats conclusively decide the
+    * keys are not hot (rowCount plus every key's distinctCount present,
+    * neither hotness signal met) — the census must NOT run, the catalog
+    * already answered; SILENT when the statistics the decision needs are
+    * genuinely absent — only then may the census fall through. The
+    * documented residual of COLD: a histogram-less ANALYZE can hide a
+    * heavy hitter inside a high-NDV key space — catalog primacy means
+    * such a table stays plain (enable histogram statistics, re-ANALYZE,
+    * or drop the table's stats to re-admit the sketch probe). */
+  private sealed trait CatalogVerdict
+  private final case class CatalogFire(g: Gate) extends CatalogVerdict
+  private case object CatalogCold extends CatalogVerdict
+  private case object CatalogSilent extends CatalogVerdict
+
   private def catalogGate(
       ordOpt: Option[AttributeReference], pk: Seq[AttributeReference],
-      child: LogicalPlan, perKeyRows: Long, hotShare: Double): Option[Gate] = {
+      child: LogicalPlan, perKeyRows: Long,
+      hotShare: Double): CatalogVerdict = {
     val st = child.stats
-    val rows = st.rowCount.getOrElse(return None)
-    // the chunk function needs the ORDER column's real range (the
-    // full-frame arm has no ord — its Gate carries a degenerate range)
-    val (lo, hi) = ordOpt match {
-      case Some(ord) =>
-        (st.attributeStats.get(ord).flatMap(_.min).flatMap(statDouble)
-          .getOrElse(return None),
-         st.attributeStats.get(ord).flatMap(_.max).flatMap(statDouble)
-          .getOrElse(return None))
-      case None => (0.0, 0.0)
-    }
+    val rows = st.rowCount.getOrElse(return CatalogSilent)
     // hotness, signal 1: the AVERAGE key already overwhelms one task
     // (covers the no-keys global window with ndv = 1)
     val ndv = pk.foldLeft(Option(BigInt(1))) { (acc, a) =>
@@ -1137,8 +1192,24 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       }
       case _ => false
     }
-    if (!(avgHot || histHot)) return None
-    Some(Gate(rows, lo, hi, a => for {
+    if (!(avgHot || histHot))
+      // rowCount + every key's distinctCount = a complete not-hot verdict
+      // (NDV is what ANALYZE always computes); missing any of them leaves
+      // the question open for the census
+      return if (ndv.isDefined) CatalogCold else CatalogSilent
+    // hot by catalog — the chunk function still needs the ORDER column's
+    // real range (the full-frame arm has no ord — its Gate carries a
+    // degenerate range); a hot verdict with no ord stats falls through to
+    // the census, which can supply the range in the same scan
+    val (lo, hi) = ordOpt match {
+      case Some(ord) =>
+        (st.attributeStats.get(ord).flatMap(_.min).flatMap(statDouble)
+          .getOrElse(return CatalogSilent),
+         st.attributeStats.get(ord).flatMap(_.max).flatMap(statDouble)
+          .getOrElse(return CatalogSilent))
+      case None => (0.0, 0.0)
+    }
+    CatalogFire(Gate(rows, lo, hi, a => for {
       cs <- st.attributeStats.get(a)
       mn <- cs.min.flatMap(statBigDecimal)
       mx <- cs.max.flatMap(statBigDecimal)
@@ -1147,15 +1218,35 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
 
   /** One census result: exact row count plus min/max per censused child-
     * output position, plus — for keyed windows — the sketch key stats
-    * (estimated NDV, estimated heaviest-key count) per censused key-
-    * position list. Keyed by the CANONICALIZED child plan (exprIds are
-    * normalized away, so the same scan censuses once per JVM). Bounded:
-    * the cache clears wholesale past 128 plans — a re-census costs one
-    * scan, a leak would cost the driver heap. `atNanos` is the insert
-    * time the TTL compares against. */
+    * (estimated NDV, plus the ApproxTopK heavy-hitter list as
+    * (key-hash, estimated count) pairs, heaviest first — element 0's
+    * count is the heaviest-key signal, the full list feeds the hot-key
+    * split, r16) per censused key-position list. Keyed by the
+    * CANONICALIZED child plan (exprIds are normalized away, so the same
+    * scan censuses once per JVM). Bounded: past [[cacheMax]] entries the
+    * OLDEST entry is evicted (r16, VERDICT r15 #2 — the r15 clear-all
+    * re-censused an entire 129-plan workload on overflow). `atNanos` is
+    * the insert time the TTL compares against. */
   private case class Census(
       rows: BigInt, byPos: Map[Int, Option[(BigDecimal, BigDecimal)]],
-      keyStats: Map[Seq[Int], (BigInt, BigInt)], atNanos: Long)
+      keyStats: Map[Seq[Int], (BigInt, Seq[(Long, BigInt)])], atNanos: Long)
+
+  /** Cache capacity for censuses and remembered failures — conf-read so
+    * the eviction spec can exercise overflow without 129 scan jobs. */
+  private def cacheMax: Int =
+    conf.getConfString("spark.graft.autoChunk.censusCacheMax", "128").toInt
+
+  /** Evict the single OLDEST entry when the map is at capacity and a new
+    * entry is about to be inserted (r16, VERDICT r15 #2 — LRU-by-insert,
+    * not clear-all). */
+  private def evictOldest[V](
+      m: java.util.concurrent.ConcurrentHashMap[LogicalPlan, V],
+      at: V => Long): Unit =
+    if (m.size() >= cacheMax) {
+      import scala.jdk.CollectionConverters._
+      m.entrySet().asScala.minByOption(e => at(e.getValue))
+        .foreach(e => m.remove(e.getKey))
+    }
   private val censusCache =
     new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Census]()
 
@@ -1169,8 +1260,10 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     * under the table, a key type the hash rejects at runtime) would
     * re-launch the full-table scan that fails again — a dashboard
     * issuing many keyed-window compiles would pay one doomed cluster job
-    * each. Failures are remembered for censusTtlSec when set, else a
-    * 10-minute cooldown, and cleared by [[invalidateCensus]]. */
+    * each. Failures are remembered for AT MOST 10 minutes — capped
+    * independently of censusTtlSec (r16, ADVICE r15: a daily-refresh TTL
+    * must not turn one transient scan hiccup into a day-long rewrite
+    * outage) — and cleared by [[invalidateCensus]]. */
   private val censusFail =
     new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Long]()
 
@@ -1224,7 +1317,11 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     // must degrade to the plain serial window, not crash PLANNING — and
     // the failure is negatively cached so repeated compiles over the
     // same doomed child don't re-launch the scan each time
-    val failCooldown = if (ttlNanos > 0) ttlNanos else 600L * 1000000000L
+    // transient failures recover on the 10-minute scale regardless of the
+    // success-cache TTL (ADVICE r15: min, not reuse)
+    val failCooldown =
+      if (ttlNanos > 0) math.min(ttlNanos, 600L * 1000000000L)
+      else 600L * 1000000000L
     Option(censusFail.get(key)).foreach { t =>
       if (System.nanoTime() - t < failCooldown) return None
       censusFail.remove(key)
@@ -1235,20 +1332,40 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       case scala.util.control.NonFatal(e) =>
         logWarning(s"AutoChunkWindow: census scan failed — leaving the " +
           s"window plain (${e.toString.take(200)})")
-        if (censusFail.size() > 128) censusFail.clear()
+        evictOldest(censusFail, (t: Long) => t)
         censusFail.put(key, System.nanoTime())
         return None
     }
+    var hotHashes: Option[Set[Long]] = None
     if (keyed) {
       // mirror catalogGate's two hotness signals, sketch-estimated: the
       // AVERAGE key overwhelms one task, or one heavy hitter holds >=
       // hotShare of the rows. Heuristics, not proofs — sketch error only
       // shifts the fire threshold, never the answer.
-      val (ndv, top) = census.keyStats(keyPos)
+      val (ndv, items) = census.keyStats(keyPos)
+      val top = items.headOption.map(_._2).getOrElse(BigInt(0))
       val avgHot = ndv > 0 && census.rows / ndv >= BigInt(perKeyRows)
       val topHot = census.rows > 0 &&
         BigDecimal(top) >= BigDecimal(hotShare) * BigDecimal(census.rows)
       if (!(avgHot || topHot)) return None
+      // HOT-KEY SPLIT (r16, VERDICT r15 #1): when the fire is heavy-
+      // hitter-driven — the AVERAGE key is cold, so the ~everything-else
+      // tail would pay the chunk machinery's group-by/offset/join tax
+      // (measured 2.4x shuffle amplification at the 20M soak) to fix a
+      // few keys — hand the rewrite the PROVEN-HOT key hashes and let it
+      // route only those through chunks, the tail through the plain
+      // window. avg-hot relations keep whole-relation chunking: there
+      // the typical key IS the problem and a split would only add a
+      // second scan. Sketch under-estimates can only demote a hot key to
+      // the plain leg and collisions promote a lukewarm one — both legs
+      // are exact, so either error is performance-only.
+      if (!avgHot && conf.getConfString(
+          "spark.graft.autoChunk.hotSplit", "true").toBoolean) {
+        val splitMin = BigInt(conf.getConfString(
+          "spark.graft.autoChunk.hotSplitMinRows", perKeyRows.toString))
+        val hs = items.takeWhile(_._2 >= splitMin).map(_._1).toSet
+        if (hs.nonEmpty) hotHashes = Some(hs)
+      }
     } else {
       // the one key (the whole relation) must overwhelm one task
       if (census.rows < BigInt(perKeyRows)) return None
@@ -1265,7 +1382,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
     Some(Gate(census.rows, lo, hi, a => {
       val p = child.output.indexWhere(_.exprId == a.exprId)
       if (p < 0) None else census.byPos.get(p).flatten
-    }))
+    }, hotHashes))
   }
 
 
@@ -1308,7 +1425,11 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
             Seq(
               Alias(HyperLogLogPlusPlus(h).toAggregateExpression(),
                 "__graft_ndv")(),
-              Alias(ApproxTopK(h, Literal(1), Literal(10000))
+              // top 100, not top 1 (r16): the same sketch that proves the
+              // heaviest key now NAMES every heavy hitter for the hot-key
+              // split — identical scan cost, the sketch tracks 10k items
+              // either way
+              Alias(ApproxTopK(h, Literal(100), Literal(10000))
                 .toAggregateExpression(), "__graft_top")())
           }
       logInfo(s"AutoChunkWindow: launching one-scan census " +
@@ -1327,20 +1448,23 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
                 mx <- statBigDecimal(row.get(hiI))
               } yield (mn, mx))
       }.toMap
-      val keyStats: Map[Seq[Int], (BigInt, BigInt)] =
+      val keyStats: Map[Seq[Int], (BigInt, Seq[(Long, BigInt)])] =
         if (!keyed) Map.empty
         else {
           val ndvI = 1 + 2 * need.length
           val ndv = BigInt(row.getLong(ndvI))
           // approx_top_k yields array<struct<item, count>> ordered by
-          // estimated count; element 0's count is the heaviest key's
-          val top = row.get(ndvI + 1) match {
-            case s: scala.collection.Seq[_] if s.nonEmpty =>
-              BigInt(s.head.asInstanceOf[org.apache.spark.sql.Row]
-                .getAs[Long]("count"))
-            case _ => BigInt(0)
+          // estimated count; element 0's count is the heaviest key's,
+          // the full (hash, count) list feeds the hot-key split (r16)
+          val items = row.get(ndvI + 1) match {
+            case s: scala.collection.Seq[_] =>
+              s.map { e =>
+                val r = e.asInstanceOf[org.apache.spark.sql.Row]
+                (r.getAs[Long]("item"), BigInt(r.getAs[Long]("count")))
+              }.toSeq
+            case _ => Nil
           }
-          Map(keyPos -> ((ndv, top)))
+          Map(keyPos -> ((ndv, items)))
         }
       // merge a still-fresh prior entry's stats: a second window over the
       // same child with a DIFFERENT key set (or extra proof columns)
@@ -1352,7 +1476,7 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
         prev.map(_.byPos).getOrElse(Map.empty) ++ byPos,
         prev.map(_.keyStats).getOrElse(Map.empty) ++ keyStats,
         System.nanoTime())
-      if (censusCache.size() > 128) censusCache.clear()
+      evictOldest(censusCache, (cc: Census) => cc.atNanos)
       censusCache.put(key, c)
       c
     }
@@ -1407,6 +1531,53 @@ object AutoChunkWindow extends Rule[LogicalPlan] {
       val st = anchorStruct(d.so, d.ord, d.v)._1
       Seq(Leg(k, If(IsNull(d.v), Literal.create(null, st.dataType), st)))
     case k => Seq(Leg(k, d.v))
+  }
+
+  /** The HOT-KEY SPLIT hybrid (r16, VERDICT r15 #1). The keyed census
+    * fired on a heavy hitter while the AVERAGE key is cold: chunking the
+    * whole relation would tax every lukewarm key with the decomposition's
+    * group-by/offset/join machinery (measured 2.4x shuffle amplification
+    * at the 20M soak) to fix a few keys. The census's ApproxTopK names
+    * the hot keys' hashes, so split instead: rows whose xxhash64(keys)
+    * lands in the proven-hot set take the chunk decomposition, the tail
+    * takes the ORIGINAL plain window, and the two legs union.
+    *
+    * Answer-neutral by construction: the predicate is a pure function of
+    * the partition keys (XxHash64 is null-safe and never null), so every
+    * window partition lands WHOLE on exactly one leg, each leg computes
+    * the exact per-key window over exactly its keys' rows, and window
+    * output order is not a contract. Hash collisions only promote a
+    * lukewarm key into the (exact) chunk leg; a sketch under-count only
+    * demotes a hot key to the plain leg — both performance-only. The
+    * same XxHash64 seed as the census means runtime membership is
+    * checked against precisely the hashes the sketch counted.
+    *
+    * Cost shape: one extra scan of the child (each leg reads through its
+    * complementary filter) buys back the tail's shuffle amplification —
+    * at the 20M soak the chunk machinery now carries only the hot ~60%
+    * while the ~1M lukewarm keys shuffle once, plain. The tail Window's
+    * aliases are C_NAME-prefixed — the fixed-point guard in [[apply]]
+    * (its partition spec keeps the ORIGINAL keys, so the name guard on
+    * partition attributes cannot recognize it). */
+  private def hotSplit(
+      w: Window, child: LogicalPlan, ds: Seq[Decomposed],
+      pk: Seq[AttributeReference], chunks: Int, gate: Gate,
+      hot: Set[Long]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{InSet, Not, XxHash64}
+    def pred = InSet(new XxHash64(pk), hot.map(v => Long.box(v): Any))
+    val hotLeg =
+      rewrite(Filter(pred, child), ds, ds.head.ord, pk, chunks, gate)
+    val tailAliases = w.windowExpressions.map {
+      case a @ Alias(e, _) => Alias(e, s"${C_NAME}_tail_${a.name}")()
+      case ne => Alias(ne, s"${C_NAME}_tail_${ne.name}")()
+    }
+    // the plain leg replays the ORIGINAL window node verbatim (spec,
+    // order, hint) over the complement — only the alias names change
+    // (fresh ExprIds: the hot leg owns the original ones, and Union
+    // resolves its second child by position)
+    val tailLeg = w.copy(windowExpressions = tailAliases,
+      child = Filter(Not(pred), child))
+    Union(hotLeg, tailLeg)
   }
 
   private def rewrite(

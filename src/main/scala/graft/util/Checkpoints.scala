@@ -43,6 +43,19 @@ object Checkpoints {
     out
   }
 
+  /** The active scope, capturable for worker threads (r16): [[scoped]] is
+    * thread-confined by design, so an operator fanning independent Spark
+    * jobs out to a small pool (guide §2.6 — e.g. [[graft.operators
+    * .Versioned]]'s per-partition commit rewrites) must carry the scope
+    * over explicitly, or its cuts would silently fall to the session-
+    * global map and outlive the query. The buffer append in [[cut]] is
+    * synchronized, so one scope accepts concurrent cuts safely. */
+  private[graft] type Scope =
+    Option[scala.collection.mutable.Buffer[org.apache.spark.rdd.RDD[_]]]
+  private[graft] def currentScope: Scope = activeScope.value
+  private[graft] def inScope[T](s: Scope)(f: => T): T =
+    activeScope.withValue(s)(f)
+
   /** Run one query's build + consuming action(s), then release exactly the
     * cuts it created. Returns `f`'s result. */
   def scoped[T](f: => T): T = {

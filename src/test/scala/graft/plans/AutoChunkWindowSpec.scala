@@ -1539,6 +1539,138 @@ class AutoChunkWindowSpec extends SparkSpec {
     }
   }
 
+  test("HOT-KEY SPLIT (r16, VERDICT r15 #1): a heavy-hitter census fire " +
+      "routes only the proven-hot keys through chunks, the lukewarm tail " +
+      "through the ORIGINAL plain window — Union plan, identical answers, " +
+      "hotSplit=false reverts to whole-relation chunking") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_split").toString
+    // the ingest straggler shape: 60% of 20k rows on key 0, the rest
+    // spread over ~8000 distinct keys — avg-cold, heavy-hitter-hot, so
+    // the ONLY fire signal is the ApproxTopK sketch, which also names
+    // key 0's hash for the split
+    spark.range(20000L).select(
+        when(col("id") % 10 < 6, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("o"),
+        when(col("id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(pmod(xxhash64(col("id")), lit(100L))).as("v"))
+      .write.mode("overwrite").parquet(dir)
+    def t = spark.read.parquet(dir)
+    def w = Window.partitionBy(col("k")).orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withConfs(
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000000", // avg signal OFF
+      "spark.graft.autoChunk.hotSplitMinRows" -> "5000", // key 0: ~12000
+      "spark.graft.autoChunk.censusMinBytes" -> "1",
+      "spark.graft.autoChunk.chunks" -> "8") {
+      def q = t.withColumn("run", sum(col("v")).over(w))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("o"))))
+      val plan = q.queryExecution.optimizedPlan
+      // shape: one Union; a chunked leg (struct-key window machinery) and
+      // a PLAIN tail leg — a Window over the ORIGINAL key whose aliases
+      // carry the __graft_chunk_tail marker (the fixed-point guard)
+      assert(plan.collect {
+          case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+        }.length == 1,
+        s"hot split must emit exactly one Union:\n$plan")
+      assert(plan.toString.contains("__graft_chunk_sk"),
+        s"the hot leg must be the chunk decomposition:\n$plan")
+      val tails = plan.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(
+              _.name.startsWith("__graft_chunk_tail")) => wn
+      }
+      assert(tails.length == 1,
+        s"the tail leg must be ONE plain window with marker aliases:\n$plan")
+      assert(tails.head.partitionSpec.exists {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name == "k"
+          case _ => false
+        }, "the tail window must keep the ORIGINAL partition key")
+      // answer-neutral: every key lands whole on exactly one exact leg
+      var want: Set[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.autoChunk.enabled" -> "false") {
+        want = q.collect().toSet
+      }
+      assert(q.collect().toSet == want, "hot-key split changed the answer")
+      // kill switch: whole-relation chunking, no Union (the r15 shape)
+      withConfs("spark.graft.autoChunk.hotSplit" -> "false") {
+        val p2 = q.queryExecution.optimizedPlan
+        assert(p2.collect {
+            case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+          }.isEmpty && p2.toString.contains("__graft_chunk"),
+          s"hotSplit=false must chunk the whole relation:\n$p2")
+        assert(q.collect().toSet == want,
+          "whole-relation chunking changed the answer")
+      }
+    }
+  }
+
+  test("catalog tri-state (r16, ADVICE r15 medium): complete ANALYZE stats " +
+      "that decide NOT-HOT suppress the census — no planning-time scan for " +
+      "a question the catalog already answered") {
+    val t = "graft_autochunk_cold"
+    freshTable(t) {
+      // 10k rows over 10k distinct keys: rowCount + ndv present and
+      // conclusively cold (avg 1 row/key against perKeyRows = 1000)
+      spark.range(10000L).select(col("id").as("k"), col("id").as("o"),
+          lit(1L).as("v"))
+        .write.saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS k, o")
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.censusMinBytes" -> "1") { // census WOULD be allowed
+      AutoChunkWindow.invalidateCensus()
+      val r0 = AutoChunkWindow.censusRuns.get
+      val df = runSum(t)
+      assert(!chunked(df), "a catalog-cold table must stay plain")
+      df.queryExecution.optimizedPlan // force planning
+      assert(AutoChunkWindow.censusRuns.get == r0,
+        "catalog stats decided not-hot — the census must not launch")
+    }
+  }
+
+  test("census cache eviction (r16, VERDICT r15 #2): past censusCacheMax " +
+      "the OLDEST entry is evicted, not the whole cache — no re-census " +
+      "storm on overflow") {
+    import org.apache.spark.sql.expressions.Window
+    val dirs = (0 until 3).map { i =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft_lru$i").toString
+      spark.range(2000L + i).select(col("id").as("o"), lit(1L).as("v"))
+        .write.mode("overwrite").parquet(d)
+      d
+    }
+    def q(i: Int) = spark.read.parquet(dirs(i)).withColumn("run",
+      sum(col("v")).over(Window.orderBy(col("o"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withConfs(
+      "spark.graft.autoChunk.minRows" -> "1000",
+      "spark.graft.autoChunk.perKeyRows" -> "1000",
+      "spark.graft.autoChunk.censusMinBytes" -> "1",
+      "spark.graft.autoChunk.censusCacheMax" -> "2") {
+      AutoChunkWindow.invalidateCensus()
+      val r0 = AutoChunkWindow.censusRuns.get
+      q(0).queryExecution.optimizedPlan
+      q(1).queryExecution.optimizedPlan
+      q(2).queryExecution.optimizedPlan // overflow: evicts the OLDEST (0)
+      assert(AutoChunkWindow.censusRuns.get == r0 + 3,
+        "three distinct plans census once each")
+      q(2).queryExecution.optimizedPlan
+      q(1).queryExecution.optimizedPlan
+      assert(AutoChunkWindow.censusRuns.get == r0 + 3,
+        "entries 1 and 2 must SURVIVE the overflow — eviction is " +
+          "oldest-only, not clear-all")
+      q(0).queryExecution.optimizedPlan
+      assert(AutoChunkWindow.censusRuns.get == r0 + 4,
+        "the evicted oldest entry re-censuses on next planning")
+    }
+  }
+
   test("injectOptimizerRule path: the PRE-InferWindowGroupLimit rank-limit " +
       "shape stays plain while running windows still chunk (ADVICE r13)") {
     import org.apache.spark.sql.expressions.Window
