@@ -300,16 +300,36 @@ object Graph {
     val nodes = graft.util.Checkpoints.cut(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
+    // The cut cadence is SCALE-DEPENDENT (r16, measured both ways). Each
+    // round's rescale total embeds the whole prefix as a broadcast
+    // subplan, so the LAZY plan doubles per half-step — at the sf0.1
+    // registry graph (~15k edges) the 17k-line plan costs more in
+    // planning + duplicated tiny-stage scheduling than the rounds
+    // themselves (two-pass min: 6.8 s lazy vs 4.8 s with per-round cuts),
+    // while at the 1M/8M-edge soak the lazy plan's cross-round exchange
+    // reuse is the win (22 s lazy vs 44 s materialized, r9). Count the
+    // ALREADY-MATERIALIZED edge cut (a cheap bounded job) and cut every
+    // round below the threshold; above it keep the caller's cadence.
+    // Conf `spark.graft.hits.eagerCutMaxEdges` (0 disables the eager
+    // path); cuts are answer-neutral — each round's exact integer
+    // arithmetic is unchanged, only where lineage is pinned moves.
+    val eagerCutMax = edges.sparkSession.conf
+      .getOption("spark.graft.hits.eagerCutMaxEdges")
+      .map(_.toLong).getOrElse(1000000L)
+    val effCutEvery =
+      if (eagerCutMax > 0 && e.count() <= eagerCutMax) 1
+      else cutEvery
     var hub = nodes.select(col("node"), lit(scale).as("h"))
     var auth: DataFrame = null
     for (i <- 1 to iters) {
-      // rounds stay LAZY — the final action runs all of them as one query
-      // so the materialized edge exchange is reused across every half-step
-      // join (a per-half-step materialization forces e to re-shuffle each
-      // time: the 1M soak measured 44 s eager vs 22 s lazy). The rescale
-      // total rides a one-row broadcast subplan; lineage is cut
-      // PERIODICALLY only to stop later totals re-executing an
-      // ever-deeper prefix when callers raise iters.
+      // ABOVE the eager-cut threshold, rounds stay LAZY — the final action
+      // runs all of them as one query so the materialized edge exchange is
+      // reused across every half-step join (a per-half-step
+      // materialization forces e to re-shuffle each time: the 1M soak
+      // measured 44 s eager vs 22 s lazy). The rescale total rides a
+      // one-row broadcast subplan; lineage is cut PERIODICALLY only to
+      // stop later totals re-executing an ever-deeper prefix when callers
+      // raise iters. (Below the threshold effCutEvery = 1 — see above.)
       //
       // The per-half-step zero-fill below (nodes LEFT OUTER aggregate) is
       // NOT waste — it was proposed for removal (defer zero-fill to the
@@ -338,10 +358,12 @@ object Graph {
         .crossJoin(broadcast(hTot))
         .select(col("node"),
           expr(s"coalesce(v, 0L) * ${scale}L div sv").as("h"))
-      // at the DEFAULT depth (3) no cut fires — the whole computation is
-      // one query; the cut exists for callers raising iters, where later
-      // totals would otherwise re-execute an ever-deeper prefix
-      if (i % cutEvery == 0 && i < iters) {
+      // above the eager-cut threshold and at the DEFAULT depth (3) no cut
+      // fires — the whole computation is one query; the periodic cut
+      // exists for callers raising iters, where later totals would
+      // otherwise re-execute an ever-deeper prefix. Below the threshold
+      // effCutEvery = 1 bounds the per-half-step plan doubling instead.
+      if (i % effCutEvery == 0 && i < iters) {
         auth = graft.util.Checkpoints.cut(auth)
         hub = graft.util.Checkpoints.cut(hub)
       }

@@ -255,6 +255,36 @@ class GraphSpec extends SparkSpec {
     assert(again == r, "HITS depends on partitioning")
   }
 
+  test("hitsFixedPoint eager-cut cadence (r16): below eagerCutMaxEdges the " +
+      "per-round cuts bound the plan, above it (and at 0) rounds stay lazy " +
+      "— identical answers on every path") {
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L)).toDF("src", "dst")
+    val k = "spark.graft.hits.eagerCutMaxEdges"
+    val old = spark.conf.getOption(k)
+    def run(): Map[Long, (Long, Long)] =
+      Graph.hitsFixedPoint(star, iters = 3, scale = 1000000L)
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    try {
+      spark.conf.set(k, "0") // eager path disabled: the r15 lazy shape
+      val lazyR = run()
+      spark.conf.set(k, "1000000") // 4 edges << threshold: per-round cuts
+      val eagerDf = Graph.hitsFixedPoint(star, iters = 3, scale = 1000000L)
+      // the eager path's returned plan roots at materialized cuts — the
+      // exponential lazy prefix is gone from the final query
+      assert(eagerDf.queryExecution.optimizedPlan.toString
+          .contains("LogicalRDD"),
+        "eager cadence must leave the final round reading materialized cuts")
+      val eagerR = eagerDf
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      assert(eagerR == lazyR, "cut cadence changed the HITS answer")
+      spark.conf.set(k, "2") // 4 edges > threshold: lazy again
+      assert(run() == lazyR, "above-threshold path changed the answer")
+    } finally old match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   test("degreeAssortativity: star is perfectly disassortative, clique NaN") {
     // star: every edge pairs the hub (deg 4) with a leaf (deg 1) -> r = -1
     val star = Seq((1, 2), (1, 3), (1, 4), (1, 5)).toDF("src", "dst")
